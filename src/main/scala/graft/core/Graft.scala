@@ -1,0 +1,66 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Session + catalog helpers for the graft engine.
+  *
+  * Design notes (100 TB target):
+  *   - AQE on: runtime partition coalescing, skew-join splitting, and
+  *     dynamic join-strategy switch are the first line of defense at scale.
+  *   - shuffle.partitions is sized for the local harness (32 cores); on a
+  *     real cluster AQE's coalescing makes the initial number mostly a cap.
+  *   - All reads go through `table()` so the scan always carries the
+  *     parquet schema and Catalyst can push filters/prune columns.
+  */
+object Graft {
+
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def session(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Scan one TESTDATA table. Column pruning + predicate pushdown reach the
+    * parquet reader because this is a plain DataSource v2 relation. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // ---------------------------------------------------------------------
+  // Deterministic-arithmetic helpers.
+  //
+  // Doubles summed in different orders (Spark partial aggregation vs the
+  // DuckDB oracle) differ in the low bits. IEEE *per-row* arithmetic,
+  // however, is bit-identical across engines for the same expression tree.
+  // So: quantize per row to an integer number of 1e-4 units (exact in both
+  // engines), sum the longs (exact, associative), and rescale at the end.
+  // ---------------------------------------------------------------------
+
+  /** Per-row quantization of a money-like double to integer 1e-4 units. */
+  def fixed4(c: Column): Column = round(c * lit(10000L), 0).cast("long")
+
+  /** Exact sum of a money expression, returned as a double (n/1e4 is a
+    * single deterministic IEEE division). */
+  def moneySum(c: Column): Column = sum(fixed4(c)) / lit(10000.0)
+
+  /** Exact avg: integer sum divided by count — deterministic. */
+  def moneyAvg(c: Column): Column = sum(fixed4(c)) / lit(10000.0) / count(lit(1))
+
+  /** Same quantization written in DuckDB SQL, for oracle text. */
+  def fixed4Sql(e: String): String = s"CAST(round(($e) * 10000) AS BIGINT)"
+  def moneySumSql(e: String): String = s"sum(${fixed4Sql(e)}) / 10000.0"
+  def moneyAvgSql(e: String): String = s"sum(${fixed4Sql(e)}) / 10000.0 / count(*)"
+}

@@ -1,0 +1,292 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Graft._
+
+/** Relational core: scans, projection/filter, all join types, aggregation,
+  * sort/limit/top-k, set operations.
+  *
+  * Capability map: SURVEY.md §2.2 — every category the reference expresses
+  * via Mapper/Reducer composition (reference ops #1/#3/#5,
+  * /root/reference/src/Core/MapReduceC.hs:24-44) re-expressed as declarative
+  * DataFrame plans so Catalyst can push filters, prune columns, pick join
+  * strategies (broadcast for dims) and insert partial aggregation.
+  *
+  * Determinism: money sums go through Graft.fixed4 (per-row quantization →
+  * exact integer sums) so Spark and the DuckDB oracle agree bit-for-bit;
+  * every query ends in a total ORDER BY.
+  */
+object Relational extends QueryGroup {
+
+  private def ntz(c: Column): Column = c.cast("timestamp_ntz")
+
+  // -- scans / projection / filter ------------------------------------
+
+  private val qScanProject = Q(
+    "q_scan_project",
+    (s, dir) => table(s, dir, "lineitem")
+      .filter(col("l_quantity") >= 45 && col("l_discount") > 0.05)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+            FROM lineitem WHERE l_quantity >= 45 AND l_discount > 0.05
+            ORDER BY l_orderkey, l_linenumber"""))
+
+  private val qSourceValues = Q(
+    "q_source_values",
+    (s, dir) => {
+      import s.implicits._
+      // In-memory scan (reference MemoryStore, src/Core/Store.hs:88-96).
+      Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+        .toDF("k", "v").orderBy("k")
+    },
+    Some("SELECT * FROM (VALUES (CAST(1 AS BIGINT),'alpha'),(2,'beta'),(3,'gamma')) t(k, v) ORDER BY k"))
+
+  // -- aggregation ----------------------------------------------------
+
+  /** TPC-H Q1 shape: the canonical partial+final hash aggregation. */
+  private val q1Agg = Q(
+    "q1_agg",
+    (s, dir) => table(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2000-01-01").cast("timestamp_ntz"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        moneyAvg(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus")),
+    Some(s"""SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               ${moneySumSql("l_extendedprice")} AS sum_base_price,
+               ${moneySumSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+               ${moneySumSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+               sum(l_quantity) / count(*) AS avg_qty,
+               ${moneyAvgSql("l_extendedprice")} AS avg_price,
+               count(*) AS count_order
+             FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+             GROUP BY l_returnflag, l_linestatus
+             ORDER BY l_returnflag, l_linestatus"""))
+
+  private val qAggDistinct = Q(
+    "q_agg_distinct",
+    (s, dir) => table(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        countDistinct(col("l_suppkey"), col("l_partkey")).as("n_supp_part"))
+      .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+              count(DISTINCT l_partkey) AS n_part,
+              count(DISTINCT (l_suppkey, l_partkey)) AS n_supp_part
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  // -- joins ----------------------------------------------------------
+
+  /** Flagship: TPC-H Q3 shape — dim filter, two joins (customer is
+    * broadcast-size), aggregated revenue, top-10. */
+  private val q3TopRevenue = Q(
+    "q3_top_revenue",
+    (s, dir) => {
+      val cutoff = lit("1998-01-01").cast("timestamp_ntz")
+      val c = table(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val o = table(s, dir, "orders")
+        .filter(col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val l = table(s, dir, "lineitem")
+        .filter(col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .select(col("l_orderkey"), col("revenue"), ntz(col("o_orderdate")).as("o_orderdate"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some(s"""SELECT l_orderkey,
+               ${moneySumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+               o_orderdate
+             FROM customer, orders, lineitem
+             WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+               AND l_orderkey = o_orderkey
+               AND o_orderdate < TIMESTAMP '1998-01-01'
+               AND l_shipdate  > TIMESTAMP '1998-01-01'
+             GROUP BY l_orderkey, o_orderdate
+             ORDER BY revenue DESC, l_orderkey LIMIT 10"""))
+
+  private val qJoinLeft = Q(
+    "q_join_left",
+    (s, dir) => {
+      val c = table(s, dir, "customer")
+      val o = table(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          moneySum(coalesce(col("o_totalprice"), lit(0.0))).as("total_spent"))
+        .orderBy(col("c_custkey"))
+    },
+    Some(s"""SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+               ${moneySumSql("coalesce(o_totalprice, 0.0)")} AS total_spent
+             FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             GROUP BY c_custkey, c_name ORDER BY c_custkey"""))
+
+  private val qJoinSemi = Q(
+    "q_join_semi",
+    (s, dir) => {
+      val c = table(s, dir, "customer")
+      val o = table(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment").orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_mktsegment FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+            ORDER BY c_custkey"""))
+
+  private val qJoinAnti = Q(
+    "q_join_anti",
+    (s, dir) => {
+      val c = table(s, dir, "customer")
+      val o = table(s, dir, "orders").filter(col("o_orderstatus") === "P")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_acctbal").orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_acctbal FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+            ORDER BY c_custkey"""))
+
+  /** Full outer join of two pre-aggregated sides (per-nation customer vs
+    * supplier balances) — aggregate-before-join keeps the shuffle small. */
+  private val qJoinFull = Q(
+    "q_join_full",
+    (s, dir) => {
+      val c = table(s, dir, "customer").groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_cust"))
+      val sup = table(s, dir, "supplier").groupBy(col("s_nationkey").as("nk2"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(sup, col("nk") === col("nk2"), "full_outer")
+        .select(
+          coalesce(col("nk"), col("nk2")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy(col("nationkey"))
+    },
+    Some("""SELECT coalesce(c.nk, s.nk2) AS nationkey,
+              coalesce(c.n_cust, 0) AS n_cust, coalesce(s.n_supp, 0) AS n_supp
+            FROM (SELECT c_nationkey nk, count(*) n_cust FROM customer GROUP BY 1) c
+            FULL JOIN (SELECT s_nationkey nk2, count(*) n_supp FROM supplier GROUP BY 1) s
+              ON c.nk = s.nk2
+            ORDER BY nationkey"""))
+
+  private val qJoinCross = Q(
+    "q_join_cross",
+    (s, dir) => {
+      val r = table(s, dir, "region").select(col("r_name"))
+      val n = table(s, dir, "nation").select(col("n_name"))
+      r.crossJoin(n).orderBy(col("r_name"), col("n_name"))
+    },
+    Some("""SELECT r_name, n_name FROM region CROSS JOIN nation
+            ORDER BY r_name, n_name"""))
+
+  /** Multi-hop dimension chain with two broadcastable dims (TPC-H Q5
+    * shape): region → nation → customer+orders. */
+  private val q5NationRevenue = Q(
+    "q5_nation_revenue",
+    (s, dir) => {
+      val r = table(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = table(s, dir, "nation")
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      val c = table(s, dir, "customer")
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      val o = table(s, dir, "orders")
+      val l = table(s, dir, "lineitem")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("n_name"))
+        .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some(s"""SELECT n_name,
+               ${moneySumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+             FROM region, nation, customer, orders, lineitem
+             WHERE r_name = 'ASIA' AND n_regionkey = r_regionkey
+               AND c_nationkey = n_nationkey AND o_custkey = c_custkey
+               AND l_orderkey = o_orderkey
+             GROUP BY n_name ORDER BY revenue DESC, n_name"""))
+
+  // -- sort / limit / top-k -------------------------------------------
+
+  private val qSortLimit = Q(
+    "q_sort_limit",
+    (s, dir) => table(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100),
+    Some("""SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+            ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey LIMIT 100"""))
+
+  /** Global top-k: planned as TakeOrderedAndProject — no full sort. */
+  private val qTopkGlobal = Q(
+    "q_topk_global",
+    (s, dir) => table(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(25),
+    Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 25"""))
+
+  // -- set operations -------------------------------------------------
+
+  private def custNations(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+  private def suppNations(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+
+  private val qSetUnionAll = Q(
+    "q_set_union_all",
+    (s, dir) => custNations(s, dir).union(suppNations(s, dir))
+      .groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
+      .orderBy(col("nationkey")),
+    Some("""SELECT nationkey, count(*) AS n FROM (
+              SELECT c_nationkey AS nationkey FROM customer
+              UNION ALL SELECT s_nationkey FROM supplier) t
+            GROUP BY nationkey ORDER BY nationkey"""))
+
+  private val qSetIntersect = Q(
+    "q_set_intersect",
+    (s, dir) => custNations(s, dir).intersect(suppNations(s, dir))
+      .orderBy(col("nationkey")),
+    Some("""SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey"""))
+
+  private val qSetExcept = Q(
+    "q_set_except",
+    (s, dir) => custNations(s, dir).except(suppNations(s, dir))
+      .orderBy(col("nationkey")),
+    Some("""SELECT c_nationkey AS nationkey FROM customer
+            EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey"""))
+
+  private val qSetDistinct = Q(
+    "q_set_distinct",
+    (s, dir) => table(s, dir, "orders")
+      .select(col("o_orderstatus"), col("o_orderpriority")).distinct()
+      .orderBy(col("o_orderstatus"), col("o_orderpriority")),
+    Some("""SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+            ORDER BY o_orderstatus, o_orderpriority"""))
+
+  override val queries: Seq[Q] = Seq(
+    qScanProject, qSourceValues, q1Agg, qAggDistinct,
+    q3TopRevenue, qJoinLeft, qJoinSemi, qJoinAnti, qJoinFull, qJoinCross,
+    q5NationRevenue, qSortLimit, qTopkGlobal,
+    qSetUnionAll, qSetIntersect, qSetExcept, qSetDistinct)
+}

@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 tools/localverify.py <sfDir> <outDir>
+  (run AFTER `sbt "runMain graft.Verify <sfDir> <outDir>"`)
+
+For each query output parquet in <outDir>: run the matching oracle SQL
+from oracle_sql.json in DuckDB (tables = <sfDir>/*.parquet), sort columns
+by name, sort rows, and compare. Reports exact mismatches and, for float
+columns, the max abs deviation so determinism bugs are visible.
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize datetimes to naive ns
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for p in sorted(glob.glob(f"{sf_dir}/*.parquet")):
+        name = os.path.basename(p).replace(".parquet", "")
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = n_noora = 0
+    for d in sorted(os.listdir(out_dir)):
+        full = os.path.join(out_dir, d)
+        if not os.path.isdir(full):
+            continue
+        got = pd.read_parquet(full)
+        if d not in oracles:
+            n_noora += 1
+            print(f"  [rows-only] {d}: {len(got)} rows")
+            continue
+        try:
+            exp = con.sql(oracles[d]).df()
+        except Exception as e:
+            n_fail += 1
+            print(f"✗ {d}: ORACLE SQL ERROR: {str(e)[:200]}")
+            continue
+        g, e = canon(got), canon(exp)
+        if list(g.columns) != list(e.columns):
+            n_fail += 1
+            print(f"✗ {d}: COLUMNS spark={list(g.columns)} oracle={list(e.columns)}")
+            continue
+        if len(g) != len(e):
+            n_fail += 1
+            print(f"✗ {d}: ROWS spark={len(g)} oracle={len(e)}")
+            continue
+        ok = True
+        for c in g.columns:
+            gv, ev = g[c], e[c]
+            if pd.api.types.is_float_dtype(gv) or pd.api.types.is_float_dtype(ev):
+                gv2 = gv.astype(float).to_numpy(); ev2 = ev.astype(float).to_numpy()
+                both_nan = np.isnan(gv2) & np.isnan(ev2)
+                diff = np.where(both_nan, 0.0, np.abs(gv2 - ev2))
+                if np.nanmax(diff, initial=0.0) > 0:
+                    ok = False
+                    print(f"✗ {d}.{c}: float max|Δ|={np.nanmax(diff):.3e} "
+                          f"(n≠ {int((diff > 0).sum())})")
+            else:
+                try:
+                    neq = ~(gv.astype(str).eq(ev.astype(str)))
+                except Exception:
+                    neq = pd.Series([True] * len(gv))
+                if neq.any():
+                    ok = False
+                    i = int(neq.idxmax())
+                    print(f"✗ {d}.{c}: {int(neq.sum())} diffs; first at row {i}: "
+                          f"spark={gv.iloc[i]!r} oracle={ev.iloc[i]!r}")
+        if ok:
+            n_pass += 1
+            print(f"✓ {d} ({len(g)} rows)")
+        else:
+            n_fail += 1
+    print(f"\nPASS={n_pass} FAIL={n_fail} ROWS_ONLY={n_noora}")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
