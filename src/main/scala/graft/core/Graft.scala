@@ -28,6 +28,7 @@ object Graft {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -35,9 +36,21 @@ object Graft {
   }
 
   /** Scan one TESTDATA table. Column pruning + predicate pushdown reach the
-    * parquet reader because this is a plain DataSource v2 relation. */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    * parquet reader because this is a plain DataSource v2 relation.
+    *
+    * events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
+    * rejects; with spark.sql.legacy.parquet.nanosAsLong it arrives as epoch
+    * nanos (LongType) and is converted here to a µs timestamp — matching
+    * DuckDB's own ns→µs truncation, so the oracle sees identical values. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.find(f =>
+        f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
+      case Some(_) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      case None => df
+    }
+  }
 
   // ---------------------------------------------------------------------
   // Deterministic-arithmetic helpers.

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-aware implementations of the join shapes Spark has no single
+  * built-in operator for (SURVEY §2.2 "Joins": range/interval, as-of).
+  *
+  * The naive formulations (theta-join → BroadcastNestedLoopJoin, or
+  * per-row subqueries) are O(n²) and fall over at the 100 TB design
+  * point. Both operators here compile to *equi*-joins / single-shuffle
+  * window plans instead:
+  *
+  *  - range join: bucketize the time axis; a pair within `tolerance` can
+  *    only differ by one bucket, so joining on (key, bucket) with the
+  *    right side exploded to 3 adjacent buckets finds every pair exactly
+  *    once (bucket delta is a single deterministic value — no dedup
+  *    needed), then the precise predicate filters. Shuffle is on
+  *    (key, bucket): parallel, skew handled by AQE.
+  *  - as-of join: union both sides tagged, one window sort per key, carry
+  *    the last match forward with last(_, ignoreNulls). One shuffle+sort,
+  *    no join at all — the classic union-and-window as-of lowering.
+  */
+object AsOfRangeJoins {
+
+  /** All pairs (a, b) with a.key == b.key, a.id < b.id and
+    * |a.ts - b.ts| <= toleranceUs, via bucketed equi-join. */
+  def rangeSelfJoinPairs(
+      events: DataFrame,
+      key: String, id: String, ts: String,
+      toleranceUs: Long): DataFrame = {
+    val us = unix_micros(col(ts).cast("timestamp"))
+    val a = events.select(col(key).as("k"), col(id).as("a_id"), us.as("a_us"))
+      .withColumn("bucket", (col("a_us") / toleranceUs).cast("long"))
+    val b = events.select(col(key).as("k2"), col(id).as("b_id"), us.as("b_us"))
+      .withColumn("b_bucket", (col("b_us") / toleranceUs).cast("long"))
+      .withColumn("off", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("bucket", col("b_bucket") + col("off"))
+    a.join(b, col("k") === col("k2") && a("bucket") === b("bucket"))
+      .filter(col("a_id") < col("b_id") &&
+        abs(col("a_us") - col("b_us")) <= toleranceUs)
+      .select(col("k").as(key), col("a_id"), col("b_id"),
+        (col("b_us") - col("a_us")).as("delta_us"))
+  }
+
+  /** As-of join lowered to union+window: for each `probe`-typed row, the
+    * most recent `build`-typed timestamp with build.ts <= probe.ts within
+    * the same key. Ties at equal ts resolve build-before-probe
+    * (inclusive as-of). */
+  def asOfLastBefore(
+      events: DataFrame,
+      key: String, id: String, ts: String, typeCol: String,
+      buildType: String, probeType: String): DataFrame = {
+    val kind = when(col(typeCol) === buildType, 0).otherwise(1)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), kind, col(id))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .filter(col(typeCol).isin(buildType, probeType))
+      .withColumn("asof_ts",
+        last(when(col(typeCol) === buildType, col(ts)), ignoreNulls = true).over(w))
+      .filter(col(typeCol) === probeType)
+      .select(col(key), col(id), col(ts), col("asof_ts"))
+  }
+}

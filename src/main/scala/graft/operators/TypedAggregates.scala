@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Custom typed aggregates (SURVEY §2.2 "UDF/UDAF surface": the
+  * reference's Reducer, /root/reference/src/Core/MapReduceC.hs:26, maps to
+  * Aggregator[IN, BUF, OUT] when the reduction is a fold).
+  *
+  * Aggregators get Spark's partial+final aggregation automatically —
+  * unlike the reference, whose reducers only ever run post-shuffle
+  * (no combiners, /root/reference/src/Core/MapReduceC.hs:35-40).
+  */
+object TypedAggregates {
+
+  /** Weighted unit price: sum(price quantized to 1e-4) / sum(qty).
+    * Integer + integral-double sums keep the result bit-deterministic. */
+  object WeightedUnitPrice extends Aggregator[(Long, Double), (Long, Double), Double] {
+    override def zero: (Long, Double) = (0L, 0.0)
+    override def reduce(b: (Long, Double), a: (Long, Double)): (Long, Double) =
+      (b._1 + a._1, b._2 + a._2)
+    override def merge(x: (Long, Double), y: (Long, Double)): (Long, Double) =
+      (x._1 + y._1, x._2 + y._2)
+    override def finish(b: (Long, Double)): Double =
+      if (b._2 == 0.0) 0.0 else (b._1 / 10000.0) / b._2
+    override def bufferEncoder: Encoder[(Long, Double)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** Bounded top-k smallest (k, sorted ascending) over longs — a
+    * TypedImperative-style bounded buffer: memory O(k) per group
+    * regardless of group size, so it scales to arbitrarily hot keys. */
+  final case class TopK(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+    override def zero: Seq[Long] = Vector.empty
+    private def trim(s: Seq[Long]): Seq[Long] =
+      if (s.size <= k) s else s.sorted.take(k)
+    override def reduce(b: Seq[Long], a: Long): Seq[Long] = trim(b :+ a)
+    override def merge(x: Seq[Long], y: Seq[Long]): Seq[Long] = trim(x ++ y)
+    override def finish(b: Seq[Long]): Seq[Long] = b.sorted.take(k)
+    override def bufferEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+}

@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Graft._
+import graft.operators.{AsOfRangeJoins, TypedAggregates}
+
+/** Range/as-of joins and typed custom aggregates (SURVEY §2.2 Joins +
+  * UDAF surface; §7.4 multi-output reducers). */
+object Advanced extends QueryGroup {
+
+  /** Range self-join: pairs of events from the same user within 10
+    * minutes — bucketed equi-join, not a nested-loop theta join. */
+  private val qJoinRange = Q(
+    "q_join_range",
+    (s, dir) => AsOfRangeJoins
+      .rangeSelfJoinPairs(table(s, dir, "events"),
+        key = "user_id", id = "event_id", ts = "ts", toleranceUs = 600000000L)
+      .orderBy(col("user_id"), col("a_id"), col("b_id")),
+    Some("""SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+              epoch_us(b.ts) - epoch_us(a.ts) AS delta_us
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id AND a.event_id < b.event_id
+              AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 600000000
+            ORDER BY a.user_id, a_id, b_id"""))
+
+  /** As-of join: for each purchase, the user's most recent signup at or
+    * before it — union-and-window lowering, zero joins. */
+  private val qJoinAsof = Q(
+    "q_join_asof",
+    (s, dir) => AsOfRangeJoins
+      .asOfLastBefore(table(s, dir, "events"),
+        key = "user_id", id = "event_id", ts = "ts", typeCol = "event_type",
+        buildType = "signup", probeType = "purchase")
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("timestamp_ntz").as("purchase_ts"),
+        col("asof_ts").cast("timestamp_ntz").as("signup_ts"))
+      .orderBy(col("user_id"), col("event_id")),
+    Some("""SELECT user_id, event_id, ts AS purchase_ts, asof_ts AS signup_ts
+            FROM (
+              SELECT user_id, event_id, ts, event_type,
+                last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+                  OVER (PARTITION BY user_id
+                        ORDER BY ts, CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END,
+                                 event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_ts
+              FROM events WHERE event_type IN ('signup', 'purchase')) t
+            WHERE event_type = 'purchase'
+            ORDER BY user_id, event_id"""))
+
+  /** Custom typed Aggregator (partial+final automatically — an upgrade
+    * over the reference's post-shuffle-only reducers). */
+  private val qAggTypedWavg = Q(
+    "q_agg_typed_wavg",
+    (s, dir) => {
+      val wup = udaf(TypedAggregates.WeightedUnitPrice,
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaDouble))
+      table(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          fixed4(col("l_extendedprice")).as("p4"), col("l_quantity").as("q"))
+        .groupBy(col("l_returnflag"))
+        .agg(wup(col("p4"), col("q")).as("wavg_unit_price"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some(s"""SELECT l_returnflag,
+               sum(${fixed4Sql("l_extendedprice")}) / 10000.0 / sum(l_quantity)
+                 AS wavg_unit_price
+             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Bounded top-k aggregate (O(k) state per group) + posexplode back to
+    * rows: 5 smallest orderkeys per priority class. */
+  private val qAggTopkTyped = Q(
+    "q_agg_topk_typed",
+    (s, dir) => {
+      val top5 = udaf(TypedAggregates.TopK(5),
+        org.apache.spark.sql.Encoders.scalaLong)
+      table(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(top5(col("o_orderkey")).as("ks"))
+        .select(col("o_orderpriority"), posexplode(col("ks")).as(Seq("pos", "o_orderkey")))
+        .select(col("o_orderpriority"), (col("pos") + 1).as("rk"), col("o_orderkey"))
+        .orderBy(col("o_orderpriority"), col("rk"))
+    },
+    Some("""SELECT o_orderpriority, rk, o_orderkey FROM (
+              SELECT o_orderpriority, o_orderkey,
+                row_number() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_orderkey) AS rk
+              FROM orders) t
+            WHERE rk <= 5 ORDER BY o_orderpriority, rk"""))
+
+  /** Multi-output reducer (reference op #3 shape, k -> [v] -> [v2]
+    * emitting several rows per key) via typed flatMapGroups. */
+  private val qAggFlatMapGroups = Q(
+    "q_agg_flatmapgroups",
+    (s, dir) => {
+      import s.implicits._
+      table(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_acctbal"))
+        .as[(String, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (seg: String, it: Iterator[(String, Double)]) =>
+          var mn = Double.MaxValue
+          var mx = -Double.MaxValue
+          var n = 0L
+          it.foreach { case (_, v) =>
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            n += 1
+          }
+          Iterator(("min", seg, mn, n), ("max", seg, mx, n))
+        }
+        .toDF("stat", "c_mktsegment", "acctbal", "n")
+        .orderBy(col("c_mktsegment"), col("stat"))
+    },
+    Some("""SELECT 'min' AS stat, c_mktsegment, min(c_acctbal) AS acctbal,
+              count(*) AS n FROM customer GROUP BY c_mktsegment
+            UNION ALL
+            SELECT 'max', c_mktsegment, max(c_acctbal), count(*)
+              FROM customer GROUP BY c_mktsegment
+            ORDER BY c_mktsegment, stat"""))
+
+  override val queries: Seq[Q] = Seq(
+    qJoinRange, qJoinAsof, qAggTypedWavg, qAggTopkTyped, qAggFlatMapGroups)
+}

@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Graft._
+
+/** Window functions + grouping sets (SURVEY §2.2 "Window functions",
+  * "Aggregations" cube/rollup). Not present in the reference (no named
+  * operator — composition-only, /root/reference/src/Core/MapReduceC.hs:24-44);
+  * expressed directly as Spark window specs so the planner gets a single
+  * shuffle per partitioning key.
+  */
+object Windows extends QueryGroup {
+
+  /** Top-3 orders per market segment — the window formulation of
+    * per-group top-k (single shuffle on the partition key, no self-join). */
+  private val qWindowTopk = Q(
+    "q_window_topk",
+    (s, dir) => {
+      val c = table(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      val o = table(s, dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("c_mktsegment"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("c_mktsegment"), col("rk"))
+    },
+    Some("""SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (
+              SELECT c_mktsegment, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY c_mktsegment
+                  ORDER BY o_totalprice DESC, o_orderkey) AS rk
+              FROM orders JOIN customer ON o_custkey = c_custkey) t
+            WHERE rk <= 3 ORDER BY c_mktsegment, rk"""))
+
+  /** Running total per customer (rows frame). */
+  private val qWindowRunning = Q(
+    "q_window_running",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      table(s, dir, "orders")
+        .withColumn("running_spent", sum(fixed4(col("o_totalprice"))).over(w) / lit(10000.0))
+        .withColumn("order_seq", row_number().over(
+          Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))))
+        .select(col("o_custkey"), col("order_seq"), col("o_orderkey"), col("running_spent"))
+        .orderBy(col("o_custkey"), col("order_seq"))
+    },
+    Some(s"""SELECT o_custkey, row_number() OVER w AS order_seq, o_orderkey,
+               sum(${fixed4Sql("o_totalprice")})
+                 OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 10000.0
+                 AS running_spent
+             FROM orders
+             WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             ORDER BY o_custkey, order_seq"""))
+
+  /** lead/lag analytics over the event stream. */
+  private val qWindowLeadLag = Q(
+    "q_window_leadlag",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      table(s, dir, "events")
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .withColumn("delta", col("value") - coalesce(col("prev_value"), lit(0.0)))
+        .select(col("user_id"), col("event_id"), col("value"), col("prev_value"),
+          col("next_type"), col("delta"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""SELECT user_id, event_id, value,
+              lag(value, 1) OVER w AS prev_value,
+              lead(event_type, 1) OVER w AS next_type,
+              value - coalesce(lag(value, 1) OVER w, 0.0) AS delta
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY user_id, event_id"""))
+
+  /** rank / dense_rank / ntile. */
+  private val qWindowRank = Q(
+    "q_window_rank",
+    (s, dir) => {
+      val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
+      table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy(col("rnk"))
+    },
+    Some("""SELECT c_custkey, c_acctbal,
+              rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+              ntile(4) OVER w AS quartile
+            FROM customer WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey)
+            ORDER BY rnk"""))
+
+  /** Range frame: per-customer spend in the 30 days before each order
+    * (orderBy on epoch seconds so the frame is numeric on both engines). */
+  private val qWindowRangeFrame = Q(
+    "q_window_range_frame",
+    (s, dir) => {
+      val epochS = unix_timestamp(col("o_orderdate").cast("timestamp"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(epochS)
+        .rangeBetween(-2592000L, 0L)
+      table(s, dir, "orders")
+        .withColumn("spent_30d", sum(fixed4(col("o_totalprice"))).over(w) / lit(10000.0))
+        .select(col("o_custkey"), col("o_orderkey"), col("spent_30d"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some(s"""SELECT o_custkey, o_orderkey,
+               sum(${fixed4Sql("o_totalprice")}) OVER (
+                 PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                 RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) / 10000.0
+                 AS spent_30d
+             FROM orders ORDER BY o_custkey, o_orderkey"""))
+
+  /** ROLLUP with grouping_id. */
+  private val qAggRollup = Q(
+    "q_agg_rollup",
+    (s, dir) => table(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus")),
+    Some("""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+              count(*) AS n, GROUPING(l_returnflag, l_linestatus) AS gid
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+            ORDER BY gid, l_returnflag, l_linestatus"""))
+
+  /** CUBE with grouping_id. */
+  private val qAggCube = Q(
+    "q_agg_cube",
+    (s, dir) => table(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority")),
+    Some(s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               ${moneySumSql("o_totalprice")} AS total,
+               GROUPING(o_orderstatus, o_orderpriority) AS gid
+             FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+             ORDER BY gid, o_orderstatus, o_orderpriority"""))
+
+  override val queries: Seq[Q] = Seq(
+    qWindowTopk, qWindowRunning, qWindowLeadLag, qWindowRank,
+    qWindowRangeFrame, qAggRollup, qAggCube)
+}
