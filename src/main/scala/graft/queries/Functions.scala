@@ -1,0 +1,176 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Graft._
+
+/** Scalar function coverage (SURVEY §2.2 "Scalar functions"): the
+  * reference reaches these via arbitrary Haskell inside a Mapper
+  * (/root/reference/src/Impl.hs:30-37); here they are codegen'd builtins
+  * from org.apache.spark.sql.functions — no UDFs in the hot path.
+  */
+object Functions extends QueryGroup {
+
+  private val qFnString = Q(
+    "q_fn_string",
+    (s, dir) => table(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        lower(col("p_name")).as("lo"),
+        upper(col("p_brand")).as("up"),
+        substring(col("p_type"), 1, 3).as("ty3"),
+        length(col("p_name")).as("len"),
+        regexp_replace(col("p_name"), " ", "_").as("snake"),
+        regexp_extract(col("p_name"), "^[a-z]+", 0).as("first_word"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        lpad(col("p_brand"), 10, "*").as("padded"),
+        levenshtein(col("p_brand"), lit("Brand#10")).as("lev"))
+      .orderBy(col("p_partkey")),
+    Some("""SELECT p_partkey, lower(p_name) AS lo, upper(p_brand) AS up,
+              substring(p_type, 1, 3) AS ty3, length(p_name) AS len,
+              regexp_replace(p_name, ' ', '_', 'g') AS snake,
+              regexp_extract(p_name, '^[a-z]+') AS first_word,
+              concat_ws('-', p_brand, p_type) AS brand_type,
+              lpad(p_brand, 10, '*') AS padded,
+              levenshtein(p_brand, 'Brand#10') AS lev
+            FROM part ORDER BY p_partkey"""))
+
+  private val qFnDate = Q(
+    "q_fn_date",
+    (s, dir) => table(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        (weekday(col("o_orderdate")) + 1).as("isodow"),
+        date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("month_start"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).as("days_since"),
+        add_months(col("o_orderdate").cast("date"), 1).as("next_month"))
+      .orderBy(col("o_orderkey")),
+    Some("""SELECT o_orderkey,
+              CAST(year(o_orderdate) AS INTEGER) AS y,
+              CAST(month(o_orderdate) AS INTEGER) AS m,
+              CAST(day(o_orderdate) AS INTEGER) AS d,
+              CAST(isodow(o_orderdate) AS INTEGER) AS isodow,
+              date_trunc('month', o_orderdate) AS month_start,
+              CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER)
+                AS days_since,
+              CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS next_month
+            FROM orders ORDER BY o_orderkey"""))
+
+  private val qFnMath = Q(
+    "q_fn_math",
+    (s, dir) => table(s, dir, "lineitem")
+      .filter(col("l_orderkey") < 200)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - 0.05).as("abs_disc"),
+        ceil(col("l_extendedprice")).as("ceil_price"),
+        floor(col("l_extendedprice")).as("floor_price"),
+        round(col("l_tax") * 100, 0).as("tax_pct"),
+        sqrt(col("l_quantity")).as("sqrt_qty"),
+        pmod(col("l_linenumber"), lit(3)).as("ln_mod3"),
+        pow(col("l_quantity"), 2).as("qty_sq"),
+        round(log(col("l_extendedprice")), 6).as("ln_price6"))
+      .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some("""SELECT l_orderkey, l_linenumber,
+              abs(l_discount - 0.05) AS abs_disc,
+              CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+              CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+              round(l_tax * 100) AS tax_pct,
+              sqrt(l_quantity) AS sqrt_qty,
+              l_linenumber % 3 AS ln_mod3,
+              pow(l_quantity, 2) AS qty_sq,
+              round(ln(l_extendedprice), 6) AS ln_price6
+            FROM lineitem WHERE l_orderkey < 200
+            ORDER BY l_orderkey, l_linenumber"""))
+
+  private val qFnCaseNull = Q(
+    "q_fn_case_null",
+    (s, dir) => table(s, dir, "customer")
+      .select(
+        col("c_custkey"),
+        when(col("c_acctbal") < 0, "negative")
+          .when(col("c_acctbal") < 5000, "mid")
+          .otherwise("high").as("bal_band"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("<building>"))
+          .as("seg_or_marker"),
+        col("c_acctbal").isNull.as("bal_is_null"),
+        greatest(col("c_acctbal"), lit(0.0)).as("bal_floor0"),
+        least(col("c_nationkey"), lit(10)).as("nk_cap10"))
+      .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey,
+              CASE WHEN c_acctbal < 0 THEN 'negative'
+                   WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS bal_band,
+              coalesce(nullif(c_mktsegment, 'BUILDING'), '<building>') AS seg_or_marker,
+              c_acctbal IS NULL AS bal_is_null,
+              greatest(c_acctbal, 0.0) AS bal_floor0,
+              least(c_nationkey, 10) AS nk_cap10
+            FROM customer ORDER BY c_custkey"""))
+
+  /** Array ops + higher-order functions over tokenized text (the direct
+    * analog of "arbitrary Haskell in a Mapper" — SURVEY §2.2). */
+  private val qFnArray = Q(
+    "q_fn_array",
+    (s, dir) => {
+      val toks = split(col("text"), " ")
+      table(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(toks).as("n_tokens"),
+          size(array_distinct(toks)).as("n_distinct"),
+          array_contains(toks, "spark").as("has_spark"),
+          element_at(array_sort(array_distinct(toks)), 1).as("first_token"),
+          aggregate(transform(toks, t => length(t)), lit(0L), (a, x) => a + x)
+            .as("total_chars"),
+          size(filter(toks, t => length(t) > 5)).as("n_long_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+              len(string_split(text, ' ')) AS n_tokens,
+              len(list_distinct(string_split(text, ' '))) AS n_distinct,
+              list_contains(string_split(text, ' '), 'spark') AS has_spark,
+              list_sort(list_distinct(string_split(text, ' ')))[1] AS first_token,
+              CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t)))
+                   AS BIGINT) AS total_chars,
+              len(list_filter(string_split(text, ' '), t -> length(t) > 5))
+                AS n_long_tokens
+            FROM documents ORDER BY doc_id"""))
+
+  private val qFnJson = Q(
+    "q_fn_json",
+    (s, dir) => table(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type")),
+    Some("""SELECT event_type, count(*) AS n,
+              sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+              min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+              max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** from_json with an explicit schema (the events.props contract from
+    * FIXTURES.md), aggregated — exercises the StructType parse path. */
+  private val qFnFromJson = Q(
+    "q_fn_from_json",
+    (s, dir) => {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.IntegerType)))
+      table(s, dir, "events")
+        .select(col("user_id"), from_json(col("props"), schema).getField("k").as("k"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id,
+              sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+              count(*) AS n
+            FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  override val queries: Seq[Q] = Seq(
+    qFnString, qFnDate, qFnMath, qFnCaseNull, qFnArray, qFnJson, qFnFromJson)
+}
