@@ -66,11 +66,18 @@ object Graft {
   def fixed4(c: Column): Column = round(c * lit(10000L), 0).cast("long")
 
   /** Exact sum of a money expression, returned as a double (n/1e4 is a
-    * single deterministic IEEE division). */
-  def moneySum(c: Column): Column = sum(fixed4(c)) / lit(10000.0)
+    * single deterministic IEEE division). The units are summed as
+    * DECIMAL(38,0): a long sum would overflow silently past ~9.2e18 units
+    * (~1e10 TPC-H price rows) at the 100 TB design point, while decimal
+    * sums are exact to 38 digits. The final decimal→double conversion is
+    * exact whenever the sum < 2^53 units, same bound DuckDB's HUGEINT
+    * sum→double conversion has. */
+  def moneySum(c: Column): Column =
+    (sum(fixed4(c).cast("decimal(38,0)")) / lit(10000.0)).cast("double")
 
   /** Exact avg: integer sum divided by count — deterministic. */
-  def moneyAvg(c: Column): Column = sum(fixed4(c)) / lit(10000.0) / count(lit(1))
+  def moneyAvg(c: Column): Column =
+    (sum(fixed4(c).cast("decimal(38,0)")) / lit(10000.0) / count(lit(1))).cast("double")
 
   /** Same quantization written in DuckDB SQL, for oracle text. */
   def fixed4Sql(e: String): String = s"CAST(round(($e) * 10000) AS BIGINT)"

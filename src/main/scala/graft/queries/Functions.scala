@@ -146,8 +146,10 @@ object Functions extends QueryGroup {
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
       .orderBy(col("event_type")),
+    // CAST(sum(..) AS BIGINT): DuckDB sum(INTEGER) yields HUGEINT which the
+    // driver's compare renders as float64, while Spark's sum(int) is BIGINT.
     Some("""SELECT event_type, count(*) AS n,
-              sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+              CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
               min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
               max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
             FROM events GROUP BY event_type ORDER BY event_type"""))
@@ -167,7 +169,7 @@ object Functions extends QueryGroup {
         .orderBy(col("user_id"))
     },
     Some("""SELECT user_id,
-              sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+              CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
               count(*) AS n
             FROM events GROUP BY user_id ORDER BY user_id"""))
 

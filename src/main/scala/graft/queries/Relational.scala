@@ -210,8 +210,12 @@ object Relational extends QueryGroup {
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       val o = table(s, dir, "orders")
       val l = table(s, dir, "lineitem")
-      l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(c, col("o_custkey") === col("c_custkey"))
+      // Selective side first: orders ⋈ ASIA-customers (~1/5 selectivity)
+      // before the big lineitem join, so the largest shuffle probes a
+      // pre-filtered build side instead of all orders.
+      val co = o.join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("n_name"))
+      l.join(co, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("n_name"))
         .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))

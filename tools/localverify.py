@@ -29,10 +29,12 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_noora = 0
+    seen = set()
     for d in sorted(os.listdir(out_dir)):
         full = os.path.join(out_dir, d)
         if not os.path.isdir(full):
             continue
+        seen.add(d)
         got = pd.read_parquet(full)
         if d not in oracles:
             n_noora += 1
@@ -57,10 +59,20 @@ def main(sf_dir, out_dir):
         for c in g.columns:
             gv, ev = g[c], e[c]
             if pd.api.types.is_float_dtype(gv) or pd.api.types.is_float_dtype(ev):
+                # int-vs-float dtype divergence is exactly the failure mode the
+                # driver's hash gate catches (HUGEINT→float64 vs BIGINT): flag it.
+                if pd.api.types.is_float_dtype(gv) != pd.api.types.is_float_dtype(ev):
+                    ok = False
+                    print(f"✗ {d}.{c}: DTYPE spark={gv.dtype} oracle={ev.dtype}")
+                    continue
                 gv2 = gv.astype(float).to_numpy(); ev2 = ev.astype(float).to_numpy()
+                one_nan = np.isnan(gv2) ^ np.isnan(ev2)
                 both_nan = np.isnan(gv2) & np.isnan(ev2)
                 diff = np.where(both_nan, 0.0, np.abs(gv2 - ev2))
-                if np.nanmax(diff, initial=0.0) > 0:
+                if one_nan.any():
+                    ok = False
+                    print(f"✗ {d}.{c}: one-sided NaN/null in {int(one_nan.sum())} rows")
+                elif np.nanmax(diff, initial=0.0) > 0:
                     ok = False
                     print(f"✗ {d}.{c}: float max|Δ|={np.nanmax(diff):.3e} "
                           f"(n≠ {int((diff > 0).sum())})")
@@ -79,6 +91,11 @@ def main(sf_dir, out_dir):
             print(f"✓ {d} ({len(g)} rows)")
         else:
             n_fail += 1
+    # A query that crashed in Verify leaves no output dir — count it as FAIL
+    # instead of silently vanishing from the gate.
+    for d in sorted(set(oracles) - seen):
+        n_fail += 1
+        print(f"✗ {d}: NO OUTPUT (query crashed in Verify?)")
     print(f"\nPASS={n_pass} FAIL={n_fail} ROWS_ONLY={n_noora}")
     return 1 if n_fail else 0
 
