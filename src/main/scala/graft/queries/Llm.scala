@@ -1,0 +1,497 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Graft._
+import graft.operators.PortableHash
+import graft.operators.PortableHash._
+
+/** LLM-training-data pipeline operators (SURVEY §2.3 / BASELINE north_star):
+  * deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard,
+  * embedding-cosine), similarity search (brute-force + LSH-bucketed ANN)
+  * over `embeddings`, text analysis (language-ID, quality scoring, token
+  * counting, fingerprinting) over `documents`, and multimodal binary
+  * columns.
+  *
+  * Scale design: every candidate-generation step is BUCKETED — LSH band
+  * keys for minhash, sign-of-hyperplane buckets for vectors, (lang,source)
+  * buckets for n-gram Jaccard — so pair generation is an equi-join on the
+  * bucket key, never an all-pairs crossJoin (same discipline as
+  * operators/AsOfRangeJoins.scala). Per-document feature extraction is
+  * pure column arithmetic inside whole-stage codegen: no UDFs, no shuffle.
+  *
+  * Determinism: all pseudo-randomness (minhash permutations, hyperplanes)
+  * is explicit integer arithmetic from operators/PortableHash, computable
+  * bit-identically by the DuckDB oracle.
+  */
+object Llm extends QueryGroup {
+
+  // -- deduplication ---------------------------------------------------
+
+  /** Exact dedup by content hash. The corpus has no raw duplicates, so the
+    * input is documents ⊎ its first 50 docs — a deterministic dup-injection
+    * using only the test tables — and the query returns each duplicated
+    * content group with its keeper (min doc_id) and multiplicity. */
+  private val qDedupExact = Q(
+    "q_dedup_exact",
+    (s, dir) => {
+      val d = table(s, dir, "documents").select("doc_id", "text")
+      val dup = d.orderBy(col("doc_id")).limit(50)
+      d.union(dup)
+        .groupBy(md5(col("text")).as("content_key"))
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") > 1)
+        .select("content_key", "keeper_id", "n_copies")
+        .orderBy("keeper_id")
+    },
+    Some("""SELECT md5(text) AS content_key, min(doc_id) AS keeper_id,
+              count(*) AS n_copies
+            FROM (SELECT doc_id, text FROM documents
+                  UNION ALL
+                  SELECT doc_id, text FROM
+                    (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 50))
+            GROUP BY 1 HAVING count(*) > 1 ORDER BY keeper_id"""))
+
+  /** Canonicalized exact dedup: hash of the sorted distinct token set.
+    * 54 of the 500 sf0.01 docs collapse into shared groups — the
+    * word-salad corpus has real normalized duplicates. dup_ids carries the
+    * full group for audit. */
+  private val qDedupNorm = Q(
+    "q_dedup_norm",
+    (s, dir) => table(s, dir, "documents")
+      .withColumn("content_key",
+        md5(concat_ws(" ", array_sort(array_distinct(split(lower(col("text")), " "))))))
+      .groupBy(col("content_key"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"),
+        concat_ws(",", transform(array_sort(collect_list(col("doc_id"))),
+          x => x.cast("string"))).as("dup_ids"))
+      .filter(col("n_copies") > 1)
+      .select("content_key", "keeper_id", "n_copies", "dup_ids")
+      .orderBy("keeper_id"),
+    Some("""SELECT md5(list_aggregate(list_sort(list_distinct(string_split(lower(text), ' '))),
+                     'string_agg', ' ')) AS content_key,
+              min(doc_id) AS keeper_id, count(*) AS n_copies,
+              list_aggregate(list_transform(list_sort(list(doc_id)),
+                x -> CAST(x AS VARCHAR)), 'string_agg', ',') AS dup_ids
+            FROM documents
+            GROUP BY 1 HAVING count(*) > 1 ORDER BY keeper_id"""))
+
+  /** MinHash + LSH near-dup detection: word 3-gram shingles → 16-wide
+    * minhash signature → 4 bands of 4 → candidate pairs = equi-join on
+    * (band, band_key). Estimated Jaccard = matching signature fraction.
+    * The band join is the 100 TB path: candidates are generated per
+    * bucket, never all-pairs. */
+  private val qDedupMinhash = Q(
+    "q_dedup_minhash",
+    (s, dir) => {
+      val sig = table(s, dir, "documents")
+        .withColumn("tl", split(lower(col("text")), " "))
+        .filter(size(col("tl")) >= 3)
+        .withColumn("sh", array_distinct(
+          transform(sequence(lit(1), size(col("tl")) - 2),
+            i => concat_ws(" ",
+              element_at(col("tl"), i),
+              element_at(col("tl"), i + 1),
+              element_at(col("tl"), i + 2)))))
+        .withColumn("hs", transform(col("sh"), t => charHash(t)))
+        .withColumn("sg", minhashSig(col("hs"), 16))
+        .select("doc_id", "sg")
+      val bands = sig
+        .select(col("doc_id"), col("sg"),
+          explode(sequence(lit(0), lit(3))).as("band_id"))
+        .withColumn("band_key", concat_ws(":",
+          transform(slice(col("sg"), col("band_id") * 4 + 1, lit(4)),
+            x => x.cast("string"))))
+        .select("doc_id", "band_id", "band_key")
+      val pairs = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band_id") === col("b.band_id") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      pairs
+        .join(sig.select(col("doc_id").as("doc_a"), col("sg").as("sga")), "doc_a")
+        .join(sig.select(col("doc_id").as("doc_b"), col("sg").as("sgb")), "doc_b")
+        .withColumn("est_jaccard",
+          aggregate(zip_with(col("sga"), col("sgb"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+            lit(0L), (acc, x) => acc + x) / lit(16.0))
+        .select("doc_a", "doc_b", "est_jaccard")
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""WITH toks AS (
+               SELECT doc_id, string_split(lower(text), ' ') AS tl FROM documents),
+             tok3 AS (SELECT doc_id, tl FROM toks WHERE len(tl) >= 3),
+             shingles AS (
+               SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tl) - 2),
+                 i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2])) AS sh
+               FROM tok3),
+             hashed AS (
+               SELECT doc_id, list_transform(sh, s -> ${charHashSql("s")}) AS hs
+               FROM shingles),
+             sig AS (
+               SELECT doc_id, ${minhashSigSql("hs", 16)} AS sg FROM hashed),
+             bands AS (
+               SELECT doc_id, j AS band_id,
+                 list_aggregate(list_transform(sg[j*4+1:j*4+4],
+                   x -> CAST(x AS VARCHAR)), 'string_agg', ':') AS band_key
+               FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) planes),
+             pairs AS (
+               SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM bands a JOIN bands b
+                 ON a.band_id = b.band_id AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id)
+             SELECT p.doc_a, p.doc_b,
+               CAST(list_sum(list_transform(generate_series(1, 16),
+                 i -> CASE WHEN sa.sg[i] = sb.sg[i] THEN 1 ELSE 0 END)) AS BIGINT)
+                 / 16.0 AS est_jaccard
+             FROM pairs p
+             JOIN sig sa ON sa.doc_id = p.doc_a
+             JOIN sig sb ON sb.doc_id = p.doc_b
+             ORDER BY doc_a, doc_b"""))
+
+  /** SimHash fingerprints: 32-bit sign-aggregated token-hash fingerprint
+    * per document, plus the high-16-bit band key used for near-dup
+    * candidate bucketing at scale. Pure per-row column arithmetic. */
+  private val qDedupSimhash = Q(
+    "q_dedup_simhash",
+    (s, dir) => table(s, dir, "documents")
+      .withColumn("hs", transform(split(lower(col("text")), " "), t => charHash(t)))
+      .withColumn("simhash",
+        aggregate(
+          transform(sequence(lit(0), lit(31)), j => {
+            val sj = aggregate(col("hs"), lit(0L),
+              (acc, t) => acc + (PortableHash.bit(t, j) * lit(2L) - lit(1L)))
+            when(sj > 0, floor(pow(lit(2.0), j)).cast("long")).otherwise(lit(0L))
+          }),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("band_hi", floor(col("simhash") / pow(lit(2.0), lit(16))).cast("long"))
+      .select("doc_id", "simhash", "band_hi")
+      .orderBy("doc_id"),
+    Some(s"""WITH h AS (
+               SELECT doc_id,
+                 list_transform(string_split(lower(text), ' '),
+                   t -> ${charHashSql("t")}) AS hs
+               FROM documents),
+             sh AS (
+               SELECT doc_id,
+                 CAST(list_sum(list_transform(generate_series(0, 31),
+                   j -> CASE WHEN list_sum(list_transform(hs,
+                          t -> 2*(${bitSql("t", "j")}) - 1)) > 0
+                        THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT)
+                   AS simhash
+               FROM h)
+             SELECT doc_id, simhash,
+               CAST(floor(simhash / power(2, 16)) AS BIGINT) AS band_hi
+             FROM sh ORDER BY doc_id"""))
+
+  /** Exact n-gram (word bigram) Jaccard near-dup within (lang, source)
+    * buckets: candidate pairs come from the bucket equi-join; the exact
+    * set similarity is then computed only for candidates. */
+  private val qDedupNgram = Q(
+    "q_dedup_ngram",
+    (s, dir) => {
+      val t = table(s, dir, "documents")
+        .withColumn("tl", split(lower(col("text")), " "))
+        .filter(size(col("tl")) >= 2)
+        .withColumn("bg", array_distinct(
+          transform(sequence(lit(1), size(col("tl")) - 1),
+            i => concat_ws(" ", element_at(col("tl"), i), element_at(col("tl"), i + 1)))))
+        .select("doc_id", "lang", "source", "bg")
+      t.as("a")
+        .join(t.as("b"),
+          col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.lang").as("lang"),
+          (size(array_intersect(col("a.bg"), col("b.bg"))).cast("double") /
+            size(array_union(col("a.bg"), col("b.bg")))).as("jaccard"))
+        .filter(col("jaccard") >= 0.08)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some("""WITH t AS (
+              SELECT doc_id, lang, source,
+                list_distinct(list_transform(
+                  generate_series(1, len(string_split(lower(text), ' ')) - 1),
+                  i -> string_split(lower(text), ' ')[i] || ' ' ||
+                       string_split(lower(text), ' ')[i+1])) AS bg
+              FROM documents
+              WHERE len(string_split(lower(text), ' ')) >= 2)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
+              CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE) /
+                len(list_distinct(list_concat(a.bg, b.bg))) AS jaccard
+            FROM t a JOIN t b
+              ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE) /
+                len(list_distinct(list_concat(a.bg, b.bg))) >= 0.08
+            ORDER BY doc_a, doc_b"""))
+
+  /** Embedding-cosine near-dup: LSH hyperplane buckets (4 planes → 16
+    * buckets) generate candidates; exact cosine filters them. The bucket
+    * equi-join is the scale path — no all-pairs comparison ever runs. */
+  private val qDedupEmbedding = Q(
+    "q_dedup_embedding",
+    (s, dir) => {
+      val e = table(s, dir, "embeddings")
+        .withColumn("bucket", lshBucket(col("embedding"), 4, 64))
+        .select("vec_id", "bucket", "embedding")
+      e.as("a")
+        .join(e.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          col("a.bucket").as("bucket"),
+          PortableHash.cosine(col("a.embedding"), col("b.embedding")).as("cosine"))
+        .filter(col("cosine") >= 0.3)
+        .orderBy("vec_a", "vec_b")
+    },
+    Some(s"""WITH e AS (
+               SELECT vec_id, embedding,
+                 ${lshBucketSql("embedding", 4, 64)} AS bucket
+               FROM embeddings),
+             cand AS (
+               SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
+                 ${cosineSql("a.embedding", "b.embedding", 64)} AS cosine
+               FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+             SELECT vec_a, vec_b, bucket, cosine FROM cand
+             WHERE cosine >= 0.3 ORDER BY vec_a, vec_b"""))
+
+  // -- similarity search ----------------------------------------------
+
+  /** Brute-force cosine top-5 for 8 query vectors — the exact baseline.
+    * The query side is broadcast; the candidate scan streams through one
+    * codegen'd projection, and the per-query top-k is a window over the
+    * (high-cardinality at scale) query_id. */
+  private val qSimTopk = Q(
+    "q_sim_topk",
+    (s, dir) => {
+      val e = table(s, dir, "embeddings").select("vec_id", "embedding")
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cosine", PortableHash.cosine(col("qv"), col("embedding")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select("query_id", "rk", "vec_id", "cosine")
+        .orderBy("query_id", "rk")
+    },
+    Some(s"""WITH q AS (
+               SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < 8),
+             scored AS (
+               SELECT q.query_id, e.vec_id,
+                 ${cosineSql("q.qv", "e.embedding", 64)} AS cosine
+               FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+             ranked AS (
+               SELECT query_id, vec_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, vec_id) AS rk
+               FROM scored)
+             SELECT query_id, rk, vec_id, cosine FROM ranked
+             WHERE rk <= 5 ORDER BY query_id, rk"""))
+
+  /** LSH-bucketed approximate top-3: queries only score candidates in
+    * their own hyperplane bucket (~1/16 of the corpus) — the scale path
+    * for ANN where brute force is O(n·q). */
+  private val qSimLsh = Q(
+    "q_sim_lsh",
+    (s, dir) => {
+      val e = table(s, dir, "embeddings")
+        .withColumn("bucket", lshBucket(col("embedding"), 4, 64))
+        .select("vec_id", "bucket", "embedding")
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("bucket").as("qbucket"),
+          col("embedding").as("qv"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      e.join(broadcast(q),
+          col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+        .withColumn("cosine", PortableHash.cosine(col("qv"), col("embedding")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("query_id", "rk", "vec_id", "bucket", "cosine")
+        .orderBy("query_id", "rk")
+    },
+    Some(s"""WITH e AS (
+               SELECT vec_id, embedding,
+                 ${lshBucketSql("embedding", 4, 64)} AS bucket
+               FROM embeddings),
+             q AS (
+               SELECT vec_id AS query_id, bucket AS qbucket, embedding AS qv
+               FROM e WHERE vec_id < 8),
+             scored AS (
+               SELECT q.query_id, e.vec_id, e.bucket,
+                 ${cosineSql("q.qv", "e.embedding", 64)} AS cosine
+               FROM e JOIN q ON e.bucket = q.qbucket AND e.vec_id <> q.query_id),
+             ranked AS (
+               SELECT query_id, vec_id, bucket, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, vec_id) AS rk
+               FROM scored)
+             SELECT query_id, rk, vec_id, bucket, cosine FROM ranked
+             WHERE rk <= 3 ORDER BY query_id, rk"""))
+
+  // -- text analysis ---------------------------------------------------
+
+  private val enStops = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+  private val deStops = Seq("der", "die", "das", "und", "ist", "ein", "mit", "von", "auf", "zu")
+  private val frStops = Seq("le", "la", "les", "et", "est", "un", "une", "pour", "avec", "sur")
+  private def sqlList(xs: Seq[String]) = xs.map("'" + _ + "'").mkString("[", ", ", "]")
+
+  /** Stopword-profile language ID (n-gram-heuristic family): count hits
+    * against per-language stopword lists, argmax with a deterministic
+    * tie-break. Embarrassingly parallel per row. */
+  private val qTextLangId = Q(
+    "q_text_lang_id",
+    (s, dir) => {
+      def hits(stops: Seq[String]) = {
+        val litArr = array(stops.map(lit): _*)
+        size(filter(split(lower(col("text")), " "), t => array_contains(litArr, t)))
+      }
+      table(s, dir, "documents")
+        .withColumn("n_en", hits(enStops))
+        .withColumn("n_de", hits(deStops))
+        .withColumn("n_fr", hits(frStops))
+        .withColumn("pred_lang",
+          when(col("n_en") >= col("n_de") && col("n_en") >= col("n_fr"), "en")
+            .when(col("n_de") >= col("n_fr"), "de")
+            .otherwise("fr"))
+        .select("doc_id", "lang", "pred_lang", "n_en", "n_de", "n_fr")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH t AS (
+               SELECT doc_id, lang,
+                 len(list_filter(string_split(lower(text), ' '),
+                   x -> list_contains(${sqlList(enStops)}, x))) AS n_en,
+                 len(list_filter(string_split(lower(text), ' '),
+                   x -> list_contains(${sqlList(deStops)}, x))) AS n_de,
+                 len(list_filter(string_split(lower(text), ' '),
+                   x -> list_contains(${sqlList(frStops)}, x))) AS n_fr
+               FROM documents)
+             SELECT doc_id, lang,
+               CASE WHEN n_en >= n_de AND n_en >= n_fr THEN 'en'
+                    WHEN n_de >= n_fr THEN 'de' ELSE 'fr' END AS pred_lang,
+               n_en, n_de, n_fr
+             FROM t ORDER BY doc_id"""))
+
+  /** Document quality scoring: length, mean token length, stopword ratio,
+    * digit ratio — the usual pre-training corpus filters. */
+  private val qTextQuality = Q(
+    "q_text_quality",
+    (s, dir) => {
+      val toks = split(lower(col("text")), " ")
+      val litArr = array(enStops.map(lit): _*)
+      table(s, dir, "documents")
+        .withColumn("n_tokens", size(toks).cast("long"))
+        .withColumn("mean_token_len",
+          aggregate(transform(toks, t => length(t).cast("long")), lit(0L),
+            (a, x) => a + x).cast("double") / col("n_tokens"))
+        .withColumn("stop_ratio",
+          size(filter(toks, t => array_contains(litArr, t))).cast("double") /
+            col("n_tokens"))
+        .withColumn("digit_ratio",
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[0-9]", ""))).cast("double") /
+            length(col("text")))
+        .withColumn("quality_ok",
+          col("n_tokens") >= 5 && col("n_tokens") <= 10000 &&
+          col("mean_token_len") >= 2.0 && col("mean_token_len") <= 12.0)
+        .select("doc_id", "n_tokens", "mean_token_len", "stop_ratio",
+          "digit_ratio", "quality_ok")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH t AS (
+               SELECT doc_id, text, string_split(lower(text), ' ') AS toks,
+                 CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+               FROM documents),
+             m AS (
+               SELECT doc_id, text, n_tokens,
+                 CAST(CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+                      AS DOUBLE) / n_tokens AS mean_token_len,
+                 CAST(len(list_filter(toks,
+                   x -> list_contains(${sqlList(enStops)}, x))) AS DOUBLE) /
+                   n_tokens AS stop_ratio,
+                 CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                      AS DOUBLE) / length(text) AS digit_ratio
+               FROM t)
+             SELECT doc_id, n_tokens, mean_token_len, stop_ratio, digit_ratio,
+               (n_tokens >= 5 AND n_tokens <= 10000
+                AND mean_token_len >= 2.0 AND mean_token_len <= 12.0) AS quality_ok
+             FROM m ORDER BY doc_id"""))
+
+  /** Token counting: whitespace tokens, regex (BPE-ish word-piece) tokens,
+    * and the chars/4 BPE budget estimate. */
+  private val qTextTokens = Q(
+    "q_text_tokens",
+    (s, dir) => table(s, dir, "documents")
+      .withColumn("n_ws", size(split(col("text"), " ")).cast("long"))
+      .withColumn("n_re",
+        size(filter(split(lower(col("text")), "[^a-z0-9]+"), t => length(t) > 0))
+          .cast("long"))
+      .withColumn("bpe_est", ceil(col("n_chars") / 4.0).cast("long"))
+      .withColumn("len_check", (col("n_chars") === length(col("text"))))
+      .select("doc_id", "n_ws", "n_re", "bpe_est", "len_check")
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+              CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                t -> length(t) > 0)) AS BIGINT) AS n_re,
+              CAST(ceil(n_chars / 4.0) AS BIGINT) AS bpe_est,
+              n_chars = length(text) AS len_check
+            FROM documents ORDER BY doc_id"""))
+
+  /** Document fingerprinting: full-content rolling hash plus the minimum
+    * 8-char-gram rolling hash (winnowing-style robust fingerprint). */
+  private val qTextFingerprint = Q(
+    "q_text_fingerprint",
+    (s, dir) => table(s, dir, "documents")
+      .filter(col("n_chars") >= 8)
+      .withColumn("content_hash", charHash(col("text")))
+      .withColumn("min_gram_hash",
+        array_min(transform(sequence(lit(1), length(col("text")) - 7),
+          i => charHash(col("text").substr(i, lit(8))))))
+      .select("doc_id", "content_hash", "min_gram_hash")
+      .orderBy("doc_id"),
+    Some(s"""SELECT doc_id,
+               ${charHashSql("text")} AS content_hash,
+               list_min(list_transform(generate_series(1, length(text) - 7),
+                 i -> ${charHashSql("substr(text, i, 8)")})) AS min_gram_hash
+             FROM documents WHERE n_chars >= 8 ORDER BY doc_id"""))
+
+  // -- multimodal ------------------------------------------------------
+
+  /** Multimodal column plumbing: documents carried as opaque binary
+    * payloads with typed metadata, and a deterministic stand-in for the
+    * decode/feature-extract step (the real decoder is the
+    * operators/Multimodal mapPartitions stub — binary libs aren't in this
+    * container). The schema shape (binary + metadata + derived features)
+    * is the real contract. */
+  private val qMultimodal = Q(
+    "q_multimodal",
+    (s, dir) => table(s, dir, "documents")
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
+      .withColumn("payload_md5", md5(col("payload")))
+      .withColumn("fake_width", (col("n_bytes") % 640).cast("long"))
+      .withColumn("fake_height", ((col("n_bytes") * 7) % 480).cast("long"))
+      .withColumn("fake_frames", (col("n_bytes") % 30 + 1).cast("long"))
+      .select("doc_id", "n_bytes", "payload_md5", "fake_width", "fake_height",
+        "fake_frames")
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+              md5(text) AS payload_md5,
+              CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_width,
+              CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS fake_height,
+              CAST(octet_length(encode(text)) % 30 + 1 AS BIGINT) AS fake_frames
+            FROM documents ORDER BY doc_id"""))
+
+  override val queries: Seq[Q] = Seq(
+    qDedupExact, qDedupNorm, qDedupMinhash, qDedupSimhash, qDedupNgram,
+    qDedupEmbedding, qSimTopk, qSimLsh,
+    qTextLangId, qTextQuality, qTextTokens, qTextFingerprint, qMultimodal)
+}
