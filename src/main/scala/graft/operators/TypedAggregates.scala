@@ -28,6 +28,30 @@ object TypedAggregates {
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  /** Bounded top-k (id, value) rows by value DESC then id ASC — O(k)
+    * state per group with partial+final merge, so per-group top-k gets
+    * map-side combining instead of funneling whole groups through one
+    * window task. The scale-safe replacement for
+    * `row_number() OVER (PARTITION BY lowCardKey ...) <= k`. */
+  final case class TopKByValueDesc(k: Int)
+      extends Aggregator[(Long, Double), Seq[(Long, Double)], Seq[(Long, Double)]] {
+    private def lt(a: (Long, Double), b: (Long, Double)): Boolean =
+      a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+    private def trim(s: Seq[(Long, Double)]): Seq[(Long, Double)] =
+      if (s.size <= k) s else s.sortWith(lt).take(k)
+    override def zero: Seq[(Long, Double)] = Vector.empty
+    override def reduce(b: Seq[(Long, Double)], a: (Long, Double)): Seq[(Long, Double)] =
+      trim(b :+ a)
+    override def merge(x: Seq[(Long, Double)], y: Seq[(Long, Double)]): Seq[(Long, Double)] =
+      trim(x ++ y)
+    override def finish(b: Seq[(Long, Double)]): Seq[(Long, Double)] =
+      b.sortWith(lt).take(k)
+    override def bufferEncoder: Encoder[Seq[(Long, Double)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Double)]]()
+    override def outputEncoder: Encoder[Seq[(Long, Double)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Double)]]()
+  }
+
   /** Bounded top-k smallest (k, sorted ascending) over longs — a
     * TypedImperative-style bounded buffer: memory O(k) per group
     * regardless of group size, so it scales to arbitrarily hot keys. */

@@ -12,19 +12,27 @@ import graft.core.Graft._
   */
 object Windows extends QueryGroup {
 
-  /** Top-3 orders per market segment — the window formulation of
-    * per-group top-k (single shuffle on the partition key, no self-join). */
+  /** Top-3 orders per market segment — two-phase bounded top-k via the
+    * TopKByValueDesc Aggregator: partial per-partition top-3 buffers merge
+    * at the final aggregation, so parallelism is the input partition
+    * count, not the 5 distinct segments a
+    * `row_number() OVER (PARTITION BY c_mktsegment)` window would funnel
+    * everything into. O(k) state per group regardless of group size. */
   private val qWindowTopk = Q(
     "q_window_topk",
     (s, dir) => {
       val c = table(s, dir, "customer").select("c_custkey", "c_mktsegment")
       val o = table(s, dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
-      val w = Window.partitionBy(col("c_mktsegment"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val top3 = udaf(graft.operators.TypedAggregates.TopKByValueDesc(3),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaDouble))
       o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
-        .select(col("c_mktsegment"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+        .groupBy(col("c_mktsegment"))
+        .agg(top3(col("o_orderkey"), col("o_totalprice")).as("tops"))
+        .select(col("c_mktsegment"), posexplode(col("tops")).as(Seq("pos", "kv")))
+        .select(col("c_mktsegment"), (col("pos") + 1).cast("int").as("rk"),
+          col("kv._1").as("o_orderkey"), col("kv._2").as("o_totalprice"))
         .orderBy(col("c_mktsegment"), col("rk"))
     },
     Some("""SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (
@@ -76,23 +84,71 @@ object Windows extends QueryGroup {
             FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ORDER BY user_id, event_id"""))
 
-  /** rank / dense_rank / ntile. */
+  /** Global rank / dense_rank / ntile — the SCALABLE two-phase
+    * formulation. A bare `Window.orderBy(...)` (no partitionBy) plans as a
+    * single-partition WindowExec: every row moves to one task — fine at
+    * 1,500 customers, a scale-killer at 100×. Instead:
+    *
+    *   1. bucket rows by a coarse range of the sort key
+    *      (floor(acctbal/1000)) — equal keys always share a bucket, so
+    *      rank/dense_rank ties never cross buckets;
+    *   2. rank WITHIN each bucket (parallel windows across buckets);
+    *   3. compute per-bucket row / distinct-value counts (tiny table),
+    *      prefix-sum them, broadcast back, and offset the local ranks.
+    *
+    * The only single-partition window left runs over #buckets rows —
+    * constant-size at any data scale. */
   private val qWindowRank = Q(
     "q_window_rank",
     (s, dir) => {
-      val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
-      table(s, dir, "customer")
+      val base = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"))
+        .withColumn("bucket", floor(col("c_acctbal") / 1000.0).cast("long"))
+      val wLoc = Window.partitionBy(col("bucket")).orderBy(col("c_acctbal").desc)
+      val wLocU = Window.partitionBy(col("bucket"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      val local = base
+        .withColumn("l_rnk", rank().over(wLoc))
+        .withColumn("l_drnk", dense_rank().over(wLoc))
+        .withColumn("l_rn", row_number().over(wLocU))
+      val wPrefix = Window.orderBy(col("bucket").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val stats = base.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("c_acctbal")).as("nd"))
+        .withColumn("off_n", coalesce(sum(col("n")).over(wPrefix), lit(0L)))
+        .withColumn("off_d", coalesce(sum(col("nd")).over(wPrefix), lit(0L)))
+        .select(col("bucket").as("sbucket"), col("off_n"), col("off_d"))
+      val total = base.agg(count(lit(1)).as("n_total"))
+      val joined = local
+        .join(broadcast(stats), col("bucket") === col("sbucket"))
+        .crossJoin(broadcast(total))
+        .withColumn("rnk", col("off_n") + col("l_rnk"))
+        .withColumn("drnk", col("off_d") + col("l_drnk"))
+        .withColumn("rn", col("off_n") + col("l_rn"))
+      // ntile(4) from the global row number: first (n mod 4) tiles get
+      // ceil(n/4) rows — the SQL-standard split, in exact integer math
+      // (doubles are exact below 2^53).
+      val b4 = floor(col("n_total") / 4.0).cast("long")
+      val rem = col("n_total") % 4
+      joined
+        .withColumn("quartile",
+          when(col("rn") <= (b4 + 1) * rem,
+            floor((col("rn") - 1) / (b4 + 1)).cast("long") + 1)
+            .otherwise(rem + floor((col("rn") - rem * (b4 + 1) - 1) / b4).cast("long") + 1)
+            .cast("int"))
         .select(col("c_custkey"), col("c_acctbal"),
-          rank().over(w).as("rnk"),
-          dense_rank().over(w).as("drnk"),
-          ntile(4).over(w).as("quartile"))
-        .orderBy(col("rnk"))
+          col("rnk").cast("int").as("rnk"), col("drnk").cast("int").as("drnk"),
+          col("quartile"))
+        .orderBy(col("c_custkey"))
     },
     Some("""SELECT c_custkey, c_acctbal,
-              rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
-              ntile(4) OVER w AS quartile
-            FROM customer WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey)
-            ORDER BY rnk"""))
+              CAST(rank() OVER v AS INTEGER) AS rnk,
+              CAST(dense_rank() OVER v AS INTEGER) AS drnk,
+              CAST(ntile(4) OVER w AS INTEGER) AS quartile
+            FROM customer
+            WINDOW v AS (ORDER BY c_acctbal DESC),
+                   w AS (ORDER BY c_acctbal DESC, c_custkey)
+            ORDER BY c_custkey"""))
 
   /** Range frame: per-customer spend in the 30 days before each order
     * (orderBy on epoch seconds so the frame is numeric on both engines). */
