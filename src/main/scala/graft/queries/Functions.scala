@@ -173,6 +173,68 @@ object Functions extends QueryGroup {
               count(*) AS n
             FROM events GROUP BY user_id ORDER BY user_id"""))
 
+  /** MapType surface: events.props parsed to a map, then map_keys /
+    * map_values / element_at (SURVEY §2.2 "map" functions). */
+  private val qFnMap = Q(
+    "q_fn_map",
+    (s, dir) => {
+      val mapType = org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.LongType)
+      table(s, dir, "events")
+        .withColumn("m", from_json(col("props"), mapType))
+        .select(
+          col("event_id"),
+          concat_ws(",", array_sort(map_keys(col("m")))).as("keys"),
+          size(map_keys(col("m"))).as("n_keys"),
+          element_at(col("m"), "k").as("k_val"),
+          aggregate(map_values(col("m")), lit(0L), (a, x) => a + x).as("vals_sum"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id,
+              list_aggregate(list_sort(json_keys(props)), 'string_agg', ',') AS keys,
+              CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+              CAST(json_extract_string(props, '$.k') AS BIGINT) AS vals_sum
+            FROM events ORDER BY event_id"""))
+
+  /** Registered scalar UDF escape hatch (SURVEY §2.2 "UDF surface") — the
+    * analog of arbitrary Haskell in a reference Mapper. Kept OUT of hot
+    * paths elsewhere: builtins codegen, UDFs don't. */
+  private val qFnUdf = Q(
+    "q_fn_udf",
+    (s, dir) => {
+      val band = udf((bal: Double) =>
+        if (bal < 0) "debtor" else if (bal < 5000) "standard" else "premium")
+      table(s, dir, "customer")
+        .select(col("c_custkey"), band(col("c_acctbal")).as("band"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey,
+              CASE WHEN c_acctbal < 0 THEN 'debtor'
+                   WHEN c_acctbal < 5000 THEN 'standard'
+                   ELSE 'premium' END AS band
+            FROM customer ORDER BY c_custkey"""))
+
+  /** approx_count_distinct (HyperLogLog++). Spark's and DuckDB's HLLs are
+    * different algorithms, so the sketch value itself can't be
+    * oracle-matched; the gated claim is the accuracy CONTRACT: the
+    * estimate lands within 5% of the exact count (rsd is set to 1%). */
+  private val qAggApproxDistinct = Q(
+    "q_agg_approx_distinct",
+    (s, dir) => table(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_exact"),
+        (abs(approx_count_distinct(col("l_suppkey"), rsd = 0.01) -
+            countDistinct(col("l_suppkey"))).cast("double") /
+          countDistinct(col("l_suppkey")) <= 0.05).as("hll_within_5pct"))
+      .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_exact,
+              TRUE AS hll_within_5pct
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   override val queries: Seq[Q] = Seq(
-    qFnString, qFnDate, qFnMath, qFnCaseNull, qFnArray, qFnJson, qFnFromJson)
+    qFnString, qFnDate, qFnMath, qFnCaseNull, qFnArray, qFnJson, qFnFromJson,
+    qFnMap, qFnUdf, qAggApproxDistinct)
 }

@@ -198,6 +198,36 @@ object Relational extends QueryGroup {
     Some("""SELECT r_name, n_name FROM region CROSS JOIN nation
             ORDER BY r_name, n_name"""))
 
+  /** Right outer join: every nation, with its suppliers or nulls. */
+  private val qJoinRight = Q(
+    "q_join_right",
+    (s, dir) => {
+      val sup = table(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val n = table(s, dir, "nation").select("n_nationkey", "n_name")
+      sup.join(n, col("s_nationkey") === col("n_nationkey"), "right_outer")
+        .select(col("n_nationkey"), col("n_name"), col("s_suppkey"))
+        .orderBy(col("n_nationkey"), col("s_suppkey"))
+    },
+    Some("""SELECT n_nationkey, n_name, s_suppkey
+            FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+            ORDER BY n_nationkey, s_suppkey"""))
+
+  /** General theta join (non-equi condition, no equi component): plans as
+    * BroadcastNestedLoopJoin — correct only because one side is a
+    * broadcast-size dim; the bucketed rewrites in AsOfRangeJoins are the
+    * path for big-big non-equi joins. */
+  private val qJoinTheta = Q(
+    "q_join_theta",
+    (s, dir) => {
+      val r = table(s, dir, "region").select(col("r_regionkey"), col("r_name"))
+      val n = table(s, dir, "nation").select(col("n_regionkey"), col("n_name"))
+      r.join(n, col("r_regionkey") < col("n_regionkey"))
+        .select(col("r_name"), col("n_name"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+    Some("""SELECT r_name, n_name FROM region JOIN nation
+            ON r_regionkey < n_regionkey ORDER BY r_name, n_name"""))
+
   /** Multi-hop dimension chain with two broadcastable dims (TPC-H Q5
     * shape): region → nation → customer+orders. */
   private val q5NationRevenue = Q(
@@ -280,6 +310,28 @@ object Relational extends QueryGroup {
     Some("""SELECT c_nationkey AS nationkey FROM customer
             EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey"""))
 
+  /** Bag-semantics intersect: multiplicity = min of the two sides. */
+  private val qSetIntersectAll = Q(
+    "q_set_intersect_all",
+    (s, dir) => custNations(s, dir).intersectAll(suppNations(s, dir))
+      .groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
+      .orderBy(col("nationkey")),
+    Some("""SELECT nationkey, count(*) AS n FROM (
+              SELECT c_nationkey AS nationkey FROM customer
+              INTERSECT ALL SELECT s_nationkey FROM supplier) t
+            GROUP BY nationkey ORDER BY nationkey"""))
+
+  /** Bag-semantics except: multiplicity = left minus right, floored at 0. */
+  private val qSetExceptAll = Q(
+    "q_set_except_all",
+    (s, dir) => custNations(s, dir).exceptAll(suppNations(s, dir))
+      .groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
+      .orderBy(col("nationkey")),
+    Some("""SELECT nationkey, count(*) AS n FROM (
+              SELECT c_nationkey AS nationkey FROM customer
+              EXCEPT ALL SELECT s_nationkey FROM supplier) t
+            GROUP BY nationkey ORDER BY nationkey"""))
+
   private val qSetDistinct = Q(
     "q_set_distinct",
     (s, dir) => table(s, dir, "orders")
@@ -290,7 +342,8 @@ object Relational extends QueryGroup {
 
   override val queries: Seq[Q] = Seq(
     qScanProject, qSourceValues, q1Agg, qAggDistinct,
-    q3TopRevenue, qJoinLeft, qJoinSemi, qJoinAnti, qJoinFull, qJoinCross,
-    q5NationRevenue, qSortLimit, qTopkGlobal,
-    qSetUnionAll, qSetIntersect, qSetExcept, qSetDistinct)
+    q3TopRevenue, qJoinLeft, qJoinRight, qJoinSemi, qJoinAnti, qJoinFull,
+    qJoinCross, qJoinTheta, q5NationRevenue, qSortLimit, qTopkGlobal,
+    qSetUnionAll, qSetIntersect, qSetExcept,
+    qSetIntersectAll, qSetExceptAll, qSetDistinct)
 }
