@@ -15,7 +15,8 @@ object SparkEntry {
   /** All query groups; each file under graft/queries covers one SURVEY §2
     * capability area. */
   def groups: Seq[QueryGroup] =
-    Seq(Relational, Windows, Advanced, Functions, Sources, Llm, PipelineQueries)
+    Seq(Relational, Windows, Advanced, Functions, Sources, Llm,
+      PipelineQueries, Streaming)
 
   private lazy val all: Seq[Q] = {
     val qs = groups.flatMap(_.queries)

@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Graft._
+import graft.streaming.EventStreams
+
+/** Batch twins of the Structured-Streaming operators (unified API: the
+  * exact same transform functions run on readStream in
+  * graft.StreamingSpec). These rows are what the streaming versions
+  * converge to on the bounded events table, so gating them gates the
+  * shared logic.
+  */
+object Streaming extends QueryGroup {
+
+  private val qStreamTumbling = Q(
+    "q_stream_tumbling",
+    (s, dir) => EventStreams.tumbling(table(s, dir, "events"))
+      .orderBy(col("ws"), col("event_type")),
+    Some(s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws,
+               date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS we,
+               event_type, count(*) AS n,
+               ${moneySumSql("value")} AS value_sum
+             FROM events GROUP BY 1, 2, 3 ORDER BY ws, event_type"""))
+
+  private val qStreamSliding = Q(
+    "q_stream_sliding",
+    (s, dir) => EventStreams.sliding(table(s, dir, "events"))
+      .orderBy(col("ws"), col("event_type")),
+    Some("""SELECT ws, ws + INTERVAL 1 HOUR AS we, event_type, count(*) AS n
+            FROM (
+              SELECT time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP))
+                       - k.k * INTERVAL 30 MINUTE AS ws,
+                     event_type
+              FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) k) t
+            GROUP BY ws, event_type ORDER BY ws, event_type"""))
+
+  /** Session windows vs the classic gaps-and-islands SQL formulation.
+    * New session when ts >= prev + gap (an event landing exactly on the
+    * previous session's end is outside its half-open interval). */
+  private val qStreamSession = Q(
+    "q_stream_session",
+    (s, dir) => EventStreams.sessions(table(s, dir, "events"))
+      .orderBy(col("user_id"), col("session_start")),
+    Some(s"""WITH o AS (
+               SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                 lag(CAST(ts AS TIMESTAMP)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+               FROM events),
+             m AS (
+               SELECT user_id, ts, value,
+                 CASE WHEN prev IS NULL OR ts >= prev + INTERVAL 2 HOUR
+                      THEN 1 ELSE 0 END AS new_s
+               FROM o),
+             g AS (
+               SELECT user_id, ts, value,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sid
+               FROM m)
+             SELECT user_id, min(ts) AS session_start,
+               max(ts) + INTERVAL 2 HOUR AS session_end,
+               count(*) AS n, ${moneySumSql("value")} AS value_sum
+             FROM g GROUP BY user_id, sid
+             ORDER BY user_id, session_start"""))
+
+  /** flatMapGroupsWithState in batch execution (each key once, empty
+    * initial state) — gates the stateful streaming code path. */
+  private val qStreamStateful = Q(
+    "q_stream_stateful",
+    (s, dir) => EventStreams.userStats(
+        EventStreams.toTyped(table(s, dir, "events")))
+      .toDF()
+      .orderBy(col("user_id")),
+    Some("""SELECT user_id, count(*) AS n,
+              min(epoch_us(CAST(ts AS TIMESTAMP))) AS first_us,
+              max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us,
+              CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_purchase,
+              CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS value4
+            FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  override val queries: Seq[Q] = Seq(
+    qStreamTumbling, qStreamSliding, qStreamSession, qStreamStateful)
+}

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.core.Graft.{moneySum, fixed4}
+
+/** Structured-Streaming operators over the `events` schema (SURVEY §2.2
+  * Streaming). Every transform is a plain DataFrame→DataFrame function on
+  * the UNIFIED API: applied to `spark.read` it is the batch twin the
+  * driver's oracle gates; applied to `spark.readStream` it is the
+  * incremental version (exercised in StreamingSpec, stream-vs-batch
+  * differential — SURVEY §7.4's plan for streaming with no reference
+  * analog to test against).
+  *
+  * Scale notes: all aggregations key on (window × type) or (user ×
+  * session) — high-cardinality, shuffle-parallel; state per key is O(1)
+  * (counts / bounded session struct), so streaming state stores stay
+  * bounded with a watermark evicting expired windows.
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour window: per event_type counts + exact money sum. */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("value_sum"))
+      .select(
+        col("window.start").cast("timestamp_ntz").as("ws"),
+        col("window.end").cast("timestamp_ntz").as("we"),
+        col("event_type"), col("n"), col("value_sum"))
+
+  /** Sliding 1-hour window every 30 minutes (each event in 2 windows). */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("window.start").cast("timestamp_ntz").as("ws"),
+        col("window.end").cast("timestamp_ntz").as("we"),
+        col("event_type"), col("n"))
+
+  /** Session windows with a 2-hour inactivity gap, per user. Session end
+    * is last-event + gap (Spark session_window semantics). */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "2 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("value_sum"))
+      .select(col("user_id"),
+        col("session_window.start").cast("timestamp_ntz").as("session_start"),
+        col("session_window.end").cast("timestamp_ntz").as("session_end"),
+        col("n"), col("value_sum"))
+
+  /** Typed event row for stateful processing; ts carried as epoch
+    * microseconds so the Encoder stays timezone-free. */
+  final case class EventU(
+      event_id: Long, ts_us: Long, user_id: Long, event_type: String, value: Double)
+
+  /** Running per-user stats via flatMapGroupsWithState — the streaming
+    * analog of the reference's Reducer (arbitrary per-key state, 0..n
+    * outputs). In batch execution each key is processed once with empty
+    * initial state, which makes the same code oracle-checkable. */
+  final case class UserStats(
+      user_id: Long, n: Long, first_us: Long, last_us: Long,
+      n_purchase: Long, value4: Long)
+
+  def userStats(events: Dataset[EventU]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserStats, UserStats](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[EventU], state: GroupState[UserStats]) =>
+          var st = state.getOption.getOrElse(
+            UserStats(uid, 0L, Long.MaxValue, Long.MinValue, 0L, 0L))
+          it.foreach { e =>
+            st = UserStats(uid,
+              st.n + 1,
+              math.min(st.first_us, e.ts_us),
+              math.max(st.last_us, e.ts_us),
+              st.n_purchase + (if (e.event_type == "purchase") 1L else 0L),
+              st.value4 + math.round(e.value * 10000L))
+          }
+          state.update(st)
+          Iterator(st)
+      }
+  }
+
+  /** Project the events table into the typed stateful input. */
+  def toTyped(events: DataFrame): Dataset[EventU] = {
+    import events.sparkSession.implicits._
+    events.select(
+      col("event_id"),
+      unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+      col("user_id"), col("event_type"), col("value"))
+      .as[EventU]
+  }
+}

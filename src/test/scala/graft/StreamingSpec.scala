@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.EventU
+
+/** Stream-vs-batch differential tests (SURVEY §7.4): each streaming
+  * operator, fed the bounded sf0.001 events through a MemoryStream in
+  * several micro-batches, must converge to exactly the rows its batch
+  * twin produces on the same data — the same discipline as the
+  * reference's distributed-vs-naive property (test/Generator.hs:83-92),
+  * with the batch engine as the oracle.
+  */
+class StreamingSpec extends AnyFunSuite with SparkSessionFixture {
+
+  private lazy val eventsBatch: DataFrame =
+    graft.core.Graft.table(spark, "/root/testdata/sf0.001", "events")
+
+  private lazy val typedRows: Seq[EventU] = {
+    val ds = EventStreams.toTyped(eventsBatch)
+    ds.collect().toSeq
+  }
+
+  /** Run a unified transform over a MemoryStream fed in `nChunks`
+    * micro-batches; return the final result via the memory sink. */
+  private def runStream(
+      transform: DataFrame => DataFrame,
+      mode: String,
+      name: String,
+      nChunks: Int = 3): DataFrame = {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventU]
+    val streamingDf = mem.toDF()
+      .withColumn("ts", timestamp_micros(col("ts_us")).cast("timestamp_ntz"))
+    val q = transform(streamingDf).writeStream
+      .format("memory").queryName(name).outputMode(mode).start()
+    try {
+      typedRows.grouped(math.max(1, typedRows.size / nChunks)).foreach { chunk =>
+        mem.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(name)
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq.sorted
+
+  test("tumbling window: streaming(complete) == batch") {
+    val got = runStream(EventStreams.tumbling, "complete", "t_tumbling")
+    val exp = EventStreams.tumbling(eventsBatch)
+    assert(sortedRows(got) == sortedRows(exp))
+  }
+
+  test("sliding window: streaming(complete) == batch") {
+    val got = runStream(EventStreams.sliding, "complete", "t_sliding")
+    val exp = EventStreams.sliding(eventsBatch)
+    assert(sortedRows(got) == sortedRows(exp))
+  }
+
+  test("session window: streaming(complete) == batch") {
+    val got = runStream(EventStreams.sessions, "complete", "t_sessions")
+    val exp = EventStreams.sessions(eventsBatch)
+    assert(sortedRows(got) == sortedRows(exp))
+  }
+
+  test("flatMapGroupsWithState: final update per user == batch stats") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventU]
+    val q = EventStreams.userStats(mem.toDS()).toDF().writeStream
+      .format("memory").queryName("t_stateful").outputMode("update").start()
+    try {
+      typedRows.grouped(math.max(1, typedRows.size / 3)).foreach { chunk =>
+        mem.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // update mode emits one row per user per micro-batch that touched the
+    // user; the LAST emission per user is the converged state.
+    val got = spark.table("t_stateful")
+      .withColumn("emit_seq", monotonically_increasing_id())
+      .groupBy(col("user_id")).agg(max_by(struct(col("*")), col("emit_seq")).as("s"))
+      .select(col("s.user_id"), col("s.n"), col("s.first_us"), col("s.last_us"),
+        col("s.n_purchase"), col("s.value4"))
+    val exp = EventStreams.userStats(EventStreams.toTyped(eventsBatch)).toDF()
+    assert(sortedRows(got) == sortedRows(exp))
+  }
+
+  test("streaming dedup: dropDuplicates key set == batch distinct") {
+    // append mode: each distinct key is emitted exactly once, when first
+    // seen — the accumulated sink table IS the distinct set.
+    val got = runStream(
+      df => df.select(col("user_id"), col("event_type")).dropDuplicates(),
+      "append", "t_dedup")
+    val exp = eventsBatch.select(col("user_id"), col("event_type")).distinct()
+    assert(sortedRows(got) == sortedRows(exp))
+  }
+}
