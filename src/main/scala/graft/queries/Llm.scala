@@ -490,8 +490,25 @@ object Llm extends QueryGroup {
               CAST(octet_length(encode(text)) % 30 + 1 AS BIGINT) AS fake_frames
             FROM documents ORDER BY doc_id"""))
 
+  /** The batched mapPartitions decode path (operators/Multimodal): binary
+    * payloads → per-partition stub decoder → typed features. Not
+    * SQL-expressible (byte-level iteration inside a typed operator), so
+    * this entry takes the driver's rows-only check; determinism and shape
+    * are covered by MultimodalSpec. */
+  private val qMultimodalDecode = Q(
+    "q_multimodal_decode",
+    (s, dir) => graft.operators.Multimodal
+      .decodeFeatures(graft.operators.Multimodal.fromDocuments(
+        table(s, dir, "documents")))
+      .toDF()
+      .select(col("media_id"), col("kind"), col("width"), col("height"),
+        col("n_frames"), size(col("embedding")).as("emb_dim"))
+      .orderBy(col("media_id")),
+    None)
+
   override val queries: Seq[Q] = Seq(
     qDedupExact, qDedupNorm, qDedupMinhash, qDedupSimhash, qDedupNgram,
     qDedupEmbedding, qSimTopk, qSimLsh,
-    qTextLangId, qTextQuality, qTextTokens, qTextFingerprint, qMultimodal)
+    qTextLangId, qTextQuality, qTextTokens, qTextFingerprint, qMultimodal,
+    qMultimodalDecode)
 }
