@@ -27,6 +27,11 @@ object Graft {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Constraint propagation re-canonicalizes every referenced column
+      // expression per inferred predicate — with expression-heavy lambda
+      // columns (minhash/ngram pipelines) the OPTIMIZER itself becomes
+      // O(30 s) per query. Our plans carry their filters explicitly.
+      .config("spark.sql.constraintPropagation.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -95,26 +95,35 @@ object PortableHash {
 
   /** Sign-of-dot-product LSH bucket over `nPlanes` deterministic
     * hyperplanes: bucket = Σ_j [dot(w_j, v) > 0] · 2^j. At scale this is
-    * the candidate-pruning key: vectors only ever join within a bucket. */
+    * the candidate-pruning key: vectors only ever join within a bucket.
+    *
+    * Each dot term is quantized to an integer (round(w·x·1e6)) so the sum
+    * is order-independent — the same sign decision can then be recomputed
+    * from exploded per-dimension rows through a codegen'd hash aggregate,
+    * or by the DuckDB oracle, without float-summation-order divergence. */
+  def quantTerm(w: Column, x: Column): Column =
+    round(w.cast("double") * x.cast("double") * lit(1e6), 0).cast("long")
+
+  def quantTermSql(w: String, x: String): String =
+    s"CAST(round(CAST($w AS DOUBLE) * CAST($x AS DOUBLE) * 1000000.0) AS BIGINT)"
+
   def lshBucket(v: Column, nPlanes: Int, dim: Int): Column =
     aggregate(
       transform(sequence(lit(0), lit(nPlanes - 1)), j => {
-        val planeDot = aggregate(
+        val planeDotQ = aggregate(
           transform(sequence(lit(0), lit(dim - 1)),
-            i => hyperplane(j, i).cast("double") * element_at(v, i + lit(1)).cast("double")),
-          lit(0.0), (acc, x) => acc + x)
-        when(planeDot > 0.0, floor(pow(lit(2.0), j)).cast("long")).otherwise(lit(0L))
+            i => quantTerm(hyperplane(j, i), element_at(v, i + lit(1)))),
+          lit(0L), (acc, x) => acc + x)
+        when(planeDotQ > 0L, floor(pow(lit(2.0), j)).cast("long")).otherwise(lit(0L))
       }),
       lit(0L), (acc, x) => acc + x)
 
   def lshBucketSql(v: String, nPlanes: Int, dim: Int): String = {
-    val planeDot =
-      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |  list_transform(generate_series(0, ${dim - 1}),
-         |    i -> CAST(${hyperplaneSql("j", "i")} AS DOUBLE) * CAST($v[i + 1] AS DOUBLE))),
-         |  (x, y) -> x + y)""".stripMargin
+    val planeDotQ =
+      s"""list_sum(list_transform(generate_series(0, ${dim - 1}),
+         |  i -> ${quantTermSql(hyperplaneSql("j", "i"), s"$v[i + 1]")}))""".stripMargin
     s"""CAST(list_sum(list_transform(generate_series(0, ${nPlanes - 1}),
-       |  j -> CASE WHEN ($planeDot) > 0.0
+       |  j -> CASE WHEN ($planeDotQ) > 0
        |            THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT)""".stripMargin
   }
 }

@@ -81,21 +81,42 @@ object Llm extends QueryGroup {
     * minhash signature → 4 bands of 4 → candidate pairs = equi-join on
     * (band, band_key). Estimated Jaccard = matching signature fraction.
     * The band join is the 100 TB path: candidates are generated per
-    * bucket, never all-pairs. */
+    * bucket, never all-pairs.
+    *
+    * Perf shape: shingle hashes combine pre-hashed TOKENS in O(1) (not a
+    * char fold per shingle), and the 16 signature minima run as one
+    * codegen'd hash aggregation over exploded (doc, shingle-hash) rows —
+    * Spark's higher-order lambdas are interpreted, so the hot path avoids
+    * them entirely. Same two moves an actual 100 TB dedup needs: hash
+    * once, aggregate columnar. */
   private val qDedupMinhash = Q(
     "q_dedup_minhash",
     (s, dir) => {
-      val sig = table(s, dir, "documents")
+      val base = table(s, dir, "documents")
         .withColumn("tl", split(lower(col("text")), " "))
         .filter(size(col("tl")) >= 3)
-        .withColumn("sh", array_distinct(
+        .withColumn("th", transform(col("tl"), t => charHash(t)))
+        // Exchange barrier: materialize th. Without it CollapseProject
+        // inlines the whole token-hash transform into EVERY element_at of
+        // the shingle lambda — O(tokens²) per doc — and the subtree would
+        // re-run on each consumer below.
+        .repartition(col("doc_id"))
+        .withColumn("hs", array_distinct(
           transform(sequence(lit(1), size(col("tl")) - 2),
-            i => concat_ws(" ",
-              element_at(col("tl"), i),
-              element_at(col("tl"), i + 1),
-              element_at(col("tl"), i + 2)))))
-        .withColumn("hs", transform(col("sh"), t => charHash(t)))
-        .withColumn("sg", minhashSig(col("hs"), 16))
+            i => ((element_at(col("th"), i) * lit(131L) +
+                   element_at(col("th"), i + 1)) % lit(P) * lit(131L) +
+                  element_at(col("th"), i + 2)) % lit(P))))
+        // explode_outer: plain explode makes InferFiltersFromGenerate
+        // synthesize size(hs)>0 AND isnotnull(hs), which pushdown inlines
+        // (twice!) below the exchange as the full O(tokens²) expression.
+        // hs is non-empty by construction (size(tl) >= 3), so outer ≡
+        // inner here.
+        .select(col("doc_id"), explode_outer(col("hs")).as("h"))
+      val minCols = (0 until 16).map(i =>
+        min((col("h") * lit(2L * i + 1) + lit(7919L * i + 1)) % lit(P)).as(s"m$i"))
+      val sig = base.groupBy(col("doc_id"))
+        .agg(minCols.head, minCols.tail: _*)
+        .withColumn("sg", array((0 until 16).map(i => col(s"m$i")): _*))
         .select("doc_id", "sg")
       val bands = sig
         .select(col("doc_id"), col("sg"),
@@ -124,13 +145,13 @@ object Llm extends QueryGroup {
     Some(s"""WITH toks AS (
                SELECT doc_id, string_split(lower(text), ' ') AS tl FROM documents),
              tok3 AS (SELECT doc_id, tl FROM toks WHERE len(tl) >= 3),
-             shingles AS (
-               SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tl) - 2),
-                 i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2])) AS sh
+             th AS (
+               SELECT doc_id, list_transform(tl, t -> ${charHashSql("t")}) AS th
                FROM tok3),
              hashed AS (
-               SELECT doc_id, list_transform(sh, s -> ${charHashSql("s")}) AS hs
-               FROM shingles),
+               SELECT doc_id, list_distinct(list_transform(generate_series(1, len(th) - 2),
+                 i -> ((th[i] * 131 + th[i+1]) % $P * 131 + th[i+2]) % $P)) AS hs
+               FROM th),
              sig AS (
                SELECT doc_id, ${minhashSigSql("hs", 16)} AS sg FROM hashed),
              bands AS (
@@ -154,22 +175,31 @@ object Llm extends QueryGroup {
 
   /** SimHash fingerprints: 32-bit sign-aggregated token-hash fingerprint
     * per document, plus the high-16-bit band key used for near-dup
-    * candidate bucketing at scale. Pure per-row column arithmetic. */
+    * candidate bucketing at scale.
+    *
+    * Perf shape: tokens are hashed ONCE per distinct vocabulary term
+    * (broadcast-joined back — vocabulary ≪ corpus at any scale), then the
+    * per-bit ±1 sums run as exploded codegen'd hash aggregations with
+    * map-side combine, not per-row interpreted lambdas. */
   private val qDedupSimhash = Q(
     "q_dedup_simhash",
-    (s, dir) => table(s, dir, "documents")
-      .withColumn("hs", transform(split(lower(col("text")), " "), t => charHash(t)))
-      .withColumn("simhash",
-        aggregate(
-          transform(sequence(lit(0), lit(31)), j => {
-            val sj = aggregate(col("hs"), lit(0L),
-              (acc, t) => acc + (PortableHash.bit(t, j) * lit(2L) - lit(1L)))
-            when(sj > 0, floor(pow(lit(2.0), j)).cast("long")).otherwise(lit(0L))
-          }),
-          lit(0L), (acc, x) => acc + x))
-      .withColumn("band_hi", floor(col("simhash") / pow(lit(2.0), lit(16))).cast("long"))
-      .select("doc_id", "simhash", "band_hi")
-      .orderBy("doc_id"),
+    (s, dir) => {
+      val tok = table(s, dir, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
+      val vocab = tok.select("t").distinct()
+        .withColumn("h", charHash(col("t")))
+      val bitSums = tok.join(broadcast(vocab), "t")
+        .select(col("doc_id"), col("h"),
+          explode(sequence(lit(0), lit(31))).as("j"))
+        .groupBy(col("doc_id"), col("j"))
+        .agg(sum(PortableHash.bit(col("h"), col("j")) * lit(2L) - lit(1L)).as("sj"))
+      bitSums.groupBy(col("doc_id"))
+        .agg(sum(when(col("sj") > 0, floor(pow(lit(2.0), col("j"))).cast("long"))
+          .otherwise(lit(0L))).as("simhash"))
+        .withColumn("band_hi", floor(col("simhash") / pow(lit(2.0), lit(16))).cast("long"))
+        .select("doc_id", "simhash", "band_hi")
+        .orderBy("doc_id")
+    },
     Some(s"""WITH h AS (
                SELECT doc_id,
                  list_transform(string_split(lower(text), ' '),
@@ -196,65 +226,131 @@ object Llm extends QueryGroup {
       val t = table(s, dir, "documents")
         .withColumn("tl", split(lower(col("text")), " "))
         .filter(size(col("tl")) >= 2)
+        .withColumn("th", transform(col("tl"), x => charHash(x)))
+        // materialize th before the bigram lambda (see q_dedup_minhash)
+        .repartition(col("doc_id"))
         .withColumn("bg", array_distinct(
           transform(sequence(lit(1), size(col("tl")) - 1),
-            i => concat_ws(" ", element_at(col("tl"), i), element_at(col("tl"), i + 1)))))
-        .select("doc_id", "lang", "source", "bg")
-      t.as("a")
-        .join(t.as("b"),
+            i => (element_at(col("th"), i) * lit(131L) +
+                  element_at(col("th"), i + 1)) % lit(P))))
+        .withColumn("nb", size(col("bg")))
+      // Inverted-index join: explode distinct bigrams and equi-join on
+      // (bucket, bigram) — |A∩B| = COUNT per pair, all codegen'd join +
+      // hash aggregation, zero per-pair array operations. The classic
+      // scalable set-similarity-join shape.
+      val ex = t.select(col("doc_id"), col("lang"), col("source"),
+        explode_outer(col("bg")).as("bgh"))
+      val meta = t.select(col("doc_id"), col("nb"))
+      val inter = ex.as("a")
+        .join(ex.as("b"),
           col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.lang").as("lang"),
-          (size(array_intersect(col("a.bg"), col("b.bg"))).cast("double") /
-            size(array_union(col("a.bg"), col("b.bg")))).as("jaccard"))
+          col("a.bgh") === col("b.bgh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.lang").as("lang"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(meta.select(col("doc_id").as("doc_a"), col("nb").as("na"))), "doc_a")
+        .join(broadcast(meta.select(col("doc_id").as("doc_b"), col("nb").as("nb2"))), "doc_b")
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("na") + col("nb2") - col("inter")))
         .filter(col("jaccard") >= 0.08)
+        .select("doc_a", "doc_b", "lang", "jaccard")
         .orderBy("doc_a", "doc_b")
     },
-    Some("""WITH t AS (
-              SELECT doc_id, lang, source,
-                list_distinct(list_transform(
-                  generate_series(1, len(string_split(lower(text), ' ')) - 1),
-                  i -> string_split(lower(text), ' ')[i] || ' ' ||
-                       string_split(lower(text), ' ')[i+1])) AS bg
-              FROM documents
-              WHERE len(string_split(lower(text), ' ')) >= 2)
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
-              CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE) /
-                len(list_distinct(list_concat(a.bg, b.bg))) AS jaccard
-            FROM t a JOIN t b
-              ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-            WHERE CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE) /
-                len(list_distinct(list_concat(a.bg, b.bg))) >= 0.08
-            ORDER BY doc_a, doc_b"""))
+    Some(s"""WITH toks AS (
+               SELECT doc_id, lang, source, string_split(lower(text), ' ') AS tl
+               FROM documents WHERE len(string_split(lower(text), ' ')) >= 2),
+             th AS (
+               SELECT doc_id, lang, source,
+                 list_transform(tl, t -> ${charHashSql("t")}) AS th
+               FROM toks),
+             t AS (
+               SELECT doc_id, lang, source,
+                 list_distinct(list_transform(generate_series(1, len(th) - 1),
+                   i -> (th[i] * 131 + th[i+1]) % $P)) AS bg,
+                 len(list_distinct(list_transform(generate_series(1, len(th) - 1),
+                   i -> (th[i] * 131 + th[i+1]) % $P))) AS nb
+               FROM th)
+             SELECT doc_a, doc_b, lang, jaccard FROM (
+               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
+                 CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE) /
+                   (a.nb + b.nb - len(list_intersect(a.bg, b.bg))) AS jaccard
+               FROM t a JOIN t b
+                 ON a.lang = b.lang AND a.source = b.source
+                AND a.doc_id < b.doc_id) p
+             WHERE jaccard >= 0.08
+             ORDER BY doc_a, doc_b"""))
 
-  /** Embedding-cosine near-dup: LSH hyperplane buckets (4 planes → 16
-    * buckets) generate candidates; exact cosine filters them. The bucket
-    * equi-join is the scale path — no all-pairs comparison ever runs. */
+  /** Embedding-cosine near-dup: LSH hyperplane buckets (6 planes → 64
+    * buckets) generate candidates; quantized cosine filters them. The
+    * bucket equi-join is the scale path — no all-pairs comparison runs.
+    *
+    * Perf shape: pair dot-products are computed by exploding vectors to
+    * (vec, dim, value) rows and joining on (bucket, dim) — a codegen'd
+    * shuffle join + hash aggregation instead of an interpreted per-pair
+    * lambda fold. Products are quantized (round(x·y·1e9)) so the
+    * aggregation order can't perturb the float sum — the property that
+    * makes the result reproducible across any partitioning AND by the
+    * DuckDB oracle. */
   private val qDedupEmbedding = Q(
     "q_dedup_embedding",
     (s, dir) => {
       val e = table(s, dir, "embeddings")
-        .withColumn("bucket", lshBucket(col("embedding"), 4, 64))
-        .select("vec_id", "bucket", "embedding")
-      e.as("a")
-        .join(e.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          col("a.bucket").as("bucket"),
-          PortableHash.cosine(col("a.embedding"), col("b.embedding")).as("cosine"))
+        .withColumn("bucket", lshBucket(col("embedding"), 6, 64))
+        // materialize the interpreted bucket computation once; the
+        // exchange is reused by all three consumers (norms + both join
+        // sides) below
+        .repartition(col("vec_id"))
+      val dq = e.select(col("vec_id"), col("bucket"),
+        posexplode(col("embedding")).as(Seq("i", "x")))
+      val norms = dq.groupBy(col("vec_id"))
+        .agg(sum(round(col("x").cast("double") * col("x").cast("double") * lit(1e9), 0)
+          .cast("long")).as("nq"))
+      val dots = dq.as("a")
+        .join(dq.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.i") === col("b.i") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .groupBy(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          col("a.bucket").as("bucket"))
+        .agg(sum(round(col("a.x").cast("double") * col("b.x").cast("double") * lit(1e9), 0)
+          .cast("long")).as("dotq"))
+      dots
+        .join(norms.select(col("vec_id").as("vec_a"), col("nq").as("nqa")), "vec_a")
+        .join(norms.select(col("vec_id").as("vec_b"), col("nq").as("nqb")), "vec_b")
+        .withColumn("cosine",
+          (col("dotq").cast("double") / lit(1e9)) /
+            (sqrt(col("nqa").cast("double") / lit(1e9)) *
+             sqrt(col("nqb").cast("double") / lit(1e9))))
         .filter(col("cosine") >= 0.3)
+        .select("vec_a", "vec_b", "bucket", "cosine")
         .orderBy("vec_a", "vec_b")
     },
     Some(s"""WITH e AS (
                SELECT vec_id, embedding,
-                 ${lshBucketSql("embedding", 4, 64)} AS bucket
+                 ${lshBucketSql("embedding", 6, 64)} AS bucket
+               FROM embeddings),
+             n AS (
+               SELECT vec_id,
+                 list_sum(list_transform(generate_series(1, 64), i ->
+                   CAST(round(CAST(embedding[i] AS DOUBLE) *
+                     CAST(embedding[i] AS DOUBLE) * 1000000000.0) AS BIGINT))) AS nq
                FROM embeddings),
              cand AS (
                SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
-                 ${cosineSql("a.embedding", "b.embedding", 64)} AS cosine
-               FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-             SELECT vec_a, vec_b, bucket, cosine FROM cand
+                 CAST(list_sum(list_transform(generate_series(1, 64), i ->
+                   CAST(round(CAST(a.embedding[i] AS DOUBLE) *
+                     CAST(b.embedding[i] AS DOUBLE) * 1000000000.0) AS BIGINT)))
+                   AS BIGINT) AS dotq
+               FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+             scored AS (
+               SELECT vec_a, vec_b, bucket,
+                 (CAST(dotq AS DOUBLE) / 1000000000.0) /
+                   (sqrt(CAST(na.nq AS DOUBLE) / 1000000000.0) *
+                    sqrt(CAST(nb.nq AS DOUBLE) / 1000000000.0)) AS cosine
+               FROM cand
+               JOIN n na ON na.vec_id = cand.vec_a
+               JOIN n nb ON nb.vec_id = cand.vec_b)
+             SELECT vec_a, vec_b, bucket, cosine FROM scored
              WHERE cosine >= 0.3 ORDER BY vec_a, vec_b"""))
 
   // -- similarity search ----------------------------------------------
@@ -445,22 +541,43 @@ object Llm extends QueryGroup {
             FROM documents ORDER BY doc_id"""))
 
   /** Document fingerprinting: full-content rolling hash plus the minimum
-    * 8-char-gram rolling hash (winnowing-style robust fingerprint). */
+    * 8-char-gram rolling hash (winnowing-style robust fingerprint).
+    *
+    * The char-code array is materialized once per document and each gram
+    * hash is an unrolled 8-term polynomial (no per-gram substring/fold;
+    * max intermediate 127·131^7 ≈ 2.4e17 < 2^63, so one mod at the end is
+    * congruent with the per-step-mod charHash). */
   private val qTextFingerprint = Q(
     "q_text_fingerprint",
     (s, dir) => table(s, dir, "documents")
       .filter(col("n_chars") >= 8)
-      .withColumn("content_hash", charHash(col("text")))
+      .withColumn("ca", transform(split(col("text"), ""), c => ascii(c).cast("long")))
+      // materialize ca — otherwise the char-split transform inlines into
+      // every gram's element_at (O(chars²) per doc)
+      .repartition(col("doc_id"))
+      .withColumn("content_hash",
+        aggregate(col("ca"), lit(0L), (h, c) => (h * lit(131L) + c) % lit(P)))
       .withColumn("min_gram_hash",
-        array_min(transform(sequence(lit(1), length(col("text")) - 7),
-          i => charHash(col("text").substr(i, lit(8))))))
+        array_min(transform(sequence(lit(1), size(col("ca")) - 7), i => {
+          val un = (1 to 7).foldLeft(element_at(col("ca"), i): org.apache.spark.sql.Column)(
+            (acc, k) => acc * lit(131L) + element_at(col("ca"), i + lit(k)))
+          un % lit(P)
+        })))
       .select("doc_id", "content_hash", "min_gram_hash")
       .orderBy("doc_id"),
-    Some(s"""SELECT doc_id,
-               ${charHashSql("text")} AS content_hash,
-               list_min(list_transform(generate_series(1, length(text) - 7),
-                 i -> ${charHashSql("substr(text, i, 8)")})) AS min_gram_hash
-             FROM documents WHERE n_chars >= 8 ORDER BY doc_id"""))
+    Some(s"""WITH ca AS (
+               SELECT doc_id,
+                 list_transform(string_split(text, ''),
+                   c -> CAST(ascii(c) AS BIGINT)) AS ca
+               FROM documents WHERE n_chars >= 8)
+             SELECT doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT), ca),
+                 (h, c) -> (h * 131 + c) % $P) AS content_hash,
+               list_min(list_transform(generate_series(1, len(ca) - 7),
+                 i -> (((((((ca[i] * 131 + ca[i+1]) * 131 + ca[i+2]) * 131 + ca[i+3])
+                        * 131 + ca[i+4]) * 131 + ca[i+5]) * 131 + ca[i+6])
+                        * 131 + ca[i+7]) % $P)) AS min_gram_hash
+             FROM ca ORDER BY doc_id"""))
 
   // -- multimodal ------------------------------------------------------
 
