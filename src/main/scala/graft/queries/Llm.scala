@@ -295,14 +295,27 @@ object Llm extends QueryGroup {
   private val qDedupEmbedding = Q(
     "q_dedup_embedding",
     (s, dir) => {
-      val e = table(s, dir, "embeddings")
-        .withColumn("bucket", lshBucket(col("embedding"), 6, 64))
-        // materialize the interpreted bucket computation once; the
-        // exchange is reused by all three consumers (norms + both join
-        // sides) below
-        .repartition(col("vec_id"))
-      val dq = e.select(col("vec_id"), col("bucket"),
+      val emb = table(s, dir, "embeddings")
+      // (vec, dim, value) rows — the codegen-friendly layout every stage
+      // below shares.
+      val dims = emb.select(col("vec_id"),
         posexplode(col("embedding")).as(Seq("i", "x")))
+        .repartition(col("vec_id"))
+      // LSH buckets from exploded rows: quantized plane terms →
+      // order-free integer sums → sign bits → bucket. Equivalent to
+      // PortableHash.lshBucket(6, 64) but runs as codegen'd hash
+      // aggregations instead of interpreted per-row lambdas.
+      val planeSums = dims
+        .select(col("vec_id"), col("i"), col("x"),
+          explode(sequence(lit(0), lit(5))).as("j"))
+        .groupBy(col("vec_id"), col("j"))
+        .agg(sum(PortableHash.quantTerm(
+          PortableHash.hyperplane(col("j"), col("i")), col("x"))).as("pq"))
+      val buckets = planeSums.groupBy(col("vec_id"))
+        .agg(sum(when(col("pq") > 0, floor(pow(lit(2.0), col("j"))).cast("long"))
+          .otherwise(lit(0L))).as("bucket"))
+      val dq = dims.join(buckets, "vec_id")
+        .select(col("vec_id"), col("bucket"), col("i"), col("x"))
       val norms = dq.groupBy(col("vec_id"))
         .agg(sum(round(col("x").cast("double") * col("x").cast("double") * lit(1e9), 0)
           .cast("long")).as("nq"))
