@@ -92,10 +92,12 @@ object Llm extends QueryGroup {
   private val qDedupMinhash = Q(
     "q_dedup_minhash",
     (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       val base = table(s, dir, "documents")
         .withColumn("tl", split(lower(col("text")), " "))
         .filter(size(col("tl")) >= 3)
-        .withColumn("th", transform(col("tl"), t => charHash(t)))
+        .withColumn("th", transform(col("tl"),
+          t => graft.functions.GraftFunctions.charHashNative(t)))
         // Exchange barrier: materialize th. Without it CollapseProject
         // inlines the whole token-hash transform into EVERY element_at of
         // the shingle lambda — O(tokens²) per doc — and the subtree would
@@ -184,10 +186,11 @@ object Llm extends QueryGroup {
   private val qDedupSimhash = Q(
     "q_dedup_simhash",
     (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       val tok = table(s, dir, "documents")
         .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
       val vocab = tok.select("t").distinct()
-        .withColumn("h", charHash(col("t")))
+        .withColumn("h", graft.functions.GraftFunctions.charHashNative(col("t")))
       val bitSums = tok.join(broadcast(vocab), "t")
         .select(col("doc_id"), col("h"),
           explode(sequence(lit(0), lit(31))).as("j"))
@@ -223,10 +226,12 @@ object Llm extends QueryGroup {
   private val qDedupNgram = Q(
     "q_dedup_ngram",
     (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       val t = table(s, dir, "documents")
         .withColumn("tl", split(lower(col("text")), " "))
         .filter(size(col("tl")) >= 2)
-        .withColumn("th", transform(col("tl"), x => charHash(x)))
+        .withColumn("th", transform(col("tl"),
+          x => graft.functions.GraftFunctions.charHashNative(x)))
         // materialize th before the bigram lambda (see q_dedup_minhash)
         .repartition(col("doc_id"))
         .withColumn("bg", array_distinct(

@@ -23,6 +23,24 @@ class PortableHashSpec extends AnyFunSuite with SparkSessionFixture {
     assert(got.toSeq == inputs.map(ref))
   }
 
+  test("native graft_charhash == HOF charHash == JVM fold, and is SQL-callable") {
+    implicit val s = spark
+    import s.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val inputs = Seq("hello", "a", "spark sql engine", "zz 99 !?", "The Quick")
+    val rows = inputs.toDF("s")
+      .select(
+        PortableHash.charHash(col("s")).as("hof"),
+        graft.functions.GraftFunctions.charHashNative(col("s")).as("native"),
+        expr("graft_charhash(s)").as("sqlfn"))
+      .collect()
+    rows.zip(inputs).foreach { case (r, in) =>
+      val ref = graft.functions.CharHashExpression.hash(in)
+      assert(r.getLong(0) == ref && r.getLong(1) == ref && r.getLong(2) == ref,
+        s"mismatch for '$in'")
+    }
+  }
+
   test("minhash signature values stay in [0, P)") {
     implicit val s = spark
     import s.implicits._
