@@ -64,5 +64,52 @@ object Sources extends QueryGroup {
              FROM orders WHERE o_orderstatus = 'F'
              GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
-  override val queries: Seq[Q] = Seq(qSourceCsv, qSourceJson, qSourcePartitioned)
+  /** Bucketed tables + co-located join (SURVEY "Partitioning & shuffle":
+    * bucketing for co-located joins). orders and customer are written
+    * bucketed+sorted on the join key into the session catalog; the join
+    * of the two bucketed scans then needs NO shuffle of either side — the
+    * plan is Exchange-free up to the final aggregation. At 100 TB this is
+    * the difference between re-shuffling the fact table per query and
+    * reading co-located buckets. BucketedJoinSpec asserts the
+    * Exchange-free plan property. */
+  /** saveAsTable refuses a managed-table location left behind by an
+    * earlier JVM (fresh in-memory metastore, stale warehouse dir) — drop
+    * both the catalog entry and the directory first. */
+  def resetTable(s: org.apache.spark.sql.SparkSession, name: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    val loc = new java.io.File(
+      s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    if (loc.exists()) rm(loc)
+  }
+
+  private val qSourceBucketedJoin = Q(
+    "q_source_bucketed_join",
+    (s, dir) => {
+      resetTable(s, "orders_bkt")
+      resetTable(s, "customer_bkt")
+      table(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("orders_bkt")
+      table(s, dir, "customer").select("c_custkey", "c_mktsegment")
+        .write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("customer_bkt")
+      s.table("orders_bkt")
+        .join(s.table("customer_bkt"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("total"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some(s"""SELECT c_mktsegment, count(*) AS n_orders,
+               ${moneySumSql("o_totalprice")} AS total
+             FROM orders JOIN customer ON o_custkey = c_custkey
+             GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  override val queries: Seq[Q] =
+    Seq(qSourceCsv, qSourceJson, qSourcePartitioned, qSourceBucketedJoin)
 }

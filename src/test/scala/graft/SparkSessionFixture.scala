@@ -12,6 +12,8 @@ trait SparkSessionFixture extends BeforeAndAfterAll { self: Suite =>
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir",
+      sys.props("java.io.tmpdir") + "/graft-warehouse")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
