@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions: the properties the 100 TB design depends on
+  * must be visible in the physical plan, not just assumed. */
+class PlanPropertiesSpec extends AnyFunSuite with SparkSessionFixture {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("filters push down to the parquet scan; projection prunes columns") {
+    val df = graft.core.Graft.table(spark, dir, "lineitem")
+      .filter(col("l_quantity") >= 45)
+      .select("l_orderkey", "l_quantity")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,45.0)]"),
+      s"filter not pushed:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"columns not pruned:\n$plan")
+  }
+
+  test("partition pruning: reading one partition of a partitioned sink") {
+    val out = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    graft.core.Graft.table(spark, dir, "orders")
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    val df = spark.read.parquet(out).filter(col("o_orderstatus") === "F")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(o_orderstatus"),
+      s"no partition filter:\n$plan")
+  }
+
+  test("global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val df = graft.core.Graft.table(spark, dir, "lineitem")
+      .orderBy(col("l_extendedprice").desc).limit(10)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"full sort for top-k:\n$plan")
+  }
+
+  test("broadcast hint produces a BroadcastHashJoin for the dim side") {
+    val o = graft.core.Graft.table(spark, dir, "orders")
+    val c = graft.core.Graft.table(spark, dir, "customer").select("c_custkey")
+    val plan = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("whole-stage codegen covers the scan-filter-project pipeline") {
+    val df = graft.core.Graft.table(spark, dir, "lineitem")
+      .filter(col("l_discount") > 0.05)
+      .select((col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net"))
+    // codegen stages print as "*(n)" markers in the plan tree
+    val codegen = df.queryExecution.executedPlan.toString
+    assert(codegen.contains("*(1)"), codegen)
+  }
+}
