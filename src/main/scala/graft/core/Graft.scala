@@ -73,18 +73,34 @@ object Graft {
   def fixed4(c: Column): Column = round(c * lit(10000L), 0).cast("long")
 
   /** Exact sum of a money expression, returned as a double (n/1e4 is a
-    * single deterministic IEEE division). The units are summed as
-    * DECIMAL(38,0): a long sum would overflow silently past ~9.2e18 units
-    * (~1e10 TPC-H price rows) at the 100 TB design point, while decimal
-    * sums are exact to 38 digits. The final decimal→double conversion is
-    * exact whenever the sum < 2^53 units, same bound DuckDB's HUGEINT
-    * sum→double conversion has. */
+    * single deterministic IEEE division).
+    *
+    * Overflow-safe at speed: a single long sum of 1e-4 units (~1e9/row for
+    * TPC-H prices) would wrap silently past ~9.2e18 ≈ 9e9 rows per group —
+    * too tight for the 100 TB design point — while summing as
+    * DECIMAL(38,0) is exact but forfeits the primitive-long hash-agg fast
+    * path (measured ~1.8× on the Q1 shape). So the units are split
+    * per-row into hi = units >> 20 and lo = units & 0xFFFFF (exact for
+    * negatives too: arithmetic shift is floor division, so
+    * units = (hi << 20) + lo with lo ∈ [0, 2^20)), summed as two
+    * codegen'd long sums, and recombined as 2^20·Σhi + Σlo in decimal
+    * only at the final (per-group) step. Σlo ≤ n·(2^20-1) wraps only past
+    * n ≈ 8.8e12 rows per group, ~12× above a full 100 TB lineitem;
+    * Σhi (≤ n·954 at max TPC-H price) past ~9.6e15 rows. The final
+    * decimal→double conversion is exact whenever the total < 2^53 units —
+    * the same bound DuckDB's HUGEINT sum→double conversion has, so the
+    * oracle agrees bit-for-bit. */
+  private def hiUnits(c: Column): Column = shiftright(fixed4(c), 20)
+  private def loUnits(c: Column): Column = fixed4(c).bitwiseAND(lit((1L << 20) - 1))
+  private def unitTotal(c: Column): Column =
+    sum(hiUnits(c)).cast("decimal(38,0)") * lit(1L << 20) + sum(loUnits(c))
+
   def moneySum(c: Column): Column =
-    (sum(fixed4(c).cast("decimal(38,0)")) / lit(10000.0)).cast("double")
+    (unitTotal(c) / lit(10000.0)).cast("double")
 
   /** Exact avg: integer sum divided by count — deterministic. */
   def moneyAvg(c: Column): Column =
-    (sum(fixed4(c).cast("decimal(38,0)")) / lit(10000.0) / count(lit(1))).cast("double")
+    (unitTotal(c) / lit(10000.0) / count(lit(1))).cast("double")
 
   /** Same quantization written in DuckDB SQL, for oracle text. */
   def fixed4Sql(e: String): String = s"CAST(round(($e) * 10000) AS BIGINT)"
