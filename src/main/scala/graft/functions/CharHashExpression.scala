@@ -81,11 +81,12 @@ object CharHashExpression {
   * equivalent to the imperative [[GraftFunctions.register]]. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
-    ext.injectFunction((
-      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_charhash"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[CharHashExpression].getName, "graft_charhash"),
-      (children: Seq[Expression]) => CharHashExpression(children.head)))
+    GraftFunctions.builders.foreach { case (name, cls, builder) =>
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(cls.getName, name),
+        builder))
+    }
 }
 
 /** Session-level registration + Column access for graft's native
@@ -95,17 +96,49 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   * UDF, participates in whole-stage codegen and constant folding. */
 object GraftFunctions {
 
+  /** (name, implementing class, builder) for every graft native function —
+    * single source of truth for both registration paths. */
+  val builders: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("graft_charhash", classOf[CharHashExpression],
+      (c: Seq[Expression]) => CharHashExpression(c.head)),
+    ("graft_quantdot", classOf[QuantDotExpression],
+      (c: Seq[Expression]) => QuantDotExpression(c(0), c(1), c(2))),
+    ("graft_cosine", classOf[CosineExpression],
+      (c: Seq[Expression]) => CosineExpression(c(0), c(1))),
+    ("graft_lshbucket", classOf[LshBucketExpression],
+      (c: Seq[Expression]) => LshBucketExpression(c(0), c(1))),
+    ("graft_simhash", classOf[SimHashExpression],
+      (c: Seq[Expression]) => SimHashExpression(c.head)),
+    ("graft_mingram", classOf[MinGramHashExpression],
+      (c: Seq[Expression]) => MinGramHashExpression(c(0), c(1))),
+  )
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val cls = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    cls.sessionState.functionRegistry.registerFunction(
-      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_charhash"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[CharHashExpression].getName, "graft_charhash"),
-      children => CharHashExpression(children.head))
+    builders.foreach { case (name, impl, builder) =>
+      cls.sessionState.functionRegistry.registerFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(impl.getName, name),
+        builder)
+    }
   }
+
+  import org.apache.spark.sql.functions.{call_function, lit}
 
   /** Codegen'd drop-in for PortableHash.charHash on hot paths. The
     * session must have gone through [[register]] first. */
   def charHashNative(c: Column): Column =
-    org.apache.spark.sql.functions.call_function("graft_charhash", c)
+    call_function("graft_charhash", c)
+
+  /** Codegen'd drop-ins for the PortableHash vector/text kernels. */
+  def quantDotNative(a: Column, b: Column, mult: Double = 1e9): Column =
+    call_function("graft_quantdot", a, b, lit(mult))
+  def cosineNative(a: Column, b: Column): Column =
+    call_function("graft_cosine", a, b)
+  def lshBucketNative(v: Column, nPlanes: Int): Column =
+    call_function("graft_lshbucket", v, lit(nPlanes))
+  def simHashNative(tokens: Column): Column =
+    call_function("graft_simhash", tokens)
+  def minGramHashNative(text: Column, gram: Int = 8): Column =
+    call_function("graft_mingram", text, lit(gram))
 }

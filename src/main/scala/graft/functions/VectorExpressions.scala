@@ -1,0 +1,257 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the per-row vector/text kernels of the
+  * LLM-pipeline operators (SURVEY §2.3). Each replaces a composed
+  * higher-order-function formulation (see `operators/PortableHash`) whose
+  * lambdas Spark evaluates interpretively, with ONE codegen'd call into a
+  * tight JVM loop — the same design tier as [[CharHashExpression]].
+  *
+  * Oracle parity: every kernel is integer arithmetic or an ordered IEEE
+  * fold, bit-identical to the DuckDB SQL twins in PortableHash. Quantized
+  * rounding uses [[VecOps.qround]] — round-half-away-from-zero evaluated
+  * directly on the binary double, exactly DuckDB's `round()` (std::round)
+  * semantics (verified: 0.49999999999999994 → 0, ±0.5 → ±1).
+  *
+  * Scale note: all are per-row projections inside whole-stage codegen —
+  * no shuffle, no UDF serialization boundary, trivially data-parallel at
+  * any corpus size.
+  */
+object VecOps {
+
+  val P = 1000000007L
+
+  /** DuckDB round(x)::BIGINT: half away from zero on the binary value.
+    * Exact for |x| < 2^53: a - floor(a) is exactly representable, so the
+    * 0.5 comparison is exact. */
+  def qround(x: Double): Long = {
+    val a = math.abs(x)
+    val f = math.floor(a)
+    val r = f.toLong + (if (a - f >= 0.5) 1L else 0L)
+    if (x < 0) -r else r
+  }
+
+  /** Σ_i qround(a(i)·b(i)·mult) over float vectors — quantized dot
+    * product (order-free integer sum). */
+  def quantDot(a: ArrayData, b: ArrayData, mult: Double): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += qround(a.getFloat(i).toDouble * b.getFloat(i).toDouble * mult)
+      i += 1
+    }
+    s
+  }
+
+  /** cosine = dot/(|a||b|), each dot an ordered left fold in double —
+    * the same op sequence as DuckDB's list_reduce, so bit-identical. */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Deterministic hyperplane component — PortableHash.hyperplane. */
+  def hyperplane(j: Int, i: Int): Long =
+    (1315423911L * (j + 1) + 2654435761L * (i + 1)) % 1000003L - 501501L
+
+  /** Sign-of-quantized-dot LSH bucket over nPlanes hyperplanes —
+    * PortableHash.lshBucket as one loop. */
+  def lshBucket(v: ArrayData, nPlanes: Int): Long = {
+    val n = v.numElements()
+    var bucket = 0L
+    var j = 0
+    while (j < nPlanes) {
+      var s = 0L
+      var i = 0
+      while (i < n) {
+        s += qround(hyperplane(j, i).toDouble * v.getFloat(i).toDouble * 1e6)
+        i += 1
+      }
+      if (s > 0) bucket += (1L << j)
+      j += 1
+    }
+    bucket
+  }
+
+  /** 32-bit SimHash over a token array: per-token rolling charHash, ±1
+    * per bit position, sign-aggregated. Integer sums → order-free. */
+  def simHash(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    val sums = new Array[Long](32)
+    var i = 0
+    while (i < n) {
+      val h = CharHashExpression.hash(tokens.getUTF8String(i).toString)
+      var j = 0
+      while (j < 32) {
+        sums(j) += 2L * ((h >> j) & 1L) - 1L
+        j += 1
+      }
+      i += 1
+    }
+    var sh = 0L
+    var j = 0
+    while (j < 32) {
+      if (sums(j) > 0) sh += (1L << j)
+      j += 1
+    }
+    sh
+  }
+
+  /** Minimum rolling hash over all `gram`-codepoint windows (winnowing
+    * fingerprint): each window an unrolled polynomial with ONE final mod
+    * (codepoints ≤ 0x10FFFF keep the 8-term intermediate < 2^63 only for
+    * ASCII-ish text: 127·131^7 ≈ 2.4e17; general Unicode still fits for
+    * gram 8 because 0x10FFFF·131^7 ≈ 6e20 overflows — so reduce mod P
+    * every step like charHash, which is congruent). Returns -1 when the
+    * text has fewer than `gram` codepoints (caller pre-filters; the
+    * oracle's list_min over an empty list would be NULL). */
+  def minGramHash(s: UTF8String, gram: Int): Long = {
+    val str = s.toString
+    // codepoint array
+    val cps = new Array[Long](str.codePointCount(0, str.length))
+    var i = 0; var k = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      cps(k) = cp.toLong
+      k += 1
+      i += Character.charCount(cp)
+    }
+    if (cps.length < gram) return -1L
+    var minH = Long.MaxValue
+    var w = 0
+    while (w <= cps.length - gram) {
+      var h = cps(w)
+      var g = 1
+      while (g < gram) {
+        h = h * 131L + cps(w + g)
+        g += 1
+      }
+      h %= P
+      if (h < minH) minH = h
+      w += 1
+    }
+    minH
+  }
+}
+
+private object VecExprChecks {
+  val floatArray: DataType => Boolean = {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  def check(ok: Boolean, name: String, got: Seq[DataType]): TypeCheckResult =
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name: unexpected input types ${got.map(_.catalogString).mkString(", ")}")
+}
+
+/** graft_quantdot(a, b, mult) — Σ qround(a_i·b_i·mult) : BIGINT. */
+case class QuantDotExpression(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecExprChecks.check(
+      VecExprChecks.floatArray(first.dataType) &&
+        VecExprChecks.floatArray(second.dataType) && third.dataType == DoubleType,
+      prettyName, Seq(first.dataType, second.dataType, third.dataType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_quantdot"
+  override protected def nullSafeEval(a: Any, b: Any, m: Any): Any =
+    VecOps.quantDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      m.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, m) =>
+      s"${ev.value} = graft.functions.VecOps.quantDot($a, $b, $m);")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): QuantDotExpression =
+    copy(first = f, second = s, third = t)
+}
+
+/** graft_cosine(a, b) — ordered-fold cosine similarity : DOUBLE. */
+case class CosineExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecExprChecks.check(
+      VecExprChecks.floatArray(left.dataType) && VecExprChecks.floatArray(right.dataType),
+      prettyName, Seq(left.dataType, right.dataType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VecOps.cosine($a, $b);")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): CosineExpression = copy(left = l, right = r)
+}
+
+/** graft_lshbucket(v, nPlanes) — hyperplane-sign bucket : BIGINT. */
+case class LshBucketExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecExprChecks.check(
+      VecExprChecks.floatArray(left.dataType) && right.dataType == IntegerType,
+      prettyName, Seq(left.dataType, right.dataType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_lshbucket"
+  override protected def nullSafeEval(v: Any, p: Any): Any =
+    VecOps.lshBucket(v.asInstanceOf[ArrayData], p.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, p) =>
+      s"${ev.value} = graft.functions.VecOps.lshBucket($v, $p);")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): LshBucketExpression = copy(left = l, right = r)
+}
+
+/** graft_simhash(tokens) — 32-bit sign-aggregated fingerprint : BIGINT. */
+case class SimHashExpression(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecExprChecks.check(child.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }, prettyName, Seq(child.dataType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+  override protected def nullSafeEval(t: Any): Any =
+    VecOps.simHash(t.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.VecOps.simHash($t);")
+  override protected def withNewChildInternal(c: Expression): SimHashExpression =
+    copy(child = c)
+}
+
+/** graft_mingram(text, gram) — min rolling gram-hash : BIGINT. */
+case class MinGramHashExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecExprChecks.check(
+      left.dataType == StringType && right.dataType == IntegerType,
+      prettyName, Seq(left.dataType, right.dataType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_mingram"
+  override protected def nullSafeEval(s: Any, g: Any): Any =
+    VecOps.minGramHash(s.asInstanceOf[UTF8String], g.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, g) =>
+      s"${ev.value} = graft.functions.VecOps.minGramHash($s, $g);")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): MinGramHashExpression = copy(left = l, right = r)
+}

@@ -179,27 +179,18 @@ object Llm extends QueryGroup {
     * per document, plus the high-16-bit band key used for near-dup
     * candidate bucketing at scale.
     *
-    * Perf shape: tokens are hashed ONCE per distinct vocabulary term
-    * (broadcast-joined back — vocabulary ≪ corpus at any scale), then the
-    * per-bit ±1 sums run as exploded codegen'd hash aggregations with
-    * map-side combine, not per-row interpreted lambdas. */
+    * Perf shape: one native codegen'd kernel (graft_simhash) per document
+    * — tokenize, rolling-hash each token, ±1 per bit, sign-aggregate, all
+    * in a single JVM loop. Per-row projection: no shuffle at all before
+    * the output sort, embarrassingly parallel at any corpus size. */
   private val qDedupSimhash = Q(
     "q_dedup_simhash",
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      val tok = table(s, dir, "documents")
-        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
-      val vocab = tok.select("t").distinct()
-        .withColumn("h", graft.functions.GraftFunctions.charHashNative(col("t")))
-      val bitSums = tok.join(broadcast(vocab), "t")
-        .select(col("doc_id"), col("h"),
-          explode(sequence(lit(0), lit(31))).as("j"))
-        .groupBy(col("doc_id"), col("j"))
-        .agg(sum(PortableHash.bit(col("h"), col("j")) * lit(2L) - lit(1L)).as("sj"))
-      bitSums.groupBy(col("doc_id"))
-        .agg(sum(when(col("sj") > 0, floor(pow(lit(2.0), col("j"))).cast("long"))
-          .otherwise(lit(0L))).as("simhash"))
-        .withColumn("band_hi", floor(col("simhash") / pow(lit(2.0), lit(16))).cast("long"))
+      table(s, dir, "documents")
+        .withColumn("simhash",
+          graft.functions.GraftFunctions.simHashNative(split(lower(col("text")), " ")))
+        .withColumn("band_hi", shiftright(col("simhash"), 16))
         .select("doc_id", "simhash", "band_hi")
         .orderBy("doc_id")
     },
@@ -290,57 +281,33 @@ object Llm extends QueryGroup {
     * buckets) generate candidates; quantized cosine filters them. The
     * bucket equi-join is the scale path — no all-pairs comparison runs.
     *
-    * Perf shape: pair dot-products are computed by exploding vectors to
-    * (vec, dim, value) rows and joining on (bucket, dim) — a codegen'd
-    * shuffle join + hash aggregation instead of an interpreted per-pair
-    * lambda fold. Products are quantized (round(x·y·1e9)) so the
-    * aggregation order can't perturb the float sum — the property that
-    * makes the result reproducible across any partitioning AND by the
-    * DuckDB oracle. */
+    * Perf shape: bucket, norm and pair dot-product each run as ONE native
+    * codegen'd kernel (functions/VectorExpressions) over the compact
+    * array<float> — no vector explosion, no interpreted lambdas. Products
+    * are quantized (round(x·y·1e9) per element, integer sums) so no
+    * aggregation order can perturb a float sum — the property that makes
+    * the result reproducible across any partitioning AND by the DuckDB
+    * oracle. */
   private val qDedupEmbedding = Q(
     "q_dedup_embedding",
     (s, dir) => {
-      val emb = table(s, dir, "embeddings")
-      // (vec, dim, value) rows — the codegen-friendly layout every stage
-      // below shares.
-      val dims = emb.select(col("vec_id"),
-        posexplode(col("embedding")).as(Seq("i", "x")))
-        .repartition(col("vec_id"))
-      // LSH buckets from exploded rows: quantized plane terms →
-      // order-free integer sums → sign bits → bucket. Equivalent to
-      // PortableHash.lshBucket(6, 64) but runs as codegen'd hash
-      // aggregations instead of interpreted per-row lambdas.
-      val planeSums = dims
-        .select(col("vec_id"), col("i"), col("x"),
-          explode(sequence(lit(0), lit(5))).as("j"))
-        .groupBy(col("vec_id"), col("j"))
-        .agg(sum(PortableHash.quantTerm(
-          PortableHash.hyperplane(col("j"), col("i")), col("x"))).as("pq"))
-      val buckets = planeSums.groupBy(col("vec_id"))
-        .agg(sum(when(col("pq") > 0, floor(pow(lit(2.0), col("j"))).cast("long"))
-          .otherwise(lit(0L))).as("bucket"))
-      val dq = dims.join(buckets, "vec_id")
-        .select(col("vec_id"), col("bucket"), col("i"), col("x"))
-      val norms = dq.groupBy(col("vec_id"))
-        .agg(sum(round(col("x").cast("double") * col("x").cast("double") * lit(1e9), 0)
-          .cast("long")).as("nq"))
-      val dots = dq.as("a")
-        .join(dq.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.i") === col("b.i") &&
-          col("a.vec_id") < col("b.vec_id"))
-        .groupBy(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          col("a.bucket").as("bucket"))
-        .agg(sum(round(col("a.x").cast("double") * col("b.x").cast("double") * lit(1e9), 0)
-          .cast("long")).as("dotq"))
-      dots
-        .join(norms.select(col("vec_id").as("vec_a"), col("nq").as("nqa")), "vec_a")
-        .join(norms.select(col("vec_id").as("vec_b"), col("nq").as("nqb")), "vec_b")
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.GraftFunctions._
+      val e = table(s, dir, "embeddings")
+        .withColumn("bucket", lshBucketNative(col("embedding"), 6))
+        .withColumn("nq", quantDotNative(col("embedding"), col("embedding")))
+        .select("vec_id", "bucket", "nq", "embedding")
+      e.as("a")
+        .join(e.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("dotq", quantDotNative(col("a.embedding"), col("b.embedding")))
         .withColumn("cosine",
           (col("dotq").cast("double") / lit(1e9)) /
-            (sqrt(col("nqa").cast("double") / lit(1e9)) *
-             sqrt(col("nqb").cast("double") / lit(1e9))))
+            (sqrt(col("a.nq").cast("double") / lit(1e9)) *
+             sqrt(col("b.nq").cast("double") / lit(1e9))))
         .filter(col("cosine") >= 0.3)
-        .select("vec_a", "vec_b", "bucket", "cosine")
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          col("a.bucket").as("bucket"), col("cosine"))
         .orderBy("vec_a", "vec_b")
     },
     Some(s"""WITH e AS (
@@ -380,6 +347,7 @@ object Llm extends QueryGroup {
   private val qSimTopk = Q(
     "q_sim_topk",
     (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       val e = table(s, dir, "embeddings").select("vec_id", "embedding")
       val q = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
@@ -387,7 +355,8 @@ object Llm extends QueryGroup {
         .orderBy(col("cosine").desc, col("vec_id"))
       e.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("query_id"))
-        .withColumn("cosine", PortableHash.cosine(col("qv"), col("embedding")))
+        .withColumn("cosine",
+          graft.functions.GraftFunctions.cosineNative(col("qv"), col("embedding")))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
         .select("query_id", "rk", "vec_id", "cosine")
@@ -414,8 +383,10 @@ object Llm extends QueryGroup {
   private val qSimLsh = Q(
     "q_sim_lsh",
     (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.GraftFunctions._
       val e = table(s, dir, "embeddings")
-        .withColumn("bucket", lshBucket(col("embedding"), 4, 64))
+        .withColumn("bucket", lshBucketNative(col("embedding"), 4))
         .select("vec_id", "bucket", "embedding")
       val q = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("bucket").as("qbucket"),
@@ -424,7 +395,7 @@ object Llm extends QueryGroup {
         .orderBy(col("cosine").desc, col("vec_id"))
       e.join(broadcast(q),
           col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
-        .withColumn("cosine", PortableHash.cosine(col("qv"), col("embedding")))
+        .withColumn("cosine", cosineNative(col("qv"), col("embedding")))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .select("query_id", "rk", "vec_id", "bucket", "cosine")
@@ -561,28 +532,22 @@ object Llm extends QueryGroup {
   /** Document fingerprinting: full-content rolling hash plus the minimum
     * 8-char-gram rolling hash (winnowing-style robust fingerprint).
     *
-    * The char-code array is materialized once per document and each gram
-    * hash is an unrolled 8-term polynomial (no per-gram substring/fold;
-    * max intermediate 127·131^7 ≈ 2.4e17 < 2^63, so one mod at the end is
-    * congruent with the per-step-mod charHash). */
+    * Both hashes run as native codegen'd kernels — graft_charhash for the
+    * content fold, graft_mingram for the sliding window (per-step mod,
+    * congruent with the oracle's one-mod-per-gram unrolled polynomial).
+    * Per-row projection, no intermediate char array, no shuffle. */
   private val qTextFingerprint = Q(
     "q_text_fingerprint",
-    (s, dir) => table(s, dir, "documents")
-      .filter(col("n_chars") >= 8)
-      .withColumn("ca", transform(split(col("text"), ""), c => ascii(c).cast("long")))
-      // materialize ca — otherwise the char-split transform inlines into
-      // every gram's element_at (O(chars²) per doc)
-      .repartition(col("doc_id"))
-      .withColumn("content_hash",
-        aggregate(col("ca"), lit(0L), (h, c) => (h * lit(131L) + c) % lit(P)))
-      .withColumn("min_gram_hash",
-        array_min(transform(sequence(lit(1), size(col("ca")) - 7), i => {
-          val un = (1 to 7).foldLeft(element_at(col("ca"), i): org.apache.spark.sql.Column)(
-            (acc, k) => acc * lit(131L) + element_at(col("ca"), i + lit(k)))
-          un % lit(P)
-        })))
-      .select("doc_id", "content_hash", "min_gram_hash")
-      .orderBy("doc_id"),
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.GraftFunctions._
+      table(s, dir, "documents")
+        .filter(col("n_chars") >= 8)
+        .withColumn("content_hash", charHashNative(col("text")))
+        .withColumn("min_gram_hash", minGramHashNative(col("text"), 8))
+        .select("doc_id", "content_hash", "min_gram_hash")
+        .orderBy("doc_id")
+    },
     Some(s"""WITH ca AS (
                SELECT doc_id,
                  list_transform(string_split(text, ''),

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{GraftFunctions, VecOps}
+import graft.operators.PortableHash
+
+/** Native vector kernels (functions/VectorExpressions) must agree with the
+  * composed higher-order-function reference forms in PortableHash on real
+  * data — the composed forms are the DuckDB-oracle-twinned semantics, so
+  * agreement here plus the oracle gate pins the native kernels down. */
+class VectorExpressionsSpec extends AnyFunSuite with SparkSessionFixture {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def emb = {
+    GraftFunctions.register(spark)
+    spark.read.parquet(s"$sf/embeddings.parquet")
+  }
+
+  test("qround matches DuckDB round-half-away-from-zero on binary doubles") {
+    assert(VecOps.qround(0.5) === 1L)
+    assert(VecOps.qround(-0.5) === -1L)
+    assert(VecOps.qround(2.5) === 3L)
+    assert(VecOps.qround(-2.5) === -3L)
+    // the double just below 0.5: BigDecimal-style decimal rounding and
+    // naive floor(x+0.5) both get this wrong in one direction or another
+    assert(VecOps.qround(0.49999999999999994) === 0L)
+    assert(VecOps.qround(-0.49999999999999994) === 0L)
+    assert(VecOps.qround(123456789.49999999) === 123456789L)
+  }
+
+  test("cosineNative equals the composed ordered-fold cosine bit-for-bit") {
+    val df = emb.limit(200)
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(emb.limit(5).select(col("embedding").as("qv")))
+      .withColumn("c_native", GraftFunctions.cosineNative(col("qv"), col("embedding")))
+      .withColumn("c_hof", PortableHash.cosine(col("qv"), col("embedding")))
+    assert(df.filter(col("c_native") =!= col("c_hof")).count() === 0)
+  }
+
+  test("lshBucketNative equals the composed lshBucket on all vectors") {
+    Seq(4, 6).foreach { planes =>
+      val df = emb
+        .withColumn("b_native", GraftFunctions.lshBucketNative(col("embedding"), planes))
+        .withColumn("b_hof", PortableHash.lshBucket(col("embedding"), planes, 64))
+      assert(df.filter(col("b_native") =!= col("b_hof")).count() === 0)
+      val range = df.agg(min("b_native"), max("b_native")).head()
+      assert(range.getLong(0) >= 0L && range.getLong(1) < (1L << planes))
+    }
+  }
+
+  test("quantDotNative(v, v) equals the exploded quantized norm") {
+    val df = emb
+      .withColumn("nq_native",
+        GraftFunctions.quantDotNative(col("embedding"), col("embedding")))
+      .withColumn("nq_hof",
+        aggregate(
+          zip_with(col("embedding"), col("embedding"),
+            (x, y) => round(x.cast("double") * y.cast("double") * lit(1e9), 0).cast("long")),
+          lit(0L), (a, x) => a + x))
+    assert(df.filter(col("nq_native") =!= col("nq_hof")).count() === 0)
+  }
+
+  test("simHashNative equals the per-bit sign-aggregation reference") {
+    GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val native = docs
+      .withColumn("sh", GraftFunctions.simHashNative(split(lower(col("text")), " ")))
+      .select("doc_id", "sh")
+    // reference: exploded tokens → per-bit ±1 sums → sign bits
+    val tok = docs.select(col("doc_id"),
+      explode(split(lower(col("text")), " ")).as("t"))
+      .withColumn("h", GraftFunctions.charHashNative(col("t")))
+    val ref = tok
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(31))).as("j"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(PortableHash.bit(col("h"), col("j")) * lit(2L) - lit(1L)).as("sj"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("sj") > 0, expr("shiftleft(1L, j)"))
+        .otherwise(lit(0L))).as("sh_ref"))
+    val joined = native.join(ref, "doc_id")
+    assert(joined.filter(col("sh") =!= col("sh_ref")).count() === 0)
+  }
+
+  test("minGramHashNative: windowed min of charHash-style gram hashes") {
+    // hand-computable check plus the sentinel path
+    assert(VecOps.minGramHash(
+      org.apache.spark.unsafe.types.UTF8String.fromString("abcdefg"), 8) === -1L)
+    val s = "abcdefgh"
+    val expected = {
+      var h = 0L
+      s.foreach(c => h = (h * 131L + c.toLong) % VecOps.P)
+      h
+    }
+    assert(VecOps.minGramHash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s), 8) === expected)
+    // sliding: min over the two windows of "abcdefghi"
+    val s2 = "abcdefghi"
+    def gram(str: String): Long = {
+      var h = 0L
+      str.foreach(c => h = (h * 131L + c.toLong) % VecOps.P)
+      h
+    }
+    assert(VecOps.minGramHash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s2), 8) ===
+      math.min(gram("abcdefgh"), gram("bcdefghi")))
+  }
+}
