@@ -80,13 +80,17 @@ object CharHashExpression {
   * time — the standard deployment path for the custom-operator tier,
   * equivalent to the imperative [[GraftFunctions.register]]. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, cls, builder) =>
       ext.injectFunction((
         org.apache.spark.sql.catalyst.FunctionIdentifier(name),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(cls.getName, name),
         builder))
     }
+    // tier (c): whole-operator plan nodes (plans/AsOfJoin)
+    ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => new graft.plans.AsOfFilterPushdown)
+  }
 }
 
 /** Session-level registration + Column access for graft's native

@@ -47,6 +47,39 @@ object Advanced extends QueryGroup {
             WHERE event_type = 'purchase'
             ORDER BY user_id, event_id"""))
 
+  /** Same as-of semantics through the NATIVE whole-operator path
+    * (plans/AsOfJoin: custom LogicalPlan + optimizer Rule + Strategy +
+    * SparkPlan): one shuffle per side, streaming per-partition merge with
+    * O(1) state — vs the union+window plan, whose window sort carries
+    * every probe row. Shares q_join_asof's oracle, so the two lowerings
+    * are differential-tested against each other through the gate. */
+  private val qJoinAsofNative = Q(
+    "q_join_asof_native",
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+      val probe = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts")
+      val build = ev.filter(col("event_type") === "signup")
+        .select("user_id", "ts", "event_id")
+      graft.plans.AsOfJoin
+        .lastBefore(probe, build, Seq("user_id"), "ts", "ts", Seq("event_id"))
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast("timestamp_ntz").as("purchase_ts"),
+          col("r_ts").cast("timestamp_ntz").as("signup_ts"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""SELECT user_id, event_id, ts AS purchase_ts, asof_ts AS signup_ts
+            FROM (
+              SELECT user_id, event_id, ts, event_type,
+                last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+                  OVER (PARTITION BY user_id
+                        ORDER BY ts, CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END,
+                                 event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_ts
+              FROM events WHERE event_type IN ('signup', 'purchase')) t
+            WHERE event_type = 'purchase'
+            ORDER BY user_id, event_id"""))
+
   /** Custom typed Aggregator (partial+final automatically — an upgrade
     * over the reference's post-shuffle-only reducers). */
   private val qAggTypedWavg = Q(
@@ -184,6 +217,6 @@ object Advanced extends QueryGroup {
              ORDER BY c_custkey"""))
 
   override val queries: Seq[Q] = Seq(
-    qJoinRange, qJoinAsof, qAggTypedWavg, qAggTopkTyped, qAggFlatMapGroups,
-    qAggPivot, qSqlEntry, qSubqueryScalar)
+    qJoinRange, qJoinAsof, qJoinAsofNative, qAggTypedWavg, qAggTopkTyped,
+    qAggFlatMapGroups, qAggPivot, qSqlEntry, qSubqueryScalar)
 }
