@@ -115,6 +115,10 @@ object GraftFunctions {
       (c: Seq[Expression]) => SimHashExpression(c.head)),
     ("graft_mingram", classOf[MinGramHashExpression],
       (c: Seq[Expression]) => MinGramHashExpression(c(0), c(1))),
+    ("graft_gramhashes", classOf[GramHashesExpression],
+      (c: Seq[Expression]) => GramHashesExpression(c(0), c(1))),
+    ("graft_minhashsig", classOf[MinHashSigExpression],
+      (c: Seq[Expression]) => MinHashSigExpression(c(0), c(1))),
   )
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -145,4 +149,8 @@ object GraftFunctions {
     call_function("graft_simhash", tokens)
   def minGramHashNative(text: Column, gram: Int = 8): Column =
     call_function("graft_mingram", text, lit(gram))
+  def gramHashesNative(tokens: Column, n: Int): Column =
+    call_function("graft_gramhashes", tokens, lit(n))
+  def minHashSigNative(hashes: Column, k: Int): Column =
+    call_function("graft_minhashsig", hashes, lit(k))
 }

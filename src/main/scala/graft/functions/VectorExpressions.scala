@@ -115,6 +115,62 @@ object VecOps {
     sh
   }
 
+  /** Distinct rolling `n`-gram hashes over a token array: each token
+    * charHash'd, each window combined as fold(h*131 + t_i) % P per step —
+    * identical to the composed transform/sequence formulation and its
+    * DuckDB twin. First-occurrence order (like array_distinct /
+    * list_distinct); empty result when fewer than n tokens. */
+  def gramHashes(tokens: ArrayData, n: Int): ArrayData = {
+    val cnt = tokens.numElements()
+    val th = new Array[Long](cnt)
+    var i = 0
+    while (i < cnt) {
+      th(i) = CharHashExpression.hash(tokens.getUTF8String(i).toString)
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var w = 0
+    while (w <= cnt - n) {
+      var h = th(w)
+      var g = 1
+      while (g < n) {
+        h = (h * 131L + th(w + g)) % P
+        g += 1
+      }
+      seen.add(h)
+      w += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  /** K-wide minhash signature: m_i = min over hashes of
+    * ((2i+1)·h + 7919·i + 1) % P — PortableHash.perm/minhashSig as one
+    * loop. Null on an empty hash set (oracle's list_min(empty) is NULL). */
+  def minhashSig(hashes: ArrayData, k: Int): ArrayData = {
+    val n = hashes.numElements()
+    if (n == 0) return null
+    val out = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      val a = 2L * i + 1
+      val b = 7919L * i + 1
+      var m = Long.MaxValue
+      var j = 0
+      while (j < n) {
+        val v = (a * hashes.getLong(j) + b) % P
+        if (v < m) m = v
+        j += 1
+      }
+      out(i) = m
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
   /** Minimum rolling hash over all `gram`-codepoint windows (winnowing
     * fingerprint): each window an unrolled polynomial with ONE final mod
     * (codepoints ≤ 0x10FFFF keep the 8-term intermediate < 2^63 only for
@@ -236,6 +292,48 @@ case class SimHashExpression(child: Expression) extends UnaryExpression {
       s"${ev.value} = graft.functions.VecOps.simHash($t);")
   override protected def withNewChildInternal(c: Expression): SimHashExpression =
     copy(child = c)
+}
+
+/** graft_gramhashes(tokens, n) — distinct n-gram hashes : ARRAY<BIGINT>. */
+case class GramHashesExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecExprChecks.check(left.dataType match {
+      case ArrayType(StringType, _) => right.dataType == IntegerType
+      case _ => false
+    }, prettyName, Seq(left.dataType, right.dataType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_gramhashes"
+  override protected def nullSafeEval(t: Any, n: Any): Any =
+    VecOps.gramHashes(t.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, n) =>
+      s"${ev.value} = graft.functions.VecOps.gramHashes($t, $n);")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): GramHashesExpression = copy(left = l, right = r)
+}
+
+/** graft_minhashsig(hashes, k) — k-wide minhash signature : ARRAY<BIGINT>. */
+case class MinHashSigExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecExprChecks.check(left.dataType match {
+      case ArrayType(LongType, _) => right.dataType == IntegerType
+      case _ => false
+    }, prettyName, Seq(left.dataType, right.dataType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // empty input -> null signature
+  override def prettyName: String = "graft_minhashsig"
+  override protected def nullSafeEval(h: Any, k: Any): Any =
+    VecOps.minhashSig(h.asInstanceOf[ArrayData], k.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (h, k) =>
+      s"""
+        ${ev.value} = graft.functions.VecOps.minhashSig($h, $k);
+        ${ev.isNull} = ${ev.value} == null;
+      """)
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): MinHashSigExpression = copy(left = l, right = r)
 }
 
 /** graft_mingram(text, gram) — min rolling gram-hash : BIGINT. */

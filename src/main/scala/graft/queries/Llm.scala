@@ -83,42 +83,21 @@ object Llm extends QueryGroup {
     * The band join is the 100 TB path: candidates are generated per
     * bucket, never all-pairs.
     *
-    * Perf shape: shingle hashes combine pre-hashed TOKENS in O(1) (not a
-    * char fold per shingle), and the 16 signature minima run as one
-    * codegen'd hash aggregation over exploded (doc, shingle-hash) rows —
-    * Spark's higher-order lambdas are interpreted, so the hot path avoids
-    * them entirely. Same two moves an actual 100 TB dedup needs: hash
-    * once, aggregate columnar. */
+    * Perf shape: shingle hashing and the 16-wide signature are each ONE
+    * native codegen'd kernel (graft_gramhashes / graft_minhashsig) — a
+    * pure per-row projection. No exploded (doc, shingle) rows, no hash
+    * aggregation, and crucially no repartition barrier: the corpus is
+    * never shuffled before the (tiny) band table. That is the 100 TB
+    * shape — signatures stream out of the scan. */
   private val qDedupMinhash = Q(
     "q_dedup_minhash",
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      val base = table(s, dir, "documents")
+      import graft.functions.GraftFunctions._
+      val sig = table(s, dir, "documents")
         .withColumn("tl", split(lower(col("text")), " "))
         .filter(size(col("tl")) >= 3)
-        .withColumn("th", transform(col("tl"),
-          t => graft.functions.GraftFunctions.charHashNative(t)))
-        // Exchange barrier: materialize th. Without it CollapseProject
-        // inlines the whole token-hash transform into EVERY element_at of
-        // the shingle lambda — O(tokens²) per doc — and the subtree would
-        // re-run on each consumer below.
-        .repartition(col("doc_id"))
-        .withColumn("hs", array_distinct(
-          transform(sequence(lit(1), size(col("tl")) - 2),
-            i => ((element_at(col("th"), i) * lit(131L) +
-                   element_at(col("th"), i + 1)) % lit(P) * lit(131L) +
-                  element_at(col("th"), i + 2)) % lit(P))))
-        // explode_outer: plain explode makes InferFiltersFromGenerate
-        // synthesize size(hs)>0 AND isnotnull(hs), which pushdown inlines
-        // (twice!) below the exchange as the full O(tokens²) expression.
-        // hs is non-empty by construction (size(tl) >= 3), so outer ≡
-        // inner here.
-        .select(col("doc_id"), explode_outer(col("hs")).as("h"))
-      val minCols = (0 until 16).map(i =>
-        min((col("h") * lit(2L * i + 1) + lit(7919L * i + 1)) % lit(P)).as(s"m$i"))
-      val sig = base.groupBy(col("doc_id"))
-        .agg(minCols.head, minCols.tail: _*)
-        .withColumn("sg", array((0 until 16).map(i => col(s"m$i")): _*))
+        .withColumn("sg", minHashSigNative(gramHashesNative(col("tl"), 3), 16))
         .select("doc_id", "sg")
       val bands = sig
         .select(col("doc_id"), col("sg"),
@@ -221,32 +200,26 @@ object Llm extends QueryGroup {
       val t = table(s, dir, "documents")
         .withColumn("tl", split(lower(col("text")), " "))
         .filter(size(col("tl")) >= 2)
-        .withColumn("th", transform(col("tl"),
-          x => graft.functions.GraftFunctions.charHashNative(x)))
-        // materialize th before the bigram lambda (see q_dedup_minhash)
-        .repartition(col("doc_id"))
-        .withColumn("bg", array_distinct(
-          transform(sequence(lit(1), size(col("tl")) - 1),
-            i => (element_at(col("th"), i) * lit(131L) +
-                  element_at(col("th"), i + 1)) % lit(P))))
+        .withColumn("bg",
+          graft.functions.GraftFunctions.gramHashesNative(col("tl"), 2))
         .withColumn("nb", size(col("bg")))
       // Inverted-index join: explode distinct bigrams and equi-join on
       // (bucket, bigram) — |A∩B| = COUNT per pair, all codegen'd join +
       // hash aggregation, zero per-pair array operations. The classic
-      // scalable set-similarity-join shape.
-      val ex = t.select(col("doc_id"), col("lang"), col("source"),
+      // scalable set-similarity-join shape. Each side carries its own
+      // distinct-gram count `nb` through the join (functionally dependent
+      // on doc_id, so grouping by it is free) — no per-doc metadata table
+      // to join back, no second pass over the corpus.
+      val ex = t.select(col("doc_id"), col("lang"), col("source"), col("nb"),
         explode_outer(col("bg")).as("bgh"))
-      val meta = t.select(col("doc_id"), col("nb"))
       val inter = ex.as("a")
         .join(ex.as("b"),
           col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
           col("a.bgh") === col("b.bgh") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.lang").as("lang"))
+          col("a.lang").as("lang"), col("a.nb").as("na"), col("b.nb").as("nb2"))
         .agg(count(lit(1)).as("inter"))
       inter
-        .join(broadcast(meta.select(col("doc_id").as("doc_a"), col("nb").as("na"))), "doc_a")
-        .join(broadcast(meta.select(col("doc_id").as("doc_b"), col("nb").as("nb2"))), "doc_b")
         .withColumn("jaccard",
           col("inter").cast("double") / (col("na") + col("nb2") - col("inter")))
         .filter(col("jaccard") >= 0.08)

@@ -83,6 +83,27 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkSessionFixture {
     assert(joined.filter(col("sh") =!= col("sh_ref")).count() === 0)
   }
 
+  test("gramHashes + minhashSig equal the composed PortableHash forms") {
+    GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("tl", split(lower(col("text")), " "))
+      .filter(size(col("tl")) >= 3)
+    val native = docs
+      .withColumn("hs", GraftFunctions.gramHashesNative(col("tl"), 3))
+      .withColumn("sg", GraftFunctions.minHashSigNative(col("hs"), 16))
+    val composed = native
+      .withColumn("th", transform(col("tl"),
+        t => GraftFunctions.charHashNative(t)))
+      .withColumn("hs_ref", array_distinct(
+        transform(sequence(lit(1), size(col("tl")) - 2),
+          i => ((element_at(col("th"), i) * lit(131L) +
+                 element_at(col("th"), i + 1)) % lit(PortableHash.P) * lit(131L) +
+                element_at(col("th"), i + 2)) % lit(PortableHash.P))))
+      .withColumn("sg_ref", PortableHash.minhashSig(col("hs_ref"), 16))
+    assert(composed.filter(
+      col("hs") =!= col("hs_ref") || col("sg") =!= col("sg_ref")).count() === 0)
+  }
+
   test("minGramHashNative: windowed min of charHash-style gram hashes") {
     // hand-computable check plus the sentinel path
     assert(VecOps.minGramHash(
