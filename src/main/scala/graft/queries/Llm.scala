@@ -393,6 +393,77 @@ object Llm extends QueryGroup {
              SELECT query_id, rk, vec_id, bucket, cosine FROM ranked
              WHERE rk <= 3 ORDER BY query_id, rk"""))
 
+  /** IVF-flat approximate top-k — the second ANN scale path next to
+    * hyperplane LSH (q_sim_lsh). Coarse quantizer: 16 deterministic
+    * data-derived centroids (the embeddings with vec_id 100–115); every
+    * vector joins the inverted list of its nearest centroid (one
+    * broadcast pass over the corpus); queries probe their nprobe=2
+    * nearest lists and score exactly only within them. At scale the scan
+    * per query drops to nprobe/K of the corpus, and the assignment pass
+    * is embarrassingly parallel — the centroid table is the only
+    * broadcast state. */
+  private val qSimIvf = Q(
+    "q_sim_ivf",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.GraftFunctions._
+      val e = table(s, dir, "embeddings").select("vec_id", "embedding")
+      val cent = e.filter(col("vec_id") >= 100 && col("vec_id") <= 115)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+      def nearest(src: DataFrame, idCol: String, vecCol: String, n: Int) = {
+        val w = Window.partitionBy(col(idCol))
+          .orderBy(col("csim").desc, col("cid"))
+        src.crossJoin(broadcast(cent))
+          .withColumn("csim", cosineNative(col(vecCol), col("cemb")))
+          .withColumn("crk", row_number().over(w))
+          .filter(col("crk") <= n)
+          .drop("cemb", "csim", "crk")
+      }
+      val lists = nearest(e, "vec_id", "embedding", 1)
+      val probes = nearest(
+        e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+        "query_id", "qv", 2)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      lists.join(broadcast(probes), "cid")
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cosine", cosineNative(col("qv"), col("embedding")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("query_id"), col("rk"), col("vec_id"),
+          col("cid").as("list_id"), col("cosine"))
+        .orderBy("query_id", "rk")
+    },
+    Some(s"""WITH cent AS (
+               SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+               WHERE vec_id BETWEEN 100 AND 115),
+             lists AS (
+               SELECT vec_id, embedding, cid FROM (
+                 SELECT e.vec_id, e.embedding, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     ${cosineSql("e.embedding", "c.cemb", 64)} DESC, c.cid) AS crk
+                 FROM embeddings e CROSS JOIN cent c) t WHERE crk = 1),
+             probes AS (
+               SELECT query_id, qv, cid FROM (
+                 SELECT e.vec_id AS query_id, e.embedding AS qv, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     ${cosineSql("e.embedding", "c.cemb", 64)} DESC, c.cid) AS crk
+                 FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 8) t
+               WHERE crk <= 2),
+             scored AS (
+               SELECT p.query_id, l.vec_id, l.cid,
+                 ${cosineSql("p.qv", "l.embedding", 64)} AS cosine
+               FROM lists l JOIN probes p ON l.cid = p.cid
+               WHERE l.vec_id <> p.query_id),
+             ranked AS (
+               SELECT query_id, vec_id, cid, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, vec_id) AS rk
+               FROM scored)
+             SELECT query_id, rk, vec_id, cid AS list_id, cosine FROM ranked
+             WHERE rk <= 3 ORDER BY query_id, rk"""))
+
   // -- text analysis ---------------------------------------------------
 
   private val enStops = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
@@ -581,7 +652,7 @@ object Llm extends QueryGroup {
 
   override val queries: Seq[Q] = Seq(
     qDedupExact, qDedupNorm, qDedupMinhash, qDedupSimhash, qDedupNgram,
-    qDedupEmbedding, qSimTopk, qSimLsh,
+    qDedupEmbedding, qSimTopk, qSimLsh, qSimIvf,
     qTextLangId, qTextQuality, qTextTokens, qTextFingerprint, qMultimodal,
     qMultimodalDecode)
 }
