@@ -78,6 +78,19 @@ object Streaming extends QueryGroup {
               CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS value4
             FROM events GROUP BY user_id ORDER BY user_id"""))
 
+  private val qStreamJoin = Q(
+    "q_stream_join",
+    (s, dir) => EventStreams.purchaseSignupJoin(table(s, dir, "events"))
+      .orderBy(col("user_id"), col("purchase_id"), col("s_ts")),
+    Some("""SELECT p.user_id, p.event_id AS purchase_id,
+              p.ts AS p_ts, s.ts AS s_ts
+            FROM events p JOIN events s
+              ON p.event_type = 'purchase' AND s.event_type = 'signup'
+             AND p.user_id = s.user_id
+             AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 7 DAY
+            ORDER BY p.user_id, purchase_id, s_ts"""))
+
   override val queries: Seq[Q] = Seq(
-    qStreamTumbling, qStreamSliding, qStreamSession, qStreamStateful)
+    qStreamTumbling, qStreamSliding, qStreamSession, qStreamStateful,
+    qStreamJoin)
 }

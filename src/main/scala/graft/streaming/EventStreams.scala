@@ -64,6 +64,33 @@ object EventStreams {
       user_id: Long, n: Long, first_us: Long, last_us: Long,
       n_purchase: Long, value4: Long)
 
+  /** Stream-stream interval self-join: each purchase paired with every
+    * signup by the same user in the preceding 7 days (inclusive of equal
+    * timestamps). Both sides carry a 1-hour watermark and the join
+    * condition bounds both event times, so in streaming mode the state
+    * store retains only a bounded 7-day window per side — the canonical
+    * watermarked stream-stream join shape. On batch input the watermark
+    * is a no-op and this is a plain interval join. */
+  def purchaseSignupJoin(events: DataFrame): DataFrame = {
+    // watermarks require TIMESTAMP (LTZ); session TZ is UTC everywhere so
+    // the ntz→ltz cast is value-preserving and the output casts back
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").cast("timestamp").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val sg = events.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"),
+        col("ts").cast("timestamp").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    p.join(sg,
+        col("user_id") === col("s_user") &&
+        col("s_ts") <= col("p_ts") &&
+        col("s_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"))
+      .select(col("user_id"), col("purchase_id"),
+        col("p_ts").cast("timestamp_ntz").as("p_ts"),
+        col("s_ts").cast("timestamp_ntz").as("s_ts"))
+  }
+
   def userStats(events: Dataset[EventU]): Dataset[UserStats] = {
     import events.sparkSession.implicits._
     events

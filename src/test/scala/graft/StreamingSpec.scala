@@ -93,6 +93,29 @@ class StreamingSpec extends AnyFunSuite with SparkSessionFixture {
     assert(sortedRows(got) == sortedRows(exp))
   }
 
+  test("stream-stream interval join: append == batch interval join") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // feed in event-time order so the 1-hour watermark never drops rows
+    // the batch twin would keep (a time-ordered source, the normal case)
+    val ordered = typedRows.sortBy(_.ts_us)
+    val mem = MemoryStream[EventU]
+    val streamingDf = mem.toDF()
+      .withColumn("ts", timestamp_micros(col("ts_us")).cast("timestamp_ntz"))
+    val q = EventStreams.purchaseSignupJoin(streamingDf).writeStream
+      .format("memory").queryName("t_join").outputMode("append").start()
+    try {
+      ordered.grouped(math.max(1, ordered.size / 3)).foreach { chunk =>
+        mem.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("t_join")
+    val exp = EventStreams.purchaseSignupJoin(eventsBatch)
+    assert(sortedRows(got) == sortedRows(exp))
+  }
+
   test("streaming dedup: dropDuplicates key set == batch distinct") {
     // append mode: each distinct key is emitted exactly once, when first
     // seen — the accumulated sink table IS the distinct set.
