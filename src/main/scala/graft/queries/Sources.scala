@@ -44,6 +44,41 @@ object Sources extends QueryGroup {
     },
     Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"))
 
+  private val qSourceOrc = Q(
+    "q_source_orc_roundtrip",
+    (s, dir) => {
+      val su = table(s, dir, "supplier")
+      val out = tmpDir("orc")
+      su.write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_supp"),
+          moneySum(col("s_acctbal")).as("acct_total"))
+        .orderBy(col("s_nationkey"))
+    },
+    Some(s"""SELECT s_nationkey, count(*) AS n_supp,
+               ${moneySumSql("s_acctbal")} AS acct_total
+             FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""))
+
+  /** Line-oriented text source/sink: region serialized as tab-joined
+    * lines, read back with spark.read.text and re-parsed — the schema-free
+    * end of the source spectrum (the reference's whole-partition `show`
+    * strings are exactly this shape). */
+  private val qSourceText = Q(
+    "q_source_text_roundtrip",
+    (s, dir) => {
+      val r = table(s, dir, "region")
+      val out = tmpDir("text")
+      r.select(concat_ws("\t", col("r_regionkey"), col("r_name")))
+        .write.mode("overwrite").text(out)
+      s.read.text(out)
+        .select(split(col("value"), "\t").as("f"))
+        .select(element_at(col("f"), 1).cast("long").as("r_regionkey"),
+          element_at(col("f"), 2).as("r_name"))
+        .orderBy(col("r_regionkey"))
+    },
+    Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"))
+
   /** Partitioned-parquet sink + re-scan with partition pruning: writes
     * orders partitioned by status, reads back ONE partition — the scan
     * must touch only that directory (partition pruning at the source). */
@@ -111,5 +146,6 @@ object Sources extends QueryGroup {
              GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
   override val queries: Seq[Q] =
-    Seq(qSourceCsv, qSourceJson, qSourcePartitioned, qSourceBucketedJoin)
+    Seq(qSourceCsv, qSourceJson, qSourceOrc, qSourceText, qSourcePartitioned,
+      qSourceBucketedJoin)
 }
