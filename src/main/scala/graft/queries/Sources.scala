@@ -145,7 +145,27 @@ object Sources extends QueryGroup {
              FROM orders JOIN customer ON o_custkey = c_custkey
              GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
+  /** Custom DataSource V2 connector (sources/SeqSource): deterministic
+    * synthetic sequence with column pruning + id-range filter pushdown —
+    * the filter reaches the connector and narrows the generated interval
+    * before split planning. Oracle = DuckDB range() with the same integer
+    * arithmetic. */
+  private val qSourceDsv2 = Q(
+    "q_source_dsv2",
+    (s, dir) => {
+      s.read.format("graft.sources.SeqSourceProvider")
+        .option("rows", "100000").option("partitions", "8").load()
+        .filter(col("id") >= 25000L && col("id") < 75000L)
+        .groupBy(col("tag"))
+        .agg(count(lit(1)).as("n"), sum(col("val4")).as("val4_sum"))
+        .orderBy(col("tag"))
+    },
+    Some("""SELECT 't' || CAST(i % 10 AS VARCHAR) AS tag, count(*) AS n,
+              CAST(sum((i * 7919) % 10007) AS BIGINT) AS val4_sum
+            FROM (SELECT unnest(range(25000, 75000)) AS i)
+            GROUP BY tag ORDER BY tag"""))
+
   override val queries: Seq[Q] =
     Seq(qSourceCsv, qSourceJson, qSourceOrc, qSourceText, qSourcePartitioned,
-      qSourceBucketedJoin)
+      qSourceBucketedJoin, qSourceDsv2)
 }
