@@ -98,6 +98,14 @@ object Graft {
   def moneySum(c: Column): Column =
     (unitTotal(c) / lit(10000.0)).cast("double")
 
+  /** moneySum over a column that is ALREADY integer 1e-4 units (e.g. a
+    * per-key partial sum of fixed4 values). Same hi/lo split-sum, same
+    * final double — enables two-level aggregation (partial per dense key,
+    * final per group) with a bit-identical result. */
+  def unitsSum(c: Column): Column =
+    ((sum(shiftright(c, 20)).cast("decimal(38,0)") * lit(1L << 20) +
+      sum(c.bitwiseAND(lit((1L << 20) - 1)))) / lit(10000.0)).cast("double")
+
   /** Exact avg: integer sum divided by count — deterministic. */
   def moneyAvg(c: Column): Column =
     (unitTotal(c) / lit(10000.0) / count(lit(1))).cast("double")

@@ -237,7 +237,35 @@ object Functions extends QueryGroup {
               TRUE AS hll_within_5pct
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Exact percentiles (sort-based, linear interpolation — Spark
+    * `percentile` and DuckDB `quantile_cont` share the formula, so the
+    * values hash-match bit-for-bit), plus the approx_percentile (GK
+    * sketch) accuracy CONTRACT in the q_agg_approx_distinct style: the
+    * sketch's median must land within 1% of the exact median (rank error
+    * ≤ 1/accuracy = 0.1% of rows — orders of magnitude inside the gate). */
+  private val qAggPercentile = Q(
+    "q_agg_percentile",
+    (s, dir) => table(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("qty_p25"),
+        expr("percentile(l_quantity, 0.5)").as("qty_p50"),
+        expr("percentile(l_quantity, 0.95)").as("qty_p95"),
+        expr("percentile(l_extendedprice, 0.5)").as("price_median"),
+        (abs(expr("approx_percentile(l_extendedprice, 0.5, 1000)") -
+             expr("percentile(l_extendedprice, 0.5)")) /
+          expr("percentile(l_extendedprice, 0.5)") <= 0.01)
+          .as("approx_within_1pct"))
+      .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+              quantile_cont(l_quantity, 0.25) AS qty_p25,
+              quantile_cont(l_quantity, 0.5) AS qty_p50,
+              quantile_cont(l_quantity, 0.95) AS qty_p95,
+              quantile_cont(l_extendedprice, 0.5) AS price_median,
+              TRUE AS approx_within_1pct
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   override val queries: Seq[Q] = Seq(
     qFnString, qFnDate, qFnMath, qFnCaseNull, qFnArray, qFnJson, qFnFromJson,
-    qFnMap, qFnUdf, qAggApproxDistinct)
+    qFnMap, qFnUdf, qAggApproxDistinct, qAggPercentile)
 }

@@ -245,9 +245,19 @@ object Relational extends QueryGroup {
       // pre-filtered build side instead of all orders.
       val co = o.join(c, col("o_custkey") === col("c_custkey"))
         .select(col("o_orderkey"), col("n_name"))
-      l.join(co, col("l_orderkey") === col("o_orderkey"))
+      // Reduce early: revenue pre-aggregated per orderkey (exact integer
+      // units) BEFORE the join — map-side partial compresses the ~4
+      // lineitems/order pre-shuffle, and the join then reuses the
+      // aggregation's hash partitioning instead of reshuffling lineitem.
+      // unitsSum at the final level keeps the total bit-identical.
+      val lAgg = l
+        .select(col("l_orderkey"),
+          fixed4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("ru"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("ru")).as("order_units"))
+      lAgg.join(co, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("n_name"))
-        .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .agg(unitsSum(col("order_units")).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     },
     Some(s"""SELECT n_name,
