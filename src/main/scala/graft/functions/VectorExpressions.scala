@@ -172,13 +172,12 @@ object VecOps {
   }
 
   /** Minimum rolling hash over all `gram`-codepoint windows (winnowing
-    * fingerprint): each window an unrolled polynomial with ONE final mod
-    * (codepoints ≤ 0x10FFFF keep the 8-term intermediate < 2^63 only for
-    * ASCII-ish text: 127·131^7 ≈ 2.4e17; general Unicode still fits for
-    * gram 8 because 0x10FFFF·131^7 ≈ 6e20 overflows — so reduce mod P
-    * every step like charHash, which is congruent). Returns -1 when the
-    * text has fewer than `gram` codepoints (caller pre-filters; the
-    * oracle's list_min over an empty list would be NULL). */
+    * fingerprint), reduced mod P at every step — congruent with the
+    * oracle's one-mod-per-window unrolled polynomial for gram 8 and safe
+    * for any gram/codepoint (an unreduced 9-term window already exceeds
+    * 2^63). Returns -1 when the text has fewer than `gram` codepoints
+    * (caller pre-filters; the oracle's list_min over an empty list would
+    * be NULL). */
   def minGramHash(s: UTF8String, gram: Int): Long = {
     val str = s.toString
     // codepoint array
@@ -194,13 +193,12 @@ object VecOps {
     var minH = Long.MaxValue
     var w = 0
     while (w <= cps.length - gram) {
-      var h = cps(w)
+      var h = cps(w) % P
       var g = 1
       while (g < gram) {
-        h = h * 131L + cps(w + g)
+        h = (h * 131L + cps(w + g)) % P
         g += 1
       }
-      h %= P
       if (h < minH) minH = h
       w += 1
     }
