@@ -197,7 +197,28 @@ object Windows extends QueryGroup {
              FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
              ORDER BY gid, o_orderstatus, o_orderpriority"""))
 
+  /** Arbitrary GROUPING SETS (not just the rollup/cube prefixes): by
+    * (status, priority), by priority alone, and the grand total — via the
+    * SQL surface, the one place Spark exposes explicit sets. */
+  private val qAggGroupingSets = Q(
+    "q_agg_grouping_sets",
+    (s, dir) => {
+      table(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql(s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                  grouping_id() AS gid
+                FROM orders_gs
+                GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                        (o_orderpriority), ())
+                ORDER BY gid, o_orderstatus, o_orderpriority""")
+    },
+    Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+              GROUPING(o_orderstatus, o_orderpriority) AS gid
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                    (o_orderpriority), ())
+            ORDER BY gid, o_orderstatus, o_orderpriority"""))
+
   override val queries: Seq[Q] = Seq(
     qWindowTopk, qWindowRunning, qWindowLeadLag, qWindowRank,
-    qWindowRangeFrame, qAggRollup, qAggCube)
+    qWindowRangeFrame, qAggRollup, qAggCube, qAggGroupingSets)
 }
