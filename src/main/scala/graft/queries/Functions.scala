@@ -265,7 +265,52 @@ object Functions extends QueryGroup {
               TRUE AS approx_within_1pct
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Count-Min Sketch (Spark's built-in `count_min_sketch` aggregate,
+    * deterministic for a fixed seed), gated by the CMS CONTRACT: for
+    * every probed key, exact ≤ estimate ≤ exact + ε·N with probability
+    * 1-δ — and with this seed, deterministically on this data. The probe
+    * deserializes the per-group sketch and queries the three hottest
+    * suppliers against their exact counts. */
+  private val qAggCms = Q(
+    "q_agg_cms",
+    (s, dir) => {
+      val eps = 0.001
+      val estimate = udf((bytes: Array[Byte], key: Long) =>
+        org.apache.spark.util.sketch.CountMinSketch
+          .readFrom(new java.io.ByteArrayInputStream(bytes))
+          .estimateCount(key))
+      val l = table(s, dir, "lineitem")
+      val sketches = l.groupBy(col("l_returnflag"))
+        .agg(expr(s"count_min_sketch(l_suppkey, CAST($eps AS DOUBLE), " +
+          "CAST(0.99 AS DOUBLE), 42)").as("cms"),
+          count(lit(1)).as("n_rows"))
+      val exact = l.groupBy(col("l_returnflag"), col("l_suppkey"))
+        .agg(count(lit(1)).as("n_exact"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag"))
+        .orderBy(col("n_exact").desc, col("l_suppkey"))
+      val hottest = exact
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+      hottest.join(sketches, "l_returnflag")
+        .withColumn("est", estimate(col("cms"), col("l_suppkey")))
+        .withColumn("cms_within_bound",
+          col("est") >= col("n_exact") &&
+          col("est") <= col("n_exact") + ceil(lit(eps) * col("n_rows")))
+        .select(col("l_returnflag"), col("rk"), col("l_suppkey"),
+          col("n_exact"), col("cms_within_bound"))
+        .orderBy(col("l_returnflag"), col("rk"))
+    },
+    Some("""SELECT l_returnflag, rk, l_suppkey, n_exact,
+              TRUE AS cms_within_bound
+            FROM (
+              SELECT l_returnflag, l_suppkey, count(*) AS n_exact,
+                row_number() OVER (PARTITION BY l_returnflag
+                  ORDER BY count(*) DESC, l_suppkey) AS rk
+              FROM lineitem GROUP BY l_returnflag, l_suppkey) t
+            WHERE rk <= 3 ORDER BY l_returnflag, rk"""))
+
   override val queries: Seq[Q] = Seq(
     qFnString, qFnDate, qFnMath, qFnCaseNull, qFnArray, qFnJson, qFnFromJson,
-    qFnMap, qFnUdf, qAggApproxDistinct, qAggPercentile)
+    qFnMap, qFnUdf, qAggApproxDistinct, qAggPercentile, qAggCms)
 }
