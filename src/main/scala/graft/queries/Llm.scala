@@ -606,6 +606,104 @@ object Llm extends QueryGroup {
                         * 131 + ca[i+7]) % $P)) AS min_gram_hash
              FROM ca ORDER BY doc_id"""))
 
+  /** End-to-end training-data cleaning pipeline — the north-star
+    * composition, all stages in one gated query:
+    *
+    *   1. quality gate (token count + mean token length bounds),
+    *   2. exact dedup (content hash, min-doc_id keeper),
+    *   3. near-dup removal (minhash/LSH candidates, est. Jaccard ≥ 0.5,
+    *      larger doc_id of each pair dropped — deterministic),
+    *   4. corpus accounting: per-language surviving docs + BPE budget.
+    *
+    * Every stage is the scale-shaped formulation its standalone query
+    * uses (native kernels, band equi-join, anti-join) — at 100 TB this
+    * exact plan is the cleaning job. */
+  private val qLlmCleanPipeline = Q(
+    "q_llm_clean_pipeline",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.GraftFunctions._
+      val toks = split(lower(col("text")), " ")
+      val meanLen = aggregate(transform(toks, t => length(t).cast("long")),
+        lit(0L), (a, x) => a + x).cast("double") / size(toks)
+      val quality = table(s, dir, "documents")
+        .withColumn("n_tokens", size(toks).cast("long"))
+        .withColumn("mean_token_len", meanLen)
+        .filter(col("n_tokens") >= 5 && col("n_tokens") <= 10000 &&
+          col("mean_token_len") >= 2.0 && col("mean_token_len") <= 12.0)
+      val wDup = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      val afterExact = quality
+        .withColumn("dup_rn", row_number().over(wDup))
+        .filter(col("dup_rn") === 1)
+        .drop("dup_rn")
+      val sig = afterExact
+        .withColumn("tl", split(lower(col("text")), " "))
+        .filter(size(col("tl")) >= 3)
+        .withColumn("sg", minHashSigNative(gramHashesNative(col("tl"), 3), 16))
+      val bands = sig
+        .select(col("doc_id"), col("sg"),
+          explode(sequence(lit(0), lit(3))).as("band_id"))
+        .withColumn("band_key", concat_ws(":",
+          transform(slice(col("sg"), col("band_id") * 4 + 1, lit(4)),
+            x => x.cast("string"))))
+        .select("doc_id", "band_id", "band_key", "sg")
+      val dropped = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band_id") === col("b.band_id") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .withColumn("est_jaccard",
+          aggregate(zip_with(col("a.sg"), col("b.sg"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+            lit(0L), (acc, x) => acc + x) / lit(16.0))
+        .filter(col("est_jaccard") >= 0.5)
+        .select(col("b.doc_id").as("doc_id")).distinct()
+      afterExact.join(dropped, Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(ceil(col("n_chars") / 4.0).cast("long")).as("bpe_budget"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""WITH q AS (
+               SELECT doc_id, lang, n_chars, text,
+                 string_split(lower(text), ' ') AS tl
+               FROM documents
+               WHERE len(string_split(lower(text), ' ')) BETWEEN 5 AND 10000
+                 AND CAST(CAST(list_sum(list_transform(string_split(lower(text), ' '),
+                       x -> length(x))) AS BIGINT) AS DOUBLE)
+                     / len(string_split(lower(text), ' ')) BETWEEN 2.0 AND 12.0),
+             e AS (
+               SELECT * FROM (
+                 SELECT q.*, row_number() OVER (PARTITION BY md5(text)
+                   ORDER BY doc_id) AS dup_rn FROM q) t
+               WHERE dup_rn = 1),
+             th AS (
+               SELECT doc_id, list_transform(tl, t -> ${charHashSql("t")}) AS th
+               FROM e WHERE len(tl) >= 3),
+             hashed AS (
+               SELECT doc_id, list_distinct(list_transform(generate_series(1, len(th) - 2),
+                 i -> ((th[i] * 131 + th[i+1]) % $P * 131 + th[i+2]) % $P)) AS hs
+               FROM th),
+             sig AS (
+               SELECT doc_id, ${minhashSigSql("hs", 16)} AS sg FROM hashed),
+             bands AS (
+               SELECT doc_id, j AS band_id, sg,
+                 list_aggregate(list_transform(sg[j*4+1:j*4+4],
+                   x -> CAST(x AS VARCHAR)), 'string_agg', ':') AS band_key
+               FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) planes),
+             dropped AS (
+               SELECT DISTINCT b.doc_id
+               FROM bands a JOIN bands b
+                 ON a.band_id = b.band_id AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+               WHERE CAST(list_sum(list_transform(generate_series(1, 16),
+                 i -> CASE WHEN a.sg[i] = b.sg[i] THEN 1 ELSE 0 END)) AS BIGINT)
+                 / 16.0 >= 0.5)
+             SELECT lang, count(*) AS n_docs,
+               CAST(sum(ceil(n_chars / 4.0)) AS BIGINT) AS bpe_budget
+             FROM e WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+             GROUP BY lang ORDER BY lang"""))
+
   // -- multimodal ------------------------------------------------------
 
   /** Multimodal column plumbing: documents carried as opaque binary
@@ -652,7 +750,7 @@ object Llm extends QueryGroup {
 
   override val queries: Seq[Q] = Seq(
     qDedupExact, qDedupNorm, qDedupMinhash, qDedupSimhash, qDedupNgram,
-    qDedupEmbedding, qSimTopk, qSimLsh, qSimIvf,
+    qDedupEmbedding, qSimTopk, qSimLsh, qSimIvf, qLlmCleanPipeline,
     qTextLangId, qTextQuality, qTextTokens, qTextFingerprint, qMultimodal,
     qMultimodalDecode)
 }
