@@ -80,6 +80,46 @@ object Advanced extends QueryGroup {
             WHERE event_type = 'purchase'
             ORDER BY user_id, event_id"""))
 
+  /** Salted equi-join (operators/SkewJoins) gated against the plain
+    * join's oracle: the result set must be EXACTLY what the unsalted
+    * join produces — the correctness contract that makes salting a safe
+    * skew mitigation at scale. */
+  private val qJoinSalted = Q(
+    "q_join_salted",
+    (s, dir) => {
+      val l = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))
+      val su = table(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      graft.operators.SkewJoins
+        .saltedEquiJoin(l, su, "l_suppkey", "s_suppkey", nSalts = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        .orderBy(col("s_nationkey"))
+    },
+    Some("""SELECT s_nationkey, count(*) AS n_lines,
+              count(DISTINCT l_orderkey) AS n_orders
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_nationkey ORDER BY s_nationkey"""))
+
+  /** Typed `joinWith` (Dataset[(L, R)] pair join) — the typed spine the
+    * reference's Serializable2-constrained pipelines imply, flattened
+    * back to columns for the oracle. */
+  private val qTypedJoinWith = Q(
+    "q_typed_joinwith",
+    (s, dir) => {
+      import s.implicits._
+      val n = table(s, dir, "nation").as[Advanced.Nation]
+      val r = table(s, dir, "region").as[Advanced.Region]
+      n.joinWith(r, n("n_regionkey") === r("r_regionkey"), "inner")
+        .map { case (nat, reg) => (nat.n_nationkey, nat.n_name, reg.r_name) }
+        .toDF("n_nationkey", "n_name", "r_name")
+        .orderBy(col("n_nationkey"))
+    },
+    Some("""SELECT n_nationkey, n_name, r_name
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            ORDER BY n_nationkey"""))
+
   /** Custom typed Aggregator (partial+final automatically — an upgrade
     * over the reference's post-shuffle-only reducers). */
   private val qAggTypedWavg = Q(
@@ -217,6 +257,10 @@ object Advanced extends QueryGroup {
              ORDER BY c_custkey"""))
 
   override val queries: Seq[Q] = Seq(
-    qJoinRange, qJoinAsof, qJoinAsofNative, qAggTypedWavg, qAggTopkTyped,
-    qAggFlatMapGroups, qAggPivot, qSqlEntry, qSubqueryScalar)
+    qJoinRange, qJoinAsof, qJoinAsofNative, qJoinSalted, qTypedJoinWith,
+    qAggTypedWavg, qAggTopkTyped, qAggFlatMapGroups, qAggPivot, qSqlEntry,
+    qSubqueryScalar)
+
+  case class Nation(n_nationkey: Int, n_name: String, n_regionkey: Int)
+  case class Region(r_regionkey: Int, r_name: String)
 }
