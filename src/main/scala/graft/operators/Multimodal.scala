@@ -88,4 +88,36 @@ object Multimodal {
       it.map(decodeStub)
     }
   }
+
+  /** Resize to fit a bounding box, aspect preserved — exact integer
+    * arithmetic (floor of w·s, s = min bound ratio), so any engine/rerun
+    * produces identical dims. A real pipeline would carry the resampled
+    * payload too; the dimension contract is what downstream batching
+    * (fixed tensor shapes) depends on. */
+  def resize(feats: Dataset[MediaFeatures], maxW: Int, maxH: Int): Dataset[MediaFeatures] = {
+    import feats.sparkSession.implicits._
+    feats.map { f =>
+      if (f.width <= maxW && f.height <= maxH) f
+      else {
+        // scale = min(maxW/w, maxH/h) as exact rationals: pick the axis
+        // with the smaller ratio via cross-multiplication, floor the other
+        val wLimits = maxW.toLong * f.height <= maxH.toLong * f.width
+        val (nw, nh) =
+          if (wLimits) (maxW, math.max(1L, maxW.toLong * f.height / f.width).toInt)
+          else (math.max(1L, maxH.toLong * f.width / f.height).toInt, maxH)
+        f.copy(width = nw, height = nh)
+      }
+    }
+  }
+
+  final case class FrameSample(media_id: Long, kind: String, frame_idx: Int)
+
+  /** Frame sampling: every `every`-th frame index per item (frame 0
+    * always included) — the 1→n flatMap shape of a video curation
+    * pipeline; images/audio contribute their single frame 0. */
+  def frameSample(feats: Dataset[MediaFeatures], every: Int): Dataset[FrameSample] = {
+    import feats.sparkSession.implicits._
+    feats.flatMap(f =>
+      (0 until f.n_frames by every).map(FrameSample(f.media_id, f.kind, _)))
+  }
 }

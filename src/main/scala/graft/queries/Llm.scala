@@ -732,20 +732,28 @@ object Llm extends QueryGroup {
               CAST(octet_length(encode(text)) % 30 + 1 AS BIGINT) AS fake_frames
             FROM documents ORDER BY doc_id"""))
 
-  /** The batched mapPartitions decode path (operators/Multimodal): binary
-    * payloads → per-partition stub decoder → typed features. Not
-    * SQL-expressible (byte-level iteration inside a typed operator), so
-    * this entry takes the driver's rows-only check; determinism and shape
-    * are covered by MultimodalSpec. */
+  /** The batched mapPartitions media pipeline (operators/Multimodal):
+    * binary payloads → per-partition stub decoder → typed features →
+    * bounding-box resize → every-5th frame sampling — all four stages of
+    * the brief's media path in one chain. Not SQL-expressible (byte-level
+    * iteration inside typed operators), so this entry takes the driver's
+    * rows-only check; determinism and shape are covered by
+    * MultimodalSpec. */
   private val qMultimodalDecode = Q(
     "q_multimodal_decode",
-    (s, dir) => graft.operators.Multimodal
-      .decodeFeatures(graft.operators.Multimodal.fromDocuments(
-        table(s, dir, "documents")))
-      .toDF()
-      .select(col("media_id"), col("kind"), col("width"), col("height"),
-        col("n_frames"), size(col("embedding")).as("emb_dim"))
-      .orderBy(col("media_id")),
+    (s, dir) => {
+      val m = graft.operators.Multimodal
+      val feats = m.decodeFeatures(m.fromDocuments(table(s, dir, "documents")))
+      val resized = m.resize(feats, 224, 224).toDF()
+        .select(col("media_id"), col("kind"), col("width"), col("height"),
+          col("n_frames"), size(col("embedding")).as("emb_dim"))
+      val frames = m.frameSample(feats, every = 5).toDF()
+        .groupBy(col("media_id").as("fs_id"))
+        .agg(count(lit(1)).as("n_sampled"))
+      resized.join(frames, col("media_id") === col("fs_id"))
+        .drop("fs_id")
+        .orderBy(col("media_id"))
+    },
     None)
 
   override val queries: Seq[Q] = Seq(

@@ -40,6 +40,37 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionFixture {
     assert(feats.filter(_.kind != "video").forall(_.n_frames == 1))
   }
 
+  test("resize fits the box, preserves aspect, and is exact-integer stable") {
+    val feats = Multimodal.decodeFeatures(Multimodal.fromDocuments(docs))
+    val resized = Multimodal.resize(feats, 224, 224).collect()
+    val orig = feats.collect().map(f => f.media_id -> f).toMap
+    resized.foreach { r =>
+      val o = orig(r.media_id)
+      assert(r.width <= 224 && r.height <= 224 && r.width >= 1 && r.height >= 1)
+      if (o.width <= 224 && o.height <= 224) {
+        assert(r.width == o.width && r.height == o.height)
+      } else {
+        // aspect preserved within integer flooring: r.w/r.h ~ o.w/o.h
+        val cross = math.abs(r.width.toLong * o.height - r.height.toLong * o.width)
+        assert(cross <= math.max(o.width, o.height).toLong, s"aspect drift for $r vs $o")
+      }
+    }
+  }
+
+  test("frame sampling: every-Nth frame, frame 0 always present") {
+    val feats = Multimodal.decodeFeatures(Multimodal.fromDocuments(docs))
+    val samples = Multimodal.frameSample(feats, every = 5).collect()
+    val byId = samples.groupBy(_.media_id)
+    val orig = feats.collect()
+    orig.foreach { f =>
+      val got = byId(f.media_id).map(_.frame_idx).sorted.toSeq
+      val expected = 0 until f.n_frames by 5
+      assert(got == expected, s"media ${f.media_id}")
+    }
+    assert(orig.filter(_.kind != "video")
+      .forall(f => byId(f.media_id).map(_.frame_idx).toSeq == Seq(0)))
+  }
+
   test("payload survives a shuffle intact (opaque binary column)") {
     import org.apache.spark.sql.functions._
     val items = Multimodal.fromDocuments(docs)
