@@ -348,6 +348,30 @@ object Relational extends QueryGroup {
               EXCEPT ALL SELECT s_nationkey FROM supplier) t
             GROUP BY nationkey ORDER BY nationkey"""))
 
+  /** Schema-aligned union: columns matched by NAME (order-independent),
+    * absent columns null-filled — `unionByName(allowMissingColumns)`,
+    * DuckDB's UNION ALL BY NAME. */
+  private val qSetUnionByName = Q(
+    "q_set_union_by_name",
+    (s, dir) => {
+      val a = table(s, dir, "customer")
+        .select(col("c_custkey").as("key"), col("c_name").as("name"),
+          col("c_acctbal").as("acctbal"))
+      val b = table(s, dir, "supplier")
+        .select(col("s_name").as("name"), col("s_suppkey").as("key")) // no acctbal
+      a.unionByName(b, allowMissingColumns = true)
+        .groupBy(col("name").substr(1, 4).as("prefix"))
+        .agg(count(lit(1)).as("n"), count(col("acctbal")).as("n_with_bal"))
+        .orderBy(col("prefix"))
+    },
+    Some("""SELECT prefix, count(*) AS n, count(acctbal) AS n_with_bal FROM (
+              SELECT c_custkey AS key, c_name AS name, c_acctbal AS acctbal
+              FROM customer
+              UNION ALL BY NAME
+              SELECT s_name AS name, s_suppkey AS key FROM supplier
+            ) t(key, name, acctbal), LATERAL (SELECT substring(name, 1, 4) AS prefix) p
+            GROUP BY prefix ORDER BY prefix"""))
+
   private val qSetDistinct = Q(
     "q_set_distinct",
     (s, dir) => table(s, dir, "orders")
@@ -361,5 +385,5 @@ object Relational extends QueryGroup {
     q3TopRevenue, qJoinLeft, qJoinRight, qJoinSemi, qJoinAnti, qJoinFull,
     qJoinCross, qJoinTheta, q5NationRevenue, qSortLimit, qTopkGlobal,
     qSetUnionAll, qSetIntersect, qSetExcept,
-    qSetIntersectAll, qSetExceptAll, qSetDistinct)
+    qSetIntersectAll, qSetExceptAll, qSetUnionByName, qSetDistinct)
 }

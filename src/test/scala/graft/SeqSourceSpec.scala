@@ -35,6 +35,25 @@ class SeqSourceSpec extends AnyFunSuite with SparkSessionFixture {
     assert(df.count() === 10)
   }
 
+  test("scale smoke: 10M generated rows aggregate + broadcast join, exact") {
+    // nothing driver-side: 16 independent range generators feed a
+    // partial+final hash agg; the dim side broadcasts. Closed-form checks.
+    val s = spark
+    import s.implicits._
+    val n = 10000000L
+    val dim = (0 until 10).map(i => (s"t$i", i % 2 == 0)).toDF("tag", "even")
+    val agg = read(n, parts = 16)
+      .join(org.apache.spark.sql.functions.broadcast(dim), "tag")
+      .groupBy("even")
+      .agg(count(lit(1)).as("cnt"), sum(col("id")).as("id_sum"))
+      .collect().map(r => r.getBoolean(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // ids with id%10 even: 5 of each 10 → n/2 rows either side
+    assert(agg(true)._1 === n / 2)
+    assert(agg(false)._1 === n / 2)
+    val total = n * (n - 1) / 2
+    assert(agg(true)._2 + agg(false)._2 === total)
+  }
+
   test("column pruning reaches the reader schema") {
     val df = read(1000).select("tag")
     val scan = df.queryExecution.executedPlan.collectLeaves()
