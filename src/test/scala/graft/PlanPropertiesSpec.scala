@@ -45,6 +45,28 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkSessionFixture {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
+    val out = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    graft.core.Graft.table(spark, dir, "orders")
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    val fact = spark.read.parquet(out)
+    // dim with a SELECTIVE filter (what the PartitionPruning rule keys
+    // on) whose surviving statuses are only known at runtime
+    val dim = graft.core.Graft.table(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_totalprice") > 400000.0)
+      .select(col("o_orderstatus").as("st")).distinct()
+    val joined = fact.join(dim, col("o_orderstatus") === col("st"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"no dynamic partition pruning in:\n$plan")
+    // result = all fact rows whose partition survives the dim filter
+    val statuses = dim.collect().map(_.getString(0)).toSet
+    val expected = graft.core.Graft.table(spark, dir, "orders")
+      .filter(col("o_orderstatus").isin(statuses.toSeq: _*)).count()
+    assert(joined.count() === expected)
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline") {
     val df = graft.core.Graft.table(spark, dir, "lineitem")
       .filter(col("l_discount") > 0.05)
