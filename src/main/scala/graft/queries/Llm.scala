@@ -704,6 +704,46 @@ object Llm extends QueryGroup {
              FROM e WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
              GROUP BY lang ORDER BY lang"""))
 
+  /** The injected native functions driven from SQL TEXT — proves the
+    * SparkSessionExtensions/FunctionRegistry path end-to-end: a user can
+    * call the graft kernels from plain SQL and get oracle-exact results.
+    * (The DuckDB twins are the composed list-lambda forms.) */
+  private val qSqlNativeFns = Q(
+    "q_sql_native_fns",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      table(s, dir, "documents").createOrReplaceTempView("documents_nf")
+      s.sql("""SELECT doc_id,
+                 graft_charhash(text) AS content_hash,
+                 graft_simhash(split(lower(text), ' ')) AS simhash,
+                 graft_mingram(text, 8) AS min_gram_hash
+               FROM documents_nf WHERE n_chars >= 8
+               ORDER BY doc_id""")
+    },
+    Some(s"""WITH h AS (
+               SELECT doc_id, text,
+                 list_transform(string_split(lower(text), ' '),
+                   t -> ${charHashSql("t")}) AS hs
+               FROM documents WHERE n_chars >= 8),
+             ca AS (
+               SELECT doc_id, text, hs,
+                 list_transform(string_split(text, ''),
+                   c -> CAST(ascii(c) AS BIGINT)) AS ca
+               FROM h)
+             SELECT doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT), ca),
+                 (x, y) -> (x * 131 + y) % $P) AS content_hash,
+               CAST(list_sum(list_transform(generate_series(0, 31),
+                 j -> CASE WHEN list_sum(list_transform(hs,
+                        t -> 2*(${bitSql("t", "j")}) - 1)) > 0
+                      THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT)
+                 AS simhash,
+               list_min(list_transform(generate_series(1, len(ca) - 7),
+                 i -> (((((((ca[i] * 131 + ca[i+1]) * 131 + ca[i+2]) * 131 + ca[i+3])
+                        * 131 + ca[i+4]) * 131 + ca[i+5]) * 131 + ca[i+6])
+                        * 131 + ca[i+7]) % $P)) AS min_gram_hash
+             FROM ca ORDER BY doc_id"""))
+
   // -- multimodal ------------------------------------------------------
 
   /** Multimodal column plumbing: documents carried as opaque binary
@@ -759,6 +799,7 @@ object Llm extends QueryGroup {
   override val queries: Seq[Q] = Seq(
     qDedupExact, qDedupNorm, qDedupMinhash, qDedupSimhash, qDedupNgram,
     qDedupEmbedding, qSimTopk, qSimLsh, qSimIvf, qLlmCleanPipeline,
+    qSqlNativeFns,
     qTextLangId, qTextQuality, qTextTokens, qTextFingerprint, qMultimodal,
     qMultimodalDecode)
 }
