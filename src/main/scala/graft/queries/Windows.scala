@@ -218,7 +218,31 @@ object Windows extends QueryGroup {
                                     (o_orderpriority), ())
             ORDER BY gid, o_orderstatus, o_orderpriority"""))
 
+  /** UNPIVOT (wide → long): per-order money columns melted to
+    * (measure, value) rows — `Dataset.unpivot`, DuckDB's UNPIVOT. */
+  private val qAggUnpivot = Q(
+    "q_agg_unpivot",
+    (s, dir) => table(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        (fixed4(col("o_totalprice")) / lit(10000.0)).as("o_quantized"))
+      .unpivot(
+        ids = Array(col("o_orderkey")),
+        values = Array(col("o_totalprice"), col("o_quantized")),
+        variableColumnName = "measure",
+        valueColumnName = "amount")
+      .groupBy(col("measure"))
+      .agg(count(lit(1)).as("n"), moneySum(col("amount")).as("total"))
+      .orderBy(col("measure")),
+    Some(s"""SELECT measure, count(*) AS n, ${moneySumSql("amount")} AS total
+             FROM (
+               SELECT o_orderkey, amount, measure FROM (
+                 SELECT o_orderkey, o_totalprice,
+                   ${fixed4Sql("o_totalprice")} / 10000.0 AS o_quantized
+                 FROM orders)
+               UNPIVOT (amount FOR measure IN (o_totalprice, o_quantized)))
+             GROUP BY measure ORDER BY measure"""))
+
   override val queries: Seq[Q] = Seq(
     qWindowTopk, qWindowRunning, qWindowLeadLag, qWindowRank,
-    qWindowRangeFrame, qAggRollup, qAggCube, qAggGroupingSets)
+    qWindowRangeFrame, qAggRollup, qAggCube, qAggGroupingSets, qAggUnpivot)
 }
