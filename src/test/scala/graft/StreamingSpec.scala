@@ -116,6 +116,34 @@ class StreamingSpec extends AnyFunSuite with SparkSessionFixture {
     assert(sortedRows(got) == sortedRows(exp))
   }
 
+  test("file streaming source: parquet directory drip-fed == batch") {
+    // the production-shaped source: a directory that accumulates parquet
+    // drops; each drop becomes a micro-batch via readStream
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+    val schema = eventsBatch.schema
+    val q = EventStreams.tumbling(
+        spark.readStream.schema(schema).parquet(dir))
+      .writeStream.format("memory").queryName("t_filesrc")
+      .outputMode("complete").start()
+    try {
+      val parts = eventsBatch.randomSplit(Array(1.0, 1.0, 1.0), seed = 7)
+      parts.zipWithIndex.foreach { case (chunk, i) =>
+        // the source watches the root for FILES: stage each drop, then
+        // move its part-file in (the usual atomic-landing pattern)
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft_drop$i").toString
+        chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(dir, s"drop_$i.parquet"))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("t_filesrc")
+    val exp = EventStreams.tumbling(eventsBatch)
+    assert(sortedRows(got) == sortedRows(exp))
+  }
+
   test("streaming dedup: dropDuplicates key set == batch distinct") {
     // append mode: each distinct key is emitted exactly once, when first
     // seen — the accumulated sink table IS the distinct set.
