@@ -616,8 +616,13 @@ object Llm extends QueryGroup {
     *   4. corpus accounting: per-language surviving docs + BPE budget.
     *
     * Every stage is the scale-shaped formulation its standalone query
-    * uses (native kernels, band equi-join, anti-join) — at 100 TB this
-    * exact plan is the cleaning job. */
+    * uses (native kernels, band equi-join, anti-join). One deliberate
+    * divergence from the production job: here the post-dedup set feeds
+    * both the signature pass and the final anti-join as one lazy plan
+    * (two scans); at 100 TB each stage's output would be materialized
+    * (checkpoint/parquet) before the next — the stage boundary the
+    * reference also materializes (Store.hs) — making every pass
+    * single-scan and restartable. */
   private val qLlmCleanPipeline = Q(
     "q_llm_clean_pipeline",
     (s, dir) => {

@@ -218,6 +218,42 @@ object Windows extends QueryGroup {
                                     (o_orderpriority), ())
             ORDER BY gid, o_orderstatus, o_orderpriority"""))
 
+  /** Analytic window functions beyond the rank family: percent_rank,
+    * cume_dist, nth_value, first/last over a per-nation balance ordering.
+    * Both engines define them identically on ROWS frames; the window is
+    * keyed by nation (high-cardinality at scale, never single-partition). */
+  private val qWindowAnalytics = Q(
+    "q_window_analytics",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      val wFull = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      table(s, dir, "customer")
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .withColumn("third_bal", nth_value(col("c_acctbal"), 3).over(wFull))
+        .withColumn("top_bal", last(col("c_acctbal")).over(wFull))
+        .select("c_nationkey", "c_custkey", "c_acctbal", "pr", "cd",
+          "third_bal", "top_bal")
+        .orderBy("c_nationkey", "c_custkey")
+    },
+    Some("""SELECT c_nationkey, c_custkey, c_acctbal,
+              percent_rank() OVER w AS pr,
+              cume_dist() OVER w AS cd,
+              nth_value(c_acctbal, 3) OVER wf AS third_bal,
+              last_value(c_acctbal) OVER wf AS top_bal
+            FROM customer
+            WINDOW w AS (PARTITION BY c_nationkey
+                         ORDER BY c_acctbal, c_custkey),
+                   wf AS (PARTITION BY c_nationkey
+                          ORDER BY c_acctbal, c_custkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND UNBOUNDED FOLLOWING)
+            ORDER BY c_nationkey, c_custkey"""))
+
   /** UNPIVOT (wide → long): per-order money columns melted to
     * (measure, value) rows — `Dataset.unpivot`, DuckDB's UNPIVOT. */
   private val qAggUnpivot = Q(
@@ -244,5 +280,6 @@ object Windows extends QueryGroup {
 
   override val queries: Seq[Q] = Seq(
     qWindowTopk, qWindowRunning, qWindowLeadLag, qWindowRank,
-    qWindowRangeFrame, qAggRollup, qAggCube, qAggGroupingSets, qAggUnpivot)
+    qWindowRangeFrame, qWindowAnalytics, qAggRollup, qAggCube,
+    qAggGroupingSets, qAggUnpivot)
 }
