@@ -90,6 +90,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // tier (c): whole-operator plan nodes (plans/AsOfJoin)
     ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => new graft.plans.AsOfFilterPushdown)
+    // auto-nativization: composed HOF hash → codegen'd kernel
+    ext.injectOptimizerRule(_ => new graft.plans.NativizeCharHash)
   }
 }
 
