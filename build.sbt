@@ -30,5 +30,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // ~90 queries x codegen per bench/verify run overflow the default
+  // 240m JIT code cache; once full the JVM stops compiling and late
+  // queries run interpreted 3-5x slower (and which ones varies run to
+  // run). Size it for the whole suite.
+  "-XX:ReservedCodeCacheSize=1g",
 )
