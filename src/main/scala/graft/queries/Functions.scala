@@ -315,7 +315,28 @@ object Functions extends QueryGroup {
               FROM lineitem GROUP BY l_returnflag, l_suppkey) t
             WHERE rk <= 3 ORDER BY l_returnflag, rk"""))
 
+  /** Equi-width histogram via width_bucket: account-balance distribution
+    * in 10 buckets over a fixed range (open-ended under/overflow buckets
+    * 0 and 11 — identical semantics in both engines). */
+  private val qAggHistogram = Q(
+    "q_agg_histogram",
+    (s, dir) => table(s, dir, "customer")
+      .withColumn("bucket",
+        width_bucket(col("c_acctbal"), lit(-1000.0), lit(10000.0), lit(10)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        moneySum(col("c_acctbal")).as("bal_sum"))
+      .orderBy(col("bucket")),
+    // DuckDB has no width_bucket: spell out Spark's exact arithmetic —
+    // ((v-lo)/(hi-lo))*n truncated, +1; <lo → 0, >=hi → n+1
+    Some(s"""SELECT CASE WHEN c_acctbal < -1000.0 THEN 0
+                    WHEN c_acctbal >= 10000.0 THEN 11
+                    ELSE CAST(floor((c_acctbal - (-1000.0)) / (10000.0 - (-1000.0))
+                              * 10) AS BIGINT) + 1 END AS bucket,
+               count(*) AS n, ${moneySumSql("c_acctbal")} AS bal_sum
+             FROM customer GROUP BY bucket ORDER BY bucket"""))
+
   override val queries: Seq[Q] = Seq(
     qFnString, qFnDate, qFnMath, qFnCaseNull, qFnArray, qFnJson, qFnFromJson,
-    qFnMap, qFnUdf, qAggApproxDistinct, qAggPercentile, qAggCms)
+    qFnMap, qFnUdf, qAggApproxDistinct, qAggPercentile, qAggCms, qAggHistogram)
 }

@@ -749,6 +749,38 @@ object Llm extends QueryGroup {
                         * 131 + ca[i+7]) % $P)) AS min_gram_hash
              FROM ca ORDER BY doc_id"""))
 
+  /** Corpus n-gram frequency table: top-25 word bigrams by document
+    * frequency — the vocabulary/statistics pass every tokenizer build
+    * runs. Exploded (doc, bigram) rows through one partial+final count;
+    * document frequency (distinct doc per bigram) via the pre-distinct
+    * explode. */
+  private val qTextNgramFreq = Q(
+    "q_text_ngram_freq",
+    (s, dir) => {
+      val t = table(s, dir, "documents")
+        .withColumn("tl", split(lower(col("text")), " "))
+        .filter(size(col("tl")) >= 2)
+        .withColumn("bgs", array_distinct(
+          transform(sequence(lit(1), size(col("tl")) - 1),
+            i => concat_ws(" ", element_at(col("tl"), i),
+              element_at(col("tl"), i + 1)))))
+      t.select(col("doc_id"), explode(col("bgs")).as("bigram"))
+        .groupBy(col("bigram"))
+        .agg(count(lit(1)).as("doc_freq"))
+        .orderBy(col("doc_freq").desc, col("bigram"))
+        .limit(25)
+    },
+    Some("""WITH t AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS tl
+              FROM documents WHERE len(string_split(lower(text), ' ')) >= 2),
+            bg AS (
+              SELECT doc_id, unnest(list_distinct(
+                list_transform(generate_series(1, len(tl) - 1),
+                  i -> tl[i] || ' ' || tl[i+1]))) AS bigram
+              FROM t)
+            SELECT bigram, count(*) AS doc_freq FROM bg
+            GROUP BY bigram ORDER BY doc_freq DESC, bigram LIMIT 25"""))
+
   // -- multimodal ------------------------------------------------------
 
   /** Multimodal column plumbing: documents carried as opaque binary
@@ -804,7 +836,7 @@ object Llm extends QueryGroup {
   override val queries: Seq[Q] = Seq(
     qDedupExact, qDedupNorm, qDedupMinhash, qDedupSimhash, qDedupNgram,
     qDedupEmbedding, qSimTopk, qSimLsh, qSimIvf, qLlmCleanPipeline,
-    qSqlNativeFns,
+    qSqlNativeFns, qTextNgramFreq,
     qTextLangId, qTextQuality, qTextTokens, qTextFingerprint, qMultimodal,
     qMultimodalDecode)
 }
