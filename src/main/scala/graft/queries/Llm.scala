@@ -751,20 +751,21 @@ object Llm extends QueryGroup {
 
   /** Corpus n-gram frequency table: top-25 word bigrams by document
     * frequency — the vocabulary/statistics pass every tokenizer build
-    * runs. Exploded (doc, bigram) rows through one partial+final count;
-    * document frequency (distinct doc per bigram) via the pre-distinct
-    * explode. */
+    * runs. All-codegen shape: tokens exploded with position, bigrams
+    * formed by a per-document lead() window (doc_id is high-cardinality
+    * — fully parallel), document frequency = count over the distinct
+    * (doc, bigram) set. No interpreted string lambdas. */
   private val qTextNgramFreq = Q(
     "q_text_ngram_freq",
     (s, dir) => {
-      val t = table(s, dir, "documents")
-        .withColumn("tl", split(lower(col("text")), " "))
-        .filter(size(col("tl")) >= 2)
-        .withColumn("bgs", array_distinct(
-          transform(sequence(lit(1), size(col("tl")) - 1),
-            i => concat_ws(" ", element_at(col("tl"), i),
-              element_at(col("tl"), i + 1)))))
-      t.select(col("doc_id"), explode(col("bgs")).as("bigram"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(lower(col("text")), " ")).as(Seq("i", "t")))
+        .withColumn("nxt", lead(col("t"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("doc_id"), concat_ws(" ", col("t"), col("nxt")).as("bigram"))
+        .distinct()
         .groupBy(col("bigram"))
         .agg(count(lit(1)).as("doc_freq"))
         .orderBy(col("doc_freq").desc, col("bigram"))
