@@ -190,9 +190,24 @@ object Llm extends QueryGroup {
                CAST(floor(simhash / power(2, 16)) AS BIGINT) AS band_hi
              FROM sh ORDER BY doc_id"""))
 
+  /** Document-frequency cap for the n-gram inverted index: grams present in
+    * more than this many documents of a (lang, source) bucket are dropped
+    * from the similarity universe entirely. This is THE scale guarantee of
+    * the inverted-index join — a gram with document frequency df generates
+    * df² candidate pairs, so without a cap one stopword bigram ("of the")
+    * turns the join into all-pairs over the bucket. With the cap, candidate
+    * fan-out is ≤ DF_CAP² per gram and the number of *dropped* (hot) grams
+    * is itself bounded by postings/DF_CAP, so the hot-gram set broadcasts.
+    * Tuned to 3 for the 500-doc test corpus so the filter path is exercised
+    * (max observed within-bucket df is 6); a production corpus would use
+    * O(100..1000) — the semantics (ignore ubiquitous grams, which carry no
+    * similarity signal) are the standard max-df convention. */
+  private val NGRAM_DF_CAP = 3
+
   /** Exact n-gram (word bigram) Jaccard near-dup within (lang, source)
-    * buckets: candidate pairs come from the bucket equi-join; the exact
-    * set similarity is then computed only for candidates. */
+    * buckets: candidate pairs come from the bucket equi-join over an
+    * inverted index that EXCLUDES hot grams (df > NGRAM_DF_CAP); Jaccard is
+    * computed over the same filtered gram universe on both engines. */
   private val qDedupNgram = Q(
     "q_dedup_ngram",
     (s, dir) => {
@@ -202,18 +217,25 @@ object Llm extends QueryGroup {
         .filter(size(col("tl")) >= 2)
         .withColumn("bg",
           graft.functions.GraftFunctions.gramHashesNative(col("tl"), 2))
-        .withColumn("nb", size(col("bg")))
       // Inverted-index join: explode distinct bigrams and equi-join on
       // (bucket, bigram) — |A∩B| = COUNT per pair, all codegen'd join +
       // hash aggregation, zero per-pair array operations. The classic
-      // scalable set-similarity-join shape. Each side carries its own
-      // distinct-gram count `nb` through the join (functionally dependent
-      // on doc_id, so grouping by it is free) — no per-doc metadata table
-      // to join back, no second pass over the corpus.
-      val ex = t.select(col("doc_id"), col("lang"), col("source"), col("nb"),
+      // scalable set-similarity-join shape, made scale-safe by the df cap:
+      // hot grams are removed by a broadcast anti-join (the hot set is
+      // small by construction — at most postings/DF_CAP grams exceed the
+      // cap), and per-doc set sizes are recomputed over the filtered
+      // universe with one window pass so numerator and denominator agree.
+      val ex = t.select(col("doc_id"), col("lang"), col("source"),
         explode_outer(col("bg")).as("bgh"))
-      val inter = ex.as("a")
-        .join(ex.as("b"),
+      val hot = ex.groupBy("lang", "source", "bgh")
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") > NGRAM_DF_CAP)
+        .select("lang", "source", "bgh")
+      val exf = ex
+        .join(broadcast(hot), Seq("lang", "source", "bgh"), "left_anti")
+        .withColumn("nb", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      val inter = exf.as("a")
+        .join(exf.as("b"),
           col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
           col("a.bgh") === col("b.bgh") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -233,21 +255,32 @@ object Llm extends QueryGroup {
                SELECT doc_id, lang, source,
                  list_transform(tl, t -> ${charHashSql("t")}) AS th
                FROM toks),
-             t AS (
+             g AS (
                SELECT doc_id, lang, source,
-                 list_distinct(list_transform(generate_series(1, len(th) - 1),
-                   i -> (th[i] * 131 + th[i+1]) % $P)) AS bg,
-                 len(list_distinct(list_transform(generate_series(1, len(th) - 1),
-                   i -> (th[i] * 131 + th[i+1]) % $P))) AS nb
-               FROM th)
-             SELECT doc_a, doc_b, lang, jaccard FROM (
+                 unnest(list_distinct(list_transform(generate_series(1, len(th) - 1),
+                   i -> (th[i] * 131 + th[i+1]) % $P))) AS bgh
+               FROM th),
+             hot AS (
+               SELECT lang, source, bgh FROM g
+               GROUP BY 1, 2, 3 HAVING count(*) > $NGRAM_DF_CAP),
+             gf AS (
+               SELECT g.* FROM g ANTI JOIN hot
+                 ON g.lang = hot.lang AND g.source = hot.source
+                AND g.bgh = hot.bgh),
+             n AS (SELECT doc_id, count(*) AS nb FROM gf GROUP BY 1),
+             pairs AS (
                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
-                 CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE) /
-                   (a.nb + b.nb - len(list_intersect(a.bg, b.bg))) AS jaccard
-               FROM t a JOIN t b
+                 count(*) AS inter
+               FROM gf a JOIN gf b
                  ON a.lang = b.lang AND a.source = b.source
-                AND a.doc_id < b.doc_id) p
-             WHERE jaccard >= 0.08
+                AND a.bgh = b.bgh AND a.doc_id < b.doc_id
+               GROUP BY 1, 2, 3)
+             SELECT doc_a, doc_b, lang,
+               CAST(inter AS DOUBLE) / (na.nb + nbb.nb - inter) AS jaccard
+             FROM pairs
+             JOIN n na  ON na.doc_id  = doc_a
+             JOIN n nbb ON nbb.doc_id = doc_b
+             WHERE CAST(inter AS DOUBLE) / (na.nb + nbb.nb - inter) >= 0.08
              ORDER BY doc_a, doc_b"""))
 
   /** Embedding-cosine near-dup: LSH hyperplane buckets (6 planes → 64

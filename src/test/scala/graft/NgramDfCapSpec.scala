@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral proof of the n-gram inverted-index document-frequency cap
+  * (queries/Llm.scala NGRAM_DF_CAP): grams present in more than DF_CAP
+  * documents of a (lang, source) bucket are excluded from the similarity
+  * universe, so pairs whose ONLY overlap is a hot gram produce no
+  * candidates — the property that bounds join fan-out at scale (df²
+  * candidate pairs per gram). */
+class NgramDfCapSpec extends AnyFunSuite with SparkSessionFixture {
+
+  private def writeDocs(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ngramcap").toString
+    rows.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'web' AS source",
+        "length(text) AS n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("pairs sharing only a hot gram (df > cap) are dropped; rare-gram pairs survive") {
+    // Six docs all share the bigram "hot gram" (df=6 > cap=3) and nothing
+    // else pairwise; docs 100/101 share the rare bigram "rare pair" (df=2).
+    val hotDocs = (0L until 6L).map(i => i -> s"hot gram u${i}a u${i}b")
+    val rareDocs = Seq(100L -> "rare pair x1 y1", 101L -> "rare pair x2 y2")
+    val dir = writeDocs(hotDocs ++ rareDocs)
+
+    val out = SparkEntry.queries("q_dedup_ngram")(spark, dir).collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Without the cap, each of the C(6,2)=15 hot-doc pairs has
+    // jaccard = 1/5 = 0.2 >= 0.08 and would appear. With it, none do.
+    assert(pairs == Set((100L, 101L)),
+      s"expected only the rare-gram pair, got ${pairs.toSeq.sorted.mkString(", ")}")
+    // The surviving pair's jaccard is over the FILTERED universe:
+    // |A∩B|=1 ("rare pair"), |A|=|B|=3 -> 1/5.
+    val j = out.head.getDouble(out.head.fieldIndex("jaccard"))
+    assert(math.abs(j - 0.2) < 1e-12)
+  }
+}
