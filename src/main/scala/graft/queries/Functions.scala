@@ -1,5 +1,7 @@
 package graft.queries
 
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Graft._
 
@@ -237,31 +239,79 @@ object Functions extends QueryGroup {
               TRUE AS hll_within_5pct
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
-  /** Exact percentiles (sort-based, linear interpolation — Spark
-    * `percentile` and DuckDB `quantile_cont` share the formula, so the
-    * values hash-match bit-for-bit), plus the approx_percentile (GK
-    * sketch) accuracy CONTRACT in the q_agg_approx_distinct style: the
-    * sketch's median must land within 1% of the exact median (rank error
-    * ≤ 1/accuracy = 0.1% of rows — orders of magnitude inside the gate). */
+  /** Exact percentiles from a value→count map, never a value multiset.
+    *
+    * Spark's `percentile` buffers every raw value per group in the final
+    * aggregation task — with 3 l_returnflag groups that's ~n/3 doubles
+    * funneling into each of 3 tasks at any scale: the classic 100×-scale
+    * cap. This formulation reproduces the exact same interpolated result
+    * with state bounded by the value DOMAIN, not the row count:
+    *
+    *   1. groupBy(group, value) count — map-side partial aggregation, so
+    *      the shuffle carries (group, value, count) rows, O(distinct).
+    *   2. One window pass per group ordered by value gives cumulative
+    *      ranks [lo, hi) per distinct value plus the group total n.
+    *   3. For quantile q, position = q·(n-1); the covering values of
+    *      floor/ceil(position) come out of a conditional-min aggregation,
+    *      and the interpolation is Spark Percentile.getPercentile's own
+    *      two-sided lerp `(hi-pos)·v_lo + (pos-lo)·v_hi`, which DuckDB's
+    *      quantile_cont computes identically on these doubles.
+    *
+    * l_quantity has 50 distinct values; l_extendedprice is cents-quantized
+    * so its domain (~10M at full TPC-H) stays bounded regardless of row
+    * count. The approx_percentile (GK sketch) accuracy CONTRACT is kept in
+    * the q_agg_approx_distinct style: the sketch's median must land within
+    * 1% of the exact median. */
+  private def countMapPercentiles(
+      df: DataFrame, groupCol: String, valCol: String,
+      qs: Seq[(String, Double)]): DataFrame = {
+    val counts = df.groupBy(col(groupCol), col(valCol).as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = counts
+      .withColumn("hi",
+        sum("cnt").over(Window.partitionBy(groupCol).orderBy("v")))
+      .withColumn("n", sum("cnt").over(Window.partitionBy(groupCol)))
+      .withColumn("lo", col("hi") - col("cnt"))
+    def pos(q: Double): Column = lit(q) * (col("n") - lit(1L)).cast("double")
+    val aggs = qs.flatMap { case (name, q) =>
+      val i0 = floor(pos(q)).cast("long")
+      val i1 = ceil(pos(q)).cast("long")
+      Seq(
+        min(when(col("lo") <= i0 && i0 < col("hi"), col("v"))).as(s"${name}_v0"),
+        min(when(col("lo") <= i1 && i1 < col("hi"), col("v"))).as(s"${name}_v1"),
+        min(pos(q)).as(s"${name}_pos"))
+    }
+    val lerped = qs.map { case (name, _) =>
+      val (v0, v1, p) =
+        (col(s"${name}_v0"), col(s"${name}_v1"), col(s"${name}_pos"))
+      val (i0, i1) = (floor(p).cast("long"), ceil(p).cast("long"))
+      when(i1 === i0, v0)
+        .otherwise((i1.cast("double") - p) * v0 + (p - i0.cast("double")) * v1)
+        .as(name)
+    }
+    cum.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(groupCol) +: lerped: _*)
+  }
+
   private val qAggPercentile = Q(
     "q_agg_percentile",
-    (s, dir) => table(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(
-        // one value-count buffer serves all three quantity percentiles;
-        // the price median is the single heavy (600k-distinct) buffer
-        expr("percentile(l_quantity, array(0.25D, 0.5D, 0.95D))").as("qp"),
-        expr("percentile(l_extendedprice, 0.5)").as("price_median"),
-        (abs(expr("approx_percentile(l_quantity, 0.5, 1000)") -
-             expr("percentile(l_quantity, 0.5)")) /
-          expr("percentile(l_quantity, 0.5)") <= 0.01)
-          .as("approx_within_1pct"))
-      .select(col("l_returnflag"),
-        element_at(col("qp"), 1).as("qty_p25"),
-        element_at(col("qp"), 2).as("qty_p50"),
-        element_at(col("qp"), 3).as("qty_p95"),
-        col("price_median"), col("approx_within_1pct"))
-      .orderBy(col("l_returnflag")),
+    (s, dir) => {
+      val l = table(s, dir, "lineitem")
+      val qty = countMapPercentiles(l, "l_returnflag", "l_quantity",
+        Seq("qty_p25" -> 0.25, "qty_p50" -> 0.5, "qty_p95" -> 0.95))
+      val price = countMapPercentiles(l, "l_returnflag", "l_extendedprice",
+        Seq("price_median" -> 0.5))
+      val approx = l.groupBy(col("l_returnflag"))
+        .agg(expr("approx_percentile(l_quantity, 0.5, 1000)").as("am"))
+      qty
+        .join(broadcast(price), Seq("l_returnflag"))
+        .join(broadcast(approx), Seq("l_returnflag"))
+        .withColumn("approx_within_1pct",
+          abs(col("am") - col("qty_p50")) / col("qty_p50") <= 0.01)
+        .select(col("l_returnflag"), col("qty_p25"), col("qty_p50"),
+          col("qty_p95"), col("price_median"), col("approx_within_1pct"))
+        .orderBy(col("l_returnflag"))
+    },
     Some("""SELECT l_returnflag,
               quantile_cont(l_quantity, 0.25) AS qty_p25,
               quantile_cont(l_quantity, 0.5) AS qty_p50,
