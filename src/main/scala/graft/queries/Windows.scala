@@ -84,47 +84,52 @@ object Windows extends QueryGroup {
             FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ORDER BY user_id, event_id"""))
 
-  /** Global rank / dense_rank / ntile — the SCALABLE two-phase
-    * formulation. A bare `Window.orderBy(...)` (no partitionBy) plans as a
-    * single-partition WindowExec: every row moves to one task — fine at
-    * 1,500 customers, a scale-killer at 100×. Instead:
+  /** Global rank / dense_rank / ntile — the SCALABLE formulation, as
+    * order statistics over the distinct-value COUNT MAP (the same idiom
+    * as countMapPercentiles in Functions.scala). A bare
+    * `Window.orderBy(...)` (no partitionBy) plans as a single-partition
+    * WindowExec: every row moves to one task — fine at 1,500 customers, a
+    * scale-killer at 100×. Instead:
     *
-    *   1. bucket rows by a coarse range of the sort key
-    *      (floor(acctbal/1000)) — equal keys always share a bucket, so
-    *      rank/dense_rank ties never cross buckets;
-    *   2. rank WITHIN each bucket (parallel windows across buckets);
-    *   3. compute per-bucket row / distinct-value counts (tiny table),
-    *      prefix-sum them, broadcast back, and offset the local ranks.
+    *   1. groupBy(value) count — map-side combined, O(distinct) rows out;
+    *   2. ONE global window over the distinct-value table computes, per
+    *      value, the count of strictly-greater rows `lo` (running sum)
+    *      and the value's position (row_number). Then for every row of
+    *      that value, rank = lo + 1 and dense_rank = position — exactly,
+    *      no interpolation. This is the only sequential step and it runs
+    *      over the value DOMAIN (cents-quantized balances, ~1.1M at full
+    *      TPC-H), never the row count;
+    *   3. join the O(distinct) rank table back on the value (the big side
+    *      shuffles once) and break ties for row_number/ntile with a
+    *      per-VALUE window — parallelism = #distinct values, and the join
+    *      output is already hash-partitioned by value so no extra shuffle.
     *
-    * The only single-partition window left runs over #buckets rows —
-    * constant-size at any data scale. */
+    * Unlike range-partitioner bucketing (the previous design), nothing
+    * here samples: a RangePartitioner consumed by two plan branches draws
+    * independent boundary samples unless the exchange is reused, and
+    * column pruning CAN defeat that reuse — bucket ids then disagree
+    * between branches and the offsets silently corrupt. Every step above
+    * is a pure function of the data. */
   private val qWindowRank = Q(
     "q_window_rank",
     (s, dir) => {
       val base = table(s, dir, "customer")
         .select(col("c_custkey"), col("c_acctbal"))
-        .withColumn("bucket", floor(col("c_acctbal") / 1000.0).cast("long"))
-      val wLoc = Window.partitionBy(col("bucket")).orderBy(col("c_acctbal").desc)
-      val wLocU = Window.partitionBy(col("bucket"))
-        .orderBy(col("c_acctbal").desc, col("c_custkey"))
-      val local = base
-        .withColumn("l_rnk", rank().over(wLoc))
-        .withColumn("l_drnk", dense_rank().over(wLoc))
-        .withColumn("l_rn", row_number().over(wLocU))
-      val wPrefix = Window.orderBy(col("bucket").desc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val stats = base.groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n"), countDistinct(col("c_acctbal")).as("nd"))
-        .withColumn("off_n", coalesce(sum(col("n")).over(wPrefix), lit(0L)))
-        .withColumn("off_d", coalesce(sum(col("nd")).over(wPrefix), lit(0L)))
-        .select(col("bucket").as("sbucket"), col("off_n"), col("off_d"))
-      val total = base.agg(count(lit(1)).as("n_total"))
-      val joined = local
-        .join(broadcast(stats), col("bucket") === col("sbucket"))
-        .crossJoin(broadcast(total))
-        .withColumn("rnk", col("off_n") + col("l_rnk"))
-        .withColumn("drnk", col("off_d") + col("l_drnk"))
-        .withColumn("rn", col("off_n") + col("l_rn"))
+      val wDesc = Window.orderBy(col("v").desc)
+      val wAll = Window.partitionBy()
+      val dv = base.groupBy(col("c_acctbal").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("hi", sum("cnt").over(wDesc))
+        .withColumn("lo", col("hi") - col("cnt"))
+        .withColumn("dpos", row_number().over(wDesc))
+        .withColumn("n_total", sum("cnt").over(wAll))
+        .select(col("v"), col("lo"), col("dpos"), col("n_total"))
+      val wTie = Window.partitionBy(col("c_acctbal")).orderBy(col("c_custkey"))
+      val joined = base
+        .join(dv, col("c_acctbal") === col("v"))
+        .withColumn("rnk", col("lo") + 1)
+        .withColumn("drnk", col("dpos").cast("long"))
+        .withColumn("rn", col("lo") + row_number().over(wTie))
       // ntile(4) from the global row number: first (n mod 4) tiles get
       // ceil(n/4) rows — the SQL-standard split, in exact integer math
       // (doubles are exact below 2^53).

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q_window_rank scale contract: global rank/dense_rank/ntile are derived
+  * from the distinct-value count map, so (a) the only global (empty
+  * partitionSpec) window in the plan runs over AGGREGATED distinct-value
+  * rows — value-domain-bounded — never over raw rows, (b) per-row work is
+  * partitioned (tie-break window keyed by the value), and (c) the output
+  * is a pure function of the data: invariant to the shuffle-partition
+  * setting and equal to the naive single-window formulation. */
+class WindowRankScaleSpec extends AnyFunSuite with SparkSessionFixture {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("global windows only ever see aggregated distinct-value rows") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false") // plain tree for traversal
+    val plan = SparkEntry.queries("q_window_rank")(s2, dir)
+      .queryExecution.executedPlan
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    val globals = windows.filter(_.partitionSpec.isEmpty)
+    assert(globals.nonEmpty, "expected the distinct-value prefix-sum window")
+    globals.foreach { w =>
+      val aggBelow = w.child.collect {
+        case a: HashAggregateExec => a
+        case a: ObjectHashAggregateExec => a
+        case a: SortAggregateExec => a
+      }
+      assert(aggBelow.nonEmpty,
+        "a global window must consume the groupBy(value) count map, " +
+          "not raw rows — that is the single-partition scale cap")
+    }
+    // The per-row tie-break window must be partitioned.
+    assert(windows.exists(_.partitionSpec.nonEmpty))
+  }
+
+  test("output is invariant to shuffle partitioning and equals the single-window formulation") {
+    val expected = {
+      val v = Window.orderBy(col("c_acctbal").desc)
+      val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
+      graft.core.Graft.table(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"),
+          rank().over(v).cast("int").as("rnk"),
+          dense_rank().over(v).cast("int").as("drnk"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy("c_custkey").collect().toSeq
+    }
+    for (np <- Seq("1", "5", "64")) {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", np)
+      val got = SparkEntry.queries("q_window_rank")(s2, dir).collect().toSeq
+      assert(got == expected, s"rank mismatch at shuffle.partitions=$np")
+    }
+  }
+}
