@@ -846,10 +846,11 @@ object Llm extends QueryGroup {
   /** The batched mapPartitions media pipeline (operators/Multimodal):
     * binary payloads → per-partition stub decoder → typed features →
     * bounding-box resize → every-5th frame sampling — all four stages of
-    * the brief's media path in one chain. Not SQL-expressible (byte-level
-    * iteration inside typed operators), so this entry takes the driver's
-    * rows-only check; determinism and shape are covered by
-    * MultimodalSpec. */
+    * the brief's media path in one chain. The stub decoder is a
+    * deterministic rolling hash over the payload BYTES plus exact integer
+    * resize/sample arithmetic, so the whole chain has a DuckDB oracle:
+    * bytes come from hex(encode(text)) (two hex chars per byte, decoded
+    * with strpos), the fold is the same (h*131+b) % P as charHashSql. */
   private val qMultimodalDecode = Q(
     "q_multimodal_decode",
     (s, dir) => {
@@ -865,7 +866,37 @@ object Llm extends QueryGroup {
         .drop("fs_id")
         .orderBy(col("media_id"))
     },
-    None)
+    Some(s"""WITH b AS (
+               SELECT doc_id, hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS nb
+               FROM documents),
+             h AS (
+               SELECT doc_id,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(generate_series(1, nb),
+                     i -> CAST(strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1 AS BIGINT) * 16
+                        + CAST(strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1 AS BIGINT))),
+                   (h, c) -> (h * 131 + c) % ${PortableHash.P}) AS h
+               FROM b),
+             f AS (
+               SELECT doc_id AS media_id,
+                 CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                 CAST(h % 640 + 1 AS BIGINT) AS w0,
+                 CAST((h * 7) % 480 + 1 AS BIGINT) AS h0,
+                 CASE WHEN doc_id % 3 = 2 THEN CAST(h % 30 + 2 AS INTEGER)
+                      ELSE 1 END AS n_frames
+               FROM h)
+             SELECT media_id, kind,
+               CAST(CASE WHEN w0 <= 224 AND h0 <= 224 THEN w0
+                         WHEN h0 <= w0 THEN 224
+                         ELSE GREATEST(1, (224 * w0) // h0) END AS INTEGER) AS width,
+               CAST(CASE WHEN w0 <= 224 AND h0 <= 224 THEN h0
+                         WHEN h0 <= w0 THEN GREATEST(1, (224 * h0) // w0)
+                         ELSE 224 END AS INTEGER) AS height,
+               n_frames,
+               CAST(8 AS INTEGER) AS emb_dim,
+               CAST((n_frames + 4) // 5 AS BIGINT) AS n_sampled
+             FROM f ORDER BY media_id"""))
 
   override val queries: Seq[Q] = Seq(
     qDedupExact, qDedupNorm, qDedupMinhash, qDedupSimhash, qDedupNgram,
