@@ -65,7 +65,11 @@ object Bench {
     System.out.flush()
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(8)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowest,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"iters":$iters,"sf":"$sfDir"}""")
+    // "queries" here is TRUNCATED to the slowest 8 (the full map is on the
+    // "total_detail" line above); "queries_truncated" flags that so a
+    // consumer iterating the map as a full per-query breakdown can detect
+    // the truncation instead of silently under-reporting.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowest,"queries_truncated":true,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"iters":$iters,"sf":"$sfDir"}""")
     System.out.flush()
     spark.stop()
   }

@@ -197,12 +197,17 @@ object Llm extends QueryGroup {
     * df² candidate pairs, so without a cap one stopword bigram ("of the")
     * turns the join into all-pairs over the bucket. With the cap, candidate
     * fan-out is ≤ DF_CAP² per gram and the number of *dropped* (hot) grams
-    * is itself bounded by postings/DF_CAP, so the hot-gram set broadcasts.
-    * Tuned to 3 for the 500-doc test corpus so the filter path is exercised
-    * (max observed within-bucket df is 6); a production corpus would use
-    * O(100..1000) — the semantics (ignore ubiquitous grams, which carry no
-    * similarity signal) are the standard max-df convention. */
+    * is itself bounded by postings/DF_CAP.
+    * The default of 3 suits the 500-doc test corpus so the filter path is
+    * exercised (max observed within-bucket df is 6); a production corpus
+    * would set `spark.graft.ngram.dfCap` to O(100..1000) — the semantics
+    * (ignore ubiquitous grams, which carry no similarity signal) are the
+    * standard max-df convention. The DuckDB oracle is generated for the
+    * DEFAULT cap, so the hash gate applies when the conf is unset (as it
+    * is in Verify/Bench/tests). */
   private val NGRAM_DF_CAP = 3
+  private def ngramDfCap(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.ngram.dfCap").map(_.toInt).getOrElse(NGRAM_DF_CAP)
 
   /** Exact n-gram (word bigram) Jaccard near-dup within (lang, source)
     * buckets: candidate pairs come from the bucket equi-join over an
@@ -221,18 +226,22 @@ object Llm extends QueryGroup {
       // (bucket, bigram) — |A∩B| = COUNT per pair, all codegen'd join +
       // hash aggregation, zero per-pair array operations. The classic
       // scalable set-similarity-join shape, made scale-safe by the df cap:
-      // hot grams are removed by a broadcast anti-join (the hot set is
-      // small by construction — at most postings/DF_CAP grams exceed the
-      // cap), and per-doc set sizes are recomputed over the filtered
-      // universe with one window pass so numerator and denominator agree.
+      // hot grams are removed by an anti-join, and per-doc set sizes are
+      // recomputed over the filtered universe with one window pass so
+      // numerator and denominator agree. The anti-join is deliberately NOT
+      // broadcast-hinted: postings/DF_CAP bounds the hot set relative to
+      // the postings list, but at a 100 TB corpus with a production cap of
+      // O(100..1000) that bound is still billions of rows — AQE picks
+      // broadcast at runtime when (and only when) the set is actually small.
+      val dfCap = ngramDfCap(s)
       val ex = t.select(col("doc_id"), col("lang"), col("source"),
         explode_outer(col("bg")).as("bgh"))
       val hot = ex.groupBy("lang", "source", "bgh")
         .agg(count(lit(1)).as("df"))
-        .filter(col("df") > NGRAM_DF_CAP)
+        .filter(col("df") > dfCap)
         .select("lang", "source", "bgh")
       val exf = ex
-        .join(broadcast(hot), Seq("lang", "source", "bgh"), "left_anti")
+        .join(hot, Seq("lang", "source", "bgh"), "left_anti")
         .withColumn("nb", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       val inter = exf.as("a")
         .join(exf.as("b"),

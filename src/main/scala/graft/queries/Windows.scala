@@ -103,6 +103,14 @@ object Windows extends QueryGroup {
     *      shuffles once) and break ties for row_number/ntile with a
     *      per-VALUE window — parallelism = #distinct values, and the join
     *      output is already hash-partitioned by value so no extra shuffle.
+    *      ASSUMPTION: value skew is bounded — all rows sharing one value
+    *      land in one tie-break task, so a domain where a single value
+    *      covers a large row fraction (e.g. a 90%-NULL or default-zero
+    *      column) re-creates a hot task. c_acctbal is near-uniform over
+    *      ~1.1M cents values, so rows-per-value stays O(n/1.1M); for a
+    *      skewed domain the tie-break window would need a salted two-phase
+    *      row_number (rank/dense_rank above are skew-immune already —
+    *      they come from the count map, not a per-value scan).
     *
     * Unlike range-partitioner bucketing (the previous design), nothing
     * here samples: a RangePartitioner consumed by two plan branches draws
