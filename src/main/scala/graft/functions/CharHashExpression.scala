@@ -121,6 +121,8 @@ object GraftFunctions {
       (c: Seq[Expression]) => GramHashesExpression(c(0), c(1))),
     ("graft_minhashsig", classOf[MinHashSigExpression],
       (c: Seq[Expression]) => MinHashSigExpression(c(0), c(1))),
+    ("graft_tokstats", classOf[TokStatsExpression],
+      (c: Seq[Expression]) => TokStatsExpression(c(0), c(1))),
   )
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -155,4 +157,6 @@ object GraftFunctions {
     call_function("graft_gramhashes", tokens, lit(n))
   def minHashSigNative(hashes: Column, k: Int): Column =
     call_function("graft_minhashsig", hashes, lit(k))
+  def tokStatsNative(tokens: Column, stops: Column): Column =
+    call_function("graft_tokstats", tokens, stops)
 }

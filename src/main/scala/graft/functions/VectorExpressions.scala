@@ -171,6 +171,37 @@ object VecOps {
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
   }
 
+  /** Single-pass token statistics — token count, summed character count,
+    * stopword hits — for quality scoring (q_text_quality). One tight loop
+    * replaces three interpreted HOF lambdas (transform+aggregate for char
+    * sum, filter+array_contains for stop hits) that each re-walk the
+    * token array. Character counting is `UTF8String.numChars` — the same
+    * codepoint semantics as `functions.length` and DuckDB `length()`, so
+    * oracle parity is unchanged. Membership is a linear probe over the
+    * stopword list (10 entries in practice) with UTF8String equality —
+    * byte-wise, same as array_contains on strings. */
+  def tokStats(tokens: ArrayData, stops: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = tokens.numElements()
+    val ns = stops.numElements()
+    var chars = 0L
+    var hits = 0L
+    var i = 0
+    while (i < n) {
+      val t = tokens.getUTF8String(i)
+      chars += t.numChars().toLong
+      var j = 0
+      var found = false
+      while (j < ns && !found) {
+        if (stops.getUTF8String(j) == t) found = true
+        j += 1
+      }
+      if (found) hits += 1
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, chars, hits))
+  }
+
   /** Minimum rolling hash over all `gram`-codepoint windows (winnowing
     * fingerprint), reduced mod P at every step — congruent with the
     * oracle's one-mod-per-window unrolled polynomial for gram 8 and safe
@@ -332,6 +363,29 @@ case class MinHashSigExpression(left: Expression, right: Expression)
       """)
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): MinHashSigExpression = copy(left = l, right = r)
+}
+
+/** graft_tokstats(tokens, stops) —
+  * STRUCT<token_count: BIGINT, char_sum: BIGINT, stop_hits: BIGINT>. */
+case class TokStatsExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecExprChecks.check((left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) => true
+      case _ => false
+    }, prettyName, Seq(left.dataType, right.dataType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("token_count", LongType, nullable = false),
+    StructField("char_sum", LongType, nullable = false),
+    StructField("stop_hits", LongType, nullable = false)))
+  override def prettyName: String = "graft_tokstats"
+  override protected def nullSafeEval(t: Any, s: Any): Any =
+    VecOps.tokStats(t.asInstanceOf[ArrayData], s.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, s) =>
+      s"${ev.value} = graft.functions.VecOps.tokStats($t, $s);")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): TokStatsExpression = copy(left = l, right = r)
 }
 
 /** graft_mingram(text, gram) — min rolling gram-hash : BIGINT. */

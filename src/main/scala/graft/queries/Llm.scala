@@ -519,10 +519,13 @@ object Llm extends QueryGroup {
   private val qTextLangId = Q(
     "q_text_lang_id",
     (s, dir) => {
-      def hits(stops: Seq[String]) = {
-        val litArr = array(stops.map(lit): _*)
-        size(filter(split(lower(col("text")), " "), t => array_contains(litArr, t)))
-      }
+      graft.functions.GraftFunctions.register(s)
+      // per-language stop hits from the single-pass tokstats kernel (the
+      // count/char fields are discarded; the stop probe dominates)
+      def hits(stops: Seq[String]) =
+        graft.functions.GraftFunctions.tokStatsNative(
+          split(lower(col("text")), " "), array(stops.map(lit): _*))
+          .getField("stop_hits").cast("int")
       table(s, dir, "documents")
         .withColumn("n_en", hits(enStops))
         .withColumn("n_de", hits(deStops))
@@ -550,20 +553,25 @@ object Llm extends QueryGroup {
              FROM t ORDER BY doc_id"""))
 
   /** Document quality scoring: length, mean token length, stopword ratio,
-    * digit ratio — the usual pre-training corpus filters. */
+    * digit ratio — the usual pre-training corpus filters.
+    *
+    * Perf shape: the three token statistics (count, char sum, stop hits)
+    * come from ONE pass of the codegen'd `graft_tokstats` kernel instead
+    * of three interpreted HOF lambdas each re-walking the token array
+    * (the round-2 bench measured the composed forms 3–7× slower). */
   private val qTextQuality = Q(
     "q_text_quality",
     (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       val toks = split(lower(col("text")), " ")
-      val litArr = array(enStops.map(lit): _*)
       table(s, dir, "documents")
-        .withColumn("n_tokens", size(toks).cast("long"))
+        .withColumn("ts", graft.functions.GraftFunctions.tokStatsNative(
+          toks, array(enStops.map(lit): _*)))
+        .withColumn("n_tokens", col("ts.token_count"))
         .withColumn("mean_token_len",
-          aggregate(transform(toks, t => length(t).cast("long")), lit(0L),
-            (a, x) => a + x).cast("double") / col("n_tokens"))
+          col("ts.char_sum").cast("double") / col("n_tokens"))
         .withColumn("stop_ratio",
-          size(filter(toks, t => array_contains(litArr, t))).cast("double") /
-            col("n_tokens"))
+          col("ts.stop_hits").cast("double") / col("n_tokens"))
         .withColumn("digit_ratio",
           (length(col("text")) -
             length(regexp_replace(col("text"), "[0-9]", ""))).cast("double") /

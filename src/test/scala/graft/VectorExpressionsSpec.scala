@@ -104,6 +104,31 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkSessionFixture {
       col("hs") =!= col("hs_ref") || col("sg") =!= col("sg_ref")).count() === 0)
   }
 
+  test("tokStatsNative equals the composed HOF token statistics") {
+    GraftFunctions.register(spark)
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+    val litArr = array(stops.map(lit): _*)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("tl", split(lower(col("text")), " "))
+      .withColumn("ts", GraftFunctions.tokStatsNative(col("tl"), litArr))
+      // composed reference forms — the oracle-twinned semantics
+      .withColumn("n_ref", size(col("tl")).cast("long"))
+      .withColumn("chars_ref",
+        aggregate(transform(col("tl"), t => length(t).cast("long")), lit(0L),
+          (a, x) => a + x))
+      .withColumn("stops_ref",
+        size(filter(col("tl"), t => array_contains(litArr, t))).cast("long"))
+    assert(docs.filter(
+      col("ts.token_count") =!= col("n_ref") ||
+      col("ts.char_sum") =!= col("chars_ref") ||
+      col("ts.stop_hits") =!= col("stops_ref")).count() === 0)
+    // multibyte codepoints: char_sum counts codepoints like length()
+    val row = spark.sql(
+      "SELECT graft_tokstats(array('héllo', 'wörld', '☃'), array('x')) AS ts")
+      .select("ts.token_count", "ts.char_sum", "ts.stop_hits").head()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) === ((3L, 11L, 0L)))
+  }
+
   test("minGramHashNative: windowed min of charHash-style gram hashes") {
     // hand-computable check plus the sentinel path
     assert(VecOps.minGramHash(
