@@ -670,9 +670,8 @@ object Llm extends QueryGroup {
     * divergence from the production job: here the post-dedup set feeds
     * both the signature pass and the final anti-join as one lazy plan
     * (two scans); at 100 TB each stage's output would be materialized
-    * (checkpoint/parquet) before the next — the stage boundary the
-    * reference also materializes (Store.hs) — making every pass
-    * single-scan and restartable. */
+    * before the next — that restartable shape is
+    * [[qLlmCleanPipelineStaged]], gated against this same oracle. */
   private val qLlmCleanPipeline = Q(
     "q_llm_clean_pipeline",
     (s, dir) => {
@@ -719,7 +718,13 @@ object Llm extends QueryGroup {
           sum(ceil(col("n_chars") / 4.0).cast("long")).as("bpe_budget"))
         .orderBy(col("lang"))
     },
-    Some(s"""WITH q AS (
+    Some(cleanPipelineSql))
+
+  /** Shared oracle for the lazy and staged pipeline variants — identical
+    * semantics, so one SQL gates both (the two Spark plans differentially
+    * gate each other through it). */
+  private lazy val cleanPipelineSql: String =
+    s"""WITH q AS (
                SELECT doc_id, lang, n_chars, text,
                  string_split(lower(text), ' ') AS tl
                FROM documents
@@ -757,7 +762,88 @@ object Llm extends QueryGroup {
              SELECT lang, count(*) AS n_docs,
                CAST(sum(ceil(n_chars / 4.0)) AS BIGINT) AS bpe_budget
              FROM e WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
-             GROUP BY lang ORDER BY lang"""))
+             GROUP BY lang ORDER BY lang"""
+
+  /** The cleaning pipeline with MATERIALIZED stage boundaries — the
+    * restartable 100 TB shape, and the analog of the reference's Store
+    * layer persisting every stage's partition files
+    * (/root/reference/src/Core/Store.hs: writeStore between map and
+    * reduce). Each boundary (quality gate, exact dedup, minhash
+    * signatures, drop list) is written to parquet and read back, so:
+    *
+    *   - every downstream pass re-reads a compact columnar stage instead
+    *     of recomputing the upstream plan (the lazy variant scans the
+    *     post-dedup set twice through the full upstream pipeline);
+    *   - a failed stage restarts from the previous boundary, not from
+    *     the raw corpus;
+    *   - stage outputs are audit-able corpus artifacts (the usual
+    *     data-governance requirement on training pipelines).
+    *
+    * Differential gate: identical oracle SQL as the lazy variant — both
+    * Spark plans must hash-match the same DuckDB recomputation. */
+  private val qLlmCleanPipelineStaged = Q(
+    "q_llm_clean_pipeline_staged",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.GraftFunctions._
+      val stageRoot = sys.props("java.io.tmpdir") + "/graft-stages/clean_pipeline"
+      def materialize(df: DataFrame, name: String): DataFrame = {
+        val path = s"$stageRoot/$name"
+        df.write.mode("overwrite").parquet(path)
+        s.read.parquet(path)
+      }
+      val toks = split(lower(col("text")), " ")
+      val meanLen = aggregate(transform(toks, t => length(t).cast("long")),
+        lit(0L), (a, x) => a + x).cast("double") / size(toks)
+      val quality = materialize(
+        table(s, dir, "documents")
+          .withColumn("n_tokens", size(toks).cast("long"))
+          .withColumn("mean_token_len", meanLen)
+          .filter(col("n_tokens") >= 5 && col("n_tokens") <= 10000 &&
+            col("mean_token_len") >= 2.0 && col("mean_token_len") <= 12.0)
+          .select("doc_id", "lang", "n_chars", "text"),
+        "s1_quality")
+      val wDup = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      val afterExact = materialize(
+        quality
+          .withColumn("dup_rn", row_number().over(wDup))
+          .filter(col("dup_rn") === 1)
+          .drop("dup_rn"),
+        "s2_exact_dedup")
+      val sig = materialize(
+        afterExact
+          .withColumn("tl", split(lower(col("text")), " "))
+          .filter(size(col("tl")) >= 3)
+          .withColumn("sg", minHashSigNative(gramHashesNative(col("tl"), 3), 16))
+          .select("doc_id", "sg"),
+        "s3_minhash_sig")
+      val bands = sig
+        .select(col("doc_id"), col("sg"),
+          explode(sequence(lit(0), lit(3))).as("band_id"))
+        .withColumn("band_key", concat_ws(":",
+          transform(slice(col("sg"), col("band_id") * 4 + 1, lit(4)),
+            x => x.cast("string"))))
+        .select("doc_id", "band_id", "band_key", "sg")
+      val dropped = materialize(
+        bands.as("a")
+          .join(bands.as("b"),
+            col("a.band_id") === col("b.band_id") &&
+            col("a.band_key") === col("b.band_key") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .withColumn("est_jaccard",
+            aggregate(zip_with(col("a.sg"), col("b.sg"),
+              (x, y) => when(x === y, 1L).otherwise(0L)),
+              lit(0L), (acc, x) => acc + x) / lit(16.0))
+          .filter(col("est_jaccard") >= 0.5)
+          .select(col("b.doc_id").as("doc_id")).distinct(),
+        "s4_near_dup_drops")
+      afterExact.join(dropped, Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(ceil(col("n_chars") / 4.0).cast("long")).as("bpe_budget"))
+        .orderBy(col("lang"))
+    },
+    Some(cleanPipelineSql))
 
   /** The injected native functions driven from SQL TEXT — proves the
     * SparkSessionExtensions/FunctionRegistry path end-to-end: a user can
@@ -918,7 +1004,7 @@ object Llm extends QueryGroup {
   override val queries: Seq[Q] = Seq(
     qDedupExact, qDedupNorm, qDedupMinhash, qDedupSimhash, qDedupNgram,
     qDedupEmbedding, qSimTopk, qSimLsh, qSimIvf, qLlmCleanPipeline,
-    qSqlNativeFns, qTextNgramFreq,
+    qLlmCleanPipelineStaged, qSqlNativeFns, qTextNgramFreq,
     qTextLangId, qTextQuality, qTextTokens, qTextFingerprint, qMultimodal,
     qMultimodalDecode)
 }
