@@ -92,6 +92,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectOptimizerRule(_ => new graft.plans.AsOfFilterPushdown)
     // auto-nativization: composed HOF hash → codegen'd kernel
     ext.injectOptimizerRule(_ => new graft.plans.NativizeCharHash)
+    ext.injectOptimizerRule(_ => new graft.plans.NativizeHashKernels)
   }
 }
 

@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.functions.CharHashExpression
+import graft.functions.{CharHashExpression, GramHashesExpression, MinHashSigExpression}
 import graft.operators.PortableHash
-import graft.plans.NativizeCharHash
+import graft.plans.{NativizeCharHash, NativizeHashKernels}
 
 /** The auto-nativization optimizer rule: the composed HOF rolling hash
   * must be rewritten to the native kernel — and ONLY when semantically
@@ -13,8 +13,13 @@ class NativizeHashSpec extends AnyFunSuite with SparkSessionFixture {
 
   private def withRule[T](f: => T): T = {
     NativizeCharHash.register(spark)
+    NativizeHashKernels.register(spark)
     f
   }
+
+  private def nativesIn[T](df: org.apache.spark.sql.DataFrame)(
+      pf: PartialFunction[org.apache.spark.sql.catalyst.expressions.Expression, T]): Seq[T] =
+    df.queryExecution.optimizedPlan.flatMap(_.expressions).flatMap(_.collect(pf))
 
   private lazy val docs = spark.read
     .parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
@@ -48,6 +53,85 @@ class NativizeHashSpec extends AnyFunSuite with SparkSessionFixture {
         .flatMap(_.expressions).flatMap(_.collect {
           case e: CharHashExpression => e })
       assert(natives.isEmpty, "look-alike was wrongly nativized")
+    }
+  }
+
+  private lazy val hashed = docs
+    .withColumn("tl", split(lower(col("text")), " "))
+    .filter(size(col("tl")) >= 3)
+    .withColumn("hs", transform(col("tl"), t => PortableHash.charHash(t)))
+
+  test("composed minhashSig is rewritten to the native kernel, values unchanged") {
+    withRule {
+      val df = hashed.select(col("doc_id"),
+        PortableHash.minhashSig(col("hs"), 16).as("sg"))
+      assert(nativesIn(df) { case e: MinHashSigExpression => e }.nonEmpty,
+        s"not nativized:\n${df.queryExecution.optimizedPlan}")
+      // values must equal the kernel applied directly
+      graft.functions.GraftFunctions.register(spark)
+      val direct = hashed.select(col("doc_id"),
+        graft.functions.GraftFunctions.minHashSigNative(col("hs"), 16).as("sg_d"))
+      val joined = df.join(direct, "doc_id")
+      assert(joined.filter(col("sg") =!= col("sg_d")).count() === 0)
+    }
+  }
+
+  test("composed minhashSig with a different permutation offset is untouched") {
+    withRule {
+      // 7917 instead of 7919 in the permutation
+      val lookalike = transform(sequence(lit(0), lit(15)),
+        i => array_min(transform(col("hs"),
+          t => ((lit(2L) * i + lit(1L)) * t + lit(7917L) * i + lit(1L)) % lit(PortableHash.P))))
+      val df = hashed.select(lookalike.as("sg"))
+      assert(nativesIn(df) { case e: MinHashSigExpression => e }.isEmpty,
+        "look-alike minhash was wrongly nativized")
+    }
+  }
+
+  test("composed gramHashes is rewritten to the native kernel, values unchanged") {
+    withRule {
+      // the composed trigram form (as a SQL user would write the twin)
+      val composed = array_distinct(
+        transform(sequence(lit(1), size(col("hs")) - 2),
+          i => ((element_at(col("hs"), i) * lit(131L) +
+                 element_at(col("hs"), i + 1)) % lit(PortableHash.P) * lit(131L) +
+                element_at(col("hs"), i + 2)) % lit(PortableHash.P)))
+      // the rule needs the token array visible inside the subtree, so
+      // inline tl/hs rather than referencing the pre-projected column
+      val tl = split(lower(col("text")), " ")
+      val th = transform(tl, t => PortableHash.charHash(t))
+      val inlined = array_distinct(
+        transform(sequence(lit(1), size(th) - 2),
+          i => ((element_at(th, i) * lit(131L) +
+                 element_at(th, i + 1)) % lit(PortableHash.P) * lit(131L) +
+                element_at(th, i + 2)) % lit(PortableHash.P)))
+      val df = docs.filter(size(split(lower(col("text")), " ")) >= 3)
+        .select(col("doc_id"), inlined.as("hs3"))
+      assert(nativesIn(df) { case e: GramHashesExpression => e }.nonEmpty,
+        s"not nativized:\n${df.queryExecution.optimizedPlan}")
+      graft.functions.GraftFunctions.register(spark)
+      val direct = docs.filter(size(split(lower(col("text")), " ")) >= 3)
+        .select(col("doc_id"), graft.functions.GraftFunctions.gramHashesNative(
+          split(lower(col("text")), " "), 3).as("hs_d"))
+      val joined = df.join(direct, "doc_id")
+      assert(joined.filter(col("hs3") =!= col("hs_d")).count() === 0)
+      // the hs-column variant: tokens not in subtree → must stay composed
+      val dfCol = hashed.select(composed.as("hs3"))
+      assert(nativesIn(dfCol) { case e: GramHashesExpression => e }.isEmpty)
+    }
+  }
+
+  test("composed gramHashes with a different combine multiplier is untouched") {
+    withRule {
+      val tl = split(lower(col("text")), " ")
+      val th = transform(tl, t => PortableHash.charHash(t))
+      val lookalike = array_distinct(
+        transform(sequence(lit(1), size(th) - 1),
+          i => (element_at(th, i) * lit(137L) +
+                element_at(th, i + 1)) % lit(PortableHash.P)))
+      val df = docs.select(lookalike.as("hs2"))
+      assert(nativesIn(df) { case e: GramHashesExpression => e }.isEmpty,
+        "look-alike gram form was wrongly nativized")
     }
   }
 }
