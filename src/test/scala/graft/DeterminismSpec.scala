@@ -36,6 +36,28 @@ class DeterminismSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
+  test("FULL registry is value-invariant to shuffle partitioning (2 vs 17)") {
+    // Chaos-breadth companion to the ordered risk-set probe above: every
+    // registered query, compared as a sorted row multiset (several
+    // queries order by non-unique keys, where intra-tie order is
+    // legitimately partitioning-dependent; the driver's gate also sorts
+    // before hashing). Catches any operator whose VALUES depend on
+    // partition count — merge-order float sums, sketch merges, sampled
+    // boundaries — across the whole surface, not just the known risks.
+    val qs = SparkEntry.queries
+    val failures = qs.keys.toSeq.sorted.flatMap { name =>
+      val fn = qs(name)
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      val a = fn(spark, sf).collect().map(_.toString).sorted.toSeq
+      spark.conf.set("spark.sql.shuffle.partitions", "17")
+      val b = fn(spark, sf).collect().map(_.toString).sorted.toSeq
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      if (a == b) None else Some(name)
+    }
+    assert(failures.isEmpty,
+      s"queries with partitioning-dependent values: ${failures.mkString(", ")}")
+  }
+
   test("native function type errors fail analysis, not execution") {
     graft.functions.GraftFunctions.register(spark)
     val docs = spark.read.parquet(s"$sf/documents.parquet")
