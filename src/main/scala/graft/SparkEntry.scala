@@ -15,7 +15,7 @@ object SparkEntry {
   /** All query groups; each file under graft/queries covers one SURVEY §2
     * capability area. */
   def groups: Seq[QueryGroup] =
-    Seq(Relational, Windows, Advanced, Functions, Sources, Llm,
+    Seq(Relational, Windows, Advanced, Functions, Sources, Llm, Training,
       PipelineQueries, Streaming)
 
   private lazy val all: Seq[Q] = {

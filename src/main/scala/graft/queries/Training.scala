@@ -1,0 +1,307 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Graft._
+import graft.operators.PortableHash.{charHashSql, P}
+
+/** Training-data corpus operations beyond dedup/similarity (SURVEY §2.3
+  * extension set): repetition-based quality rules, deterministic
+  * train/val/test splitting, weighted per-source mixture sampling,
+  * per-group uniform sampling, token-budget sequence packing, and
+  * corpus-level line dedup.
+  *
+  * Determinism discipline: every "random" choice (split assignment,
+  * sampling, mixture rates) is explicit integer hash arithmetic from
+  * operators/PortableHash — reproducible run-to-run, partition-count
+  * independent, and recomputable bit-identically by the DuckDB oracle.
+  * A corpus re-run assigns every document to the same split/sample, which
+  * is exactly the property a training pipeline needs (no state to carry
+  * between runs, membership is a pure function of the data).
+  *
+  * Scale notes are per-query; the common shape is per-row projections +
+  * one hash aggregation, never an all-pairs or driver-side step.
+  */
+object Training extends QueryGroup {
+
+  /** Deterministic per-document hash on the id: ((id % P)·K + C) % P with
+    * a Knuth multiplier — uniform enough for rate-based selection, exact
+    * int64 arithmetic in both engines (id % P < 1e9, ·2654435761 < 2^62). */
+  private def docHash(c: org.apache.spark.sql.Column) =
+    ((c % lit(P)) * lit(2654435761L) + lit(40503L)) % lit(P)
+  private def docHashSql(e: String): String =
+    s"(($e % $P) * 2654435761 + 40503) % $P"
+
+  // -- repetition quality rules (Gopher/C4 family) -----------------------
+
+  /** Repetition-based quality scoring: duplicate-token fraction,
+    * adjacent-repeat fraction, and top-bigram fraction (the Gopher
+    * "fraction of characters in most common n-gram" rule, adapted to the
+    * token-stream corpus).
+    *
+    * Scale shape: dup/adjacent ratios are O(len) per-row array ops; the
+    * top-bigram count deliberately does NOT use the per-row O(len·distinct)
+    * nested-lambda formulation — bigrams are exploded and counted through
+    * a codegen'd hash aggregation (two shuffles on (doc_id, gram) /
+    * (doc_id), both embarrassingly parallel, no skew: keys are per-doc). */
+  private val qTextRepetition = Q(
+    "q_text_repetition",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val toks = split(lower(col("text")), " ")
+      val base = table(s, dir, "documents")
+        .withColumn("tl", toks)
+        .withColumn("n_tokens", size(col("tl")).cast("long"))
+        .filter(col("n_tokens") >= 2)
+        .withColumn("th", transform(col("tl"),
+          t => graft.functions.GraftFunctions.charHashNative(t)))
+      // non-distinct bigram hashes, exploded and hash-agg counted
+      val bg = base.select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("th")) - 1),
+            i => (element_at(col("th"), i) * lit(131L) +
+                  element_at(col("th"), i + 1)) % lit(P))).as("bgh"))
+        .groupBy("doc_id", "bgh").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max(col("c")).as("top_bg"))
+      base
+        .join(bg, "doc_id")
+        .withColumn("dup_token_ratio",
+          (col("n_tokens") - size(array_distinct(col("tl"))).cast("long"))
+            .cast("double") / col("n_tokens"))
+        .withColumn("adj_repeat_ratio",
+          size(filter(sequence(lit(1), size(col("tl")) - 1),
+            i => element_at(col("tl"), i) === element_at(col("tl"), i + 1)))
+            .cast("double") / (col("n_tokens") - 1))
+        .withColumn("top_bigram_ratio",
+          col("top_bg").cast("double") / (col("n_tokens") - 1))
+        .withColumn("repetition_ok",
+          col("adj_repeat_ratio") <= 0.125 && col("top_bigram_ratio") <= 0.125)
+        .select("doc_id", "n_tokens", "dup_token_ratio", "adj_repeat_ratio",
+          "top_bigram_ratio", "repetition_ok")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH t AS (
+               SELECT doc_id, string_split(lower(text), ' ') AS tl,
+                 CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+               FROM documents
+               WHERE len(string_split(lower(text), ' ')) >= 2),
+             th AS (
+               SELECT doc_id, tl, n_tokens,
+                 list_transform(tl, x -> ${charHashSql("x")}) AS th
+               FROM t),
+             bg AS (
+               SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(th) - 1),
+                   i -> (th[i] * 131 + th[i+1]) % $P)) AS bgh
+               FROM th),
+             top AS (
+               SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bg FROM (
+                 SELECT doc_id, bgh, count(*) AS c FROM bg GROUP BY 1, 2)
+               GROUP BY doc_id)
+             SELECT t.doc_id, n_tokens,
+               CAST(n_tokens - len(list_distinct(tl)) AS DOUBLE) / n_tokens
+                 AS dup_token_ratio,
+               CAST(len(list_filter(generate_series(1, len(tl) - 1),
+                 i -> tl[i] = tl[i+1])) AS DOUBLE) / (n_tokens - 1)
+                 AS adj_repeat_ratio,
+               CAST(top_bg AS DOUBLE) / (n_tokens - 1) AS top_bigram_ratio,
+               (CAST(len(list_filter(generate_series(1, len(tl) - 1),
+                  i -> tl[i] = tl[i+1])) AS DOUBLE) / (n_tokens - 1)) <= 0.125
+                 AND (CAST(top_bg AS DOUBLE) / (n_tokens - 1)) <= 0.125
+                 AS repetition_ok
+             FROM t JOIN top ON t.doc_id = top.doc_id
+             ORDER BY t.doc_id"""))
+
+  // -- deterministic splits / sampling / mixing --------------------------
+
+  /** Hash-based train/val/test assignment (80/10/10): the split of a
+    * document is a pure function of its id, so any re-run — or any other
+    * pipeline holding the same corpus — computes the same membership with
+    * zero coordination state. Per-row projection + one aggregation. */
+  private val qSplitAssign = Q(
+    "q_split_assign",
+    (s, dir) => {
+      val bucket = docHash(col("doc_id")) % 100
+      table(s, dir, "documents")
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(ceil(col("n_chars") / 4.0).cast("long")).as("token_budget"))
+        .orderBy("split", "lang")
+    },
+    Some(s"""SELECT CASE WHEN ${docHashSql("doc_id")} % 100 < 80 THEN 'train'
+                         WHEN ${docHashSql("doc_id")} % 100 < 90 THEN 'val'
+                         ELSE 'test' END AS split,
+                    lang, count(*) AS n_docs,
+                    CAST(sum(ceil(n_chars / 4.0)) AS BIGINT) AS token_budget
+             FROM documents GROUP BY 1, 2 ORDER BY split, lang"""))
+
+  /** Weighted mixture sampling: each source gets a deterministic
+    * per-mille rate (derived here from the source name's hash; in a real
+    * pipeline, a supplied weights table) and documents are kept when
+    * their id-hash falls under it — Bernoulli sampling that is exactly
+    * reproducible and composable across sources. Per-row projection +
+    * one aggregation; the rate lookup is a pure column expression (a
+    * joined weights table would broadcast). */
+  private val qMixWeighted = Q(
+    "q_mix_weighted",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val rate = graft.functions.GraftFunctions.charHashNative(col("source")) % 500 + 250
+      table(s, dir, "documents")
+        .withColumn("rate_pm", rate)
+        .withColumn("keep", docHash(col("doc_id")) % 1000 < col("rate_pm"))
+        .groupBy("source")
+        .agg(max(col("rate_pm")).as("rate_pm"),
+          count(lit(1)).as("n_total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+        .withColumn("kept_ratio",
+          col("n_kept").cast("double") / col("n_total"))
+        .orderBy("source")
+    },
+    Some(s"""WITH k AS (
+               SELECT source,
+                 ${charHashSql("source")} % 500 + 250 AS rate_pm,
+                 CASE WHEN ${docHashSql("doc_id")} % 1000 <
+                   ${charHashSql("source")} % 500 + 250 THEN 1 ELSE 0 END AS keep
+               FROM documents)
+             SELECT source, CAST(max(rate_pm) AS BIGINT) AS rate_pm,
+               count(*) AS n_total, CAST(sum(keep) AS BIGINT) AS n_kept,
+               CAST(sum(keep) AS DOUBLE) / count(*) AS kept_ratio
+             FROM k GROUP BY source ORDER BY source"""))
+
+  /** Per-group uniform sample: the k documents with the smallest id-hash
+    * per language — deterministic reservoir sampling (membership is a
+    * pure function of the corpus, stable under growth except for genuine
+    * displacements).
+    *
+    * Scale shape: the per-group window is bounded by group cardinality;
+    * for few giant groups the two-phase bounded-heap aggregate
+    * (operators/TypedAggregates, q_agg_topk_typed) is the drop-in: same
+    * semantics, O(k) state per group, no per-group single-task scan. */
+  private val qSamplePerGroup = Q(
+    "q_sample_pergroup",
+    (s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("h"), col("doc_id"))
+      table(s, dir, "documents")
+        .withColumn("h", docHash(col("doc_id")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 20)
+        .select(col("lang"), col("rk"), col("doc_id"), col("h"))
+        .orderBy("lang", "rk")
+    },
+    Some(s"""SELECT lang, rk, doc_id, h FROM (
+               SELECT lang, doc_id, ${docHashSql("doc_id")} AS h,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY ${docHashSql("doc_id")}, doc_id) AS rk
+               FROM documents) t
+             WHERE rk <= 20 ORDER BY lang, rk"""))
+
+  // -- sequence packing --------------------------------------------------
+
+  /** Token-budget sequence packing (concat-and-chunk): per source,
+    * documents are laid out in id order into a contiguous token stream
+    * and chunked into 2048-token packs; a document belongs to the pack
+    * its first token lands in. This is the standard LM pretraining
+    * packing layout, as pure column arithmetic: one running sum per
+    * source (window), one aggregation per pack.
+    *
+    * Scale shape: the running sum partitions by source — at 100 TB the
+    * stream would instead be range-partitioned on (source, doc_id) and
+    * the per-partition offsets lifted by a tiny per-partition-totals
+    * broadcast (two passes, no single-task scan); the pack arithmetic is
+    * unchanged. */
+  private val qPackSequences = Q(
+    "q_pack_sequences",
+    (s, dir) => {
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      table(s, dir, "documents")
+        .withColumn("tok", ceil(col("n_chars") / 4.0).cast("long"))
+        .withColumn("start_off", coalesce(sum(col("tok")).over(w), lit(0L)))
+        .withColumn("pack_id", floor(col("start_off") / 2048).cast("long"))
+        .groupBy("source", "pack_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tok")).as("pack_tokens"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy("source", "pack_id")
+    },
+    Some("""WITH t AS (
+              SELECT source, doc_id,
+                CAST(ceil(n_chars / 4.0) AS BIGINT) AS tok
+              FROM documents),
+            o AS (
+              SELECT source, doc_id, tok,
+                COALESCE(sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS start_off
+              FROM t)
+            SELECT source, CAST(floor(start_off / 2048) AS BIGINT) AS pack_id,
+              count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS pack_tokens,
+              min(doc_id) AS first_doc
+            FROM o GROUP BY 1, 2 ORDER BY source, pack_id"""))
+
+  // -- corpus line dedup -------------------------------------------------
+
+  /** Corpus-level line dedup (the C4 "discard duplicated spans" rule):
+    * documents are segmented into fixed 10-token lines, every line is
+    * hashed, and only the first occurrence (min doc_id, then position)
+    * of each line hash in the corpus survives. The corpus has no natural
+    * dups, so the first 50 docs are re-injected under offset ids — the
+    * injected copies must lose ALL their lines to the originals.
+    *
+    * Scale shape: explode is linear in corpus tokens; the keeper choice
+    * is one window (or min-aggregation + join) keyed on the line hash —
+    * a uniform key, so the shuffle has no hot partitions. */
+  private val qLinesDedup = Q(
+    "q_lines_dedup",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val base = table(s, dir, "documents").select("doc_id", "text")
+      val dup = base.orderBy("doc_id").limit(50)
+        .withColumn("doc_id", col("doc_id") + 100000)
+      val corpus = base.unionByName(dup)
+        .withColumn("tl", split(lower(col("text")), " "))
+        .withColumn("nl", floor(size(col("tl")) / 10).cast("int"))
+        .filter(col("nl") > 0)
+      val lines = corpus
+        .select(col("doc_id"), col("tl"),
+          explode(sequence(lit(0), col("nl") - 1)).as("j"))
+        .withColumn("line", concat_ws(" ", slice(col("tl"), col("j") * 10 + 1, lit(10))))
+        .withColumn("lh", graft.functions.GraftFunctions.charHashNative(col("line")))
+      val wFirst = Window.partitionBy(col("lh")).orderBy(col("doc_id"), col("j"))
+      lines
+        .withColumn("rn", row_number().over(wFirst))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH corpus AS (
+               SELECT doc_id, text FROM documents
+               UNION ALL
+               SELECT doc_id + 100000 AS doc_id, text FROM (
+                 SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 50)),
+             t AS (
+               SELECT doc_id, string_split(lower(text), ' ') AS tl
+               FROM corpus WHERE len(string_split(lower(text), ' ')) >= 10),
+             l AS (
+               SELECT doc_id, j,
+                 list_aggregate(tl[j*10+1 : j*10+10], 'string_agg', ' ') AS line
+               FROM t CROSS JOIN LATERAL (
+                 SELECT unnest(generate_series(0,
+                   CAST(floor(len(tl) / 10) AS INT) - 1)) AS j) js),
+             h AS (
+               SELECT doc_id, j, ${charHashSql("line")} AS lh,
+                 row_number() OVER (PARTITION BY ${charHashSql("line")}
+                   ORDER BY doc_id, j) AS rn
+               FROM l)
+             SELECT doc_id, count(*) AS n_lines,
+               CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+             FROM h GROUP BY doc_id ORDER BY doc_id"""))
+
+  override val queries: Seq[Q] = Seq(
+    qTextRepetition, qSplitAssign, qMixWeighted, qSamplePerGroup,
+    qPackSequences, qLinesDedup)
+}
