@@ -67,6 +67,27 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkSessionFixture {
     assert(joined.count() === expected)
   }
 
+  test("training ops: pruned scans and no redundant exchanges") {
+    // q_pack_sequences: 3-column scan; exactly one data exchange (the
+    // per-source window) before the final output sort — the (source,
+    // pack_id) aggregation must reuse the window's partitioning.
+    val pack = SparkEntry.queries("q_pack_sequences")(spark, dir)
+    val packPlan = pack.queryExecution.executedPlan.toString
+    assert(packPlan.contains(
+      "ReadSchema: struct<doc_id:bigint,source:string,n_chars:bigint>"),
+      s"pack scan not pruned:\n$packPlan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(packPlan).size
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$packPlan")
+
+    // q_split_assign: the id/lang/n_chars projection must prune `text`
+    // (reading document bodies to assign splits would be a 100 TB bug)
+    val split = SparkEntry.queries("q_split_assign")(spark, dir)
+    val splitPlan = split.queryExecution.executedPlan.toString
+    assert(splitPlan.contains(
+      "ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>"),
+      s"split scan reads more than id/lang/n_chars:\n$splitPlan")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline") {
     val df = graft.core.Graft.table(spark, dir, "lineitem")
       .filter(col("l_discount") > 0.05)
