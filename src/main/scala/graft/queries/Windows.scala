@@ -109,8 +109,10 @@ object Windows extends QueryGroup {
     *      column) re-creates a hot task. c_acctbal is near-uniform over
     *      ~1.1M cents values, so rows-per-value stays O(n/1.1M); for a
     *      skewed domain the tie-break window would need a salted two-phase
-    *      row_number (rank/dense_rank above are skew-immune already —
-    *      they come from the count map, not a per-value scan).
+    *      row_number — demonstrated end-to-end by [[qWindowRownumSalted]]
+    *      on the 3-value o_orderstatus domain (rank/dense_rank above are
+    *      skew-immune already — they come from the count map, not a
+    *      per-value scan).
     *
     * Unlike range-partitioner bucketing (the previous design), nothing
     * here samples: a RangePartitioner consumed by two plan branches draws
@@ -291,8 +293,59 @@ object Windows extends QueryGroup {
                UNPIVOT (amount FOR measure IN (o_totalprice, o_quantized)))
              GROUP BY measure ORDER BY measure"""))
 
+  /** Salted two-phase row_number over a HEAVILY SKEWED partition key —
+    * o_orderstatus has 3 values (one covering roughly half the table), so
+    * a plain `row_number() OVER (PARTITION BY status ORDER BY key)` puts
+    * each value's entire row set into ONE task at any scale: exactly the
+    * value-skew residual [[qWindowRank]]'s tie-break documents. The
+    * salted plan removes it deterministically (no sampling):
+    *
+    *   1. one tiny aggregation gets each value's [min, max] key range;
+    *      the RANGE salt b = ((key - min) · NB) div (max - min + 1)
+    *      splits the value's rows into NB ORDER-PRESERVING buckets —
+    *      unlike hash salting, every row of bucket i precedes every row
+    *      of bucket i+1 in key order, which is what makes the per-bucket
+    *      numbers stitchable (and it is a pure function of the data,
+    *      unlike a sampled RangePartitioner);
+    *   2. row_number per (value, bucket) — parallelism = values × NB;
+    *   3. bucket counts → running-sum offsets over the ≤ values·NB
+    *      bucket table (tiny, broadcast back); rn = offset + local rn.
+    *
+    * Gated against DuckDB's plain single-window row_number. Uniform keys
+    * give balanced buckets; a skewed KEY range inside one value would
+    * need quantile-derived bucket bounds instead (same stitching). */
+  private val qWindowRownumSalted = Q(
+    "q_window_rownum_salted",
+    (s, dir) => {
+      val NB = 16
+      val o = table(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+      val bounds = o.groupBy("o_orderstatus")
+        .agg(min("o_orderkey").as("mn"), max("o_orderkey").as("mx"))
+      val b = o.join(broadcast(bounds), "o_orderstatus")
+        .withColumn("bkt",
+          expr(s"((o_orderkey - mn) * $NB) div (mx - mn + 1)").cast("int"))
+      val wLocal = Window.partitionBy(col("o_orderstatus"), col("bkt"))
+        .orderBy(col("o_orderkey"))
+      val local = b.withColumn("lrn", row_number().over(wLocal))
+      val counts = local.groupBy("o_orderstatus", "bkt")
+        .agg(count(lit(1)).as("c"))
+      val wOff = Window.partitionBy(col("o_orderstatus")).orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = counts
+        .withColumn("off", coalesce(sum("c").over(wOff), lit(0L)))
+        .select("o_orderstatus", "bkt", "off")
+      local.join(broadcast(offs), Seq("o_orderstatus", "bkt"))
+        .withColumn("rn", col("off") + col("lrn"))
+        .select("o_orderkey", "o_orderstatus", "rn")
+        .orderBy("o_orderstatus", "rn")
+    },
+    Some("""SELECT o_orderkey, o_orderstatus,
+              row_number() OVER (PARTITION BY o_orderstatus
+                ORDER BY o_orderkey) AS rn
+            FROM orders ORDER BY o_orderstatus, rn"""))
+
   override val queries: Seq[Q] = Seq(
     qWindowTopk, qWindowRunning, qWindowLeadLag, qWindowRank,
     qWindowRangeFrame, qWindowAnalytics, qAggRollup, qAggCube,
-    qAggGroupingSets, qAggUnpivot)
+    qAggGroupingSets, qAggUnpivot, qWindowRownumSalted)
 }

@@ -153,4 +153,38 @@ class StreamingSpec extends AnyFunSuite with SparkSessionFixture {
     val exp = eventsBatch.select(col("user_id"), col("event_type")).distinct()
     assert(sortedRows(got) == sortedRows(exp))
   }
+
+  test("bounded-state streaming dedup: dropDuplicatesWithinWatermark == batch distinct") {
+    // Plain streaming dropDuplicates keeps EVERY seen key in state forever
+    // — unbounded at the 100 TB design point. The within-watermark variant
+    // evicts keys once the watermark passes them, trading completeness for
+    // bounded state: duplicates are only guaranteed caught while their key
+    // is younger than the delay. The events span fits inside the delay
+    // here (and arrival is time-ordered), so the stream must STILL equal
+    // batch distinct exactly — state bounding may not change the answer
+    // when its precondition holds.
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ordered = typedRows.sortBy(_.ts_us)
+    val mem = MemoryStream[EventU]
+    val streamingDf = mem.toDF()
+      .withColumn("ts", timestamp_micros(col("ts_us")).cast("timestamp"))
+    val q = streamingDf
+      .withWatermark("ts", "365 days")
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select("user_id", "event_type")
+      .writeStream.format("memory").queryName("t_dedup_wm")
+      .outputMode("append").start()
+    try {
+      ordered.grouped(math.max(1, ordered.size / 3)).foreach { chunk =>
+        mem.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("t_dedup_wm")
+    val exp = eventsBatch.select(col("user_id"), col("event_type")).distinct()
+    assert(sortedRows(got) == sortedRows(exp))
+  }
 }
