@@ -165,7 +165,36 @@ object Sources extends QueryGroup {
             FROM (SELECT unnest(range(25000, 75000)) AS i)
             GROUP BY tag ORDER BY tag"""))
 
+  /** Custom DataSource V2 SINK (sources/KvSink): per-nation customer
+    * counts written through the two-phase-commit kv sink, read back from
+    * the committed CSV files, and gated against the oracle computing the
+    * same aggregation directly — the round trip proves the staged-file
+    * commit protocol publishes exactly the task outputs. */
+  private val qSinkDsv2 = Q(
+    "q_sink_dsv2",
+    (s, dir) => {
+      val out = sys.props("java.io.tmpdir") + "/graft-kvsink/q_sink_dsv2"
+      // clean target so re-runs don't accumulate committed files
+      val dirF = new java.io.File(out)
+      if (dirF.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dirF)
+      }
+      table(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("c_nationkey").as("k"), col("n").as("v"))
+        .write.format("graft.sources.KvSinkProvider")
+        .option("path", out).mode("append").save()
+      s.read.schema("k LONG, v LONG").csv(out).orderBy("k")
+    },
+    Some("""SELECT c_nationkey AS k, count(*) AS v
+            FROM customer GROUP BY 1 ORDER BY k"""))
+
   override val queries: Seq[Q] =
     Seq(qSourceCsv, qSourceJson, qSourceOrc, qSourceText, qSourcePartitioned,
-      qSourceBucketedJoin, qSourceDsv2)
+      qSourceBucketedJoin, qSourceDsv2, qSinkDsv2)
 }

@@ -1,0 +1,130 @@
+package graft.sources
+
+import java.io.{BufferedWriter, File, FileWriter}
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** File-backed key-value SINK — the write half of the DataSource V2
+  * surface ([[SeqSourceProvider]] is the read half), and the Spark analog
+  * of the reference's Store layer (/root/reference/src/Core/Store.hs:
+  * workers persist partition files; the server treats a task as done only
+  * once its output is registered).
+  *
+  * The interesting part is the COMMIT PROTOCOL, which is what turns
+  * Spark's at-least-once task execution (see TaskRetrySpec) into
+  * exactly-once output:
+  *
+  *   1. every task attempt writes to a private staged file
+  *      `_staging/part-<partition>-<taskId>` — attempts never collide;
+  *   2. a successful attempt's [[DataWriter.commit]] returns a message
+  *      naming its staged file; a failed attempt's abort() deletes it;
+  *   3. the driver's [[BatchWrite.commit]] — called once, with exactly
+  *      one message per partition — MOVEs the named files into the
+  *      target directory. Orphaned stragglers stay in `_staging`, which
+  *      readers ignore (underscore-prefixed paths are hidden).
+  *
+  * Rows are written as CSV (long/int/double/string fields), so the
+  * committed directory is directly readable by `spark.read.csv` and by
+  * the DuckDB oracle — the gate re-reads what the sink committed.
+  */
+class KvSinkProvider extends TableProvider {
+  // write-only: schema comes from the dataframe being written
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    new StructType()
+  override def supportsExternalMetadata(): Boolean = true
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new KvTable(properties.get("path"), schema)
+}
+
+class KvTable(path: String, writeSchema: StructType) extends Table with SupportsWrite {
+  require(path != null && path.nonEmpty, "graft kv sink requires option 'path'")
+  override def name(): String = s"graft_kv_sink($path)"
+  override def schema(): StructType = writeSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new KvBatchWrite(path, info.schema())
+      }
+    }
+}
+
+class KvBatchWrite(path: String, schema: StructType) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    KvWriterFactory(path, schema)
+
+  /** Driver-side atomic publish: exactly one staged file per partition
+    * (Spark's OutputCommitCoordinator guarantees one committed attempt),
+    * moved into the readable directory. */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = Paths.get(path)
+    Files.createDirectories(dir)
+    messages.foreach { case KvCommit(staged) =>
+      val src = Paths.get(staged)
+      Files.move(src, dir.resolve(src.getFileName),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case KvCommit(staged) => Files.deleteIfExists(Paths.get(staged))
+      case _ => ()
+    }
+}
+
+case class KvCommit(stagedFile: String) extends WriterCommitMessage
+
+case class KvWriterFactory(path: String, schema: StructType) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new KvDataWriter(path, schema, partitionId, taskId)
+}
+
+class KvDataWriter(path: String, schema: StructType, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val staged = {
+    val d = new File(path, "_staging")
+    d.mkdirs()
+    new File(d, s"part-$partitionId-$taskId.csv")
+  }
+  private val out = new BufferedWriter(new FileWriter(staged))
+
+  override def write(row: InternalRow): Unit = {
+    val line = schema.fields.zipWithIndex.map { case (f, i) =>
+      f.dataType match {
+        case LongType => row.getLong(i).toString
+        case IntegerType => row.getInt(i).toString
+        case DoubleType => row.getDouble(i).toString
+        case StringType => row.getUTF8String(i).toString
+        case dt => throw new IllegalArgumentException(
+          s"graft kv sink: unsupported field type ${dt.catalogString}")
+      }
+    }.mkString(",")
+    out.write(line)
+    out.newLine()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    KvCommit(staged.getAbsolutePath)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    staged.delete()
+  }
+
+  override def close(): Unit = ()
+}
