@@ -40,6 +40,42 @@ class WindowRankScaleSpec extends AnyFunSuite with SparkSessionFixture {
     assert(windows.exists(_.partitionSpec.nonEmpty))
   }
 
+  test("salted row_number: every per-row window is salted; offsets windows see only bucket counts") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan = SparkEntry.queries("q_window_rownum_salted")(s2, dir)
+      .queryExecution.executedPlan
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      val onAggregated = w.child.collect {
+        case a: HashAggregateExec => a
+        case a: ObjectHashAggregateExec => a
+        case a: SortAggregateExec => a
+      }.nonEmpty
+      // each window either (a) consumes the tiny bucket-count aggregate
+      // (the offset running sum) or (b) is partitioned by MORE than the
+      // skewed value alone — i.e. the salt is in the partition spec, so
+      // no task ever sees a whole value's row set
+      assert(onAggregated || w.partitionSpec.size >= 2,
+        s"unsalted per-row window over raw rows:\n$w")
+    }
+  }
+
+  test("salted row_number equals the single-window formulation at several partitionings") {
+    val expected = graft.core.Graft.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        row_number().over(Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_orderkey"))).cast("long").as("rn"))
+      .orderBy("o_orderstatus", "rn").collect().toSeq
+    for (np <- Seq("1", "5", "64")) {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", np)
+      val got = SparkEntry.queries("q_window_rownum_salted")(s2, dir).collect().toSeq
+      assert(got == expected, s"salted rn mismatch at shuffle.partitions=$np")
+    }
+  }
+
   test("output is invariant to shuffle partitioning and equals the single-window formulation") {
     val expected = {
       val v = Window.orderBy(col("c_acctbal").desc)
