@@ -301,7 +301,48 @@ object Training extends QueryGroup {
                CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
              FROM h GROUP BY doc_id ORDER BY doc_id"""))
 
+  // -- data profiling ----------------------------------------------------
+
+  /** Column-level profile (the data-governance pass a corpus gets before
+    * training: row/null/distinct counts, value range). One independent
+    * aggregation per profiled column, unioned:
+    *
+    * Scale shape: each sub-aggregation scans exactly ONE column — under a
+    * columnar format the profile reads each profiled column once, never
+    * the full table width, and the per-column exact distinct is the
+    * standard two-shuffle expansion. (A single multi-countDistinct agg
+    * would instead Expand every row ×columns — the shape q_agg_distinct's
+    * pre-dedup rewrite exists to avoid.) For very-high-cardinality
+    * columns the HLL contract of q_agg_approx_distinct is the drop-in. */
+  private val qProfileColumns = Q(
+    "q_profile_columns",
+    (s, dir) => {
+      val l = table(s, dir, "lineitem")
+      val cols = Seq("l_returnflag", "l_linestatus", "l_suppkey",
+        "l_quantity", "l_shipdate")
+      cols.map { c =>
+        l.select(col(c))
+          .agg(count(lit(1)).as("n_rows"),
+            count(col(c)).as("n_nonnull"),
+            countDistinct(col(c)).as("n_distinct"),
+            min(col(c)).cast("string").as("min_v"),
+            max(col(c)).cast("string").as("max_v"))
+          .select(lit(c).as("column_name"), col("n_rows"),
+            (col("n_rows") - col("n_nonnull")).as("n_null"),
+            col("n_distinct"), col("min_v"), col("max_v"))
+      }.reduce(_ unionByName _).orderBy("column_name")
+    },
+    Some(Seq("l_returnflag", "l_linestatus", "l_suppkey",
+        "l_quantity", "l_shipdate").map { c =>
+      s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+            count(*) - count($c) AS n_null,
+            count(DISTINCT $c) AS n_distinct,
+            CAST(min($c) AS VARCHAR) AS min_v,
+            CAST(max($c) AS VARCHAR) AS max_v
+          FROM lineitem"""
+    }.mkString("", " UNION ALL ", " ORDER BY column_name")))
+
   override val queries: Seq[Q] = Seq(
     qTextRepetition, qSplitAssign, qMixWeighted, qSamplePerGroup,
-    qPackSequences, qLinesDedup)
+    qPackSequences, qLinesDedup, qProfileColumns)
 }
