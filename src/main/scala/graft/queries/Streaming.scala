@@ -90,7 +90,48 @@ object Streaming extends QueryGroup {
              AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 7 DAY
             ORDER BY p.user_id, purchase_id, s_ts"""))
 
+  /** A LIVE structured stream under the driver gate: the events table is
+    * drip-fed through a parquet file source in three landed drops (the
+    * production shape — a directory accumulating files, each drop a
+    * micro-batch), the tumbling aggregation runs in complete mode into a
+    * memory sink, and the CONVERGED sink table is what the oracle
+    * hash-checks. Complete-mode aggregation makes the final state
+    * independent of how rows were chunked into micro-batches, so the
+    * result is deterministic even though the execution is genuinely
+    * incremental. (The other q_stream_* entries gate the shared transform
+    * logic through batch execution; this one gates the streaming RUNTIME
+    * path — source discovery, micro-batching, state store.) */
+  private val qStreamLive = Q(
+    "q_stream_live",
+    (s, dir) => {
+      val events = table(s, dir, "events")
+      val root = java.nio.file.Files.createTempDirectory("graft_stream_live")
+      val srcDir = root.resolve("src")
+      java.nio.file.Files.createDirectories(srcDir)
+      // stage the three drops up front (3 part files), land them one by one
+      val staged = root.resolve("staged").toString
+      events.repartition(3).write.mode("overwrite").parquet(staged)
+      val drops = new java.io.File(staged).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val q = EventStreams.tumbling(
+          s.readStream.schema(events.schema).parquet(srcDir.toString))
+        .writeStream.format("memory").queryName("graft_stream_live_sink")
+        .outputMode("complete").start()
+      try {
+        drops.zipWithIndex.foreach { case (f, i) =>
+          java.nio.file.Files.move(f.toPath, srcDir.resolve(s"drop_$i.parquet"))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table("graft_stream_live_sink").orderBy(col("ws"), col("event_type"))
+    },
+    Some(s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws,
+               date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS we,
+               event_type, count(*) AS n,
+               ${moneySumSql("value")} AS value_sum
+             FROM events GROUP BY 1, 2, 3 ORDER BY ws, event_type"""))
+
   override val queries: Seq[Q] = Seq(
     qStreamTumbling, qStreamSliding, qStreamSession, qStreamStateful,
-    qStreamJoin)
+    qStreamJoin, qStreamLive)
 }
