@@ -301,6 +301,46 @@ object Training extends QueryGroup {
                CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
              FROM h GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Overlapping document chunking (the embedding-prep step: fixed
+    * 64-token windows at stride 48, so consecutive chunks share 16
+    * tokens of context). Chunk boundaries and ids are pure arithmetic on
+    * token positions; each chunk carries its token count and content
+    * hash. Explode is linear in corpus tokens — per-row fan-out is
+    * ceil(len/stride), no shuffle until the output sort. */
+  private val qChunkDocs = Q(
+    "q_chunk_docs",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      table(s, dir, "documents")
+        .withColumn("tl", split(lower(col("text")), " "))
+        .withColumn("n", size(col("tl")))
+        .select(col("doc_id"), col("tl"),
+          explode(sequence(lit(0), floor((col("n") - 1) / 48).cast("int")))
+            .as("chunk_id"))
+        .withColumn("chunk", slice(col("tl"), col("chunk_id") * 48 + 1, lit(64)))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("chunk")).cast("long").as("n_chunk_tokens"),
+          graft.functions.GraftFunctions.charHashNative(
+            concat_ws(" ", col("chunk"))).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_id")
+    },
+    Some(s"""WITH t AS (
+               SELECT doc_id, string_split(lower(text), ' ') AS tl,
+                 len(string_split(lower(text), ' ')) AS n
+               FROM documents),
+             c AS (
+               SELECT doc_id, tl,
+                 unnest(generate_series(0,
+                   CAST(floor((n - 1) / 48) AS INT))) AS chunk_id
+               FROM t)
+             SELECT doc_id, chunk_id,
+               CAST(len(tl[chunk_id*48+1 : chunk_id*48+64]) AS BIGINT)
+                 AS n_chunk_tokens,
+               ${charHashSql(
+                 "list_aggregate(tl[chunk_id*48+1 : chunk_id*48+64], 'string_agg', ' ')")}
+                 AS chunk_hash
+             FROM c ORDER BY doc_id, chunk_id"""))
+
   // -- data profiling ----------------------------------------------------
 
   /** Column-level profile (the data-governance pass a corpus gets before
@@ -344,5 +384,5 @@ object Training extends QueryGroup {
 
   override val queries: Seq[Q] = Seq(
     qTextRepetition, qSplitAssign, qMixWeighted, qSamplePerGroup,
-    qPackSequences, qLinesDedup, qProfileColumns)
+    qPackSequences, qLinesDedup, qProfileColumns, qChunkDocs)
 }
