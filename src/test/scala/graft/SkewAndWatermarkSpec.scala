@@ -23,6 +23,37 @@ class SkewAndWatermarkSpec extends AnyFunSuite with SparkSessionFixture {
     assert(plain.nonEmpty)
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    // One key owns ~90% of the left side — the shape where a static plan
+    // puts the whole hot key in one task. With skew-join thresholds sized
+    // for the test data, AQE's final plan must mark the sort-merge join
+    // as skew-handled (the hot partition split into advisory-sized
+    // sub-partitions), and the result must equal the plain join.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "50KB")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val left = s2.range(0, 300000).select(
+      when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id") % 1000).as("k"),
+      col("id").as("v"))
+    val right = s2.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("w"))
+    val joined = left.join(right, "k")
+    // collect() executes THIS DataFrame's QueryExecution, so the
+    // AdaptiveSparkPlan below is the final (re-optimized) one; count()
+    // would build and execute a different wrapped plan.
+    val rows = joined.collect()
+    // every left row matches exactly one right key ⇒ count is conserved
+    assert(rows.length === 300000)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("skew=true"),
+      s"AQE did not mark the join skew-handled:\n$plan")
+  }
+
   test("watermark: late rows are dropped, closed windows finalize in append mode") {
     implicit val s = spark
     import s.implicits._
