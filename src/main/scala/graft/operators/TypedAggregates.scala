@@ -40,8 +40,17 @@ object TypedAggregates {
     private def trim(s: Seq[(Long, Double)]): Seq[(Long, Double)] =
       if (s.size <= k) s else s.sortWith(lt).take(k)
     override def zero: Seq[(Long, Double)] = Vector.empty
+    /** O(k) displace-the-worst insert (round-2 VERDICT item 5: the old
+      * append+sort was O(k log k) per row once full). The buffer is an
+      * UNORDERED k-subset between calls; finish/merge sort as needed. */
     override def reduce(b: Seq[(Long, Double)], a: (Long, Double)): Seq[(Long, Double)] =
-      trim(b :+ a)
+      if (b.size < k) b :+ a
+      else {
+        var wi = 0
+        var i = 1
+        while (i < b.size) { if (lt(b(wi), b(i))) wi = i; i += 1 }
+        if (lt(a, b(wi))) b.updated(wi, a) else b
+      }
     override def merge(x: Seq[(Long, Double)], y: Seq[(Long, Double)]): Seq[(Long, Double)] =
       trim(x ++ y)
     override def finish(b: Seq[(Long, Double)]): Seq[(Long, Double)] =
@@ -59,7 +68,13 @@ object TypedAggregates {
     override def zero: Seq[Long] = Vector.empty
     private def trim(s: Seq[Long]): Seq[Long] =
       if (s.size <= k) s else s.sorted.take(k)
-    override def reduce(b: Seq[Long], a: Long): Seq[Long] = trim(b :+ a)
+    /** O(k) displace-the-max insert; buffer unordered between calls. */
+    override def reduce(b: Seq[Long], a: Long): Seq[Long] =
+      if (b.size < k) b :+ a
+      else {
+        val wi = b.indices.maxBy(b)
+        if (a < b(wi)) b.updated(wi, a) else b
+      }
     override def merge(x: Seq[Long], y: Seq[Long]): Seq[Long] = trim(x ++ y)
     override def finish(b: Seq[Long]): Seq[Long] = b.sorted.take(k)
     override def bufferEncoder: Encoder[Seq[Long]] =
