@@ -14,7 +14,14 @@ import graft.streaming.EventStreams.EventU
   * reference's distributed-vs-naive property (test/Generator.hs:83-92),
   * with the batch engine as the oracle.
   */
+object StreamingSpec {
+  /** Typed document row for the streaming-cleaning differential. */
+  final case class Doc(doc_id: Long, text: String, lang: String,
+      source: String, n_chars: Long)
+}
+
 class StreamingSpec extends AnyFunSuite with SparkSessionFixture {
+  import StreamingSpec.Doc
 
   private lazy val eventsBatch: DataFrame =
     graft.core.Graft.table(spark, "/root/testdata/sf0.001", "events")
@@ -152,6 +159,61 @@ class StreamingSpec extends AnyFunSuite with SparkSessionFixture {
       "append", "t_dedup")
     val exp = eventsBatch.select(col("user_id"), col("event_type")).distinct()
     assert(sortedRows(got) == sortedRows(exp))
+  }
+
+  test("streaming corpus cleaning: quality gate + exact dedup == batch keeper set") {
+    // The front half of q_llm_clean_pipeline as an INCREMENTAL job: new
+    // documents stream in, the quality gate filters, dropDuplicates on
+    // the content hash admits each content exactly once (first arrival).
+    // Fed in doc_id order, first-arrival == the batch min-doc_id keeper,
+    // so the accumulated append sink must equal the batch keeper set —
+    // corpus ingestion as a continuous pipeline rather than a re-run.
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docsBatch = graft.core.Graft
+      .table(spark, "/root/testdata/sf0.001", "documents")
+    // duplicate injection (as in q_dedup_exact) so dedup has work to do
+    val dup = docsBatch.orderBy("doc_id").limit(50)
+      .withColumn("doc_id", col("doc_id") + 100000)
+    val corpus = docsBatch.unionByName(dup)
+    val rows = corpus.selectExpr("doc_id", "text", "lang", "source", "n_chars")
+      .as[Doc].collect().sortBy(_.doc_id)
+
+    def clean(df: org.apache.spark.sql.DataFrame) = {
+      val toks = split(lower(col("text")), " ")
+      val meanLen = aggregate(transform(toks, t => length(t).cast("long")),
+        lit(0L), (a, x) => a + x).cast("double") / size(toks)
+      df.withColumn("n_tokens", size(toks).cast("long"))
+        .withColumn("mean_token_len", meanLen)
+        .filter(col("n_tokens") >= 5 && col("n_tokens") <= 10000 &&
+          col("mean_token_len") >= 2.0 && col("mean_token_len") <= 12.0)
+        .withColumn("content_hash", md5(col("text")))
+    }
+
+    val mem = MemoryStream[Doc]
+    val q = clean(mem.toDF())
+      .dropDuplicates("content_hash")
+      .select("doc_id")
+      .writeStream.format("memory").queryName("t_clean_stream")
+      .outputMode("append").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 4)).foreach { chunk =>
+        mem.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val wDup = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("content_hash")).orderBy(col("doc_id"))
+    val expected = clean(corpus)
+      .withColumn("rn", row_number().over(wDup))
+      .filter(col("rn") === 1)
+      .select("doc_id")
+    val got = spark.table("t_clean_stream")
+    assert(sortedRows(got) == sortedRows(expected))
+    // and the injected duplicates were all rejected
+    assert(got.filter(col("doc_id") >= 100000).count() === 0)
   }
 
   test("bounded-state streaming dedup: dropDuplicatesWithinWatermark == batch distinct") {
