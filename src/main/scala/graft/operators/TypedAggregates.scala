@@ -61,6 +61,36 @@ object TypedAggregates {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Double)]]()
   }
 
+  /** Bounded k-smallest (id, value) pairs by value ASC then id ASC —
+    * the deterministic-sampling shape (k smallest hashes per group) with
+    * O(k) state and map-side combining; the skew-immune replacement for
+    * `row_number() OVER (PARTITION BY group ORDER BY hash) <= k`. */
+  final case class TopKPairsByValueAsc(k: Int)
+      extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
+    private def lt(a: (Long, Long), b: (Long, Long)): Boolean =
+      a._2 < b._2 || (a._2 == b._2 && a._1 < b._1)
+    private def trim(s: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      if (s.size <= k) s else s.sortWith(lt).take(k)
+    override def zero: Seq[(Long, Long)] = Vector.empty
+    /** O(k) displace-the-worst insert; buffer unordered between calls. */
+    override def reduce(b: Seq[(Long, Long)], a: (Long, Long)): Seq[(Long, Long)] =
+      if (b.size < k) b :+ a
+      else {
+        var wi = 0
+        var i = 1
+        while (i < b.size) { if (lt(b(wi), b(i))) wi = i; i += 1 }
+        if (lt(a, b(wi))) b.updated(wi, a) else b
+      }
+    override def merge(x: Seq[(Long, Long)], y: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      trim(x ++ y)
+    override def finish(b: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      b.sortWith(lt).take(k)
+    override def bufferEncoder: Encoder[Seq[(Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
+    override def outputEncoder: Encoder[Seq[(Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
+  }
+
   /** Bounded top-k smallest (k, sorted ascending) over longs — a
     * TypedImperative-style bounded buffer: memory O(k) per group
     * regardless of group size, so it scales to arbitrarily hot keys. */

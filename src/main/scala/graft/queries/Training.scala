@@ -175,20 +175,26 @@ object Training extends QueryGroup {
     * pure function of the corpus, stable under growth except for genuine
     * displacements).
     *
-    * Scale shape: the per-group window is bounded by group cardinality;
-    * for few giant groups the two-phase bounded-heap aggregate
-    * (operators/TypedAggregates, q_agg_topk_typed) is the drop-in: same
-    * semantics, O(k) state per group, no per-group single-task scan. */
+    * Scale shape: a bounded-heap Aggregator (O(k) state, map-side
+    * combining), NOT a per-group window — `lang` has 5 values, so a
+    * `row_number() OVER (PARTITION BY lang ...)` would scan each
+    * language's whole corpus in one task; the aggregator's partial
+    * buffers keep parallelism at the input partition count. */
   private val qSamplePerGroup = Q(
     "q_sample_pergroup",
     (s, dir) => {
-      val w = Window.partitionBy(col("lang"))
-        .orderBy(col("h"), col("doc_id"))
+      val topk = udaf(
+        graft.operators.TypedAggregates.TopKPairsByValueAsc(20),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong))
       table(s, dir, "documents")
         .withColumn("h", docHash(col("doc_id")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 20)
-        .select(col("lang"), col("rk"), col("doc_id"), col("h"))
+        .groupBy(col("lang"))
+        .agg(topk(col("doc_id"), col("h")).as("sample"))
+        .select(col("lang"), posexplode(col("sample")).as(Seq("pos", "kv")))
+        .select(col("lang"), (col("pos") + 1).cast("int").as("rk"),
+          col("kv._1").as("doc_id"), col("kv._2").as("h"))
         .orderBy("lang", "rk")
     },
     Some(s"""SELECT lang, rk, doc_id, h FROM (
