@@ -210,22 +210,40 @@ object Training extends QueryGroup {
     * documents are laid out in id order into a contiguous token stream
     * and chunked into 2048-token packs; a document belongs to the pack
     * its first token lands in. This is the standard LM pretraining
-    * packing layout, as pure column arithmetic: one running sum per
-    * source (window), one aggregation per pack.
+    * packing layout, as pure column arithmetic.
     *
-    * Scale shape: the running sum partitions by source — at 100 TB the
-    * stream would instead be range-partitioned on (source, doc_id) and
-    * the per-partition offsets lifted by a tiny per-partition-totals
-    * broadcast (two passes, no single-task scan); the pack arithmetic is
-    * unchanged. */
+    * Scale shape: the running sum is NOT one window per source (a
+    * 20-source corpus would put each source's whole stream in one task).
+    * It uses the same deterministic range-salt stitching as
+    * q_window_rownum_salted: each source's id range splits into NB
+    * order-preserving buckets from its broadcast [min, max] bounds,
+    * running sums are computed per (source, bucket) in parallel, and
+    * bucket token-totals (a ≤ sources·NB row table) lift them by a
+    * running offset — two passes, no single-task scan, no sampling. */
   private val qPackSequences = Q(
     "q_pack_sequences",
     (s, dir) => {
-      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      table(s, dir, "documents")
+      val NB = 16
+      val d = table(s, dir, "documents")
         .withColumn("tok", ceil(col("n_chars") / 4.0).cast("long"))
-        .withColumn("start_off", coalesce(sum(col("tok")).over(w), lit(0L)))
+      val bounds = d.groupBy("source")
+        .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      val b = d.join(broadcast(bounds), "source")
+        .withColumn("bkt",
+          expr(s"((doc_id - mn) * $NB) div (mx - mn + 1)").cast("int"))
+      val wLocal = Window.partitionBy(col("source"), col("bkt"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val local = b.withColumn("local_off",
+        coalesce(sum(col("tok")).over(wLocal), lit(0L)))
+      val totals = local.groupBy("source", "bkt").agg(sum("tok").as("t"))
+      val wOff = Window.partitionBy(col("source")).orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = totals
+        .withColumn("off", coalesce(sum("t").over(wOff), lit(0L)))
+        .select("source", "bkt", "off")
+      local.join(broadcast(offs), Seq("source", "bkt"))
+        .withColumn("start_off", col("off") + col("local_off"))
         .withColumn("pack_id", floor(col("start_off") / 2048).cast("long"))
         .groupBy("source", "pack_id")
         .agg(count(lit(1)).as("n_docs"),

@@ -67,17 +67,31 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkSessionFixture {
     assert(joined.count() === expected)
   }
 
-  test("training ops: pruned scans and no redundant exchanges") {
-    // q_pack_sequences: 3-column scan; exactly one data exchange (the
-    // per-source window) before the final output sort — the (source,
-    // pack_id) aggregation must reuse the window's partitioning.
-    val pack = SparkEntry.queries("q_pack_sequences")(spark, dir)
-    val packPlan = pack.queryExecution.executedPlan.toString
+  test("training ops: pruned scans; pack running sums are salted") {
+    // q_pack_sequences: 3-column scan, and every window over raw document
+    // rows must carry the range salt in its partition spec (source alone
+    // would put a whole source's stream in one task) — the offset window
+    // runs over the tiny (source, bucket) totals table only.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val pack = SparkEntry.queries("q_pack_sequences")(s2, dir)
+    val packExec = pack.queryExecution.executedPlan
+    val packPlan = packExec.toString
     assert(packPlan.contains(
       "ReadSchema: struct<doc_id:bigint,source:string,n_chars:bigint>"),
       s"pack scan not pruned:\n$packPlan")
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(packPlan).size
-    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$packPlan")
+    val windows = packExec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      val onAggregated = w.child.collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+      }.nonEmpty
+      assert(onAggregated || w.partitionSpec.size >= 2,
+        s"unsalted running-sum window over raw rows:\n$w")
+    }
 
     // q_split_assign: the id/lang/n_chars projection must prune `text`
     // (reading document bodies to assign splits would be a 100 TB bug)
