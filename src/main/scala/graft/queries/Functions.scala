@@ -341,6 +341,10 @@ object Functions extends QueryGroup {
           count(lit(1)).as("n_rows"))
       val exact = l.groupBy(col("l_returnflag"), col("l_suppkey"))
         .agg(count(lit(1)).as("n_exact"))
+      // 3-value partition key is safe HERE because the window input is
+      // the aggregated (flag, suppkey) count table — bounded by the key
+      // domain, not the corpus; for an unbounded key domain the bounded
+      // top-k Aggregator (q_window_topk / q_sample_pergroup) is the form.
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("l_returnflag"))
         .orderBy(col("n_exact").desc, col("l_suppkey"))
