@@ -96,4 +96,42 @@ class KernelPropertySpec extends AnyFunSuite {
       }
     })
   }
+
+  test("tokStats: naive count/charsum/stop-hit recomputation") {
+    val genTok = Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.const('ß')))
+      .map(_.mkString)
+    check(Prop.forAll(Gen.listOf(genTok), Gen.listOf(genTok)) { (toks, stops) =>
+      import org.apache.spark.sql.catalyst.util.ArrayData
+      val row = VecOps.tokStats(
+        ArrayData.toArrayData(toks.map(UTF8String.fromString).toArray[Any]),
+        ArrayData.toArrayData(stops.map(UTF8String.fromString).toArray[Any]))
+      row.getLong(0) == toks.size.toLong &&
+        row.getLong(1) == toks.map(t => t.codePointCount(0, t.length).toLong).sum &&
+        row.getLong(2) == toks.count(stops.contains).toLong
+    })
+  }
+
+  /** Bounded-heap aggregators: any interleaving of O(k) displace-inserts
+    * and merges must equal sort-take-k of the full input (the top-k
+    * identity that makes partial aggregation correct). */
+  test("TopKPairsByValueAsc / TopKByValueDesc: fold+merge == global sort.take(k)") {
+    import graft.operators.TypedAggregates.{TopKByValueDesc, TopKPairsByValueAsc}
+    val genPairs = Gen.listOf(Gen.zip(Gen.choose(0L, 50L), Gen.choose(0L, 20L)))
+    check(Prop.forAll(genPairs, Gen.choose(1, 8), Gen.choose(1, 5)) { (xs, k, nChunks) =>
+      val asc = TopKPairsByValueAsc(k)
+      val merged = xs.grouped(math.max(1, xs.size / nChunks))
+        .map(_.foldLeft(asc.zero)(asc.reduce))
+        .foldLeft(asc.zero)(asc.merge)
+      val expAsc = xs.sortBy(p => (p._2, p._1)).take(k)
+      val gotAsc = asc.finish(merged)
+
+      val desc = TopKByValueDesc(k)
+      val xsD = xs.map { case (id, v) => (id, v.toDouble) }
+      val mergedD = xsD.grouped(math.max(1, xsD.size / nChunks))
+        .map(_.foldLeft(desc.zero)(desc.reduce))
+        .foldLeft(desc.zero)(desc.merge)
+      val expDesc = xsD.sortBy(p => (-p._2, p._1)).take(k)
+      gotAsc == expAsc && desc.finish(mergedD) == expDesc
+    })
+  }
 }
