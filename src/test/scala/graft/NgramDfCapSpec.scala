@@ -38,4 +38,18 @@ class NgramDfCapSpec extends AnyFunSuite with SparkSessionFixture {
     val j = out.head.getDouble(out.head.fieldIndex("jaccard"))
     assert(math.abs(j - 0.2) < 1e-12)
   }
+
+  test("spark.graft.ngram.dfCap raises the cap at runtime (advisor item: config path)") {
+    val hotDocs = (0L until 6L).map(i => i -> s"hot gram u${i}a u${i}b")
+    val dir = writeDocs(hotDocs)
+    try {
+      // cap above the hot gram's df=6: the 15 hot pairs reappear
+      spark.conf.set("spark.graft.ngram.dfCap", "100")
+      val relaxed = SparkEntry.queries("q_dedup_ngram")(spark, dir).collect()
+      assert(relaxed.length === 15,
+        s"expected C(6,2)=15 hot pairs with the cap raised, got ${relaxed.length}")
+    } finally spark.conf.unset("spark.graft.ngram.dfCap")
+    val strict = SparkEntry.queries("q_dedup_ngram")(spark, dir).collect()
+    assert(strict.isEmpty, "default cap must drop the hot-gram-only pairs again")
+  }
 }
