@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.core.Graft._
 import graft.operators.{AsOfRangeJoins, TypedAggregates}
+import graft.operators.PortableHash.{charHashSql, minhashSigSql, P}
 
 /** Range/as-of joins and typed custom aggregates (SURVEY §2.2 Joins +
   * UDAF surface; §7.4 multi-output reducers). */
@@ -236,6 +237,68 @@ object Advanced extends QueryGroup {
               AND l_discount BETWEEN 0.05 AND 0.07
               AND l_quantity < 24"""))
 
+  /** Auto-nativization under the driver gate: a SQL user writes the
+    * PORTABLE COMPOSED forms (the exact HOF shapes the DuckDB twins use —
+    * rolling charhash per token, trigram fold, minhash permutations) and
+    * the optimizer rules (plans/NativizeHash) swap in the codegen
+    * kernels after probe-verified semantic equality. The oracle
+    * recomputes the same composed forms in DuckDB, so a rewrite that
+    * changed ANY value would hash-fail — the rule is gated end-to-end,
+    * not just unit-tested. The 16-wide signature is folded to one digest
+    * so the compared column is scalar. */
+  private val qSqlAutoNative = Q(
+    "q_sql_auto_native",
+    (s, dir) => {
+      graft.plans.NativizeCharHash.register(s)
+      graft.plans.NativizeHashKernels.register(s)
+      table(s, dir, "documents").createOrReplaceTempView("documents_an")
+      s.sql(s"""
+        WITH t AS (
+          SELECT doc_id, split(lower(text), ' ') AS tl FROM documents_an
+          WHERE size(split(lower(text), ' ')) >= 3),
+        h AS (
+          SELECT doc_id,
+            transform(tl, x -> aggregate(
+              transform(split(x, ''), c -> CAST(ascii(c) AS BIGINT)),
+              0L, (h, c) -> (h * 131L + c) % ${P}L)) AS th
+          FROM t),
+        g AS (
+          SELECT doc_id,
+            array_distinct(transform(sequence(1, size(th) - 2),
+              i -> ((element_at(th, i) * 131L + element_at(th, i + 1)) % ${P}L
+                     * 131L + element_at(th, i + 2)) % ${P}L)) AS hs
+          FROM h),
+        sg AS (
+          SELECT doc_id,
+            transform(sequence(0, 15),
+              i -> array_min(transform(hs,
+                t -> ((2L * CAST(i AS BIGINT) + 1L) * t +
+                      7919L * CAST(i AS BIGINT) + 1L) % ${P}L))) AS sig
+          FROM g)
+        SELECT doc_id,
+          aggregate(sig, 0L, (a, x) -> (a * 131L + x) % ${P}L) AS sig_digest
+        FROM sg ORDER BY doc_id""")
+    },
+    Some(s"""WITH t AS (
+               SELECT doc_id, string_split(lower(text), ' ') AS tl
+               FROM documents
+               WHERE len(string_split(lower(text), ' ')) >= 3),
+             h AS (
+               SELECT doc_id,
+                 list_transform(tl, x -> ${charHashSql("x")}) AS th
+               FROM t),
+             g AS (
+               SELECT doc_id,
+                 list_distinct(list_transform(generate_series(1, len(th) - 2),
+                   i -> ((th[i] * 131 + th[i+1]) % $P * 131 + th[i+2]) % $P)) AS hs
+               FROM h),
+             sg AS (
+               SELECT doc_id, ${minhashSigSql("hs", 16)} AS sig FROM g)
+             SELECT doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT), sig),
+                 (a, x) -> (a * 131 + x) % $P) AS sig_digest
+             FROM sg ORDER BY doc_id"""))
+
   /** Scalar-subquery shape: customers above the global mean balance. The
     * single-row aggregate is broadcast — the standard uncorrelated-scalar
     * plan at any scale. Mean computed via fixed4 for bit-determinism. */
@@ -259,7 +322,7 @@ object Advanced extends QueryGroup {
   override val queries: Seq[Q] = Seq(
     qJoinRange, qJoinAsof, qJoinAsofNative, qJoinSalted, qTypedJoinWith,
     qAggTypedWavg, qAggTopkTyped, qAggFlatMapGroups, qAggPivot, qSqlEntry,
-    qSubqueryScalar)
+    qSqlAutoNative, qSubqueryScalar)
 
   case class Nation(n_nationkey: Int, n_name: String, n_regionkey: Int)
   case class Region(r_regionkey: Int, r_name: String)

@@ -121,6 +121,20 @@ class NativizeHashSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
+  test("q_sql_auto_native's plan actually runs the kernels, not the composed lambdas") {
+    withRule {
+      val df = SparkEntry.queries("q_sql_auto_native")(
+        spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.optimizedPlan
+      val kernels = plan.flatMap(_.expressions).flatMap(_.collect {
+        case e: GramHashesExpression => e: Any
+        case e: MinHashSigExpression => e: Any
+      })
+      assert(kernels.nonEmpty,
+        s"the gated SQL ran composed lambdas — rule did not fire:\n$plan")
+    }
+  }
+
   test("composed gramHashes with a different combine multiplier is untouched") {
     withRule {
       val tl = split(lower(col("text")), " ")
