@@ -365,6 +365,32 @@ object Training extends QueryGroup {
                  AS chunk_hash
              FROM c ORDER BY doc_id, chunk_id"""))
 
+  /** Keep-latest compaction (the upsert/CDC half of dedup: exact dedup
+    * keeps the FIRST copy of identical content, this keeps the NEWEST
+    * version per key): latest event per user by (ts, event_id).
+    *
+    * Scale shape: `max_by` with a struct ordering is a declarative
+    * aggregate — partial per-partition maxima merge map-side, so one
+    * shuffle of one row per key, never a per-key window scan or a
+    * whole-row sort. */
+  private val qDedupLatest = Q(
+    "q_dedup_latest",
+    (s, dir) => table(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("event_id"), col("ts"), col("value")),
+        struct(col("ts"), col("event_id"))).as("r"))
+      .select(col("user_id"), col("r.event_id").as("event_id"),
+        col("r.ts").as("ts"), col("r.value").as("value"))
+      .orderBy("user_id"),
+    Some("""SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+            FROM (
+              SELECT user_id, event_id, ts, value,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) t
+            WHERE rn = 1 ORDER BY user_id"""))
+
   // -- data profiling ----------------------------------------------------
 
   /** Column-level profile (the data-governance pass a corpus gets before
@@ -408,5 +434,5 @@ object Training extends QueryGroup {
 
   override val queries: Seq[Q] = Seq(
     qTextRepetition, qSplitAssign, qMixWeighted, qSamplePerGroup,
-    qPackSequences, qLinesDedup, qProfileColumns, qChunkDocs)
+    qPackSequences, qLinesDedup, qProfileColumns, qChunkDocs, qDedupLatest)
 }
