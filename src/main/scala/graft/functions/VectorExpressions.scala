@@ -149,10 +149,16 @@ object VecOps {
 
   /** K-wide minhash signature: m_i = min over hashes of
     * ((2i+1)·h + 7919·i + 1) % P — PortableHash.perm/minhashSig as one
-    * loop. Null on an empty hash set (oracle's list_min(empty) is NULL). */
+    * loop. Null SLOTS are skipped, matching array_min / DuckDB list_min
+    * over the permuted array (perm(null) is null, and both mins ignore
+    * nulls); null RESULT when no non-null element remains (the oracle's
+    * list_min over an empty/all-null list is NULL). */
   def minhashSig(hashes: ArrayData, k: Int): ArrayData = {
     val n = hashes.numElements()
-    if (n == 0) return null
+    var valid = 0
+    var j0 = 0
+    while (j0 < n) { if (!hashes.isNullAt(j0)) valid += 1; j0 += 1 }
+    if (valid == 0) return null
     val out = new Array[Long](k)
     var i = 0
     while (i < k) {
@@ -161,8 +167,10 @@ object VecOps {
       var m = Long.MaxValue
       var j = 0
       while (j < n) {
-        val v = (a * hashes.getLong(j) + b) % P
-        if (v < m) m = v
+        if (!hashes.isNullAt(j)) {
+          val v = (a * hashes.getLong(j) + b) % P
+          if (v < m) m = v
+        }
         j += 1
       }
       out(i) = m
@@ -179,7 +187,13 @@ object VecOps {
     * codepoint semantics as `functions.length` and DuckDB `length()`, so
     * oracle parity is unchanged. Membership is a linear probe over the
     * stopword list (10 entries in practice) with UTF8String equality —
-    * byte-wise, same as array_contains on strings. */
+    * byte-wise, same as array_contains on strings.
+    *
+    * A null TOKEN element yields a NULL result (the composed forms this
+    * replaces would null out char_sum through the aggregate anyway, and a
+    * partial struct would be silently wrong); split() never produces
+    * nulls, so internal callers are unaffected — this guards the
+    * SQL-registry path. */
   def tokStats(tokens: ArrayData, stops: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
     val n = tokens.numElements()
     val ns = stops.numElements()
@@ -187,6 +201,7 @@ object VecOps {
     var hits = 0L
     var i = 0
     while (i < n) {
+      if (tokens.isNullAt(i)) return null
       val t = tokens.getUTF8String(i)
       chars += t.numChars().toLong
       var j = 0
@@ -378,12 +393,16 @@ case class TokStatsExpression(left: Expression, right: Expression)
     StructField("token_count", LongType, nullable = false),
     StructField("char_sum", LongType, nullable = false),
     StructField("stop_hits", LongType, nullable = false)))
+  override def nullable: Boolean = true // null token element -> null result
   override def prettyName: String = "graft_tokstats"
   override protected def nullSafeEval(t: Any, s: Any): Any =
     VecOps.tokStats(t.asInstanceOf[ArrayData], s.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (t, s) =>
-      s"${ev.value} = graft.functions.VecOps.tokStats($t, $s);")
+      s"""
+        ${ev.value} = graft.functions.VecOps.tokStats($t, $s);
+        ${ev.isNull} = ${ev.value} == null;
+      """)
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): TokStatsExpression = copy(left = l, right = r)
 }

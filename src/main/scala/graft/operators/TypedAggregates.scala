@@ -35,6 +35,7 @@ object TypedAggregates {
     * `row_number() OVER (PARTITION BY lowCardKey ...) <= k`. */
   final case class TopKByValueDesc(k: Int)
       extends Aggregator[(Long, Double), Seq[(Long, Double)], Seq[(Long, Double)]] {
+    require(k > 0, s"top-k needs k > 0, got $k")
     private def lt(a: (Long, Double), b: (Long, Double)): Boolean =
       a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
     private def trim(s: Seq[(Long, Double)]): Seq[(Long, Double)] =
@@ -67,6 +68,7 @@ object TypedAggregates {
     * `row_number() OVER (PARTITION BY group ORDER BY hash) <= k`. */
   final case class TopKPairsByValueAsc(k: Int)
       extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
+    require(k > 0, s"top-k needs k > 0, got $k")
     private def lt(a: (Long, Long), b: (Long, Long)): Boolean =
       a._2 < b._2 || (a._2 == b._2 && a._1 < b._1)
     private def trim(s: Seq[(Long, Long)]): Seq[(Long, Long)] =
@@ -95,6 +97,7 @@ object TypedAggregates {
     * TypedImperative-style bounded buffer: memory O(k) per group
     * regardless of group size, so it scales to arbitrarily hot keys. */
   final case class TopK(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+    require(k > 0, s"top-k needs k > 0, got $k")
     override def zero: Seq[Long] = Vector.empty
     private def trim(s: Seq[Long]): Seq[Long] =
       if (s.size <= k) s else s.sorted.take(k)

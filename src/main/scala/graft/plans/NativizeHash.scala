@@ -71,10 +71,15 @@ object NativizeCharHash {
   * untouched.
   *
   * Null/edge contracts:
-  *   - minhashSig: the composed form yields `[null × k]` on an empty hash
-  *     set while the kernel yields NULL, so the rewrite guards with
-  *     `if(size(h)=0, [null × k], kernel)` — verified by an empty probe,
-  *     bit-identical on every input.
+  *   - minhashSig: exact on EVERY input — the kernel skips null slots
+  *     exactly like array_min, and the `[null × k]` cases (NULL input,
+  *     empty or all-null set) collapse to a literal via If + Coalesce;
+  *     verified by empty AND mixed-null probes.
+  *   - gramHashes: token arrays are only accepted when provably free of
+  *     null ELEMENTS (containsNull=false, or a split() constructor,
+  *     which types containsNull=true but never emits null) — a null
+  *     token would null-propagate through the composed fold into the
+  *     output array, which the kernel's non-null output can't represent.
   *   - gramHashes: on fewer than n tokens the composed Spark form errors
   *     (sequence(1, size-(n-1)) runs DESCENDING when start > stop, then
   *     element_at(th, 0) is an invalid index), while the DuckDB twin's
@@ -157,7 +162,18 @@ class NativizeHashKernels extends Rule[LogicalPlan] {
         ad.numElements() == k && (0 until k).forall(ad.isNullAt)
       case _ => false
     }
-    nonEmpty && empty
+    // mixed-null slots: composed array_min skips them; the kernel must too
+    val mixed = evalWith(whole, input,
+      Literal.create(Seq[Any](5L, null, 999999999L),
+        ArrayType(LongType, containsNull = true))) match {
+      case Some(ad: ArrayData) =>
+        val want = VecOps.minhashSig(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            Array[Any](5L, null, 999999999L)), k)
+        sameLongs(ad, want)
+      case _ => false
+    }
+    nonEmpty && empty && mixed
   }
 
   private def semanticallyGram(whole: Expression, input: Expression, n: Int): Boolean =
@@ -181,6 +197,24 @@ class NativizeHashKernels extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  // INPUT arrays must be provably free of null ELEMENTS: the kernels read
+  // slots with getLong/getUTF8String, while the composed HOF forms
+  // null-propagate per element (array_min skips nulls, folds null out) —
+  // and probe verification can't catch that divergence because probes are
+  // non-null. containsNull=false proves it by type; split() types its
+  // output containsNull=true but never actually emits null elements, so
+  // it (over any non-null-producing child) is accepted by constructor.
+  // Top-level NULL input is a separate case, handled by the rewrite
+  // guards below.
+  private def nullFreeElements(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, false) => true
+    case ArrayType(_, true) => e match {
+      case _: StringSplit => true
+      case _ => false
+    }
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     // minhashSig(hashes, k)
     case t @ ArrayTransform(
@@ -190,15 +224,21 @@ class NativizeHashKernels extends Rule[LogicalPlan] {
           isLongArray(hashes.dataType) &&
           semanticallyMinhash(t, hashes, seqBounds(seqE).get._2 + 1) =>
       val k = seqBounds(seqE).get._2 + 1
-      If(EqualTo(Size(hashes), Literal(0)),
-        Literal.create(Seq.fill[Any](k)(null), ArrayType(LongType, containsNull = true)),
-        MinHashSigExpression(hashes, Literal(k, IntegerType)))
+      // Exact on EVERY input: the kernel skips null slots like array_min
+      // does, and returns NULL when nothing remains (empty or all-null
+      // set) — where the composed form gives [null × k]; a NULL input
+      // gives [null × k] too (array_min(transform(NULL)) per position).
+      // So: null-out cases collapse to the literal via If + Coalesce.
+      val nulls = Literal.create(Seq.fill[Any](k)(null),
+        ArrayType(LongType, containsNull = true))
+      If(IsNull(hashes), nulls,
+        Coalesce(Seq(MinHashSigExpression(hashes, Literal(k, IntegerType)), nulls)))
 
     // gramHashes(tokens, n)
     case d @ ArrayDistinct(ArrayTransform(seqE, _))
         if seqStart(seqE).contains(1) && isLongArray(d.dataType) => {
       val tokenCands = d.collect {
-        case e if isStringArray(e.dataType) => e
+        case e if isStringArray(e.dataType) && nullFreeElements(e) => e
       }.foldLeft(Seq.empty[Expression]) { (acc, e) =>
         if (acc.exists(_.fastEquals(e))) acc else acc :+ e
       }

@@ -207,7 +207,15 @@ object Llm extends QueryGroup {
     * is in Verify/Bench/tests). */
   private val NGRAM_DF_CAP = 3
   private def ngramDfCap(s: SparkSession): Int =
-    s.conf.getOption("spark.graft.ngram.dfCap").map(_.toInt).getOrElse(NGRAM_DF_CAP)
+    s.conf.getOption("spark.graft.ngram.dfCap").map { v =>
+      val cap = try v.trim.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"spark.graft.ngram.dfCap must be a positive integer, got '$v'")
+      }
+      require(cap > 0, s"spark.graft.ngram.dfCap must be > 0, got $cap " +
+        "(a non-positive cap would drop every gram)")
+      cap
+    }.getOrElse(NGRAM_DF_CAP)
 
   /** Exact n-gram (word bigram) Jaccard near-dup within (lang, source)
     * buckets: candidate pairs come from the bucket equi-join over an

@@ -105,7 +105,19 @@ object Streaming extends QueryGroup {
     "q_stream_live",
     (s, dir) => {
       val events = table(s, dir, "events")
-      val root = java.nio.file.Files.createTempDirectory("graft_stream_live")
+      // fixed root, cleaned per invocation — Bench/Verify/sweeps call this
+      // repeatedly and fresh createTempDirectory roots would accumulate a
+      // full events copy per run
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft-stream-live")
+      val rootF = root.toFile
+      if (rootF.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(rootF)
+      }
       val srcDir = root.resolve("src")
       java.nio.file.Files.createDirectories(srcDir)
       // stage the three drops up front (3 part files), land them one by one

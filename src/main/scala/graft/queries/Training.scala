@@ -213,37 +213,18 @@ object Training extends QueryGroup {
     * packing layout, as pure column arithmetic.
     *
     * Scale shape: the running sum is NOT one window per source (a
-    * 20-source corpus would put each source's whole stream in one task).
-    * It uses the same deterministic range-salt stitching as
-    * q_window_rownum_salted: each source's id range splits into NB
-    * order-preserving buckets from its broadcast [min, max] bounds,
-    * running sums are computed per (source, bucket) in parallel, and
-    * bucket token-totals (a ≤ sources·NB row table) lift them by a
-    * running offset — two passes, no single-task scan, no sampling. */
+    * 20-source corpus would put each source's whole stream in one task) —
+    * it is the deterministic range-salt stitching of
+    * [[graft.operators.SaltedPrefix]], shared with q_window_rownum_salted:
+    * per-(source, bucket) sums in parallel, lifted by broadcast bucket
+    * totals — two passes, no single-task scan, no sampling. */
   private val qPackSequences = Q(
     "q_pack_sequences",
     (s, dir) => {
-      val NB = 16
       val d = table(s, dir, "documents")
         .withColumn("tok", ceil(col("n_chars") / 4.0).cast("long"))
-      val bounds = d.groupBy("source")
-        .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
-      val b = d.join(broadcast(bounds), "source")
-        .withColumn("bkt",
-          expr(s"((doc_id - mn) * $NB) div (mx - mn + 1)").cast("int"))
-      val wLocal = Window.partitionBy(col("source"), col("bkt"))
-        .orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val local = b.withColumn("local_off",
-        coalesce(sum(col("tok")).over(wLocal), lit(0L)))
-      val totals = local.groupBy("source", "bkt").agg(sum("tok").as("t"))
-      val wOff = Window.partitionBy(col("source")).orderBy(col("bkt"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offs = totals
-        .withColumn("off", coalesce(sum("t").over(wOff), lit(0L)))
-        .select("source", "bkt", "off")
-      local.join(broadcast(offs), Seq("source", "bkt"))
-        .withColumn("start_off", col("off") + col("local_off"))
+      graft.operators.SaltedPrefix
+        .exclusivePrefixSum(d, "source", "doc_id", col("tok"))
         .withColumn("pack_id", floor(col("start_off") / 2048).cast("long"))
         .groupBy("source", "pack_id")
         .agg(count(lit(1)).as("n_docs"),

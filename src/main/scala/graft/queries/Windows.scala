@@ -298,18 +298,11 @@ object Windows extends QueryGroup {
     * a plain `row_number() OVER (PARTITION BY status ORDER BY key)` puts
     * each value's entire row set into ONE task at any scale: exactly the
     * value-skew residual [[qWindowRank]]'s tie-break documents. The
-    * salted plan removes it deterministically (no sampling):
-    *
-    *   1. one tiny aggregation gets each value's [min, max] key range;
-    *      the RANGE salt b = ((key - min) · NB) div (max - min + 1)
-    *      splits the value's rows into NB ORDER-PRESERVING buckets —
-    *      unlike hash salting, every row of bucket i precedes every row
-    *      of bucket i+1 in key order, which is what makes the per-bucket
-    *      numbers stitchable (and it is a pure function of the data,
-    *      unlike a sampled RangePartitioner);
-    *   2. row_number per (value, bucket) — parallelism = values × NB;
-    *   3. bucket counts → running-sum offsets over the ≤ values·NB
-    *      bucket table (tiny, broadcast back); rn = offset + local rn.
+    * salted plan removes it deterministically with the range-salt
+    * stitching of [[graft.operators.SaltedPrefix]] (shared with
+    * q_pack_sequences): order-preserving buckets from broadcast per-value
+    * [min, max] bounds, per-bucket numbering in parallel, bucket-count
+    * offsets lifted back — parallelism = values × buckets, no sampling.
     *
     * Gated against DuckDB's plain single-window row_number. Uniform keys
     * give balanced buckets; a skewed KEY range inside one value would
@@ -317,25 +310,12 @@ object Windows extends QueryGroup {
   private val qWindowRownumSalted = Q(
     "q_window_rownum_salted",
     (s, dir) => {
-      val NB = 16
       val o = table(s, dir, "orders").select("o_orderkey", "o_orderstatus")
-      val bounds = o.groupBy("o_orderstatus")
-        .agg(min("o_orderkey").as("mn"), max("o_orderkey").as("mx"))
-      val b = o.join(broadcast(bounds), "o_orderstatus")
-        .withColumn("bkt",
-          expr(s"((o_orderkey - mn) * $NB) div (mx - mn + 1)").cast("int"))
-      val wLocal = Window.partitionBy(col("o_orderstatus"), col("bkt"))
-        .orderBy(col("o_orderkey"))
-      val local = b.withColumn("lrn", row_number().over(wLocal))
-      val counts = local.groupBy("o_orderstatus", "bkt")
-        .agg(count(lit(1)).as("c"))
-      val wOff = Window.partitionBy(col("o_orderstatus")).orderBy(col("bkt"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offs = counts
-        .withColumn("off", coalesce(sum("c").over(wOff), lit(0L)))
-        .select("o_orderstatus", "bkt", "off")
-      local.join(broadcast(offs), Seq("o_orderstatus", "bkt"))
-        .withColumn("rn", col("off") + col("lrn"))
+      // row_number = exclusive prefix COUNT + 1, so the shared salted
+      // prefix-sum (operators/SaltedPrefix) with value 1 is the whole op
+      graft.operators.SaltedPrefix
+        .exclusivePrefixSum(o, "o_orderstatus", "o_orderkey", lit(1L))
+        .withColumn("rn", col("start_off") + 1)
         .select("o_orderkey", "o_orderstatus", "rn")
         .orderBy("o_orderstatus", "rn")
     },

@@ -33,6 +33,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Rows are written as CSV (long/int/double/string fields), so the
   * committed directory is directly readable by `spark.read.csv` and by
   * the DuckDB oracle — the gate re-reads what the sink committed.
+  *
+  * PRECONDITION: `path` must be on a filesystem shared by executors and
+  * driver — the staging directory lives UNDER the target path and the
+  * driver publishes by filesystem move, the same assumption every
+  * staged-file committer makes about its output filesystem. That holds
+  * for local mode (this harness) and for a cluster writing to a mounted
+  * shared FS; a production port to an object store would swap the
+  * java.nio calls for the Hadoop FileSystem API, keeping the protocol
+  * (per-attempt staged file → commit message → driver publish) as is.
   */
 class KvSinkProvider extends TableProvider {
   // write-only: schema comes from the dataframe being written
