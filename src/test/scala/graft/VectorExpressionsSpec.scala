@@ -129,6 +129,29 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkSessionFixture {
     assert((row.getLong(0), row.getLong(1), row.getLong(2)) === ((3L, 11L, 0L)))
   }
 
+  test("null-element contracts: minhashSig skips null slots, tokStats nulls out") {
+    GraftFunctions.register(spark)
+    // minhash over a null-slotted set == the composed array_min form,
+    // which skips nulls (and so does DuckDB's list_min)
+    val r = spark.sql(
+      """SELECT graft_minhashsig(array(CAST(5 AS BIGINT), NULL,
+        |                             CAST(999999999 AS BIGINT)), 4) AS sg,
+        |  transform(sequence(0, 3), i -> array_min(transform(
+        |    array(CAST(5 AS BIGINT), NULL, CAST(999999999 AS BIGINT)),
+        |    t -> ((2L*CAST(i AS BIGINT)+1L)*t + 7919L*CAST(i AS BIGINT)+1L)
+        |         % 1000000007L))) AS ref""".stripMargin).head()
+    assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    // all-null and empty sets give a NULL signature (oracle: list_min -> NULL)
+    val n2 = spark.sql(
+      "SELECT graft_minhashsig(array(CAST(NULL AS BIGINT)), 4) AS a, " +
+      "graft_minhashsig(array_remove(array(CAST(1 AS BIGINT)), 1), 4) AS b").head()
+    assert(n2.isNullAt(0) && n2.isNullAt(1))
+    // tokStats: a null token element nulls the whole struct, not a crash
+    val t = spark.sql(
+      "SELECT graft_tokstats(array('a', CAST(NULL AS STRING)), array('x')) AS ts").head()
+    assert(t.isNullAt(0))
+  }
+
   test("minGramHashNative: windowed min of charHash-style gram hashes") {
     // hand-computable check plus the sentinel path
     assert(VecOps.minGramHash(
