@@ -135,6 +135,23 @@ class NativizeHashSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
+  test("gram rewrite refuses token arrays that may hold null elements") {
+    withRule {
+      // when() makes elements nullable and it is not a split() constructor,
+      // so no candidate survives the null-freeness guard (and the probe on
+      // the inner split can't match the null-filtered semantics either)
+      val tl = transform(split(lower(col("text")), " "),
+        t => when(length(t) > 2, t))
+      val th = transform(tl, t => PortableHash.charHash(t))
+      val comp = array_distinct(transform(sequence(lit(1), size(th) - 1),
+        i => (element_at(th, i) * lit(131L) +
+              element_at(th, i + 1)) % lit(PortableHash.P)))
+      val df = docs.select(comp.as("hs2"))
+      assert(nativesIn(df) { case e: GramHashesExpression => e }.isEmpty,
+        "nullable-element token array was wrongly nativized")
+    }
+  }
+
   test("composed gramHashes with a different combine multiplier is untouched") {
     withRule {
       val tl = split(lower(col("text")), " ")
