@@ -320,6 +320,66 @@ object Functions extends QueryGroup {
               TRUE AS approx_within_1pct
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Exact mode from the same value→count map as the percentiles: most
+    * frequent value per group, smallest value on ties (DuckDB's mode()
+    * leaves ties unspecified, so BOTH engines compute the explicit
+    * argmax). State is O(distinct values), map-side combined; the argmax
+    * is one `max_by` with a (count, -value) struct ordering — no window,
+    * no multiset. */
+  private val qAggMode = Q(
+    "q_agg_mode",
+    (s, dir) => table(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_quantity").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        max_by(col("v"), struct(col("c"), (-col("v")).as("nv"))).as("mode_qty"),
+        max(col("c")).as("mode_n"))
+      .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag, v AS mode_qty, c AS mode_n FROM (
+              SELECT l_returnflag, v, c,
+                row_number() OVER (PARTITION BY l_returnflag
+                  ORDER BY c DESC, v) AS rn
+              FROM (SELECT l_returnflag, l_quantity AS v, count(*) AS c
+                    FROM lineitem GROUP BY 1, 2) t) r
+            WHERE rn = 1 ORDER BY l_returnflag"""))
+
+  /** Exact standard deviation from integer power sums — the determinism
+    * idiom applied to second moments: quantity cents are exact longs, so
+    * Σx and Σx² are exact (Σx² summed as decimal(38,0): a long Σx² wraps
+    * past ~1.5e20 cents² ≈ 6e12 rows, inside the 100 TB design point),
+    * and var = (n·Σx² − (Σx)²) / (n·(n−1)) is one exact big-integer
+    * expression converted once to double — both engines' big-int→double
+    * conversions are correctly rounded, so sqrt sees identical input.
+    * Spark's own stddev (Welford) would differ in the low bits per merge
+    * order — the same reason moneySum exists. */
+  private val qAggStddevExact = Q(
+    "q_agg_stddev_exact",
+    (s, dir) => {
+      val qc = round(col("l_quantity") * 100).cast("long")
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(qc).as("s1"),
+          sum((qc * qc).cast("decimal(38,0)")).as("s2"))
+        .withColumn("stddev_qty",
+          sqrt((col("n") * col("s2") -
+                col("s1").cast("decimal(38,0)") * col("s1")).cast("double") /
+               (col("n") * (col("n") - 1)).cast("double") / lit(1e4)))
+        .select("l_returnflag", "n", "stddev_qty")
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, count(*) AS n,
+              sqrt(CAST(count(*) * sum(CAST(qc * qc AS HUGEINT))
+                        - sum(qc) * sum(qc) AS DOUBLE)
+                   / CAST(count(*) * (count(*) - 1) AS DOUBLE) / 10000.0)
+                AS stddev_qty
+            FROM (SELECT l_returnflag,
+                    CAST(round(l_quantity * 100) AS BIGINT) AS qc
+                  FROM lineitem) t
+            GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   /** Count-Min Sketch (Spark's built-in `count_min_sketch` aggregate,
     * deterministic for a fixed seed), gated by the CMS CONTRACT: for
     * every probed key, exact ≤ estimate ≤ exact + ε·N with probability
@@ -392,5 +452,6 @@ object Functions extends QueryGroup {
 
   override val queries: Seq[Q] = Seq(
     qFnString, qFnDate, qFnMath, qFnCaseNull, qFnArray, qFnJson, qFnFromJson,
-    qFnMap, qFnUdf, qAggApproxDistinct, qAggPercentile, qAggCms, qAggHistogram)
+    qFnMap, qFnUdf, qAggApproxDistinct, qAggPercentile, qAggMode,
+    qAggStddevExact, qAggCms, qAggHistogram)
 }
