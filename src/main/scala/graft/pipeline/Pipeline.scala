@@ -60,6 +60,28 @@ final class Pipeline[K1, V1, K2, V2] private (
         keys.flatMap(k => f(k, ys.collect { case (`k`, v) => v }).map((k, _)))
       })
 
+  /** Append an associative-commutative combine stage: one value per key,
+    * folded MAP-SIDE before the shuffle — the combiner the reference's
+    * surface lacks (its reducers only ever run post-shuffle,
+    * MapReduceC.hs:35-40, so every value crosses the network). Lowered to
+    * `groupByKey.reduceGroups`, which Spark plans as a typed aggregation
+    * with partial merge: the shuffle carries one pre-folded value per
+    * (partition, key) instead of every record. `f` must be associative
+    * and commutative; the naive evaluator folds in encounter order, so
+    * the ScalaCheck distributed-vs-naive differential flags an `f` that
+    * isn't (order then differs run-to-run). */
+  def combiner(f: (V2, V2) => V2)(
+      implicit enc: Encoder[(K2, V2)], kenc: Encoder[K2]): Pipeline[K1, V1, K2, V2] =
+    new Pipeline(length + 1,
+      ds => runDs(ds).groupByKey(_._1)
+        .reduceGroups((a, b) => (a._1, f(a._2, b._2)))
+        .map(_._2),
+      xs => {
+        val ys = local(xs)
+        val keys = ys.map(_._1).distinct
+        keys.map(k => k -> ys.collect { case (`k`, v) => v }.reduce(f))
+      })
+
   /** Explicit hash repartition on the key — the reference's
     * between-stage shuffle (Partition.hs:53-57) surfaced as an operator.
     * Local semantics: identity (partitioning is not observable). */

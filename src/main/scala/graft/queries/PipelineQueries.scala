@@ -44,5 +44,27 @@ object PipelineQueries extends QueryGroup {
     Some("""SELECT event_type, count(*) AS n FROM events
             GROUP BY event_type ORDER BY event_type"""))
 
-  override val queries: Seq[Q] = Seq(qPipelineWordcount, qPipelineEvents)
+  /** The events pipeline with the reduction as a map-side COMBINER
+    * (Pipeline.combiner) instead of a post-shuffle reducer — the upgrade
+    * the reference's surface can't express (its reducers always run
+    * after the shuffle, MapReduceC.hs:35-40, so every record crosses the
+    * network; here the shuffle carries one pre-folded value per
+    * partition-key). Same oracle as q_pipeline_events: the two lowerings
+    * differential-gate each other. */
+  private val qPipelineCombiner = Q(
+    "q_pipeline_combiner",
+    (s, dir) => {
+      import s.implicits._
+      val pipe = Pipeline
+        .mapper[String, Long, String, Long] { case (et, _) => Seq((et, 1L)) }
+        .combiner(_ + _)
+      val input = table(s, dir, "events")
+        .select(col("event_type"), col("user_id")).as[(String, Long)]
+      pipe(input).toDF("event_type", "n").orderBy("event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n FROM events
+            GROUP BY event_type ORDER BY event_type"""))
+
+  override val queries: Seq[Q] =
+    Seq(qPipelineWordcount, qPipelineEvents, qPipelineCombiner)
 }

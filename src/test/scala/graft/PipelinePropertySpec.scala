@@ -44,6 +44,8 @@ class PipelinePropertySpec extends AnyFunSuite with SparkSessionFixture {
       p => p.reducer((_, vs) => Seq(vs.sum)),
       p => p.reducer((_, vs) => Seq(vs.max, vs.min)),
       p => p.reducer((_, vs) => if (vs.size > 1) Seq(vs.size) else Seq.empty),
+      p => p.combiner(_ + _),
+      p => p.combiner(math.max),
       p => p.repartitionByKey(3))
     Gen.oneOf(pool)
   }

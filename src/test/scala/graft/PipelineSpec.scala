@@ -56,4 +56,35 @@ class PipelineSpec extends AnyFunSuite with SparkSessionFixture {
     val got = WordCount.pipeline(spark).run(Seq.empty)
     assert(got.isEmpty)
   }
+
+  test("combiner: word-count via map-side fold == reducer formulation") {
+    implicit val s = spark
+    import s.implicits._
+    val viaCombiner = Pipeline
+      .mapper[String, String, String, Int](WordCount.runLength)
+      .mapper[String, Int](WordCount.add1)
+      .combiner(_ + _)
+    val got = viaCombiner.run(WordCount.sampleInput).sorted
+    assert(got == WordCount.expected)
+    assert(viaCombiner.runLocal(WordCount.sampleInput).sorted == WordCount.expected)
+  }
+
+  test("combiner plans as a partial+final aggregation, not flatMapGroups") {
+    implicit val s = spark
+    import s.implicits._
+    val p = Pipeline
+      .mapper[String, String, String, Int](WordCount.runLength)
+      .combiner(_ + _)
+    val ds = p(spark.createDataset(Seq(("", "hello"), ("", "world"))))
+    // the combine stage must reach the planner as a typed AGGREGATION
+    // (partial merge before the shuffle) — two aggregate nodes around one
+    // exchange — not as the reducer's whole-group flatMapGroups
+    val plan = ds.queryExecution.executedPlan.toString
+    val aggs = "Aggregate".r.findAllIn(plan).size
+    assert(aggs >= 2, s"no partial+final aggregation in:\n$plan")
+    assert(!plan.contains("FlatMapGroups"),
+      s"combiner fell back to whole-group iteration:\n$plan")
+    assert(ds.collect().sorted.toSeq ==
+      Seq(("d", 1), ("e", 1), ("h", 1), ("l", 3), ("o", 2), ("r", 1), ("w", 1)))
+  }
 }
