@@ -10,6 +10,18 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// SpeculationSpec runs a local-cluster[2,2,1024] master: real executor
+// PROCESSES, spawned by the in-JVM worker from $SPARK_HOME/jars. The
+// worker also places executor run-dirs under $SPARK_HOME/work, and
+// /opt/spark must stay untouched — so tests see a writable shim home
+// (created by the spec: symlinked jars/bin/conf, local work dir).
+Test / envVars ++= Map(
+  "SPARK_HOME" -> "/tmp/graft-spark-home",
+  // normally exported by bin/load-spark-env.sh, which the in-JVM worker
+  // bypasses; without it the launcher probes <home>/launcher/target and
+  // aborts ("Cannot find any build directories")
+  "SPARK_SCALA_VERSION" -> "2.13",
+)
 run / fork := true
 // Pass forked-run output straight through: Bench/Verify print one JSON
 // line on stdout that the driver parses; sbt's default LoggedOutput
@@ -31,9 +43,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-  // ~90 queries x codegen per bench/verify run overflow the default
+  // 105 queries x codegen per bench/verify run overflow the default
   // 240m JIT code cache; once full the JVM stops compiling and late
   // queries run interpreted 3-5x slower (and which ones varies run to
-  // run). Size it for the whole suite.
-  "-XX:ReservedCodeCacheSize=1g",
+  // run). 1g sufficed at ~90 queries; the registry outgrew it (r4: two
+  // late-running window queries published 3x their isolated times).
+  // Size it for the whole suite with headroom for further growth.
+  "-XX:ReservedCodeCacheSize=2g",
 )

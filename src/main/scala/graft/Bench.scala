@@ -14,6 +14,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // Static conf, default 100: the generated-class cache. At 105
+      // queries x several codegen stages each, 100 entries evict
+      // constantly, so iteration 2 re-generates and re-JITs classes that
+      // iteration 1 already compiled — code-cache churn that made two
+      // late-running queries publish ~3x their isolated times in r4.
+      // Size it to hold the whole suite's generated classes.
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
       .config("spark.sql.constraintPropagation.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
