@@ -165,36 +165,77 @@ object Sources extends QueryGroup {
             FROM (SELECT unnest(range(25000, 75000)) AS i)
             GROUP BY tag ORDER BY tag"""))
 
-  /** Custom DataSource V2 SINK (sources/KvSink): per-nation customer
-    * counts written through the two-phase-commit kv sink, read back from
-    * the committed CSV files, and gated against the oracle computing the
-    * same aggregation directly — the round trip proves the staged-file
-    * commit protocol publishes exactly the task outputs. */
+  private def cleanDir(out: String): Unit = {
+    val dirF = new java.io.File(out)
+    if (dirF.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(dirF)
+    }
+  }
+
+  /** Custom DataSource V2 SINK + SOURCE round trip (sources/KvSink →
+    * sources/KvSource): per-nation customer counts written through the
+    * two-phase-commit kv sink, read back through the kv SOURCE connector
+    * (one split per committed file, `_staging` invisible), and gated
+    * against the oracle computing the same aggregation directly — the
+    * round trip proves the staged-file commit protocol publishes exactly
+    * the task outputs AND that the source reads exactly what was
+    * committed. */
   private val qSinkDsv2 = Q(
     "q_sink_dsv2",
     (s, dir) => {
       val out = sys.props("java.io.tmpdir") + "/graft-kvsink/q_sink_dsv2"
-      // clean target so re-runs don't accumulate committed files
-      val dirF = new java.io.File(out)
-      if (dirF.exists()) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete()
-        }
-        rm(dirF)
-      }
+      cleanDir(out) // clean target so re-runs don't accumulate committed files
       table(s, dir, "customer")
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n"))
         .select(col("c_nationkey").as("k"), col("n").as("v"))
         .write.format("graft.sources.KvSinkProvider")
         .option("path", out).mode("append").save()
-      s.read.schema("k LONG, v LONG").csv(out).orderBy("k")
+      s.read.format("graft.sources.KvSourceProvider")
+        .option("path", out).option("schema", "k LONG, v LONG").load()
+        .orderBy("k")
     },
     Some("""SELECT c_nationkey AS k, count(*) AS v
             FROM customer GROUP BY 1 ORDER BY k"""))
 
+  /** KV source with connector-side filtering — the reference's
+    * `getDataFromPat` shape (Store.hs:99-119: hscan with a match pattern
+    * narrows what the store RETURNS, not what the client discards).
+    * Three-column kv data is written once; the read projects two columns
+    * (pruning) and filters on key range + segment (pushdown) — both land
+    * in the connector, so a selective read parses-and-drops inside the
+    * reader instead of shipping every row to Spark. The filter on the
+    * group key commutes with the aggregation, so the oracle applies it as
+    * a plain WHERE. */
+  private val qSourceKv = Q(
+    "q_source_kv",
+    (s, dir) => {
+      val out = sys.props("java.io.tmpdir") + "/graft-kvsink/q_source_kv"
+      cleanDir(out)
+      table(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("c_nationkey").as("k"), col("c_mktsegment").as("seg"),
+          col("n").as("v"))
+        .write.format("graft.sources.KvSinkProvider")
+        .option("path", out).mode("append").save()
+      s.read.format("graft.sources.KvSourceProvider")
+        .option("path", out)
+        .option("schema", "k LONG, seg STRING, v LONG").load()
+        .filter(col("k") >= 10L && col("seg") === "BUILDING")
+        .select(col("k"), col("v"))
+        .orderBy("k")
+    },
+    Some("""SELECT c_nationkey AS k, count(*) AS v
+            FROM customer
+            WHERE c_mktsegment = 'BUILDING' AND c_nationkey >= 10
+            GROUP BY 1 ORDER BY k"""))
+
   override val queries: Seq[Q] =
     Seq(qSourceCsv, qSourceJson, qSourceOrc, qSourceText, qSourcePartitioned,
-      qSourceBucketedJoin, qSourceDsv2, qSinkDsv2)
+      qSourceBucketedJoin, qSourceDsv2, qSinkDsv2, qSourceKv)
 }

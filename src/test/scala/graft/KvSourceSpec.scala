@@ -1,0 +1,110 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.KvScan
+
+/** DataSource V2 kv SOURCE (sources/KvSource) — the read half of the
+  * Store analog: sink→source round trip, hscan-style match pattern,
+  * hidden-path discipline, column pruning, connector-side filter
+  * pushdown. */
+class KvSourceSpec extends AnyFunSuite with SparkSessionFixture {
+
+  private def freshDir(tag: String): String = {
+    val d = Files.createTempDirectory(s"graft_kvsrc_$tag").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private def writeKv(out: String): Unit = {
+    val s = spark
+    import s.implicits._
+    (0L until 100L).map(i => (i, s"seg${i % 4}", i * 3L))
+      .toDF("k", "seg", "v")
+      .repartition(4)
+      .write.format("graft.sources.KvSinkProvider")
+      .option("path", out).mode("append").save()
+  }
+
+  private def readKv(out: String) =
+    spark.read.format("graft.sources.KvSourceProvider")
+      .option("path", out)
+      .option("schema", "k LONG, seg STRING, v LONG").load()
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): KvScan =
+    df.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }).head.scan.asInstanceOf[KvScan]
+
+  test("sink → source round trip preserves every row and type") {
+    val out = freshDir("roundtrip")
+    writeKv(out)
+    val got = readKv(out).orderBy("k").collect()
+    assert(got.length === 100)
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) === i.toLong)
+      assert(r.getString(1) === s"seg${i % 4}")
+      assert(r.getLong(2) === i * 3L)
+    }
+  }
+
+  test("one split per committed file; _staging and hidden files invisible") {
+    val out = freshDir("hidden")
+    writeKv(out)
+    val committed = new File(out).listFiles().count(_.getName.endsWith(".csv"))
+    assert(committed === 4) // repartition(4) → 4 task commits
+    // plant an orphaned straggler attempt and a hidden file — neither is data
+    val staging = new File(out, "_staging"); staging.mkdirs()
+    Files.write(new File(staging, "part-9-999.csv").toPath,
+      "999,segX,999\n".getBytes)
+    Files.write(new File(out, ".hidden.csv").toPath, "998,segX,998\n".getBytes)
+    val df = readKv(out)
+    assert(scanOf(df).planInputPartitions().length === 4)
+    assert(df.count() === 100)
+  }
+
+  test("match pattern prunes files before split planning (hscan analog)") {
+    val out = freshDir("pattern")
+    writeKv(out)
+    // a foreign file that the pattern must exclude (it would not parse)
+    Files.write(new File(out, "notes.txt").toPath, "not,kv,data\n".getBytes)
+    val df = spark.read.format("graft.sources.KvSourceProvider")
+      .option("path", out).option("pattern", ".csv")
+      .option("schema", "k LONG, seg STRING, v LONG").load()
+    assert(scanOf(df).planInputPartitions().length === 4)
+    assert(df.count() === 100)
+  }
+
+  test("column pruning reaches the reader schema") {
+    val out = freshDir("prune")
+    writeKv(out)
+    val df = readKv(out).select("seg")
+    assert(scanOf(df).readSchema().fieldNames.toSeq === Seq("seg"))
+    assert(df.distinct().count() === 4)
+  }
+
+  test("filter pushdown is evaluated connector-side") {
+    val out = freshDir("pushdown")
+    writeKv(out)
+    val df = readKv(out).filter(col("k") >= 90L && col("seg") === "seg2")
+    val scan = scanOf(df)
+    assert(scan.description().contains("pushed="), scan.description())
+    assert(scan.description().contains("GreaterThanOrEqual"), scan.description())
+    assert(scan.description().contains("EqualTo"), scan.description())
+    // k in [90,100) with k%4==2 → 90, 94, 98
+    assert(df.orderBy("k").collect().map(_.getLong(0)).toSeq === Seq(90L, 94L, 98L))
+  }
+
+  test("string comparisons and In pushdown") {
+    val out = freshDir("strings")
+    writeKv(out)
+    val df = readKv(out).filter(col("seg").isin("seg1", "seg3") && col("v") < 30L)
+    // v = 3k < 30 → k < 10; k%4 ∈ {1,3} → 1,3,5,7,9
+    assert(df.orderBy("k").collect().map(_.getLong(0)).toSeq ===
+      Seq(1L, 3L, 5L, 7L, 9L))
+  }
+}
