@@ -63,4 +63,61 @@ object AsOfRangeJoins {
       .filter(col(typeCol) === probeType)
       .select(col(key), col(id), col(ts), col("asof_ts"))
   }
+
+  /** FORWARD as-of via union+window: the first `build`-typed timestamp
+    * with build.ts >= probe.ts within the same key. The mirror of
+    * [[asOfLastBefore]] — the window scans ts DESCENDING, so "last build
+    * seen" is the smallest build ts at-or-after the probe (build sorts
+    * before probe at equal ts → inclusive). */
+  def asOfFirstAfter(
+      events: DataFrame,
+      key: String, id: String, ts: String, typeCol: String,
+      buildType: String, probeType: String): DataFrame = {
+    val kind = when(col(typeCol) === buildType, 0).otherwise(1)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).desc, kind, col(id))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .filter(col(typeCol).isin(buildType, probeType))
+      .withColumn("asof_ts",
+        last(when(col(typeCol) === buildType, col(ts)), ignoreNulls = true).over(w))
+      .filter(col(typeCol) === probeType)
+      .select(col(key), col(id), col(ts), col("asof_ts"))
+  }
+
+  /** NEAREST-within-tolerance as-of via union+window: both directional
+    * candidates (one ascending and one descending window over the same
+    * keyed union — two sorts, one shuffle), then the smaller |Δ| wins,
+    * subject to |Δ| <= toleranceUs; ties resolve backward. */
+  def asOfNearest(
+      events: DataFrame,
+      key: String, id: String, ts: String, typeCol: String,
+      buildType: String, probeType: String,
+      toleranceUs: Long): DataFrame = {
+    val kind = when(col(typeCol) === buildType, 0).otherwise(1)
+    val buildTs = when(col(typeCol) === buildType, col(ts))
+    val wb = Window.partitionBy(col(key))
+      .orderBy(col(ts), kind, col(id))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col(key))
+      .orderBy(col(ts).desc, kind, col(id))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val us = (c: Column) => unix_micros(c.cast("timestamp"))
+    val withBoth = events
+      .filter(col(typeCol).isin(buildType, probeType))
+      .withColumn("back_ts", last(buildTs, ignoreNulls = true).over(wb))
+      .withColumn("fwd_ts", last(buildTs, ignoreNulls = true).over(wf))
+      .filter(col(typeCol) === probeType)
+    val dBack = us(col(ts)) - us(col("back_ts"))
+    val dFwd = us(col("fwd_ts")) - us(col(ts))
+    val backWins = col("back_ts").isNotNull && dBack <= toleranceUs &&
+      (col("fwd_ts").isNull || dFwd > toleranceUs || dBack <= dFwd)
+    val fwdWins = col("fwd_ts").isNotNull && dFwd <= toleranceUs
+    withBoth
+      .withColumn("asof_ts",
+        when(backWins, col("back_ts"))
+          .when(fwdWins, col("fwd_ts"))
+          .otherwise(lit(null).cast(withBoth.schema(ts).dataType)))
+      .select(col(key), col(id), col(ts), col("asof_ts"))
+  }
 }

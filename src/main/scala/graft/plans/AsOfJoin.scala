@@ -38,7 +38,8 @@ case class AsOfJoinNode(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    rightTiebreak: Seq[Expression])
+    rightTiebreak: Seq[Expression],
+    direction: AsOfDirection = AsOfBackward)
   extends BinaryNode {
 
   override def output: Seq[Attribute] =
@@ -48,6 +49,20 @@ case class AsOfJoinNode(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
     copy(left = newLeft, right = newRight)
 }
+
+/** As-of match direction. All three keep the exec's single-pass,
+  * O(1)-state merge — only which candidate wins changes:
+  *  - [[AsOfBackward]]: LAST build row with time <= probe time (the
+  *    classic as-of; DuckDB default);
+  *  - [[AsOfForward]]: FIRST build row with time >= probe time;
+  *  - [[AsOfNearest]]: whichever of those two candidates has the smaller
+  *    |Δtime|, subject to |Δ| <= toleranceUs (ties resolve backward).
+  *    Needs a numeric Δ, so both time expressions must be LongType
+  *    (e.g. epoch micros) — enforced at the builder. */
+sealed trait AsOfDirection
+case object AsOfBackward extends AsOfDirection
+case object AsOfForward extends AsOfDirection
+final case class AsOfNearest(toleranceUs: Long) extends AsOfDirection
 
 /** Optimizer rule: deterministic predicates that only touch one side's
   * columns are evaluated below the join — the as-of analog of Spark's
@@ -71,8 +86,8 @@ class AsOfFilterPushdown extends Rule[LogicalPlan] with PredicateHelper {
 
 class AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lt, rt, tb) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, tb, dir) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb, dir) :: Nil
     case _ => Nil
   }
 }
@@ -84,7 +99,8 @@ case class AsOfJoinExec(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    rightTiebreak: Seq[Expression])
+    rightTiebreak: Seq[Expression],
+    direction: AsOfDirection = AsOfBackward)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -121,6 +137,7 @@ case class AsOfJoinExec(
     val lt = leftTime
     val rt = rightTime
     val out = output
+    val dir = direction
     left.execute().zipPartitions(right.execute(), preservesPartitioning = true) {
       (lIter, rIter) =>
         val lKeyProj = UnsafeProjection.create(lk, lOut)
@@ -137,9 +154,11 @@ case class AsOfJoinExec(
           out, lOut ++ rOut.map(_.withNullability(true)))
         val nullRight = new GenericInternalRow(rOut.size)
         val joined = new JoinedRow
+        val forward = dir == AsOfForward
 
-        // O(1) state: the last build row (copied) that matched the
-        // current key, plus a one-row lookahead on the build iterator.
+        // O(1) state: the last build row (copied) at-or-before the
+        // current probe time (backward/nearest candidate), plus a one-row
+        // lookahead on the build iterator (forward/nearest candidate).
         var pendingRight: InternalRow = null // copied lookahead
         var lastMatch: InternalRow = null // copied last row with rt <= lt
         new Iterator[InternalRow] {
@@ -147,28 +166,50 @@ case class AsOfJoinExec(
           override def next(): InternalRow = {
             val l = lIter.next()
             val lKey = lKeyProj(l)
-            // advance the build side: consume every row whose key sorts
-            // before ours, or same-key rows with time <= our time
+            // Advance the build side: discard rows whose key sorts before
+            // ours; consume same-key rows behind our time (into lastMatch
+            // for backward/nearest, discarded for forward — a build row
+            // strictly behind this probe's time is also behind every later
+            // probe's, so forward never needs it again); hold the first
+            // row at-or-ahead of us for this and later probes.
             var advancing = true
             while (advancing && (pendingRight != null || rIter.hasNext)) {
               if (pendingRight == null) pendingRight = rIter.next().copy()
               val cmp = keyOrd.compare(rKeyProj(pendingRight), lKey)
               if (cmp < 0) {
                 pendingRight = null // behind us: discard
-              } else if (cmp == 0 &&
-                  timeOrd.compare(rTimeProj(pendingRight), lTimeProj(l)) <= 0) {
+              } else if (cmp == 0 && {
+                  val tcmp = timeOrd.compare(rTimeProj(pendingRight), lTimeProj(l))
+                  if (forward) tcmp < 0 else tcmp <= 0
+                }) {
                 lastMatch = pendingRight // already a copy
                 pendingRight = null
               } else {
-                advancing = false // ahead of us: hold for a later probe
+                advancing = false // at-or-ahead of us: hold
               }
             }
             numOutputRows += 1
-            val matched = lastMatch != null &&
+            val backOk = lastMatch != null &&
               keyOrd.compare(rKeyProj(lastMatch), lKey) == 0
-            if (matched) {
+            val fwdOk = pendingRight != null &&
+              keyOrd.compare(rKeyProj(pendingRight), lKey) == 0
+            val matchRow: InternalRow = dir match {
+              case AsOfBackward => if (backOk) lastMatch else null
+              case AsOfForward => if (fwdOk) pendingRight else null
+              case AsOfNearest(tolUs) =>
+                // LongType times (builder-enforced) so |Δ| is well-defined
+                val lUs = lTimeProj(l).getLong(0)
+                val dBack =
+                  if (backOk) lUs - rTimeProj(lastMatch).getLong(0) else Long.MaxValue
+                val dFwd =
+                  if (fwdOk) rTimeProj(pendingRight).getLong(0) - lUs else Long.MaxValue
+                if (dBack <= dFwd && dBack <= tolUs) lastMatch
+                else if (dFwd < dBack && dFwd <= tolUs) pendingRight
+                else null
+            }
+            if (matchRow != null) {
               numMatched += 1
-              result(joined(l, lastMatch))
+              result(joined(l, matchRow))
             } else {
               result(joined(l, nullRight))
             }
@@ -213,7 +254,54 @@ object AsOfJoin {
       keys: Seq[String],
       probeTime: String,
       buildTime: String,
+      buildTiebreak: Seq[String] = Nil): DataFrame =
+    joinWithDirection(probe, build, keys, probeTime, buildTime,
+      buildTiebreak, AsOfBackward)
+
+  /** Forward as-of: for each probe row the FIRST build row with
+    * build.timeCol >= probe.timeCol on the same key, left-outer ("first
+    * quote at or after the trade"). Same plan shape as [[lastBefore]] —
+    * one shuffle+sort per side, O(1)-state merge. */
+  def firstAfter(
+      probe: DataFrame,
+      build: DataFrame,
+      keys: Seq[String],
+      probeTime: String,
+      buildTime: String,
+      buildTiebreak: Seq[String] = Nil): DataFrame =
+    joinWithDirection(probe, build, keys, probeTime, buildTime,
+      buildTiebreak, AsOfForward)
+
+  /** Nearest-within-tolerance as-of: for each probe row, whichever of the
+    * last-at-or-before / first-at-or-after build rows has the smaller
+    * |Δtime|, provided |Δ| <= toleranceUs; ties resolve backward;
+    * left-outer. Both time columns must be LongType (e.g. epoch micros) —
+    * |Δ| needs numeric subtraction. */
+  def nearest(
+      probe: DataFrame,
+      build: DataFrame,
+      keys: Seq[String],
+      probeTimeUs: String,
+      buildTimeUs: String,
+      toleranceUs: Long,
       buildTiebreak: Seq[String] = Nil): DataFrame = {
+    def isLong(df: DataFrame, c: String) =
+      df.schema.fields.exists(f => f.name == c &&
+        f.dataType == org.apache.spark.sql.types.LongType)
+    require(isLong(probe, probeTimeUs) && isLong(build, buildTimeUs),
+      s"asof nearest needs LongType time columns ($probeTimeUs, $buildTimeUs)")
+    joinWithDirection(probe, build, keys, probeTimeUs, buildTimeUs,
+      buildTiebreak, AsOfNearest(toleranceUs))
+  }
+
+  private def joinWithDirection(
+      probe: DataFrame,
+      build: DataFrame,
+      keys: Seq[String],
+      probeTime: String,
+      buildTime: String,
+      buildTiebreak: Seq[String],
+      direction: AsOfDirection): DataFrame = {
     val spark = probe.sparkSession
     register(spark)
     val lp = probe.queryExecution.analyzed
@@ -230,7 +318,8 @@ object AsOfJoin {
       lp, rp,
       keys.map(attr(lp, _)), keys.map(k => attr(rp, s"r_$k")),
       attr(lp, probeTime), attr(rp, s"r_$buildTime"),
-      buildTiebreak.map(t => attr(rp, s"r_$t")))
+      buildTiebreak.map(t => attr(rp, s"r_$t")),
+      direction)
     org.apache.spark.sql.classic.GraftDatasetShim.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], node)
   }

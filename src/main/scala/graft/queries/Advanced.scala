@@ -81,6 +81,129 @@ object Advanced extends QueryGroup {
             WHERE event_type = 'purchase'
             ORDER BY user_id, event_id"""))
 
+  /** FORWARD as-of (first signup at-or-after each purchase) through the
+    * union+window lowering. Oracle = DuckDB's native ASOF LEFT JOIN with
+    * the inequality reversed (p.ts <= s.ts) — a genuinely independent
+    * third formulation of the semantics. */
+  private val qJoinAsofFwd = Q(
+    "q_join_asof_fwd",
+    (s, dir) => AsOfRangeJoins
+      .asOfFirstAfter(table(s, dir, "events"),
+        key = "user_id", id = "event_id", ts = "ts", typeCol = "event_type",
+        buildType = "signup", probeType = "purchase")
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("timestamp_ntz").as("purchase_ts"),
+        col("asof_ts").cast("timestamp_ntz").as("signup_ts"))
+      .orderBy(col("user_id"), col("event_id")),
+    Some("""SELECT p.user_id, p.event_id, p.ts AS purchase_ts, s.ts AS signup_ts
+            FROM (SELECT user_id, event_id, ts FROM events
+                  WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT user_id, ts FROM events
+                  WHERE event_type = 'signup') s
+              ON p.user_id = s.user_id AND p.ts <= s.ts
+            ORDER BY p.user_id, p.event_id"""))
+
+  /** Forward as-of through the NATIVE plan node (AsOfForward direction:
+    * the pending build row is held as the match without being consumed,
+    * still O(1) state). Shares q_join_asof_fwd's DuckDB-ASOF oracle, so
+    * the two lowerings differential-gate each other. */
+  private val qJoinAsofFwdNative = Q(
+    "q_join_asof_fwd_native",
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+      val probe = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts")
+      val build = ev.filter(col("event_type") === "signup")
+        .select("user_id", "ts", "event_id")
+      graft.plans.AsOfJoin
+        .firstAfter(probe, build, Seq("user_id"), "ts", "ts", Seq("event_id"))
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast("timestamp_ntz").as("purchase_ts"),
+          col("r_ts").cast("timestamp_ntz").as("signup_ts"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""SELECT p.user_id, p.event_id, p.ts AS purchase_ts, s.ts AS signup_ts
+            FROM (SELECT user_id, event_id, ts FROM events
+                  WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT user_id, ts FROM events
+                  WHERE event_type = 'signup') s
+              ON p.user_id = s.user_id AND p.ts <= s.ts
+            ORDER BY p.user_id, p.event_id"""))
+
+  /** The shared SQL oracle of the two NEAREST as-of lowerings: both
+    * directional window candidates, smaller |Δ| wins within a 1-day
+    * tolerance, ties backward. */
+  private val asofNearestOracle =
+    """SELECT user_id, event_id, ts AS purchase_ts,
+         CASE WHEN back_ts IS NOT NULL
+                AND epoch_us(ts) - epoch_us(back_ts) <= 86400000000
+                AND (fwd_ts IS NULL
+                     OR epoch_us(fwd_ts) - epoch_us(ts) > 86400000000
+                     OR epoch_us(ts) - epoch_us(back_ts)
+                        <= epoch_us(fwd_ts) - epoch_us(ts))
+              THEN back_ts
+              WHEN fwd_ts IS NOT NULL
+                AND epoch_us(fwd_ts) - epoch_us(ts) <= 86400000000
+              THEN fwd_ts
+         END AS signup_ts
+       FROM (
+         SELECT user_id, event_id, ts, event_type,
+           last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+             OVER (PARTITION BY user_id
+                   ORDER BY ts, CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END,
+                            event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_ts,
+           last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+             OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END,
+                            event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fwd_ts
+         FROM events WHERE event_type IN ('signup', 'purchase')) t
+       WHERE event_type = 'purchase'
+       ORDER BY user_id, event_id"""
+
+  /** NEAREST-within-tolerance as-of (closest signup within 1 day of each
+    * purchase, either direction, ties backward) — union+window lowering:
+    * one shuffle, two window sorts (asc + desc) over the same keyed
+    * partition. */
+  private val qJoinAsofNearest = Q(
+    "q_join_asof_nearest",
+    (s, dir) => AsOfRangeJoins
+      .asOfNearest(table(s, dir, "events"),
+        key = "user_id", id = "event_id", ts = "ts", typeCol = "event_type",
+        buildType = "signup", probeType = "purchase",
+        toleranceUs = 86400000000L)
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("timestamp_ntz").as("purchase_ts"),
+        col("asof_ts").cast("timestamp_ntz").as("signup_ts"))
+      .orderBy(col("user_id"), col("event_id")),
+    Some(asofNearestOracle))
+
+  /** Nearest as-of through the NATIVE plan node (AsOfNearest direction:
+    * the backward candidate is the O(1) lastMatch, the forward candidate
+    * is the held pending row — no extra sort vs backward, unlike the
+    * union+window twin which pays a second descending window sort).
+    * LongType epoch-micro time columns (builder-enforced) carry the Δ
+    * arithmetic. Shares q_join_asof_nearest's oracle. */
+  private val qJoinAsofNearestNative = Q(
+    "q_join_asof_nearest_native",
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+      val usCol = unix_micros(col("ts").cast("timestamp"))
+      val probe = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"), usCol.as("ts_us"))
+      val build = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), usCol.as("ts_us"), col("event_id"))
+      graft.plans.AsOfJoin
+        .nearest(probe, build, Seq("user_id"), "ts_us", "ts_us",
+          toleranceUs = 86400000000L, buildTiebreak = Seq("event_id"))
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast("timestamp_ntz").as("purchase_ts"),
+          col("r_ts").cast("timestamp_ntz").as("signup_ts"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some(asofNearestOracle))
+
   /** Salted equi-join (operators/SkewJoins) gated against the plain
     * join's oracle: the result set must be EXACTLY what the unsalted
     * join produces — the correctness contract that makes salting a safe
@@ -320,7 +443,8 @@ object Advanced extends QueryGroup {
              ORDER BY c_custkey"""))
 
   override val queries: Seq[Q] = Seq(
-    qJoinRange, qJoinAsof, qJoinAsofNative, qJoinSalted, qTypedJoinWith,
+    qJoinRange, qJoinAsof, qJoinAsofNative, qJoinAsofFwd, qJoinAsofFwdNative,
+    qJoinAsofNearest, qJoinAsofNearestNative, qJoinSalted, qTypedJoinWith,
     qAggTypedWavg, qAggTopkTyped, qAggFlatMapGroups, qAggPivot, qSqlEntry,
     qSqlAutoNative, qSubqueryScalar)
 

@@ -143,7 +143,92 @@ object Streaming extends QueryGroup {
                ${moneySumSql("value")} AS value_sum
              FROM events GROUP BY 1, 2, 3 ORDER BY ws, event_type"""))
 
+  /** The APPEND-MODE live stream — the 100 TB streaming shape under the
+    * driver gate. Like q_stream_live the events table is drip-fed through
+    * a parquet file source, but the aggregation carries a 1-hour
+    * watermark and writes in append mode: each window is emitted exactly
+    * once after the watermark passes its end, then its state is evicted —
+    * bounded state, unlike complete mode.
+    *
+    * Determinism engineering (append output depends on watermark
+    * advancement, so the landing order is part of the contract):
+    *  - the three drops are RANGE-partitioned on ts and landed in
+    *    chronological order, so no real row is ever behind the watermark;
+    *  - a far-future flush sentinel (zz_flush, max ts + 30 d) advances
+    *    the watermark past every real window; a SECOND drop with the same
+    *    sentinel timestamp forces the data batch that emits them (window
+    *    closure is detected one batch after the watermark advances), so
+    *    the gate does not rely on no-data micro-batches; both sentinels
+    *    share one window which never closes → zz_flush never appears;
+    *  - the second flush drop also carries a deliberately LATE row
+    *    (zz_late, at the global min ts, far behind the watermark) which
+    *    the stream must DROP — if append mode failed to drop it, or
+    *    emitted the open flush window, or double-emitted a closed window,
+    *    the sentinel row would surface and the oracle hash would mismatch.
+    * The converged sink therefore equals the plain tumbling aggregation
+    * over events — the same oracle as q_stream_tumbling — but produced by
+    * the bounded-state append path. */
+  private val qStreamLiveAppend = Q(
+    "q_stream_live_append",
+    (s, dir) => {
+      val events = table(s, dir, "events")
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft-stream-live-append")
+      val rootF = root.toFile
+      if (rootF.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(): Unit
+        }
+        rm(rootF)
+      }
+      val srcDir = root.resolve("src")
+      java.nio.file.Files.createDirectories(srcDir)
+      val staged = root.resolve("staged").toString
+      events.repartitionByRange(3, col("ts"))
+        .write.mode("overwrite").parquet(staged)
+      val drops = new java.io.File(staged).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      // sentinel drops: scalar min/max only (no data collected)
+      val b = events.agg(
+        min(unix_micros(col("ts").cast("timestamp"))).as("mn"),
+        max(unix_micros(col("ts").cast("timestamp"))).as("mx")).collect()(0)
+      val (mnUs, mxUs) = (b.getLong(0), b.getLong(1))
+      val flushUs = mxUs + 30L * 24 * 3600 * 1000000L
+      def sentinel(path: java.nio.file.Path, rows: Seq[(Long, Long, String)]): Unit = {
+        import s.implicits._
+        rows.toDF("event_id", "ts_us", "event_type")
+          .select(col("event_id"),
+            timestamp_micros(col("ts_us")).cast("timestamp_ntz").as("ts"),
+            lit(-1L).as("user_id"), col("event_type"),
+            lit(0.0).as("value"), lit("").as("props"))
+          .coalesce(1).write.parquet(path.toString)
+      }
+      sentinel(root.resolve("flush_a"), Seq((-1L, flushUs, "zz_flush")))
+      sentinel(root.resolve("flush_b"),
+        Seq((-2L, flushUs, "zz_flush"), (-3L, mnUs, "zz_late")))
+      def files(p: java.nio.file.Path) = new java.io.File(p.toString)
+        .listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val q = EventStreams.tumblingAppend(
+          s.readStream.schema(events.schema).parquet(srcDir.toString))
+        .writeStream.format("memory").queryName("graft_stream_live_append_sink")
+        .outputMode("append").start()
+      try {
+        (drops ++ files(root.resolve("flush_a")) ++ files(root.resolve("flush_b")))
+          .zipWithIndex.foreach { case (f, i) =>
+            java.nio.file.Files.move(f.toPath, srcDir.resolve(s"drop_$i.parquet"))
+            q.processAllAvailable()
+          }
+      } finally q.stop()
+      s.table("graft_stream_live_append_sink").orderBy(col("ws"), col("event_type"))
+    },
+    Some(s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws,
+               date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS we,
+               event_type, count(*) AS n,
+               ${moneySumSql("value")} AS value_sum
+             FROM events GROUP BY 1, 2, 3 ORDER BY ws, event_type"""))
+
   override val queries: Seq[Q] = Seq(
     qStreamTumbling, qStreamSliding, qStreamSession, qStreamStateful,
-    qStreamJoin, qStreamLive)
+    qStreamJoin, qStreamLive, qStreamLiveAppend)
 }

@@ -30,6 +30,26 @@ object EventStreams {
         col("window.end").cast("timestamp_ntz").as("we"),
         col("event_type"), col("n"), col("value_sum"))
 
+  /** Tumbling 1-hour window carrying a 1-hour WATERMARK — the append-mode
+    * twin of [[tumbling]]. Append mode emits each window exactly once,
+    * after the watermark passes its end, and evicts its state — the
+    * bounded-state shape a 100 TB stream needs (complete mode re-emits
+    * the whole result table every batch and its state never shrinks).
+    * Watermarks require a TIMESTAMP (LTZ) column; session TZ is UTC
+    * everywhere so the ntz→ltz cast is value-preserving and the output
+    * casts back. On batch input the watermark is a no-op and this equals
+    * [[tumbling]]. */
+  def tumblingAppend(events: DataFrame): DataFrame =
+    events
+      .withColumn("tsl", col("ts").cast("timestamp"))
+      .withWatermark("tsl", "1 hour")
+      .groupBy(window(col("tsl"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("value_sum"))
+      .select(
+        col("window.start").cast("timestamp_ntz").as("ws"),
+        col("window.end").cast("timestamp_ntz").as("we"),
+        col("event_type"), col("n"), col("value_sum"))
+
   /** Sliding 1-hour window every 30 minutes (each event in 2 windows). */
   def sliding(events: DataFrame): DataFrame =
     events

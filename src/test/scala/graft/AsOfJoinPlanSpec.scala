@@ -55,6 +55,90 @@ class AsOfJoinPlanSpec extends AnyFunSuite with SparkSessionFixture {
       (3L, 13L, 8L)))
   }
 
+  test("forward: native equals the union+window lowering on real events") {
+    val oldR = graft.operators.AsOfRangeJoins
+      .asOfFirstAfter(events, "user_id", "event_id", "ts", "event_type",
+        "signup", "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("asof_ts"))
+      .orderBy("user_id", "event_id")
+      .collect()
+    val probe = events.filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts")
+    val build = events.filter(col("event_type") === "signup")
+      .select("user_id", "ts", "event_id")
+    val newR = AsOfJoin.firstAfter(probe, build, Seq("user_id"), "ts", "ts",
+        Seq("event_id"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("r_ts"))
+      .orderBy("user_id", "event_id")
+      .collect()
+    assert(newR.length === oldR.length)
+    assert(newR.toSeq === oldR.toSeq)
+  }
+
+  test("nearest: native equals the union+window lowering on real events") {
+    val tol = 86400000000L
+    val oldR = graft.operators.AsOfRangeJoins
+      .asOfNearest(events, "user_id", "event_id", "ts", "event_type",
+        "signup", "purchase", tol)
+      .select(col("user_id"), col("event_id"), col("ts"), col("asof_ts"))
+      .orderBy("user_id", "event_id")
+      .collect()
+    val usCol = unix_micros(col("ts").cast("timestamp"))
+    val probe = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), usCol.as("ts_us"))
+    val build = events.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), usCol.as("ts_us"), col("event_id"))
+    val newR = AsOfJoin.nearest(probe, build, Seq("user_id"), "ts_us", "ts_us",
+        tol, Seq("event_id"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("r_ts"))
+      .orderBy("user_id", "event_id")
+      .collect()
+    assert(newR.length === oldR.length)
+    assert(newR.toSeq === oldR.toSeq)
+  }
+
+  test("forward edges: exact-ts inclusive, first among later, nulls past end") {
+    val s = spark
+    import s.implicits._
+    val probe = Seq(
+      (1L, 10L, 100L), // builds at 150,150 ahead → first by tiebreak (6)
+      (1L, 11L, 150L), // exact ts → inclusive match (6)
+      (1L, 12L, 200L), // past all builds for key 1 → null
+      (2L, 13L, 500L)  // key 2 has no builds → null
+    ).toDF("k", "pid", "t")
+    val build = Seq(
+      (1L, 6L, 150L), (1L, 7L, 150L)
+    ).toDF("k", "bid", "t")
+    val r = AsOfJoin.firstAfter(probe, build, Seq("k"), "t", "t", Seq("bid"))
+      .select("k", "pid", "r_bid").orderBy("pid")
+      .collect().map(x => (x.getLong(0), x.getLong(1),
+        if (x.isNullAt(2)) -1L else x.getLong(2)))
+    assert(r.toSeq === Seq((1L, 10L, 6L), (1L, 11L, 6L), (1L, 12L, -1L),
+      (2L, 13L, -1L)))
+  }
+
+  test("nearest edges: direction pick, tie → backward, tolerance cut") {
+    val s = spark
+    import s.implicits._
+    val probe = Seq(
+      (1L, 10L, 100L), // back at 90 (Δ10) vs fwd at 150 (Δ50) → back (6)
+      (1L, 11L, 120L), // back at 90 (Δ30) vs fwd at 150 (Δ30) tie → back (6)
+      (1L, 12L, 148L), // back at 90 (Δ58) vs fwd at 150 (Δ2) → fwd (7)
+      (1L, 13L, 300L), // nearest is 150 (Δ150) > tol 100 → null
+      (2L, 14L, 500L)  // no builds → null
+    ).toDF("k", "pid", "t")
+    val build = Seq(
+      (1L, 6L, 90L), (1L, 7L, 150L)
+    ).toDF("k", "bid", "t")
+    val r = AsOfJoin.nearest(probe, build, Seq("k"), "t", "t",
+        toleranceUs = 100L, buildTiebreak = Seq("bid"))
+      .select("k", "pid", "r_bid").orderBy("pid")
+      .collect().map(x => (x.getLong(0), x.getLong(1),
+        if (x.isNullAt(2)) -1L else x.getLong(2)))
+    assert(r.toSeq === Seq((1L, 10L, 6L), (1L, 11L, 6L), (1L, 12L, 7L),
+      (1L, 13L, -1L), (2L, 14L, -1L)))
+  }
+
   test("plan shape: AsOfJoinExec with one exchange per side") {
     val probe = events.filter(col("event_type") === "purchase")
       .select("user_id", "event_id", "ts")

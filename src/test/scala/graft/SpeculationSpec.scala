@@ -69,7 +69,13 @@ class SpeculationSpec extends AnyFunSuite with BeforeAndAfterAll {
     Files.createDirectories(home)
     Seq("jars", "bin", "conf").foreach { d =>
       val link = home.resolve(d)
-      if (!Files.exists(link))
+      // NOFOLLOW: a dangling symlink (e.g. /opt/spark relocated between
+      // environments) must read as existing so it is recreated, not
+      // tripped over with FileAlreadyExistsException
+      if (Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
+          !Files.exists(link))
+        Files.delete(link)
+      if (!Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
         Files.createSymbolicLink(link, Paths.get("/opt/spark", d))
     }
     Files.createDirectories(home.resolve("work"))
@@ -108,18 +114,6 @@ class SpeculationSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("straggling task is detected by speculation; result equals the clean run") {
     val sc = spark.sparkContext
-    val speculativeSubmitted = new AtomicInteger(0)
-    val speculativeStarted = new AtomicInteger(0)
-    val failedTasks = new AtomicInteger(0)
-    sc.addSparkListener(new SparkListener {
-      override def onSpeculativeTaskSubmitted(
-          e: SparkListenerSpeculativeTaskSubmitted): Unit =
-        speculativeSubmitted.incrementAndGet()
-      override def onTaskStart(e: SparkListenerTaskStart): Unit =
-        if (e.taskInfo.speculative) speculativeStarted.incrementAndGet()
-      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
-        if (!e.taskInfo.successful) failedTasks.incrementAndGet()
-    })
 
     def run(chaotic: Boolean): Seq[(Int, Long)] = {
       val base = sc.parallelize(0 until 10000, 8)
@@ -132,6 +126,30 @@ class SpeculationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
 
     val clean = run(chaotic = false)
+
+    // Listener registered only now, AFTER the clean run: any speculation
+    // event it counts is attributable to the injected straggler, not to a
+    // spuriously slow clean-run task.
+    val speculativeSubmitted = new AtomicInteger(0)
+    val speculativeStarted = new AtomicInteger(0)
+    val genuineFailures = new AtomicInteger(0)
+    sc.addSparkListener(new SparkListener {
+      override def onSpeculativeTaskSubmitted(
+          e: SparkListenerSpeculativeTaskSubmitted): Unit =
+        speculativeSubmitted.incrementAndGet()
+      override def onTaskStart(e: SparkListenerTaskStart): Unit =
+        if (e.taskInfo.speculative) speculativeStarted.incrementAndGet()
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+        // a KILLED end is the normal fate of a speculative race's loser
+        // (on a multi-host env where the copy launches) — only genuine
+        // failures count against the differential
+        e.reason match {
+          case _: org.apache.spark.TaskKilled => ()
+          case org.apache.spark.Success => ()
+          case _ => genuineFailures.incrementAndGet()
+        }
+    })
+
     val chaotic = run(chaotic = true)
     // the listener bus is async — poll briefly for the speculation event
     val deadline = System.currentTimeMillis + 10000
@@ -141,11 +159,15 @@ class SpeculationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(chaotic == clean, "straggler run diverged from clean run")
     assert(speculativeSubmitted.get() > 0,
       "speculation never flagged the straggler — chaos was vacuous")
-    assert(failedTasks.get() == 0,
+    assert(genuineFailures.get() == 0,
       "speculation must not surface as task failure")
-    // Documented single-host ceiling: the copy cannot launch when every
-    // executor shares the straggler's hostname. If this ever starts
-    // passing >0 (multi-host test env), that is strictly stronger.
-    assert(speculativeStarted.get() == 0 || chaotic == clean)
+    // Documented single-host ceiling: the speculative COPY cannot launch
+    // while every executor shares the straggler's hostname (TaskSetManager
+    // speculative dequeue). A multi-host environment would legitimately
+    // flip this to >0 — that is the strictly stronger result, and the
+    // assertions above (differential + no genuine failures) already cover
+    // it; this one pins today's measured single-host behavior.
+    assert(speculativeStarted.get() == 0,
+      "speculative copy launched — single-host dequeue ceiling no longer holds")
   }
 }
