@@ -9,22 +9,32 @@ import org.apache.spark.sql.functions._
   * A running sum (or row numbering — a running sum of 1) partitioned by a
   * LOW-CARDINALITY key puts each key's entire row set through one window
   * task at any scale. This helper stitches it from parallel pieces with
-  * NO sampling (a RangePartitioner's sampled bounds would not be a pure
-  * function of the data):
+  * NO nondeterministic sampling (a RangePartitioner's sampled bounds
+  * would not be a pure function of the data):
   *
-  *   1. each key's [min, max] order-column bounds come from one tiny
-  *      aggregation, broadcast back;
-  *   2. the RANGE salt b = ((ord - min) · nb) div (max - min + 1) splits
-  *      the key's rows into `nb` ORDER-PRESERVING buckets — every row of
-  *      bucket i precedes every row of bucket i+1, which is what makes
-  *      per-bucket results stitchable (hash salting would interleave);
-  *   3. exclusive prefix sums run per (key, bucket) in parallel; bucket
+  *   1. a salt assigns each row an ORDER-PRESERVING bucket within its key
+  *      — every row of bucket i precedes every row of bucket i+1, which
+  *      is what makes per-bucket results stitchable (hash salting would
+  *      interleave);
+  *   2. exclusive prefix sums run per (key, bucket) in parallel; bucket
   *      totals (a ≤ keys·nb row table) are lifted by a running offset and
   *      broadcast-joined back.
   *
-  * Assumes the order column is roughly uniform within each key's range
-  * (true of synthetic ids); a skewed ORDER domain would need
-  * quantile-derived bucket bounds — same stitching, different salt.
+  * Two salts share that stitching; bucket quality affects only BALANCE,
+  * never correctness (any monotone bucket function stitches exactly):
+  *
+  *  - [[exclusivePrefixSum]] — LINEAR salt from each key's [min, max]
+  *    bounds: b = ((ord - min) · nb) div (max - min + 1). One tiny
+  *    aggregation; balanced when the order column is roughly uniform
+  *    within each key's range (true of synthetic ids).
+  *  - [[exclusivePrefixSumQuantile]] — EQUI-DEPTH salt from per-key
+  *    quantile bounds of a deterministic hash-sample: balanced under ANY
+  *    order-column distribution (a skewed domain collapses the linear
+  *    salt's buckets onto the dense region; quantile bounds follow the
+  *    density). The sample keeps order values whose xxhash64 lands in a
+  *    1/sampleOneIn slice — a pure function of the value multiset, so
+  *    bounds are partitioning-invariant, unlike RangePartitioner's
+  *    random sample.
   */
 object SaltedPrefix {
 
@@ -40,6 +50,64 @@ object SaltedPrefix {
     val b = df.join(broadcast(bounds), partCol)
       .withColumn("__bkt",
         expr(s"(($orderCol - __mn) * $nb) div (__mx - __mn + 1)").cast("int"))
+      .drop("__mn", "__mx")
+    stitch(b, partCol, orderCol, value)
+  }
+
+  /** [[exclusivePrefixSum]] with quantile-derived (equi-depth) bucket
+    * bounds — closes the skewed-ORDER-domain residual: a key whose order
+    * values cluster (timestamps bunched in business hours, squared ids,
+    * Zipfian scores) keeps ~uniform bucket sizes because the bounds are
+    * the sample's own 1/nb … (nb-1)/nb quantiles.
+    *
+    * Per-key sample size is E[n_key / sampleOneIn]; keys too small to
+    * sample fall into one bucket (already small ⇒ balance is moot), keys
+    * large enough to matter yield enough sample for stable bounds. Pick
+    * sampleOneIn so keys·(n_key/sampleOneIn) stays driver-broadcastable. */
+  def exclusivePrefixSumQuantile(
+      df: DataFrame, partCol: String, orderCol: String,
+      value: Column, nb: Int = 16, sampleOneIn: Int = 64): DataFrame =
+    stitch(withQuantileBuckets(df, partCol, orderCol, nb, sampleOneIn),
+      partCol, orderCol, value)
+
+  /** Adds `__bkt` (int, order-preserving within `partCol`) from
+    * deterministic hash-sampled quantile bounds. Public building block so
+    * tests (and other operators needing an equi-depth range salt) can
+    * inspect bucket balance directly. */
+  def withQuantileBuckets(
+      df: DataFrame, partCol: String, orderCol: String,
+      nb: Int, sampleOneIn: Int): DataFrame = {
+    // deterministic pseudo-sample: a pure function of the value multiset
+    val sampled = df.select(col(partCol), col(orderCol))
+      .filter(pmod(xxhash64(col(orderCol)), lit(sampleOneIn)) === 0)
+    // exact quantiles OF THE SAMPLE: sort the per-key sample (bounded by
+    // n_key/sampleOneIn) and pick the (i·size/nb)-th elements — no GK
+    // sketch, whose merge-order dependence would break determinism
+    val bounds = sampled.groupBy(partCol)
+      .agg(sort_array(collect_list(col(orderCol))).as("__s"))
+      .select(col(partCol),
+        when(size(col("__s")) === 0, expr("array()"))
+          .otherwise(expr(
+            s"transform(sequence(1, $nb - 1), " +
+              s"i -> element_at(__s, cast((i * size(__s)) div $nb as int) + 1))"))
+          .as("__bounds"))
+    // monotone bucket: #bounds strictly below ord — order-preserving for
+    // any bounds content (dupes from a clustered sample just leave some
+    // buckets empty); keys absent from the sample get bucket 0
+    df.join(broadcast(bounds), Seq(partCol), "left")
+      .withColumn("__bkt",
+        coalesce(
+          size(filter(col("__bounds"), x => x < col(orderCol))), lit(0))
+          .cast("int"))
+      .drop("__bounds")
+  }
+
+  /** Shared stitching: per-(key, bucket) exclusive prefix sums, bucket
+    * totals lifted by a per-key running offset, broadcast back. Requires
+    * `__bkt` to be order-preserving within each key. */
+  private def stitch(
+      b: DataFrame, partCol: String, orderCol: String,
+      value: Column): DataFrame = {
     val wLocal = Window.partitionBy(col(partCol), col("__bkt"))
       .orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -53,6 +121,6 @@ object SaltedPrefix {
       .select(partCol, "__bkt", "__off")
     local.join(broadcast(offs), Seq(partCol, "__bkt"))
       .withColumn("start_off", col("__off") + col("__local_off"))
-      .drop("__mn", "__mx", "__v", "__local_off", "__off", "__bkt")
+      .drop("__v", "__local_off", "__off", "__bkt")
   }
 }

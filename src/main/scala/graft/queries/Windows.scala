@@ -324,8 +324,37 @@ object Windows extends QueryGroup {
                 ORDER BY o_orderkey) AS rn
             FROM orders ORDER BY o_orderstatus, rn"""))
 
+  /** Salted row_number over a SKEWED order domain — the quantile-bounds
+    * variant (operators/SaltedPrefix.exclusivePrefixSumQuantile). The
+    * order column is the SQUARE of a unique id: for a ~uniform id, half
+    * the squared values land in the lowest quarter of the range, so the
+    * linear min/max salt would pile ~2× the rows into its first buckets;
+    * equi-depth bounds from the deterministic hash-sample keep buckets
+    * ~uniform (balance asserted in WindowRankScaleSpec). Same single-
+    * window oracle contract as q_window_rownum_salted: bucket quality
+    * must never change the numbering. */
+  private val qWindowRownumQsalted = Q(
+    "q_window_rownum_qsalted",
+    (s, dir) => {
+      val l = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+        // l_linenumber ∈ 1..7 ⇒ uid unique; uid² is the skewed order
+        .withColumn("uid", col("l_orderkey") * 8 + col("l_linenumber"))
+        .withColumn("sk_ord", col("uid") * col("uid"))
+      graft.operators.SaltedPrefix
+        .exclusivePrefixSumQuantile(l, "l_returnflag", "sk_ord", lit(1L))
+        .withColumn("rn", col("start_off") + 1)
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "rn")
+        .orderBy("l_returnflag", "rn")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_returnflag,
+              row_number() OVER (PARTITION BY l_returnflag
+                ORDER BY (l_orderkey * 8 + l_linenumber)
+                         * (l_orderkey * 8 + l_linenumber)) AS rn
+            FROM lineitem ORDER BY l_returnflag, rn"""))
+
   override val queries: Seq[Q] = Seq(
     qWindowTopk, qWindowRunning, qWindowLeadLag, qWindowRank,
     qWindowRangeFrame, qWindowAnalytics, qAggRollup, qAggCube,
-    qAggGroupingSets, qAggUnpivot, qWindowRownumSalted)
+    qAggGroupingSets, qAggUnpivot, qWindowRownumSalted, qWindowRownumQsalted)
 }

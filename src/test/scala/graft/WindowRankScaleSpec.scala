@@ -76,6 +76,61 @@ class WindowRankScaleSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
+  test("quantile salt: balanced buckets under a skewed order domain, still salted, still exact") {
+    val s = spark
+    import s.implicits._
+    // skewed order: square of a uniform id — half the values land in the
+    // lowest quarter of the range
+    val n = 200000
+    val df = (0 until n).map(i => (i % 3, (i / 3).toLong))
+      .toDF("k", "id")
+      .withColumn("ord", col("id") * col("id"))
+    val nb = 16
+    // LINEAR salt bucket sizes (what the residual was about): replicate
+    // the min/max formula per key
+    val linMax = df.groupBy("k").agg(max("ord").as("mx"), min("ord").as("mn"))
+      .join(df, "k")
+      .withColumn("b", expr(s"((ord - mn) * $nb) div (mx - mn + 1)"))
+      .groupBy("k", "b").count().agg(max("count")).as[Long].head()
+    // QUANTILE salt bucket sizes
+    val qMax = graft.operators.SaltedPrefix
+      .withQuantileBuckets(df, "k", "ord", nb, sampleOneIn = 64)
+      .groupBy("k", "__bkt").count().agg(max("count")).as[Long].head()
+    val ideal = n / 3.0 / nb
+    // linear collapses (bucket 0 alone holds ~25% of each key = 4× ideal);
+    // quantile stays near equi-depth
+    assert(linMax > 3.5 * ideal, s"skew fixture lost its skew: linMax=$linMax")
+    assert(qMax < 1.5 * ideal, s"quantile buckets imbalanced: qMax=$qMax ideal=$ideal")
+    // and the numbering itself stays exact vs the single window
+    val got = graft.operators.SaltedPrefix
+      .exclusivePrefixSumQuantile(df, "k", "ord", lit(1L), nb, sampleOneIn = 64)
+      .select(col("k"), col("id"), (col("start_off") + 1).as("rn"))
+      .orderBy("k", "rn").collect().toSeq
+    val expected = df.select(col("k"), col("id"),
+        row_number().over(Window.partitionBy(col("k")).orderBy(col("ord")))
+          .cast("long").as("rn"))
+      .orderBy("k", "rn").collect().toSeq
+    assert(got == expected)
+  }
+
+  test("quantile salt plan: per-row windows carry the bucket in the partition spec") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan = SparkEntry.queries("q_window_rownum_qsalted")(s2, dir)
+      .queryExecution.executedPlan
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      val onAggregated = w.child.collect {
+        case a: HashAggregateExec => a
+        case a: ObjectHashAggregateExec => a
+        case a: SortAggregateExec => a
+      }.nonEmpty
+      assert(onAggregated || w.partitionSpec.size >= 2,
+        s"unsalted per-row window over raw rows:\n$w")
+    }
+  }
+
   test("output is invariant to shuffle partitioning and equals the single-window formulation") {
     val expected = {
       val v = Window.orderBy(col("c_acctbal").desc)
