@@ -1009,10 +1009,76 @@ object Llm extends QueryGroup {
                CAST((n_frames + 4) // 5 AS BIGINT) AS n_sampled
              FROM f ORDER BY media_id"""))
 
+  /** Benchmark DECONTAMINATION — the eval-integrity gate every serious
+    * training pipeline runs before a model ships: flag training documents
+    * that share any token 5-gram with the benchmark/eval set, so leaked
+    * eval data can be excluded from training. The fixture models the
+    * real-world scenario directly: the "benchmark" is a fixed slice of
+    * the corpus (doc_id <= 20) whose text IS present in the training
+    * corpus — plus whatever organic n-gram overlaps exist (at sf0.01:
+    * the 20 leaked docs + 4 organic hits).
+    *
+    * 100 TB shape: per-doc distinct 5-gram hashes via the codegen'd
+    * rolling-hash kernel (one pass, no UDF), benchmark gram set
+    * BROADCAST (eval suites are small by construction — the asymmetry is
+    * the design), contaminated ids from a broadcast-joined explode +
+    * distinct, final per-lang accounting one hash-agg. Nothing all-pairs,
+    * no shuffle on the wide side beyond the id distinct. */
+  private val qDecontaminate = Q(
+    "q_decontaminate",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.GraftFunctions._
+      val docs = table(s, dir, "documents")
+        .withColumn("tl", split(lower(col("text")), " "))
+        .filter(size(col("tl")) >= 5)
+        .withColumn("grams", gramHashesNative(col("tl"), 5))
+        .select("doc_id", "lang", "grams")
+      val benchGrams = docs.filter(col("doc_id") <= 20)
+        .select(explode(col("grams")).as("g")).distinct()
+      val contaminated = docs
+        .select(col("doc_id"), explode(col("grams")).as("g"))
+        .join(broadcast(benchGrams), "g")
+        .select(col("doc_id").as("cid")).distinct()
+      docs.join(contaminated, col("doc_id") === col("cid"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_train"),
+          sum(when(col("cid").isNotNull, 1L).otherwise(0L)).as("n_contaminated"))
+        .orderBy(col("lang"))
+    },
+    Some {
+      // the kernel's left-fold rolling hash, unrolled for n=5
+      val fold = (1 until 5).foldLeft("th[i]")((a, g) =>
+        s"($a * 131 + th[i+$g]) % $P")
+      s"""WITH d AS (
+            SELECT doc_id, lang, string_split(lower(text), ' ') AS tl
+            FROM documents
+            WHERE len(string_split(lower(text), ' ')) >= 5),
+          t AS (
+            SELECT doc_id, lang,
+              list_transform(tl, t -> ${charHashSql("t")}) AS th
+            FROM d),
+          g AS (
+            SELECT doc_id, lang,
+              list_distinct(list_transform(
+                generate_series(1, len(th) - 4), i -> $fold)) AS grams
+            FROM t),
+          bench AS (
+            SELECT DISTINCT unnest(grams) AS bg FROM g WHERE doc_id <= 20),
+          contaminated AS (
+            SELECT DISTINCT doc_id
+            FROM (SELECT doc_id, unnest(grams) AS gg FROM g) e
+            WHERE gg IN (SELECT bg FROM bench))
+          SELECT lang, count(*) AS n_train,
+            CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM contaminated)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+          FROM g GROUP BY lang ORDER BY lang"""
+    })
+
   override val queries: Seq[Q] = Seq(
     qDedupExact, qDedupNorm, qDedupMinhash, qDedupSimhash, qDedupNgram,
     qDedupEmbedding, qSimTopk, qSimLsh, qSimIvf, qLlmCleanPipeline,
     qLlmCleanPipelineStaged, qSqlNativeFns, qTextNgramFreq,
     qTextLangId, qTextQuality, qTextTokens, qTextFingerprint, qMultimodal,
-    qMultimodalDecode)
+    qMultimodalDecode, qDecontaminate)
 }
