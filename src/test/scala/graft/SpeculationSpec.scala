@@ -31,9 +31,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * straggler is detected and marked (SparkListenerSpeculativeTaskSubmitted
   * fires), no task fails (speculation is not failure — the original's
   * result is still accepted), and the chaotic run is bit-identical to the
-  * clean run. On a multi-host cluster the same configuration launches the
-  * copy and the first finisher wins; the kill-the-loser half of that race
-  * is exercised by Spark itself, not by user code.
+  * clean run. The multi-host half — the copy LAUNCHING on another host,
+  * first finisher winning, loser killed — is proven by
+  * MultiHostSpeculationSpec, which escapes the ceiling by binding two
+  * standalone workers to distinct loopback aliases.
   */
 object SpeculationSpec {
   /** Executor-side chaos: partition 0's first attempt stalls long enough
