@@ -30,9 +30,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *      target directory. Orphaned stragglers stay in `_staging`, which
   *      readers ignore (underscore-prefixed paths are hidden).
   *
-  * Rows are written as CSV (long/int/double/string fields), so the
-  * committed directory is directly readable by `spark.read.csv` and by
-  * the DuckDB oracle — the gate re-reads what the sink committed.
+  * Rows are written as CSV (long/int/double/string fields). String
+  * fields PERCENT-ESCAPE the three characters that would break line/field
+  * framing (`%` → %25, `,` → %2C, newline → %0A, CR → %0D) —
+  * [[KvSourceProvider]] reverses the escape, and a committed directory
+  * holding delimiter-free strings stays directly readable by
+  * `spark.read.csv` / DuckDB too.
   *
   * PRECONDITION: `path` must be on a filesystem shared by executors and
   * driver — the staging directory lives UNDER the target path and the
@@ -95,6 +98,19 @@ class KvBatchWrite(path: String, schema: StructType) extends BatchWrite {
 
 case class KvCommit(stagedFile: String) extends WriterCommitMessage
 
+/** Field framing escape shared by sink (write) and source (read): a
+  * string containing the field/record delimiters must round-trip, not
+  * corrupt the file. Escape order matters — '%' first on write, last on
+  * read. */
+object KvEscape {
+  def escape(s: String): String =
+    s.replace("%", "%25").replace(",", "%2C")
+      .replace("\n", "%0A").replace("\r", "%0D")
+  def unescape(s: String): String =
+    s.replace("%0D", "\r").replace("%0A", "\n")
+      .replace("%2C", ",").replace("%25", "%")
+}
+
 case class KvWriterFactory(path: String, schema: StructType) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new KvDataWriter(path, schema, partitionId, taskId)
@@ -116,7 +132,7 @@ class KvDataWriter(path: String, schema: StructType, partitionId: Int, taskId: L
         case LongType => row.getLong(i).toString
         case IntegerType => row.getInt(i).toString
         case DoubleType => row.getDouble(i).toString
-        case StringType => row.getUTF8String(i).toString
+        case StringType => KvEscape.escape(row.getUTF8String(i).toString)
         case dt => throw new IllegalArgumentException(
           s"graft kv sink: unsupported field type ${dt.catalogString}")
       }

@@ -58,10 +58,12 @@ class KvSourceProvider extends TableProvider {
     new KvReadTable(
       properties.get("path"),
       schema,
-      Option(properties.get("pattern")).getOrElse(""))
+      Option(properties.get("pattern")).getOrElse(""),
+      Option(properties.get("recursive")).exists(_.toBoolean))
 }
 
-class KvReadTable(path: String, dataSchema: StructType, pattern: String)
+class KvReadTable(
+    path: String, dataSchema: StructType, pattern: String, recursive: Boolean)
     extends Table with SupportsRead {
   require(path != null && path.nonEmpty, "graft kv source requires option 'path'")
   override def name(): String = s"graft_kv_source($path)"
@@ -69,10 +71,11 @@ class KvReadTable(path: String, dataSchema: StructType, pattern: String)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new KvScanBuilder(path, dataSchema, pattern)
+    new KvScanBuilder(path, dataSchema, pattern, recursive)
 }
 
-class KvScanBuilder(path: String, dataSchema: StructType, pattern: String)
+class KvScanBuilder(
+    path: String, dataSchema: StructType, pattern: String, recursive: Boolean)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
@@ -107,7 +110,7 @@ class KvScanBuilder(path: String, dataSchema: StructType, pattern: String)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new KvScan(path, dataSchema, pattern, required, pushed)
+    new KvScan(path, dataSchema, pattern, required, pushed, recursive)
 }
 
 case class KvFilePartition(file: String) extends InputPartition
@@ -117,7 +120,8 @@ class KvScan(
     dataSchema: StructType,
     pattern: String,
     required: StructType,
-    pushed: Array[Filter])
+    pushed: Array[Filter],
+    recursive: Boolean = false)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -127,17 +131,26 @@ class KvScan(
       (if (pushed.nonEmpty) s" pushed=${pushed.mkString(",")}" else "")
 
   /** One split per committed file; `_staging` and any other hidden
-    * (underscore/dot-prefixed) entries are not data. Listing is sorted so
-    * split planning is deterministic. */
+    * (underscore/dot-prefixed) entries are not data — at EVERY level when
+    * `recursive` (the per-batch/partitioned kv layout: `path/batch=N/…`).
+    * Listing is sorted so split planning is deterministic. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val dir = new File(path)
-    val files = Option(dir.listFiles()).getOrElse(Array.empty[File])
-      .filter(f => f.isFile &&
-        !f.getName.startsWith("_") && !f.getName.startsWith(".") &&
-        f.getName.endsWith(pattern))
+    def visible(f: File) =
+      !f.getName.startsWith("_") && !f.getName.startsWith(".")
+    def walk(d: File): Seq[File] =
+      Option(d.listFiles()).getOrElse(Array.empty[File]).toSeq
+        .filter(visible)
+        .flatMap { f =>
+          if (f.isFile) Seq(f)
+          else if (recursive && f.isDirectory) walk(f)
+          else Nil
+        }
+    walk(new File(path))
+      .filter(_.getName.endsWith(pattern))
       .map(_.getAbsolutePath)
       .sorted
-    files.map(KvFilePartition(_): InputPartition)
+      .map(KvFilePartition(_): InputPartition)
+      .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -172,7 +185,7 @@ class KvReaderFactory(
             case LongType => parts(i).toLong
             case IntegerType => parts(i).toInt
             case DoubleType => parts(i).toDouble
-            case StringType => parts(i)
+            case StringType => KvEscape.unescape(parts(i))
             case dt => throw new IllegalArgumentException(
               s"graft kv source: unsupported field type ${dt.catalogString}")
           }

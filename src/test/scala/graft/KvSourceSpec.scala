@@ -99,6 +99,52 @@ class KvSourceSpec extends AnyFunSuite with SparkSessionFixture {
     assert(df.orderBy("k").collect().map(_.getLong(0)).toSeq === Seq(90L, 94L, 98L))
   }
 
+  test("strings with delimiters, newlines and percent signs round-trip") {
+    val s = spark
+    import s.implicits._
+    val out = freshDir("escape")
+    val nasty = Seq(
+      (0L, "plain", 0L),
+      (1L, "comma, inside", 1L),
+      (2L, "line\nbreak", 2L),
+      (3L, "cr\rlf\n", 3L),
+      (4L, "100%,done%25", 4L),
+      (5L, "", 5L))
+    nasty.toDF("k", "seg", "v").coalesce(1)
+      .write.format("graft.sources.KvSinkProvider")
+      .option("path", out).mode("append").save()
+    val got = readKv(out).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === nasty)
+    // and a pushed equality on an escaped value still matches post-decode
+    val one = readKv(out).filter(col("seg") === "comma, inside").collect()
+    assert(one.map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
+  test("recursive listing reads per-batch subdirectories, hidden dirs skipped") {
+    val s = spark
+    import s.implicits._
+    val out = freshDir("recursive")
+    for (b <- 0 until 3) {
+      (0L until 10L).map(i => (b * 10L + i, s"seg$b", i))
+        .toDF("k", "seg", "v").coalesce(1)
+        .write.format("graft.sources.KvSinkProvider")
+        .option("path", s"$out/batch=$b").mode("append").save()
+    }
+    // a hidden subtree that must stay invisible
+    val hid = new File(out, "_aborted"); hid.mkdirs()
+    Files.write(new File(hid, "part-0-0.csv").toPath, "999,segX,9\n".getBytes)
+    val df = spark.read.format("graft.sources.KvSourceProvider")
+      .option("path", out).option("recursive", "true")
+      .option("schema", "k LONG, seg STRING, v LONG").load()
+    assert(scanOf(df).planInputPartitions().length === 3)
+    assert(df.count() === 30)
+    assert(df.agg(org.apache.spark.sql.functions.sum("k")).head.getLong(0)
+      === (0L until 30L).sum)
+    // non-recursive read of the same root sees nothing (files live below)
+    assert(readKv(out).count() === 0)
+  }
+
   test("string comparisons and In pushdown") {
     val out = freshDir("strings")
     writeKv(out)
