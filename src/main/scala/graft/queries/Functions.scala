@@ -239,6 +239,48 @@ object Functions extends QueryGroup {
               TRUE AS hll_within_5pct
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** MERGEABLE sketches over the Store — the incremental-aggregation
+    * shape a 100 TB pipeline uses for distinct-count maintenance: one
+    * Datasketches HLL per month PERSISTED to a parquet stage
+    * (hll_sketch_agg — the reference's Store layer holding per-partition
+    * aggregate state), then re-read and UNION-MERGED (hll_union_agg) into
+    * the corpus estimate. A new month means sketching only its delta and
+    * re-merging ~tens of tiny sketches — never rescanning history.
+    *
+    * Like q_agg_approx_distinct, the sketch binary itself is not
+    * oracle-matchable (engine-specific); the gated claims are the exact
+    * distinct count, the partition count, and the accuracy contract BOTH
+    * for the merged-from-store estimate and the direct single-pass one —
+    * which also pins that merging per-partition sketches loses no more
+    * than the contract tolerance vs sketching directly. */
+  private val qAggSketchIncremental = Q(
+    "q_agg_sketch_incremental",
+    (s, dir) => {
+      val stage = sys.props("java.io.tmpdir") + "/graft-stages/sketch_incremental"
+      val o = table(s, dir, "orders")
+        .withColumn("month", date_trunc("month", col("o_orderdate")))
+      o.groupBy(col("month"))
+        .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+        .write.mode("overwrite").parquet(stage)
+      val merged = s.read.parquet(stage).agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"),
+        count(lit(1)).as("n_parts"))
+      val direct = o.agg(
+        hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("est_direct"),
+        countDistinct(col("o_custkey")).as("n_exact"))
+      merged.crossJoin(direct).select(
+        col("n_exact").as("n_distinct_exact"),
+        col("n_parts"),
+        (abs(col("est_merged") - col("n_exact")).cast("double") / col("n_exact")
+          <= 0.05 &&
+         abs(col("est_direct") - col("n_exact")).cast("double") / col("n_exact")
+          <= 0.05).as("sketch_ok"))
+    },
+    Some("""SELECT count(DISTINCT o_custkey) AS n_distinct_exact,
+              count(DISTINCT date_trunc('month', o_orderdate)) AS n_parts,
+              TRUE AS sketch_ok
+            FROM orders"""))
+
   /** Exact percentiles from a value→count map, never a value multiset.
     *
     * Spark's `percentile` buffers every raw value per group in the final
@@ -452,6 +494,6 @@ object Functions extends QueryGroup {
 
   override val queries: Seq[Q] = Seq(
     qFnString, qFnDate, qFnMath, qFnCaseNull, qFnArray, qFnJson, qFnFromJson,
-    qFnMap, qFnUdf, qAggApproxDistinct, qAggPercentile, qAggMode,
+    qFnMap, qFnUdf, qAggApproxDistinct, qAggSketchIncremental, qAggPercentile, qAggMode,
     qAggStddevExact, qAggCms, qAggHistogram)
 }
