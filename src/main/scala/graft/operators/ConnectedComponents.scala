@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components by iterative MIN-LABEL propagation —
+  * the clustering step a real near-dup pipeline needs on top of pairwise
+  * candidates: similarity pairs form a GRAPH, and "keep one document per
+  * near-dup CLUSTER" means one survivor per connected component, not
+  * per-pair drops (pair drops over-delete chains: A~B, B~C, A≁C must
+  * keep one of the three, not drop both B and C).
+  *
+  * Algorithm: every vertex starts labeled with itself; each round, every
+  * vertex takes the min of its own label and its neighbors' labels; stop
+  * when no label changes. Converges in O(component diameter) rounds —
+  * for near-dup graphs components are tiny (a handful of variants of one
+  * document), so 2-4 rounds in practice; a hard cap guards pathological
+  * inputs. Each round is ONE shuffle (edge join + min-agg) over the
+  * label table; `localCheckpoint` truncates lineage so the plan does not
+  * grow with iterations. The big-graph refinements (large-star/small-star
+  * alternation, Graphframes-style) keep the same outer loop and swap the
+  * propagation step; unnecessary at near-dup component sizes.
+  *
+  * Determinism: min-label fixpoint is a pure function of the graph.
+  */
+object ConnectedComponents {
+
+  /** Returns (id LONG, component LONG): `component` = min vertex id
+    * reachable from `id`. `vertices` must cover every id in `edges`
+    * (isolated vertices come out as their own component). */
+  def components(
+      vertices: DataFrame, // column: id
+      edges: DataFrame, // columns: src, dst
+      maxIters: Int = 20): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = vertices.select(col("id"), col("id").as("component"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val prop = sym.join(labels, sym("src") === labels("id"))
+        .select(col("dst").as("id"), col("component"))
+      val next = labels.unionAll(prop)
+        .groupBy("id").agg(min("component").as("component"))
+        .localCheckpoint()
+      // one scalar per round: number of vertices whose label shrank
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.component") < col("o.component"))
+        .count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    require(converged, s"connected components did not converge in $maxIters rounds")
+    labels
+  }
+}

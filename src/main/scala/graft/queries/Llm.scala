@@ -154,6 +154,105 @@ object Llm extends QueryGroup {
              JOIN sig sb ON sb.doc_id = p.doc_b
              ORDER BY doc_a, doc_b"""))
 
+  /** Transitive near-dup CLUSTERING — pairwise candidates promoted to
+    * connected components (operators/ConnectedComponents): similarity
+    * pairs form a graph, and "keep one doc per near-dup cluster" is one
+    * survivor per COMPONENT — per-pair drops over-delete chains (A~B,
+    * B~C, A≁C must keep one of three, not drop both B and C). Corpus =
+    * documents ⊎ two injected copies of the first 50 docs (offsets 10M /
+    * 20M), so every injected original forms a ≥3-doc component alongside
+    * whatever organic near-dup pairs exist. Edges = the same banded
+    * minhash candidates as q_dedup_minhash at est_jaccard ≥ 0.5; min-label
+    * propagation runs O(component diameter) rounds of one shuffle each.
+    * Oracle = the pair SQL + a RECURSIVE CTE closure — DuckDB recomputes
+    * the same fixpoint independently. */
+  private val qDedupClusters = Q(
+    "q_dedup_clusters",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.GraftFunctions._
+      val base = table(s, dir, "documents").select("doc_id", "text")
+      val first50 = base.orderBy(col("doc_id")).limit(50)
+      val corpus = base
+        .unionAll(first50.select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+        .unionAll(first50.select((col("doc_id") + 20000000L).as("doc_id"), col("text")))
+      val sig = corpus
+        .withColumn("tl", split(lower(col("text")), " "))
+        .filter(size(col("tl")) >= 3)
+        .withColumn("sg", minHashSigNative(gramHashesNative(col("tl"), 3), 16))
+        .select("doc_id", "sg")
+      val bands = sig
+        .select(col("doc_id"), col("sg"),
+          explode(sequence(lit(0), lit(3))).as("band_id"))
+        .withColumn("band_key", concat_ws(":",
+          transform(slice(col("sg"), col("band_id") * 4 + 1, lit(4)),
+            x => x.cast("string"))))
+        .select("doc_id", "band_id", "band_key", "sg")
+      val edges = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band_id") === col("b.band_id") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .withColumn("est_jaccard",
+          aggregate(zip_with(col("a.sg"), col("b.sg"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+            lit(0L), (acc, x) => acc + x) / lit(16.0))
+        .filter(col("est_jaccard") >= 0.5)
+        .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+        .distinct()
+      val verts = corpus.select(col("doc_id").as("id"))
+      graft.operators.ConnectedComponents.components(verts, edges)
+        .groupBy(col("component")).agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("component"))
+    },
+    Some(s"""WITH RECURSIVE corpus AS (
+               SELECT doc_id, text FROM documents
+               UNION ALL
+               SELECT doc_id + 10000000, text FROM
+                 (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 50)
+               UNION ALL
+               SELECT doc_id + 20000000, text FROM
+                 (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 50)),
+             toks AS (
+               SELECT doc_id, string_split(lower(text), ' ') AS tl FROM corpus),
+             tok3 AS (SELECT doc_id, tl FROM toks WHERE len(tl) >= 3),
+             th AS (
+               SELECT doc_id, list_transform(tl, t -> ${charHashSql("t")}) AS th
+               FROM tok3),
+             hashed AS (
+               SELECT doc_id, list_distinct(list_transform(generate_series(1, len(th) - 2),
+                 i -> ((th[i] * 131 + th[i+1]) % $P * 131 + th[i+2]) % $P)) AS hs
+               FROM th),
+             sig AS (
+               SELECT doc_id, ${minhashSigSql("hs", 16)} AS sg FROM hashed),
+             bands AS (
+               SELECT doc_id, j AS band_id, sg,
+                 list_aggregate(list_transform(sg[j*4+1:j*4+4],
+                   x -> CAST(x AS VARCHAR)), 'string_agg', ':') AS band_key
+               FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) planes),
+             epairs AS (
+               SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM bands a JOIN bands b
+                 ON a.band_id = b.band_id AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+               WHERE CAST(list_sum(list_transform(generate_series(1, 16),
+                 i -> CASE WHEN a.sg[i] = b.sg[i] THEN 1 ELSE 0 END)) AS BIGINT)
+                 / 16.0 >= 0.5),
+             edges AS (
+               SELECT doc_a AS src, doc_b AS dst FROM epairs
+               UNION
+               SELECT doc_b AS src, doc_a AS dst FROM epairs),
+             reach(id, label) AS (
+               SELECT doc_id, doc_id FROM corpus
+               UNION
+               SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+             comp AS (
+               SELECT id, min(label) AS component FROM reach GROUP BY id)
+             SELECT component, count(*) AS n_docs
+             FROM comp GROUP BY component HAVING count(*) > 1
+             ORDER BY component"""))
+
   /** SimHash fingerprints: 32-bit sign-aggregated token-hash fingerprint
     * per document, plus the high-16-bit band key used for near-dup
     * candidate bucketing at scale.
@@ -1076,7 +1175,7 @@ object Llm extends QueryGroup {
     })
 
   override val queries: Seq[Q] = Seq(
-    qDedupExact, qDedupNorm, qDedupMinhash, qDedupSimhash, qDedupNgram,
+    qDedupExact, qDedupNorm, qDedupMinhash, qDedupClusters, qDedupSimhash, qDedupNgram,
     qDedupEmbedding, qSimTopk, qSimLsh, qSimIvf, qLlmCleanPipeline,
     qLlmCleanPipelineStaged, qSqlNativeFns, qTextNgramFreq,
     qTextLangId, qTextQuality, qTextTokens, qTextFingerprint, qMultimodal,
