@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry-wide scale-anti-pattern guard: EVERY gated query's physical
+  * plan must be free of the two operators that do not survive a 100×
+  * scale-up — CartesianProduct (all-pairs shuffle) and
+  * BroadcastNestedLoopJoin (per-row scan of the broadcast side) — unless
+  * the query is on the explicit whitelist with a documented reason. A new
+  * query that accidentally plans a nested loop (e.g. a join condition
+  * Catalyst can't turn into an equi-join) fails here, not in production.
+  */
+class PlanGuardSpec extends AnyFunSuite with SparkSessionFixture {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Queries ALLOWED to contain an all-pairs operator, each with why —
+    * in every case the broadcast side is CONSTANT-BOUNDED (a scalar, a
+    * codebook, a dim), so the "nested loop" is per-row work over k
+    * elements, not an n×m blowup. */
+  private val whitelist: Map[String, String] = Map(
+    // the operator under test IS the cross join; both sides bounded
+    "q_join_cross" -> "deliberate cross-join demo, broadcast-bounded dims",
+    // non-equi theta predicate; build side is a broadcast-bounded dim
+    "q_join_theta" -> "deliberate theta join, broadcast-bounded small side",
+    // two single-row aggregates joined into one output row
+    "q_agg_sketch_incremental" -> "scalar x scalar result join",
+    // the deliberate BRUTE-FORCE baseline the ANN variants are measured
+    // against; the broadcast side is the single query vector
+    "q_sim_topk" -> "brute-force baseline, single-query-vector broadcast",
+    // IVF coarse assignment = argmin over the k-row centroid codebook
+    "q_sim_ivf" -> "codebook argmin, broadcast k-row centroid table",
+    // scalar subquery lowers to a one-row broadcast join by construction
+    "q_subquery_scalar" -> "scalar subquery, one-row broadcast")
+
+  /** Whole-tree traversal: SparkPlan.collect does NOT descend into
+    * AdaptiveSparkPlanExec (its current plan is a field, not a child) or
+    * materialized query stages — unwrap both, plus subquery plans, or the
+    * sweep is vacuous under AQE. */
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
+    val inner = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    p +: (inner ++ p.subqueries).flatMap(flatten)
+  }
+
+  test("no registry query plans a cartesian product or nested-loop join") {
+    val offenders = scala.collection.mutable.ListBuffer.empty[String]
+    var sawWhitelisted = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val df =
+        try fn(spark, sf)
+        catch {
+          case e: Throwable =>
+            fail(s"$name failed to build its plan at $sf: ${e.getMessage}")
+        }
+      val bad = flatten(df.queryExecution.executedPlan).collect {
+        case c: CartesianProductExec => c.nodeName
+        case b: BroadcastNestedLoopJoinExec => b.nodeName
+      }
+      if (bad.nonEmpty) {
+        if (whitelist.contains(name)) sawWhitelisted += 1
+        else offenders += s"$name: ${bad.distinct.mkString(", ")}"
+      }
+    }
+    assert(offenders.isEmpty,
+      "scale anti-patterns in un-whitelisted queries:\n" +
+        offenders.mkString("\n"))
+    // the sweep must actually SEE the deliberate all-pairs queries —
+    // guards against this test going vacuous again
+    assert(sawWhitelisted >= 2,
+      s"traversal looks vacuous: only $sawWhitelisted whitelisted hits")
+  }
+}
