@@ -145,6 +145,23 @@ class KvSourceSpec extends AnyFunSuite with SparkSessionFixture {
     assert(readKv(out).count() === 0)
   }
 
+  test("KvEscape round-trips arbitrary strings (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf(',', '\n', '\r', '%', '\t', ' ', 'é', '中')))
+      .map(_.mkString)
+    val prop = Prop.forAll(gen) { s =>
+      val e = graft.sources.KvEscape.escape(s)
+      // framing invariant: escaped form carries no delimiters…
+      !e.contains(",") && !e.contains("\n") && !e.contains("\r") &&
+        // …and decoding is the exact inverse
+        graft.sources.KvEscape.unescape(e) == s
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200).withWorkers(1), prop)
+    assert(res.passed, s"property failed: ${res.status}")
+  }
+
   test("string comparisons and In pushdown") {
     val out = freshDir("strings")
     writeKv(out)

@@ -113,6 +113,50 @@ class WindowRankScaleSpec extends AnyFunSuite with SparkSessionFixture {
     assert(got == expected)
   }
 
+  test("quantile salt: random order distributions stay exact (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val s = spark
+    import s.implicits._
+    // distribution shapes chosen to stress bucket-bound derivation:
+    // uniform, squared (low-heavy), cubed, step (heavy ties in density),
+    // and constant-ish narrow domains
+    val genShape = Gen.oneOf[Long => Long](
+      (i: Long) => i,
+      (i: Long) => i * i,
+      (i: Long) => i * i * i,
+      (i: Long) => (i / 100) * 1000 + i % 3,
+      (i: Long) => 7L + i / 500)
+    val genCase = for {
+      n <- Gen.choose(1, 3000)
+      nk <- Gen.choose(1, 4)
+      shape <- genShape
+      nb <- Gen.oneOf(2, 7, 16)
+      soi <- Gen.oneOf(4, 64)
+    } yield (n, nk, shape, nb, soi)
+    val prop = Prop.forAll(genCase) { case (n, nk, shape, nb, soi) =>
+      // ord must be unique within a key: mix the shaped value with the
+      // unique id in the low bits
+      val df = (0 until n).map { i =>
+        (i % nk, shape(i.toLong / nk) * 10000L + i)
+      }.toDF("k", "ord")
+      val got = graft.operators.SaltedPrefix
+        .exclusivePrefixSumQuantile(df, "k", "ord", lit(1L), nb, soi)
+        .select(col("k"), col("ord"), (col("start_off") + 1).as("rn"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      val want = (0 until n).map { i =>
+        (i % nk, shape(i.toLong / nk) * 10000L + i)
+      }.groupBy(_._1).flatMap { case (k, rows) =>
+        rows.map(_._2).sorted.zipWithIndex.map { case (o, idx) =>
+          (k, o, idx + 1L)
+        }
+      }.toSet
+      got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10).withWorkers(1), prop)
+    assert(res.passed, s"property failed: ${res.status}")
+  }
+
   test("quantile salt plan: per-row windows carry the bucket in the partition spec") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.adaptive.enabled", "false")
