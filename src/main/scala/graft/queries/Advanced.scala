@@ -442,11 +442,87 @@ object Advanced extends QueryGroup {
                                 FROM customer)
              ORDER BY c_custkey"""))
 
+  /** Correlated EXISTS subquery (TPC-H Q4 shape): orders in a window that
+    * have at least one line shipped after the order date. Catalyst
+    * decorrelates the EXISTS into a LEFT SEMI hash join on l_orderkey —
+    * the scale shape: one shuffle per side on the join key, lineitem
+    * never materialized per-order. The date filter lands on the orders
+    * scan as a pushed parquet predicate. */
+  private val qSubqueryExists = Q(
+    "q_subquery_exists",
+    (s, dir) => {
+      table(s, dir, "orders").createOrReplaceTempView("orders_v")
+      table(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql("""SELECT o_orderpriority, count(*) AS n_late_orders
+               FROM orders_v o
+               WHERE o_orderdate >= TIMESTAMP_NTZ '1996-01-01'
+                 AND o_orderdate <  TIMESTAMP_NTZ '1996-07-01'
+                 AND EXISTS (SELECT 1 FROM lineitem_v l
+                             WHERE l.l_orderkey = o.o_orderkey
+                               AND l.l_shipdate > o.o_orderdate)
+               GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n_late_orders
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-07-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** Typed cogroup (KeyValueGroupedDataset.cogroup): per-key streaming
+    * access to BOTH sides' rows — the general two-input per-key operator
+    * the reference would express as a reducer over a tagged union
+    * (MapReduceC.hs:26 with a sum-type value). Keys present on either
+    * side are emitted (full-outer semantics).
+    *
+    * Scale shape: each side shuffles ONCE on the key and the cogroup
+    * iterators stream — per-key state here is two counters, never a
+    * materialized group. Customer side is ≤1 row/key; order side is
+    * folded incrementally, so skewed customers don't buffer. */
+  private val qTypedCogroup = Q(
+    "q_typed_cogroup",
+    (s, dir) => {
+      import s.implicits._
+      val c = table(s, dir, "customer")
+        .select(col("c_custkey"), fixed4(col("c_acctbal")).as("bal_units"))
+        .as[(Long, Long)]
+      val o = table(s, dir, "orders")
+        .select(col("o_custkey"), fixed4(col("o_totalprice")).as("price_units"))
+        .as[(Long, Long)]
+      c.groupByKey(_._1).cogroup(o.groupByKey(_._1)) { (k, cs, os) =>
+        var nCust = 0L
+        var balUnits = 0L
+        cs.foreach { case (_, b) => nCust += 1; balUnits += b }
+        var nOrders = 0L
+        var spendUnits = 0L
+        os.foreach { case (_, u) => nOrders += 1; spendUnits += u }
+        Iterator((k, nCust, balUnits, nOrders, spendUnits))
+      }.toDF("custkey", "n_cust", "bal_units", "n_orders", "spend_units")
+        .select(col("custkey"), col("n_cust"), col("n_orders"),
+          (col("bal_units") / 10000.0).as("acctbal"),
+          (col("spend_units") / 10000.0).as("spend"))
+        .orderBy("custkey")
+    },
+    Some(s"""SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+               CASE WHEN c.c_custkey IS NULL THEN 0 ELSE 1 END AS n_cust,
+               COALESCE(o.n_orders, 0) AS n_orders,
+               CAST(COALESCE(c.bal_units, 0) AS DOUBLE) / 10000.0 AS acctbal,
+               CAST(COALESCE(o.spend_units, 0) AS DOUBLE) / 10000.0 AS spend
+             FROM (SELECT c_custkey, ${fixed4Sql("c_acctbal")} AS bal_units
+                   FROM customer) c
+             FULL JOIN (SELECT o_custkey, count(*) AS n_orders,
+                          sum(${fixed4Sql("o_totalprice")}) AS spend_units
+                        FROM orders GROUP BY o_custkey) o
+               ON c.c_custkey = o.o_custkey
+             ORDER BY custkey"""))
+
   override val queries: Seq[Q] = Seq(
     qJoinRange, qJoinAsof, qJoinAsofNative, qJoinAsofFwd, qJoinAsofFwdNative,
     qJoinAsofNearest, qJoinAsofNearestNative, qJoinSalted, qTypedJoinWith,
     qAggTypedWavg, qAggTopkTyped, qAggFlatMapGroups, qAggPivot, qSqlEntry,
-    qSqlAutoNative, qSubqueryScalar)
+    qSqlAutoNative, qSubqueryScalar, qSubqueryExists, qTypedCogroup)
 
   case class Nation(n_nationkey: Int, n_name: String, n_regionkey: Int)
   case class Region(r_regionkey: Int, r_name: String)

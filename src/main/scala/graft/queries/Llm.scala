@@ -1179,5 +1179,51 @@ object Llm extends QueryGroup {
     qDedupEmbedding, qSimTopk, qSimLsh, qSimIvf, qLlmCleanPipeline,
     qLlmCleanPipelineStaged, qSqlNativeFns, qTextNgramFreq,
     qTextLangId, qTextQuality, qTextTokens, qTextFingerprint, qMultimodal,
-    qMultimodalDecode, qDecontaminate)
+    qMultimodalDecode, qDecontaminate, qTextPii)
+
+  /** PII scrubbing — the redaction pass every training corpus gets before
+    * (NOTE: defined as a `lazy val` because it sits below the registry
+    * Seq that references it — a plain val would still be null there.)
+    * the tokenizer: emails and phone-like tokens replaced with typed
+    * placeholders, per-doc redaction counts kept for corpus accounting.
+    * Deterministic synthetic PII (built from doc_id) is appended to each
+    * document first, so the gate verifies real multi-occurrence
+    * replacement semantics, not a no-op pass over PII-free text.
+    *
+    * Patterns stay in the RE2 ∩ java.util.regex common subset (no
+    * lookaround, no backrefs) so Spark and the DuckDB oracle — and any
+    * other engine a corpus pipeline hands these rules to — match
+    * identically. Scale shape: pure per-row narrow map over the scan,
+    * whole-stage codegen, zero shuffle before the gate's ORDER BY. */
+  private lazy val qTextPii = Q(
+    "q_text_pii",
+    (s, dir) => {
+      val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phonePat = "\\+1-555-[0-9]{4}"
+      table(s, dir, "documents")
+        .withColumn("text2",
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(".")))
+        .withColumn("n_emails", size(regexp_extract_all(col("text2"), lit(emailPat), lit(0))).cast("long"))
+        .withColumn("n_phones", size(regexp_extract_all(col("text2"), lit(phonePat), lit(0))).cast("long"))
+        .withColumn("clean",
+          regexp_replace(regexp_replace(col("text2"), emailPat, "<EMAIL>"),
+            phonePat, "<PHONE>"))
+        .select(col("doc_id"), col("n_emails"), col("n_phones"), col("clean"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+              CAST(len(regexp_extract_all(text2,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+              CAST(len(regexp_extract_all(text2, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
+              regexp_replace(
+                regexp_replace(text2,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS clean
+            FROM (SELECT doc_id,
+                    text || ' contact user' || doc_id || '@example.com or +1-555-' ||
+                    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.' AS text2
+                  FROM documents)
+            ORDER BY doc_id"""))
 }

@@ -274,6 +274,47 @@ object Relational extends QueryGroup {
                AND l_orderkey = o_orderkey
              GROUP BY n_name ORDER BY revenue DESC, n_name"""))
 
+  /** Conditional aggregation over a fact↔dim join (TPC-H Q14 shape):
+    * promo share of revenue for a ship-date quarter. The dim (part) is
+    * broadcast so the fact table never shuffles; the CASE folds into the
+    * partial aggregate, so one pass over the filtered scan produces both
+    * sums. The date filter is a pushed parquet predicate. Share = one
+    * double division of two exact long unit-sums — deterministic across
+    * engines. */
+  private val q14PromoShare = Q(
+    "q14_promo_share",
+    (s, dir) => {
+      val l = table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-07-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1997-10-01").cast("timestamp_ntz"))
+      val p = table(s, dir, "part").select(col("p_partkey"), col("p_type"))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(
+          fixed4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("u"),
+          when(col("p_type") === "PROMO",
+            fixed4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .otherwise(lit(0L)).as("pu"))
+        .agg(
+          (sum(col("pu")).cast("double") / 10000.0).as("promo_revenue"),
+          (sum(col("u")).cast("double") / 10000.0).as("total_revenue"),
+          (lit(100.0) * sum(col("pu")).cast("double") /
+            sum(col("u")).cast("double")).as("promo_share_pct"))
+    },
+    Some(s"""SELECT
+               CAST(sum(CASE WHEN p_type = 'PROMO'
+                 THEN ${fixed4Sql("l_extendedprice * (1 - l_discount)")}
+                 ELSE 0 END) AS DOUBLE) / 10000.0 AS promo_revenue,
+               CAST(sum(${fixed4Sql("l_extendedprice * (1 - l_discount)")})
+                 AS DOUBLE) / 10000.0 AS total_revenue,
+               100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                 THEN ${fixed4Sql("l_extendedprice * (1 - l_discount)")}
+                 ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(${fixed4Sql("l_extendedprice * (1 - l_discount)")})
+                   AS DOUBLE) AS promo_share_pct
+             FROM lineitem JOIN part ON l_partkey = p_partkey
+             WHERE l_shipdate >= TIMESTAMP '1997-07-01'
+               AND l_shipdate <  TIMESTAMP '1997-10-01'"""))
+
   // -- sort / limit / top-k -------------------------------------------
 
   private val qSortLimit = Q(
@@ -383,7 +424,7 @@ object Relational extends QueryGroup {
   override val queries: Seq[Q] = Seq(
     qScanProject, qSourceValues, q1Agg, qAggDistinct,
     q3TopRevenue, qJoinLeft, qJoinRight, qJoinSemi, qJoinAnti, qJoinFull,
-    qJoinCross, qJoinTheta, q5NationRevenue, qSortLimit, qTopkGlobal,
+    qJoinCross, qJoinTheta, q5NationRevenue, q14PromoShare, qSortLimit, qTopkGlobal,
     qSetUnionAll, qSetIntersect, qSetExcept,
     qSetIntersectAll, qSetExceptAll, qSetUnionByName, qSetDistinct)
 }

@@ -413,7 +413,64 @@ object Training extends QueryGroup {
           FROM lineitem"""
     }.mkString("", " UNION ALL ", " ORDER BY column_name")))
 
+  // -- CDC merge / upsert --------------------------------------------------
+
+  /** MERGE INTO (upsert+delete) — apply a CDC change batch to a base
+    * snapshot: U rows replace the base row's price, D rows remove it,
+    * I rows append. The change batch is derived deterministically from
+    * orders (key%10==3 → U with price+100, key%10==7 → D, key%100==1 →
+    * I under a shifted key), so base and changes share no accidental
+    * overlap beyond the intended one-change-per-key.
+    *
+    * Scale shape: a single full-outer shuffle join on the merge key —
+    * exactly what an engine with MERGE INTO lowers to when the change
+    * batch is too big to broadcast (full-outer cannot broadcast); both
+    * sides hash-partition once and the merge decision is a per-row
+    * CASE, no window, no driver state. */
+  private val qCdcMerge = Q(
+    "q_cdc_merge",
+    (s, dir) => {
+      val src = table(s, dir, "orders")
+      val base = src.select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        fixed4(col("o_totalprice")).as("price_units"))
+      val upd = src.filter(col("o_orderkey") % 10 === 3)
+        .select(col("o_orderkey").as("k"), lit("U").as("op"),
+          fixed4(col("o_totalprice") + 100).as("new_units"))
+      val del = src.filter(col("o_orderkey") % 10 === 7)
+        .select(col("o_orderkey").as("k"), lit("D").as("op"),
+          lit(null).cast("long").as("new_units"))
+      val ins = src.filter(col("o_orderkey") % 100 === 1)
+        .select((col("o_orderkey") + 10000000L).as("k"), lit("I").as("op"),
+          fixed4(col("o_totalprice")).as("new_units"))
+      base.join(upd.union(del).union(ins), Seq("k"), "full_outer")
+        .filter(col("op").isNull || col("op") =!= "D")
+        .select(col("k"),
+          (coalesce(col("new_units"), col("price_units")) / 10000.0).as("price"),
+          coalesce(col("status"), lit("NEW")).as("status"))
+        .orderBy("k")
+    },
+    Some(s"""WITH base AS (
+               SELECT o_orderkey AS k, o_orderstatus AS status,
+                 ${fixed4Sql("o_totalprice")} AS price_units FROM orders),
+             changes AS (
+               SELECT o_orderkey AS k, 'U' AS op,
+                 ${fixed4Sql("o_totalprice + 100")} AS new_units
+               FROM orders WHERE o_orderkey % 10 = 3
+               UNION ALL
+               SELECT o_orderkey, 'D', NULL FROM orders WHERE o_orderkey % 10 = 7
+               UNION ALL
+               SELECT o_orderkey + 10000000, 'I', ${fixed4Sql("o_totalprice")}
+               FROM orders WHERE o_orderkey % 100 = 1)
+             SELECT COALESCE(b.k, c.k) AS k,
+               CAST(COALESCE(c.new_units, b.price_units) AS DOUBLE) / 10000.0 AS price,
+               COALESCE(b.status, 'NEW') AS status
+             FROM base b FULL JOIN changes c ON b.k = c.k
+             WHERE c.op IS NULL OR c.op <> 'D'
+             ORDER BY k"""))
+
   override val queries: Seq[Q] = Seq(
     qTextRepetition, qSplitAssign, qMixWeighted, qSamplePerGroup,
-    qPackSequences, qLinesDedup, qProfileColumns, qChunkDocs, qDedupLatest)
+    qPackSequences, qLinesDedup, qProfileColumns, qChunkDocs, qDedupLatest,
+    qCdcMerge)
 }

@@ -353,8 +353,36 @@ object Windows extends QueryGroup {
                          * (l_orderkey * 8 + l_linenumber)) AS rn
             FROM lineitem ORDER BY l_returnflag, rn"""))
 
+  /** SCD-type-2 interval construction (the warehouse/CDC "event stream →
+    * validity intervals" pass): each per-user event becomes a row valid
+    * [ts, next event's ts); the user's latest event stays open
+    * (valid_to NULL, is_current). lead() over the per-user window — one
+    * hash shuffle on user_id, per-key state is a single row, so the plan
+    * scales with user count, not history depth per scan. (event_id breaks
+    * ts ties so the intervals are deterministic.) */
+  private val qScd2Intervals = Q(
+    "q_scd2_intervals",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      table(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+        .orderBy("user_id", "valid_from", "event_id")
+    },
+    Some("""SELECT user_id, event_id, event_type,
+              CAST(ts AS TIMESTAMP) AS valid_from,
+              CAST(lead(ts, 1) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS TIMESTAMP) AS valid_to,
+              (lead(ts, 1) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id)) IS NULL AS is_current
+            FROM events ORDER BY user_id, valid_from, event_id"""))
+
   override val queries: Seq[Q] = Seq(
     qWindowTopk, qWindowRunning, qWindowLeadLag, qWindowRank,
     qWindowRangeFrame, qWindowAnalytics, qAggRollup, qAggCube,
-    qAggGroupingSets, qAggUnpivot, qWindowRownumSalted, qWindowRownumQsalted)
+    qAggGroupingSets, qAggUnpivot, qWindowRownumSalted, qWindowRownumQsalted,
+    qScd2Intervals)
 }
