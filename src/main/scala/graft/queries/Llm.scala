@@ -1205,8 +1205,8 @@ object Llm extends QueryGroup {
           concat(col("text"), lit(" contact user"), col("doc_id"),
             lit("@example.com or +1-555-"),
             lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(".")))
-        .withColumn("n_emails", size(regexp_extract_all(col("text2"), lit(emailPat), lit(0))).cast("long"))
-        .withColumn("n_phones", size(regexp_extract_all(col("text2"), lit(phonePat), lit(0))).cast("long"))
+        .withColumn("n_emails", regexp_count(col("text2"), lit(emailPat)).cast("long"))
+        .withColumn("n_phones", regexp_count(col("text2"), lit(phonePat)).cast("long"))
         .withColumn("clean",
           regexp_replace(regexp_replace(col("text2"), emailPat, "<EMAIL>"),
             phonePat, "<PHONE>"))

@@ -315,6 +315,32 @@ object Relational extends QueryGroup {
              WHERE l_shipdate >= TIMESTAMP '1997-07-01'
                AND l_shipdate <  TIMESTAMP '1997-10-01'"""))
 
+  /** Two-level aggregation over an outer join (TPC-H Q13 shape): the
+    * distribution of customers by order count, zero-order customers
+    * included via the LEFT join. Level 1 hash-aggregates on c_custkey
+    * (reusing the join's partitioning — no second shuffle); level 2
+    * re-aggregates the per-customer counts into the distribution, whose
+    * key cardinality is tiny, so the second shuffle moves almost
+    * nothing. count(o_orderkey) (not count(*)) makes the no-order
+    * customer count 0 on both engines. */
+  private val q13CustDist = Q(
+    "q13_custdist",
+    (s, dir) => {
+      val c = table(s, dir, "customer").select(col("c_custkey"))
+      val o = table(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    Some("""SELECT c_count, count(*) AS custdist FROM (
+              SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey) t
+            GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""))
+
   // -- sort / limit / top-k -------------------------------------------
 
   private val qSortLimit = Q(
@@ -424,7 +450,8 @@ object Relational extends QueryGroup {
   override val queries: Seq[Q] = Seq(
     qScanProject, qSourceValues, q1Agg, qAggDistinct,
     q3TopRevenue, qJoinLeft, qJoinRight, qJoinSemi, qJoinAnti, qJoinFull,
-    qJoinCross, qJoinTheta, q5NationRevenue, q14PromoShare, qSortLimit, qTopkGlobal,
+    qJoinCross, qJoinTheta, q5NationRevenue, q13CustDist, q14PromoShare,
+    qSortLimit, qTopkGlobal,
     qSetUnionAll, qSetIntersect, qSetExcept,
     qSetIntersectAll, qSetExceptAll, qSetUnionByName, qSetDistinct)
 }

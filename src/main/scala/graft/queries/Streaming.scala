@@ -128,16 +128,18 @@ object Streaming extends QueryGroup {
       java.nio.file.Files.createDirectories(srcDir)
       val drops = new java.io.File(staged.toString).listFiles()
         .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-      val q = EventStreams.tumbling(
-          s.readStream.schema(events.schema).parquet(srcDir.toString))
-        .writeStream.format("memory").queryName("graft_stream_live_sink")
-        .outputMode("complete").start()
-      try {
-        drops.zipWithIndex.foreach { case (f, i) =>
-          java.nio.file.Files.copy(f.toPath, srcDir.resolve(s"drop_$i.parquet"))
-          q.processAllAvailable()
-        }
-      } finally q.stop()
+      withStatePartitions(s, 8) {
+        val q = EventStreams.tumbling(
+            s.readStream.schema(events.schema).parquet(srcDir.toString))
+          .writeStream.format("memory").queryName("graft_stream_live_sink")
+          .outputMode("complete").start()
+        try {
+          drops.zipWithIndex.foreach { case (f, i) =>
+            java.nio.file.Files.copy(f.toPath, srcDir.resolve(s"drop_$i.parquet"))
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
       s.table("graft_stream_live_sink").orderBy(col("ws"), col("event_type"))
     },
     Some(s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws,
@@ -174,6 +176,23 @@ object Streaming extends QueryGroup {
   private def rmTree(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(rmTree)
     f.delete(): Unit
+  }
+
+  /** Run `body` with the session's shuffle-partition count scoped to the
+    * STATEFUL key cardinality of the live streams (720 hour-windows × 5
+    * event types ≈ 3.6 k keys): each state-store partition pays per-batch
+    * fixed cost (delta file, commit, snapshot bookkeeping), so a stateful
+    * query's partition count should track its key count, not the session
+    * default sized for the big relational shuffles. The same sizing rule
+    * holds at 100 TB — there the key count (and thus the right partition
+    * count) is larger, and this is exactly the knob an operator would
+    * raise. Restores the previous value afterwards. */
+  private def withStatePartitions[T](
+      s: org.apache.spark.sql.SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
   }
 
   /** Shared drip-runner for the append-mode live stream: stages (cached
@@ -220,15 +239,17 @@ object Streaming extends QueryGroup {
     java.nio.file.Files.createDirectories(srcRoot)
     def files(p: java.nio.file.Path) = new java.io.File(p.toString)
       .listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-    val q = start(EventStreams.tumblingAppend(
-      s.readStream.schema(events.schema).parquet(srcRoot.toString)))
-    try {
-      (files(staged) ++ files(flushA) ++ files(flushB))
-        .zipWithIndex.foreach { case (f, i) =>
-          java.nio.file.Files.copy(f.toPath, srcRoot.resolve(s"drop_$i.parquet"))
-          q.processAllAvailable()
-        }
-    } finally q.stop()
+    withStatePartitions(s, 8) {
+      val q = start(EventStreams.tumblingAppend(
+        s.readStream.schema(events.schema).parquet(srcRoot.toString)))
+      try {
+        (files(staged) ++ files(flushA) ++ files(flushB))
+          .zipWithIndex.foreach { case (f, i) =>
+            java.nio.file.Files.copy(f.toPath, srcRoot.resolve(s"drop_$i.parquet"))
+            q.processAllAvailable()
+          }
+      } finally q.stop()
+    }
   }
 
   private val qStreamLiveAppend = Q(

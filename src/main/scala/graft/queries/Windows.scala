@@ -380,9 +380,67 @@ object Windows extends QueryGroup {
                 ORDER BY ts, event_id)) IS NULL AS is_current
             FROM events ORDER BY user_id, valid_from, event_id"""))
 
+  /** Batch sessionization (gaps-and-islands) — the batch twin of the
+    * streaming session window (q_stream_session): a session boundary
+    * opens wherever the per-user gap exceeds 30 minutes; the session id
+    * is the running count of boundaries. Two window passes over ONE
+    * partitioning (lag then running sum both hash on user_id — Catalyst
+    * reuses the single shuffle+sort), then an ordinary hash aggregation
+    * per (user, session). Per-key window state is O(1); scales with
+    * users, not history. */
+  private val qSessionize = Q(
+    "q_sessionize",
+    (s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      table(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          (col("prev_ts").isNull ||
+            unix_micros(col("ts").cast("timestamp")) -
+              unix_micros(col("prev_ts").cast("timestamp")) > 1800L * 1000000L)
+            .cast("long"))
+        .withColumn("session_idx",
+          sum(col("new_session")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          sum(fixed4(col("value"))).as("value_units"))
+        .select(col("user_id"), col("session_idx"), col("n_events"),
+          col("session_start"), col("session_end"),
+          (col("value_units") / 10000.0).as("session_value"))
+        .orderBy("user_id", "session_idx")
+    },
+    Some("""WITH g AS (
+              SELECT user_id, event_id, ts, value,
+                lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+              FROM events),
+            m AS (
+              SELECT user_id, event_id, ts, value,
+                CAST(prev_ts IS NULL
+                     OR epoch_us(CAST(ts AS TIMESTAMP)) -
+                        epoch_us(CAST(prev_ts AS TIMESTAMP)) > 1800000000 AS BIGINT)
+                  AS new_session
+              FROM g),
+            x AS (
+              SELECT user_id, ts, value,
+                CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS session_idx
+              FROM m)
+            SELECT user_id, session_idx, count(*) AS n_events,
+              CAST(min(ts) AS TIMESTAMP) AS session_start,
+              CAST(max(ts) AS TIMESTAMP) AS session_end,
+              CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE) / 10000.0
+                AS session_value
+            FROM x GROUP BY user_id, session_idx
+            ORDER BY user_id, session_idx"""))
+
   override val queries: Seq[Q] = Seq(
     qWindowTopk, qWindowRunning, qWindowLeadLag, qWindowRank,
     qWindowRangeFrame, qWindowAnalytics, qAggRollup, qAggCube,
     qAggGroupingSets, qAggUnpivot, qWindowRownumSalted, qWindowRownumQsalted,
-    qScd2Intervals)
+    qScd2Intervals, qSessionize)
 }
