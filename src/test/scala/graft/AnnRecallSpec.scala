@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ANN quality measurement: recall@3 of the two approximate similarity
+  * paths (hyperplane LSH, IVF-flat) against the brute-force truth, as a
+  * function of the probe budget — the knob an operator turns at scale.
+  *
+  * The driver-gated queries (q_sim_lsh / q_sim_ivf) pin the MINIMAL
+  * budget (one bucket, nprobe=2) because their DuckDB twins recompute
+  * them exactly; this spec quantifies what that budget buys and proves
+  * the standard remedies — multi-probe LSH (hamming-1 bucket
+  * neighborhood) and a larger nprobe — raise recall monotonically while
+  * the candidate set stays a small corpus fraction. Everything stays
+  * equi-join shaped (probe expansion = explode of a 5-element array →
+  * bucket equi-join), so the scale path is unchanged.
+  */
+class AnnRecallSpec extends AnyFunSuite with SparkSessionFixture {
+
+  private val dir = "/root/testdata/sf0.01"
+  private val K = 3
+  private val NP = 4 // hyperplanes → 16 buckets
+
+  private lazy val emb: DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    graft.core.Graft.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).cache()
+  }
+  private lazy val nVecs: Long = emb.count()
+
+  private def queries: DataFrame = emb.filter(col("vec_id") < 8)
+    .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+
+  /** Exact top-K neighbor set per query (the truth). */
+  private lazy val truth: Map[Long, Set[Long]] = {
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        graft.functions.GraftFunctions.cosineNative(col("qv"), col("embedding")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= K)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+  }
+
+  /** recall@K plus mean scanned-candidate fraction for a candidate set
+    * (query_id, vec_id, cosine-ready pairs). */
+  private def recallAndScan(cands: DataFrame): (Double, Double) = {
+    val scored = cands
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        graft.functions.GraftFunctions.cosineNative(col("qv"), col("embedding")))
+    val scanned = scored.groupBy("query_id").count().agg(avg("count")).collect()(0).getDouble(0)
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    val got = scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= K)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val hits = truth.map { case (q, t) => (t & got.getOrElse(q, Set.empty)).size }.sum
+    (hits.toDouble / truth.map(_._2.size).sum, scanned / nVecs)
+  }
+
+  /** LSH candidates with a hamming-radius probe set: each query probes
+    * its own bucket plus (radius 1) every bucket one bit-flip away —
+    * still a bucket equi-join after exploding the probe array. */
+  private def lshCandidates(radius: Int): DataFrame = {
+    import graft.functions.GraftFunctions._
+    val e = emb.withColumn("bucket", lshBucketNative(col("embedding"), NP))
+    val probeCols: Seq[org.apache.spark.sql.Column] =
+      col("qbucket") +: (if (radius >= 1)
+        (0 until NP).map(i => col("qbucket").bitwiseXOR(lit(1L << i)))
+      else Seq.empty)
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("bucket").as("qbucket"))
+      .withColumn("probe", explode(array(probeCols: _*)))
+    e.join(broadcast(q), col("bucket") === col("probe"))
+  }
+
+  /** IVF candidates at a given nprobe (centroids = vec_id 100..115,
+    * single-assignment inverted lists — same construction as q_sim_ivf). */
+  private def ivfCandidates(nprobe: Int): DataFrame = {
+    import graft.functions.GraftFunctions._
+    val cent = emb.filter(col("vec_id") >= 100 && col("vec_id") <= 115)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    def nearest(src: DataFrame, idCol: String, vecCol: String, n: Int) = {
+      val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cid"))
+      src.crossJoin(broadcast(cent))
+        .withColumn("csim", cosineNative(col(vecCol), col("cemb")))
+        .withColumn("crk", row_number().over(w)).filter(col("crk") <= n)
+        .drop("cemb", "csim", "crk")
+    }
+    val lists = nearest(emb, "vec_id", "embedding", 1)
+    val probes = nearest(
+      emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      "query_id", "qv", nprobe)
+    lists.join(broadcast(probes), "cid")
+  }
+
+  test("multi-probe LSH raises recall monotonically; radius-1 clears 0.5 on a small candidate fraction") {
+    val (r0, s0) = recallAndScan(lshCandidates(0))
+    val (r1, s1) = recallAndScan(lshCandidates(1))
+    info(f"LSH radius 0: recall@$K=$r0%.3f scan=${s0 * 100}%.1f%%")
+    info(f"LSH radius 1: recall@$K=$r1%.3f scan=${s1 * 100}%.1f%%")
+    assert(r1 >= r0, "probing more buckets must not lose neighbors")
+    assert(r1 >= 0.5, f"radius-1 multi-probe recall $r1%.3f below floor")
+    assert(s1 <= 0.5, f"radius-1 candidate fraction ${s1 * 100}%.1f%% — not a scale path")
+  }
+
+  test("IVF recall rises with nprobe; nprobe=6/16 clears 0.5 on a small candidate fraction") {
+    val (r2, s2) = recallAndScan(ivfCandidates(2))
+    val (r6, s6) = recallAndScan(ivfCandidates(6))
+    info(f"IVF nprobe 2: recall@$K=$r2%.3f scan=${s2 * 100}%.1f%%")
+    info(f"IVF nprobe 6: recall@$K=$r6%.3f scan=${s6 * 100}%.1f%%")
+    assert(r6 >= r2, "probing more lists must not lose neighbors")
+    assert(r6 >= 0.5, f"nprobe-6 recall $r6%.3f below floor")
+    assert(s6 <= 0.6, f"nprobe-6 candidate fraction ${s6 * 100}%.1f%%")
+  }
+}
