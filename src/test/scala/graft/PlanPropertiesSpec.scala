@@ -110,4 +110,51 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkSessionFixture {
     val codegen = df.queryExecution.executedPlan.toString
     assert(codegen.contains("*(1)"), codegen)
   }
+
+  test("per-group top-k as rank-filter gets the WindowGroupLimit pushdown") {
+    // When per-group top-k IS written as a window (the Aggregator in
+    // q_window_topk avoids the window entirely), Spark must insert
+    // WindowGroupLimit: each map task keeps only k rows per group BEFORE
+    // the shuffle, so the window never sees whole groups — the difference
+    // between shuffling k·groups rows and shuffling the table at 100 TB.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice").desc)
+    val df = graft.core.Graft.table(spark, dir, "lineitem")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank-filter top-k did not get WindowGroupLimit:\n$plan")
+  }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // Row-level runtime filtering: when a selective dim filter exists and
+    // the join must shuffle (dim above broadcast threshold), the optimizer
+    // builds a bloom filter over the dim's join keys and applies it to the
+    // fact scan — rows that cannot match never enter the shuffle. At 100 TB
+    // this is the difference between shuffling the full fact table and
+    // shuffling the matching fraction. Thresholds are lowered here because
+    // the test tables are tiny; the plan shape is what's asserted.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "50MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB",
+      "spark.sql.optimizer.runtimeFilter.number.threshold" -> "10")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val supp = graft.core.Graft.table(spark, dir, "supplier")
+        .filter(col("s_nationkey") === 3)
+      val l = graft.core.Graft.table(spark, dir, "lineitem")
+      val joined = l.join(supp, col("l_suppkey") === col("s_suppkey"))
+        .select("l_orderkey", "s_suppkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("bloomfilter"),
+        s"no runtime bloom filter on the fact scan:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
