@@ -492,8 +492,69 @@ object Functions extends QueryGroup {
                count(*) AS n, ${moneySumSql("c_acctbal")} AS bal_sum
              FROM customer GROUP BY bucket ORDER BY bucket"""))
 
+  /** Exact Pearson correlation + sample covariance via integer power
+    * sums — the [[qAggStddevExact]] idiom extended to two variables: both
+    * columns quantized per row (quantity → 1e-2 units, price → cents),
+    * the five power sums accumulated exactly (per-row products fit a
+    * long; sums go through decimal(38,0) ↔ HUGEINT), and each
+    * closed-form term converted to double ONCE before the final
+    * division/sqrt — so merge order can't move a bit, unlike Spark's
+    * streaming corr/covar_samp. Correlation is unit-invariant so the
+    * quantization scales cancel; covariance rescales by the exact unit
+    * product. Map-side partial aggregation applies as usual — the shape
+    * survives any scale. */
+  private val qAggCorrExact = Q(
+    "q_agg_corr_exact",
+    (s, dir) => {
+      val qx = round(col("l_quantity") * 100).cast("long")
+      val qy = round(col("l_extendedprice") * 100).cast("long")
+      val dec = "decimal(38,0)"
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(qx).as("sx"),
+          sum(qy).as("sy"),
+          sum((qx * qx).cast(dec)).as("sxx"),
+          sum((qy * qy).cast(dec)).as("syy"),
+          sum((qx * qy).cast(dec)).as("sxy"))
+        .withColumn("num",
+          (col("n").cast(dec) * col("sxy") -
+            col("sx").cast(dec) * col("sy").cast(dec)).cast("double"))
+        .withColumn("vx",
+          (col("n").cast(dec) * col("sxx") -
+            col("sx").cast(dec) * col("sx").cast(dec)).cast("double"))
+        .withColumn("vy",
+          (col("n").cast(dec) * col("syy") -
+            col("sy").cast(dec) * col("sy").cast(dec)).cast("double"))
+        .select(col("l_returnflag"), col("n"),
+          (col("num") / (sqrt(col("vx")) * sqrt(col("vy")))).as("corr_qty_price"),
+          (col("num") / (col("n") * (col("n") - 1)).cast("double") / 10000.0)
+            .as("cov_qty_price"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH t AS (
+              SELECT l_returnflag,
+                CAST(round(l_quantity * 100) AS BIGINT) AS qx,
+                CAST(round(l_extendedprice * 100) AS BIGINT) AS qy
+              FROM lineitem),
+            a AS (
+              SELECT l_returnflag, count(*) AS n,
+                sum(CAST(qx AS HUGEINT)) AS sx, sum(CAST(qy AS HUGEINT)) AS sy,
+                sum(CAST(qx AS HUGEINT) * qx) AS sxx,
+                sum(CAST(qy AS HUGEINT) * qy) AS syy,
+                sum(CAST(qx AS HUGEINT) * qy) AS sxy
+              FROM t GROUP BY l_returnflag)
+            SELECT l_returnflag, n,
+              CAST(n * sxy - sx * sy AS DOUBLE) /
+                (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                 sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_price,
+              CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * (n - 1) AS DOUBLE) / 10000.0 AS cov_qty_price
+            FROM a ORDER BY l_returnflag"""))
+
   override val queries: Seq[Q] = Seq(
     qFnString, qFnDate, qFnMath, qFnCaseNull, qFnArray, qFnJson, qFnFromJson,
     qFnMap, qFnUdf, qAggApproxDistinct, qAggSketchIncremental, qAggPercentile, qAggMode,
-    qAggStddevExact, qAggCms, qAggHistogram)
+    qAggStddevExact, qAggCorrExact, qAggCms, qAggHistogram)
 }
