@@ -85,7 +85,10 @@ object ScaleBench {
       out
     }
 
-    val variants = Seq("q_llm_clean_pipeline", "q_llm_clean_pipeline_staged")
+    val variants = sys.env.get("SPARK_GRAFT_SCALE_VARIANTS")
+      .map(_.split(",").map(_.trim).toSeq)
+      .getOrElse(Seq("q_llm_clean_pipeline", "q_llm_clean_pipeline_staged",
+        "q_dedup_minhash", "q_dedup_clusters"))
     // one untimed warmup for JIT/codegen
     SparkEntry.queries(variants.head)(spark, corpusDir(1))
       .write.format("noop").mode("overwrite").save()
