@@ -553,8 +553,55 @@ object Functions extends QueryGroup {
                 / CAST(n * (n - 1) AS DOUBLE) / 10000.0 AS cov_qty_price
             FROM a ORDER BY l_returnflag"""))
 
+  /** Per-group z-score outlier detection with an EXACT integer predicate:
+    * |x − μ| > 3σ_pop rewritten as (n·x − sv)² > 9·(n·svv − sv²) over the
+    * quantized units — every term an exact decimal(38,0)/HUGEINT, so the
+    * boundary decision involves no float rounding on either engine (a
+    * double formulation could disagree in the last bit exactly at the
+    * threshold). Plan: one partial+final aggregation for the per-group
+    * power sums (5 groups → broadcast back), one narrow pass flagging
+    * rows — two scans, no row-vs-row shuffle; the aggregate side is
+    * kilobytes at any corpus size. */
+  private val qOutliersZscore = Q(
+    "q_outliers_zscore",
+    (s, dir) => {
+      val dec = "decimal(38,0)"
+      val qv = round(col("value") * 10000).cast("long")
+      val e = table(s, dir, "events")
+      val stats = e.select(col("event_type"), qv.as("qv"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("qv")).as("sv"),
+          sum((col("qv") * col("qv")).cast(dec)).as("svv"))
+      e.select(col("event_id"), col("event_type"), col("value"), qv.as("qv"))
+        .join(broadcast(stats), "event_type")
+        .filter {
+          val lhs = col("n").cast(dec) * col("qv").cast(dec) - col("sv").cast(dec)
+          lhs * lhs >
+            lit(9).cast(dec) *
+              (col("n").cast(dec) * col("svv") -
+                col("sv").cast(dec) * col("sv").cast(dec))
+        }
+        .select(col("event_id"), col("event_type"), col("value"))
+        .orderBy("event_type", "event_id")
+    },
+    Some("""WITH q AS (
+              SELECT event_id, event_type, value,
+                CAST(round(value * 10000) AS BIGINT) AS qv
+              FROM events),
+            s AS (
+              SELECT event_type, count(*) AS n,
+                sum(CAST(qv AS HUGEINT)) AS sv,
+                sum(CAST(qv AS HUGEINT) * qv) AS svv
+              FROM q GROUP BY event_type)
+            SELECT q.event_id, q.event_type, q.value
+            FROM q JOIN s USING (event_type)
+            WHERE (s.n * CAST(q.qv AS HUGEINT) - s.sv) *
+                  (s.n * CAST(q.qv AS HUGEINT) - s.sv)
+                  > 9 * (s.n * s.svv - s.sv * s.sv)
+            ORDER BY event_type, event_id"""))
+
   override val queries: Seq[Q] = Seq(
     qFnString, qFnDate, qFnMath, qFnCaseNull, qFnArray, qFnJson, qFnFromJson,
     qFnMap, qFnUdf, qAggApproxDistinct, qAggSketchIncremental, qAggPercentile, qAggMode,
-    qAggStddevExact, qAggCorrExact, qAggCms, qAggHistogram)
+    qAggStddevExact, qAggCorrExact, qAggCms, qAggHistogram, qOutliersZscore)
 }

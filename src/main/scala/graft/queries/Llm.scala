@@ -1179,7 +1179,46 @@ object Llm extends QueryGroup {
     qDedupEmbedding, qSimTopk, qSimLsh, qSimIvf, qLlmCleanPipeline,
     qLlmCleanPipelineStaged, qSqlNativeFns, qTextNgramFreq,
     qTextLangId, qTextQuality, qTextTokens, qTextFingerprint, qMultimodal,
-    qMultimodalDecode, qDecontaminate, qTextPii)
+    qMultimodalDecode, qDecontaminate, qTextPii, qDedupFuzzy)
+
+  /** Fuzzy string-match join (entity resolution): name pairs within
+    * Levenshtein distance 2. Scale shape, in order: (1) match on the
+    * DISTINCT-value dictionary, never the row stream — entity vocabularies
+    * are orders of magnitude smaller than fact tables; (2) candidate
+    * generation is an equi-join on a blocking key (last token) AND a
+    * ±2 length band — the edit-distance lower bound |len(a)-len(b)| ≤ d
+    * makes the band exact, not heuristic; (3) the O(len²) Levenshtein DP
+    * runs only inside blocks. All-pairs never happens. Levenshtein is the
+    * standard DP — bit-identical across engines.
+    * (lazy val: defined below the registry Seq that references it.) */
+  private lazy val qDedupFuzzy = Q(
+    "q_dedup_fuzzy",
+    (s, dir) => {
+      val names = table(s, dir, "part").select(col("p_name")).distinct()
+        .withColumn("ln", length(col("p_name")))
+        .withColumn("blk", element_at(split(col("p_name"), " "), -1))
+      val a = names.select(col("p_name").as("name_a"), col("ln").as("ln_a"),
+        col("blk"))
+      val b = names.select(col("p_name").as("name_b"), col("ln").as("ln_b"),
+        col("blk"))
+      a.join(b, Seq("blk"))
+        .filter(col("ln_b").between(col("ln_a") - 2, col("ln_a") + 2) &&
+          col("name_a") < col("name_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist") <= 2)
+        .select(col("name_a"), col("name_b"), col("dist").cast("long").as("dist"))
+        .orderBy("name_a", "name_b")
+    },
+    Some("""WITH n AS (SELECT DISTINCT p_name FROM part),
+            p AS (SELECT p_name, length(p_name) AS ln,
+                    split_part(p_name, ' ', -1) AS blk FROM n)
+            SELECT a.p_name AS name_a, b.p_name AS name_b,
+              CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+            FROM p a JOIN p b ON a.blk = b.blk
+              AND b.ln BETWEEN a.ln - 2 AND a.ln + 2
+              AND a.p_name < b.p_name
+            WHERE levenshtein(a.p_name, b.p_name) <= 2
+            ORDER BY name_a, name_b"""))
 
   /** PII scrubbing — the redaction pass every training corpus gets before
     * (NOTE: defined as a `lazy val` because it sits below the registry
