@@ -518,11 +518,66 @@ object Advanced extends QueryGroup {
                ON c.c_custkey = o.o_custkey
              ORDER BY custkey"""))
 
+  /** CORRELATED scalar subquery — the aggregate is parameterized by the
+    * outer row's group, so Catalyst must decorrelate it
+    * (DecorrelateInnerQuery): the subquery becomes one per-group
+    * aggregation joined back on the correlation key — evaluated once per
+    * GROUP, never once per row. The average is exact-integer inside
+    * (sum of quantized units / count), so the boundary comparison sees
+    * identical doubles on both engines. */
+  private val qSubqueryCorrScalar = Q(
+    "q_subquery_corr_scalar",
+    (s, dir) => {
+      table(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""SELECT o_orderkey, o_orderpriority, o_totalprice
+               FROM orders_v o
+               WHERE CAST(round(o_totalprice * 10000) AS BIGINT) > 1.8 * (
+                 SELECT CAST(sum(CAST(round(o2.o_totalprice * 10000) AS BIGINT))
+                             AS DOUBLE) / count(*)
+                 FROM orders_v o2
+                 WHERE o2.o_orderpriority = o.o_orderpriority)
+               ORDER BY o_orderkey""")
+    },
+    Some("""SELECT o_orderkey, o_orderpriority, o_totalprice
+            FROM orders o
+            WHERE CAST(round(o_totalprice * 10000) AS BIGINT) > 1.8 * (
+              SELECT CAST(sum(CAST(round(o2.o_totalprice * 10000) AS BIGINT))
+                          AS DOUBLE) / count(*)
+              FROM orders o2
+              WHERE o2.o_orderpriority = o.o_orderpriority)
+            ORDER BY o_orderkey"""))
+
+  /** LATERAL correlated subquery join — per outer row, a parameterized
+    * derived table (here: each region's first two nations by name).
+    * Catalyst plans the correlated LIMIT as a per-key window under a
+    * join, not a per-row re-execution; the outer side here is a
+    * broadcast-size dim, and at scale the lateral's per-key top-k is
+    * exactly the WindowGroupLimit shape PlanPropertiesSpec pins. */
+  private val qJoinLateral = Q(
+    "q_join_lateral",
+    (s, dir) => {
+      table(s, dir, "region").createOrReplaceTempView("region_v")
+      table(s, dir, "nation").createOrReplaceTempView("nation_v")
+      s.sql("""SELECT r.r_name, t.n_name, t.n_nationkey
+               FROM region_v r,
+               LATERAL (SELECT n_name, n_nationkey FROM nation_v n
+                        WHERE n.n_regionkey = r.r_regionkey
+                        ORDER BY n_name LIMIT 2) t
+               ORDER BY r_name, n_name""")
+    },
+    Some("""SELECT r.r_name, t.n_name, t.n_nationkey
+            FROM region r,
+            LATERAL (SELECT n_name, n_nationkey FROM nation n
+                     WHERE n.n_regionkey = r.r_regionkey
+                     ORDER BY n_name LIMIT 2) t
+            ORDER BY r_name, n_name"""))
+
   override val queries: Seq[Q] = Seq(
     qJoinRange, qJoinAsof, qJoinAsofNative, qJoinAsofFwd, qJoinAsofFwdNative,
     qJoinAsofNearest, qJoinAsofNearestNative, qJoinSalted, qTypedJoinWith,
     qAggTypedWavg, qAggTopkTyped, qAggFlatMapGroups, qAggPivot, qSqlEntry,
-    qSqlAutoNative, qSubqueryScalar, qSubqueryExists, qTypedCogroup)
+    qSqlAutoNative, qSubqueryScalar, qSubqueryExists, qSubqueryCorrScalar,
+    qJoinLateral, qTypedCogroup)
 
   case class Nation(n_nationkey: Int, n_name: String, n_regionkey: Int)
   case class Region(r_regionkey: Int, r_name: String)
