@@ -78,6 +78,24 @@ object Streaming extends QueryGroup {
               CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS value4
             FROM events GROUP BY user_id ORDER BY user_id"""))
 
+  /** Batch twin of the stream-static enrichment join ([[EventStreams
+    * .enrichAgg]]): the user-tier dimension is derived deterministically
+    * from the corpus (tier = user_id mod 3) and BROADCAST; streaming
+    * execution of the same function is differential-tested in
+    * StreamingSpec ("stream-static enrichment join"). */
+  private val qStreamEnrich = Q(
+    "q_stream_enrich",
+    (s, dir) => {
+      val events = table(s, dir, "events")
+      val dim = events.select(col("user_id")).distinct()
+        .withColumn("tier", (col("user_id") % 3).cast("long"))
+      EventStreams.enrichAgg(events, dim)
+        .orderBy(col("tier"), col("event_type"))
+    },
+    Some(s"""SELECT user_id % 3 AS tier, event_type, count(*) AS n,
+               ${moneySumSql("value")} AS value_sum
+             FROM events GROUP BY 1, 2 ORDER BY tier, event_type"""))
+
   private val qStreamJoin = Q(
     "q_stream_join",
     (s, dir) => EventStreams.purchaseSignupJoin(table(s, dir, "events"))
@@ -318,5 +336,5 @@ object Streaming extends QueryGroup {
 
   override val queries: Seq[Q] = Seq(
     qStreamTumbling, qStreamSliding, qStreamSession, qStreamStateful,
-    qStreamJoin, qStreamLive, qStreamLiveAppend, qStreamKvSink)
+    qStreamJoin, qStreamEnrich, qStreamLive, qStreamLiveAppend, qStreamKvSink)
 }

@@ -111,6 +111,17 @@ object EventStreams {
         col("s_ts").cast("timestamp_ntz").as("s_ts"))
   }
 
+  /** Stream-static enrichment join: each event picks up its user's tier
+    * from a STATIC dimension — the stateless streaming join (no watermark,
+    * no state store; the dim is re-broadcast per micro-batch). The per-tier
+    * aggregation on top keeps the output small. Unified API: on batch
+    * input this is an ordinary broadcast join + aggregation. */
+  def enrichAgg(events: DataFrame, userDim: DataFrame): DataFrame =
+    events
+      .join(org.apache.spark.sql.functions.broadcast(userDim), "user_id")
+      .groupBy(col("tier"), col("event_type"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("value_sum"))
+
   def userStats(events: Dataset[EventU]): Dataset[UserStats] = {
     import events.sparkSession.implicits._
     events

@@ -127,6 +127,46 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkSessionFixture {
       s"rank-filter top-k did not get WindowGroupLimit:\n$plan")
   }
 
+  test("sessionize: lag, running sum and the session aggregation reuse ONE user_id shuffle") {
+    // Three logical passes (lag window, boundary prefix sum, per-session
+    // agg) — but the two windows share a partitioning spec and the
+    // aggregation's group keys are a superset of it, so EnsureRequirements
+    // inserts exactly one hash exchange. Only the final presentation
+    // ORDER BY adds a range exchange. An extra shuffle here would double
+    // the job's data movement at any scale.
+    val plan = graft.queries.Windows.queries.find(_.name == "q_sessionize").get
+      .run(spark, dir).queryExecution.executedPlan.toString
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    val rangeEx = "Exchange rangepartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1, s"sessionize must hash-shuffle exactly once:\n$plan")
+    assert(rangeEx <= 1, s"only the final ORDER BY may range-shuffle:\n$plan")
+  }
+
+  test("cdc merge: one full-outer sort-merge join, one shuffle per side") {
+    val plan = graft.queries.Training.queries.find(_.name == "q_cdc_merge").get
+      .run(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") && plan.contains("FullOuter"),
+      s"merge must be a full-outer SMJ (full-outer cannot broadcast):\n$plan")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 2, s"exactly one hash shuffle per merge side:\n$plan")
+  }
+
+  test("typed cogroup: CoGroup physical node, one shuffle per input") {
+    val plan = graft.queries.Advanced.queries.find(_.name == "q_typed_cogroup").get
+      .run(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("CoGroup"), s"expected a CoGroup node:\n$plan")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 2, s"exactly one hash shuffle per cogroup input:\n$plan")
+  }
+
+  test("q14: dim broadcast — the fact table never shuffles before the aggregate") {
+    val plan = graft.queries.Relational.queries.find(_.name == "q14_promo_share").get
+      .run(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"part dim must broadcast:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"scalar aggregate over a broadcast join must not hash-shuffle rows:\n$plan")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     // Row-level runtime filtering: when a selective dim filter exists and
     // the join must shuffle (dim above broadcast threshold), the optimizer

@@ -100,6 +100,17 @@ class StreamingSpec extends AnyFunSuite with SparkSessionFixture {
     assert(sortedRows(got) == sortedRows(exp))
   }
 
+  test("stream-static enrichment join: complete == batch broadcast join + agg") {
+    // The static dim is an ordinary batch DataFrame captured by the
+    // unified transform; streaming re-resolves (re-broadcasts) it per
+    // micro-batch, so the converged aggregation must equal the batch run.
+    val dim = eventsBatch.select(col("user_id")).distinct()
+      .withColumn("tier", (col("user_id") % 3).cast("long"))
+    val streamed = runStream(EventStreams.enrichAgg(_, dim), "complete", "enrich_sink")
+    val batch = EventStreams.enrichAgg(eventsBatch, dim)
+    assert(sortedRows(streamed) == sortedRows(batch))
+  }
+
   test("stream-stream interval join: append == batch interval join") {
     implicit val s = spark
     import s.implicits._
