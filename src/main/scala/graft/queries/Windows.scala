@@ -438,9 +438,87 @@ object Windows extends QueryGroup {
             FROM x GROUP BY user_id, session_idx
             ORDER BY user_id, session_idx"""))
 
+  /** Time-series gap filling (sparse → dense resampling): the hourly
+    * per-type grid over the corpus' full time range, absent hours
+    * materialized with zero counts. The grid is GENERATED, not scanned —
+    * one scalar min/max aggregate broadcast into a sequence explode ×
+    * the distinct type dictionary — then left-joined to the hourly
+    * aggregation. Grid size is (hours × types), independent of row
+    * count, so the join's build side stays small at any corpus scale. */
+  private val qTimeseriesFill = Q(
+    "q_timeseries_fill",
+    (s, dir) => {
+      val e = table(s, dir, "events")
+      val hourly = e
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(fixed4(col("value"))).as("vu"))
+      val bounds = e.agg(
+        date_trunc("hour", min(col("ts"))).as("mn"),
+        date_trunc("hour", max(col("ts"))).as("mx"))
+      val grid = bounds
+        .select(explode(expr("sequence(mn, mx, interval 1 hour)")).as("h"))
+        .crossJoin(e.select(col("event_type")).distinct())
+      grid.join(hourly, Seq("h", "event_type"), "left")
+        .select(col("h"), col("event_type"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          (coalesce(col("vu"), lit(0L)) / 10000.0).as("value_sum"))
+        .orderBy("h", "event_type")
+    },
+    Some("""WITH b AS (
+              SELECT date_trunc('hour', min(CAST(ts AS TIMESTAMP))) AS mn,
+                     date_trunc('hour', max(CAST(ts AS TIMESTAMP))) AS mx
+              FROM events),
+            grid AS (
+              SELECT g.h, t.event_type
+              FROM b, LATERAL (SELECT unnest(generate_series(b.mn, b.mx,
+                                INTERVAL 1 HOUR)) AS h) g
+              CROSS JOIN (SELECT DISTINCT event_type FROM events) t),
+            agg AS (
+              SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, event_type,
+                count(*) AS n,
+                sum(CAST(round(value * 10000) AS BIGINT)) AS vu
+              FROM events GROUP BY 1, 2)
+            SELECT grid.h, grid.event_type,
+              COALESCE(agg.n, 0) AS n,
+              CAST(COALESCE(agg.vu, 0) AS DOUBLE) / 10000.0 AS value_sum
+            FROM grid LEFT JOIN agg USING (h, event_type)
+            ORDER BY h, event_type"""))
+
+  /** Cohort retention (product-analytics staple): users grouped by their
+    * first-activity day; for each (cohort, day-offset) the count of
+    * users still active. Two aggregations on user_id reuse one shuffle
+    * (min-day and distinct-active-days both hash on user_id); the final
+    * (cohort × offset) aggregation is dictionary-sized. */
+  private val qCohortRetention = Q(
+    "q_cohort_retention",
+    (s, dir) => {
+      val e = table(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+      val cohort = e.groupBy(col("user_id")).agg(min(col("d")).as("cohort_day"))
+      val active = e.distinct()
+      active.join(cohort, "user_id")
+        .select(col("cohort_day"),
+          datediff(col("d"), col("cohort_day")).cast("long").as("day_offset"),
+          col("user_id"))
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    },
+    Some("""WITH e AS (
+              SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+              FROM events),
+            cohort AS (
+              SELECT user_id, min(d) AS cohort_day FROM e GROUP BY user_id),
+            active AS (SELECT DISTINCT user_id, d FROM e)
+            SELECT c.cohort_day,
+              CAST(date_diff('day', c.cohort_day, a.d) AS BIGINT) AS day_offset,
+              count(DISTINCT a.user_id) AS n_users
+            FROM active a JOIN cohort c USING (user_id)
+            GROUP BY 1, 2 ORDER BY cohort_day, day_offset"""))
+
   override val queries: Seq[Q] = Seq(
     qWindowTopk, qWindowRunning, qWindowLeadLag, qWindowRank,
     qWindowRangeFrame, qWindowAnalytics, qAggRollup, qAggCube,
     qAggGroupingSets, qAggUnpivot, qWindowRownumSalted, qWindowRownumQsalted,
-    qScd2Intervals, qSessionize)
+    qScd2Intervals, qSessionize, qTimeseriesFill, qCohortRetention)
 }
