@@ -34,7 +34,11 @@ class PlanGuardSpec extends AnyFunSuite with SparkSessionFixture {
     // IVF coarse assignment = argmin over the k-row centroid codebook
     "q_sim_ivf" -> "codebook argmin, broadcast k-row centroid table",
     // scalar subquery lowers to a one-row broadcast join by construction
-    "q_subquery_scalar" -> "scalar subquery, one-row broadcast")
+    "q_subquery_scalar" -> "scalar subquery, one-row broadcast",
+    // grid construction: one-row scalar bounds exploded into the hour
+    // sequence × the distinct type dictionary — both sides constant-
+    // bounded; the cross product IS the densified output grid
+    "q_timeseries_fill" -> "generated grid, scalar-bounds × type dictionary")
 
   /** Whole-tree traversal: SparkPlan.collect does NOT descend into
     * AdaptiveSparkPlanExec (its current plan is a field, not a child) or
