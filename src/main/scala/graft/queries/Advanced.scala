@@ -572,12 +572,82 @@ object Advanced extends QueryGroup {
                      ORDER BY n_name LIMIT 2) t
             ORDER BY r_name, n_name"""))
 
+  /** Fixed-iteration integer PageRank over the supplier↔part bipartite
+    * graph (nodes: suppkey·2 / partkey·2+1; each distinct lineitem
+    * (supplier, part) pair contributes both directed edges). Ranks are
+    * held in integer micro-units with the classic integer-division
+    * update r' = 150000 + (850·Σ contrib) div 1000, contrib = r div
+    * outdeg — every step exact long arithmetic, so Spark and the chained-
+    * CTE DuckDB oracle agree bit-for-bit after 3 rounds (float PageRank
+    * would drift per merge order).
+    *
+    * Scale shape: per round, one equi-join of the rank vector to the
+    * edge list (both hash-partitioned on the same key) + one hash
+    * aggregation on dst — the standard message-passing round. Rounds are
+    * FIXED (3), so plan depth is bounded; a production fixpoint loop
+    * would localCheckpoint per round exactly like
+    * operators/ConnectedComponents.scala does. */
+  private val qGraphPagerank = Q(
+    "q_graph_pagerank",
+    (s, dir) => {
+      val pairs = table(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_partkey")).distinct()
+      val edges = pairs
+        .select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+        .union(pairs.select((col("l_partkey") * 2 + 1).as("src"), (col("l_suppkey") * 2).as("dst")))
+      val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val nodes = edges.select(col("src").as("node")).distinct()
+      var ranks = nodes.withColumn("r", lit(1000000L))
+      for (_ <- 1 to 3) {
+        // `div` = exact integer division — `/` on longs is double division,
+        // whose correctly-rounded result can cross an integer boundary the
+        // true quotient doesn't; the oracle's `//` is exact floor division
+        val contrib = edges
+          .join(ranks.withColumnRenamed("node", "src"), "src")
+          .join(outdeg, "src")
+          .select(col("dst").as("node"), expr("r div deg").as("c"))
+          .groupBy(col("node")).agg(sum(col("c")).as("s"))
+        ranks = nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            expr("CAST(150000 + (850 * coalesce(s, 0)) div 1000 AS BIGINT)").as("r"))
+      }
+      ranks.orderBy(col("r").desc, col("node")).limit(25)
+    },
+    Some("""WITH pairs AS (
+              SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+            edges AS (
+              SELECT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM pairs
+              UNION ALL
+              SELECT l_partkey * 2 + 1 AS src, l_suppkey * 2 AS dst FROM pairs),
+            outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+            nodes AS (SELECT DISTINCT src AS node FROM edges),
+            r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+            c1 AS (SELECT e.dst AS node, sum(r.r // d.deg) AS s
+                   FROM edges e JOIN r0 r ON e.src = r.node
+                   JOIN outdeg d ON e.src = d.src GROUP BY e.dst),
+            r1 AS (SELECT n.node,
+                     CAST(150000 + (850 * COALESCE(c.s, 0)) // 1000 AS BIGINT) AS r
+                   FROM nodes n LEFT JOIN c1 c ON n.node = c.node),
+            c2 AS (SELECT e.dst AS node, sum(r.r // d.deg) AS s
+                   FROM edges e JOIN r1 r ON e.src = r.node
+                   JOIN outdeg d ON e.src = d.src GROUP BY e.dst),
+            r2 AS (SELECT n.node,
+                     CAST(150000 + (850 * COALESCE(c.s, 0)) // 1000 AS BIGINT) AS r
+                   FROM nodes n LEFT JOIN c2 c ON n.node = c.node),
+            c3 AS (SELECT e.dst AS node, sum(r.r // d.deg) AS s
+                   FROM edges e JOIN r2 r ON e.src = r.node
+                   JOIN outdeg d ON e.src = d.src GROUP BY e.dst),
+            r3 AS (SELECT n.node,
+                     CAST(150000 + (850 * COALESCE(c.s, 0)) // 1000 AS BIGINT) AS r
+                   FROM nodes n LEFT JOIN c3 c ON n.node = c.node)
+            SELECT node, r FROM r3 ORDER BY r DESC, node LIMIT 25"""))
+
   override val queries: Seq[Q] = Seq(
     qJoinRange, qJoinAsof, qJoinAsofNative, qJoinAsofFwd, qJoinAsofFwdNative,
     qJoinAsofNearest, qJoinAsofNearestNative, qJoinSalted, qTypedJoinWith,
     qAggTypedWavg, qAggTopkTyped, qAggFlatMapGroups, qAggPivot, qSqlEntry,
     qSqlAutoNative, qSubqueryScalar, qSubqueryExists, qSubqueryCorrScalar,
-    qJoinLateral, qTypedCogroup)
+    qJoinLateral, qTypedCogroup, qGraphPagerank)
 
   case class Nation(n_nationkey: Int, n_name: String, n_regionkey: Int)
   case class Region(r_regionkey: Int, r_name: String)
