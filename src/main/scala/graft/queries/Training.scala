@@ -469,8 +469,72 @@ object Training extends QueryGroup {
              WHERE c.op IS NULL OR c.op <> 'D'
              ORDER BY k"""))
 
+  /** Data-quality constraint gate (the Deequ-style pre-ingest check): a
+    * rule set evaluated corpus-wide — value ranges, referential
+    * integrity, derived-column consistency — reported as one violations
+    * summary. Each rule is a single aggregation over ONE scan (the FK
+    * rule a broadcast anti-join), unioned; rules never shuffle row data,
+    * only per-rule counters, so the gate costs one pass per checked
+    * table at any corpus size. */
+  private val qDqChecks = Q(
+    "q_dq_checks",
+    (s, dir) => {
+      val l = table(s, dir, "lineitem")
+      val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer")
+      val e = table(s, dir, "events")
+      val d = table(s, dir, "documents")
+      val quantityRule = l.agg(
+        lit("lineitem_quantity_range").as("rule"),
+        count(lit(1)).as("n_checked"),
+        sum(when(!col("l_quantity").between(1, 50), 1L).otherwise(0L))
+          .as("n_violations"))
+      // scalar × scalar join of the two counters (orphan count via
+      // broadcast anti-join; checked count from the plain scan)
+      val fkViol = o.join(broadcast(c), col("o_custkey") === col("c_custkey"),
+          "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+      val fkRuleFull = o.agg(count(lit(1)).as("n_checked"))
+        .crossJoin(broadcast(fkViol))
+        .select(lit("orders_customer_fk").as("rule"),
+          col("n_checked"), col("n_violations"))
+      val valueRule = e.agg(
+        lit("events_value_nonnegative").as("rule"),
+        count(lit(1)).as("n_checked"),
+        sum(when(col("value") < 0, 1L).otherwise(0L)).as("n_violations"))
+      val ncharsRule = d.agg(
+        lit("documents_nchars_consistent").as("rule"),
+        count(lit(1)).as("n_checked"),
+        sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L))
+          .as("n_violations"))
+      quantityRule.union(fkRuleFull).union(valueRule).union(ncharsRule)
+        .withColumn("pass", col("n_violations") === 0)
+        .orderBy("rule")
+    },
+    Some("""SELECT * FROM (
+              SELECT 'lineitem_quantity_range' AS rule, count(*) AS n_checked,
+                CAST(sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_violations,
+                sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1 ELSE 0 END) = 0
+                  AS pass
+              FROM lineitem
+              UNION ALL
+              SELECT 'orders_customer_fk', (SELECT count(*) FROM orders),
+                count(*), count(*) = 0
+              FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+              UNION ALL
+              SELECT 'events_value_nonnegative', count(*),
+                CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT),
+                sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) = 0
+              FROM events
+              UNION ALL
+              SELECT 'documents_nchars_consistent', count(*),
+                CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT),
+                sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) = 0
+              FROM documents) t ORDER BY rule"""))
+
   override val queries: Seq[Q] = Seq(
     qTextRepetition, qSplitAssign, qMixWeighted, qSamplePerGroup,
     qPackSequences, qLinesDedup, qProfileColumns, qChunkDocs, qDedupLatest,
-    qCdcMerge)
+    qCdcMerge, qDqChecks)
 }

@@ -38,7 +38,9 @@ class PlanGuardSpec extends AnyFunSuite with SparkSessionFixture {
     // grid construction: one-row scalar bounds exploded into the hour
     // sequence × the distinct type dictionary — both sides constant-
     // bounded; the cross product IS the densified output grid
-    "q_timeseries_fill" -> "generated grid, scalar-bounds × type dictionary")
+    "q_timeseries_fill" -> "generated grid, scalar-bounds × type dictionary",
+    // the FK rule's two single-row counters joined into one summary row
+    "q_dq_checks" -> "scalar × scalar counters join")
 
   /** Whole-tree traversal: SparkPlan.collect does NOT descend into
     * AdaptiveSparkPlanExec (its current plan is a field, not a child) or
