@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.core.Graft._
 import graft.operators.{AsOfRangeJoins, TypedAggregates}
@@ -587,6 +588,32 @@ object Advanced extends QueryGroup {
     * FIXED (3), so plan depth is bounded; a production fixpoint loop
     * would localCheckpoint per round exactly like
     * operators/ConnectedComponents.scala does. */
+  /** Fixed-round integer PageRank core over DIRECTED edges (src, dst):
+    * ranks in micro-units, update r' = 150000 + (850·Σ (r div outdeg))
+    * div 1000 — exact long arithmetic end to end ([[qGraphPagerank]]
+    * documents why). Public so the ScalaCheck differential can drive it
+    * with random graphs against a collections oracle. */
+  def integerPageRank(edges: DataFrame, rounds: Int): DataFrame = {
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    var ranks = nodes.withColumn("r", lit(1000000L))
+    for (_ <- 1 to rounds) {
+      // `div` = exact integer division — `/` on longs is double division,
+      // whose correctly-rounded result can cross an integer boundary the
+      // true quotient doesn't; the oracle's `//` is exact floor division
+      val contrib = edges
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(outdeg, "src")
+        .select(col("dst").as("node"), expr("r div deg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("s"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          expr("CAST(150000 + (850 * coalesce(s, 0)) div 1000 AS BIGINT)").as("r"))
+    }
+    ranks
+  }
+
   private val qGraphPagerank = Q(
     "q_graph_pagerank",
     (s, dir) => {
@@ -595,23 +622,7 @@ object Advanced extends QueryGroup {
       val edges = pairs
         .select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
         .union(pairs.select((col("l_partkey") * 2 + 1).as("src"), (col("l_suppkey") * 2).as("dst")))
-      val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      val nodes = edges.select(col("src").as("node")).distinct()
-      var ranks = nodes.withColumn("r", lit(1000000L))
-      for (_ <- 1 to 3) {
-        // `div` = exact integer division — `/` on longs is double division,
-        // whose correctly-rounded result can cross an integer boundary the
-        // true quotient doesn't; the oracle's `//` is exact floor division
-        val contrib = edges
-          .join(ranks.withColumnRenamed("node", "src"), "src")
-          .join(outdeg, "src")
-          .select(col("dst").as("node"), expr("r div deg").as("c"))
-          .groupBy(col("node")).agg(sum(col("c")).as("s"))
-        ranks = nodes.join(contrib, Seq("node"), "left")
-          .select(col("node"),
-            expr("CAST(150000 + (850 * coalesce(s, 0)) div 1000 AS BIGINT)").as("r"))
-      }
-      ranks.orderBy(col("r").desc, col("node")).limit(25)
+      integerPageRank(edges, 3).orderBy(col("r").desc, col("node")).limit(25)
     },
     Some("""WITH pairs AS (
               SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),

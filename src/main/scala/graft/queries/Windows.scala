@@ -388,31 +388,38 @@ object Windows extends QueryGroup {
     * reuses the single shuffle+sort), then an ordinary hash aggregation
     * per (user, session). Per-key window state is O(1); scales with
     * users, not history. */
+  /** Gaps-and-islands session assignment core (see [[qSessionize]] for
+    * the plan-shape discussion): events (user_id, event_id, ts, value) →
+    * per-session aggregates. Public so the ScalaCheck differential can
+    * drive it with random event streams against a collections oracle. */
+  def sessionAssign(events: org.apache.spark.sql.DataFrame,
+      gapSec: Long): org.apache.spark.sql.DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        (col("prev_ts").isNull ||
+          unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("prev_ts").cast("timestamp")) > gapSec * 1000000L)
+          .cast("long"))
+      .withColumn("session_idx",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        sum(fixed4(col("value"))).as("value_units"))
+      .select(col("user_id"), col("session_idx"), col("n_events"),
+        col("session_start"), col("session_end"),
+        (col("value_units") / 10000.0).as("session_value"))
+  }
+
   private val qSessionize = Q(
     "q_sessionize",
-    (s, dir) => {
-      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      table(s, dir, "events")
-        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
-        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
-        .withColumn("new_session",
-          (col("prev_ts").isNull ||
-            unix_micros(col("ts").cast("timestamp")) -
-              unix_micros(col("prev_ts").cast("timestamp")) > 1800L * 1000000L)
-            .cast("long"))
-        .withColumn("session_idx",
-          sum(col("new_session")).over(
-            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy(col("user_id"), col("session_idx"))
-        .agg(count(lit(1)).as("n_events"),
-          min(col("ts")).as("session_start"),
-          max(col("ts")).as("session_end"),
-          sum(fixed4(col("value"))).as("value_units"))
-        .select(col("user_id"), col("session_idx"), col("n_events"),
-          col("session_start"), col("session_end"),
-          (col("value_units") / 10000.0).as("session_value"))
-        .orderBy("user_id", "session_idx")
-    },
+    (s, dir) => sessionAssign(table(s, dir, "events"), 1800L)
+      .orderBy("user_id", "session_idx"),
     Some("""WITH g AS (
               SELECT user_id, event_id, ts, value,
                 lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
