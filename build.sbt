@@ -10,6 +10,21 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// SpillSpec must stop-and-replace the JVM's SparkContext to apply
+// context-level starvation configs; give it a JVM of its own so the
+// shared cross-suite session (and anything cached on it) survives.
+Test / testGrouping := {
+  val forkOpts = (Test / forkOptions).value
+  val (isolated, rest) =
+    (Test / definedTests).value.partition(_.name == "graft.SpillSpec")
+  Seq(
+    Tests.Group("main", rest, Tests.SubProcess(forkOpts)),
+    Tests.Group("spill-isolated", isolated, Tests.SubProcess(forkOpts)),
+  )
+}
+// One forked test JVM at a time: two concurrent local[4] Spark drivers
+// would contend for cores and flake the timing-sensitive specs.
+Global / concurrentRestrictions += Tags.limit(Tags.ForkedTestGroup, 1)
 // SpeculationSpec runs a local-cluster[2,2,1024] master: real executor
 // PROCESSES, spawned by the in-JVM worker from $SPARK_HOME/jars. The
 // worker also places executor run-dirs under $SPARK_HOME/work, and

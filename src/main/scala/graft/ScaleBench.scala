@@ -85,10 +85,17 @@ object ScaleBench {
       out
     }
 
+    // drop empty tokens (trailing comma, empty var) and fail fast on
+    // unknown names instead of a bare NoSuchElementException mid-sweep
     val variants = sys.env.get("SPARK_GRAFT_SCALE_VARIANTS")
-      .map(_.split(",").map(_.trim).toSeq)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
       .getOrElse(Seq("q_llm_clean_pipeline", "q_llm_clean_pipeline_staged",
         "q_dedup_minhash", "q_dedup_clusters"))
+    val unknown = variants.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty,
+      s"SPARK_GRAFT_SCALE_VARIANTS names unknown queries: ${unknown.mkString(", ")}" +
+        s" — registry has: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
     // one untimed warmup for JIT/codegen
     SparkEntry.queries(variants.head)(spark, corpusDir(1))
       .write.format("noop").mode("overwrite").save()

@@ -573,21 +573,6 @@ object Advanced extends QueryGroup {
                      ORDER BY n_name LIMIT 2) t
             ORDER BY r_name, n_name"""))
 
-  /** Fixed-iteration integer PageRank over the supplier↔part bipartite
-    * graph (nodes: suppkey·2 / partkey·2+1; each distinct lineitem
-    * (supplier, part) pair contributes both directed edges). Ranks are
-    * held in integer micro-units with the classic integer-division
-    * update r' = 150000 + (850·Σ contrib) div 1000, contrib = r div
-    * outdeg — every step exact long arithmetic, so Spark and the chained-
-    * CTE DuckDB oracle agree bit-for-bit after 3 rounds (float PageRank
-    * would drift per merge order).
-    *
-    * Scale shape: per round, one equi-join of the rank vector to the
-    * edge list (both hash-partitioned on the same key) + one hash
-    * aggregation on dst — the standard message-passing round. Rounds are
-    * FIXED (3), so plan depth is bounded; a production fixpoint loop
-    * would localCheckpoint per round exactly like
-    * operators/ConnectedComponents.scala does. */
   /** Fixed-round integer PageRank core over DIRECTED edges (src, dst):
     * ranks in micro-units, update r' = 150000 + (850·Σ (r div outdeg))
     * div 1000 — exact long arithmetic end to end ([[qGraphPagerank]]
@@ -614,6 +599,20 @@ object Advanced extends QueryGroup {
     ranks
   }
 
+  /** Fixed-iteration integer PageRank over the supplier↔part bipartite
+    * graph (nodes: suppkey·2 / partkey·2+1; each distinct lineitem
+    * (supplier, part) pair contributes both directed edges). Ranks are
+    * held in integer micro-units with the classic integer-division
+    * update r' = 150000 + (850·Σ contrib) div 1000, contrib = r div
+    * outdeg — every step exact long arithmetic, so Spark and the chained-
+    * CTE DuckDB oracle agree bit-for-bit after 3 rounds (float PageRank
+    * would drift per merge order).
+    *
+    * Scale shape: per round, one equi-join of the rank vector to the
+    * edge list (both hash-partitioned on the same key) + one hash
+    * aggregation on dst — the standard message-passing round. Rounds are
+    * FIXED (3), so plan depth is bounded; q_graph_pagerank_fixpoint runs
+    * the production fixpoint loop with localCheckpoint per round. */
   private val qGraphPagerank = Q(
     "q_graph_pagerank",
     (s, dir) => {

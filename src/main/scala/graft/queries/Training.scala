@@ -440,8 +440,14 @@ object Training extends QueryGroup {
       val del = src.filter(col("o_orderkey") % 10 === 7)
         .select(col("o_orderkey").as("k"), lit("D").as("op"),
           lit(null).cast("long").as("new_units"))
+      // insert keys are shifted past max(o_orderkey), derived from the
+      // corpus (a constant offset would silently collide at sf>=2 where
+      // orderkeys exceed any fixed literal); the 1-row aggregate
+      // broadcasts, so this adds no shuffle
+      val off = src.agg((max(col("o_orderkey")) + 1L).as("ins_off"))
       val ins = src.filter(col("o_orderkey") % 100 === 1)
-        .select((col("o_orderkey") + 10000000L).as("k"), lit("I").as("op"),
+        .crossJoin(broadcast(off))
+        .select((col("o_orderkey") + col("ins_off")).as("k"), lit("I").as("op"),
           fixed4(col("o_totalprice")).as("new_units"))
       base.join(upd.union(del).union(ins), Seq("k"), "full_outer")
         .filter(col("op").isNull || col("op") =!= "D")
@@ -460,7 +466,8 @@ object Training extends QueryGroup {
                UNION ALL
                SELECT o_orderkey, 'D', NULL FROM orders WHERE o_orderkey % 10 = 7
                UNION ALL
-               SELECT o_orderkey + 10000000, 'I', ${fixed4Sql("o_totalprice")}
+               SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM orders),
+                 'I', ${fixed4Sql("o_totalprice")}
                FROM orders WHERE o_orderkey % 100 = 1)
              SELECT COALESCE(b.k, c.k) AS k,
                CAST(COALESCE(c.new_units, b.price_units) AS DOUBLE) / 10000.0 AS price,

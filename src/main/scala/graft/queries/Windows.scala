@@ -380,14 +380,6 @@ object Windows extends QueryGroup {
                 ORDER BY ts, event_id)) IS NULL AS is_current
             FROM events ORDER BY user_id, valid_from, event_id"""))
 
-  /** Batch sessionization (gaps-and-islands) — the batch twin of the
-    * streaming session window (q_stream_session): a session boundary
-    * opens wherever the per-user gap exceeds 30 minutes; the session id
-    * is the running count of boundaries. Two window passes over ONE
-    * partitioning (lag then running sum both hash on user_id — Catalyst
-    * reuses the single shuffle+sort), then an ordinary hash aggregation
-    * per (user, session). Per-key window state is O(1); scales with
-    * users, not history. */
   /** Gaps-and-islands session assignment core (see [[qSessionize]] for
     * the plan-shape discussion): events (user_id, event_id, ts, value) →
     * per-session aggregates. Public so the ScalaCheck differential can
@@ -416,6 +408,14 @@ object Windows extends QueryGroup {
         (col("value_units") / 10000.0).as("session_value"))
   }
 
+  /** Batch sessionization (gaps-and-islands) — the batch twin of the
+    * streaming session window (q_stream_session): a session boundary
+    * opens wherever the per-user gap exceeds 30 minutes; the session id
+    * is the running count of boundaries. Two window passes over ONE
+    * partitioning (lag then running sum both hash on user_id — Catalyst
+    * reuses the single shuffle+sort), then an ordinary hash aggregation
+    * per (user, session). Per-key window state is O(1); scales with
+    * users, not history. */
   private val qSessionize = Q(
     "q_sessionize",
     (s, dir) => sessionAssign(table(s, dir, "events"), 1800L)

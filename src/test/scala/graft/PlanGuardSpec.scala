@@ -40,7 +40,11 @@ class PlanGuardSpec extends AnyFunSuite with SparkSessionFixture {
     // bounded; the cross product IS the densified output grid
     "q_timeseries_fill" -> "generated grid, scalar-bounds × type dictionary",
     // the FK rule's two single-row counters joined into one summary row
-    "q_dq_checks" -> "scalar × scalar counters join")
+    "q_dq_checks" -> "scalar × scalar counters join",
+    // insert-key offset = max(o_orderkey)+1, a one-row aggregate
+    // broadcast against the change batch (derived from the corpus so
+    // fixed-constant offsets can't collide at sf>=2)
+    "q_cdc_merge" -> "scalar insert-offset, one-row broadcast")
 
   /** Whole-tree traversal: SparkPlan.collect does NOT descend into
     * AdaptiveSparkPlanExec (its current plan is a field, not a child) or

@@ -41,9 +41,11 @@ class SpillSpec extends AnyFunSuite with SparkSessionFixture {
   test("memory-starved sort/agg spills to disk and still matches the roomy run") {
     val want = workload(spark)
 
-    // spark.testing.memory is SparkContext-level: getOrCreate would
-    // silently reuse the shared fixture context and cap nothing — stop
-    // and clear it first (later suites' lazy fixtures re-create theirs)
+    // The starvation configs are SparkContext-level: getOrCreate would
+    // silently reuse the fixture context and cap nothing — stop and
+    // clear it first. This suite runs in its OWN forked JVM (build.sbt
+    // testGrouping "spill-isolated"), so no other suite shares the
+    // context being stopped.
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
       .foreach(_.stop())
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
