@@ -124,6 +124,8 @@ object GraftFunctions {
       (c: Seq[Expression]) => MinHashSigExpression(c(0), c(1))),
     ("graft_tokstats", classOf[TokStatsExpression],
       (c: Seq[Expression]) => TokStatsExpression(c(0), c(1))),
+    ("graft_lowerbound", classOf[LowerBoundExpression],
+      (c: Seq[Expression]) => LowerBoundExpression(c(0), c(1))),
   )
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -250,11 +250,30 @@ object VecOps {
     }
     minH
   }
+
+  /** Index of the first element of sorted long array `arr` that is >= v
+    * (std::lower_bound) = count of elements strictly below v. Binary
+    * search — the SaltedPrefix bucket assignment calls this once per row
+    * against the broadcast quantile bounds, replacing an interpreted
+    * per-element HOF lambda with log2(nb) long compares. */
+  def lowerBound(arr: ArrayData, v: Long): Int = {
+    var lo = 0
+    var hi = arr.numElements()
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (arr.getLong(mid) < v) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
 }
 
 private object VecExprChecks {
   val floatArray: DataType => Boolean = {
     case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  val longArray: DataType => Boolean = {
+    case ArrayType(LongType, _) => true
     case _ => false
   }
   def check(ok: Boolean, name: String, got: Seq[DataType]): TypeCheckResult =
@@ -423,4 +442,23 @@ case class MinGramHashExpression(left: Expression, right: Expression)
       s"${ev.value} = graft.functions.VecOps.minGramHash($s, $g);")
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): MinGramHashExpression = copy(left = l, right = r)
+}
+
+/** graft_lowerbound(bounds, v) — first index with bounds[i] >= v in a
+  * sorted BIGINT array = #elements strictly below v : INT. */
+case class LowerBoundExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecExprChecks.check(
+      VecExprChecks.longArray(left.dataType) && right.dataType == LongType,
+      prettyName, Seq(left.dataType, right.dataType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_lowerbound"
+  override protected def nullSafeEval(a: Any, v: Any): Any =
+    VecOps.lowerBound(a.asInstanceOf[ArrayData], v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, v) =>
+      s"${ev.value} = graft.functions.VecOps.lowerBound($a, $v);")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): LowerBoundExpression = copy(left = l, right = r)
 }

@@ -77,49 +77,65 @@ object SaltedPrefix {
   def withQuantileBuckets(
       df: DataFrame, partCol: String, orderCol: String,
       nb: Int, sampleOneIn: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     // deterministic pseudo-sample: a pure function of the value multiset
-    val sampled = df.select(col(partCol), col(orderCol))
-      .filter(pmod(xxhash64(col(orderCol)), lit(sampleOneIn)) === 0)
+    val sampled = df.select(col(partCol), col(orderCol).cast("long").as("__ord"))
+      .filter(pmod(xxhash64(col("__ord")), lit(sampleOneIn)) === 0)
     // exact quantiles OF THE SAMPLE: sort the per-key sample (bounded by
     // n_key/sampleOneIn) and pick the (i·size/nb)-th elements — no GK
     // sketch, whose merge-order dependence would break determinism
     val bounds = sampled.groupBy(partCol)
-      .agg(sort_array(collect_list(col(orderCol))).as("__s"))
+      .agg(sort_array(collect_list(col("__ord"))).as("__s"))
       .select(col(partCol),
-        when(size(col("__s")) === 0, expr("array()"))
+        when(size(col("__s")) === 0, expr("array()").cast("array<bigint>"))
           .otherwise(expr(
             s"transform(sequence(1, $nb - 1), " +
               s"i -> element_at(__s, cast((i * size(__s)) div $nb as int) + 1))"))
           .as("__bounds"))
     // monotone bucket: #bounds strictly below ord — order-preserving for
     // any bounds content (dupes from a clustered sample just leave some
-    // buckets empty); keys absent from the sample get bucket 0
+    // buckets empty); keys absent from the sample get bucket 0. The count
+    // is a codegen'd binary search (graft_lowerbound) on the sorted
+    // bounds — an interpreted filter-lambda here cost ~2/3 of the whole
+    // query's task time at sf0.1, paid once per row per consumer branch
     df.join(broadcast(bounds), Seq(partCol), "left")
       .withColumn("__bkt",
         coalesce(
-          size(filter(col("__bounds"), x => x < col(orderCol))), lit(0))
+          call_function("graft_lowerbound",
+            col("__bounds"), col(orderCol).cast("long")), lit(0))
           .cast("int"))
       .drop("__bounds")
   }
 
   /** Shared stitching: per-(key, bucket) exclusive prefix sums, bucket
     * totals lifted by a per-key running offset, broadcast back. Requires
-    * `__bkt` to be order-preserving within each key. */
+    * `__bkt` to be order-preserving within each key.
+    *
+    * The bucket-totals branch aggregates the salted projection DIRECTLY
+    * (not the windowed rows): column pruning narrows its scan to the two
+    * key columns and the partial aggregation runs map-side, so the only
+    * per-row window pass is the per-bucket prefix sum — the totals
+    * branch's second scan is a pruned-column re-read plus a
+    * counters-only shuffle, cheaper than materializing the projection
+    * for reuse (a localCheckpoint variant measured SLOWER: block write
+    * cost exceeded the recompute it saved). */
   private def stitch(
-      b: DataFrame, partCol: String, orderCol: String,
+      b0: DataFrame, partCol: String, orderCol: String,
       value: Column): DataFrame = {
-    val wLocal = Window.partitionBy(col(partCol), col("__bkt"))
-      .orderBy(col(orderCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val local = b.withColumn("__v", value)
-      .withColumn("__local_off", coalesce(sum(col("__v")).over(wLocal), lit(0L)))
-    val totals = local.groupBy(partCol, "__bkt").agg(sum("__v").as("__t"))
+    val b = b0.withColumn("__v", value)
+    // totals from the projection directly — the big window below is then
+    // the ONLY per-row window pass
+    val totals = b.groupBy(partCol, "__bkt").agg(sum("__v").as("__t"))
     val wOff = Window.partitionBy(col(partCol)).orderBy(col("__bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offs = totals
       .withColumn("__off", coalesce(sum("__t").over(wOff), lit(0L)))
       .select(partCol, "__bkt", "__off")
-    local.join(broadcast(offs), Seq(partCol, "__bkt"))
+    val wLocal = Window.partitionBy(col(partCol), col("__bkt"))
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    b.withColumn("__local_off", coalesce(sum(col("__v")).over(wLocal), lit(0L)))
+      .join(broadcast(offs), Seq(partCol, "__bkt"))
       .withColumn("start_off", col("__off") + col("__local_off"))
       .drop("__v", "__local_off", "__off", "__bkt")
   }
