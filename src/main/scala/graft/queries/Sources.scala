@@ -235,7 +235,46 @@ object Sources extends QueryGroup {
             WHERE c_mktsegment = 'BUILDING' AND c_nationkey >= 10
             GROUP BY 1 ORDER BY k"""))
 
+  /** KV read over a LIVE network server — the last fidelity gap to the
+    * reference's Redis store, which talks a real protocol to an external
+    * server (hscan with match pattern + count-1000 paging,
+    * Store.hs:99-119; connection at ImplServer.hs:34-46). Same write +
+    * filter/prune contract as [[qSourceKv]] and the SAME oracle, but the
+    * read goes through sources/KvDaemon: split planning makes one
+    * SCAN-paged name listing over the socket, then each task GET-streams
+    * exactly one committed field. Connector-side filtering still applies
+    * — rows are parsed and dropped at the reader, never shipped to Spark.
+    *
+    * Scale shape: the daemon stands where a real KV cluster would; the
+    * driver's planning traffic is names-only, data moves per-task, and
+    * parallelism stays one-split-per-committed-field, identical to the
+    * file path. */
+  private val qSourceKvNet = Q(
+    "q_source_kv_net",
+    (s, dir) => {
+      val out = sys.props("java.io.tmpdir") + "/graft-kvsink/q_source_kv_net"
+      cleanDir(out)
+      table(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("c_nationkey").as("k"), col("c_mktsegment").as("seg"),
+          col("n").as("v"))
+        .write.format("graft.sources.KvSinkProvider")
+        .option("path", out).mode("append").save()
+      val port = graft.sources.KvDaemon.ensure(out)
+      s.read.format("graft.sources.KvSourceProvider")
+        .option("endpoint", s"127.0.0.1:$port")
+        .option("schema", "k LONG, seg STRING, v LONG").load()
+        .filter(col("k") >= 10L && col("seg") === "BUILDING")
+        .select(col("k"), col("v"))
+        .orderBy("k")
+    },
+    Some("""SELECT c_nationkey AS k, count(*) AS v
+            FROM customer
+            WHERE c_mktsegment = 'BUILDING' AND c_nationkey >= 10
+            GROUP BY 1 ORDER BY k"""))
+
   override val queries: Seq[Q] =
     Seq(qSourceCsv, qSourceJson, qSourceOrc, qSourceText, qSourcePartitioned,
-      qSourceBucketedJoin, qSourceDsv2, qSinkDsv2, qSourceKv)
+      qSourceBucketedJoin, qSourceDsv2, qSinkDsv2, qSourceKv, qSourceKvNet)
 }

@@ -42,6 +42,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * .option("path", dir).option("schema", "k LONG, v LONG").load()`.
   * The schema option is required (the sink's CSV carries no header), and
   * field types are the sink's supported four: long/int/double/string.
+  *
+  * NET MODE: `.option("endpoint", "host:port")` (instead of `path`)
+  * reads through a live [[KvDaemon]] over TCP — split planning pages the
+  * committed field names hscan-style, each task GET-streams one field,
+  * and the same parse/filter/prune pipeline runs on the fetched lines.
+  * The daemon applies the suffix `pattern` and hidden-path discipline
+  * server-side and lists recursively.
   */
 class KvSourceProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
@@ -56,7 +63,12 @@ class KvSourceProvider extends TableProvider {
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new KvReadTable(
-      properties.get("path"),
+      // mode=net reads through a live KvDaemon at option "endpoint"
+      // (host:port) instead of listing the local filesystem; "path" is
+      // then unused and may be omitted
+      Option(properties.get("endpoint"))
+        .map("net://" + _)
+        .getOrElse(properties.get("path")),
       schema,
       Option(properties.get("pattern")).getOrElse(""),
       Option(properties.get("recursive")).exists(_.toBoolean))
@@ -65,7 +77,8 @@ class KvSourceProvider extends TableProvider {
 class KvReadTable(
     path: String, dataSchema: StructType, pattern: String, recursive: Boolean)
     extends Table with SupportsRead {
-  require(path != null && path.nonEmpty, "graft kv source requires option 'path'")
+  require(path != null && path.nonEmpty,
+    "graft kv source requires option 'path' (or 'endpoint' for mode=net)")
   override def name(): String = s"graft_kv_source($path)"
   override def schema(): StructType = dataSchema
   override def capabilities(): util.Set[TableCapability] =
@@ -115,6 +128,10 @@ class KvScanBuilder(
 
 case class KvFilePartition(file: String) extends InputPartition
 
+/** A network split: one committed field served by a [[KvDaemon]] at
+  * `endpoint` — the executor fetches it with a streaming GET. */
+case class KvNetPartition(endpoint: String, field: String) extends InputPartition
+
 class KvScan(
     path: String,
     dataSchema: StructType,
@@ -133,8 +150,19 @@ class KvScan(
   /** One split per committed file; `_staging` and any other hidden
     * (underscore/dot-prefixed) entries are not data — at EVERY level when
     * `recursive` (the per-batch/partitioned kv layout: `path/batch=N/…`).
-    * Listing is sorted so split planning is deterministic. */
+    * Listing is sorted so split planning is deterministic.
+    *
+    * A `net://host:port` path plans against a live [[KvDaemon]] instead:
+    * one hscan-style SCAN paging pass fetches the committed field NAMES
+    * (the daemon applies the suffix pattern and hidden-path discipline
+    * server-side, and is always recursive); each name becomes one
+    * network split. */
   override def planInputPartitions(): Array[InputPartition] = {
+    if (path.startsWith("net://")) {
+      val endpoint = path.stripPrefix("net://")
+      return KvDaemon.scanFields(endpoint, pattern)
+        .map(KvNetPartition(endpoint, _): InputPartition).toArray
+    }
     def visible(f: File) =
       !f.getName.startsWith("_") && !f.getName.startsWith(".")
     def walk(d: File): Seq[File] =
@@ -164,14 +192,22 @@ class KvReaderFactory(
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[KvFilePartition].file
+    // same parse/filter/project pipeline over either line stream: a
+    // local committed file or a daemon-served network fetch
+    val (lineSrc, closer): (Iterator[String], () => Unit) = partition match {
+      case KvFilePartition(file) =>
+        val src = scala.io.Source.fromFile(file, "UTF-8")
+        (src.getLines(), () => src.close())
+      case KvNetPartition(endpoint, field) =>
+        val fl = new KvDaemon.FieldLines(endpoint, field)
+        (fl, () => fl.close())
+    }
     val idx = dataSchema.fieldNames.zipWithIndex.toMap
     val types = dataSchema.fields.map(_.dataType)
     val outIdx = requiredFields.map(idx)
 
     new PartitionReader[InternalRow] {
-      private val lines =
-        scala.io.Source.fromFile(file, "UTF-8").getLines()
+      private val lines = lineSrc
       private var current: Array[Any] = _
 
       /** Parse one CSV line into typed values (the sink writes
@@ -231,7 +267,7 @@ class KvReaderFactory(
           }
         })
 
-      override def close(): Unit = ()
+      override def close(): Unit = closer()
     }
   }
 }

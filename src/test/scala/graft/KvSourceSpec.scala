@@ -170,4 +170,127 @@ class KvSourceSpec extends AnyFunSuite with SparkSessionFixture {
     assert(df.orderBy("k").collect().map(_.getLong(0)).toSeq ===
       Seq(1L, 3L, 5L, 7L, 9L))
   }
+
+  // ---- mode=net: the same contract over a live KvDaemon socket ----
+
+  private def readNet(out: String, pattern: String = "") = {
+    val port = graft.sources.KvDaemon.ensure(out)
+    val r = spark.read.format("graft.sources.KvSourceProvider")
+      .option("endpoint", s"127.0.0.1:$port")
+      .option("schema", "k LONG, seg STRING, v LONG")
+    (if (pattern.nonEmpty) r.option("pattern", pattern) else r).load()
+  }
+
+  test("net: socket round trip equals the file read") {
+    val out = freshDir("netroundtrip")
+    writeKv(out)
+    val got = readNet(out).orderBy("k").collect()
+    assert(got.length === 100)
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) === i.toLong)
+      assert(r.getString(1) === s"seg${i % 4}")
+      assert(r.getLong(2) === i * 3L)
+    }
+  }
+
+  test("net: one split per served field; hidden paths never served") {
+    val out = freshDir("nethidden")
+    writeKv(out)
+    val staging = new File(out, "_staging"); staging.mkdirs()
+    Files.write(new File(staging, "part-9-999.csv").toPath,
+      "999,segX,999\n".getBytes)
+    Files.write(new File(out, ".hidden.csv").toPath, "998,segX,998\n".getBytes)
+    val df = readNet(out)
+    assert(scanOf(df).planInputPartitions().length === 4)
+    assert(df.count() === 100)
+  }
+
+  test("net: server-side match pattern narrows what the daemon returns") {
+    val out = freshDir("netpattern")
+    writeKv(out)
+    Files.write(new File(out, "notes.txt").toPath, "not,kv,data\n".getBytes)
+    val df = readNet(out, pattern = ".csv")
+    assert(scanOf(df).planInputPartitions().length === 4)
+    assert(df.count() === 100)
+  }
+
+  test("net: SCAN pages with a cursor until the server reports exhaustion") {
+    val out = freshDir("netpaging")
+    writeKv(out) // 4 committed files
+    val port = graft.sources.KvDaemon.ensure(out)
+    // drive the protocol directly with a page size smaller than the
+    // listing: 4 fields at count 1 → 4 pages + terminating cursor 0
+    val all = graft.sources.KvDaemon.scanFields(s"127.0.0.1:$port", ".csv")
+    assert(all.length === 4)
+    val sock = new java.net.Socket("127.0.0.1", port)
+    try {
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
+      val os = new java.io.PrintWriter(sock.getOutputStream, true)
+      var cursor = 0
+      var pages = 0
+      val seen = scala.collection.mutable.ArrayBuffer[String]()
+      var done = false
+      while (!done) {
+        os.println(s"SCAN $cursor 1 .csv")
+        val head = in.readLine()
+        assert(head.startsWith("CUR "), head)
+        cursor = head.substring(4).toInt
+        var l = in.readLine()
+        while (l != "END") {
+          assert(l.startsWith("F "), l)
+          seen += l.substring(2)
+          l = in.readLine()
+        }
+        pages += 1
+        done = cursor == 0
+      }
+      assert(pages === 4)
+      assert(seen.sorted.toSeq === all.sorted)
+    } finally sock.close()
+  }
+
+  test("net: pruning and pushdown still reach the reader over the socket") {
+    val out = freshDir("netpush")
+    writeKv(out)
+    val df = readNet(out).filter(col("k") >= 90L && col("seg") === "seg2")
+      .select("k")
+    val scan = scanOf(df)
+    assert(scan.readSchema().fieldNames.toSeq === Seq("k"))
+    assert(scan.description().contains("GreaterThanOrEqual"), scan.description())
+    assert(df.orderBy("k").collect().map(_.getLong(0)).toSeq === Seq(90L, 94L, 98L))
+  }
+
+  test("net: escaped strings survive the line-framed protocol") {
+    val s = spark
+    import s.implicits._
+    val out = freshDir("netescape")
+    val nasty = Seq(
+      (0L, "plain", 0L),
+      (1L, "comma, inside", 1L),
+      (2L, "line\nbreak", 2L),
+      (3L, "100%,done%25", 3L))
+    nasty.toDF("k", "seg", "v").coalesce(1)
+      .write.format("graft.sources.KvSinkProvider")
+      .option("path", out).mode("append").save()
+    val got = readNet(out).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === nasty)
+  }
+
+  test("net: GET rejects traversal and hidden field names") {
+    val out = freshDir("netbadget")
+    writeKv(out)
+    val port = graft.sources.KvDaemon.ensure(out)
+    for (bad <- Seq("../etc/passwd", "_staging/part-0-0.csv", ".hidden.csv")) {
+      val sock = new java.net.Socket("127.0.0.1", port)
+      try {
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
+        val os = new java.io.PrintWriter(sock.getOutputStream, true)
+        os.println(s"GET $bad")
+        assert(in.readLine().startsWith("ERR"), s"daemon served $bad")
+      } finally sock.close()
+    }
+  }
 }
