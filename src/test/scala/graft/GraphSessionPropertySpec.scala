@@ -54,6 +54,38 @@ class GraphSessionPropertySpec extends AnyFunSuite with SparkSessionFixture {
     })
   }
 
+  test("fixpoint PageRank == fixed-depth run on random digraphs (absorbing fixpoint)") {
+    implicit val s = spark
+    import s.implicits._
+    // equality must hold whether or not the early exit fires: if the
+    // loop stops at k < cap the vector is a fixpoint and rounds k..cap
+    // reproduce it, so fixed-cap == fixpoint-cap always
+    check(Prop.forAll(edgeGen, Gen.choose(1, 4)) { (edges, cap) =>
+      edges.isEmpty || {
+        val df = edges.toDF("src", "dst").repartition(5)
+        val (ranks, rounds) =
+          graft.queries.Advanced.integerPageRankFixpoint(df, cap)
+        val got = ranks.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        rounds <= cap && got == naivePageRank(edges, cap)
+      }
+    })
+  }
+
+  test("fixpoint PageRank exits early on an already-stable graph") {
+    implicit val s = spark
+    import s.implicits._
+    // directed cycle: every node has outdeg 1 and indeg 1, so each round
+    // computes r' = 150000 + 850*1000000/1000 = 1000000 — stable at the
+    // initial vector; the loop must detect it on round 1, not run to cap
+    val n = 8L
+    val cycle = (0L until n).map(i => (i, (i + 1) % n)).toList
+    val df = cycle.toDF("src", "dst").repartition(3)
+    val (ranks, rounds) = graft.queries.Advanced.integerPageRankFixpoint(df, 50)
+    assert(rounds === 1, "early exit did not fire")
+    val got = ranks.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (0L until n).map(_ -> 1000000L).toMap)
+  }
+
   private val eventsGen: Gen[List[(Long, Long, Long, Double)]] =
     Gen.nonEmptyListOf(for {
       u <- Gen.choose(1L, 4L)
