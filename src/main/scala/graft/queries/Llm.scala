@@ -1053,60 +1053,53 @@ object Llm extends QueryGroup {
               CAST(octet_length(encode(text)) % 30 + 1 AS BIGINT) AS fake_frames
             FROM documents ORDER BY doc_id"""))
 
-  /** The batched mapPartitions media pipeline (operators/Multimodal):
-    * binary payloads → per-partition stub decoder → typed features →
-    * bounding-box resize → every-5th frame sampling — all four stages of
-    * the brief's media path in one chain. The stub decoder is a
-    * deterministic rolling hash over the payload BYTES plus exact integer
-    * resize/sample arithmetic, so the whole chain has a DuckDB oracle:
-    * bytes come from hex(encode(text)) (two hex chars per byte, decoded
-    * with strpos), the fold is the same (h*131+b) % P as charHashSql. */
+  /** REAL image decode under the gate (operators/Multimodal): a
+    * deterministic PPM fixture per document — dims and every raster byte
+    * a pure function of doc_id — is ENCODED to actual P6 bytes
+    * (header + comment + raw raster), PARSED back by the real PPM
+    * parser inside the batched mapPartitions decoder, reduced to exact
+    * per-channel pixel sums, and aspect-fitted into a 16×12 box with the
+    * shared integer arithmetic. The oracle recomputes dims, channel sums
+    * (closed-form over the pixel formula: byte j = (id·31 + j·7) mod
+    * 256, channel stride 3 → 21·p + {0,7,14}) and fit dims WITHOUT any
+    * image code — so a header-grammar bug, an off-by-one in the raster
+    * copy, or a channel swap in the decoder all hash-mismatch.
+    *
+    * 100 TB shape: pure narrow map — payloads decode where they sit, no
+    * shuffle until the final display sort; PNG payloads take the
+    * javax.imageio branch of the same decoder (spec-covered). */
   private val qMultimodalDecode = Q(
     "q_multimodal_decode",
     (s, dir) => {
       val m = graft.operators.Multimodal
-      val feats = m.decodeFeatures(m.fromDocuments(table(s, dir, "documents")))
-      val resized = m.resize(feats, 224, 224).toDF()
-        .select(col("media_id"), col("kind"), col("width"), col("height"),
-          col("n_frames"), size(col("embedding")).as("emb_dim"))
-      val frames = m.frameSample(feats, every = 5).toDF()
-        .groupBy(col("media_id").as("fs_id"))
-        .agg(count(lit(1)).as("n_sampled"))
-      resized.join(frames, col("media_id") === col("fs_id"))
-        .drop("fs_id")
+      m.decodeAndFit(m.syntheticImages(table(s, dir, "documents")), 16, 12)
+        .toDF()
         .orderBy(col("media_id"))
     },
-    Some(s"""WITH b AS (
-               SELECT doc_id, hex(encode(text)) AS hx,
-                      octet_length(encode(text)) AS nb
-               FROM documents),
-             h AS (
-               SELECT doc_id,
-                 list_reduce(list_prepend(CAST(0 AS BIGINT),
-                   list_transform(generate_series(1, nb),
-                     i -> CAST(strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1 AS BIGINT) * 16
-                        + CAST(strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1 AS BIGINT))),
-                   (h, c) -> (h * 131 + c) % ${PortableHash.P}) AS h
-               FROM b),
-             f AS (
-               SELECT doc_id AS media_id,
-                 CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-                 CAST(h % 640 + 1 AS BIGINT) AS w0,
-                 CAST((h * 7) % 480 + 1 AS BIGINT) AS h0,
-                 CASE WHEN doc_id % 3 = 2 THEN CAST(h % 30 + 2 AS INTEGER)
-                      ELSE 1 END AS n_frames
-               FROM h)
-             SELECT media_id, kind,
-               CAST(CASE WHEN w0 <= 224 AND h0 <= 224 THEN w0
-                         WHEN h0 <= w0 THEN 224
-                         ELSE GREATEST(1, (224 * w0) // h0) END AS INTEGER) AS width,
-               CAST(CASE WHEN w0 <= 224 AND h0 <= 224 THEN h0
-                         WHEN h0 <= w0 THEN GREATEST(1, (224 * h0) // w0)
-                         ELSE 224 END AS INTEGER) AS height,
-               n_frames,
-               CAST(8 AS INTEGER) AS emb_dim,
-               CAST((n_frames + 4) // 5 AS BIGINT) AS n_sampled
-             FROM f ORDER BY media_id"""))
+    Some("""WITH d AS (
+              SELECT doc_id,
+                CAST(8 + doc_id % 16 AS BIGINT) AS w,
+                CAST(6 + doc_id % 12 AS BIGINT) AS h
+              FROM documents),
+            s AS (
+              SELECT doc_id, w, h,
+                CAST(list_sum(list_transform(generate_series(0, w*h - 1),
+                  p -> (doc_id*31 + 21*p) % 256)) AS BIGINT) AS sum_r,
+                CAST(list_sum(list_transform(generate_series(0, w*h - 1),
+                  p -> (doc_id*31 + 21*p + 7) % 256)) AS BIGINT) AS sum_g,
+                CAST(list_sum(list_transform(generate_series(0, w*h - 1),
+                  p -> (doc_id*31 + 21*p + 14) % 256)) AS BIGINT) AS sum_b
+              FROM d)
+            SELECT doc_id AS media_id,
+              CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+              sum_r, sum_g, sum_b,
+              CAST(CASE WHEN w <= 16 AND h <= 12 THEN w
+                        WHEN 16*h <= 12*w THEN 16
+                        ELSE GREATEST(1, (12*w) // h) END AS INTEGER) AS fit_w,
+              CAST(CASE WHEN w <= 16 AND h <= 12 THEN h
+                        WHEN 16*h <= 12*w THEN GREATEST(1, (16*h) // w)
+                        ELSE 12 END AS INTEGER) AS fit_h
+            FROM s ORDER BY media_id"""))
 
   /** Benchmark DECONTAMINATION — the eval-integrity gate every serious
     * training pipeline runs before a model ships: flag training documents

@@ -81,4 +81,100 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionFixture {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(before == after)
   }
+
+  // ---- real image decode: PPM parser + PNG via imageio ----
+
+  test("PPM decode: hand-built P6 bytes with known pixels give exact stats") {
+    val m = graft.operators.Multimodal
+    // 2x2 image, pixels written out by hand: (R,G,B) rows
+    // (10,20,30) (40,50,60) / (70,80,90) (200,250,255)
+    val raster = Array(10, 20, 30, 40, 50, 60, 70, 80, 90, 200, 250, 255)
+      .map(_.toByte)
+    val header = "P6\n2 2\n255\n".getBytes("US-ASCII")
+    val payload = header ++ raster
+    val (w, h, rgb) = m.decodeImage(payload)
+    assert((w, h) === (2, 2))
+    assert(rgb.toSeq === raster.toSeq)
+    // independently computed channel sums: R=10+40+70+200, etc.
+    val sr = rgb.grouped(3).map(p => p(0) & 0xff).sum
+    assert(sr === 320)
+    assert(rgb.grouped(3).map(p => p(1) & 0xff).sum === 400)
+    assert(rgb.grouped(3).map(p => p(2) & 0xff).sum === 435)
+  }
+
+  test("PPM header grammar: comments and mixed whitespace are parsed") {
+    val m = graft.operators.Multimodal
+    val raster = Array.tabulate(1 * 2 * 3)(i => (i * 11).toByte)
+    val header = "P6 # trailing comment\n# full comment line\n\t1  2\r\n# another\n255\n"
+      .getBytes("US-ASCII")
+    val (w, h, rgb) = m.decodeImage(header ++ raster)
+    assert((w, h) === (1, 2))
+    assert(rgb.toSeq === raster.toSeq)
+  }
+
+  test("PPM encode -> decode round-trips arbitrary rasters (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val m = graft.operators.Multimodal
+    val gen = for {
+      w <- Gen.choose(1, 12)
+      h <- Gen.choose(1, 9)
+      bytes <- Gen.listOfN(w * h * 3, Gen.choose(0, 255))
+    } yield (w, h, bytes.map(_.toByte).toArray)
+    val prop = Prop.forAll(gen) { case (w, h, raster) =>
+      val (dw, dh, rgb) = m.decodeImage(m.ppmEncode(w, h, raster))
+      dw == w && dh == h && rgb.toSeq == raster.toSeq
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(100).withWorkers(1), prop)
+    assert(res.passed, s"property failed: ${res.status}")
+  }
+
+  test("PNG decode: imageio branch reproduces pixels written by BufferedImage") {
+    val m = graft.operators.Multimodal
+    val img = new java.awt.image.BufferedImage(3, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = Seq( // (x, y, r, g, b)
+      (0, 0, 1, 2, 3), (1, 0, 100, 110, 120), (2, 0, 255, 0, 128),
+      (0, 1, 9, 8, 7), (1, 1, 33, 66, 99), (2, 1, 0, 0, 0))
+    px.foreach { case (x, y, r, g, b) => img.setRGB(x, y, (r << 16) | (g << 8) | b) }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val (w, h, rgb) = m.decodeImage(bos.toByteArray)
+    assert((w, h) === (3, 2))
+    px.foreach { case (x, y, r, g, b) =>
+      val p = (y * 3 + x) * 3
+      assert((rgb(p) & 0xff, rgb(p + 1) & 0xff, rgb(p + 2) & 0xff) === ((r, g, b)),
+        s"pixel ($x,$y)")
+    }
+  }
+
+  test("decodeImageStats: distributed sums equal a local decode of the same fixtures") {
+    val m = graft.operators.Multimodal
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val items = m.syntheticImages(docs)
+    val got = m.decodeImageStats(items).collect()
+      .map(s => s.media_id -> ((s.width, s.height, s.sum_r, s.sum_g, s.sum_b))).toMap
+    // independent recomputation straight from the fixture formula,
+    // no PPM bytes involved
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    assert(got.size === ids.length)
+    ids.foreach { id =>
+      val w = 8 + (id % 16).toInt
+      val h = 6 + (id % 12).toInt
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (p <- 0 until w * h) {
+        sr += (id * 31 + 21L * p) % 256
+        sg += (id * 31 + 21L * p + 7) % 256
+        sb += (id * 31 + 21L * p + 14) % 256
+      }
+      assert(got(id) === ((w, h, sr, sg, sb)), s"doc $id")
+    }
+  }
+
+  test("decodeImage rejects junk payloads instead of fabricating pixels") {
+    val m = graft.operators.Multimodal
+    intercept[IllegalArgumentException](m.decodeImage("not an image".getBytes))
+    // truncated raster: header promises more bytes than present
+    intercept[IllegalArgumentException](
+      m.decodeImage("P6\n4 4\n255\nxy".getBytes("US-ASCII")))
+  }
 }
