@@ -426,7 +426,11 @@ object Training extends QueryGroup {
     * exactly what an engine with MERGE INTO lowers to when the change
     * batch is too big to broadcast (full-outer cannot broadcast); both
     * sides hash-partition once and the merge decision is a per-row
-    * CASE, no window, no driver state. */
+    * CASE, no window, no driver state. Skew: the merge key is unique
+    * per side by construction (primary-key MERGE; pinned in
+    * SkewWideShuffleSpec), so no key can hot-spot a reducer; a MERGE on
+    * a non-unique key would swap in SkewJoins.skewSafeFullOuter, since
+    * AQE cannot split either side of a full-outer join. */
   private val qCdcMerge = Q(
     "q_cdc_merge",
     (s, dir) => {
