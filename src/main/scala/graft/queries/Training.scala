@@ -544,8 +544,60 @@ object Training extends QueryGroup {
                 sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) = 0
               FROM documents) t ORDER BY rule"""))
 
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete(): Unit
+  }
+
+  /** INCREMENTAL corpus ingestion through the Store — the pattern a
+    * continuously-crawled 100 TB corpus actually runs: the fingerprints
+    * of everything already ingested live in the kv Store; each incoming
+    * delta is deduplicated AGAINST THE STORE (drop re-crawls of known
+    * content), then within itself (first occurrence per fingerprint),
+    * and the accepted documents' fingerprints are APPENDED to the Store
+    * so the next delta sees them. Fixture: documents with doc_id%3 != 0
+    * are "already ingested" history; the full table arrives as the next
+    * delta (re-crawls + genuinely new docs).
+    *
+    * Scale shape: fingerprints are portable 64-bit content hashes — the
+    * Store holds ONE long per known document, kilobytes per billion
+    * docs per partition; the delta⟂store anti-join hash-partitions both
+    * sides on the fingerprint (no broadcast assumption — history is the
+    * BIG side at 100 TB); in-delta dedup is a fingerprint group-by with
+    * map-side partials; the append rides the sink's two-phase commit,
+    * so a crashed ingestion run publishes nothing and re-runs cleanly. */
+  private val qIngestIncremental = Q(
+    "q_ingest_incremental",
+    (s, dir) => {
+      val store = sys.props("java.io.tmpdir") + "/graft-kvsink/q_ingest_incremental"
+      rmTree(new java.io.File(store))
+      val docs = table(s, dir, "documents")
+      val fp = graft.operators.PortableHash.charHash(col("text"))
+      // bootstrap the Store with the historical fingerprint set
+      docs.filter(col("doc_id") % 3 =!= 0)
+        .select(fp.as("fp")).distinct()
+        .write.format("graft.sources.KvSinkProvider")
+        .option("path", s"$store/batch=0").mode("append").save()
+      // one ingestion round: delta deduped against the batch-0 snapshot
+      // and within itself, accepted fps appended as batch=1
+      // (operators/IncrementalIngest; multi-round contract spec'd in
+      // IncrementalIngestSpec)
+      val delta = docs.select(col("doc_id"), col("lang"), fp.as("fp"))
+      graft.operators.IncrementalIngest.ingest(s, store, 1L, delta)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH fps AS (
+               SELECT doc_id, lang, ${charHashSql("text")} AS fp FROM documents),
+             hist AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 3 <> 0),
+             novel AS (
+               SELECT * FROM fps f
+               WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = f.fp))
+             SELECT min(doc_id) AS doc_id,
+               min_by(lang, doc_id) AS lang, fp
+             FROM novel GROUP BY fp ORDER BY doc_id"""))
+
   override val queries: Seq[Q] = Seq(
     qTextRepetition, qSplitAssign, qMixWeighted, qSamplePerGroup,
     qPackSequences, qLinesDedup, qProfileColumns, qChunkDocs, qDedupLatest,
-    qCdcMerge, qDqChecks)
+    qCdcMerge, qDqChecks, qIngestIncremental)
 }
