@@ -542,6 +542,52 @@ object Llm extends QueryGroup {
              SELECT query_id, rk, vec_id, bucket, cosine FROM ranked
              WHERE rk <= 3 ORDER BY query_id, rk"""))
 
+  /** KNN self-JOIN — top-k neighbors for EVERY vector, not a query
+    * handful: the all-pairs-shaped workhorse behind embedding dedup and
+    * cluster seeding, made scale-safe the same way as the dedup family.
+    * Candidates come from the hyperplane-LSH bucket EQUI-join (both
+    * sides shuffle on the bucket key — no broadcast anywhere, unlike
+    * q_sim_lsh whose probe set is a handful); exact cosine runs only
+    * within buckets; per-probe top-3 is a rank window whose partitions
+    * see only that probe's bucket candidates (WindowGroupLimit prunes to
+    * k per partition map-side). At 100 TB the bucket width (nPlanes)
+    * is the recall/cost dial — same knob AnnRecallSpec measures. */
+  private val qSimKnnJoin = Q(
+    "q_sim_knn_join",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.GraftFunctions._
+      val e = table(s, dir, "embeddings")
+        .withColumn("bucket", lshBucketNative(col("embedding"), 4))
+        .select("vec_id", "bucket", "embedding")
+      val probes = e.select(col("vec_id").as("query_id"),
+        col("bucket").as("qbucket"), col("embedding").as("qv"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      e.join(probes,
+          col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+        .withColumn("cosine", cosineNative(col("qv"), col("embedding")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("query_id", "rk", "vec_id", "cosine")
+        .orderBy("query_id", "rk")
+    },
+    Some(s"""WITH e AS (
+               SELECT vec_id, embedding,
+                 ${lshBucketSql("embedding", 4, 64)} AS bucket
+               FROM embeddings),
+             scored AS (
+               SELECT q.vec_id AS query_id, e.vec_id,
+                 ${cosineSql("q.embedding", "e.embedding", 64)} AS cosine
+               FROM e JOIN e q ON e.bucket = q.bucket AND e.vec_id <> q.vec_id),
+             ranked AS (
+               SELECT query_id, vec_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, vec_id) AS rk
+               FROM scored)
+             SELECT query_id, rk, vec_id, cosine FROM ranked
+             WHERE rk <= 3 ORDER BY query_id, rk"""))
+
   /** IVF-flat approximate top-k — the second ANN scale path next to
     * hyperplane LSH (q_sim_lsh). Coarse quantizer: 16 deterministic
     * data-derived centroids (the embeddings with vec_id 100–115); every
@@ -1169,7 +1215,7 @@ object Llm extends QueryGroup {
 
   override val queries: Seq[Q] = Seq(
     qDedupExact, qDedupNorm, qDedupMinhash, qDedupClusters, qDedupSimhash, qDedupNgram,
-    qDedupEmbedding, qSimTopk, qSimLsh, qSimIvf, qLlmCleanPipeline,
+    qDedupEmbedding, qSimTopk, qSimLsh, qSimIvf, qSimKnnJoin, qLlmCleanPipeline,
     qLlmCleanPipelineStaged, qSqlNativeFns, qTextNgramFreq,
     qTextLangId, qTextQuality, qTextTokens, qTextFingerprint, qMultimodal,
     qMultimodalDecode, qDecontaminate, qTextPii, qDedupFuzzy)
