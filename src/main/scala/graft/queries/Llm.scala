@@ -542,6 +542,54 @@ object Llm extends QueryGroup {
              SELECT query_id, rk, vec_id, bucket, cosine FROM ranked
              WHERE rk <= 3 ORDER BY query_id, rk"""))
 
+  /** Per-document discriminative terms — the tf-idf-family scoring a
+    * retrieval/curation pipeline runs corpus-wide, kept EXACT: score =
+    * (tf · 10⁶) div df, an integer tf/df ratio (idf ∝ 1/df — same
+    * ranking family as log-idf, none of its float drift), so Spark and
+    * DuckDB rank bit-identically with string tiebreaks.
+    *
+    * Scale shape: token explode is narrow; (doc, term) tf is one
+    * hash-agg; df reuses the tf rows (already distinct per doc×term) —
+    * a term-keyed second agg; the score join hash-partitions both sides
+    * on term (term dictionaries are Zipf-heavy but bounded; no
+    * broadcast of a corpus-sized side); per-doc top-3 is a rank window
+    * pruned map-side by WindowGroupLimit. */
+  private val qTextTopterms = Q(
+    "q_text_topterms",
+    (s, dir) => {
+      val t = table(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("term"))
+        .filter(col("term") =!= "")
+      val tf = t.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      tf.join(df, "term")
+        .withColumn("score", expr("tf * 1000000L div df"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("doc_id", "rk", "term", "tf", "df", "score")
+        .orderBy("doc_id", "rk")
+    },
+    Some("""WITH t AS (
+              SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+              FROM documents),
+            tok AS (SELECT doc_id, term FROM t WHERE term <> ''),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                (tf.tf * 1000000) // df.df AS score
+              FROM tf JOIN df USING (term)),
+            ranked AS (
+              SELECT doc_id, term, tf, df, score,
+                row_number() OVER (PARTITION BY doc_id
+                  ORDER BY score DESC, term) AS rk
+              FROM scored)
+            SELECT doc_id, rk, term, tf, df, score FROM ranked
+            WHERE rk <= 3 ORDER BY doc_id, rk"""))
+
   /** KNN self-JOIN — top-k neighbors for EVERY vector, not a query
     * handful: the all-pairs-shaped workhorse behind embedding dedup and
     * cluster seeding, made scale-safe the same way as the dedup family.
@@ -1217,7 +1265,7 @@ object Llm extends QueryGroup {
     qDedupExact, qDedupNorm, qDedupMinhash, qDedupClusters, qDedupSimhash, qDedupNgram,
     qDedupEmbedding, qSimTopk, qSimLsh, qSimIvf, qSimKnnJoin, qLlmCleanPipeline,
     qLlmCleanPipelineStaged, qSqlNativeFns, qTextNgramFreq,
-    qTextLangId, qTextQuality, qTextTokens, qTextFingerprint, qMultimodal,
+    qTextLangId, qTextQuality, qTextTokens, qTextFingerprint, qTextTopterms, qMultimodal,
     qMultimodalDecode, qDecontaminate, qTextPii, qDedupFuzzy)
 
   /** Fuzzy string-match join (entity resolution): name pairs within
