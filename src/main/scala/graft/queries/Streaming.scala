@@ -334,7 +334,70 @@ object Streaming extends QueryGroup {
                ${moneySumSql("value")} AS value_sum
              FROM events GROUP BY 1, 2, 3 ORDER BY ws, event_type"""))
 
+  /** STREAMING incremental ingestion — the live-crawl pipeline: document
+    * deltas arrive as chronological micro-batches; each batch runs one
+    * operators/IncrementalIngest round inside `foreachBatch` (dedup
+    * against the Store snapshot of all earlier batches, first-occurrence
+    * within the batch, accepted fingerprints appended as this batch's
+    * Store directory) and lands its accepted rows in a per-batch KvSink
+    * output. Wiping both per-batchId directories before writing makes a
+    * replayed micro-batch overwrite instead of duplicate — at-least-once
+    * replay becomes exactly-once ingestion, the same idempotency idiom
+    * as q_stream_kv_sink.
+    *
+    * The oracle is BATCH-BOUNDARY-FREE: drops are range-partitioned on
+    * doc_id and land in ascending order, so the store-wins rule (an
+    * earlier batch owns a fingerprint) coincides with global min-doc_id
+    * per fingerprint — the same group-by the one-shot
+    * q_ingest_incremental gates, here produced by three live rounds. */
+  private val qStreamIngest = Q(
+    "q_stream_ingest",
+    (s, dir) => {
+      val tmp = sys.props("java.io.tmpdir")
+      val root = new java.io.File(s"$tmp/graft-stream-ingest")
+      if (root.exists()) rmTree(root)
+      val store = s"$root/store"
+      val out = s"$root/accepted"
+      val docs = table(s, dir, "documents")
+      val staged = root.toPath.resolve("staged")
+      docs.repartitionByRange(3, col("doc_id"))
+        .write.mode("overwrite").parquet(staged.toString)
+      val srcRoot = root.toPath.resolve("src")
+      java.nio.file.Files.createDirectories(srcRoot)
+      val stream = s.readStream.schema(docs.schema).parquet(srcRoot.toString)
+        .select(col("doc_id"), col("lang"),
+          graft.operators.PortableHash.charHash(col("text")).as("fp"))
+      val q = stream.writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          rmTree(new java.io.File(s"$store/batch=$id"))
+          rmTree(new java.io.File(s"$out/batch=$id"))
+          graft.operators.IncrementalIngest
+            .ingest(batch.sparkSession, store, id, batch.toDF())
+            .write.format("graft.sources.KvSinkProvider")
+            .option("path", s"$out/batch=$id").mode("append").save()
+        }
+        .start()
+      try {
+        new java.io.File(staged.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          .zipWithIndex.foreach { case (f, i) =>
+            java.nio.file.Files.copy(f.toPath, srcRoot.resolve(s"drop_$i.parquet"))
+            q.processAllAvailable()
+          }
+      } finally q.stop()
+      s.read.format("graft.sources.KvSourceProvider")
+        .option("path", out).option("recursive", "true")
+        .option("schema", "doc_id LONG, lang STRING, fp LONG").load()
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH fps AS (
+               SELECT doc_id, lang, ${graft.operators.PortableHash.charHashSql("text")} AS fp
+               FROM documents)
+             SELECT min(doc_id) AS doc_id, min_by(lang, doc_id) AS lang, fp
+             FROM fps GROUP BY fp ORDER BY doc_id"""))
+
   override val queries: Seq[Q] = Seq(
     qStreamTumbling, qStreamSliding, qStreamSession, qStreamStateful,
-    qStreamJoin, qStreamEnrich, qStreamLive, qStreamLiveAppend, qStreamKvSink)
+    qStreamJoin, qStreamEnrich, qStreamLive, qStreamLiveAppend, qStreamKvSink,
+    qStreamIngest)
 }
