@@ -114,6 +114,46 @@ object Multimodal extends Serializable {
       sum_r: Long, sum_g: Long, sum_b: Long,
       fit_w: Int, fit_h: Int)
 
+  /** One decoded-then-resampled image row: source dims, fitted dims, and
+    * the exact channel sums of the RESAMPLED raster. */
+  final case class ResampledImage(
+      media_id: Long, width: Int, height: Int, fit_w: Int, fit_h: Int,
+      rsum_r: Long, rsum_g: Long, rsum_b: Long)
+
+  /** Real decode → aspect fit → NEAREST-NEIGHBOR resample on the actual
+    * pixels (target pixel (ty, tx) reads source (ty·h div fh,
+    * tx·w div fw) — exact integer index math, so every engine/rerun
+    * picks identical source pixels) → exact channel sums of the
+    * resampled raster. This is the resize stage operating on real
+    * image bytes, not just the dimension contract; gated by
+    * q_multimodal_resample against a closed-form oracle. */
+  def decodeResample(
+      items: Dataset[MediaItem], maxW: Int, maxH: Int): Dataset[ResampledImage] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      it.map { item =>
+        val (w, h, rgb) = decodeImage(item.payload)
+        val (fw, fh) = fitDims(w, h, maxW, maxH)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var ty = 0
+        while (ty < fh) {
+          val sy = ty * h / fh
+          var tx = 0
+          while (tx < fw) {
+            val sx = tx * w / fw
+            val p = (sy * w + sx) * 3
+            sr += rgb(p) & 0xff
+            sg += rgb(p + 1) & 0xff
+            sb += rgb(p + 2) & 0xff
+            tx += 1
+          }
+          ty += 1
+        }
+        ResampledImage(item.media_id, w, h, fw, fh, sr, sg, sb)
+      }
+    }
+  }
+
   /** Real decode → exact channel sums → aspect fit, in one typed chain:
     * the full gated pipeline of q_multimodal_decode. */
   def decodeAndFit(

@@ -1195,6 +1195,58 @@ object Llm extends QueryGroup {
                         ELSE 12 END AS INTEGER) AS fit_h
             FROM s ORDER BY media_id"""))
 
+  /** REAL pixel resize under the gate: the same PPM fixtures as
+    * q_multimodal_decode, decoded and NEAREST-NEIGHBOR-resampled into
+    * the 16×12 aspect fit — target pixel (ty, tx) reads source
+    * (ty·h div fh, tx·w div fw), exact integer index math — then
+    * reduced to the RESAMPLED raster's channel sums. The oracle
+    * recomputes which source pixels the resampler must pick and their
+    * formula values in closed form: a wrong rounding rule, a transposed
+    * index, or a stride bug picks different pixels and hash-mismatches.
+    * Scale shape: pure narrow map, like the decode. */
+  private val qMultimodalResample = Q(
+    "q_multimodal_resample",
+    (s, dir) => {
+      val m = graft.operators.Multimodal
+      m.decodeResample(m.syntheticImages(table(s, dir, "documents")), 16, 12)
+        .toDF()
+        .orderBy(col("media_id"))
+    },
+    Some("""WITH d AS (
+              SELECT doc_id,
+                CAST(8 + doc_id % 16 AS BIGINT) AS w,
+                CAST(6 + doc_id % 12 AS BIGINT) AS h
+              FROM documents),
+            f AS (
+              SELECT doc_id, w, h,
+                CAST(CASE WHEN w <= 16 AND h <= 12 THEN w
+                          WHEN 16*h <= 12*w THEN 16
+                          ELSE GREATEST(1, (12*w) // h) END AS BIGINT) AS fw,
+                CAST(CASE WHEN w <= 16 AND h <= 12 THEN h
+                          WHEN 16*h <= 12*w THEN GREATEST(1, (16*h) // w)
+                          ELSE 12 END AS BIGINT) AS fh
+              FROM d),
+            s AS (
+              SELECT doc_id, w, h, fw, fh,
+                CAST(list_sum(flatten(list_transform(generate_series(0, fh - 1), ty ->
+                  list_transform(generate_series(0, fw - 1), tx ->
+                    (doc_id*31 + ((((ty*h) // fh)*w + (tx*w) // fw)*3 + 0)*7) % 256))))
+                  AS BIGINT) AS rsum_r,
+                CAST(list_sum(flatten(list_transform(generate_series(0, fh - 1), ty ->
+                  list_transform(generate_series(0, fw - 1), tx ->
+                    (doc_id*31 + ((((ty*h) // fh)*w + (tx*w) // fw)*3 + 1)*7) % 256))))
+                  AS BIGINT) AS rsum_g,
+                CAST(list_sum(flatten(list_transform(generate_series(0, fh - 1), ty ->
+                  list_transform(generate_series(0, fw - 1), tx ->
+                    (doc_id*31 + ((((ty*h) // fh)*w + (tx*w) // fw)*3 + 2)*7) % 256))))
+                  AS BIGINT) AS rsum_b
+              FROM f)
+            SELECT doc_id AS media_id,
+              CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+              CAST(fw AS INTEGER) AS fit_w, CAST(fh AS INTEGER) AS fit_h,
+              rsum_r, rsum_g, rsum_b
+            FROM s ORDER BY media_id"""))
+
   /** Benchmark DECONTAMINATION — the eval-integrity gate every serious
     * training pipeline runs before a model ships: flag training documents
     * that share any token 5-gram with the benchmark/eval set, so leaked
@@ -1266,7 +1318,7 @@ object Llm extends QueryGroup {
     qDedupEmbedding, qSimTopk, qSimLsh, qSimIvf, qSimKnnJoin, qLlmCleanPipeline,
     qLlmCleanPipelineStaged, qSqlNativeFns, qTextNgramFreq,
     qTextLangId, qTextQuality, qTextTokens, qTextFingerprint, qTextTopterms, qMultimodal,
-    qMultimodalDecode, qDecontaminate, qTextPii, qDedupFuzzy)
+    qMultimodalDecode, qMultimodalResample, qDecontaminate, qTextPii, qDedupFuzzy)
 
   /** Fuzzy string-match join (entity resolution): name pairs within
     * Levenshtein distance 2. Scale shape, in order: (1) match on the

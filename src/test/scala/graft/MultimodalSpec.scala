@@ -177,4 +177,21 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionFixture {
     intercept[IllegalArgumentException](
       m.decodeImage("P6\n4 4\n255\nxy".getBytes("US-ASCII")))
   }
+
+  test("NN resample picks exactly the floor-index source pixels") {
+    val m = graft.operators.Multimodal
+    val s = spark
+    import s.implicits._
+    // 4x2 source, raster bytes 0,1,2,...,23; fit into 2x1 box -> 2x1:
+    // target (0,0) reads source (0*2/1=0, 0*4/2=0) -> bytes 0,1,2
+    // target (0,1) reads source (0, 1*4/2=2)       -> bytes 6,7,8
+    // so rsum_r=0+6, rsum_g=1+7, rsum_b=2+8
+    val raster = Array.tabulate(4 * 2 * 3)(_.toByte)
+    val payload = m.ppmEncode(4, 2, raster)
+    val items = Seq(m.MediaItem(7L, "image", payload, "t", payload.length.toLong))
+      .toDS()
+    val r = m.decodeResample(items, 2, 1).collect().head
+    assert((r.width, r.height, r.fit_w, r.fit_h) === ((4, 2, 2, 1)))
+    assert((r.rsum_r, r.rsum_g, r.rsum_b) === ((6L, 8L, 10L)))
+  }
 }
