@@ -115,4 +115,39 @@ object TypedAggregates {
     override def outputEncoder: Encoder[Seq[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
+
+  /** Element-wise QUANTIZED vector sum — the mergeable state behind
+    * per-group embedding centroids (q_agg_vector_centroid): the buffer
+    * is one Array[Long] of per-dimension 1e-4-unit sums plus a count,
+    * reduced and merged element-wise, so Spark runs partial aggregation
+    * MAP-SIDE and the shuffle carries dim longs per group per partition
+    * — vs the explode formulation, which shuffles dim rows per INPUT
+    * vector (64× more here). Quantization is VecOps.qround (DuckDB
+    * round: half away from zero) per element BEFORE summing, so the
+    * integer sums are merge-order-proof and the SQL oracle recomputes
+    * them bit-identically. */
+  final case class VectorSum(dim: Int)
+      extends Aggregator[Seq[Float], (Array[Long], Long), (Seq[Long], Long)] {
+    override def zero: (Array[Long], Long) = (new Array[Long](dim), 0L)
+    override def reduce(b: (Array[Long], Long), v: Seq[Float]): (Array[Long], Long) = {
+      var i = 0
+      val n = math.min(dim, v.length)
+      while (i < n) {
+        b._1(i) += graft.functions.VecOps.qround(v(i).toDouble * 10000.0)
+        i += 1
+      }
+      (b._1, b._2 + 1)
+    }
+    override def merge(x: (Array[Long], Long), y: (Array[Long], Long)): (Array[Long], Long) = {
+      var i = 0
+      while (i < dim) { x._1(i) += y._1(i); i += 1 }
+      (x._1, x._2 + y._2)
+    }
+    override def finish(b: (Array[Long], Long)): (Seq[Long], Long) =
+      (b._1.toSeq, b._2)
+    override def bufferEncoder: Encoder[(Array[Long], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Long], Long)]()
+    override def outputEncoder: Encoder[(Seq[Long], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Seq[Long], Long)]()
+  }
 }

@@ -542,6 +542,42 @@ object Llm extends QueryGroup {
              SELECT query_id, rk, vec_id, bucket, cosine FROM ranked
              WHERE rk <= 3 ORDER BY query_id, rk"""))
 
+  /** Per-group embedding CENTROIDS through a mergeable typed Aggregator
+    * (operators/TypedAggregates.VectorSum): the buffer is one
+    * Array[Long] of per-dimension quantized sums + a count, so partial
+    * aggregation runs MAP-SIDE and the shuffle carries dim longs per
+    * (group, partition) — the explode formulation (the oracle) shuffles
+    * dim rows per INPUT vector, 64× more here and at any scale. Sums
+    * quantize each element with DuckDB-round semantics before adding,
+    * so the integer state is merge-order-proof and the mean is a single
+    * double conversion at the end. */
+  private val qAggVectorCentroid = Q(
+    "q_agg_vector_centroid",
+    (s, dir) => {
+      import s.implicits._
+      val e = table(s, dir, "embeddings")
+        .select(col("label").cast("long").as("grp"), col("embedding"))
+        .as[(Long, Seq[Float])]
+      e.groupByKey(_._1).mapValues(_._2)
+        .agg(graft.operators.TypedAggregates.VectorSum(64).toColumn)
+        .flatMap { case (grp, (sums, n)) =>
+          sums.zipWithIndex.map { case (sq, i) => (grp, (i + 1).toLong, n, sq) }
+        }
+        .toDF("grp", "dim", "n", "sum_q")
+        .withColumn("mean",
+          (col("sum_q").cast("double") / 10000.0) / col("n"))
+        .orderBy("grp", "dim")
+    },
+    Some("""WITH x AS (
+              SELECT CAST(label AS BIGINT) AS grp, i AS dim,
+                CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT) AS q
+              FROM embeddings
+              CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) dims)
+            SELECT grp, CAST(dim AS BIGINT) AS dim, count(*) AS n,
+              CAST(sum(q) AS BIGINT) AS sum_q,
+              (CAST(sum(q) AS DOUBLE) / 10000.0) / count(*) AS mean
+            FROM x GROUP BY grp, dim ORDER BY grp, dim"""))
+
   /** Per-document discriminative terms — the tf-idf-family scoring a
     * retrieval/curation pipeline runs corpus-wide, kept EXACT: score =
     * (tf · 10⁶) div df, an integer tf/df ratio (idf ∝ 1/df — same
@@ -1317,7 +1353,8 @@ object Llm extends QueryGroup {
     qDedupExact, qDedupNorm, qDedupMinhash, qDedupClusters, qDedupSimhash, qDedupNgram,
     qDedupEmbedding, qSimTopk, qSimLsh, qSimIvf, qSimKnnJoin, qLlmCleanPipeline,
     qLlmCleanPipelineStaged, qSqlNativeFns, qTextNgramFreq,
-    qTextLangId, qTextQuality, qTextTokens, qTextFingerprint, qTextTopterms, qMultimodal,
+    qTextLangId, qTextQuality, qTextTokens, qTextFingerprint, qTextTopterms,
+    qAggVectorCentroid, qMultimodal,
     qMultimodalDecode, qMultimodalResample, qDecontaminate, qTextPii, qDedupFuzzy)
 
   /** Fuzzy string-match join (entity resolution): name pairs within
