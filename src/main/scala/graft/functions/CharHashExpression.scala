@@ -126,6 +126,8 @@ object GraftFunctions {
       (c: Seq[Expression]) => TokStatsExpression(c(0), c(1))),
     ("graft_lowerbound", classOf[LowerBoundExpression],
       (c: Seq[Expression]) => LowerBoundExpression(c(0), c(1))),
+    ("graft_zorder", classOf[ZOrderExpression],
+      (c: Seq[Expression]) => ZOrderExpression(c(0), c(1))),
   )
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -251,6 +251,27 @@ object VecOps {
     minH
   }
 
+
+  /** 16-bit × 16-bit Morton (Z-order) interleave: bit i of a lands at
+    * position 2i, bit i of b at 2i+1 — a 32-bit curve index. Sorting or
+    * range-partitioning data by this key co-locates rows that are close
+    * in BOTH dimensions, so parquet row-group min/max stats become
+    * selective for two-dimensional predicates (measured in
+    * ZOrderLayoutSpec). 16 bits per dimension is layout resolution, not
+    * a data constraint — inputs are masked. */
+  def zorder(a: Long, b: Long): Long = {
+    val x = a & 0xffffL
+    val y = b & 0xffffL
+    var z = 0L
+    var i = 0
+    while (i < 16) {
+      z |= ((x >> i) & 1L) << (2 * i)
+      z |= ((y >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
   /** Index of the first element of sorted long array `arr` that is >= v
     * (std::lower_bound) = count of elements strictly below v. Binary
     * search — the SaltedPrefix bucket assignment calls this once per row
@@ -461,4 +482,22 @@ case class LowerBoundExpression(left: Expression, right: Expression)
       s"${ev.value} = graft.functions.VecOps.lowerBound($a, $v);")
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): LowerBoundExpression = copy(left = l, right = r)
+}
+
+/** graft_zorder(a, b) — 16+16-bit Morton interleave : BIGINT. */
+case class ZOrderExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecExprChecks.check(
+      left.dataType == LongType && right.dataType == LongType,
+      prettyName, Seq(left.dataType, right.dataType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_zorder"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.zorder(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VecOps.zorder($a, $b);")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): ZOrderExpression = copy(left = l, right = r)
 }

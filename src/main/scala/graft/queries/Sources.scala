@@ -274,7 +274,41 @@ object Sources extends QueryGroup {
             WHERE c_mktsegment = 'BUILDING' AND c_nationkey >= 10
             GROUP BY 1 ORDER BY k"""))
 
+  /** Z-ORDER layout key — multi-dimensional clustering for data
+    * skipping: the 16+16-bit Morton interleave (codegen'd
+    * graft_zorder kernel) of customer key × order day. Sorting or
+    * range-partitioning a table by this key co-locates rows close in
+    * BOTH dimensions, so parquet row-group min/max stats become
+    * selective for two-dimensional predicates — at 100 TB this is the
+    * difference between scanning a shard and scanning the table when
+    * queries filter on two columns at once. The gate checks the curve
+    * index values bit-for-bit (DuckDB recomputes the interleave with
+    * integer bit ops); the measured skipping win — z-ordered layout
+    * reads a fraction of the row groups a single-column sort reads
+    * under a two-dimensional predicate — is pinned in
+    * ZOrderLayoutSpec. */
+  private val qZorderLayout = Q(
+    "q_zorder_layout",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      table(s, dir, "orders")
+        .select(col("o_orderkey"),
+          call_function("graft_zorder",
+            col("o_custkey").cast("long"),
+            unix_date(col("o_orderdate").cast("date")).cast("long")).as("z"))
+        .orderBy("z", "o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+              CAST(list_sum(list_transform(generate_series(0, 15), i ->
+                (((o_custkey % 65536) >> i) & 1) * (1 << (2*i))
+                + (((datediff('day', DATE '1970-01-01',
+                       CAST(o_orderdate AS DATE)) % 65536) >> i) & 1)
+                  * (1 << (2*i + 1))))
+              AS BIGINT) AS z
+            FROM orders ORDER BY z, o_orderkey"""))
+
   override val queries: Seq[Q] =
     Seq(qSourceCsv, qSourceJson, qSourceOrc, qSourceText, qSourcePartitioned,
-      qSourceBucketedJoin, qSourceDsv2, qSinkDsv2, qSourceKv, qSourceKvNet)
+      qSourceBucketedJoin, qSourceDsv2, qSinkDsv2, qSourceKv, qSourceKvNet,
+      qZorderLayout)
 }
