@@ -596,8 +596,62 @@ object Training extends QueryGroup {
                min_by(lang, doc_id) AS lang, fp
              FROM novel GROUP BY fp ORDER BY doc_id"""))
 
+  /** Whole-table CONTENT DIGEST — the migration-validation primitive: an
+    * order-insensitive fingerprint of a table's content (sum over rows
+    * of a portable per-row hash), so two engines / two copies / two
+    * points in a migration can be compared by exchanging ONE number per
+    * table instead of any data. Row hash = the portable rolling
+    * charHash over a canonical '|'-joined rendering of INTEGER-valued
+    * columns (keys + 1e-4-quantized money) — integer-to-string
+    * rendering is engine-identical, where float/timestamp formatting is
+    * not. SUM of per-row hashes (each < 1e9, corpus rows < 9e9 before
+    * long overflow) is commutative, so the digest is partitioning- and
+    * order-invariant.
+    *
+    * Scale shape: one narrow projection + hash per row, one partial+
+    * final SUM per table — counters-only network, embarrassingly
+    * parallel, no shuffle of row data. */
+  private val qTableDigest = Q(
+    "q_table_digest",
+    (s, dir) => {
+      def digest(df: org.apache.spark.sql.DataFrame, name: String,
+          canon: org.apache.spark.sql.Column) =
+        df.agg(count(lit(1)).as("n_rows"),
+            sum(graft.operators.PortableHash.charHash(canon)).as("digest"))
+          .select(lit(name).as("tbl"), col("n_rows"), col("digest"))
+      val l = table(s, dir, "lineitem")
+      val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer")
+      digest(l, "lineitem", concat_ws("|",
+          col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_linenumber"), fixed4(col("l_extendedprice"))))
+        .unionAll(digest(o, "orders", concat_ws("|",
+          col("o_orderkey"), col("o_custkey"), fixed4(col("o_totalprice")))))
+        .unionAll(digest(c, "customer", concat_ws("|",
+          col("c_custkey"), col("c_nationkey"), fixed4(col("c_acctbal")))))
+        .orderBy("tbl")
+    },
+    Some(s"""SELECT 'customer' AS tbl, count(*) AS n_rows,
+               CAST(sum(${charHashSql(
+                 s"concat_ws('|', c_custkey, c_nationkey, ${fixed4Sql("c_acctbal")})")})
+                 AS BIGINT) AS digest
+             FROM customer
+             UNION ALL
+             SELECT 'lineitem', count(*),
+               CAST(sum(${charHashSql(
+                 s"concat_ws('|', l_orderkey, l_partkey, l_suppkey, l_linenumber, ${fixed4Sql("l_extendedprice")})")})
+                 AS BIGINT)
+             FROM lineitem
+             UNION ALL
+             SELECT 'orders', count(*),
+               CAST(sum(${charHashSql(
+                 s"concat_ws('|', o_orderkey, o_custkey, ${fixed4Sql("o_totalprice")})")})
+                 AS BIGINT)
+             FROM orders
+             ORDER BY tbl"""))
+
   override val queries: Seq[Q] = Seq(
     qTextRepetition, qSplitAssign, qMixWeighted, qSamplePerGroup,
     qPackSequences, qLinesDedup, qProfileColumns, qChunkDocs, qDedupLatest,
-    qCdcMerge, qDqChecks, qIngestIncremental)
+    qCdcMerge, qDqChecks, qIngestIncremental, qTableDigest)
 }
