@@ -650,8 +650,48 @@ object Training extends QueryGroup {
              FROM orders
              ORDER BY tbl"""))
 
+  /** Store COMPACTION — the maintenance pass an append-only ingestion
+    * Store needs: many small per-round batch directories are read back
+    * through the recursive kv source and rewritten as ONE batch with few
+    * files (the small-files problem at 100 TB: metadata and open-file
+    * overhead grow with file count, not byte count). The gate proves
+    * content invariance the digest way: the compacted store's row count
+    * and fingerprint SUM must equal the oracle's digest computed
+    * directly from the source documents — any dropped, duplicated or
+    * corrupted row moves the commutative sum. File-count reduction and
+    * hidden-path discipline are pinned in IncrementalIngestSpec. */
+  private val qStoreCompact = Q(
+    "q_store_compact",
+    (s, dir) => {
+      val root = sys.props("java.io.tmpdir") + "/graft-kvsink/q_store_compact"
+      rmTree(new java.io.File(root))
+      val docs = table(s, dir, "documents")
+      val fp = graft.operators.PortableHash.charHash(col("text"))
+      // three ingestion-era batches (disjoint thirds of the corpus)
+      for (b <- 0 until 3)
+        docs.filter(col("doc_id") % 3 === b)
+          .select(col("doc_id"), fp.as("fp"))
+          .write.format("graft.sources.KvSinkProvider")
+          .option("path", s"$root/batches/batch=$b").mode("append").save()
+      // compaction: recursive read of the batch tree → one 2-file batch
+      s.read.format("graft.sources.KvSourceProvider")
+        .option("path", s"$root/batches").option("recursive", "true")
+        .option("schema", "doc_id LONG, fp LONG").load()
+        .repartition(2)
+        .write.format("graft.sources.KvSinkProvider")
+        .option("path", s"$root/compacted").mode("append").save()
+      // digest of the COMPACTED store vs the source-data oracle
+      s.read.format("graft.sources.KvSourceProvider")
+        .option("path", s"$root/compacted")
+        .option("schema", "doc_id LONG, fp LONG").load()
+        .agg(count(lit(1)).as("n_rows"), sum(col("fp")).as("digest"))
+    },
+    Some(s"""SELECT count(*) AS n_rows,
+               CAST(sum(${charHashSql("text")}) AS BIGINT) AS digest
+             FROM documents"""))
+
   override val queries: Seq[Q] = Seq(
     qTextRepetition, qSplitAssign, qMixWeighted, qSamplePerGroup,
     qPackSequences, qLinesDedup, qProfileColumns, qChunkDocs, qDedupLatest,
-    qCdcMerge, qDqChecks, qIngestIncremental, qTableDigest)
+    qCdcMerge, qDqChecks, qIngestIncremental, qTableDigest, qStoreCompact)
 }

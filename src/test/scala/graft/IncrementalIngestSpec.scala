@@ -57,4 +57,35 @@ class IncrementalIngestSpec extends AnyFunSuite with SparkSessionFixture {
     assert(accepted.count() === 2L)
     assert(accepted.orderBy("doc_id").collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
   }
+
+  test("compaction: many small batches become few files with identical content") {
+    val s = spark
+    import s.implicits._
+    val store = freshStore()
+    // 6 batches x 4 files each of (k, v) rows
+    for (b <- 0 until 6)
+      (0L until 50L).map(i => (b * 100L + i, i * 3L)).toDF("k", "v")
+        .repartition(4)
+        .write.format("graft.sources.KvSinkProvider")
+        .option("path", s"$store/batches/batch=$b").mode("append").save()
+    def readAll(path: String, recursive: Boolean) = {
+      val r = spark.read.format("graft.sources.KvSourceProvider")
+        .option("path", path).option("schema", "k LONG, v LONG")
+      (if (recursive) r.option("recursive", "true") else r).load()
+    }
+    readAll(s"$store/batches", recursive = true)
+      .repartition(2)
+      .write.format("graft.sources.KvSinkProvider")
+      .option("path", s"$store/compacted").mode("append").save()
+    // content identical as a multiset
+    val before = readAll(s"$store/batches", recursive = true)
+      .collect().map(_.toString).sorted.toSeq
+    val after = readAll(s"$store/compacted", recursive = false)
+      .collect().map(_.toString).sorted.toSeq
+    assert(after === before)
+    assert(after.size === 300)
+    // ...but 24 committed files became 2, and staging stayed hidden
+    val files = new java.io.File(s"$store/compacted").listFiles()
+    assert(files.count(f => f.isFile && !f.getName.startsWith("_")) === 2)
+  }
 }
