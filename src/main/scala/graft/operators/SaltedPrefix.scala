@@ -63,7 +63,14 @@ object SaltedPrefix {
     * Per-key sample size is E[n_key / sampleOneIn]; keys too small to
     * sample fall into one bucket (already small ⇒ balance is moot), keys
     * large enough to matter yield enough sample for stable bounds. Pick
-    * sampleOneIn so keys·(n_key/sampleOneIn) stays driver-broadcastable. */
+    * sampleOneIn so keys·(n_key/sampleOneIn) stays driver-broadcastable.
+    *
+    * Bounds and probes are compared as BIGINT-cast order values (the
+    * codegen'd binary search is typed array<bigint>): for a fractional
+    * order column the cast truncates, which can only COARSEN buckets —
+    * floor is monotone, and any monotone bucket function stitches
+    * exactly — so correctness is unaffected; balance is exact for
+    * integral order columns (both current callers). */
   def exclusivePrefixSumQuantile(
       df: DataFrame, partCol: String, orderCol: String,
       value: Column, nb: Int = 16, sampleOneIn: Int = 64): DataFrame =
