@@ -626,6 +626,60 @@ object Llm extends QueryGroup {
             SELECT doc_id, rk, term, tf, df, score FROM ranked
             WHERE rk <= 3 ORDER BY doc_id, rk"""))
 
+  /** Vocabulary build + token-ID encoding — the tokenizer-prep step every
+    * training corpus goes through: derive a bounded vocabulary from corpus
+    * term frequencies, then encode documents as (position, token-id)
+    * sequences with OOV mapped to a reserved id 0.
+    *
+    * Scale shape, in order: (1) term frequency is ONE corpus-wide hash
+    * aggregation (map-side partial combine); (2) the vocabulary is a
+    * bounded top-k — `orderBy.limit(k)` plans TakeOrderedAndProject, a
+    * per-partition heap + driver merge of k rows, never a global sort of
+    * the term dictionary; (3) id assignment is a row_number window over
+    * the ALREADY k-row vocabulary (driver-scale input — the global window
+    * never sees the corpus); (4) encoding is a broadcast hash join of the
+    * exploded token stream against the kilobyte vocab — map-side, narrow,
+    * no shuffle of the corpus. The gated output encodes a deterministic
+    * 1-in-50 document slice so the driver compare stays bounded while the
+    * vocabulary still aggregates every document.
+    *
+    * Ranking is (count DESC, term ASC) — a total order, so the k-boundary
+    * is deterministic on both engines. */
+  private val qVocabEncode = Q(
+    "q_vocab_encode",
+    (s, dir) => {
+      val tok = table(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(lower(col("text")), " ")).as(Seq("pos0", "term")))
+        .filter(col("term") =!= "")
+      val freq = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+      val idW = Window.orderBy(col("cnt").desc, col("term"))
+      val vocab = freq.orderBy(col("cnt").desc, col("term")).limit(256)
+        .withColumn("token_id", row_number().over(idW).cast("long"))
+        .select("term", "token_id")
+      tok.filter(col("doc_id") % 50 === 0)
+        .join(broadcast(vocab), Seq("term"), "left")
+        .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+          col("term"), coalesce(col("token_id"), lit(0L)).as("token_id"))
+        .orderBy("doc_id", "pos")
+    },
+    Some("""WITH raw AS (
+              SELECT doc_id, unnest(arr) AS term,
+                unnest(generate_series(1, len(arr))) AS pos
+              FROM (SELECT doc_id, string_split(lower(text), ' ') AS arr
+                    FROM documents)),
+            tok AS (SELECT doc_id, term, pos FROM raw WHERE term <> ''),
+            freq AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+            top AS (SELECT term, cnt FROM freq ORDER BY cnt DESC, term LIMIT 256),
+            v AS (SELECT term,
+                    row_number() OVER (ORDER BY cnt DESC, term) AS token_id
+                  FROM top)
+            SELECT t.doc_id, CAST(t.pos AS BIGINT) AS pos, t.term,
+              CAST(coalesce(v.token_id, 0) AS BIGINT) AS token_id
+            FROM tok t LEFT JOIN v USING (term)
+            WHERE t.doc_id % 50 = 0
+            ORDER BY doc_id, pos"""))
+
   /** KNN self-JOIN — top-k neighbors for EVERY vector, not a query
     * handful: the all-pairs-shaped workhorse behind embedding dedup and
     * cluster seeding, made scale-safe the same way as the dedup family.
@@ -1354,6 +1408,7 @@ object Llm extends QueryGroup {
     qDedupEmbedding, qSimTopk, qSimLsh, qSimIvf, qSimKnnJoin, qLlmCleanPipeline,
     qLlmCleanPipelineStaged, qSqlNativeFns, qTextNgramFreq,
     qTextLangId, qTextQuality, qTextTokens, qTextFingerprint, qTextTopterms,
+    qVocabEncode,
     qAggVectorCentroid, qMultimodal,
     qMultimodalDecode, qMultimodalResample, qDecontaminate, qTextPii, qDedupFuzzy)
 
