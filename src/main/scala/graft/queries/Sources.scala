@@ -307,8 +307,37 @@ object Sources extends QueryGroup {
               AS BIGINT) AS z
             FROM orders ORDER BY z, o_orderkey"""))
 
+  /** File-level zone-map pruning (operators/ZoneMaps): orders is laid
+    * out as 8 range-partitioned key-sorted parquet files, a per-file
+    * (min,max) manifest is derived, and the range query opens ONLY the
+    * manifest-selected files with the residual filter on top — the
+    * Delta/Iceberg manifest-pruning discipline over plain parquet. The
+    * oracle computes the same aggregate over the unpartitioned table, so
+    * the gate proves pruned-read ≡ full-scan-and-filter; the
+    * files-opened < files-total evidence is pinned in ZoneMapSpec (the
+    * count depends on sampled range boundaries, so it belongs in a spec,
+    * not in hash-gated output). */
+  private val qZonemapPrune = Q(
+    "q_zonemap_prune",
+    (s, dir) => {
+      val root = sys.props("java.io.tmpdir") + "/graft-zonemap/q_zonemap_prune"
+      cleanDir(root)
+      graft.operators.ZoneMaps.writeLayout(
+        table(s, dir, "orders"), "o_orderkey", 8, root)
+      val (_, _, pruned) = graft.operators.ZoneMaps.prunedRead(
+        s, root, "o_orderkey", 1000L, 3000L)
+      pruned
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("revenue"))
+        .orderBy("o_orderstatus")
+    },
+    Some(s"""SELECT o_orderstatus, count(*) AS n,
+               ${moneySumSql("o_totalprice")} AS revenue
+             FROM orders WHERE o_orderkey BETWEEN 1000 AND 3000
+             GROUP BY 1 ORDER BY 1"""))
+
   override val queries: Seq[Q] =
     Seq(qSourceCsv, qSourceJson, qSourceOrc, qSourceText, qSourcePartitioned,
       qSourceBucketedJoin, qSourceDsv2, qSinkDsv2, qSourceKv, qSourceKvNet,
-      qZorderLayout)
+      qZorderLayout, qZonemapPrune)
 }
