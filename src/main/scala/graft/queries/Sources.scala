@@ -336,8 +336,50 @@ object Sources extends QueryGroup {
              FROM orders WHERE o_orderkey BETWEEN 1000 AND 3000
              GROUP BY 1 ORDER BY 1"""))
 
+  /** Snapshot TIME TRAVEL over the Store's commit log (sources/KvCommitLog):
+    * two successive sink commits build per-nation counts — commit 1 the
+    * nations below 10, commit 2 the rest — and the query reads the store
+    * twice: `asOfCommit=1` (must see ONLY the first commit's files, though
+    * the second commit's files sit in the same directory) and the latest
+    * view (both commits). Gated as one result with a `snap` column; the
+    * oracle recomputes each snapshot's content from the source table, so
+    * any time-travel leak (late file visible early, early file lost late)
+    * breaks the hash.
+    *
+    * Scale shape: the log is metadata — one small manifest per commit,
+    * read once at plan time; snapshot selection never touches data files
+    * beyond the planned splits. */
+  private val qStoreTimetravel = Q(
+    "q_store_timetravel",
+    (s, dir) => {
+      val out = sys.props("java.io.tmpdir") + "/graft-kvsink/q_store_timetravel"
+      cleanDir(out)
+      val counts = table(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("c_nationkey").as("k"), col("n").as("v"))
+      for (half <- Seq(counts.filter(col("k") < 10), counts.filter(col("k") >= 10)))
+        half.write.format("graft.sources.KvSinkProvider")
+          .option("path", out).mode("append").save()
+      def readAsOf(asOf: Option[Int]) = {
+        val r = s.read.format("graft.sources.KvSourceProvider")
+          .option("path", out).option("schema", "k LONG, v LONG")
+        asOf.fold(r)(v => r.option("asOfCommit", v.toString)).load()
+      }
+      readAsOf(Some(1)).withColumn("snap", lit(1L))
+        .unionAll(readAsOf(None).withColumn("snap", lit(2L)))
+        .select("snap", "k", "v")
+        .orderBy("snap", "k")
+    },
+    Some("""SELECT CAST(1 AS BIGINT) AS snap, c_nationkey AS k, count(*) AS v
+            FROM customer WHERE c_nationkey < 10 GROUP BY 1, 2
+            UNION ALL
+            SELECT CAST(2 AS BIGINT) AS snap, c_nationkey AS k, count(*) AS v
+            FROM customer GROUP BY 1, 2
+            ORDER BY snap, k"""))
+
   override val queries: Seq[Q] =
     Seq(qSourceCsv, qSourceJson, qSourceOrc, qSourceText, qSourcePartitioned,
       qSourceBucketedJoin, qSourceDsv2, qSinkDsv2, qSourceKv, qSourceKvNet,
-      qZorderLayout, qZonemapPrune)
+      qZorderLayout, qZonemapPrune, qStoreTimetravel)
 }

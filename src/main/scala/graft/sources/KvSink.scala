@@ -3,6 +3,7 @@ package graft.sources
 import java.io.{BufferedWriter, File, FileWriter}
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
@@ -82,11 +83,13 @@ class KvBatchWrite(path: String, schema: StructType) extends BatchWrite {
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = Paths.get(path)
     Files.createDirectories(dir)
-    messages.foreach { case KvCommit(staged) =>
+    val published = messages.map { case KvCommit(staged) =>
       val src = Paths.get(staged)
       Files.move(src, dir.resolve(src.getFileName),
         StandardCopyOption.REPLACE_EXISTING)
+      src.getFileName.toString
     }
+    KvCommitLog.append(dir, published.toSeq)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -97,6 +100,55 @@ class KvBatchWrite(path: String, schema: StructType) extends BatchWrite {
 }
 
 case class KvCommit(stagedFile: String) extends WriterCommitMessage
+
+/** The Store's COMMIT LOG — a Delta/Iceberg-style transaction log in
+  * miniature: every successful [[KvBatchWrite.commit]] appends a hidden
+  * manifest `_commit-N` naming exactly the files it published, so the
+  * directory carries its own write history. Readers that pass
+  * `asOfCommit=N` to [[KvSourceProvider]] plan splits from the manifests
+  * with version ≤ N — SNAPSHOT TIME TRAVEL over the same committed
+  * files, no copies. Manifests are underscore-hidden, so every existing
+  * listing-based consumer (the source's default latest view, the net
+  * daemon, compaction) is unaffected.
+  *
+  * Manifest writes are atomic (dot-hidden temp + move) and versions are
+  * dense from 1; the log is driver-written once per batch commit, the
+  * same single-writer discipline the sink's publish step already has.
+  * At 100 TB this is metadata-sized state: one small file per commit,
+  * read only at plan time. */
+object KvCommitLog {
+  private val ManifestName = "_commit-(\\d+)".r
+
+  /** (version, manifestPath) pairs present in `dir`, ascending. */
+  def versions(dir: java.nio.file.Path): Seq[(Int, java.nio.file.Path)] = {
+    val d = dir.toFile
+    Option(d.listFiles()).getOrElse(Array.empty[File]).toSeq
+      .flatMap(f => f.getName match {
+        case ManifestName(v) => Some((v.toInt, f.toPath))
+        case _ => None
+      })
+      .sortBy(_._1)
+  }
+
+  /** Latest committed version, 0 when the log is empty. */
+  def latestVersion(dir: java.nio.file.Path): Int =
+    versions(dir).lastOption.map(_._1).getOrElse(0)
+
+  /** Record one commit's published file names as the next version. */
+  def append(dir: java.nio.file.Path, published: Seq[String]): Unit = {
+    val next = latestVersion(dir) + 1
+    val tmp = dir.resolve(s"._commit-$next.tmp")
+    Files.write(tmp, published.sorted.mkString("\n").getBytes("UTF-8"))
+    Files.move(tmp, dir.resolve(s"_commit-$next"),
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** File names published by all commits with version ≤ asOf. */
+  def filesAsOf(dir: java.nio.file.Path, asOf: Int): Set[String] =
+    versions(dir).takeWhile(_._1 <= asOf).flatMap { case (_, p) =>
+      Files.readAllLines(p).asScala.filter(_.nonEmpty)
+    }.toSet
+}
 
 /** Field framing escape shared by sink (write) and source (read): a
   * string containing the field/record delimiters must round-trip, not

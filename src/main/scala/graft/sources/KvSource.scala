@@ -36,7 +36,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - **filter pushdown** (`SupportsPushDownFilters`): comparison
   *    predicates on any column are evaluated inside the reader during the
   *    parse, before any row is handed to Spark — the connector-side
-  *    filtering a remote KV store would do server-side.
+  *    filtering a remote KV store would do server-side;
+  *  - **snapshot time travel** (`option("asOfCommit", n)`): split
+  *    planning consults the sink's [[KvCommitLog]] and reads exactly the
+  *    files published by commits ≤ n — the Delta `versionAsOf` contract
+  *    over the Store's own transaction log (flat local stores only).
   *
   * Usage: `spark.read.format("graft.sources.KvSourceProvider")
   * .option("path", dir).option("schema", "k LONG, v LONG").load()`.
@@ -71,24 +75,32 @@ class KvSourceProvider extends TableProvider {
         .getOrElse(properties.get("path")),
       schema,
       Option(properties.get("pattern")).getOrElse(""),
-      Option(properties.get("recursive")).exists(_.toBoolean))
+      Option(properties.get("recursive")).exists(_.toBoolean),
+      // snapshot time travel: plan splits from KvCommitLog manifests
+      // with version <= asOfCommit instead of the latest directory view
+      Option(properties.get("asOfCommit")).map(_.toInt))
 }
 
 class KvReadTable(
-    path: String, dataSchema: StructType, pattern: String, recursive: Boolean)
+    path: String, dataSchema: StructType, pattern: String, recursive: Boolean,
+    asOfCommit: Option[Int] = None)
     extends Table with SupportsRead {
   require(path != null && path.nonEmpty,
     "graft kv source requires option 'path' (or 'endpoint' for mode=net)")
+  require(asOfCommit.isEmpty || (!path.startsWith("net://") && !recursive),
+    "graft kv source: asOfCommit applies to flat local stores only " +
+      "(the commit log names files in one directory)")
   override def name(): String = s"graft_kv_source($path)"
   override def schema(): StructType = dataSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new KvScanBuilder(path, dataSchema, pattern, recursive)
+    new KvScanBuilder(path, dataSchema, pattern, recursive, asOfCommit)
 }
 
 class KvScanBuilder(
-    path: String, dataSchema: StructType, pattern: String, recursive: Boolean)
+    path: String, dataSchema: StructType, pattern: String, recursive: Boolean,
+    asOfCommit: Option[Int] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
@@ -123,7 +135,7 @@ class KvScanBuilder(
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new KvScan(path, dataSchema, pattern, required, pushed, recursive)
+    new KvScan(path, dataSchema, pattern, required, pushed, recursive, asOfCommit)
 }
 
 case class KvFilePartition(file: String) extends InputPartition
@@ -138,13 +150,16 @@ class KvScan(
     pattern: String,
     required: StructType,
     pushed: Array[Filter],
-    recursive: Boolean = false)
+    recursive: Boolean = false,
+    asOfCommit: Option[Int] = None)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft_kv($path pat='$pattern') cols=${required.fieldNames.mkString(",")}" +
+    s"graft_kv($path pat='$pattern'" +
+      asOfCommit.map(v => s" asOf=$v").getOrElse("") +
+      s") cols=${required.fieldNames.mkString(",")}" +
       (if (pushed.nonEmpty) s" pushed=${pushed.mkString(",")}" else "")
 
   /** One split per committed file; `_staging` and any other hidden
@@ -173,8 +188,17 @@ class KvScan(
           else if (recursive && f.isDirectory) walk(f)
           else Nil
         }
+    // Snapshot view: the commit log names exactly the files published by
+    // commits <= asOf; later commits' files exist in the directory but
+    // are not part of that snapshot. Plan-time metadata only.
+    val snapshot: File => Boolean = asOfCommit match {
+      case Some(v) =>
+        val named = KvCommitLog.filesAsOf(java.nio.file.Paths.get(path), v)
+        f => named(f.getName)
+      case None => _ => true
+    }
     walk(new File(path))
-      .filter(_.getName.endsWith(pattern))
+      .filter(f => f.getName.endsWith(pattern) && snapshot(f))
       .map(_.getAbsolutePath)
       .sorted
       .map(KvFilePartition(_): InputPartition)
