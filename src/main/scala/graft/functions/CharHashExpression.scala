@@ -128,6 +128,20 @@ object GraftFunctions {
       (c: Seq[Expression]) => LowerBoundExpression(c(0), c(1))),
     ("graft_zorder", classOf[ZOrderExpression],
       (c: Seq[Expression]) => ZOrderExpression(c(0), c(1))),
+    // Spark's own runtime-filter kernels (catalyst BloomFilterAggregate /
+    // BloomFilterMightContain), surfaced as callable functions so queries
+    // can build EXPLICIT semi-join reduction filters: args are the
+    // xxhash64 of the key (both sides), estimated item count, and filter
+    // bits. Registration-only — no new expression code to maintain.
+    ("graft_bloom_agg",
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate],
+      (c: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          c(0), c(1), c(2))),
+    ("graft_might_contain",
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain],
+      (c: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(c(0), c(1))),
   )
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -447,11 +447,51 @@ object Relational extends QueryGroup {
     Some("""SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
             ORDER BY o_orderstatus, o_orderpriority"""))
 
+  /** EXPLICIT Bloom-filter semi-join reduction — the runtime-filter
+    * pattern for joins whose build side is too big to broadcast but whose
+    * KEY SET fits a kilobyte sketch: the filtered part keys fold into a
+    * catalyst BloomFilterAggregate (graft_bloom_agg), and
+    * graft_might_contain prunes lineitem BELOW its shuffle, so rows that
+    * cannot match never enter the exchange. False positives (~1% at
+    * these sizings) pass the filter and are eliminated by the exact join
+    * — which is why the oracle is the PLAIN join: the reduction must be
+    * invisible in the result. Spark's InjectRuntimeFilter does this
+    * opportunistically; making it a first-class operator makes the
+    * reduction deterministic and available to DataFrame pipelines. The
+    * one-row driver fetch of the filter bytes is the same scalar
+    * materialization Spark's own runtime filter does via subquery.
+    * Measured pruning (rows entering the shuffle) is pinned in
+    * BloomPruneSpec. */
+  private val qJoinBloomPrune = Q(
+    "q_join_bloom_prune",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val p = table(s, dir, "part").filter(col("p_size") === 15)
+        .select("p_partkey", "p_type")
+      val bf = p.agg(call_function("graft_bloom_agg",
+          xxhash64(col("p_partkey")), lit(100000L), lit(800000L)).as("bf"))
+        .head.getAs[Array[Byte]]("bf")
+      val l = table(s, dir, "lineitem")
+        .filter(call_function("graft_might_contain",
+          lit(bf), xxhash64(col("l_partkey"))))
+        .select("l_partkey", "l_extendedprice", "l_discount")
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_type"))
+        .agg(count(lit(1)).as("n"),
+          moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("p_type"))
+    },
+    Some(s"""SELECT p_type, count(*) AS n,
+               ${moneySumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+             FROM lineitem JOIN part ON l_partkey = p_partkey
+             WHERE p_size = 15
+             GROUP BY p_type ORDER BY p_type"""))
+
   override val queries: Seq[Q] = Seq(
     qScanProject, qSourceValues, q1Agg, qAggDistinct,
     q3TopRevenue, qJoinLeft, qJoinRight, qJoinSemi, qJoinAnti, qJoinFull,
-    qJoinCross, qJoinTheta, q5NationRevenue, q13CustDist, q14PromoShare,
-    qSortLimit, qTopkGlobal,
+    qJoinCross, qJoinTheta, qJoinBloomPrune, q5NationRevenue, q13CustDist,
+    q14PromoShare, qSortLimit, qTopkGlobal,
     qSetUnionAll, qSetIntersect, qSetExcept,
     qSetIntersectAll, qSetExceptAll, qSetUnionByName, qSetDistinct)
 }
