@@ -396,8 +396,29 @@ object Streaming extends QueryGroup {
              SELECT min(doc_id) AS doc_id, min_by(lang, doc_id) AS lang, fp
              FROM fps GROUP BY fp ORDER BY doc_id"""))
 
+  /** Watermarked streaming dedup, batch twin (EventStreams.dedupEvents —
+    * dropDuplicatesWithinWatermark, the bounded-state ingestion guard).
+    * Input is events ⊎ its first 200 rows — a deterministic replayed-batch
+    * injection — and dedup on event identity must reconstruct the corpus
+    * exactly, so the oracle aggregates the CLEAN table. The live-stream
+    * half (duplicates arriving across micro-batches, state evicted by the
+    * watermark) is differential-tested in StreamingSpec. */
+  private val qStreamDedup = Q(
+    "q_stream_dedup",
+    (s, dir) => {
+      val base = table(s, dir, "events")
+      val replayed = base.orderBy("event_id").limit(200)
+      EventStreams.dedupEvents(base.unionAll(replayed))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("value_sum"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""SELECT event_type, count(*) AS n,
+               ${moneySumSql("value")} AS value_sum
+             FROM events GROUP BY event_type ORDER BY event_type"""))
+
   override val queries: Seq[Q] = Seq(
     qStreamTumbling, qStreamSliding, qStreamSession, qStreamStateful,
     qStreamJoin, qStreamEnrich, qStreamLive, qStreamLiveAppend, qStreamKvSink,
-    qStreamIngest)
+    qStreamIngest, qStreamDedup)
 }

@@ -71,6 +71,28 @@ object EventStreams {
         col("session_window.end").cast("timestamp_ntz").as("session_end"),
         col("n"), col("value_sum"))
 
+  /** Watermarked exactly-once dedup on event identity — the streaming
+    * ingestion guard that makes an at-least-once upstream (replayed
+    * batches, retried producers) exactly-once downstream.
+    * `dropDuplicatesWithinWatermark` keeps per-key state only until the
+    * watermark passes the key's event time, so state stays bounded by
+    * the delay window — the 100 TB-safe variant of plain streaming
+    * dropDuplicates, whose state grows with every key ever seen.
+    * Duplicates are guaranteed caught while they arrive inside the
+    * delay. Spark refuses the within-watermark variant on batch input
+    * outright, so the unified transform branches: the batch twin is
+    * exact `dropDuplicates` — the semantics the streaming path converges
+    * to whenever duplicates arrive inside the delay, which is exactly
+    * the equivalence StreamingSpec's differential pins. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    if (events.isStreaming)
+      events
+        .withColumn("tsl", col("ts").cast("timestamp"))
+        .withWatermark("tsl", "2 hours")
+        .dropDuplicatesWithinWatermark("event_id")
+        .drop("tsl")
+    else events.dropDuplicates("event_id")
+
   /** Typed event row for stateful processing; ts carried as epoch
     * microseconds so the Encoder stays timezone-free. */
   final case class EventU(

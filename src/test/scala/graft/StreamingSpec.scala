@@ -172,6 +172,43 @@ class StreamingSpec extends AnyFunSuite with SparkSessionFixture {
     assert(sortedRows(got) == sortedRows(exp))
   }
 
+  test("unified dedupEvents: replayed micro-batch removed, streaming == batch twin") {
+    // q_stream_dedup's live half: the SAME EventStreams.dedupEvents runs
+    // on a MemoryStream with a replayed chunk (an at-least-once upstream
+    // re-delivering recent events) and must equal the batch twin on the
+    // identical duplicated input. The replay picks only events within the
+    // 2h delay of the max event time, so their keys are still in state —
+    // the regime where within-watermark dedup guarantees exactness.
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ordered = typedRows.sortBy(_.ts_us)
+    val maxUs = ordered.last.ts_us
+    val replay = ordered.filter(_.ts_us >= maxUs - 2L * 3600 * 1000000)
+    assert(replay.nonEmpty, "fixture has no events in the final 2h window")
+    val mem = MemoryStream[EventU]
+    val streamingDf = mem.toDF()
+      .withColumn("ts", timestamp_micros(col("ts_us")).cast("timestamp_ntz"))
+      .drop("ts_us")
+    val q = EventStreams.dedupEvents(streamingDf).writeStream
+      .format("memory").queryName("t_dedup_unified")
+      .outputMode("append").start()
+    try {
+      ordered.grouped(math.max(1, ordered.size / 3)).foreach { chunk =>
+        mem.addData(chunk)
+        q.processAllAvailable()
+      }
+      mem.addData(replay) // the duplicate delivery
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_dedup_unified")
+    val batchInput = eventsBatch.unionAll(
+      eventsBatch.filter(col("ts") >= timestamp_micros(lit(maxUs - 2L * 3600 * 1000000))))
+    val exp = EventStreams.dedupEvents(batchInput)
+    assert(got.count() === eventsBatch.count(), "a replayed event leaked through")
+    assert(sortedRows(got.select("event_id")) == sortedRows(exp.select("event_id")))
+  }
+
   test("streaming corpus cleaning: quality gate + exact dedup == batch keeper set") {
     // The front half of q_llm_clean_pipeline as an INCREMENTAL job: new
     // documents stream in, the quality gate filters, dropDuplicates on
