@@ -680,6 +680,68 @@ object Llm extends QueryGroup {
             WHERE t.doc_id % 50 = 0
             ORDER BY doc_id, pos"""))
 
+  /** BM25 ranked retrieval — the full scoring shape (term-frequency
+    * saturation × document-length normalization × rarity weighting) for
+    * a fixed 3-term query, kept EXACT: with k1 = 6/5 and b = 3/4 the
+    * saturation denominator tf + k1(1−b) + k1·b·dl/avgdl multiplies
+    * through by 10T (T = corpus token count, avgdl = T/N) into pure
+    * integers, and the rarity weight is the integer rational
+    * (N−df+1)/(df+1) — the same monotone-in-df family as log-idf with
+    * none of its cross-engine float drift (same discipline as
+    * q_text_topterms). Spark and DuckDB therefore rank bit-identically.
+    *
+    * Scale shape: the token stream narrows to the 3 query terms BEFORE
+    * any shuffle (tf is a filtered hash-agg); df is a 3-row aggregate
+    * broadcast back; dl is one per-doc aggregation reused for the
+    * corpus constants; N and T are a one-row driver fetch (plan-time
+    * constants, the scalar-subquery shape); top-10 is
+    * TakeOrderedAndProject. Integer headroom: products stay < 2⁶³ up to
+    * ~10⁹ corpus tokens per the chosen 10⁴/10⁵ scales — the production
+    * knob at larger T is dividing T out of both saturation terms. */
+  private val qTextBm25 = Q(
+    "q_text_bm25",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val tok = docs
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+        .filter(col("term") =!= "")
+      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val nDocs = docs.count()
+      val tTok = dl.agg(sum(col("dl"))).head.getLong(0)
+      val tf = tok.filter(col("term").isin("hash", "join", "vector"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfT), "term").join(dl, "doc_id")
+        .withColumn("s", expr(
+          s"""((($nDocs - df + 1) * 100000) div (df + 1)) *
+              ((tf * 22 * $tTok * 10000) div
+               (10 * $tTok * tf + 3 * $tTok + 9 * dl * $nDocs))"""))
+        .groupBy("doc_id").agg(sum(col("s")).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+    },
+    Some("""WITH raw AS (
+              SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+              FROM documents),
+            tok AS (SELECT doc_id, term FROM raw WHERE term <> ''),
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+            consts AS (
+              SELECT (SELECT count(*) FROM documents) AS n_docs,
+                     (SELECT sum(dl) FROM dl) AS t_tokens),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+                   WHERE term IN ('hash', 'join', 'vector') GROUP BY 1, 2),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            scored AS (
+              SELECT tf.doc_id,
+                (((n_docs - df.df + 1) * 100000) // (df.df + 1)) *
+                ((tf.tf * 22 * t_tokens * 10000) //
+                 (10 * t_tokens * tf.tf + 3 * t_tokens + 9 * dl.dl * n_docs)) AS s
+              FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id,
+                consts)
+            SELECT doc_id, CAST(sum(s) AS BIGINT) AS score
+            FROM scored GROUP BY 1
+            ORDER BY score DESC, doc_id LIMIT 10"""))
+
   /** KNN self-JOIN — top-k neighbors for EVERY vector, not a query
     * handful: the all-pairs-shaped workhorse behind embedding dedup and
     * cluster seeding, made scale-safe the same way as the dedup family.
@@ -1408,7 +1470,7 @@ object Llm extends QueryGroup {
     qDedupEmbedding, qSimTopk, qSimLsh, qSimIvf, qSimKnnJoin, qLlmCleanPipeline,
     qLlmCleanPipelineStaged, qSqlNativeFns, qTextNgramFreq,
     qTextLangId, qTextQuality, qTextTokens, qTextFingerprint, qTextTopterms,
-    qVocabEncode,
+    qVocabEncode, qTextBm25,
     qAggVectorCentroid, qMultimodal,
     qMultimodalDecode, qMultimodalResample, qDecontaminate, qTextPii, qDedupFuzzy)
 
