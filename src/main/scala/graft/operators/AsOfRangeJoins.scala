@@ -44,6 +44,40 @@ object AsOfRangeJoins {
         (col("b_us") - col("a_us")).as("delta_us"))
   }
 
+  /** Keyless INTERVAL-OVERLAP join via grid bucketing: all pairs (a, b)
+    * with a.lo <= b.hi and b.lo <= a.hi, where each side is a set of
+    * closed integer intervals. Without an equi key the naive plan is a
+    * BroadcastNestedLoopJoin over the full cross product; instead both
+    * sides are exploded to the grid cells of width `gridW` their interval
+    * covers and joined as an EQUI-join on the cell. A true overlap is
+    * then found in every SHARED cell, so exactly one copy is kept by the
+    * ownership rule: the cell containing greatest(a.lo, b.lo) — that
+    * point lies inside both intervals whenever they overlap, and its
+    * cell is a single deterministic value (no distinct needed).
+    *
+    * Scale shape: shuffle is on the grid cell — parallel across the
+    * whole time axis; each interval replicates ceil(len/gridW)+1 times,
+    * so pick gridW near the median interval length (replication ≤ 2-3×).
+    * Dense cells (many intervals alive at once) are a genuine data
+    * property; AQE skew splitting handles them like any hot equi-key.
+    * Inputs must be pre-projected to (id, lo, hi) long columns; output
+    * keeps both ids and both intervals. */
+  def intervalOverlapPairs(
+      a: DataFrame, b: DataFrame, gridW: Long): DataFrame = {
+    require(gridW > 0, s"gridW must be positive, got $gridW")
+    def cells(df: DataFrame, id: String, lo: String, hi: String) =
+      df.select(col(id), col(lo), col(hi),
+        explode(sequence(floor(col(lo) / gridW).cast("long"),
+          floor(col(hi) / gridW).cast("long"))).as("cell"))
+    val ac = cells(a, "a_id", "a_lo", "a_hi")
+    val bc = cells(b, "b_id", "b_lo", "b_hi").withColumnRenamed("cell", "b_cell")
+    ac.join(bc, col("cell") === col("b_cell"))
+      .filter(col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi") &&
+        col("cell") === floor(greatest(col("a_lo"), col("b_lo")) / gridW).cast("long"))
+      .select(col("a_id"), col("b_id"),
+        col("a_lo"), col("a_hi"), col("b_lo"), col("b_hi"))
+  }
+
   /** As-of join lowered to union+window: for each `probe`-typed row, the
     * most recent `build`-typed timestamp with build.ts <= probe.ts within
     * the same key. Ties at equal ts resolve build-before-probe

@@ -47,6 +47,36 @@ object ZoneMaps {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
 
+  /** TARGETED DELETE (the right-to-be-forgotten maintenance pass): drop
+    * every row with `keyCol BETWEEN lo AND hi` from a zone-mapped layout
+    * by rewriting ONLY the files whose zones intersect the forget range —
+    * the other files are never opened, let alone rewritten. Survivor rows
+    * from the hit files are written to `patchDir`; the post-delete view
+    * is (untouched files ∪ patch). This is the copy-on-write DELETE every
+    * lakehouse format implements; at 100 TB a clustered forget set (one
+    * user's records, contiguous under the layout key) touches a handful
+    * of files out of 100k — the manifest makes the delete cost
+    * proportional to the DELETED data, not the table.
+    *
+    * Returns (filesTotal, filesRewritten, postDeleteView) so callers and
+    * specs can assert the rewrite really was partial. */
+  def targetedDelete(
+      spark: SparkSession, root: String, keyCol: String,
+      lo: Long, hi: Long, patchDir: String): (Int, Int, DataFrame) = {
+    val zones = manifest(spark, root, keyCol)
+    val (hit, untouched) =
+      zones.partition { case (_, zlo, zhi) => zlo <= hi && zhi >= lo }
+    require(hit.nonEmpty,
+      s"forget range [$lo, $hi] hits no file zones — nothing to delete")
+    spark.read.parquet(hit.map(_._1): _*)
+      .filter(!col(keyCol).between(lo, hi))
+      .write.mode("overwrite").parquet(patchDir)
+    val view =
+      if (untouched.isEmpty) spark.read.parquet(patchDir)
+      else spark.read.parquet(untouched.map(_._1) :+ patchDir: _*)
+    (zones.length, hit.length, view)
+  }
+
   /** Pruned read of `keyCol BETWEEN lo AND hi`: consult the manifest,
     * open only intersecting files, keep the residual filter on top (zone
     * intersection is necessary, not sufficient — exactly the lakehouse

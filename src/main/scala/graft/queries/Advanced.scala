@@ -25,6 +25,41 @@ object Advanced extends QueryGroup {
               AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 600000000
             ORDER BY a.user_id, a_id, b_id"""))
 
+  /** KEYLESS interval-overlap join (Flink interval-join / range-overlap
+    * semantics with no equi key to hide behind): order fulfilment windows
+    * [orderdate, orderdate+6d] from two status populations, every
+    * cross-population pair whose windows overlap. The naive plan is a
+    * BroadcastNestedLoopJoin cross product; AsOfRangeJoins
+    * .intervalOverlapPairs grids the time axis (7-day cells) and finds
+    * each pair exactly once via the greatest-start ownership cell, so
+    * the whole thing is one equi-join on the cell — parallel across the
+    * axis, AQE-splittable on dense cells, no O(n²) anywhere. */
+  private val qJoinInterval = Q(
+    "q_join_interval",
+    (s, dir) => {
+      val day = unix_date(col("o_orderdate").cast("date")).cast("long")
+      def side(status: String, idAs: String, loAs: String, hiAs: String) =
+        table(s, dir, "orders")
+          .filter(col("o_orderstatus") === status && col("o_orderkey") % 20 === 0)
+          .select(col("o_orderkey").as(idAs), day.as(loAs), (day + 6L).as(hiAs))
+      AsOfRangeJoins
+        .intervalOverlapPairs(
+          side("F", "a_id", "a_lo", "a_hi"),
+          side("O", "b_id", "b_lo", "b_hi"), gridW = 7L)
+        .groupBy(col("a_id"))
+        .agg(count(lit(1)).as("n_overlap"), min(col("b_id")).as("b_min"))
+        .orderBy(col("a_id"))
+    },
+    Some("""WITH spans AS (
+              SELECT o_orderkey AS id, o_orderstatus AS st,
+                datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS lo,
+                datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 6 AS hi
+              FROM orders WHERE o_orderkey % 20 = 0)
+            SELECT a.id AS a_id, count(*) AS n_overlap, min(b.id) AS b_min
+            FROM spans a JOIN spans b
+              ON a.st = 'F' AND b.st = 'O' AND a.lo <= b.hi AND b.lo <= a.hi
+            GROUP BY a.id ORDER BY a_id"""))
+
   /** As-of join: for each purchase, the user's most recent signup at or
     * before it — union-and-window lowering, zero joins. */
   private val qJoinAsof = Q(
@@ -757,7 +792,8 @@ object Advanced extends QueryGroup {
     Some(pagerankUnrolledSql(PrFixpointCap)))
 
   override val queries: Seq[Q] = Seq(
-    qJoinRange, qJoinAsof, qJoinAsofNative, qJoinAsofFwd, qJoinAsofFwdNative,
+    qJoinRange, qJoinInterval, qJoinAsof, qJoinAsofNative, qJoinAsofFwd,
+    qJoinAsofFwdNative,
     qJoinAsofNearest, qJoinAsofNearestNative, qJoinSalted, qTypedJoinWith,
     qAggTypedWavg, qAggTopkTyped, qAggFlatMapGroups, qAggPivot, qSqlEntry,
     qSqlAutoNative, qSubqueryScalar, qSubqueryExists, qSubqueryCorrScalar,

@@ -336,6 +336,45 @@ object Sources extends QueryGroup {
              FROM orders WHERE o_orderkey BETWEEN 1000 AND 3000
              GROUP BY 1 ORDER BY 1"""))
 
+  /** SCHEMA EVOLUTION across corpus batches — the 100 TB operational
+    * reality that a crawl's schema drifts mid-corpus: an early batch is
+    * written WITHOUT a column a later batch has (`o_orderstatus` added
+    * between ingestion eras). The read side stitches the eras with
+    * parquet schema merging (`mergeSchema` — per-file footers unioned at
+    * plan time, missing columns null-filled per row group) and
+    * normalizes the gap explicitly (`coalesce` to a sentinel) before
+    * aggregating. The oracle recomputes both eras from the source table,
+    * so a dropped column, a misaligned null-fill, or era rows leaking
+    * into each other all break the hash.
+    *
+    * Scale shape: schema merge is footer metadata work at planning time
+    * (bounded by file count, same discipline as the zone-map manifest);
+    * the scan itself stays a plain columnar read with pushdown — no
+    * per-row branching beyond the one coalesce. */
+  private val qSourceSchemaEvolution = Q(
+    "q_source_schema_evolution",
+    (s, dir) => {
+      val out = tmpDir("schema_evo")
+      val o = table(s, dir, "orders")
+      // era 1: before the status column existed
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$out/era=1")
+      // era 2: the schema grew a column
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .write.mode("overwrite").parquet(s"$out/era=2")
+      s.read.option("mergeSchema", "true").parquet(s"$out/era=1", s"$out/era=2")
+        .withColumn("status", coalesce(col("o_orderstatus"), lit("UNKNOWN")))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("status"))
+    },
+    Some(s"""SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus
+               ELSE 'UNKNOWN' END AS status, count(*) AS n,
+               ${moneySumSql("o_totalprice")} AS revenue
+             FROM orders GROUP BY 1 ORDER BY 1"""))
+
   /** Snapshot TIME TRAVEL over the Store's commit log (sources/KvCommitLog):
     * two successive sink commits build per-nation counts — commit 1 the
     * nations below 10, commit 2 the rest — and the query reads the store
@@ -381,5 +420,5 @@ object Sources extends QueryGroup {
   override val queries: Seq[Q] =
     Seq(qSourceCsv, qSourceJson, qSourceOrc, qSourceText, qSourcePartitioned,
       qSourceBucketedJoin, qSourceDsv2, qSinkDsv2, qSourceKv, qSourceKvNet,
-      qZorderLayout, qZonemapPrune, qStoreTimetravel)
+      qZorderLayout, qZonemapPrune, qStoreTimetravel, qSourceSchemaEvolution)
 }

@@ -690,8 +690,116 @@ object Training extends QueryGroup {
                CAST(sum(${charHashSql("text")}) AS BIGINT) AS digest
              FROM documents"""))
 
+  /** Right-to-be-forgotten DELETE across the corpus Store (operators/
+    * ZoneMaps.targetedDelete): a user's documents — contiguous under the
+    * doc_id layout key — are erased by rewriting ONLY the layout files
+    * whose zones intersect the forget range; every other file is never
+    * opened (copy-on-write DELETE, the Delta/Iceberg discipline). The
+    * gate is the digest argument: per-lang row counts plus commutative
+    * content-hash sums over the POST-delete store must equal the oracle
+    * computed on the complement of the forget set — a leaked survivor, a
+    * lost bystander row, or a corrupted rewrite all move the sum. The
+    * files-rewritten < files-total evidence is pinned in
+    * StoreForgetSpec (counts depend on range boundaries, so they belong
+    * in a spec, not hash-gated output).
+    *
+    * Scale shape: delete cost ∝ deleted data, not table size — the
+    * manifest (metadata, one row per file) selects the rewrite set at
+    * plan time; the rewrite itself is a narrow filtered scan of the hit
+    * files only. */
+  private val qStoreForget = Q(
+    "q_store_forget",
+    (s, dir) => {
+      val root = sys.props("java.io.tmpdir") + "/graft-forget/q_store_forget"
+      rmTree(new java.io.File(root))
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      graft.operators.ZoneMaps.writeLayout(docs, "doc_id", 8, s"$root/layout")
+      val (_, _, after) = graft.operators.ZoneMaps.targetedDelete(
+        s, s"$root/layout", "doc_id", 10L, 39L, s"$root/patch")
+      after.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(graft.operators.PortableHash.charHash(col("text"))).as("digest"))
+        .orderBy("lang")
+    },
+    Some(s"""SELECT lang, count(*) AS n,
+               CAST(sum(${charHashSql("text")}) AS BIGINT) AS digest
+             FROM documents WHERE doc_id NOT BETWEEN 10 AND 39
+             GROUP BY lang ORDER BY lang"""))
+
+  /** INCREMENTAL AGGREGATE-VIEW maintenance — keeping a materialized
+    * per-group aggregate current as corpus batches land, WITHOUT ever
+    * rescanning history: the view's state is the group-level partial
+    * (count, sum, min, max — a commutative monoid), history contributes
+    * only through that state (group-cardinality-sized, kilobytes at any
+    * corpus size), and a delta batch folds in by unioning its own
+    * partials and re-reducing. The oracle aggregates the full table
+    * directly, so the gate proves state + delta ≡ recompute — the
+    * algebraic-merge property every incremental pipeline (and every
+    * mergeable sketch in q_agg_sketch_incremental) relies on.
+    *
+    * Scale shape: the delta is scanned once (map-side partials); the
+    * merge shuffles group-cardinality rows from BOTH sides — history
+    * data volume never appears in the plan. Works verbatim for any
+    * monoid state, incl. the HLL registers next door. */
+  private val qAggIncrementalView = Q(
+    "q_agg_incremental_view",
+    (s, dir) => {
+      val state = sys.props("java.io.tmpdir") + "/graft-view/q_agg_incremental_view"
+      rmTree(new java.io.File(state))
+      val o = table(s, dir, "orders")
+      def partials(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(fixed4(col("o_totalprice"))).as("rev4"),
+            min(col("o_orderkey")).as("k_min"), max(col("o_orderkey")).as("k_max"))
+      // history lands as materialized view state (three earlier batches)
+      partials(o.filter(col("o_orderkey") % 4 =!= 0))
+        .write.mode("overwrite").parquet(state)
+      // a new delta folds in through the monoid — history is NOT rescanned
+      s.read.parquet(state)
+        .unionAll(partials(o.filter(col("o_orderkey") % 4 === 0)))
+        .groupBy(col("o_orderstatus"))
+        .agg((sum(col("rev4")) / 10000.0).as("revenue"), sum(col("n")).as("n"),
+          min(col("k_min")).as("k_min"), max(col("k_max")).as("k_max"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some(s"""SELECT o_orderstatus, ${moneySumSql("o_totalprice")} AS revenue,
+               count(*) AS n, min(o_orderkey) AS k_min, max(o_orderkey) AS k_max
+             FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** Deterministic GLOBAL SHUFFLE — the training-order randomization
+    * every epoch needs: a seeded pseudo-random permutation of the corpus
+    * with an explicit global position per document. The permutation key
+    * is the Knuth-multiplier hash (injective mod P for ids < P, so no
+    * tie-handling), and the GLOBAL position — the part that naively
+    * wants a single-partition row_number over the whole corpus — comes
+    * from the salted prefix-sum machinery (operators/SaltedPrefix): per-
+    * bucket numbering in parallel, bucket offsets stitched. Re-running
+    * assigns every document the same position (pure function of the
+    * data), which is what makes a 100 TB epoch resumable.
+    *
+    * Scale shape: hash is a per-row projection; position assignment is
+    * the documented two-phase salted prefix sum — order-preserving
+    * buckets numbered in parallel, one broadcast of bucket totals, never
+    * a global single-task sort. */
+  private val qShuffleGlobal = Q(
+    "q_shuffle_global",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), docHash(col("doc_id")).as("h"),
+          lit("all").as("k"))
+      graft.operators.SaltedPrefix
+        .exclusivePrefixSum(docs, "k", "h", lit(1L), nb = 32)
+        .select(col("doc_id"), (col("start_off") + 1).as("pos"))
+        .orderBy(col("pos"))
+    },
+    Some(s"""SELECT doc_id,
+               row_number() OVER (ORDER BY ${docHashSql("doc_id")}) AS pos
+             FROM documents ORDER BY pos"""))
+
   override val queries: Seq[Q] = Seq(
     qTextRepetition, qSplitAssign, qMixWeighted, qSamplePerGroup,
     qPackSequences, qLinesDedup, qProfileColumns, qChunkDocs, qDedupLatest,
-    qCdcMerge, qDqChecks, qIngestIncremental, qTableDigest, qStoreCompact)
+    qCdcMerge, qDqChecks, qIngestIncremental, qTableDigest, qStoreCompact,
+    qStoreForget, qAggIncrementalView, qShuffleGlobal)
 }
