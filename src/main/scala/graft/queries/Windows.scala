@@ -523,9 +523,61 @@ object Windows extends QueryGroup {
             FROM active a JOIN cohort c USING (user_id)
             GROUP BY 1, 2 ORDER BY cohort_day, day_offset"""))
 
+  /** GLOBAL NTILE — equi-depth bucketing over a whole-table order (the
+    * primitive behind range-partitioning a 100 TB sort, equi-depth
+    * histograms, and percentile-bucket feature engineering) WITHOUT the
+    * single-task global window `ntile(16) OVER (ORDER BY …)` plans. The
+    * global position comes from the quantile-salted prefix-sum machinery
+    * (operators/SaltedPrefix — balanced under the skewed price
+    * distribution), and the tile is then pure arithmetic implementing
+    * EXACT SQL NTILE remainder semantics: the first N mod T tiles get
+    * ⌈N/T⌉ rows, the rest ⌊N/T⌋ — so the gate hash-matches DuckDB's own
+    * ntile, not an approximation of it. The ORDER is (price, orderkey)
+    * encoded into one integer via a CORPUS-DERIVED multiplier (max
+    * orderkey + 1 — a fixed constant would silently collide at larger
+    * scale factors).
+    *
+    * Scale shape: two one-row broadcasts (encoding multiplier + row
+    * count); per-row work is a codegen'd projection; the only windows are
+    * the salted machinery's (per-bucket, plus a 32-row offsets pass). */
+  private val qWindowNtile = Q(
+    "q_window_ntile",
+    (s, dir) => {
+      val tiles = 16
+      val o = table(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      val consts = o.agg((max(col("o_orderkey")) + 1L).as("m"),
+        count(lit(1)).as("n_total"))
+      val encoded = o.crossJoin(broadcast(consts))
+        .select(col("o_orderkey"), col("o_totalprice"), col("n_total"),
+          (fixed4(col("o_totalprice")) * col("m") + col("o_orderkey")).as("ord"),
+          lit("all").as("k"))
+      graft.operators.SaltedPrefix
+        .exclusivePrefixSumQuantile(encoded, "k", "ord", lit(1L), nb = 32)
+        .withColumn("pos", col("start_off") + 1L)
+        .selectExpr("o_totalprice",
+          s"""CASE WHEN pos <= ((n_total div $tiles) + 1) * (n_total % $tiles)
+                THEN (pos - 1) div ((n_total div $tiles) + 1) + 1
+                ELSE (n_total % $tiles)
+                  + (pos - 1 - ((n_total div $tiles) + 1) * (n_total % $tiles))
+                    div (n_total div $tiles) + 1
+              END AS tile""")
+        .groupBy(col("tile"))
+        .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("price_lo"),
+          max(col("o_totalprice")).as("price_hi"))
+        .orderBy(col("tile"))
+    },
+    Some("""WITH t AS (
+              SELECT o_totalprice,
+                ntile(16) OVER (ORDER BY
+                  CAST(round(o_totalprice * 10000) AS BIGINT), o_orderkey) AS tile
+              FROM orders)
+            SELECT CAST(tile AS BIGINT) AS tile, count(*) AS n,
+              min(o_totalprice) AS price_lo, max(o_totalprice) AS price_hi
+            FROM t GROUP BY tile ORDER BY tile"""))
+
   override val queries: Seq[Q] = Seq(
     qWindowTopk, qWindowRunning, qWindowLeadLag, qWindowRank,
     qWindowRangeFrame, qWindowAnalytics, qAggRollup, qAggCube,
     qAggGroupingSets, qAggUnpivot, qWindowRownumSalted, qWindowRownumQsalted,
-    qScd2Intervals, qSessionize, qTimeseriesFill, qCohortRetention)
+    qWindowNtile, qScd2Intervals, qSessionize, qTimeseriesFill, qCohortRetention)
 }

@@ -44,7 +44,16 @@ class PlanGuardSpec extends AnyFunSuite with SparkSessionFixture {
     // insert-key offset = max(o_orderkey)+1, a one-row aggregate
     // broadcast against the change batch (derived from the corpus so
     // fixed-constant offsets can't collide at sf>=2)
-    "q_cdc_merge" -> "scalar insert-offset, one-row broadcast")
+    "q_cdc_merge" -> "scalar insert-offset, one-row broadcast",
+    // per-dimension scale vector (one row) + the 8-query-vector set, both
+    // constant-bounded broadcasts over the brute-force scoring tier
+    "q_vector_quantize" -> "scale-vector + query-set broadcasts, both bounded",
+    // corpus-derived encoding multiplier and row count — one-row broadcast
+    "q_window_ntile" -> "scalar (multiplier, count) one-row broadcast",
+    // the single GLOBAL key is a literal, so Catalyst folds the salted
+    // machinery's per-key bounds equi-join into a one-row broadcast —
+    // the broadcast side is the global (min, max) bounds row
+    "q_shuffle_global" -> "global min/max bounds, one-row broadcast")
 
   /** Whole-tree traversal: SparkPlan.collect does NOT descend into
     * AdaptiveSparkPlanExec (its current plan is a field, not a child) or
