@@ -742,6 +742,94 @@ object Llm extends QueryGroup {
             FROM scored GROUP BY 1
             ORDER BY score DESC, doc_id LIMIT 10"""))
 
+  /** SPARSE TF-IDF cosine similarity join — the inverted-index text-
+    * similarity path (plagiarism/boilerplate detection, lexical near-dup
+    * mining), algorithmically distinct from both the minhash family
+    * (set-overlap estimates) and the dense-embedding family: documents
+    * are sparse integer tf·idf vectors over the term vocabulary, and
+    * pair scores come from a TERM-keyed postings equi-join — a pair is
+    * scored only if it shares a term that survives the df cap.
+    *
+    * Exactness: idf is integer ((N·100) div df), weights/dots/norms are
+    * exact long sums; the single float op (cosine normalization) runs
+    * once per surviving pair on identical integers in both engines.
+    *
+    * Terms are word TRIGRAMS, not unigrams — the corpus vocabulary is
+    * 31 words, so unigram vectors are degenerate (only the single
+    * rarest word survives any useful df cap); trigram shingles spread
+    * the df distribution (27k terms at sf0.1) and make the cosine a
+    * real phrase-overlap measure.
+    *
+    * Scale shape: the df cap (N/10) is LOAD-BEARING — without a cap,
+    * stopword-grade postings join every doc to every doc (unigrams
+    * measured 124,745 of 124,750 possible pairs at sf0.01 = all-pairs);
+    * with it, per-term fan-out is ≤ cap² and the whole plan is
+    * shuffle-on-term → shuffle-on-pair hash aggregations. Same df-cap
+    * discipline as q_dedup_ngram's inverted index. */
+  private val qSimSparse = Q(
+    "q_sim_sparse",
+    (s, dir) => {
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+      val nDocs = docs.count()
+      val ws = filter(split(lower(col("text")), " "), x => x =!= "")
+      val grams = when(size(ws) >= 3,
+        transform(sequence(lit(1), size(ws) - 2), i =>
+          concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
+            element_at(ws, i + 2))))
+        .otherwise(array().cast("array<string>"))
+      val tok = docs.select(col("doc_id"), explode(grams).as("t"))
+      val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= nDocs / 10)
+      val w = tf.join(df, "t")
+        .select(col("t"), col("doc_id"),
+          (col("tf") * expr(s"(($nDocs * 100) div df)")).as("w"))
+      val norm = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
+      val dots = w.select(col("t"), col("doc_id").as("doc_a"), col("w").as("wa"))
+        .join(w.select(col("t"), col("doc_id").as("doc_b"), col("w").as("wb")),
+          Seq("t"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(sum(col("wa") * col("wb")).as("dot"))
+      dots
+        .join(norm.select(col("doc_id").as("doc_a"), col("n2").as("na2")), "doc_a")
+        .join(norm.select(col("doc_id").as("doc_b"), col("n2").as("nb2")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          round(lit(1e6) * col("dot") /
+            sqrt(col("na2").cast("double") * col("nb2").cast("double")), 0)
+            .cast("long").as("cos_micro"))
+        .filter(col("cos_micro") >= 500000)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id,
+                list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+              FROM documents),
+            tok AS (
+              SELECT doc_id,
+                unnest(list_transform(generate_series(1, len(ws) - 2),
+                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS t
+              FROM toks),
+            tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+            n AS (SELECT count(*) AS n FROM documents),
+            df AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+            cap AS (SELECT t, df FROM df, n WHERE df <= n // 10),
+            w AS (SELECT tf.doc_id, tf.t, tf.tf * ((n.n * 100) // c.df) AS w
+                  FROM tf JOIN cap c USING (t) CROSS JOIN n),
+            norm AS (SELECT doc_id, sum(w*w) AS n2 FROM w GROUP BY 1),
+            dots AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w*b.w) AS dot
+              FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            cos AS (
+              SELECT doc_a, doc_b,
+                CAST(round(1000000.0 * dot /
+                  sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)))
+                  AS BIGINT) AS cos_micro
+              FROM dots JOIN norm na ON na.doc_id = doc_a
+                JOIN norm nb ON nb.doc_id = doc_b)
+            SELECT doc_a, doc_b, cos_micro FROM cos
+            WHERE cos_micro >= 500000 ORDER BY doc_a, doc_b"""))
+
   /** KNN self-JOIN — top-k neighbors for EVERY vector, not a query
     * handful: the all-pairs-shaped workhorse behind embedding dedup and
     * cluster seeding, made scale-safe the same way as the dedup family.
@@ -1536,7 +1624,7 @@ object Llm extends QueryGroup {
   override val queries: Seq[Q] = Seq(
     qDedupExact, qDedupNorm, qDedupMinhash, qDedupClusters, qDedupSimhash, qDedupNgram,
     qDedupEmbedding, qSimTopk, qSimLsh, qSimIvf, qSimKnnJoin, qVectorQuantize,
-    qLlmCleanPipeline,
+    qSimSparse, qLlmCleanPipeline,
     qLlmCleanPipelineStaged, qSqlNativeFns, qTextNgramFreq,
     qTextLangId, qTextQuality, qTextTokens, qTextFingerprint, qTextTopterms,
     qVocabEncode, qTextBm25,
