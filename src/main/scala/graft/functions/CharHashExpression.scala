@@ -120,6 +120,8 @@ object GraftFunctions {
       (c: Seq[Expression]) => MinGramHashExpression(c(0), c(1))),
     ("graft_gramhashes", classOf[GramHashesExpression],
       (c: Seq[Expression]) => GramHashesExpression(c(0), c(1))),
+    ("graft_gramseq", classOf[GramSeqExpression],
+      (c: Seq[Expression]) => GramSeqExpression(c(0), c(1))),
     ("graft_minhashsig", classOf[MinHashSigExpression],
       (c: Seq[Expression]) => MinHashSigExpression(c(0), c(1))),
     ("graft_tokstats", classOf[TokStatsExpression],
@@ -174,6 +176,8 @@ object GraftFunctions {
     call_function("graft_mingram", text, lit(gram))
   def gramHashesNative(tokens: Column, n: Int): Column =
     call_function("graft_gramhashes", tokens, lit(n))
+  def gramSeqNative(tokens: Column, n: Int): Column =
+    call_function("graft_gramseq", tokens, lit(n))
   def minHashSigNative(hashes: Column, k: Int): Column =
     call_function("graft_minhashsig", hashes, lit(k))
   def tokStatsNative(tokens: Column, stops: Column): Column =

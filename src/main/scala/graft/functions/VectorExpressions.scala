@@ -147,6 +147,35 @@ object VecOps {
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
   }
 
+  /** All rolling `n`-gram hashes over a token array IN WINDOW ORDER with
+    * duplicates kept — the term-frequency-preserving sibling of
+    * [[gramHashes]] (same per-window fold(h*131 + t_i) % P), for
+    * weighting schemes like tf·idf where a repeated phrase must count
+    * more than once. Empty result when fewer than n tokens. */
+  def gramSeq(tokens: ArrayData, n: Int): ArrayData = {
+    val cnt = tokens.numElements()
+    val th = new Array[Long](cnt)
+    var i = 0
+    while (i < cnt) {
+      th(i) = CharHashExpression.hash(tokens.getUTF8String(i).toString)
+      i += 1
+    }
+    val m = if (cnt >= n) cnt - n + 1 else 0
+    val out = new Array[Long](m)
+    var w = 0
+    while (w < m) {
+      var h = th(w)
+      var g = 1
+      while (g < n) {
+        h = (h * 131L + th(w + g)) % P
+        g += 1
+      }
+      out(w) = h
+      w += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
   /** K-wide minhash signature: m_i = min over hashes of
     * ((2i+1)·h + 7919·i + 1) % P — PortableHash.perm/minhashSig as one
     * loop. Null SLOTS are skipped, matching array_min / DuckDB list_min
@@ -395,6 +424,26 @@ case class GramHashesExpression(left: Expression, right: Expression)
       s"${ev.value} = graft.functions.VecOps.gramHashes($t, $n);")
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): GramHashesExpression = copy(left = l, right = r)
+}
+
+/** graft_gramseq(tokens, n) — all n-gram hashes, window order, duplicates
+  * kept : ARRAY<BIGINT>. */
+case class GramSeqExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecExprChecks.check(left.dataType match {
+      case ArrayType(StringType, _) => right.dataType == IntegerType
+      case _ => false
+    }, prettyName, Seq(left.dataType, right.dataType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_gramseq"
+  override protected def nullSafeEval(t: Any, n: Any): Any =
+    VecOps.gramSeq(t.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, n) =>
+      s"${ev.value} = graft.functions.VecOps.gramSeq($t, $n);")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): GramSeqExpression = copy(left = l, right = r)
 }
 
 /** graft_minhashsig(hashes, k) — k-wide minhash signature : ARRAY<BIGINT>. */

@@ -765,19 +765,30 @@ object Llm extends QueryGroup {
     * measured 124,745 of 124,750 possible pairs at sf0.01 = all-pairs);
     * with it, per-term fan-out is ≤ cap² and the whole plan is
     * shuffle-on-term → shuffle-on-pair hash aggregations. Same df-cap
-    * discipline as q_dedup_ngram's inverted index. */
+    * discipline as q_dedup_ngram's inverted index.
+    *
+    * Terms are INTEGER gram hashes from the graft_gramseq native kernel
+    * (window-order, duplicates kept — the tf-preserving sibling of
+    * q_dedup_ngram's distinct graft_gramhashes): one codegen'd pass per
+    * document replaces a lambda-heavy transform/sequence/element_at
+    * formulation whose interpreted evaluation re-split the text three
+    * times per gram and ran 11.7s at sf0.1 (profiled: two 6s
+    * single-thread tokenize stages). Pair scoring itself is the classic
+    * codegen'd shape: equi-self-join of (term, doc, w) postings rows on
+    * the term, hash-aggregate per pair — zero per-pair array ops. Norms
+    * ride along on the postings rows (joined before the self-join) so no
+    * post-aggregation norm joins are needed. */
   private val qSimSparse = Q(
     "q_sim_sparse",
     (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       val docs = table(s, dir, "documents").select("doc_id", "text")
       val nDocs = docs.count()
-      val ws = filter(split(lower(col("text")), " "), x => x =!= "")
-      val grams = when(size(ws) >= 3,
-        transform(sequence(lit(1), size(ws) - 2), i =>
-          concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
-            element_at(ws, i + 2))))
-        .otherwise(array().cast("array<string>"))
-      val tok = docs.select(col("doc_id"), explode(grams).as("t"))
+      val tok = docs
+        .withColumn("tl", filter(split(lower(col("text")), " "), x => x =!= ""))
+        .select(col("doc_id"),
+          explode(graft.functions.GraftFunctions.gramSeqNative(col("tl"), 3))
+            .as("t"))
       val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
       val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
         .filter(col("df") <= nDocs / 10)
@@ -785,14 +796,15 @@ object Llm extends QueryGroup {
         .select(col("t"), col("doc_id"),
           (col("tf") * expr(s"(($nDocs * 100) div df)")).as("w"))
       val norm = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
-      val dots = w.select(col("t"), col("doc_id").as("doc_a"), col("w").as("wa"))
-        .join(w.select(col("t"), col("doc_id").as("doc_b"), col("w").as("wb")),
-          Seq("t"))
+      val wn = w.join(norm, "doc_id")
+      wn.select(col("t"), col("doc_id").as("doc_a"),
+          col("w").as("wa"), col("n2").as("na2"))
+        .join(wn.select(col("t"), col("doc_id").as("doc_b"),
+          col("w").as("wb"), col("n2").as("nb2")), Seq("t"))
         .filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(sum(col("wa") * col("wb")).as("dot"))
-      dots
-        .join(norm.select(col("doc_id").as("doc_a"), col("n2").as("na2")), "doc_a")
-        .join(norm.select(col("doc_id").as("doc_b"), col("n2").as("nb2")), "doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(sum(col("wa") * col("wb")).as("dot"),
+          first(col("na2")).as("na2"), first(col("nb2")).as("nb2"))
         .select(col("doc_a"), col("doc_b"),
           round(lit(1e6) * col("dot") /
             sqrt(col("na2").cast("double") * col("nb2").cast("double")), 0)
@@ -800,15 +812,18 @@ object Llm extends QueryGroup {
         .filter(col("cos_micro") >= 500000)
         .orderBy("doc_a", "doc_b")
     },
-    Some("""WITH toks AS (
+    Some(s"""WITH toks AS (
               SELECT doc_id,
                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
               FROM documents),
+            th AS (
+              SELECT doc_id, list_transform(ws, t -> ${charHashSql("t")}) AS th
+              FROM toks),
             tok AS (
               SELECT doc_id,
-                unnest(list_transform(generate_series(1, len(ws) - 2),
-                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS t
-              FROM toks),
+                unnest(list_transform(generate_series(1, len(th) - 2),
+                  i -> ((th[i] * 131 + th[i+1]) % $P * 131 + th[i+2]) % $P)) AS t
+              FROM th),
             tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
             n AS (SELECT count(*) AS n FROM documents),
             df AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),

@@ -56,6 +56,19 @@ class KernelPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("gramSeq: all window hashes in order, duplicates kept") {
+    val genTokens = Gen.listOf(Gen.oneOf("a", "bb", "ccc", "dog", "cat", "a"))
+    check(Prop.forAll(genTokens, Gen.choose(1, 4)) { (tokens, n) =>
+      val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        tokens.map(UTF8String.fromString).toArray)
+      val got = VecOps.gramSeq(arr, n).toLongArray().toSeq
+      val th = tokens.map(CharHashExpression.hash)
+      val naive = th.sliding(n).filter(_.size == n)
+        .map(_.reduceLeft((h, t) => (h * 131 + t) % P)).toSeq
+      got == naive
+    })
+  }
+
   test("minhashSig: elementwise min of the permuted hash set") {
     val genHashes = Gen.listOf(Gen.chooseNum(0L, P - 1))
     check(Prop.forAll(genHashes, Gen.choose(1, 20)) { (hs, k) =>
