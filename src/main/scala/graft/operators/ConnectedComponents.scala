@@ -51,11 +51,22 @@ object ConnectedComponents {
         .join(labels.as("o"), col("n.id") === col("o.id"))
         .filter(col("n.component") < col("o.component"))
         .count()
+      // `next` is materialized (eager checkpoint) and `changed` was the
+      // last reader of the previous round's blocks — free them NOW.
+      // Leaving superseded checkpoints to the async ContextCleaner let
+      // blocks pile up across rounds/reruns: measured on the sf0.1 bench,
+      // repeated runs degraded 2.6s -> 5.5s and inflated UNRELATED
+      // queries sharing the JVM up to 5x.
+      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
     }
     require(converged, s"connected components did not converge in $maxIters rounds")
+    sym.unpersist()
+    // the final `labels` checkpoint stays persisted: it IS the result's
+    // storage (lineage is truncated); its blocks are reaped by the
+    // ContextCleaner once the caller drops the reference.
     labels
   }
 }

@@ -667,6 +667,11 @@ object Advanced extends QueryGroup {
     var ranks = nodes.withColumn("r", lit(1000000L))
     var rounds = 0
     var stable = false
+    // superseded per-round checkpoints are unpersisted as soon as the
+    // next round's checkpoint is materialized — same block-leak
+    // discipline as ConnectedComponents.components (async ContextCleaner
+    // reaping measurably degraded repeated runs).
+    var prevCk: Option[DataFrame] = None
     while (!stable && rounds < maxRounds) {
       val contrib = ed
         .join(maybeB(ranks.withColumnRenamed("node", "src")), "src")
@@ -679,9 +684,13 @@ object Advanced extends QueryGroup {
           col("__prev"))
         .localCheckpoint()
       stable = next.filter(col("r") =!= col("__prev")).limit(1).count() == 0
+      prevCk.foreach(_.unpersist())
+      prevCk = Some(next)
       ranks = next.select("node", "r")
       rounds += 1
     }
+    ed.unpersist()
+    nodes.unpersist()
     (ranks, rounds)
   }
 
