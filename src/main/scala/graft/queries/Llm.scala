@@ -253,6 +253,97 @@ object Llm extends QueryGroup {
              FROM comp GROUP BY component HAVING count(*) > 1
              ORDER BY component"""))
 
+  /** TRIANGLE enumeration over the near-dup graph — the cluster-density
+    * primitive that distinguishes a tight k-clique of mutual duplicates
+    * from a loose chain the same component count would hide. Graph =
+    * the q_dedup_clusters corpus (documents ⊎ two injected copies of the
+    * first 50 docs, so every injected original closes a 3-clique) with
+    * the same banded-minhash edges at est_jaccard ≥ 0.5.
+    *
+    * Scale shape: degree-ordered orientation + wedge-close joins —
+    * see [[graft.operators.Triangles]] for the O(√m) out-degree bound
+    * that caps the wedge join's fan-out on hub-and-spoke graphs.
+    *
+    * The oracle orients by id (a < b < c) instead — semantically
+    * identical output (each triangle emitted once, vertices sorted),
+    * deliberately NOT the same join order, so the gate cross-checks the
+    * orientation argument rather than mirroring it. */
+  private val qGraphTriangles = Q(
+    "q_graph_triangles",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.GraftFunctions._
+      val base = table(s, dir, "documents").select("doc_id", "text")
+      val first50 = base.orderBy(col("doc_id")).limit(50)
+      val corpus = base
+        .unionAll(first50.select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+        .unionAll(first50.select((col("doc_id") + 20000000L).as("doc_id"), col("text")))
+      val sig = corpus
+        .withColumn("tl", split(lower(col("text")), " "))
+        .filter(size(col("tl")) >= 3)
+        .withColumn("sg", minHashSigNative(gramHashesNative(col("tl"), 3), 16))
+        .select("doc_id", "sg")
+      val bands = sig
+        .select(col("doc_id"), col("sg"),
+          explode(sequence(lit(0), lit(3))).as("band_id"))
+        .withColumn("band_key", concat_ws(":",
+          transform(slice(col("sg"), col("band_id") * 4 + 1, lit(4)),
+            x => x.cast("string"))))
+        .select("doc_id", "band_id", "band_key", "sg")
+      val edges = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band_id") === col("b.band_id") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .withColumn("est_jaccard",
+          aggregate(zip_with(col("a.sg"), col("b.sg"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+            lit(0L), (acc, x) => acc + x) / lit(16.0))
+        .filter(col("est_jaccard") >= 0.5)
+        .select(col("a.doc_id").as("ea"), col("b.doc_id").as("eb"))
+        .distinct()
+      graft.operators.Triangles.triangles(edges)
+        .orderBy("v_lo", "v_mid", "v_hi")
+    },
+    Some(s"""WITH corpus AS (
+               SELECT doc_id, text FROM documents
+               UNION ALL
+               SELECT doc_id + 10000000, text FROM
+                 (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 50)
+               UNION ALL
+               SELECT doc_id + 20000000, text FROM
+                 (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 50)),
+             toks AS (
+               SELECT doc_id, string_split(lower(text), ' ') AS tl FROM corpus),
+             tok3 AS (SELECT doc_id, tl FROM toks WHERE len(tl) >= 3),
+             th AS (
+               SELECT doc_id, list_transform(tl, t -> ${charHashSql("t")}) AS th
+               FROM tok3),
+             hashed AS (
+               SELECT doc_id, list_distinct(list_transform(generate_series(1, len(th) - 2),
+                 i -> ((th[i] * 131 + th[i+1]) % $P * 131 + th[i+2]) % $P)) AS hs
+               FROM th),
+             sig AS (
+               SELECT doc_id, ${minhashSigSql("hs", 16)} AS sg FROM hashed),
+             bands AS (
+               SELECT doc_id, j AS band_id, sg,
+                 list_aggregate(list_transform(sg[j*4+1:j*4+4],
+                   x -> CAST(x AS VARCHAR)), 'string_agg', ':') AS band_key
+               FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) planes),
+             epairs AS (
+               SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM bands a JOIN bands b
+                 ON a.band_id = b.band_id AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+               WHERE CAST(list_sum(list_transform(generate_series(1, 16),
+                 i -> CASE WHEN a.sg[i] = b.sg[i] THEN 1 ELSE 0 END)) AS BIGINT)
+                 / 16.0 >= 0.5)
+             SELECT e1.doc_a AS v_lo, e1.doc_b AS v_mid, e2.doc_b AS v_hi
+             FROM epairs e1
+             JOIN epairs e2 ON e2.doc_a = e1.doc_b
+             JOIN epairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+             ORDER BY 1, 2, 3"""))
+
   /** SimHash fingerprints: 32-bit sign-aggregated token-hash fingerprint
     * per document, plus the high-16-bit band key used for near-dup
     * candidate bucketing at scale.
@@ -1637,7 +1728,8 @@ object Llm extends QueryGroup {
             WHERE rk <= 5 ORDER BY query_id, rk"""))
 
   override val queries: Seq[Q] = Seq(
-    qDedupExact, qDedupNorm, qDedupMinhash, qDedupClusters, qDedupSimhash, qDedupNgram,
+    qDedupExact, qDedupNorm, qDedupMinhash, qDedupClusters, qGraphTriangles,
+    qDedupSimhash, qDedupNgram,
     qDedupEmbedding, qSimTopk, qSimLsh, qSimIvf, qSimKnnJoin, qVectorQuantize,
     qSimSparse, qLlmCleanPipeline,
     qLlmCleanPipelineStaged, qSqlNativeFns, qTextNgramFreq,

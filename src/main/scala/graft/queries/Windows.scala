@@ -575,9 +575,102 @@ object Windows extends QueryGroup {
               min(o_totalprice) AS price_lo, max(o_totalprice) AS price_hi
             FROM t GROUP BY tile ORDER BY tile"""))
 
+  /** Ordered multi-stage FUNNEL (view → click → purchase): a user counts
+    * for stage k only with a stage-k event STRICTLY AFTER their stage-
+    * (k-1) entry time and within a 1-day conversion window — the
+    * product-analytics primitive (drop-off measurement) that a naive
+    * per-type count-distinct gets wrong (it counts purchase-before-view
+    * users). On this corpus the window yields real attrition
+    * (150 → 60 → 25 at sf0.01), so a stage-order or window bug moves
+    * the gate.
+    *
+    * Scale shape: a cascade of per-stage earliest-qualifying-time
+    * aggregations — each stage filters the event stream to ONE type at
+    * the scan (pushed predicate), hash-aggregates per user (partial
+    * map-side min), and equi-joins the previous stage's user→time table
+    * on user_id. Every shuffle in the plan is keyed on user_id at
+    * user-cardinality row counts; no per-user event sorting, no window
+    * over the raw stream, stages prune monotonically (stage k's input ⊆
+    * stage k-1's users). The per-user sort a sequence-window funnel
+    * would need never happens. */
+  private val qFunnel = Q(
+    "q_funnel",
+    (s, dir) => {
+      val ev = table(s, dir, "events").select("user_id", "event_type", "ts")
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, "user_id")
+        .filter(col("ts") > col("t1") &&
+          col("ts") <= col("t1") + expr("INTERVAL 1 DAY"))
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, "user_id")
+        .filter(col("ts") > col("t2") &&
+          col("ts") <= col("t2") + expr("INTERVAL 1 DAY"))
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      s1.select(lit("1_view").as("step"), col("user_id"))
+        .unionAll(s2.select(lit("2_click").as("step"), col("user_id")))
+        .unionAll(s3.select(lit("3_purchase").as("step"), col("user_id")))
+        .groupBy("step").agg(count(lit(1)).as("users"))
+        .orderBy("step")
+    },
+    Some("""WITH s1 AS (
+              SELECT user_id, min(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (
+              SELECT e.user_id, min(e.ts) AS t2 FROM events e
+              JOIN s1 ON s1.user_id = e.user_id
+              WHERE e.event_type = 'click' AND e.ts > s1.t1
+                AND e.ts <= s1.t1 + INTERVAL 1 DAY GROUP BY 1),
+            s3 AS (
+              SELECT e.user_id, min(e.ts) AS t3 FROM events e
+              JOIN s2 ON s2.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                AND e.ts <= s2.t2 + INTERVAL 1 DAY GROUP BY 1)
+            SELECT step, count(*) AS users FROM (
+              SELECT '1_view' AS step, user_id FROM s1
+              UNION ALL SELECT '2_click', user_id FROM s2
+              UNION ALL SELECT '3_purchase', user_id FROM s3)
+            GROUP BY step ORDER BY step"""))
+
+  /** Event-type TRANSITION MATRIX (first-order Markov counts): for each
+    * user's ts-ordered event sequence, count each consecutive
+    * (from_type → to_type) step — the behavioral-model sufficient
+    * statistic behind next-action prediction and anomaly scoring.
+    *
+    * Scale shape: ONE shuffle on user_id for the per-user lead() window
+    * (per-user partitions are event-per-user sized, never global), then
+    * a 25-cell hash aggregation with map-side partials. Ties on ts are
+    * broken by event_id so the sequence — and therefore the gate hash —
+    * is deterministic under any partitioning. */
+  private val qEventsMarkov = Q(
+    "q_events_markov",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      table(s, dir, "events").select("user_id", "event_type", "ts", "event_id")
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type").as("from_type"),
+          col("next_type").as("to_type"), col("n"))
+        .orderBy("from_type", "to_type")
+    },
+    Some("""WITH seq AS (
+              SELECT user_id, event_type,
+                lead(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS next_type
+              FROM events)
+            SELECT event_type AS from_type, next_type AS to_type,
+              count(*) AS n
+            FROM seq WHERE next_type IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   override val queries: Seq[Q] = Seq(
     qWindowTopk, qWindowRunning, qWindowLeadLag, qWindowRank,
     qWindowRangeFrame, qWindowAnalytics, qAggRollup, qAggCube,
     qAggGroupingSets, qAggUnpivot, qWindowRownumSalted, qWindowRownumQsalted,
-    qWindowNtile, qScd2Intervals, qSessionize, qTimeseriesFill, qCohortRetention)
+    qWindowNtile, qScd2Intervals, qSessionize, qTimeseriesFill, qCohortRetention,
+    qFunnel, qEventsMarkov)
 }
