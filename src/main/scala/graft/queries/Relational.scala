@@ -341,6 +341,202 @@ object Relational extends QueryGroup {
               GROUP BY c_custkey) t
             GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""))
 
+  /** TPC-H Q4 shape (order-priority checking), adapted to this schema's
+    * dates: orders in a half-year window having at least one line shipped
+    * more than 60 days after the order date. The EXISTS decorrelates to a
+    * LEFT SEMI hash join on l_orderkey with the date comparison as the
+    * join residual — lineitem is never aggregated, and each qualifying
+    * order counts once no matter how many late lines it has. Orders-side
+    * date filter pushes to the scan; the count per priority is a 5-key
+    * hash aggregation. */
+  private val q4PriorityLate = Q(
+    "q4_priority_late",
+    (s, dir) => {
+      val o = table(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+          col("o_orderdate") < lit("1997-07-01").cast("timestamp_ntz"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val l = table(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+      o.join(l,
+          col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1997-07-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+            GROUP BY 1 ORDER BY 1"""))
+
+  /** TPC-H Q11 shape (important-stock HAVING against a global scalar),
+    * adapted: parts whose revenue exceeds 1.25× the all-parts average.
+    * Per-part values are one lineitem hash aggregation; the global
+    * (total, part-count) pair is a second aggregation OVER THE PER-PART
+    * ROWS (not a second lineitem scan) whose single row broadcasts back,
+    * so the threshold comparison `val·np·4 > t·5` is pure long
+    * arithmetic — exact on both engines, no float division. Values are
+    * 1e-2 money units ((fixed4 div 100)·qty — prices have 2 decimals so
+    * the div is exact), two orders of magnitude more headroom before the
+    * long sum would wrap. */
+  private val q11PartShare = Q(
+    "q11_part_share",
+    (s, dir) => {
+      val pv = table(s, dir, "lineitem")
+        .select(col("l_partkey"),
+          ((fixed4(col("l_extendedprice")) / lit(100L)).cast("long") *
+            col("l_quantity").cast("long")).as("v"))
+        .groupBy(col("l_partkey")).agg(sum(col("v")).as("val"))
+      val tot = pv.agg(sum(col("val")).as("t"), count(lit(1)).as("np"))
+      pv.join(broadcast(tot))
+        .filter(col("val") * col("np") * lit(4L) > col("t") * lit(5L))
+        .select("l_partkey", "val")
+        .orderBy(col("val").desc, col("l_partkey"))
+    },
+    Some(s"""WITH pv AS (
+              SELECT l_partkey,
+                CAST(sum((${fixed4Sql("l_extendedprice")} // 100)
+                  * CAST(l_quantity AS BIGINT)) AS BIGINT) AS val
+              FROM lineitem GROUP BY 1),
+            tot AS (SELECT sum(val) AS t, count(*) AS np FROM pv)
+            SELECT l_partkey, val FROM pv, tot
+            WHERE val * np * 4 > t * 5
+            ORDER BY val DESC, l_partkey"""))
+
+  /** TPC-H Q18 (large-volume orders): orders whose total quantity tops
+    * the threshold, joined back to customer. The HAVING filter runs on
+    * the per-order aggregate BEFORE any join — the big table collapses
+    * to qualifying orders first, then two equi-joins attach order and
+    * customer attributes. Quantities are integer-valued; cast to long so
+    * the sum and threshold are exact. Top-20 is TakeOrderedAndProject. */
+  private val q18LargeOrders = Q(
+    "q18_large_orders",
+    (s, dir) => {
+      val big = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity").cast("long").as("q"))
+        .groupBy(col("l_orderkey")).agg(sum(col("q")).as("sum_qty"))
+        .filter(col("sum_qty") > 120L)
+      val o = table(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val c = table(s, dir, "customer").select("c_custkey", "c_name")
+      big.join(o, col("o_orderkey") === col("l_orderkey"))
+        .join(c, col("c_custkey") === col("o_custkey"))
+        .select(col("c_name"), col("o_orderkey"),
+          fixed4(col("o_totalprice")).as("totalprice_fp"), col("sum_qty"))
+        .orderBy(col("sum_qty").desc, col("o_orderkey"))
+        .limit(20)
+    },
+    Some(s"""SELECT c_name, o_orderkey,
+              ${fixed4Sql("o_totalprice")} AS totalprice_fp, sum_qty
+            FROM (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT))
+                    AS BIGINT) AS sum_qty
+                  FROM lineitem GROUP BY 1
+                  HAVING sum(CAST(l_quantity AS BIGINT)) > 120) big
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            ORDER BY sum_qty DESC, o_orderkey LIMIT 20"""))
+
+  /** TPC-H Q21 shape (suppliers who kept waiting orders), adapted to
+    * ship-lag lateness: a supplier is charged for an order when its line
+    * shipped >60 days after the order date, ANOTHER supplier has a line
+    * in the same order (multi-supplier), and NO other supplier was late
+    * — the sole-blame semantics. The double-correlated EXISTS / NOT
+    * EXISTS pair decorrelates to a LEFT SEMI + LEFT ANTI join cascade on
+    * l_orderkey with the supplier inequality as join residual, over
+    * DISTINCT (order, supplier) line sets so multi-line suppliers count
+    * once. Every join is orderkey-keyed — the same partitioning reused
+    * three times; supplier names attach by broadcast at the end. */
+  private val q21LateSuppliers = Q(
+    "q21_late_suppliers",
+    (s, dir) => {
+      val o = table(s, dir, "orders").select("o_orderkey", "o_orderdate")
+      val lines = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val late = table(s, dir, "lineitem")
+        .join(o, col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val sup = table(s, dir, "supplier").select("s_suppkey", "s_name")
+      late.as("l1")
+        .join(lines.as("l2"),
+          col("l2.l_orderkey") === col("l1.l_orderkey") &&
+          col("l2.l_suppkey") =!= col("l1.l_suppkey"), "left_semi")
+        .join(late.as("l3"),
+          col("l3.l_orderkey") === col("l1.l_orderkey") &&
+          col("l3.l_suppkey") =!= col("l1.l_suppkey"), "left_anti")
+        .join(broadcast(sup), col("s_suppkey") === col("l_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(10)
+    },
+    Some("""WITH late AS (
+              SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+              JOIN orders ON o_orderkey = l_orderkey
+              WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY),
+            lines AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+            SELECT s_name, count(*) AS numwait
+            FROM late l1
+            JOIN supplier ON s_suppkey = l1.l_suppkey
+            WHERE EXISTS (SELECT 1 FROM lines l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM late l3
+                WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey)
+            GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 10"""))
+
+  /** TPC-H Q22 shape (global-balance fence + NOT EXISTS), adapted to
+    * dormancy: customers in three segments with above-average positive
+    * balances and no order since 2000-01-01. The average fence is kept
+    * EXACT by clearing the division: c > Σc/n ⟺ fp(c)·n > Σfp(c) — all
+    * long arithmetic on 1e-4 balance units, so a borderline balance
+    * cannot flip between engines on float rounding. The (Σfp, n) pair is
+    * one broadcast row; the dormancy check is a LEFT ANTI join against
+    * the date-filtered orders scan (predicate pushed); per-segment sums
+    * are exact fixed-point. */
+  private val q22DormantCustomers = Q(
+    "q22_dormant_customers",
+    (s, dir) => {
+      val segs = Seq("AUTOMOBILE", "BUILDING", "MACHINERY")
+      val c = table(s, dir, "customer")
+        .filter(col("c_mktsegment").isin(segs: _*))
+        .select(col("c_custkey"), col("c_mktsegment"),
+          fixed4(col("c_acctbal")).as("bal_fp"))
+      val fence = c.filter(col("bal_fp") > 0L)
+        .agg(sum(col("bal_fp")).as("tot"), count(lit(1)).as("n"))
+      val recent = table(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp_ntz"))
+        .select(col("o_custkey"))
+      c.join(broadcast(fence))
+        .filter(col("bal_fp") * col("n") > col("tot"))
+        .join(recent, col("o_custkey") === col("c_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("numcust"), sum(col("bal_fp")).as("totbal_fp"))
+        .orderBy("c_mktsegment")
+    },
+    Some(s"""WITH c AS (
+              SELECT c_custkey, c_mktsegment,
+                ${fixed4Sql("c_acctbal")} AS bal_fp
+              FROM customer
+              WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'MACHINERY')),
+            fence AS (
+              SELECT sum(bal_fp) AS tot, count(*) AS n FROM c
+              WHERE bal_fp > 0)
+            SELECT c_mktsegment, count(*) AS numcust,
+              CAST(sum(bal_fp) AS BIGINT) AS totbal_fp
+            FROM c, fence
+            WHERE bal_fp * n > tot
+              AND NOT EXISTS (SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+            GROUP BY 1 ORDER BY 1"""))
+
   // -- sort / limit / top-k -------------------------------------------
 
   private val qSortLimit = Q(
@@ -491,7 +687,8 @@ object Relational extends QueryGroup {
     qScanProject, qSourceValues, q1Agg, qAggDistinct,
     q3TopRevenue, qJoinLeft, qJoinRight, qJoinSemi, qJoinAnti, qJoinFull,
     qJoinCross, qJoinTheta, qJoinBloomPrune, q5NationRevenue, q13CustDist,
-    q14PromoShare, qSortLimit, qTopkGlobal,
+    q14PromoShare, q4PriorityLate, q11PartShare, q18LargeOrders,
+    q21LateSuppliers, q22DormantCustomers, qSortLimit, qTopkGlobal,
     qSetUnionAll, qSetIntersect, qSetExcept,
     qSetIntersectAll, qSetExceptAll, qSetUnionByName, qSetDistinct)
 }
