@@ -600,8 +600,81 @@ object Functions extends QueryGroup {
                   > 9 * (s.n * s.svv - s.sv * s.sv)
             ORDER BY event_type, event_id"""))
 
+  /** ROBUST outliers via median absolute deviation — the heavy-tail-safe
+    * sibling of q_outliers_zscore (mean/stddev are dragged by the very
+    * outliers they're meant to find; median/MAD have a 50% breakdown
+    * point). Modified z-score |x−med|·0.6745/MAD > 3, cleared of all
+    * division into long arithmetic: d·6745 > 30000·MAD on 1e-4-quantized
+    * values, so a borderline point cannot flip between engines.
+    *
+    * Both medians are EXPLICIT lower-medians (min v with cumulative
+    * count ≥ ⌈n/2⌉) computed from per-group value→count maps — neither
+    * engine's quantile builtin is trusted with tie semantics; the SQL
+    * twin runs the identical cumulative-rank rule. Two count-map passes
+    * (values, then absolute deviations), each O(distinct values) state
+    * with map-side combine; per-group medians broadcast back — the same
+    * kilobyte-stats-side shape as the zscore query at any corpus size. */
+  private val qOutliersMad = Q(
+    "q_outliers_mad",
+    (s, dir) => {
+      def lowerMedian(df: DataFrame, valCol: String, out: String): DataFrame = {
+        val counts = df.groupBy(col("event_type"), col(valCol).as("v"))
+          .agg(count(lit(1)).as("cnt"))
+        counts
+          .withColumn("hi",
+            sum("cnt").over(Window.partitionBy("event_type").orderBy("v")))
+          .withColumn("n", sum("cnt").over(Window.partitionBy("event_type")))
+          .filter(col("hi") >= expr("(n + 1) div 2"))
+          .groupBy(col("event_type")).agg(min(col("v")).as(out))
+      }
+      val e = table(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("value") * 10000).cast("long").as("qv"))
+      val med = lowerMedian(e, "qv", "med")
+      val dev = e.join(broadcast(med), "event_type")
+        .withColumn("d", abs(col("qv") - col("med")))
+      val mad = lowerMedian(dev, "d", "mad")
+      dev.join(broadcast(mad), "event_type")
+        .filter(col("d") * 6745L > col("mad") * 30000L)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .orderBy("event_type", "event_id")
+    },
+    Some("""WITH q AS (
+              SELECT event_id, event_type, value,
+                CAST(round(value * 10000) AS BIGINT) AS qv
+              FROM events),
+            vc AS (
+              SELECT event_type, qv AS v, count(*) AS cnt
+              FROM q GROUP BY 1, 2),
+            vcum AS (
+              SELECT event_type, v,
+                sum(cnt) OVER (PARTITION BY event_type ORDER BY v) AS hi,
+                sum(cnt) OVER (PARTITION BY event_type) AS n
+              FROM vc),
+            med AS (
+              SELECT event_type, min(v) AS med FROM vcum
+              WHERE hi >= (n + 1) // 2 GROUP BY 1),
+            dev AS (
+              SELECT q.*, abs(q.qv - med.med) AS d
+              FROM q JOIN med USING (event_type)),
+            dc AS (
+              SELECT event_type, d, count(*) AS cnt FROM dev GROUP BY 1, 2),
+            dcum AS (
+              SELECT event_type, d,
+                sum(cnt) OVER (PARTITION BY event_type ORDER BY d) AS hi,
+                sum(cnt) OVER (PARTITION BY event_type) AS n
+              FROM dc),
+            mad AS (
+              SELECT event_type, min(d) AS mad FROM dcum
+              WHERE hi >= (n + 1) // 2 GROUP BY 1)
+            SELECT dev.event_id, dev.event_type, dev.value
+            FROM dev JOIN mad USING (event_type)
+            WHERE dev.d * 6745 > mad.mad * 30000
+            ORDER BY event_type, event_id"""))
+
   override val queries: Seq[Q] = Seq(
     qFnString, qFnDate, qFnMath, qFnCaseNull, qFnArray, qFnJson, qFnFromJson,
     qFnMap, qFnUdf, qAggApproxDistinct, qAggSketchIncremental, qAggPercentile, qAggMode,
-    qAggStddevExact, qAggCorrExact, qAggCms, qAggHistogram, qOutliersZscore)
+    qAggStddevExact, qAggCorrExact, qAggCms, qAggHistogram, qOutliersZscore,
+    qOutliersMad)
 }

@@ -717,6 +717,78 @@ object Llm extends QueryGroup {
             SELECT doc_id, rk, term, tf, df, score FROM ranked
             WHERE rk <= 3 ORDER BY doc_id, rk"""))
 
+  /** CHI-SQUARE term–class association — supervised feature selection:
+    * which terms are most predictive of a document's language label?
+    * Per (term, lang) 2×2 contingency table over DOC-LEVEL presence
+    * (a = lang docs with the term, b = other lang docs with it, c/d the
+    * complements), scored N·(ad−bc)² / ((a+c)(b+d)·nl·(N−nl)) as ONE
+    * integer division — numerator and denominator are exact
+    * decimal(38,0)/HUGEINT products (N·(ad−bc)² tops 3·10¹⁸ at sf0.1,
+    * past long range at the next SF — the same wide-integer discipline
+    * as q_outliers_zscore), so ranking is bit-identical.
+    *
+    * Scale shape: distinct (doc, term) presence → one (term, lang) hash
+    * aggregation; per-lang doc totals and per-term df are
+    * vocabulary/label-sized side aggregates joined back (df by term-keyed
+    * join, lang totals dictionary-broadcast); top-20 is
+    * TakeOrderedAndProject. Nothing touches raw text twice. */
+  private val qTextChi2 = Q(
+    "q_text_chi2",
+    (s, dir) => {
+      val dec = "decimal(38,0)"
+      val docs = table(s, dir, "documents").select("doc_id", "lang", "text")
+      val pres = docs
+        .select(col("doc_id"), col("lang"),
+          explode(array_distinct(
+            filter(split(lower(col("text")), " "), x => x =!= ""))).as("term"))
+      val nDocs = docs.count()
+      val byLang = docs.groupBy("lang").agg(count(lit(1)).as("nl"))
+      val byTerm = pres.groupBy("term").agg(count(lit(1)).as("dft"))
+      val a = pres.groupBy("term", "lang").agg(count(lit(1)).as("a"))
+      a.join(byTerm, "term")
+        .join(broadcast(byLang), "lang")
+        .select(col("lang"), col("term"), {
+          val ad = col("a").cast(dec) * (lit(nDocs) - col("nl") - col("dft") + col("a")).cast(dec)
+          val bc = (col("nl") - col("a")).cast(dec) * (col("dft") - col("a")).cast(dec)
+          val num = lit(nDocs).cast(dec) * (ad - bc) * (ad - bc)
+          val den = col("dft").cast(dec) * (lit(nDocs) - col("dft")).cast(dec) *
+            col("nl").cast(dec) * (lit(nDocs) - col("nl")).cast(dec)
+          // exact floor division: subtract the remainder first so the
+          // decimal divide is integral — Spark's scale-6 HALF_UP divide
+          // could otherwise round a just-below-integer quotient UP where
+          // DuckDB's // floors it down
+          val scaled = num * lit(1000000L).cast(dec)
+          ((scaled - scaled % den) / den).cast("long").as("chi2_micro")
+        })
+        .orderBy(col("chi2_micro").desc, col("lang"), col("term"))
+        .limit(20)
+    },
+    Some("""WITH pres AS (
+              SELECT DISTINCT doc_id, lang,
+                unnest(list_filter(string_split(lower(text), ' '),
+                  x -> x <> '')) AS term
+              FROM documents),
+            n AS (SELECT count(*) AS nd FROM documents),
+            bylang AS (SELECT lang, count(*) AS nl FROM documents GROUP BY 1),
+            byterm AS (SELECT term, count(DISTINCT doc_id) AS dft
+                       FROM pres GROUP BY 1),
+            a AS (SELECT term, lang, count(DISTINCT doc_id) AS a
+                  FROM pres GROUP BY 1, 2)
+            SELECT a.lang, a.term,
+              CAST(
+                (CAST(nd AS HUGEINT)
+                  * (CAST(a.a AS HUGEINT) * (nd - nl - dft + a.a)
+                     - CAST(nl - a.a AS HUGEINT) * (dft - a.a))
+                  * (CAST(a.a AS HUGEINT) * (nd - nl - dft + a.a)
+                     - CAST(nl - a.a AS HUGEINT) * (dft - a.a))
+                  * 1000000)
+                // (CAST(dft AS HUGEINT) * (nd - dft)
+                    * CAST(nl AS HUGEINT) * (nd - nl)) AS BIGINT)
+                AS chi2_micro
+            FROM a JOIN byterm USING (term) JOIN bylang USING (lang)
+            CROSS JOIN n
+            ORDER BY chi2_micro DESC, lang, term LIMIT 20"""))
+
   /** Vocabulary build + token-ID encoding — the tokenizer-prep step every
     * training corpus goes through: derive a bounded vocabulary from corpus
     * term frequencies, then encode documents as (position, token-id)
@@ -1734,6 +1806,7 @@ object Llm extends QueryGroup {
     qSimSparse, qLlmCleanPipeline,
     qLlmCleanPipelineStaged, qSqlNativeFns, qTextNgramFreq,
     qTextLangId, qTextQuality, qTextTokens, qTextFingerprint, qTextTopterms,
+    qTextChi2,
     qVocabEncode, qTextBm25,
     qAggVectorCentroid, qMultimodal,
     qMultimodalDecode, qMultimodalResample, qDecontaminate, qTextPii, qDedupFuzzy)
