@@ -667,10 +667,58 @@ object Windows extends QueryGroup {
             FROM seq WHERE next_type IS NOT NULL
             GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** LAST-TOUCH ATTRIBUTION: each purchase is credited to the user's most
+    * recent preceding view/click within a 1-day lookback — the
+    * marketing-analytics join of an event to its own stream's past. One
+    * conditional `last(..., ignoreNulls)` window over a
+    * UNBOUNDED-PRECEDING..1-PRECEDING rows frame does the whole lookup:
+    * no self-join of events to events, no per-purchase subquery. The
+    * frame carries a (ts, event_id, type) struct so the credited touch,
+    * its channel, and the recency filter all come from one window pass.
+    *
+    * Scale shape: one user_id shuffle (per-user partitions, never
+    * global); running-frame state is O(1) per row (`last` keeps one
+    * struct). Ties broken by event_id — deterministic under any
+    * partitioning. */
+  private val qAttribLastTouch = Q(
+    "q_attrib_last_touch",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+        .withColumn("touch",
+          last(when(col("event_type").isin("view", "click"),
+            struct(col("ts").as("ts"), col("event_id").as("event_id"),
+              col("event_type").as("event_type"))), ignoreNulls = true)
+            .over(w))
+        .filter(col("event_type") === "purchase" && col("touch").isNotNull &&
+          col("ts") <= col("touch.ts") + expr("INTERVAL 1 DAY"))
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("touch.event_id").as("touch_id"),
+          col("touch.event_type").as("channel"))
+        .orderBy("purchase_id")
+    },
+    Some("""WITH seq AS (
+              SELECT event_id, user_id, event_type, ts,
+                last_value(CASE WHEN event_type IN ('view', 'click')
+                  THEN struct_pack(ts := ts, event_id := event_id,
+                    event_type := event_type) END IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+              FROM events)
+            SELECT event_id AS purchase_id, user_id,
+              touch.event_id AS touch_id, touch.event_type AS channel
+            FROM seq
+            WHERE event_type = 'purchase' AND touch IS NOT NULL
+              AND ts <= touch.ts + INTERVAL 1 DAY
+            ORDER BY purchase_id"""))
+
   override val queries: Seq[Q] = Seq(
     qWindowTopk, qWindowRunning, qWindowLeadLag, qWindowRank,
     qWindowRangeFrame, qWindowAnalytics, qAggRollup, qAggCube,
     qAggGroupingSets, qAggUnpivot, qWindowRownumSalted, qWindowRownumQsalted,
     qWindowNtile, qScd2Intervals, qSessionize, qTimeseriesFill, qCohortRetention,
-    qFunnel, qEventsMarkov)
+    qFunnel, qEventsMarkov, qAttribLastTouch)
 }
