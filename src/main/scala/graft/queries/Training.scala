@@ -346,6 +346,74 @@ object Training extends QueryGroup {
                  AS chunk_hash
              FROM c ORDER BY doc_id, chunk_id"""))
 
+  /** Chunking ROUND-TRIP — the invertibility proof for q_chunk_docs'
+    * overlapped 64/48 windows: reassembling first-48-of-each-chunk plus
+    * the whole last chunk must reproduce the original token stream
+    * exactly. BOTH engines independently chunk, reassemble, and compare
+    * (the `ok` column is computed, not a constant), so an off-by-one in
+    * stride, window, last-chunk handling, or ordering on EITHER side
+    * breaks the gate. The property this pins is what makes the chunked
+    * representation safe as the system of record for training windows —
+    * the original doc is recoverable, so chunking loses nothing.
+    *
+    * Scale shape: chunks reassemble with one doc_id hash aggregation
+    * (ordered collect of (chunk_id, contribution) structs — per-doc
+    * state bounded by doc token count); the comparison joins back to the
+    * token stream on doc_id. Hashes, not texts, are compared. */
+  private val qChunkRoundtrip = Q(
+    "q_chunk_roundtrip",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.GraftFunctions.charHashNative
+      val t = table(s, dir, "documents")
+        .withColumn("tl", split(lower(col("text")), " "))
+        .withColumn("n", size(col("tl")))
+      val chunks = t
+        .select(col("doc_id"), col("tl"),
+          floor((col("n") - 1) / 48).cast("int").as("max_id"),
+          explode(sequence(lit(0), floor((col("n") - 1) / 48).cast("int")))
+            .as("chunk_id"))
+        .withColumn("chunk", slice(col("tl"), col("chunk_id") * 48 + 1, lit(64)))
+        .select(col("doc_id"), col("chunk_id"),
+          when(col("chunk_id") < col("max_id"), slice(col("chunk"), 1, 48))
+            .otherwise(col("chunk")).as("contrib"))
+      val re = chunks.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          flatten(transform(
+            array_sort(collect_list(struct(col("chunk_id"), col("contrib")))),
+            x => x.getField("contrib"))).as("toks"))
+      re.join(t.select(col("doc_id"), col("tl")), "doc_id")
+        .select(col("doc_id"), col("n_chunks"),
+          (charHashNative(concat_ws(" ", col("toks"))) ===
+            charHashNative(concat_ws(" ", col("tl")))).as("ok"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH t AS (
+               SELECT doc_id, string_split(lower(text), ' ') AS tl,
+                 len(string_split(lower(text), ' ')) AS n
+               FROM documents),
+             c AS (
+               SELECT doc_id, tl, n,
+                 unnest(generate_series(0,
+                   CAST(floor((n - 1) / 48) AS INT))) AS chunk_id
+               FROM t),
+             chunks AS (
+               SELECT doc_id, chunk_id,
+                 tl[chunk_id*48+1 : chunk_id*48+64] AS chunk,
+                 CAST(floor((n - 1) / 48) AS INT) AS max_id
+               FROM c),
+             re AS (
+               SELECT doc_id, count(*) AS n_chunks,
+                 flatten(list(
+                   CASE WHEN chunk_id < max_id THEN chunk[1:48] ELSE chunk END
+                   ORDER BY chunk_id)) AS toks
+               FROM chunks GROUP BY doc_id)
+             SELECT re.doc_id, n_chunks,
+               (${charHashSql("list_aggregate(re.toks, 'string_agg', ' ')")} =
+                ${charHashSql("list_aggregate(t.tl, 'string_agg', ' ')")}) AS ok
+             FROM re JOIN t ON t.doc_id = re.doc_id
+             ORDER BY re.doc_id"""))
+
   /** Keep-latest compaction (the upsert/CDC half of dedup: exact dedup
     * keeps the FIRST copy of identical content, this keeps the NEWEST
     * version per key): latest event per user by (ts, event_id).
@@ -799,7 +867,8 @@ object Training extends QueryGroup {
 
   override val queries: Seq[Q] = Seq(
     qTextRepetition, qSplitAssign, qMixWeighted, qSamplePerGroup,
-    qPackSequences, qLinesDedup, qProfileColumns, qChunkDocs, qDedupLatest,
+    qPackSequences, qLinesDedup, qProfileColumns, qChunkDocs, qChunkRoundtrip,
+    qDedupLatest,
     qCdcMerge, qDqChecks, qIngestIncremental, qTableDigest, qStoreCompact,
     qStoreForget, qAggIncrementalView, qShuffleGlobal)
 }
