@@ -789,6 +789,61 @@ object Llm extends QueryGroup {
             CROSS JOIN n
             ORDER BY chi2_micro DESC, lang, term LIMIT 20"""))
 
+  /** TERM-DISTRIBUTION DRIFT between corpus eras — the ingest-monitoring
+    * primitive that catches a source change (new boilerplate, scraper
+    * regression, topic shift) before it poisons a training mix: per-term
+    * doc-frequency rates in two halves of the corpus, ranked by rate
+    * shift. The comparison |dfa·nb − dfb·na| is the cross-multiplied
+    * rate difference — exact long arithmetic, no per-term division, and
+    * the era split (doc_id below/above the midpoint) is derived from the
+    * corpus itself so the query is constant-free.
+    *
+    * Scale shape: distinct doc-level presence → ONE (term) hash
+    * aggregation with both era counts as conditional sums (no join
+    * between eras — the pivot happens inside the aggregate); era doc
+    * totals are a 2-value broadcast; top-15 is TakeOrderedAndProject. */
+  private val qDriftTerms = Q(
+    "q_drift_terms",
+    (s, dir) => {
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+      val mid = docs.agg(expr("CAST(max(doc_id) + 1 AS BIGINT) div 2").as("m"))
+      val pres = docs
+        .select(col("doc_id"),
+          explode(array_distinct(
+            filter(split(lower(col("text")), " "), x => x =!= ""))).as("term"))
+      val n = docs.join(broadcast(mid))
+        .agg(sum(when(col("doc_id") < col("m"), 1L).otherwise(0L)).as("na"),
+          sum(when(col("doc_id") >= col("m"), 1L).otherwise(0L)).as("nb"))
+      pres.join(broadcast(mid))
+        .groupBy("term")
+        .agg(sum(when(col("doc_id") < col("m"), 1L).otherwise(0L)).as("dfa"),
+          sum(when(col("doc_id") >= col("m"), 1L).otherwise(0L)).as("dfb"))
+        .join(broadcast(n))
+        .select(col("term"), col("dfa"), col("dfb"),
+          abs(col("dfa") * col("nb") - col("dfb") * col("na")).as("drift"))
+        .orderBy(col("drift").desc, col("term"))
+        .limit(15)
+    },
+    Some("""WITH mid AS (
+              SELECT CAST(max(doc_id) + 1 AS BIGINT) // 2 AS m FROM documents),
+            pres AS (
+              SELECT DISTINCT doc_id,
+                unnest(list_filter(string_split(lower(text), ' '),
+                  x -> x <> '')) AS term
+              FROM documents),
+            n AS (
+              SELECT sum(CASE WHEN doc_id < m THEN 1 ELSE 0 END) AS na,
+                sum(CASE WHEN doc_id >= m THEN 1 ELSE 0 END) AS nb
+              FROM documents, mid),
+            df AS (
+              SELECT term,
+                sum(CASE WHEN p.doc_id < m THEN 1 ELSE 0 END) AS dfa,
+                sum(CASE WHEN p.doc_id >= m THEN 1 ELSE 0 END) AS dfb
+              FROM pres p, mid GROUP BY 1)
+            SELECT term, CAST(dfa AS BIGINT) AS dfa, CAST(dfb AS BIGINT) AS dfb,
+              CAST(abs(dfa * nb - dfb * na) AS BIGINT) AS drift
+            FROM df, n ORDER BY drift DESC, term LIMIT 15"""))
+
   /** Vocabulary build + token-ID encoding — the tokenizer-prep step every
     * training corpus goes through: derive a bounded vocabulary from corpus
     * term frequencies, then encode documents as (position, token-id)
@@ -1806,7 +1861,7 @@ object Llm extends QueryGroup {
     qSimSparse, qLlmCleanPipeline,
     qLlmCleanPipelineStaged, qSqlNativeFns, qTextNgramFreq,
     qTextLangId, qTextQuality, qTextTokens, qTextFingerprint, qTextTopterms,
-    qTextChi2,
+    qTextChi2, qDriftTerms,
     qVocabEncode, qTextBm25,
     qAggVectorCentroid, qMultimodal,
     qMultimodalDecode, qMultimodalResample, qDecontaminate, qTextPii, qDedupFuzzy)
