@@ -53,7 +53,14 @@ class PlanGuardSpec extends AnyFunSuite with SparkSessionFixture {
     // the single GLOBAL key is a literal, so Catalyst folds the salted
     // machinery's per-key bounds equi-join into a one-row broadcast —
     // the broadcast side is the global (min, max) bounds row
-    "q_shuffle_global" -> "global min/max bounds, one-row broadcast")
+    "q_shuffle_global" -> "global min/max bounds, one-row broadcast",
+    // the Q11 fence: the (total, part-count) pair aggregated over the
+    // per-part rows, broadcast back as one row
+    "q11_part_share" -> "scalar (total, count) fence, one-row broadcast",
+    // the Q22 balance fence: (sum_fp, n) one-row aggregate broadcast
+    "q22_dormant_customers" -> "scalar balance fence, one-row broadcast",
+    // era split midpoint + (na, nb) era totals — both one-row broadcasts
+    "q_drift_terms" -> "corpus midpoint + era totals, one-row broadcasts")
 
   /** Whole-tree traversal: SparkPlan.collect does NOT descend into
     * AdaptiveSparkPlanExec (its current plan is a field, not a child) or
