@@ -1002,6 +1002,20 @@ object Llm extends QueryGroup {
       graft.functions.GraftFunctions.register(s)
       val docs = table(s, dir, "documents").select("doc_id", "text")
       val nDocs = docs.count()
+      // gate default: relative cap N/10. At production corpus sizes a
+      // relative cap lets postings lists (and the ×1..×10 measured mild
+      // superlinearity in shuffle bytes) grow with N — operators pin an
+      // ABSOLUTE cap instead, same knob discipline as
+      // spark.graft.ngram.dfCap.
+      val dfCap = s.conf.getOption("spark.graft.sparse.dfCap").map { v =>
+        val cap = try v.trim.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"spark.graft.sparse.dfCap must be a positive integer, got '$v'")
+        }
+        require(cap > 0, s"spark.graft.sparse.dfCap must be > 0, got $cap " +
+          "(a non-positive cap would drop every term)")
+        cap
+      }.getOrElse(nDocs / 10)
       val tok = docs
         .withColumn("tl", filter(split(lower(col("text")), " "), x => x =!= ""))
         .select(col("doc_id"),
@@ -1009,7 +1023,7 @@ object Llm extends QueryGroup {
             .as("t"))
       val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
       val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= nDocs / 10)
+        .filter(col("df") <= dfCap)
       val w = tf.join(df, "t")
         .select(col("t"), col("doc_id"),
           (col("tf") * expr(s"(($nDocs * 100) div df)")).as("w"))

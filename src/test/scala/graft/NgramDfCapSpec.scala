@@ -39,6 +39,34 @@ class NgramDfCapSpec extends AnyFunSuite with SparkSessionFixture {
     assert(math.abs(j - 0.2) < 1e-12)
   }
 
+  test("spark.graft.sparse.dfCap pins an absolute cap for the TF-IDF cosine join") {
+    // Six docs share one stopword-grade trigram; 100/101 share a rare one.
+    // Token layout: every doc has >= 3 words so trigram terms exist.
+    val hotDocs = (0L until 6L).map(i => i -> s"hot gram here u${i}a u${i}b")
+    // identical texts: all trigram weights shared -> cosine 1.0, so the
+    // pair survives the >= 0.5 score floor whenever its terms survive
+    // the df cap
+    val rareDocs = Seq(100L -> "rare pair term alpha beta",
+      101L -> "rare pair term alpha beta")
+    val dir = writeDocs(hotDocs ++ rareDocs)
+    // default relative cap = 8/10 = 0: df<=0 drops everything -> no rows
+    assert(SparkEntry.queries("q_sim_sparse")(spark, dir).collect().isEmpty)
+    try {
+      // absolute cap 3 admits the rare trigram (df=2) but not the hot
+      // one (df=6): only the rare pair scores
+      spark.conf.set("spark.graft.sparse.dfCap", "3")
+      val got = SparkEntry.queries("q_sim_sparse")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((100L, 101L)),
+        s"expected only the rare-term pair, got ${got.toSeq.sorted.mkString(", ")}")
+      spark.conf.set("spark.graft.sparse.dfCap", "oops")
+      val e = intercept[IllegalArgumentException] {
+        SparkEntry.queries("q_sim_sparse")(spark, dir).collect()
+      }
+      assert(e.getMessage.contains("spark.graft.sparse.dfCap"))
+    } finally spark.conf.unset("spark.graft.sparse.dfCap")
+  }
+
   test("spark.graft.ngram.dfCap raises the cap at runtime (advisor item: config path)") {
     val hotDocs = (0L until 6L).map(i => i -> s"hot gram u${i}a u${i}b")
     val dir = writeDocs(hotDocs)
