@@ -56,14 +56,15 @@ object ConnectedComponents {
       // Leaving superseded checkpoints to the async ContextCleaner let
       // blocks pile up across rounds/reruns: measured on the sf0.1 bench,
       // repeated runs degraded 2.6s -> 5.5s and inflated UNRELATED
-      // queries sharing the JVM up to 5x.
-      labels.unpersist()
+      // queries sharing the JVM up to 5x. Must go through the shim:
+      // Dataset.unpersist no-ops on checkpoint storage.
+      org.apache.spark.sql.classic.GraftDatasetShim.unpersistCheckpoint(labels)
       labels = next
       converged = changed == 0
       iter += 1
     }
     require(converged, s"connected components did not converge in $maxIters rounds")
-    sym.unpersist()
+    org.apache.spark.sql.classic.GraftDatasetShim.unpersistCheckpoint(sym)
     // the final `labels` checkpoint stays persisted: it IS the result's
     // storage (lineage is truncated); its blocks are reaped by the
     // ContextCleaner once the caller drops the reference.

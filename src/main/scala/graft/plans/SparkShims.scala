@@ -10,4 +10,20 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftDatasetShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): org.apache.spark.sql.DataFrame =
     Dataset.ofRows(spark, plan)
+
+  /** Free a `localCheckpoint`ed Dataset's blocks NOW. `Dataset.unpersist`
+    * only clears cache-manager entries (InMemoryRelation) and silently
+    * no-ops on a checkpoint, whose storage is an RDD-level persist inside
+    * the plan's LogicalRDD — verified by CheckpointDisciplineSpec, which
+    * counts `sc.getPersistentRDDs` across the iterative loops. Without
+    * this, superseded per-round checkpoints linger until the async
+    * ContextCleaner notices the dropped reference after a GC — measured
+    * on the sf0.1 bench as 2-5× degradation across reruns sharing a JVM. */
+  def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.asInstanceOf[Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false): Unit
+        case _ => ()
+      }
 }

@@ -684,13 +684,15 @@ object Advanced extends QueryGroup {
           col("__prev"))
         .localCheckpoint()
       stable = next.filter(col("r") =!= col("__prev")).limit(1).count() == 0
-      prevCk.foreach(_.unpersist())
+      // through the shim — Dataset.unpersist no-ops on checkpoint storage
+      prevCk.foreach(
+        org.apache.spark.sql.classic.GraftDatasetShim.unpersistCheckpoint)
       prevCk = Some(next)
       ranks = next.select("node", "r")
       rounds += 1
     }
-    ed.unpersist()
-    nodes.unpersist()
+    org.apache.spark.sql.classic.GraftDatasetShim.unpersistCheckpoint(ed)
+    org.apache.spark.sql.classic.GraftDatasetShim.unpersistCheckpoint(nodes)
     (ranks, rounds)
   }
 
