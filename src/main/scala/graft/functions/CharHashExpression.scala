@@ -122,6 +122,8 @@ object GraftFunctions {
       (c: Seq[Expression]) => GramHashesExpression(c(0), c(1))),
     ("graft_gramseq", classOf[GramSeqExpression],
       (c: Seq[Expression]) => GramSeqExpression(c(0), c(1))),
+    ("graft_cms_estimate", classOf[CmsEstimateExpression],
+      (c: Seq[Expression]) => CmsEstimateExpression(c(0), c(1))),
     ("graft_minhashsig", classOf[MinHashSigExpression],
       (c: Seq[Expression]) => MinHashSigExpression(c(0), c(1))),
     ("graft_tokstats", classOf[TokStatsExpression],
@@ -178,6 +180,8 @@ object GraftFunctions {
     call_function("graft_gramhashes", tokens, lit(n))
   def gramSeqNative(tokens: Column, n: Int): Column =
     call_function("graft_gramseq", tokens, lit(n))
+  def cmsEstimateNative(sketchBytes: Column, key: Column): Column =
+    call_function("graft_cms_estimate", sketchBytes, key)
   def minHashSigNative(hashes: Column, k: Int): Column =
     call_function("graft_minhashsig", hashes, lit(k))
   def tokStatsNative(tokens: Column, stops: Column): Column =

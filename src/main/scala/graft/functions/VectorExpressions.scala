@@ -371,6 +371,43 @@ case class CosineExpression(left: Expression, right: Expression)
       l: Expression, r: Expression): CosineExpression = copy(left = l, right = r)
 }
 
+/** graft_cms_estimate(sketch, key) — CountMinSketch.estimateCount(key)
+  * with the sketch deserialized ONCE per expression instance, not per
+  * row — the same foldable-child discipline as Spark's own
+  * BloomFilterMightContain. The sketch child must be foldable (a
+  * literal: driver-collected aggregate bytes, same pattern as the
+  * corpus-count literals elsewhere); the key is probed at array-index
+  * cost, which is what makes a per-row candidate filter below a shuffle
+  * viable. One-sided error (estimate ≥ true count) means a
+  * threshold filter built on it never loses a true heavy hitter. */
+case class CmsEstimateExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecExprChecks.check(
+      left.dataType == BinaryType && left.foldable &&
+        right.dataType == LongType,
+      prettyName, Seq(left.dataType, right.dataType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_cms_estimate"
+
+  @transient private lazy val sketch: org.apache.spark.util.sketch.CountMinSketch = {
+    val bytes = left.eval(null).asInstanceOf[Array[Byte]]
+    require(bytes != null, s"$prettyName: sketch bytes are null")
+    org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+  }
+  def probe(key: Long): Long = sketch.estimateCount(key)
+
+  override protected def nullSafeEval(s: Any, k: Any): Any =
+    probe(k.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cmsProbe", this, classOf[CmsEstimateExpression].getName)
+    nullSafeCodeGen(ctx, ev, (_, k) => s"${ev.value} = $ref.probe($k);")
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): CmsEstimateExpression = copy(left = l, right = r)
+}
+
 /** graft_lshbucket(v, nPlanes) — hyperplane-sign bucket : BIGINT. */
 case class LshBucketExpression(left: Expression, right: Expression)
     extends BinaryExpression {

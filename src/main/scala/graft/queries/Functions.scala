@@ -471,6 +471,45 @@ object Functions extends QueryGroup {
               FROM lineitem GROUP BY l_returnflag, l_suppkey) t
             WHERE rk <= 3 ORDER BY l_returnflag, rk"""))
 
+  /** SKETCH-THEN-VERIFY heavy hitters — the two-phase shape that finds
+    * keys above a frequency threshold WITHOUT shuffling the long tail:
+    * phase 1 builds one mergeable CountMinSketch over the key column
+    * (map-side combined, kilobyte state, one row to the driver); phase 2
+    * probes it per row through the graft_cms_estimate native kernel
+    * (sketch deserialized once per instance, not per row) BELOW the
+    * shuffle, so only candidate keys enter the exchange; the exact
+    * count + exact threshold on top removes the sketch's false
+    * positives. CMS error is ONE-SIDED (estimate ≥ true count), so the
+    * candidate set is a superset of the true heavy set — no heavy
+    * hitter can be lost, which is why the oracle is the plain exact
+    * GROUP BY ... HAVING with no sketch at all. On this near-uniform
+    * corpus the prune is modest (threshold sits inside sampling noise);
+    * `CmsPruneSpec` measures it on a zipf fixture where the tail
+    * vanishes below the exchange. Threshold = 1.05× the per-key mean,
+    * corpus-derived, exact integer on both engines. */
+  private val qHeavyHitters = Q(
+    "q_heavy_hitters",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.GraftFunctions.cmsEstimateNative
+      val l = table(s, dir, "lineitem").select(col("l_suppkey"))
+      val thresh = 21L * l.count() / (20L * table(s, dir, "supplier").count())
+      val cmsBytes = l
+        .agg(expr("count_min_sketch(l_suppkey, CAST(0.001 AS DOUBLE), " +
+          "CAST(0.99 AS DOUBLE), 42)").as("cms"))
+        .head.getAs[Array[Byte]]("cms")
+      l.filter(cmsEstimateNative(lit(cmsBytes), col("l_suppkey")) > lit(thresh))
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > thresh)
+        .orderBy(col("n").desc, col("l_suppkey"))
+    },
+    Some("""SELECT l_suppkey, count(*) AS n
+            FROM lineitem
+            GROUP BY 1
+            HAVING count(*) > (21 * (SELECT count(*) FROM lineitem))
+              // (20 * (SELECT count(*) FROM supplier))
+            ORDER BY n DESC, l_suppkey"""))
+
   /** Equi-width histogram via width_bucket: account-balance distribution
     * in 10 buckets over a fixed range (open-ended under/overflow buckets
     * 0 and 11 — identical semantics in both engines). */
@@ -675,6 +714,6 @@ object Functions extends QueryGroup {
   override val queries: Seq[Q] = Seq(
     qFnString, qFnDate, qFnMath, qFnCaseNull, qFnArray, qFnJson, qFnFromJson,
     qFnMap, qFnUdf, qAggApproxDistinct, qAggSketchIncremental, qAggPercentile, qAggMode,
-    qAggStddevExact, qAggCorrExact, qAggCms, qAggHistogram, qOutliersZscore,
-    qOutliersMad)
+    qAggStddevExact, qAggCorrExact, qAggCms, qHeavyHitters, qAggHistogram,
+    qOutliersZscore, qOutliersMad)
 }
