@@ -374,6 +374,60 @@ object Relational extends QueryGroup {
                   AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
             GROUP BY 1 ORDER BY 1"""))
 
+  /** TPC-H Q7 (volume shipping between two nations): the classic 5-way
+    * join, planned for scale by pushing the nation predicate INTO the
+    * dimension side before any fact table is touched — the 2-nation
+    * filtered supplier and customer lists broadcast, so lineitem rows
+    * from the other 23 nations are dropped at the FIRST join, and the
+    * ship-date window is pushed to the parquet scan. The only big-table
+    * shuffle is lineitem ⋈ orders on orderkey (at 100 TB the customer
+    * side would exceed broadcast and hash-join on custkey — same plan
+    * minus one broadcast hint, which AQE decides anyway). Money is exact
+    * unit sums; the cross-pair filter (supp ≠ cust nation) runs on two
+    * broadcast-joined dictionary columns. */
+  private val q7VolumeShipping = Q(
+    "q7_volume_shipping",
+    (s, dir) => {
+      val nat = table(s, dir, "nation")
+        .filter(col("n_name").isin("NATION_3", "NATION_7"))
+        .select("n_nationkey", "n_name")
+      val sup = table(s, dir, "supplier")
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = table(s, dir, "customer")
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val l = table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).cast("long").as("l_year"),
+          fixed4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      val o = table(s, dir, "orders").select("o_orderkey", "o_custkey")
+      l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg((sum(col("rev")).cast("double") / 10000.0).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+    Some(s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+              CAST(year(l_shipdate) AS BIGINT) AS l_year,
+              CAST(sum(${fixed4Sql("l_extendedprice * (1 - l_discount)")})
+                AS DOUBLE) / 10000.0 AS revenue
+            FROM lineitem
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation n1 ON n1.n_nationkey = s_nationkey
+            JOIN nation n2 ON n2.n_nationkey = c_nationkey
+            WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+                OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+
   /** TPC-H Q11 shape (important-stock HAVING against a global scalar),
     * adapted: parts whose revenue exceeds 1.25× the all-parts average.
     * Per-part values are one lineitem hash aggregation; the global
@@ -687,8 +741,9 @@ object Relational extends QueryGroup {
     qScanProject, qSourceValues, q1Agg, qAggDistinct,
     q3TopRevenue, qJoinLeft, qJoinRight, qJoinSemi, qJoinAnti, qJoinFull,
     qJoinCross, qJoinTheta, qJoinBloomPrune, q5NationRevenue, q13CustDist,
-    q14PromoShare, q4PriorityLate, q11PartShare, q18LargeOrders,
-    q21LateSuppliers, q22DormantCustomers, qSortLimit, qTopkGlobal,
+    q14PromoShare, q4PriorityLate, q7VolumeShipping, q11PartShare,
+    q18LargeOrders, q21LateSuppliers, q22DormantCustomers, qSortLimit,
+    qTopkGlobal,
     qSetUnionAll, qSetIntersect, qSetExcept,
     qSetIntersectAll, qSetExceptAll, qSetUnionByName, qSetDistinct)
 }
