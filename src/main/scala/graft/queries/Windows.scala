@@ -715,10 +715,50 @@ object Windows extends QueryGroup {
               AND ts <= touch.ts + INTERVAL 1 DAY
             ORDER BY purchase_id"""))
 
+  /** Per-group PERCENT-RANK score calibration — the feature-preprocessing
+    * step that maps raw scores onto a within-group [0, 1] quantile scale
+    * (micro-units). NOT planned as a per-row window: a percent_rank()
+    * OVER (PARTITION BY event_type) would funnel the whole corpus
+    * through 5 partitions. Instead the count-map shape: one
+    * (type, value) hash aggregation, cumulative ranks over the
+    * AGGREGATED value table (bounded by the value domain, not the
+    * corpus — the q_agg_cms discipline), then an equi-join back on
+    * (type, value). Tie semantics are SQL rank (ties share the minimum
+    * rank, 956 tied rows in the corpus exercise it), and the DuckDB
+    * oracle deliberately uses its NATIVE percent_rank() window — a
+    * cross-formulation check, not a mirror. The division
+    * lo/(n−1) runs on identical integers in both engines, so the
+    * rounded micro value is bit-identical. */
+  private val qScoreCalibrate = Q(
+    "q_score_calibrate",
+    (s, dir) => {
+      val e = table(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val counts = e.groupBy(col("event_type"), col("value"))
+        .agg(count(lit(1)).as("cnt"))
+      val cum = counts
+        .withColumn("hi",
+          sum("cnt").over(Window.partitionBy("event_type").orderBy("value")))
+        .withColumn("n", sum("cnt").over(Window.partitionBy("event_type")))
+        .select(col("event_type"), col("value"),
+          (col("hi") - col("cnt")).as("lo"), col("n"))
+      e.join(cum, Seq("event_type", "value"))
+        .select(col("event_id"), col("event_type"),
+          when(col("n") === 1L, 0L)
+            .otherwise(round((col("lo").cast("double") /
+              (col("n") - 1).cast("double")) * lit(1000000.0), 0).cast("long"))
+            .as("pct_micro"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, event_type,
+              CAST(round(percent_rank() OVER (PARTITION BY event_type
+                ORDER BY value) * 1000000) AS BIGINT) AS pct_micro
+            FROM events ORDER BY event_id"""))
+
   override val queries: Seq[Q] = Seq(
     qWindowTopk, qWindowRunning, qWindowLeadLag, qWindowRank,
     qWindowRangeFrame, qWindowAnalytics, qAggRollup, qAggCube,
     qAggGroupingSets, qAggUnpivot, qWindowRownumSalted, qWindowRownumQsalted,
     qWindowNtile, qScd2Intervals, qSessionize, qTimeseriesFill, qCohortRetention,
-    qFunnel, qEventsMarkov, qAttribLastTouch)
+    qFunnel, qEventsMarkov, qAttribLastTouch, qScoreCalibrate)
 }
