@@ -414,6 +414,66 @@ object Training extends QueryGroup {
              FROM re JOIN t ON t.doc_id = re.doc_id
              ORDER BY re.doc_id"""))
 
+  /** MARKET-BASKET pair mining (frequent itemsets, k=2) with exact lift
+    * — the association-mining primitive behind co-occurrence features:
+    * part pairs appearing in the same order, ranked by support, with
+    * lift = P(ab)/(P(a)·P(b)) in exact integer micros (decimal(38,0)
+    * products, remainder-subtracted floor division — the q_text_chi2
+    * discipline, so ranking can't drift on float rounding).
+    *
+    * Scale shape: pair generation is an equi-self-join on the BASKET key
+    * — per-order fan-out is C(basket, 2), bounded by basket size (≤13
+    * here, bounded by order shape at any corpus size), never corpus².
+    * The support floor prunes before the per-part frequency joins;
+    * top-25 is TakeOrderedAndProject. */
+  private val qBasketPairs = Q(
+    "q_basket_pairs",
+    (s, dir) => {
+      val dec = "decimal(38,0)"
+      val items = table(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+      val nOrders = items.select("l_orderkey").distinct().count()
+      val pf = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+      val pairs = items.as("a")
+        .join(items.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+      pairs
+        .join(pf.select(col("l_partkey").as("part_a"), col("cnt").as("ca")), "part_a")
+        .join(pf.select(col("l_partkey").as("part_b"), col("cnt").as("cb")), "part_b")
+        .select(col("part_a"), col("part_b"), col("support"), {
+          val num = col("support").cast(dec) * lit(nOrders).cast(dec) *
+            lit(1000000L).cast(dec)
+          val den = col("ca").cast(dec) * col("cb").cast(dec)
+          ((num - num % den) / den).cast("long").as("lift_micro")
+        })
+        .orderBy(col("support").desc, col("part_a"), col("part_b"))
+        .limit(25)
+    },
+    Some("""WITH items AS (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+            pf AS (SELECT l_partkey, count(*) AS cnt FROM items GROUP BY 1),
+            pairs AS (
+              SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                count(*) AS support
+              FROM items a JOIN items b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2)
+            SELECT part_a, part_b, support,
+              CAST((CAST(support AS HUGEINT) * n_orders * 1000000)
+                // (CAST(fa.cnt AS HUGEINT) * fb.cnt) AS BIGINT) AS lift_micro
+            FROM pairs
+            JOIN pf fa ON fa.l_partkey = part_a
+            JOIN pf fb ON fb.l_partkey = part_b
+            CROSS JOIN n
+            WHERE support >= 2
+            ORDER BY support DESC, part_a, part_b LIMIT 25"""))
+
   /** Keep-latest compaction (the upsert/CDC half of dedup: exact dedup
     * keeps the FIRST copy of identical content, this keeps the NEWEST
     * version per key): latest event per user by (ts, event_id).
@@ -868,7 +928,7 @@ object Training extends QueryGroup {
   override val queries: Seq[Q] = Seq(
     qTextRepetition, qSplitAssign, qMixWeighted, qSamplePerGroup,
     qPackSequences, qLinesDedup, qProfileColumns, qChunkDocs, qChunkRoundtrip,
-    qDedupLatest,
+    qBasketPairs, qDedupLatest,
     qCdcMerge, qDqChecks, qIngestIncremental, qTableDigest, qStoreCompact,
     qStoreForget, qAggIncrementalView, qShuffleGlobal)
 }
