@@ -281,6 +281,55 @@ object Functions extends QueryGroup {
               TRUE AS sketch_ok
             FROM orders"""))
 
+  /** TRAILING-WINDOW distinct counts from MERGED DAILY SKETCHES — the
+    * pre-aggregation pattern that makes "7-day active users" tractable
+    * at 100 TB: the raw stream collapses to one kilobyte HLL sketch per
+    * day (map-side combined), and every trailing window is a union of ≤7
+    * sketch rows — the expensive exact path (a day×event range join)
+    * never touches raw data volume at query time. The gate carries the
+    * exact windowed count (computed from DISTINCT (day,user) pairs — a
+    * deliberately corpus-sized comparison baseline) plus a `sketch_ok`
+    * contract: every window's merged-sketch estimate within 5% of exact,
+    * same oracle discipline as q_agg_sketch_incremental (DataSketches
+    * registers aren't portable to DuckDB; the contract boolean is). A
+    * broken merge drifts the estimate and flips the gate. */
+  private val qWindowDistinctSketch = Q(
+    "q_window_distinct_sketch",
+    (s, dir) => {
+      val e = table(s, dir, "events")
+        .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      val daily = e.groupBy(col("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val est = daily.as("a")
+        .join(daily.as("b"),
+          col("b.day") >= col("a.day") - expr("INTERVAL 6 DAY") &&
+          col("b.day") <= col("a.day"))
+        .groupBy(col("a.day").as("day"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("b.sk"))).as("est"))
+      val pairs = e.distinct()
+      val exact = pairs.select(col("day").as("d")).distinct().as("w")
+        .join(pairs.as("p"),
+          col("p.day") >= col("d") - expr("INTERVAL 6 DAY") &&
+          col("p.day") <= col("d"))
+        .groupBy(col("d"))
+        .agg(countDistinct(col("p.user_id")).as("n_exact"))
+      est.join(exact, col("day") === col("d"))
+        .select(col("day").cast("timestamp_ntz").as("day"), col("n_exact"),
+          (abs(col("est") - col("n_exact")).cast("double") / col("n_exact")
+            <= 0.05).as("sketch_ok"))
+        .orderBy("day")
+    },
+    Some("""WITH d AS (
+              SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+              FROM events),
+            days AS (SELECT DISTINCT day FROM d)
+            SELECT days.day AS day,
+              (SELECT count(DISTINCT d.user_id) FROM d
+               WHERE d.day >= days.day - INTERVAL 6 DAY
+                 AND d.day <= days.day) AS n_exact,
+              TRUE AS sketch_ok
+            FROM days ORDER BY day"""))
+
   /** Exact percentiles from a value→count map, never a value multiset.
     *
     * Spark's `percentile` buffers every raw value per group in the final
@@ -713,7 +762,8 @@ object Functions extends QueryGroup {
 
   override val queries: Seq[Q] = Seq(
     qFnString, qFnDate, qFnMath, qFnCaseNull, qFnArray, qFnJson, qFnFromJson,
-    qFnMap, qFnUdf, qAggApproxDistinct, qAggSketchIncremental, qAggPercentile, qAggMode,
+    qFnMap, qFnUdf, qAggApproxDistinct, qAggSketchIncremental,
+    qWindowDistinctSketch, qAggPercentile, qAggMode,
     qAggStddevExact, qAggCorrExact, qAggCms, qHeavyHitters, qAggHistogram,
     qOutliersZscore, qOutliersMad)
 }

@@ -60,7 +60,10 @@ class PlanGuardSpec extends AnyFunSuite with SparkSessionFixture {
     // the Q22 balance fence: (sum_fp, n) one-row aggregate broadcast
     "q22_dormant_customers" -> "scalar balance fence, one-row broadcast",
     // era split midpoint + (na, nb) era totals — both one-row broadcasts
-    "q_drift_terms" -> "corpus midpoint + era totals, one-row broadcasts")
+    "q_drift_terms" -> "corpus midpoint + era totals, one-row broadcasts",
+    // trailing-window joins run over the AGGREGATED per-day tables —
+    // bounded by the calendar (days, not rows) at any corpus size
+    "q_window_distinct_sketch" -> "day-range joins over calendar-bounded aggregates")
 
   /** Whole-tree traversal: SparkPlan.collect does NOT descend into
     * AdaptiveSparkPlanExec (its current plan is a field, not a child) or
