@@ -520,6 +520,48 @@ object Functions extends QueryGroup {
               FROM lineitem GROUP BY l_returnflag, l_suppkey) t
             WHERE rk <= 3 ORDER BY l_returnflag, rk"""))
 
+  /** Exact WEIGHTED median — the order statistic where each row counts
+    * with a weight (here: price weighted by quantity, i.e. "the price
+    * at which half the VOLUME trades", not half the line items). Same
+    * count-map discipline as q_outliers_mad's lower-median: per-group
+    * value→weight-sum map (O(distinct) state, map-side combined), one
+    * cumulative pass over the aggregated table, lower weighted median =
+    * min v with cumWeight ≥ ⌈W/2⌉ — explicit integer rule on both
+    * engines (weights exact longs, prices 1e-4-quantized), no reliance
+    * on either engine's percentile builtins, bit-identical result. */
+  private val qAggWeightedMedian = Q(
+    "q_agg_weighted_median",
+    (s, dir) => {
+      val l = table(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          fixed4(col("l_extendedprice")).as("v"),
+          col("l_quantity").cast("long").as("w"))
+      val vm = l.groupBy(col("l_returnflag"), col("v"))
+        .agg(sum(col("w")).as("wsum"))
+      vm.withColumn("hi",
+          sum("wsum").over(Window.partitionBy("l_returnflag").orderBy("v")))
+        .withColumn("tw", sum("wsum").over(Window.partitionBy("l_returnflag")))
+        .filter(col("hi") >= expr("(tw + 1) div 2"))
+        .groupBy(col("l_returnflag"))
+        .agg((min(col("v")).cast("double") / 10000.0).as("wmedian_price"))
+        .orderBy("l_returnflag")
+    },
+    Some(s"""WITH q AS (
+              SELECT l_returnflag, ${fixed4Sql("l_extendedprice")} AS v,
+                CAST(l_quantity AS BIGINT) AS w
+              FROM lineitem),
+            vm AS (
+              SELECT l_returnflag, v, sum(w) AS wsum FROM q GROUP BY 1, 2),
+            cum AS (
+              SELECT l_returnflag, v,
+                sum(wsum) OVER (PARTITION BY l_returnflag ORDER BY v) AS hi,
+                sum(wsum) OVER (PARTITION BY l_returnflag) AS tw
+              FROM vm)
+            SELECT l_returnflag,
+              CAST(min(v) AS DOUBLE) / 10000.0 AS wmedian_price
+            FROM cum WHERE hi >= (tw + 1) // 2
+            GROUP BY 1 ORDER BY 1"""))
+
   /** SKETCH-THEN-VERIFY heavy hitters — the two-phase shape that finds
     * keys above a frequency threshold WITHOUT shuffling the long tail:
     * phase 1 builds one mergeable CountMinSketch over the key column
@@ -765,5 +807,5 @@ object Functions extends QueryGroup {
     qFnMap, qFnUdf, qAggApproxDistinct, qAggSketchIncremental,
     qWindowDistinctSketch, qAggPercentile, qAggMode,
     qAggStddevExact, qAggCorrExact, qAggCms, qHeavyHitters, qAggHistogram,
-    qOutliersZscore, qOutliersMad)
+    qOutliersZscore, qOutliersMad, qAggWeightedMedian)
 }
