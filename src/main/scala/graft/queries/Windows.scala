@@ -755,10 +755,54 @@ object Windows extends QueryGroup {
                 ORDER BY value) * 1000000) AS BIGINT) AS pct_micro
             FROM events ORDER BY event_id"""))
 
+  /** NEW vs RETURNING user accounting per day — the audience-composition
+    * split every activity dashboard needs, and the complement of cohort
+    * retention (which buckets by cohort; this buckets by calendar day).
+    * A user is "new" on their first-ever active day, "returning" on any
+    * later active day.
+    *
+    * Scale shape: activity collapses to DISTINCT (day, user) pairs
+    * first (one shuffle, map-side combined); first-seen days are a
+    * user-keyed aggregation whose join back REUSES the user_id
+    * partitioning; the final per-day aggregation is calendar-sized. No
+    * window over raw events, no per-user sort. */
+  private val qUsersNewReturning = Q(
+    "q_users_new_returning",
+    (s, dir) => {
+      val pairs = table(s, dir, "events")
+        .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+        .distinct()
+      val first = pairs.groupBy(col("user_id"))
+        .agg(min(col("day")).as("first_day"))
+      pairs.join(first, "user_id")
+        .groupBy(col("day"))
+        .agg(
+          sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+            .as("new_users"),
+          sum(when(col("day") > col("first_day"), 1L).otherwise(0L))
+            .as("returning_users"))
+        .select(col("day").cast("timestamp_ntz").as("day"),
+          col("new_users"), col("returning_users"))
+        .orderBy("day")
+    },
+    Some("""WITH pairs AS (
+              SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+              FROM events),
+            first AS (
+              SELECT user_id, min(day) AS first_day FROM pairs GROUP BY 1)
+            SELECT pairs.day AS day,
+              CAST(sum(CASE WHEN pairs.day = first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_users,
+              CAST(sum(CASE WHEN pairs.day > first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS returning_users
+            FROM pairs JOIN first USING (user_id)
+            GROUP BY 1 ORDER BY 1"""))
+
   override val queries: Seq[Q] = Seq(
     qWindowTopk, qWindowRunning, qWindowLeadLag, qWindowRank,
     qWindowRangeFrame, qWindowAnalytics, qAggRollup, qAggCube,
     qAggGroupingSets, qAggUnpivot, qWindowRownumSalted, qWindowRownumQsalted,
     qWindowNtile, qScd2Intervals, qSessionize, qTimeseriesFill, qCohortRetention,
-    qFunnel, qEventsMarkov, qAttribLastTouch, qScoreCalibrate)
+    qFunnel, qEventsMarkov, qAttribLastTouch, qScoreCalibrate,
+    qUsersNewReturning)
 }
