@@ -417,8 +417,56 @@ object Sources extends QueryGroup {
             FROM customer GROUP BY 1, 2
             ORDER BY snap, k"""))
 
+  /** DYNAMIC PARTITION OVERWRITE — the partition-level upsert every
+    * partitioned lakehouse table needs: rewriting one partition's
+    * content must leave every other partition byte-untouched, WITHOUT
+    * naming the partition in the write (dynamic mode derives the
+    * replaced set from the data). The corpus is laid out partitioned by
+    * lang; the 'en' partition is then overwritten with a filtered +
+    * transformed replacement batch under
+    * partitionOverwriteMode=dynamic (saved/restored around the write —
+    * static mode would wipe ALL partitions, exactly the failure this
+    * guards). The gate reads the layout back and checks per-lang counts
+    * AND a commutative content-hash sum — a wiped bystander partition,
+    * a surviving pre-overwrite 'en' row, or a missed transform all move
+    * it. Oracle recomputes the expected post-state from the source
+    * table. */
+  private val qStoreDpo = Q(
+    "q_store_dpo",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.GraftFunctions.charHashNative
+      val stage = sys.props("java.io.tmpdir") + "/graft-stages/dpo"
+      val docs = table(s, dir, "documents").select("doc_id", "lang", "text")
+      docs.write.partitionBy("lang").mode("overwrite").parquet(stage)
+      val delta = docs.filter(col("lang") === "en" && col("doc_id") % 2 === 0)
+        .withColumn("text", upper(col("text")))
+      val saved = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try delta.write.partitionBy("lang").mode("overwrite").parquet(stage)
+      finally saved match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      s.read.parquet(stage)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(charHashNative(col("text"))).as("content_sum"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH post AS (
+              SELECT doc_id, lang, text FROM documents WHERE lang <> 'en'
+              UNION ALL
+              SELECT doc_id, lang, upper(text) AS text FROM documents
+              WHERE lang = 'en' AND doc_id % 2 = 0)
+            SELECT lang, count(*) AS n_docs,
+              CAST(sum(${graft.operators.PortableHash.charHashSql("text")})
+                AS BIGINT) AS content_sum
+            FROM post GROUP BY 1 ORDER BY 1"""))
+
   override val queries: Seq[Q] =
     Seq(qSourceCsv, qSourceJson, qSourceOrc, qSourceText, qSourcePartitioned,
       qSourceBucketedJoin, qSourceDsv2, qSinkDsv2, qSourceKv, qSourceKvNet,
-      qZorderLayout, qZonemapPrune, qStoreTimetravel, qSourceSchemaEvolution)
+      qZorderLayout, qZonemapPrune, qStoreTimetravel, qSourceSchemaEvolution,
+      qStoreDpo)
 }
