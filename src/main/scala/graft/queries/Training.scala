@@ -414,6 +414,55 @@ object Training extends QueryGroup {
              FROM re JOIN t ON t.doc_id = re.doc_id
              ORDER BY re.doc_id"""))
 
+  /** Column DIVERSITY profiling via exact Gini impurity — the
+    * categorical-balance metric for a training mix (is one lang/source
+    * about to dominate?). Gini = 1 − Σp², which unlike entropy needs no
+    * logarithm: on counts it is the exact rational (n² − Σc²)/n²,
+    * emitted in integer micros with decimal(38,0) squares (n² passes
+    * long range at ~3×10⁹ rows — the zscore/chi2 wide-integer
+    * discipline) and remainder-subtracted floor division.
+    *
+    * Scale shape: one stacked pass — the profiled columns unpivot into
+    * (column, value) rows in a single projection, ONE hash aggregation
+    * counts them, a label-cardinality-sized re-aggregation forms the
+    * sums. Adding a column widens the stack expression, not the plan. */
+  private val qProfileGini = Q(
+    "q_profile_gini",
+    (s, dir) => {
+      val dec = "decimal(38,0)"
+      val stacked = table(s, dir, "documents")
+        .select(explode(map(
+          lit("lang"), col("lang"),
+          lit("source"), col("source"))).as(Seq("col_name", "val")))
+      val counts = stacked.groupBy(col("col_name"), col("val"))
+        .agg(count(lit(1)).as("c"))
+      counts.groupBy(col("col_name"))
+        .agg(count(lit(1)).as("n_distinct"),
+          sum(col("c")).as("n"),
+          sum(col("c").cast(dec) * col("c").cast(dec)).as("sq"))
+        .select(col("col_name"), col("n_distinct"), {
+          val n2 = col("n").cast(dec) * col("n").cast(dec)
+          val num = (n2 - col("sq")) * lit(1000000L).cast(dec)
+          ((num - num % n2) / n2).cast("long").as("gini_micro")
+        })
+        .orderBy("col_name")
+    },
+    Some("""WITH stacked AS (
+              SELECT 'lang' AS col_name, lang AS val FROM documents
+              UNION ALL
+              SELECT 'source', source FROM documents),
+            counts AS (
+              SELECT col_name, val, count(*) AS c
+              FROM stacked GROUP BY 1, 2),
+            sums AS (
+              SELECT col_name, count(*) AS n_distinct,
+                sum(c) AS n, sum(CAST(c AS HUGEINT) * c) AS sq
+              FROM counts GROUP BY 1)
+            SELECT col_name, CAST(n_distinct AS BIGINT) AS n_distinct,
+              CAST(((CAST(n AS HUGEINT) * n - sq) * 1000000)
+                // (CAST(n AS HUGEINT) * n) AS BIGINT) AS gini_micro
+            FROM sums ORDER BY col_name"""))
+
   /** MARKET-BASKET pair mining (frequent itemsets, k=2) with exact lift
     * — the association-mining primitive behind co-occurrence features:
     * part pairs appearing in the same order, ranked by support, with
@@ -928,7 +977,7 @@ object Training extends QueryGroup {
   override val queries: Seq[Q] = Seq(
     qTextRepetition, qSplitAssign, qMixWeighted, qSamplePerGroup,
     qPackSequences, qLinesDedup, qProfileColumns, qChunkDocs, qChunkRoundtrip,
-    qBasketPairs, qDedupLatest,
+    qBasketPairs, qProfileGini, qDedupLatest,
     qCdcMerge, qDqChecks, qIngestIncremental, qTableDigest, qStoreCompact,
     qStoreForget, qAggIncrementalView, qShuffleGlobal)
 }
