@@ -520,6 +520,55 @@ object Functions extends QueryGroup {
               FROM lineitem GROUP BY l_returnflag, l_suppkey) t
             WHERE rk <= 3 ORDER BY l_returnflag, rk"""))
 
+  /** WINSORIZED aggregation — robust preprocessing that clips each
+    * group's values at its own exact p05/p95 before summing, so a
+    * handful of wild rows can't dominate a mean. Percentile bounds come
+    * from the count-map machinery (same lerp as quantile_cont, parity
+    * proven by q_agg_percentile), are then QUANTIZED to 1e-4 integer
+    * units, and the clip + sum runs entirely in long arithmetic —
+    * greatest(least(qv, hi), lo) on integers — so the gate hash cannot
+    * drift on float order. Mean in micros is remainder-free integer
+    * division. Stats side is group-cardinality-sized and broadcasts. */
+  private val qWinsorize = Q(
+    "q_winsorize",
+    (s, dir) => {
+      val e = table(s, dir, "events")
+        .select(col("event_type"), col("value"),
+          round(col("value") * 10000).cast("long").as("qv"))
+      val bounds = countMapPercentiles(e, "event_type", "value",
+        Seq("p05" -> 0.05, "p95" -> 0.95))
+        .select(col("event_type"),
+          round(col("p05") * 10000).cast("long").as("lo_fp"),
+          round(col("p95") * 10000).cast("long").as("hi_fp"))
+      e.join(broadcast(bounds), "event_type")
+        .select(col("event_type"), col("lo_fp"), col("hi_fp"),
+          greatest(least(col("qv"), col("hi_fp")), col("lo_fp")).as("cl"))
+        .groupBy(col("event_type"), col("lo_fp"), col("hi_fp"))
+        .agg(count(lit(1)).as("n"), sum(col("cl")).as("wins_sum_fp"))
+        .withColumn("wins_mean_micro",
+          expr("(wins_sum_fp * 100) div n"))
+        .select("event_type", "lo_fp", "hi_fp", "n", "wins_sum_fp",
+          "wins_mean_micro")
+        .orderBy("event_type")
+    },
+    Some("""WITH q AS (
+              SELECT event_type, value,
+                CAST(round(value * 10000) AS BIGINT) AS qv
+              FROM events),
+            b AS (
+              SELECT event_type,
+                CAST(round(quantile_cont(value, 0.05) * 10000) AS BIGINT) AS lo_fp,
+                CAST(round(quantile_cont(value, 0.95) * 10000) AS BIGINT) AS hi_fp
+              FROM q GROUP BY 1)
+            SELECT q.event_type, lo_fp, hi_fp,
+              count(*) AS n,
+              CAST(sum(greatest(least(qv, hi_fp), lo_fp)) AS BIGINT)
+                AS wins_sum_fp,
+              CAST((sum(greatest(least(qv, hi_fp), lo_fp)) * 100) // count(*)
+                AS BIGINT) AS wins_mean_micro
+            FROM q JOIN b USING (event_type)
+            GROUP BY 1, 2, 3 ORDER BY 1"""))
+
   /** Exact WEIGHTED median — the order statistic where each row counts
     * with a weight (here: price weighted by quantity, i.e. "the price
     * at which half the VOLUME trades", not half the line items). Same
@@ -807,5 +856,5 @@ object Functions extends QueryGroup {
     qFnMap, qFnUdf, qAggApproxDistinct, qAggSketchIncremental,
     qWindowDistinctSketch, qAggPercentile, qAggMode,
     qAggStddevExact, qAggCorrExact, qAggCms, qHeavyHitters, qAggHistogram,
-    qOutliersZscore, qOutliersMad, qAggWeightedMedian)
+    qOutliersZscore, qOutliersMad, qAggWeightedMedian, qWinsorize)
 }
