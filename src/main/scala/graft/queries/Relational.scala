@@ -591,6 +591,57 @@ object Relational extends QueryGroup {
                   AND o_orderdate >= TIMESTAMP '2000-01-01')
             GROUP BY 1 ORDER BY 1"""))
 
+  /** ABC / PARETO classification — the inventory-analytics split of a
+    * ranked population into cumulative-share classes (A: first 70% of
+    * revenue, B: to 90%, C: tail). Per-part revenues are one hash
+    * aggregation; the ranked cumulative share runs over the AGGREGATED
+    * part table (bounded by the part domain, not row count — at a
+    * billion-part catalog the salted prefix-sum machinery
+    * (operators/SaltedPrefix) is the drop-in form, as q_shuffle_global
+    * demonstrates); class boundaries are integer cross-products
+    * (cum·10 ≤ total·7) so no float share ever exists. Ties on revenue
+    * are broken by partkey — deterministic class membership. */
+  private val qAbcClassify = Q(
+    "q_abc_classify",
+    (s, dir) => {
+      val pv = table(s, dir, "lineitem")
+        .select(col("l_partkey"),
+          fixed4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+        .groupBy(col("l_partkey")).agg(sum(col("rev")).as("rev"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("rev").desc, col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      pv.withColumn("cum", sum("rev").over(w))
+        .withColumn("total", sum("rev").over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("abc_class",
+          when(col("cum") * 10 <= col("total") * 7, "A")
+            .when(col("cum") * 10 <= col("total") * 9, "B")
+            .otherwise("C"))
+        .groupBy(col("abc_class"))
+        .agg(count(lit(1)).as("n_parts"),
+          (sum(col("rev")).cast("double") / 10000.0).as("class_revenue"))
+        .orderBy("abc_class")
+    },
+    Some(s"""WITH pv AS (
+              SELECT l_partkey,
+                CAST(sum(${fixed4Sql("l_extendedprice * (1 - l_discount)")})
+                  AS BIGINT) AS rev
+              FROM lineitem GROUP BY 1),
+            ranked AS (
+              SELECT l_partkey, rev,
+                sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                sum(rev) OVER () AS total
+              FROM pv),
+            classed AS (
+              SELECT *, CASE WHEN cum * 10 <= total * 7 THEN 'A'
+                WHEN cum * 10 <= total * 9 THEN 'B' ELSE 'C' END AS abc_class
+              FROM ranked)
+            SELECT abc_class, count(*) AS n_parts,
+              CAST(sum(rev) AS DOUBLE) / 10000.0 AS class_revenue
+            FROM classed GROUP BY 1 ORDER BY 1"""))
+
   // -- sort / limit / top-k -------------------------------------------
 
   private val qSortLimit = Q(
@@ -742,8 +793,8 @@ object Relational extends QueryGroup {
     q3TopRevenue, qJoinLeft, qJoinRight, qJoinSemi, qJoinAnti, qJoinFull,
     qJoinCross, qJoinTheta, qJoinBloomPrune, q5NationRevenue, q13CustDist,
     q14PromoShare, q4PriorityLate, q7VolumeShipping, q11PartShare,
-    q18LargeOrders, q21LateSuppliers, q22DormantCustomers, qSortLimit,
-    qTopkGlobal,
+    q18LargeOrders, q21LateSuppliers, q22DormantCustomers, qAbcClassify,
+    qSortLimit, qTopkGlobal,
     qSetUnionAll, qSetIntersect, qSetExcept,
     qSetIntersectAll, qSetExceptAll, qSetUnionByName, qSetDistinct)
 }
