@@ -642,6 +642,59 @@ object Relational extends QueryGroup {
               CAST(sum(rev) AS DOUBLE) / 10000.0 AS class_revenue
             FROM classed GROUP BY 1 ORDER BY 1"""))
 
+  /** GINI COEFFICIENT of revenue concentration — the inequality measure
+    * completing q_abc_classify's share classes: on rank-sorted values
+    * G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx), computed entirely in
+    * decimal(38,0)/HUGEINT integer products with remainder-subtracted
+    * floor division (Σi·xᵢ alone is rank·revenue ≈ 10²⁰-grade at a
+    * full-scale catalog). The rank runs over the AGGREGATED part table
+    * (part-domain bounded, the q_abc_classify note applies); ties
+    * broken by partkey so the rank-weighted sum is deterministic. */
+  private val qGiniConcentration = Q(
+    "q_gini_concentration",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dec = "decimal(38,0)"
+      val pv = table(s, dir, "lineitem")
+        .select(col("l_partkey"),
+          fixed4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+        .groupBy(col("l_partkey")).agg(sum(col("rev")).as("rev"))
+      val r = pv
+        .withColumn("i", row_number().over(
+          Window.orderBy(col("rev"), col("l_partkey"))))
+        .withColumn("n", count(lit(1)).over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      r.agg(
+          sum(col("i").cast(dec) * col("rev").cast(dec)).as("siw"),
+          sum(col("rev").cast(dec)).as("sw"),
+          max(col("n")).as("n"))
+        .select({
+          val num = (lit(2).cast(dec) * col("siw") -
+            (col("n") + 1).cast(dec) * col("sw")) * lit(1000000L).cast(dec)
+          val den = col("n").cast(dec) * col("sw")
+          ((num - num % den) / den).cast("long").as("gini_micro")
+        }, col("n"))
+    },
+    Some(s"""WITH pv AS (
+              SELECT l_partkey,
+                CAST(sum(${fixed4Sql("l_extendedprice * (1 - l_discount)")})
+                  AS BIGINT) AS rev
+              FROM lineitem GROUP BY 1),
+            r AS (
+              SELECT rev,
+                row_number() OVER (ORDER BY rev, l_partkey) AS i,
+                count(*) OVER () AS n
+              FROM pv),
+            s AS (
+              SELECT CAST(sum(CAST(i AS HUGEINT) * rev) AS HUGEINT) AS siw,
+                CAST(sum(CAST(rev AS HUGEINT)) AS HUGEINT) AS sw,
+                max(n) AS n
+              FROM r)
+            SELECT CAST(((2 * siw - (n + 1) * sw) * 1000000)
+                // (n * sw) AS BIGINT) AS gini_micro,
+              CAST(n AS BIGINT) AS n
+            FROM s"""))
+
   // -- sort / limit / top-k -------------------------------------------
 
   private val qSortLimit = Q(
@@ -794,7 +847,7 @@ object Relational extends QueryGroup {
     qJoinCross, qJoinTheta, qJoinBloomPrune, q5NationRevenue, q13CustDist,
     q14PromoShare, q4PriorityLate, q7VolumeShipping, q11PartShare,
     q18LargeOrders, q21LateSuppliers, q22DormantCustomers, qAbcClassify,
-    qSortLimit, qTopkGlobal,
+    qGiniConcentration, qSortLimit, qTopkGlobal,
     qSetUnionAll, qSetIntersect, qSetExcept,
     qSetIntersectAll, qSetExceptAll, qSetUnionByName, qSetDistinct)
 }
