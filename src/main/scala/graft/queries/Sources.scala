@@ -417,6 +417,58 @@ object Sources extends QueryGroup {
             FROM customer GROUP BY 1, 2
             ORDER BY snap, k"""))
 
+  /** MALFORMED-RECORD ingest (PERMISSIVE + corrupt-record column) — real
+    * corpora arrive dirty, and silently dropping bad rows is the
+    * ingest bug this guards: a CSV staged with a deterministic fault
+    * pattern (every doc_id ≡ 2 mod 5 gets a non-numeric n_chars) is
+    * read back with an explicit schema and
+    * columnNameOfCorruptRecord, so parse failures become ROWS (raw
+    * line preserved) instead of silent nulls or a job abort. The gate
+    * accounts for every input row: good/corrupt counts plus an exact
+    * id-sum per class — a row lost, misclassified, or double-counted
+    * moves it. The oracle recomputes both classes from the fault rule
+    * on the source table.
+    *
+    * Scale shape: the corrupt-record path is a per-row parse decision
+    * inside the scan — no extra pass, no shuffle; the accounting is
+    * one hash aggregation. */
+  private val qSourceCorrupt = Q(
+    "q_source_corrupt",
+    (s, dir) => {
+      val stage = sys.props("java.io.tmpdir") + "/graft-stages/corrupt_csv"
+      val docs = table(s, dir, "documents").select("doc_id", "n_chars")
+      docs.select(concat_ws(",", col("doc_id"),
+          when(col("doc_id") % 5 === 2, lit("notanumber"))
+            .otherwise(col("n_chars").cast("string"))).as("value"))
+        .write.mode("overwrite").text(stage)
+      val schema = "doc_id BIGINT, n_chars BIGINT, _corrupt_record STRING"
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(stage)
+        .select(when(col("_corrupt_record").isNull, "good")
+          .otherwise("corrupt").as("cls"),
+          // corrupt rows keep doc_id NULL in the parsed columns; recover
+          // the id from the preserved raw line so BOTH classes id-sum
+          coalesce(col("doc_id"),
+            split(col("_corrupt_record"), ",").getItem(0).cast("long"))
+            .as("id"),
+          // n_chars MUST be referenced: CSV column pruning otherwise
+          // skips parsing the faulted field entirely and no row is ever
+          // marked corrupt (verified — pruned plan returned 0 corrupt)
+          col("n_chars"))
+        .groupBy(col("cls"))
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("id_sum"),
+          sum(col("n_chars")).as("chars_sum"))
+        .orderBy("cls")
+    },
+    Some("""SELECT CASE WHEN doc_id % 5 = 2 THEN 'corrupt' ELSE 'good' END
+              AS cls,
+              count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+              CAST(sum(CASE WHEN doc_id % 5 = 2 THEN NULL ELSE n_chars END)
+                AS BIGINT) AS chars_sum
+            FROM documents GROUP BY 1 ORDER BY 1"""))
+
   /** DYNAMIC PARTITION OVERWRITE — the partition-level upsert every
     * partitioned lakehouse table needs: rewriting one partition's
     * content must leave every other partition byte-untouched, WITHOUT
@@ -468,5 +520,5 @@ object Sources extends QueryGroup {
     Seq(qSourceCsv, qSourceJson, qSourceOrc, qSourceText, qSourcePartitioned,
       qSourceBucketedJoin, qSourceDsv2, qSinkDsv2, qSourceKv, qSourceKvNet,
       qZorderLayout, qZonemapPrune, qStoreTimetravel, qSourceSchemaEvolution,
-      qStoreDpo)
+      qStoreDpo, qSourceCorrupt)
 }
