@@ -755,6 +755,73 @@ object Windows extends QueryGroup {
                 ORDER BY value) * 1000000) AS BIGINT) AS pct_micro
             FROM events ORDER BY event_id"""))
 
+  /** INTER-ARRIVAL GAP statistics — the temporal-health metric of an
+    * event stream (is activity cadence drifting?): per user the gap to
+    * the previous event in whole seconds (lag over the user's timeline),
+    * then per event-type lower-median and lower-p90 of those gaps.
+    * Quantiles use the count-map rule (min v with cum ≥ ⌈q·n⌉, ranks as
+    * exact integers: (n+1) div 2 and (9n+9) div 10) — the
+    * q_outliers_mad discipline, identical on both engines, gaps are
+    * exact integer seconds so no float exists anywhere.
+    *
+    * Scale shape: one user_id window for the lag (per-user partitions),
+    * one (type, gap) hash aggregation, cumulative pass over the
+    * aggregated gap table (bounded by the gap-value domain). */
+  private val qEventsGaps = Q(
+    "q_events_gaps",
+    (s, dir) => {
+      val gaps = table(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("gap_s",
+          // micros end-to-end then one floor division: unix_timestamp
+          // FLOORS each endpoint while DuckDB's epoch() rounds — the
+          // per-endpoint difference was off by one second on 3 rows
+          expr("(unix_micros(CAST(ts AS TIMESTAMP)) - " +
+            "unix_micros(CAST(lag(ts, 1) OVER " +
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP))) " +
+            "div 1000000"))
+        .filter(col("gap_s").isNotNull)
+      val gm = gaps.groupBy(col("event_type"), col("gap_s"))
+        .agg(count(lit(1)).as("cnt"))
+      val cum = gm
+        .withColumn("hi",
+          sum("cnt").over(Window.partitionBy("event_type").orderBy("gap_s")))
+        .withColumn("n", sum("cnt").over(Window.partitionBy("event_type")))
+      val med = cum.filter(col("hi") >= expr("(n + 1) div 2"))
+        .groupBy(col("event_type")).agg(min(col("gap_s")).as("med_gap_s"))
+      val p90 = cum.filter(col("hi") >= expr("(9 * n + 9) div 10"))
+        .groupBy(col("event_type")).agg(min(col("gap_s")).as("p90_gap_s"))
+      val counts = gaps.groupBy(col("event_type")).agg(count(lit(1)).as("n_gaps"))
+      counts.join(med, "event_type").join(p90, "event_type")
+        .select("event_type", "n_gaps", "med_gap_s", "p90_gap_s")
+        .orderBy("event_type")
+    },
+    Some("""WITH seq AS (
+              SELECT user_id, event_type, ts,
+                (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id))) // 1000000 AS gap_s
+              FROM events),
+            gaps AS (SELECT event_type, gap_s FROM seq WHERE gap_s IS NOT NULL),
+            gm AS (
+              SELECT event_type, gap_s, count(*) AS cnt
+              FROM gaps GROUP BY 1, 2),
+            cum AS (
+              SELECT event_type, gap_s,
+                sum(cnt) OVER (PARTITION BY event_type ORDER BY gap_s) AS hi,
+                sum(cnt) OVER (PARTITION BY event_type) AS n
+              FROM gm),
+            med AS (
+              SELECT event_type, min(gap_s) AS med_gap_s FROM cum
+              WHERE hi >= (n + 1) // 2 GROUP BY 1),
+            p90 AS (
+              SELECT event_type, min(gap_s) AS p90_gap_s FROM cum
+              WHERE hi >= (9 * n + 9) // 10 GROUP BY 1),
+            counts AS (
+              SELECT event_type, count(*) AS n_gaps FROM gaps GROUP BY 1)
+            SELECT event_type, n_gaps, med_gap_s, p90_gap_s
+            FROM counts JOIN med USING (event_type) JOIN p90 USING (event_type)
+            ORDER BY event_type"""))
+
   /** NEW vs RETURNING user accounting per day — the audience-composition
     * split every activity dashboard needs, and the complement of cohort
     * retention (which buckets by cohort; this buckets by calendar day).
@@ -804,5 +871,5 @@ object Windows extends QueryGroup {
     qAggGroupingSets, qAggUnpivot, qWindowRownumSalted, qWindowRownumQsalted,
     qWindowNtile, qScd2Intervals, qSessionize, qTimeseriesFill, qCohortRetention,
     qFunnel, qEventsMarkov, qAttribLastTouch, qScoreCalibrate,
-    qUsersNewReturning)
+    qUsersNewReturning, qEventsGaps)
 }
