@@ -669,6 +669,68 @@ object Llm extends QueryGroup {
               (CAST(sum(q) AS DOUBLE) / 10000.0) / count(*) AS mean
             FROM x GROUP BY grp, dim ORDER BY grp, dim"""))
 
+  /** Per-group embedding DISPERSION — the cluster-tightness metric
+    * (average squared distance to the group centroid) that grades how
+    * separable a labeled embedding space is, kept EXACT in quantized
+    * units via the variance identity n·Σ|x|² − Σ_d(Σx_d)² over
+    * 1e-4-quantized coordinates: per-row squared norms are one narrow
+    * projection, per-dim sums reuse the mergeable VectorSum Aggregator
+    * (the q_agg_vector_centroid machinery — 64 longs of state per
+    * group), and the final combine is decimal(38,0) products with
+    * remainder-subtracted floor division (n·Σ|x|² is 10²⁰-grade at a
+    * billion-vector corpus). No float enters until never — the output
+    * is integer micros of squared 1e-4 units. */
+  private val qAggVectorDispersion = Q(
+    "q_agg_vector_dispersion",
+    (s, dir) => {
+      import s.implicits._
+      val dec = "decimal(38,0)"
+      val e = table(s, dir, "embeddings")
+        .select(col("label").cast("long").as("grp"), col("embedding"))
+      val qsq = aggregate(
+        transform(col("embedding"),
+          x => {
+            val q = round(x.cast("double") * 10000).cast("long")
+            q * q
+          }),
+        lit(0L), (acc, v) => acc + v)
+      val ssn = e.select(col("grp"), qsq.as("qsq"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("qsq").cast(dec)).as("ss"))
+      val s2 = e.as[(Long, Seq[Float])]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(graft.operators.TypedAggregates.VectorSum(64).toColumn)
+        .flatMap { case (grp, (sums, _)) => sums.map(sq => (grp, sq)) }
+        .toDF("grp", "sum_q")
+        .groupBy(col("grp"))
+        .agg(sum(col("sum_q").cast(dec) * col("sum_q").cast(dec)).as("s2"))
+      ssn.join(s2, "grp")
+        .select(col("grp"), col("n"), {
+          val num = (col("n").cast(dec) * col("ss") - col("s2")) *
+            lit(1000000L).cast(dec)
+          val den = col("n").cast(dec) * col("n").cast(dec)
+          ((num - num % den) / den).cast("long").as("dispersion_micro")
+        })
+        .orderBy("grp")
+    },
+    Some("""WITH x AS (
+              SELECT CAST(label AS BIGINT) AS grp, i AS dim,
+                CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT) AS q
+              FROM embeddings
+              CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) dims),
+            per AS (SELECT grp, dim, sum(q) AS sq FROM x GROUP BY 1, 2),
+            nn AS (SELECT CAST(label AS BIGINT) AS grp, count(*) AS n
+                   FROM embeddings GROUP BY 1),
+            ss AS (SELECT grp, sum(CAST(q AS HUGEINT) * q) AS ss
+                   FROM x GROUP BY 1),
+            s2 AS (SELECT grp, sum(CAST(sq AS HUGEINT) * sq) AS s2
+                   FROM per GROUP BY 1)
+            SELECT nn.grp, n,
+              CAST(((CAST(n AS HUGEINT) * ss - s2) * 1000000)
+                // (CAST(n AS HUGEINT) * n) AS BIGINT) AS dispersion_micro
+            FROM nn JOIN ss ON ss.grp = nn.grp JOIN s2 ON s2.grp = nn.grp
+            ORDER BY nn.grp"""))
+
   /** Per-document discriminative terms — the tf-idf-family scoring a
     * retrieval/curation pipeline runs corpus-wide, kept EXACT: score =
     * (tf · 10⁶) div df, an integer tf/df ratio (idf ∝ 1/df — same
@@ -1877,7 +1939,7 @@ object Llm extends QueryGroup {
     qTextLangId, qTextQuality, qTextTokens, qTextFingerprint, qTextTopterms,
     qTextChi2, qDriftTerms,
     qVocabEncode, qTextBm25,
-    qAggVectorCentroid, qMultimodal,
+    qAggVectorCentroid, qAggVectorDispersion, qMultimodal,
     qMultimodalDecode, qMultimodalResample, qDecontaminate, qTextPii, qDedupFuzzy)
 
   /** Fuzzy string-match join (entity resolution): name pairs within
