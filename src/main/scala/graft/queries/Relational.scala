@@ -591,6 +591,43 @@ object Relational extends QueryGroup {
                   AND o_orderdate >= TIMESTAMP '2000-01-01')
             GROUP BY 1 ORDER BY 1"""))
 
+  /** Ship-latency SLA attainment — the operational scorecard: per order
+    * priority, the share of lineitems shipped within 30/60/90 days of
+    * the order date, in integer BASIS POINTS (cnt·10000 div total — no
+    * float percentage exists, ties in the integer division identical on
+    * both engines). One orderkey equi-join carries o_orderdate to the
+    * lineitem rows; all three SLA bands fold into ONE conditional
+    * aggregation pass (CASE inside the partial aggregate, the Q14
+    * discipline) keyed by the 5-value priority dictionary. */
+  private val qShipSla = Q(
+    "q_ship_sla",
+    (s, dir) => {
+      val o = table(s, dir, "orders")
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val l = table(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+      def within(days: Int): Column =
+        sum(when(col("l_shipdate") <=
+          col("o_orderdate") + expr(s"INTERVAL $days DAY"), 1L).otherwise(0L))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          within(30).as("w30"), within(60).as("w60"), within(90).as("w90"))
+        .select(col("o_orderpriority"), col("n_lines"),
+          expr("(w30 * 10000) div n_lines").as("sla30_bps"),
+          expr("(w60 * 10000) div n_lines").as("sla60_bps"),
+          expr("(w90 * 10000) div n_lines").as("sla90_bps"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n_lines,
+              CAST((sum(CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY
+                THEN 1 ELSE 0 END) * 10000) // count(*) AS BIGINT) AS sla30_bps,
+              CAST((sum(CASE WHEN l_shipdate <= o_orderdate + INTERVAL 60 DAY
+                THEN 1 ELSE 0 END) * 10000) // count(*) AS BIGINT) AS sla60_bps,
+              CAST((sum(CASE WHEN l_shipdate <= o_orderdate + INTERVAL 90 DAY
+                THEN 1 ELSE 0 END) * 10000) // count(*) AS BIGINT) AS sla90_bps
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            GROUP BY 1 ORDER BY 1"""))
+
   /** ABC / PARETO classification — the inventory-analytics split of a
     * ranked population into cumulative-share classes (A: first 70% of
     * revenue, B: to 90%, C: tail). Per-part revenues are one hash
@@ -847,7 +884,7 @@ object Relational extends QueryGroup {
     qJoinCross, qJoinTheta, qJoinBloomPrune, q5NationRevenue, q13CustDist,
     q14PromoShare, q4PriorityLate, q7VolumeShipping, q11PartShare,
     q18LargeOrders, q21LateSuppliers, q22DormantCustomers, qAbcClassify,
-    qGiniConcentration, qSortLimit, qTopkGlobal,
+    qGiniConcentration, qShipSla, qSortLimit, qTopkGlobal,
     qSetUnionAll, qSetIntersect, qSetExcept,
     qSetIntersectAll, qSetExceptAll, qSetUnionByName, qSetDistinct)
 }
