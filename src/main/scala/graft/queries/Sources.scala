@@ -417,6 +417,74 @@ object Sources extends QueryGroup {
             FROM customer GROUP BY 1, 2
             ORDER BY snap, k"""))
 
+  /** BUCKETED AGGREGATION — bucketing's second dividend after
+    * shuffle-free joins: a GROUP BY on the bucket key aggregates with NO
+    * exchange at all, because the bucketed scan's hash partitioning
+    * already satisfies the aggregation's distribution requirement. On a
+    * 100 TB fact table that difference — aggregate in place vs re-hash
+    * the whole table — IS the layout's payoff, so the gate runs the
+    * aggregation over a bucketed copy and `BucketedJoinSpec`-style plan
+    * pinning lives in the exchange-count assertion of
+    * `BucketedAggSpec`. Results are exact money sums; oracle aggregates
+    * the plain table. */
+  private val qSourceBucketedAgg = Q(
+    "q_source_bucketed_agg",
+    (s, dir) => {
+      resetTable(s, "orders_bkt_agg")
+      table(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("orders_bkt_agg")
+      s.table("orders_bkt_agg")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_custkey"))
+        .limit(100)
+    },
+    Some(s"""SELECT o_custkey, count(*) AS n_orders,
+               ${moneySumSql("o_totalprice")} AS total
+             FROM orders GROUP BY o_custkey ORDER BY o_custkey LIMIT 100"""))
+
+  /** NULL-SAFE equality join (the `<=>` semantics corner): ordinary `=`
+    * drops null-keyed rows from BOTH sides silently — the classic
+    * quiet-data-loss bug when a join key is optional. This gate makes
+    * the corner observable: a derived nullable key (customers outside a
+    * balance band get NULL) joined BOTH ways, counting matches. The
+    * null-safe join matches null-to-null (one hash bucket for NULL —
+    * still an equi-join, still shuffle-partitionable, Spark plans
+    * SortMergeJoin on `<=>`); the plain join's match count excludes
+    * every null pair, and the gate carries both counts so either
+    * semantics drifting breaks it. */
+  private val qJoinNullsafe = Q(
+    "q_join_nullsafe",
+    (s, dir) => {
+      val c = table(s, dir, "customer")
+        .select(col("c_custkey"),
+          when(col("c_acctbal") >= -900 && col("c_acctbal") <= 9900,
+            col("c_nationkey")).as("k"))
+      val a = c.select(col("c_custkey").as("ck_a"), col("k").as("ka"))
+      val b = c.select(col("c_custkey").as("ck_b"), col("k").as("kb"))
+      val nullsafe = a.join(b, col("ka") <=> col("kb"))
+        .agg(count(lit(1)).as("n")).select(col("n").as("n_nullsafe"))
+      val plain = a.join(b, col("ka") === col("kb"))
+        .agg(count(lit(1)).as("n")).select(col("n").as("n_plain"))
+      nullsafe.crossJoin(plain)
+        .withColumn("null_pairs", col("n_nullsafe") - col("n_plain"))
+    },
+    Some("""WITH c AS (
+              SELECT c_custkey,
+                CASE WHEN c_acctbal BETWEEN -900 AND 9900
+                  THEN c_nationkey END AS k
+              FROM customer)
+            SELECT
+              (SELECT count(*) FROM c a JOIN c b
+                ON a.k IS NOT DISTINCT FROM b.k) AS n_nullsafe,
+              (SELECT count(*) FROM c a JOIN c b ON a.k = b.k) AS n_plain,
+              (SELECT count(*) FROM c a JOIN c b
+                ON a.k IS NOT DISTINCT FROM b.k)
+              - (SELECT count(*) FROM c a JOIN c b ON a.k = b.k)
+                AS null_pairs"""))
+
   /** MALFORMED-RECORD ingest (PERMISSIVE + corrupt-record column) — real
     * corpora arrive dirty, and silently dropping bad rows is the
     * ingest bug this guards: a CSV staged with a deterministic fault
@@ -520,5 +588,5 @@ object Sources extends QueryGroup {
     Seq(qSourceCsv, qSourceJson, qSourceOrc, qSourceText, qSourcePartitioned,
       qSourceBucketedJoin, qSourceDsv2, qSinkDsv2, qSourceKv, qSourceKvNet,
       qZorderLayout, qZonemapPrune, qStoreTimetravel, qSourceSchemaEvolution,
-      qStoreDpo, qSourceCorrupt)
+      qStoreDpo, qSourceCorrupt, qSourceBucketedAgg, qJoinNullsafe)
 }
