@@ -463,6 +463,65 @@ object Training extends QueryGroup {
                 // (CAST(n AS HUGEINT) * n) AS BIGINT) AS gini_micro
             FROM sums ORDER BY col_name"""))
 
+  /** TABLE DIFF / reconciliation — the data-migration answer to "what
+    * changed between these two corpus versions?": a FULL OUTER join on
+    * the key classifies every row as added (left-null), removed
+    * (right-null), changed (both present, content hashes differ), or
+    * unchanged — with per-class counts and key-sums so a misclassified
+    * row moves the gate twice. The derived second version applies three
+    * deterministic mutations (drop doc_id≡0 mod 97, rewrite text at
+    * ≡0 mod 101, append 25 new ids past the corpus max) that the
+    * oracle re-derives from the same rules.
+    *
+    * Scale shape: ONE key-keyed full-outer shuffle (the q_cdc_merge
+    * lowering) comparing HASHES, not texts — the network carries a long
+    * per side however wide the rows; the class rollup is 4 rows. */
+  private val qTableDiff = Q(
+    "q_table_diff",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.GraftFunctions.charHashNative
+      val base = table(s, dir, "documents").select(col("doc_id"),
+        charHashNative(col("text")).as("h"))
+      val maxId = table(s, dir, "documents").agg(max(col("doc_id"))).head.getLong(0)
+      val other = table(s, dir, "documents")
+        .filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"),
+          charHashNative(when(col("doc_id") % 101 === 0,
+            concat(lit("edited: "), col("text"))).otherwise(col("text"))).as("h"))
+        .unionAll(table(s, dir, "documents").orderBy(col("doc_id")).limit(25)
+          .select((col("doc_id") + lit(maxId + 1)).as("doc_id"),
+            charHashNative(col("text")).as("h")))
+      base.select(col("doc_id"), col("h").as("hb"))
+        .join(other.select(col("doc_id"), col("h").as("ho")), Seq("doc_id"), "full")
+        .select(col("doc_id"),
+          when(col("hb").isNull, "added")
+            .when(col("ho").isNull, "removed")
+            .when(col("hb") =!= col("ho"), "changed")
+            .otherwise("unchanged").as("cls"))
+        .groupBy(col("cls"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("key_sum"))
+        .orderBy("cls")
+    },
+    Some("""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+            base AS (SELECT doc_id FROM documents),
+            other AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 101 = 0 THEN TRUE ELSE FALSE END AS edited
+              FROM documents WHERE doc_id % 97 <> 0
+              UNION ALL
+              SELECT doc_id + m + 1, FALSE FROM
+                (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 25), mx),
+            diff AS (
+              SELECT coalesce(base.doc_id, other.doc_id) AS doc_id,
+                CASE WHEN base.doc_id IS NULL THEN 'added'
+                  WHEN other.doc_id IS NULL THEN 'removed'
+                  WHEN other.edited THEN 'changed'
+                  ELSE 'unchanged' END AS cls
+              FROM base FULL OUTER JOIN other ON base.doc_id = other.doc_id)
+            SELECT cls, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS key_sum
+            FROM diff GROUP BY 1 ORDER BY 1"""))
+
   /** MARKET-BASKET pair mining (frequent itemsets, k=2) with exact lift
     * — the association-mining primitive behind co-occurrence features:
     * part pairs appearing in the same order, ranked by support, with
@@ -977,7 +1036,7 @@ object Training extends QueryGroup {
   override val queries: Seq[Q] = Seq(
     qTextRepetition, qSplitAssign, qMixWeighted, qSamplePerGroup,
     qPackSequences, qLinesDedup, qProfileColumns, qChunkDocs, qChunkRoundtrip,
-    qBasketPairs, qProfileGini, qDedupLatest,
+    qBasketPairs, qProfileGini, qTableDiff, qDedupLatest,
     qCdcMerge, qDqChecks, qIngestIncremental, qTableDigest, qStoreCompact,
     qStoreForget, qAggIncrementalView, qShuffleGlobal)
 }
