@@ -63,7 +63,10 @@ class PlanGuardSpec extends AnyFunSuite with SparkSessionFixture {
     "q_drift_terms" -> "corpus midpoint + era totals, one-row broadcasts",
     // trailing-window joins run over the AGGREGATED per-day tables —
     // bounded by the calendar (days, not rows) at any corpus size
-    "q_window_distinct_sketch" -> "day-range joins over calendar-bounded aggregates")
+    "q_window_distinct_sketch" -> "day-range joins over calendar-bounded aggregates",
+    // the two single-row match-count aggregates combined into one output
+    // row (the <=> join itself plans as an equi SortMergeJoin)
+    "q_join_nullsafe" -> "scalar x scalar result join")
 
   /** Whole-tree traversal: SparkPlan.collect does NOT descend into
     * AdaptiveSparkPlanExec (its current plan is a field, not a child) or
