@@ -802,13 +802,51 @@ object Advanced extends QueryGroup {
     },
     Some(pagerankUnrolledSql(PrFixpointCap)))
 
+  /** SQL DDL + DML surface — the catalog path a SQL-first user takes:
+    * CREATE TABLE in the session catalog, INSERT INTO ... SELECT from
+    * the parquet corpus, UPDATE-shaped INSERT of a derived tier, then
+    * aggregate the managed table — all through `spark.sql` text, no
+    * DataFrame construction. Proves the engine's SQL entry is a full
+    * surface (DDL, DML, queries over managed tables), not a single
+    * SELECT. The managed table is dropped and recreated per run
+    * (idempotent under the bench's repeated execution); the oracle
+    * recomputes the same tiers straight from the source table. */
+  private val qSqlDdl = Q(
+    "q_sql_ddl",
+    (s, dir) => {
+      graft.queries.Sources.resetTable(s, "cust_tiers")
+      val c = table(s, dir, "customer")
+      c.createOrReplaceTempView("customer_src")
+      s.sql("""CREATE TABLE cust_tiers (
+                 c_custkey BIGINT, tier STRING, bal_fp BIGINT)
+               USING parquet""")
+      s.sql("""INSERT INTO cust_tiers
+               SELECT c_custkey, 'premium',
+                 CAST(round(c_acctbal * 10000) AS BIGINT)
+               FROM customer_src WHERE c_acctbal >= 5000""")
+      s.sql("""INSERT INTO cust_tiers
+               SELECT c_custkey, 'standard',
+                 CAST(round(c_acctbal * 10000) AS BIGINT)
+               FROM customer_src WHERE c_acctbal < 5000""")
+      s.sql("""SELECT tier, count(*) AS n_customers,
+                 sum(bal_fp) AS bal_sum_fp
+               FROM cust_tiers GROUP BY tier ORDER BY tier""")
+    },
+    Some("""SELECT CASE WHEN c_acctbal >= 5000 THEN 'premium'
+                ELSE 'standard' END AS tier,
+              count(*) AS n_customers,
+              CAST(sum(CAST(round(c_acctbal * 10000) AS BIGINT)) AS BIGINT)
+                AS bal_sum_fp
+            FROM customer GROUP BY 1 ORDER BY 1"""))
+
   override val queries: Seq[Q] = Seq(
     qJoinRange, qJoinInterval, qJoinAsof, qJoinAsofNative, qJoinAsofFwd,
     qJoinAsofFwdNative,
     qJoinAsofNearest, qJoinAsofNearestNative, qJoinSalted, qTypedJoinWith,
     qAggTypedWavg, qAggTopkTyped, qAggFlatMapGroups, qAggPivot, qSqlEntry,
     qSqlAutoNative, qSubqueryScalar, qSubqueryExists, qSubqueryCorrScalar,
-    qJoinLateral, qTypedCogroup, qGraphPagerank, qGraphPagerankFixpoint)
+    qJoinLateral, qTypedCogroup, qGraphPagerank, qGraphPagerankFixpoint,
+    qSqlDdl)
 
   case class Nation(n_nationkey: Int, n_name: String, n_regionkey: Int)
   case class Region(r_regionkey: Int, r_name: String)
