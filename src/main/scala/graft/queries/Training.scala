@@ -463,6 +463,32 @@ object Training extends QueryGroup {
                 // (CAST(n AS HUGEINT) * n) AS BIGINT) AS gini_micro
             FROM sums ORDER BY col_name"""))
 
+  /** TRAINING-MIX DEVIATION from a target — the mixture-monitoring
+    * gauge: per-language share deviation from the uniform target in
+    * integer micros, |c_l·L − N|·10⁶ div (N·L) — shares are never
+    * float, so the gauge is bit-identical however the sums merge. One
+    * label-sized aggregation plus a one-row (N) broadcast; the same
+    * shape monitors ANY target mixture (replace L-uniform with target
+    * weights). Complements q_mix_weighted (which SAMPLES to a target)
+    * by measuring how far the current corpus sits from it. */
+  private val qMixDeviation = Q(
+    "q_mix_deviation",
+    (s, dir) => {
+      val docs = table(s, dir, "documents").select("doc_id", "lang")
+      val byLang = docs.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+      val tot = byLang.agg(sum(col("c")).as("n"), count(lit(1)).as("l"))
+      byLang.join(broadcast(tot))
+        .select(col("lang"), col("c").as("n_docs"),
+          expr("(abs(c * l - n) * 1000000L) div (n * l)").as("share_dev_micro"))
+        .orderBy("lang")
+    },
+    Some("""WITH bl AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+            t AS (SELECT sum(c) AS n, count(*) AS l FROM bl)
+            SELECT lang, c AS n_docs,
+              CAST((abs(c * l - n) * 1000000) // (n * l) AS BIGINT)
+                AS share_dev_micro
+            FROM bl, t ORDER BY lang"""))
+
   /** TABLE DIFF / reconciliation — the data-migration answer to "what
     * changed between these two corpus versions?": a FULL OUTER join on
     * the key classifies every row as added (left-null), removed
@@ -1036,7 +1062,7 @@ object Training extends QueryGroup {
   override val queries: Seq[Q] = Seq(
     qTextRepetition, qSplitAssign, qMixWeighted, qSamplePerGroup,
     qPackSequences, qLinesDedup, qProfileColumns, qChunkDocs, qChunkRoundtrip,
-    qBasketPairs, qProfileGini, qTableDiff, qDedupLatest,
+    qBasketPairs, qProfileGini, qTableDiff, qMixDeviation, qDedupLatest,
     qCdcMerge, qDqChecks, qIngestIncremental, qTableDigest, qStoreCompact,
     qStoreForget, qAggIncrementalView, qShuffleGlobal)
 }

@@ -822,6 +822,46 @@ object Windows extends QueryGroup {
             FROM counts JOIN med USING (event_type) JOIN p90 USING (event_type)
             ORDER BY event_type"""))
 
+  /** ERROR-RATE SPIKE detection against a trailing baseline — the
+    * ops-monitoring shape: hourly error rates compared with the
+    * preceding 24 hours, flagged when the hour's rate exceeds 1.5× the
+    * baseline rate. The comparison is the integer cross-product
+    * errs·base_n·2 > n·base_errs·3 — rates are never materialized as
+    * floats, so a borderline hour cannot flip between engines. The
+    * trailing frame runs over the AGGREGATED hourly table
+    * (calendar-bounded, the q_window_distinct_sketch discipline), one
+    * hash aggregation upstream. */
+  private val qEventsAnomaly = Q(
+    "q_events_anomaly",
+    (s, dir) => {
+      val h = table(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("errs"))
+      val w = Window.orderBy(col("hr")).rowsBetween(-24, -1)
+      h.withColumn("base_errs", sum("errs").over(w))
+        .withColumn("base_n", sum("n").over(w))
+        .filter(col("base_n").isNotNull && col("base_n") > 0 &&
+          col("errs") * col("base_n") * 2 > col("n") * col("base_errs") * 3)
+        .select(col("hr").cast("timestamp_ntz").as("hr"), col("n"), col("errs"))
+        .orderBy("hr")
+    },
+    Some("""WITH h AS (
+              SELECT date_trunc('hour', ts) AS hr, count(*) AS n,
+                sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errs
+              FROM events GROUP BY 1),
+            w AS (
+              SELECT hr, n, errs,
+                sum(errs) OVER (ORDER BY hr
+                  ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS base_errs,
+                sum(n) OVER (ORDER BY hr
+                  ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS base_n
+              FROM h)
+            SELECT hr, n, CAST(errs AS BIGINT) AS errs FROM w
+            WHERE base_n IS NOT NULL AND base_n > 0
+              AND errs * base_n * 2 > n * base_errs * 3
+            ORDER BY hr"""))
+
   /** NEW vs RETURNING user accounting per day — the audience-composition
     * split every activity dashboard needs, and the complement of cohort
     * retention (which buckets by cohort; this buckets by calendar day).
@@ -871,5 +911,5 @@ object Windows extends QueryGroup {
     qAggGroupingSets, qAggUnpivot, qWindowRownumSalted, qWindowRownumQsalted,
     qWindowNtile, qScd2Intervals, qSessionize, qTimeseriesFill, qCohortRetention,
     qFunnel, qEventsMarkov, qAttribLastTouch, qScoreCalibrate,
-    qUsersNewReturning, qEventsGaps)
+    qUsersNewReturning, qEventsGaps, qEventsAnomaly)
 }

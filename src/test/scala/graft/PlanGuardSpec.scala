@@ -66,7 +66,10 @@ class PlanGuardSpec extends AnyFunSuite with SparkSessionFixture {
     "q_window_distinct_sketch" -> "day-range joins over calendar-bounded aggregates",
     // the two single-row match-count aggregates combined into one output
     // row (the <=> join itself plans as an equi SortMergeJoin)
-    "q_join_nullsafe" -> "scalar x scalar result join")
+    "q_join_nullsafe" -> "scalar x scalar result join",
+    // the (N, L) corpus totals — one-row broadcast against the
+    // label-sized share table
+    "q_mix_deviation" -> "scalar (n, l) totals, one-row broadcast")
 
   /** Whole-tree traversal: SparkPlan.collect does NOT descend into
     * AdaptiveSparkPlanExec (its current plan is a field, not a child) or
