@@ -49,6 +49,31 @@ class TrianglesSpec extends AnyFunSuite with SparkSessionFixture {
     assert(Triangles.triangles(edgeDf(cycle)).count() == 0)
   }
 
+  test("random graphs: triangles equal brute force (ScalaCheck differential)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genEdges = for {
+      nV <- Gen.choose(2, 14)
+      nE <- Gen.choose(1, 30)
+      es <- Gen.listOfN(nE, for {
+        a <- Gen.choose(0L, nV.toLong - 1)
+        b <- Gen.choose(0L, nV.toLong - 1) if a != b
+      } yield (a, b))
+    } yield es
+    val prop = Prop.forAll(genEdges) { es =>
+      es.isEmpty || {
+        val got = Triangles.triangles(edgeDf(es))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        got == brute(es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+          .distinct)
+      }
+    }
+    // 25 cases: each runs two Spark joins — a minute-scale budget, same
+    // as the CC union-find differentials
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(25).withWorkers(1), prop)
+    assert(res.passed, s"property failed: ${res.status}")
+  }
+
   test("degree orientation bounds hub out-degree where id-order does not") {
     val oriented = Triangles.orientByDegree(edgeDf(fixture))
     val outDeg = oriented.groupBy("u").agg(count(lit(1)).as("od"))
