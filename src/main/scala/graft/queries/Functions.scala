@@ -520,6 +520,60 @@ object Functions extends QueryGroup {
               FROM lineitem GROUP BY l_returnflag, l_suppkey) t
             WHERE rk <= 3 ORDER BY l_returnflag, rk"""))
 
+  /** Exact-moment SKEWNESS — the third standardized moment from raw
+    * power sums, the same wide-integer discipline as q_agg_stddev_exact
+    * extended one moment up: M2 = n·Σx² − (Σx)² and
+    * M3 = n²·Σx³ − 3n·Σx·Σx² + 2(Σx)³ are EXACT decimal(38,0)/HUGEINT
+    * integers on 1e-4-quantized values, and g1 = M3/M2^1.5 is two
+    * deterministic float ops on identical integers — bit-identical
+    * across engines, unlike a streaming float skewness whose merge
+    * order drifts. (At extreme row counts (Σx)³ would outgrow 38
+    * digits; the standard fix is centering by an approximate mean
+    * first — the power-sum shape is unchanged.) One hash aggregation,
+    * map-side combined; stats side is group-cardinality-sized. */
+  private val qAggSkewness = Q(
+    "q_agg_skewness",
+    (s, dir) => {
+      val dec = "decimal(38,0)"
+      val q = table(s, dir, "events")
+        .select(col("event_type"),
+          round(col("value") * 10000).cast("long").as("x"))
+      q.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(dec)).as("s1"),
+          sum((col("x") * col("x")).cast(dec)).as("s2"),
+          sum((col("x").cast(dec) * col("x").cast(dec) * col("x").cast(dec)))
+            .as("s3"))
+        .select(col("event_type"), col("n"), {
+          val n = col("n").cast(dec)
+          val m2 = (n * col("s2") - col("s1") * col("s1")).cast("double")
+          val m3 = (n * n * col("s3") -
+            lit(3).cast(dec) * n * col("s1") * col("s2") +
+            lit(2).cast(dec) * col("s1") * col("s1") * col("s1")).cast("double")
+          // emitted in micros: the 38-digit → double conversions round
+          // differently across engines beyond 2^53 (measured one ULP on
+          // one group), and micro-rounding absorbs that
+          round(m3 / pow(m2, 1.5) * 1000000, 0).cast("long").as("skew_g1_micro")
+        })
+        .orderBy("event_type")
+    },
+    Some("""WITH q AS (
+              SELECT event_type,
+                CAST(round(value * 10000) AS BIGINT) AS x
+              FROM events),
+            s AS (
+              SELECT event_type, count(*) AS n,
+                sum(CAST(x AS HUGEINT)) AS s1,
+                sum(CAST(x AS HUGEINT) * x) AS s2,
+                sum(CAST(x AS HUGEINT) * x * x) AS s3
+              FROM q GROUP BY 1)
+            SELECT event_type, n,
+              CAST(round(CAST(CAST(n AS HUGEINT) * n * s3 - 3 * n * s1 * s2
+                + 2 * s1 * s1 * s1 AS DOUBLE)
+                / pow(CAST(n * s2 - s1 * s1 AS DOUBLE), 1.5) * 1000000)
+                AS BIGINT) AS skew_g1_micro
+            FROM s ORDER BY 1"""))
+
   /** WINSORIZED aggregation — robust preprocessing that clips each
     * group's values at its own exact p05/p95 before summing, so a
     * handful of wild rows can't dominate a mean. Percentile bounds come
@@ -856,5 +910,6 @@ object Functions extends QueryGroup {
     qFnMap, qFnUdf, qAggApproxDistinct, qAggSketchIncremental,
     qWindowDistinctSketch, qAggPercentile, qAggMode,
     qAggStddevExact, qAggCorrExact, qAggCms, qHeavyHitters, qAggHistogram,
-    qOutliersZscore, qOutliersMad, qAggWeightedMedian, qWinsorize)
+    qOutliersZscore, qOutliersMad, qAggWeightedMedian, qWinsorize,
+    qAggSkewness)
 }
