@@ -65,15 +65,21 @@ object AsOfRangeJoins {
   def intervalOverlapPairs(
       a: DataFrame, b: DataFrame, gridW: Long): DataFrame = {
     require(gridW > 0, s"gridW must be positive, got $gridW")
+    // Exact long floor-division: `div` truncates toward zero, so shift by
+    // one when the remainder is negative (gridW > 0 ⇒ remainder sign ==
+    // dividend sign). floor(x / g) as DOUBLE loses integer precision past
+    // 2^53 — epoch-micros interval keys overflow that — silently merging
+    // or splitting grid cells; this stays in long arithmetic end to end.
+    def fdiv(e: String): Column =
+      expr(s"(($e) div $gridW) - (CASE WHEN ($e) % $gridW < 0 THEN 1 ELSE 0 END)")
     def cells(df: DataFrame, id: String, lo: String, hi: String) =
       df.select(col(id), col(lo), col(hi),
-        explode(sequence(floor(col(lo) / gridW).cast("long"),
-          floor(col(hi) / gridW).cast("long"))).as("cell"))
+        explode(sequence(fdiv(lo), fdiv(hi))).as("cell"))
     val ac = cells(a, "a_id", "a_lo", "a_hi")
     val bc = cells(b, "b_id", "b_lo", "b_hi").withColumnRenamed("cell", "b_cell")
     ac.join(bc, col("cell") === col("b_cell"))
       .filter(col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi") &&
-        col("cell") === floor(greatest(col("a_lo"), col("b_lo")) / gridW).cast("long"))
+        col("cell") === fdiv("greatest(a_lo, b_lo)"))
       .select(col("a_id"), col("b_id"),
         col("a_lo"), col("a_hi"), col("b_lo"), col("b_hi"))
   }

@@ -58,6 +58,20 @@ object ZoneMaps {
     * of files out of 100k — the manifest makes the delete cost
     * proportional to the DELETED data, not the table.
     *
+    * ONE-SHOT / VIEW-ONLY CONTRACT: the hit files stay physically in
+    * `root` (copy-on-write — no table format here to carry a tombstone
+    * manifest), so ONLY the returned view reflects the delete. Reading
+    * `root` directly, calling manifest() on it, or running a SECOND
+    * targetedDelete against the same root resurrects the forgotten rows.
+    * Callers that need a durable delete must replace the hit files with
+    * the patch (or re-run writeLayout on the view); the production path
+    * for repeated maintenance passes is a real table format's commit log
+    * (the same ownership rule, with the manifest made durable).
+    *
+    * A forget range intersecting no zone is a legitimate no-op for an
+    * idempotent right-to-be-forgotten pass: returns (total, 0, unchanged
+    * view of root) instead of throwing.
+    *
     * Returns (filesTotal, filesRewritten, postDeleteView) so callers and
     * specs can assert the rewrite really was partial. */
   def targetedDelete(
@@ -66,8 +80,7 @@ object ZoneMaps {
     val zones = manifest(spark, root, keyCol)
     val (hit, untouched) =
       zones.partition { case (_, zlo, zhi) => zlo <= hi && zhi >= lo }
-    require(hit.nonEmpty,
-      s"forget range [$lo, $hi] hits no file zones — nothing to delete")
+    if (hit.isEmpty) return (zones.length, 0, spark.read.parquet(root))
     spark.read.parquet(hit.map(_._1): _*)
       .filter(!col(keyCol).between(lo, hi))
       .write.mode("overwrite").parquet(patchDir)

@@ -691,8 +691,16 @@ object Advanced extends QueryGroup {
       ranks = next.select("node", "r")
       rounds += 1
     }
-    org.apache.spark.sql.classic.GraftDatasetShim.unpersistCheckpoint(ed)
-    org.apache.spark.sql.classic.GraftDatasetShim.unpersistCheckpoint(nodes)
+    // When no round ran (maxRounds == 0, or an instantly-stable graph
+    // before the first iteration), the RETURNED ranks still derives from
+    // the `nodes` checkpoint — unpersisting it here would destroy live
+    // blocks with no recovery (localCheckpoint truncates lineage). Only
+    // release ed/nodes once at least one round has superseded them with
+    // its own checkpoint.
+    if (rounds > 0) {
+      org.apache.spark.sql.classic.GraftDatasetShim.unpersistCheckpoint(ed)
+      org.apache.spark.sql.classic.GraftDatasetShim.unpersistCheckpoint(nodes)
+    }
     (ranks, rounds)
   }
 

@@ -541,7 +541,7 @@ object Functions extends QueryGroup {
       q.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("x").cast(dec)).as("s1"),
-          sum((col("x") * col("x")).cast(dec)).as("s2"),
+          sum(col("x").cast(dec) * col("x").cast(dec)).as("s2"),
           sum((col("x").cast(dec) * col("x").cast(dec) * col("x").cast(dec)))
             .as("s3"))
         .select(col("event_type"), col("n"), {

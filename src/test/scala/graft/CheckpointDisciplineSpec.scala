@@ -48,4 +48,18 @@ class CheckpointDisciplineSpec extends AnyFunSuite with SparkSessionFixture {
       s"integerPageRankFixpoint left $leaked persistent RDDs; only the " +
         "final rank checkpoint may remain")
   }
+
+  test("zero-round fixpoint returns a live (actionable) rank vector") {
+    import spark.implicits._
+    // maxRounds == 0 means the returned ranks still derive from the
+    // internal `nodes` checkpoint; the cleanup pass must NOT destroy its
+    // blocks (lineage is truncated — lost blocks are unrecoverable)
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val (ranks, rounds) =
+      graft.queries.Advanced.integerPageRankFixpoint(edges, 0)
+    assert(rounds == 0)
+    // any action on the result would throw on lost checkpoint blocks
+    assert(ranks.orderBy("node").collect().map(_.getLong(1)).toSeq ==
+      Seq(1000000L, 1000000L))
+  }
 }

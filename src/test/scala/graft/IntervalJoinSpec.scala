@@ -43,6 +43,29 @@ class IntervalJoinSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
+  test("epoch-micro-scale and negative bounds keep exact grid cells (no double floor)") {
+    import spark.implicits._
+    // Beyond 2^53, floor(x / w) in DOUBLE collapses neighboring cells:
+    // these two disjoint intervals sit 1<<54 apart but land 4096 apart
+    // after a double round-trip at gridW=1. Negative bounds additionally
+    // need FLOOR division (truncation would shift the cell by one).
+    val base = 1L << 54
+    val a = Seq((1L, base, base + 10L), (2L, -1000003L, -1000001L))
+    val b = Seq((10L, base + 5L, base + 20L), // overlaps 1
+      (11L, base + 4090L, base + 4100L), // near double-rounding ghost of 1
+      (12L, -1000002L, -999990L), // overlaps 2
+      (13L, -999999L, -999990L)) // misses 2
+    val ad = a.toDF("a_id", "a_lo", "a_hi")
+    val bd = b.toDF("b_id", "b_lo", "b_hi")
+    for (w <- Seq(1L, 7L, 4096L)) {
+      val got = graft.operators.AsOfRangeJoins
+        .intervalOverlapPairs(ad, bd, gridW = w)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSeq.sorted
+      assert(got == Seq((1L, 10L), (2L, 12L)),
+        s"gridW=$w: exact-integer grid cells diverged: $got")
+    }
+  }
+
   test("zero-length and touching intervals overlap per closed-interval semantics") {
     import spark.implicits._
     // [5,5] touches [5,9]; [0,4] touches [4,8]; [0,3] misses [4,8]

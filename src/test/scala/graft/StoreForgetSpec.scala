@@ -51,6 +51,17 @@ class StoreForgetSpec extends AnyFunSuite with SparkSessionFixture {
       "copy-on-write delete must leave every original layout file untouched")
   }
 
+  test("forget range hitting no zone is an idempotent no-op, not an error") {
+    val path = layout()
+    val before = spark.read.parquet(path).orderBy("doc_id").collect().toSeq
+    val (total, rewritten, view) = graft.operators.ZoneMaps.targetedDelete(
+      spark, path, "doc_id", -500L, -100L, s"$path-patch-none")
+    assert(total == nFiles && rewritten == 0,
+      s"no-zone forget must rewrite nothing: $rewritten of $total")
+    assert(view.orderBy("doc_id").collect().toSeq == before,
+      "no-zone forget must return the table unchanged")
+  }
+
   test("forget range spanning everything rewrites everything, result empty-safe") {
     val path = layout()
     val bounds = spark.read.parquet(path)
