@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Graft._
 import graft.operators.{AsOfRangeJoins, TypedAggregates}
@@ -797,15 +797,41 @@ object Advanced extends QueryGroup {
     * gate also exercises the not-yet-converged path end to end.
     * GraphSessionPropertySpec covers genuine early exit on graphs that
     * reach stability within the cap. */
+  /** The supplier↔part bipartite edge list shared by the pagerank gates. */
+  private def supplierPartEdges(s: SparkSession, dir: String): DataFrame = {
+    val pairs = table(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_partkey")).distinct()
+    pairs
+      .select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+      .union(pairs.select((col("l_partkey") * 2 + 1).as("src"), (col("l_suppkey") * 2).as("dst")))
+  }
+
   private val qGraphPagerankFixpoint = Q(
     "q_graph_pagerank_fixpoint",
     (s, dir) => {
-      val pairs = table(s, dir, "lineitem")
-        .select(col("l_suppkey"), col("l_partkey")).distinct()
-      val edges = pairs
-        .select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
-        .union(pairs.select((col("l_partkey") * 2 + 1).as("src"), (col("l_suppkey") * 2).as("dst")))
-      integerPageRankFixpoint(edges, PrFixpointCap)._1
+      integerPageRankFixpoint(supplierPartEdges(s, dir), PrFixpointCap)._1
+        .orderBy(col("r").desc, col("node")).limit(25)
+    },
+    Some(pagerankUnrolledSql(PrFixpointCap)))
+
+  /** The same fixpoint gate through DURABLE round checkpoints
+    * (operators/DurableIteration.pageRankFixpointDurable): round state
+    * commits through the store each iteration, so executor loss is a
+    * stage retry and driver loss resumes at the last committed round —
+    * the posture an hours-long 100 TB fixpoint needs
+    * (DurableIterationKillSpec kills real executors mid-iteration and
+    * hash-matches). Checkpoint dir wiped per run: resume belongs to one
+    * logical job, never across corpora. Oracle = the same unrolled chain
+    * at the cap — durability must not move a single rank. */
+  private val qGraphPagerankDurable = Q(
+    "q_graph_pagerank_durable",
+    (s, dir) => {
+      val ckpt = s"${sys.props("java.io.tmpdir")}/graft_ckpt/q_graph_pagerank_durable"
+      val fs = new org.apache.hadoop.fs.Path(ckpt)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+      graft.operators.DurableIteration
+        .pageRankFixpointDurable(supplierPartEdges(s, dir), PrFixpointCap, ckpt)._1
         .orderBy(col("r").desc, col("node")).limit(25)
     },
     Some(pagerankUnrolledSql(PrFixpointCap)))
@@ -854,6 +880,7 @@ object Advanced extends QueryGroup {
     qAggTypedWavg, qAggTopkTyped, qAggFlatMapGroups, qAggPivot, qSqlEntry,
     qSqlAutoNative, qSubqueryScalar, qSubqueryExists, qSubqueryCorrScalar,
     qJoinLateral, qTypedCogroup, qGraphPagerank, qGraphPagerankFixpoint,
+    qGraphPagerankDurable,
     qSqlDdl)
 
   case class Nation(n_nationkey: Int, n_name: String, n_regionkey: Int)

@@ -166,9 +166,10 @@ object Llm extends QueryGroup {
     * propagation runs O(component diameter) rounds of one shuffle each.
     * Oracle = the pair SQL + a RECURSIVE CTE closure — DuckDB recomputes
     * the same fixpoint independently. */
-  private val qDedupClusters = Q(
-    "q_dedup_clusters",
-    (s, dir) => {
+  /** (vertices, candidate edges) of the near-dup graph — shared by
+    * q_dedup_clusters and its durable-checkpoint twin so the two gates
+    * cannot drift apart on candidate generation. */
+  private def dedupClusterGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
       graft.functions.GraftFunctions.register(s)
       import graft.functions.GraftFunctions._
       val base = table(s, dir, "documents").select("doc_id", "text")
@@ -201,12 +202,48 @@ object Llm extends QueryGroup {
         .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
         .distinct()
       val verts = corpus.select(col("doc_id").as("id"))
-      graft.operators.ConnectedComponents.components(verts, edges)
-        .groupBy(col("component")).agg(count(lit(1)).as("n_docs"))
-        .filter(col("n_docs") > 1)
-        .orderBy(col("component"))
+      (verts, edges)
+  }
+
+  private def clusterSizes(labels: DataFrame): DataFrame =
+    labels.groupBy(col("component")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("component"))
+
+  private val qDedupClusters = Q(
+    "q_dedup_clusters",
+    (s, dir) => {
+      val (verts, edges) = dedupClusterGraph(s, dir)
+      clusterSizes(graft.operators.ConnectedComponents.components(verts, edges))
     },
-    Some(s"""WITH RECURSIVE corpus AS (
+    Some(dedupClustersOracle))
+
+  /** The same clustering gate through the DURABLE-round fixpoint
+    * (operators/DurableIteration.componentsDurable): every label-
+    * propagation round commits through the store, so a lost executor is
+    * a stage retry and a lost driver resumes from the last committed
+    * round — the 100 TB posture for iteration depth × fleet size (see
+    * DurableIterationKillSpec for the executor-massacre proof). The
+    * checkpoint dir is wiped per run: resume semantics belong to a
+    * single logical job, and stale converged markers from a previous
+    * corpus must never short-circuit a fresh one. Same oracle as
+    * q_dedup_clusters — durability must not change a single row. */
+  private val qDedupClustersDurable = Q(
+    "q_dedup_clusters_durable",
+    (s, dir) => {
+      val (verts, edges) = dedupClusterGraph(s, dir)
+      val ckpt = s"${sys.props("java.io.tmpdir")}/graft_ckpt/q_dedup_clusters_durable"
+      val fs = new org.apache.hadoop.fs.Path(ckpt)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+      val (labels, _, _) = graft.operators.DurableIteration
+        .componentsDurable(verts, edges, 20, ckpt)
+      clusterSizes(labels)
+    },
+    Some(dedupClustersOracle))
+
+  private lazy val dedupClustersOracle: String =
+    (s"""WITH RECURSIVE corpus AS (
                SELECT doc_id, text FROM documents
                UNION ALL
                SELECT doc_id + 10000000, text FROM
@@ -251,7 +288,7 @@ object Llm extends QueryGroup {
                SELECT id, min(label) AS component FROM reach GROUP BY id)
              SELECT component, count(*) AS n_docs
              FROM comp GROUP BY component HAVING count(*) > 1
-             ORDER BY component"""))
+             ORDER BY component""")
 
   /** TRIANGLE enumeration over the near-dup graph — the cluster-density
     * primitive that distinguishes a tight k-clique of mutual duplicates
@@ -1931,7 +1968,8 @@ object Llm extends QueryGroup {
             WHERE rk <= 5 ORDER BY query_id, rk"""))
 
   override val queries: Seq[Q] = Seq(
-    qDedupExact, qDedupNorm, qDedupMinhash, qDedupClusters, qGraphTriangles,
+    qDedupExact, qDedupNorm, qDedupMinhash, qDedupClusters,
+    qDedupClustersDurable, qGraphTriangles,
     qDedupSimhash, qDedupNgram,
     qDedupEmbedding, qSimTopk, qSimLsh, qSimIvf, qSimKnnJoin, qVectorQuantize,
     qSimSparse, qLlmCleanPipeline,

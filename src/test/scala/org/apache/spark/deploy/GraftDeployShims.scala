@@ -41,4 +41,14 @@ object GraftDeployShims {
     // workers first on shutdown, master last
     (masterUrl, new ClusterHandle(workerEnvs :+ masterEnv))
   }
+
+  /** Executor-chaos bridge (`getExecutorIds` / `killAndReplaceExecutor`
+    * are `private[spark]`): enumerate live executors and kill one the way
+    * a lost node would — its cached blocks and shuffle files are gone,
+    * while the app's executor target stays so the master backfills. */
+  def executorIds(sc: org.apache.spark.SparkContext): Seq[String] =
+    sc.getExecutorIds()
+
+  def killAndReplaceExecutor(sc: org.apache.spark.SparkContext, id: String): Boolean =
+    sc.killAndReplaceExecutor(id)
 }
