@@ -45,10 +45,12 @@ object Graft {
   /** Scan one TESTDATA table. Column pruning + predicate pushdown reach the
     * parquet reader because this is a plain DataSource v2 relation.
     *
-    * events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-    * rejects; with spark.sql.legacy.parquet.nanosAsLong it arrives as epoch
-    * nanos (LongType) and is converted here to a µs timestamp — matching
-    * DuckDB's own ns→µs truncation, so the oracle sees identical values. */
+    * events.ts encoding has varied across testdata generations: older data
+    * is parquet TIMESTAMP(NANOS) (arriving as epoch-nanos LongType under
+    * spark.sql.legacy.parquet.nanosAsLong), newer data is timestamp[us]
+    * (arriving as a timestamp directly). The conditional below normalizes
+    * the legacy long encoding to a µs timestamp — matching DuckDB's own
+    * ns→µs truncation — and passes native timestamps through unchanged. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.fields.find(f =>

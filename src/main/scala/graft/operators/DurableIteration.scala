@@ -12,10 +12,10 @@ import org.apache.spark.sql.functions._
   * executors × 40 rounds that is the EXPECTED case, not the edge case.
   *
   * Here every round's state is written through the durable store as a
-  * parquet directory with Spark's own job-commit protocol (`_SUCCESS`
-  * marker = committed round; a crashed write leaves no marker and is
-  * clobbered by the overwrite on retry). Consequences, in order of
-  * importance at scale:
+  * parquet directory, committed by an engine-owned `_GRAFT_COMMITTED`
+  * marker written (temp+rename) only after the data job completes — a
+  * crashed write leaves no marker and is clobbered by the overwrite on
+  * retry. Consequences, in order of importance at scale:
   *
   *   - **Executor loss is a non-event.** Each round's lineage is rooted
   *     at a parquet scan, so a lost executor merely re-runs its tasks
@@ -44,29 +44,57 @@ object DurableIteration {
 
   private def roundPath(dir: String, n: Int): String = f"$dir/round_$n%05d"
 
-  private def committed(spark: SparkSession, path: String): Boolean =
-    fs(spark, path).exists(new Path(path, "_SUCCESS"))
+  /** Engine-owned commit marker. Deliberately NOT `_SUCCESS`: Spark only
+    * writes that when `mapreduce.fileoutputcommitter.marksuccessfuljobs`
+    * is on, and object-store deployments commonly disable it — keying
+    * resume off `_SUCCESS` there would silently void every commit. Our
+    * marker is written by us, after the data, via temp+rename. */
+  private def commitMarker(path: String) = new Path(path, "_GRAFT_COMMITTED")
 
-  /** Highest round with a completed commit (`_SUCCESS` present), if any.
+  /** Atomic-as-available small-file write: temp then rename (atomic on
+    * HDFS/posix; copy+delete on raw S3A — the tolerant readers below
+    * treat an empty/garbled file as absent, covering that residue). */
+  private def writeAtomic(spark: SparkSession, target: Path, content: String): Unit = {
+    val f = fs(spark, target.toString)
+    val tmp = new Path(target.getParent, target.getName + ".tmp")
+    val out = f.create(tmp, true)
+    out.write(content.getBytes("UTF-8")); out.close()
+    f.delete(target, false)
+    if (!f.rename(tmp, target))
+      throw new java.io.IOException(s"rename $tmp -> $target failed")
+  }
+
+  private def committed(spark: SparkSession, path: String): Boolean =
+    fs(spark, path).exists(commitMarker(path))
+
+  private def markCommitted(spark: SparkSession, path: String): Unit =
+    writeAtomic(spark, commitMarker(path), "committed")
+
+  private val RoundDirName = "round_(\\d+)".r
+
+  /** Highest round with a completed commit (marker present), if any.
     * Partially-written rounds (crash mid-write) carry no marker and are
-    * invisible here — the retry overwrites them. */
+    * invisible here — the retry overwrites them. Non-round entries (temp
+    * files, static inputs, strays) are regex-filtered, never parsed. */
   def latestCommitted(spark: SparkSession, dir: String): Option[Int] = {
     val f = fs(spark, dir)
     val base = new Path(dir)
     if (!f.exists(base)) return None
     val rounds = f.listStatus(base).map(_.getPath.getName)
-      .filter(_.startsWith("round_"))
-      .map(n => n.stripPrefix("round_").toInt)
+      .collect { case RoundDirName(n) => n.toInt }
       .filter(n => committed(spark, roundPath(dir, n)))
     if (rounds.isEmpty) None else Some(rounds.max)
   }
 
   /** Commit one round of state: overwrite (clobbering any partial crash
-    * leftovers), then hand back the read-back frame so every downstream
-    * plan is rooted at the durable files, not the producing lineage. */
+    * leftovers — the overwrite also wipes any stale marker before the new
+    * data lands), mark committed, then hand back the read-back frame so
+    * every downstream plan is rooted at the durable files, not the
+    * producing lineage. */
   private def commitRound(df: DataFrame, dir: String, n: Int): DataFrame = {
     val path = roundPath(dir, n)
     df.write.mode("overwrite").parquet(path)
+    markCommitted(df.sparkSession, path)
     df.sparkSession.read.parquet(path)
   }
 
@@ -77,27 +105,35 @@ object DurableIteration {
     * names, and re-invocation returns immediately (idempotent restart). */
   private def convergedPath(dir: String) = new Path(s"$dir/_CONVERGED")
 
-  private def markConverged(spark: SparkSession, dir: String, n: Int): Unit = {
-    val out = fs(spark, dir).create(convergedPath(dir), true)
-    out.write(n.toString.getBytes("UTF-8")); out.close()
-  }
+  private def markConverged(spark: SparkSession, dir: String, n: Int): Unit =
+    writeAtomic(spark, convergedPath(dir), n.toString)
 
+  /** Tolerant read: a marker that is missing, empty, or unparsable (the
+    * residue of a crash inside a non-atomic create/write window, or of a
+    * copy-then-delete object-store rename) reads as ABSENT — the fixpoint
+    * then resumes from `latestCommitted` instead of wedging the dir. */
   private def readConverged(spark: SparkSession, dir: String): Option[Int] = {
     val f = fs(spark, dir)
     if (!f.exists(convergedPath(dir))) None
     else {
       val in = f.open(convergedPath(dir))
       val buf = new Array[Byte](32)
-      val len = in.read(buf); in.close()
-      Some(new String(buf, 0, len, "UTF-8").trim.toInt)
+      val len = try in.read(buf) finally in.close()
+      if (len <= 0) None
+      else {
+        val s = new String(buf, 0, len, "UTF-8").trim
+        if (s.matches("\\d+")) Some(s.toInt) else None
+      }
     }
   }
 
   /** Write a static (round-invariant) input once; reuse it on resume. */
   private def durableInput(df: DataFrame, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name"
-    if (!committed(df.sparkSession, path))
+    if (!committed(df.sparkSession, path)) {
       df.write.mode("overwrite").parquet(path)
+      markCommitted(df.sparkSession, path)
+    }
     df.sparkSession.read.parquet(path)
   }
 

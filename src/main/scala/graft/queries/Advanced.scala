@@ -826,7 +826,10 @@ object Advanced extends QueryGroup {
   private val qGraphPagerankDurable = Q(
     "q_graph_pagerank_durable",
     (s, dir) => {
-      val ckpt = s"${sys.props("java.io.tmpdir")}/graft_ckpt/q_graph_pagerank_durable"
+      // applicationId-scoped: two concurrent registry runs on one machine
+      // must never share (and wipe) each other's mid-fixpoint state
+      val ckpt = s"${sys.props("java.io.tmpdir")}/graft_ckpt/" +
+        s"${s.sparkContext.applicationId}/q_graph_pagerank_durable"
       val fs = new org.apache.hadoop.fs.Path(ckpt)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)

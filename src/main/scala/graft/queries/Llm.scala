@@ -232,7 +232,10 @@ object Llm extends QueryGroup {
     "q_dedup_clusters_durable",
     (s, dir) => {
       val (verts, edges) = dedupClusterGraph(s, dir)
-      val ckpt = s"${sys.props("java.io.tmpdir")}/graft_ckpt/q_dedup_clusters_durable"
+      // applicationId-scoped: two concurrent registry runs on one machine
+      // must never share (and wipe) each other's mid-fixpoint state
+      val ckpt = s"${sys.props("java.io.tmpdir")}/graft_ckpt/" +
+        s"${s.sparkContext.applicationId}/q_dedup_clusters_durable"
       val fs = new org.apache.hadoop.fs.Path(ckpt)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)

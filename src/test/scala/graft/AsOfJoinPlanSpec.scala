@@ -11,8 +11,9 @@ class AsOfJoinPlanSpec extends AnyFunSuite with SparkSessionFixture {
 
   private val sf = "/root/testdata/sf0.001"
 
-  private def events = spark.read.parquet(s"$sf/events.parquet")
-    .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+  // Graft.table handles both testdata ts encodings (legacy nanos-as-long
+  // and native timestamp[us]) — never roll a loader by hand here.
+  private def events = graft.core.Graft.table(spark, sf, "events")
 
   test("native as-of equals the union+window lowering on real events") {
     val oldR = graft.operators.AsOfRangeJoins

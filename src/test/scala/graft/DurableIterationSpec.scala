@@ -84,6 +84,69 @@ class DurableIterationSpec extends AnyFunSuite with SparkSessionFixture {
     assert(again.orderBy("id").collect().toSeq == expected)
   }
 
+  test("crash in the converged-marker window: zero-length _CONVERGED " +
+      "does not wedge the dir; the fixpoint resumes and completes") {
+    import spark.implicits._
+    val verts = (0L until 6L).toDF("id")
+    val edges = Seq((0L, 1L), (1L, 2L), (3L, 4L)).toDF("src", "dst")
+    val dir = tmp("cc_wedge")
+    val (first, _, _) = graft.operators.DurableIteration
+      .componentsDurable(verts, edges, 20, dir)
+    val expected = first.orderBy("id").collect().toSeq
+    // simulate the old non-atomic create/write crash residue: an EMPTY
+    // marker file (and, for good measure, a garbled one on second pass)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(dir, "_CONVERGED")
+    fs.create(marker, true).close() // zero-length
+    val (again, r2, resumedFrom) = graft.operators.DurableIteration
+      .componentsDurable(verts, edges, 20, dir)
+    assert(again.orderBy("id").collect().toSeq == expected,
+      "empty marker must read as absent and the run must still complete")
+    assert(r2 >= 0 && resumedFrom > 0, "must resume from committed rounds")
+    val out = fs.create(marker, true)
+    out.write("garbage!".getBytes("UTF-8")); out.close()
+    val (third, _, _) = graft.operators.DurableIteration
+      .componentsDurable(verts, edges, 20, dir)
+    assert(third.orderBy("id").collect().toSeq == expected,
+      "garbled marker must read as absent, not throw")
+  }
+
+  test("stray names in the checkpoint dir never abort resume") {
+    import spark.implicits._
+    val verts = (0L until 6L).toDF("id")
+    val edges = Seq((0L, 1L), (2L, 3L)).toDF("src", "dst")
+    val dir = tmp("cc_stray")
+    graft.operators.DurableIteration.componentsDurable(verts, edges, 20, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the shapes that used to throw NumberFormatException in .toInt
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir, "round_abc"))
+    fs.create(new org.apache.hadoop.fs.Path(dir, "round_00001.tmp"), true).close()
+    assert(graft.operators.DurableIteration.latestCommitted(spark, dir).isDefined)
+  }
+
+  test("commit detection is engine-owned, independent of Spark's _SUCCESS") {
+    import spark.implicits._
+    val verts = (0L until 4L).toDF("id")
+    val edges = Seq((0L, 1L)).toDF("src", "dst")
+    val dir = tmp("cc_nosuccess")
+    graft.operators.DurableIteration.componentsDurable(verts, edges, 20, dir)
+    val before = graft.operators.DurableIteration.latestCommitted(spark, dir)
+    assert(before.isDefined)
+    // a deployment with marksuccessfuljobs=false writes no _SUCCESS at
+    // all — deleting them here must not change what counts as committed
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.isDirectory)
+      .foreach { st =>
+        fs.delete(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS"), false)
+      }
+    assert(graft.operators.DurableIteration.latestCommitted(spark, dir) == before,
+      "resume keys must not depend on _SUCCESS")
+  }
+
   test("durable pagerank == in-memory fixpoint, and crash-resumes") {
     import spark.implicits._
     val (_, e) = randomGraph(seed = 23, nVerts = 80, nEdges = 200)
