@@ -20,6 +20,21 @@ import org.apache.spark.sql.SparkSession
   *  - /proc/loadavg is sampled before and after the sweep and published
   *    ("loadavg_start"/"loadavg_end" vs "cpus"): a load average well
   *    above the core count is machine-level evidence of co-scheduling.
+  *
+  * Cross-round regression guard (r9 postmortem: a UNIFORM 2× sweep
+  * slowdown sailed through the dispersion defense because every
+  * iteration was equally slow): if a baseline per-query record exists
+  * (bench_baseline.json in cwd, or SPARK_GRAFT_PREV=path), each query's
+  * published min is compared against the baseline's and queries >1.5×
+  * slower (with a 0.2 s absolute floor) are listed in "regressed" on
+  * both output lines, with the baseline path in "regressed_vs". A
+  * publication that is systematically slower than last round now says so
+  * itself instead of waiting for the judge to notice.
+  *
+  * The driver's capture keeps only a tail window of stdout, so the FULL
+  * per-query map is also written to bench_detail.json (override with
+  * SPARK_GRAFT_OUT) — commit that file alongside the round's BENCH
+  * record, and promote it to bench_baseline.json to arm the guard.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -49,6 +64,7 @@ object Bench {
     // long-running engine amortizes away.
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "2").toInt.max(1)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val probe = sys.env.get("SPARK_GRAFT_PROBE").contains("1")
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
@@ -56,6 +72,39 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString
         .split("\\s+").head.toDouble
       catch { case _: Throwable => -1.0 }
+
+    // JVM-health probe (SPARK_GRAFT_PROBE=1): cumulative GC ms, heap /
+    // metaspace / code-cache MB, thread count, leaked persistent RDDs —
+    // the r7 checkpoint-block-leak playbook, emitted per query to stderr
+    // so a sweep-level drift (GC pressure, class churn, block leak) is
+    // visible in one run instead of needing a bisect.
+    def probeLine(tag: String, t: Double, wall: Double): Unit = if (probe) {
+      import java.lang.management.ManagementFactory._
+      import scala.jdk.CollectionConverters._
+      val gc = getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+      val heap = getMemoryMXBean.getHeapMemoryUsage.getUsed / 1e6
+      val pools = getMemoryPoolMXBeans.asScala
+      def pool(name: String) = pools.filter(_.getName.contains(name))
+        .map(_.getUsage.getUsed).sum / 1e6
+      val threads = getThreadMXBean.getThreadCount
+      val rdds = spark.sparkContext.getPersistentRDDs.size
+      System.err.println(
+        f"[probe] $tag t=$t%.2f wall=$wall%.1f gc_ms=$gc heap_mb=$heap%.0f " +
+        f"meta_mb=${pool("Metaspace")}%.0f code_mb=${pool("CodeHeap")}%.0f " +
+        f"threads=$threads rdds=$rdds")
+    }
+
+    // Probe companion: histogram of live thread names (digits collapsed)
+    // — identifies WHICH pool a thread-count drift belongs to.
+    def threadHistogram(tag: String): Unit = if (probe) {
+      val threads = Thread.getAllStackTraces.keySet()
+      import scala.jdk.CollectionConverters._
+      threads.asScala.toSeq
+        .map(_.getName.replaceAll("[0-9]+", "N"))
+        .groupBy(identity).view.mapValues(_.size).toSeq
+        .sortBy(-_._2).take(25)
+        .foreach { case (n, c) => System.err.println(s"[threads] $tag $c $n") }
+    }
 
     def timeOne(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -74,13 +123,21 @@ object Bench {
     // times for a shifting handful of early-alphabet queries. Sweeping
     // everything once means the timed min below is steady-state for every
     // query, at the cost of one extra (untimed) pass.
-    selected.foreach { case (name, fn) => timeOne(name, fn): Unit }
+    val warm0 = System.nanoTime()
+    selected.foreach { case (name, fn) =>
+      val t = timeOne(name, fn)
+      probeLine(s"warm:$name", t, (System.nanoTime() - warm0) / 1e9)
+    }
 
     val loadStart = loadavg
+    val sweep0 = System.nanoTime()
     val firstPass = selected.map { case (name, fn) =>
-      (name, fn, (1 to iters).map(_ => timeOne(name, fn)))
+      val ts = (1 to iters).map(_ => timeOne(name, fn))
+      probeLine(s"timed:$name", ts.min, (System.nanoTime() - sweep0) / 1e9)
+      (name, fn, ts)
     }
     val loadEnd = loadavg
+    threadHistogram("sweep_end")
 
     val spreadLimit = 1.5
     // ...with an absolute floor: a 0.05s wobble on a 0.1s query is
@@ -104,6 +161,31 @@ object Bench {
     val failed = results.collect { case (n, v, _, _) if v < 0 => n }.sorted
     val contended = results.collect { case (n, _, _, true) => n }.sorted
 
+    // Cross-round guard: prior per-query minimums from bench_baseline.json
+    // (or SPARK_GRAFT_PREV). Absent/unparsable baseline disarms the guard
+    // (first round, or sf mismatch) rather than failing the bench.
+    val prevPath = sys.env.get("SPARK_GRAFT_PREV")
+      .orElse(Some("bench_baseline.json").filter(p => new java.io.File(p).isFile))
+    val prev: Map[String, Double] = prevPath.flatMap { p =>
+      try {
+        import org.json4s._
+        val j = jackson.JsonMethods.parse(new java.io.File(p))
+        (j \ "sf", j \ "queries") match {
+          case (JString(psf), JObject(fields)) if psf == sfDir =>
+            Some(fields.collect { case (k, JDouble(v)) => k -> v
+                                  case (k, JInt(v)) => k -> v.toDouble }.toMap)
+          case (_, JObject(fields)) if (j \ "sf") == JNothing =>
+            Some(fields.collect { case (k, JDouble(v)) => k -> v
+                                  case (k, JInt(v)) => k -> v.toDouble }.toMap)
+          case _ => None // baseline measured at a different sf — disarm
+        }
+      } catch { case _: Throwable => None }
+    }.getOrElse(Map.empty)
+    val regressed = results.collect {
+      case (n, v, _, _) if v >= 0 && prev.get(n).exists(p =>
+        v > p * spreadLimit && v - p > deltaFloor) => n
+    }.sorted
+
     def jmap(kv: Seq[(String, String)]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = jmap(results.map { case (n, v, _, _) => n -> v.toString })
@@ -112,23 +194,38 @@ object Bench {
     val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val contendedJson = contended.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val regressedJson = regressed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val regressedVs = prevPath.filter(_ => prev.nonEmpty)
+      .map(p => s""","regressed_vs":"$p"""").getOrElse("")
     val envJson = f""""loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"cpus":$cpus"""
+    val detail = s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"contended":$contendedJson,"failed":$failedJson,"regressed":$regressedJson$regressedVs,"iters":$iters,$envJson,"sf":"$sfDir"}"""
     // Full detail line first (may exceed a tail-capture window at 88+
     // queries — r01/r02 both came back parsed:null from head truncation),
     // then a compact summary as the LAST stdout line so any tail window
     // still contains one complete parseable JSON object. The compact line
     // keeps a small "queries" map (the slowest 8) so it matches the
     // driver's expected shape while staying a few hundred bytes.
-    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"contended":$contendedJson,"failed":$failedJson,"iters":$iters,$envJson,"sf":"$sfDir"}""")
+    println(detail)
     System.out.flush()
+    // ...and the same full record to a FILE, because the driver's capture
+    // keeps only a 2 KB stdout tail: bench_detail.json is the durable
+    // full-resolution record (commit it; promote to bench_baseline.json
+    // to arm the next round's regression guard).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_OUT", "bench_detail.json")
+    try {
+      val w = new java.io.PrintWriter(outPath, "UTF-8")
+      try w.println(detail) finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] detail write to $outPath failed: ${e.getMessage}")
+    }
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(8)
       .map { case (k, v, _, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // "queries" here is TRUNCATED to the slowest 8 (the full map is on the
-    // "total_detail" line above); "queries_truncated" flags that so a
-    // consumer iterating the map as a full per-query breakdown can detect
-    // the truncation instead of silently under-reporting.
+    // "total_detail" line above and in bench_detail.json); "queries_truncated"
+    // flags that so a consumer iterating the map as a full per-query
+    // breakdown can detect the truncation instead of silently under-reporting.
     val truncated = results.count(_._2 >= 0) > 8
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowest,"queries_truncated":$truncated,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"n_contended":${contended.size},"contended":$contendedJson,"iters":$iters,$envJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowest,"queries_truncated":$truncated,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"n_contended":${contended.size},"contended":$contendedJson,"n_regressed":${regressed.size},"regressed":$regressedJson$regressedVs,"iters":$iters,$envJson,"sf":"$sfDir"}""")
     System.out.flush()
     spark.stop()
   }

@@ -171,16 +171,30 @@ object DurableIteration {
     while (!converged && iter < maxIters) {
       chaosHook(iter)
       val prop = sym.join(labels, sym("src") === labels("id"))
-        .select(col("dst").as("id"), col("component"))
+        .select(col("dst").as("id"), col("component"),
+          lit(null).cast("long").as("__old"))
+      val self = labels.select(col("id"), col("component"),
+        col("component").as("__old"))
+      // Stability check observed DURING the commit write (each id's
+      // group has exactly one self row, so max(__old) is the previous
+      // label): one SQL execution + one store round-trip per round
+      // instead of two executions and an extra join. The fewer fixed
+      // per-job costs a round pays, the better the loop survives
+      // high-latency drivers and 1000-executor job-submit overhead.
+      val obs = org.apache.spark.sql.Observation()
       val next = commitRound(
-        labels.unionAll(prop)
-          .groupBy("id").agg(min("component").as("component")),
+        self.unionAll(prop)
+          .groupBy("id").agg(min("component").as("component"),
+            max("__old").as("__old"))
+          .observe(obs, sum(when(col("component") < col("__old"), 1L)
+            .otherwise(0L)).as("changed"))
+          .select("id", "component"),
         ckptDir, iter + 1)
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.component") < col("o.component"))
-        .count()
-      // the stability check was round `iter`'s last reader — delete it
+      val changed = obs.get("changed") match {
+        case l: java.lang.Long => l.longValue
+        case _ => 0L // empty vertex set: sum over zero rows is null
+      }
+      // the commit write was round `iter`'s last reader — delete it
       // now (crash-safe: round iter+1 is already committed, so a resume
       // lands there regardless)
       dropRound(spark, ckptDir, iter)
@@ -239,14 +253,23 @@ object DurableIteration {
         .join(maybeB(ranks.withColumnRenamed("node", "src")), "src")
         .select(col("dst").as("node"), expr("r div deg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("s"))
+      // stability observed DURING the commit write — saves the per-round
+      // read-back pass the old filter/limit/count paid (see the
+      // componentsDurable note on per-job fixed costs)
+      val obs = org.apache.spark.sql.Observation()
       val next = commitRound(
         nodes.join(maybeB(contrib), Seq("node"), "left")
           .join(maybeB(ranks.withColumnRenamed("r", "__prev")), "node")
           .select(col("node"),
             expr("CAST(150000 + (850 * coalesce(s, 0)) div 1000 AS BIGINT)").as("r"),
-            col("__prev")),
+            col("__prev"))
+          .observe(obs, sum(when(col("r") =!= col("__prev"), 1L)
+            .otherwise(0L)).as("changed")),
         ckptDir, rounds + 1)
-      stable = next.filter(col("r") =!= col("__prev")).limit(1).count() == 0
+      stable = (obs.get("changed") match {
+        case l: java.lang.Long => l.longValue
+        case _ => 0L // empty graph: sum over zero rows is null
+      }) == 0
       dropRound(spark, ckptDir, rounds)
       state = next
       rounds += 1

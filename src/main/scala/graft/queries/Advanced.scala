@@ -639,9 +639,9 @@ object Advanced extends QueryGroup {
     * production loop shape (ConnectedComponents' outer loop applied to
     * message passing). Per round: one equi-join + one hash aggregation,
     * then `localCheckpoint` truncates lineage so plan depth stays O(1)
-    * across rounds. The convergence check is a limit(1) count over the
-    * just-checkpointed blocks (the previous rank rides along as a
-    * column), so it re-reads kilobytes, not the round's lineage.
+    * across rounds. The convergence check is an OBSERVED metric on the
+    * checkpoint materialization itself (the previous rank rides along as
+    * a column and `r != __prev` is summed map-side) — zero extra jobs.
     * Returns (ranks, roundsRun).
     *
     * The exact-integer fixpoint is ABSORBING: once r_k == r_{k-1} every
@@ -677,13 +677,24 @@ object Advanced extends QueryGroup {
         .join(maybeB(ranks.withColumnRenamed("node", "src")), "src")
         .select(col("dst").as("node"), expr("r div deg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("s"))
+      // stability observed DURING the checkpoint materialization — one
+      // SQL execution per round instead of two (the old limit(1) count
+      // re-read the checkpointed blocks as a separate job; per-job fixed
+      // cost is what dominates small-round fixpoints on high-latency
+      // schedulers)
+      val obs = org.apache.spark.sql.Observation()
       val next = nodes.join(maybeB(contrib), Seq("node"), "left")
         .join(maybeB(ranks.withColumnRenamed("r", "__prev")), "node")
         .select(col("node"),
           expr("CAST(150000 + (850 * coalesce(s, 0)) div 1000 AS BIGINT)").as("r"),
           col("__prev"))
+        .observe(obs, sum(when(col("r") =!= col("__prev"), 1L)
+          .otherwise(0L)).as("changed"))
         .localCheckpoint()
-      stable = next.filter(col("r") =!= col("__prev")).limit(1).count() == 0
+      stable = (obs.get("changed") match {
+        case l: java.lang.Long => l.longValue
+        case _ => 0L // empty graph: sum over zero rows is null
+      }) == 0
       // through the shim — Dataset.unpersist no-ops on checkpoint storage
       prevCk.foreach(
         org.apache.spark.sql.classic.GraftDatasetShim.unpersistCheckpoint)
@@ -726,7 +737,13 @@ object Advanced extends QueryGroup {
       val edges = pairs
         .select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
         .union(pairs.select((col("l_partkey") * 2 + 1).as("src"), (col("l_suppkey") * 2).as("dst")))
-      integerPageRank(edges, 3).orderBy(col("r").desc, col("node")).limit(25)
+      // round shuffles sized to the ~42k-node graph, not the session
+      // default (Graft.withShufflePartitions doc: the caller knows the
+      // per-round cardinality; each partition pays fixed per-task cost
+      // every round)
+      graft.core.Graft.withShufflePartitions(s, 8) {
+        integerPageRank(edges, 3)
+      }.orderBy(col("r").desc, col("node")).limit(25)
     },
     Some("""WITH pairs AS (
               SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
@@ -809,8 +826,10 @@ object Advanced extends QueryGroup {
   private val qGraphPagerankFixpoint = Q(
     "q_graph_pagerank_fixpoint",
     (s, dir) => {
-      integerPageRankFixpoint(supplierPartEdges(s, dir), PrFixpointCap)._1
-        .orderBy(col("r").desc, col("node")).limit(25)
+      // small-graph rounds: shuffle partitions scoped to key count
+      graft.core.Graft.withShufflePartitions(s, 8) {
+        integerPageRankFixpoint(supplierPartEdges(s, dir), PrFixpointCap)._1
+      }.orderBy(col("r").desc, col("node")).limit(25)
     },
     Some(pagerankUnrolledSql(PrFixpointCap)))
 
@@ -833,9 +852,11 @@ object Advanced extends QueryGroup {
       val fs = new org.apache.hadoop.fs.Path(ckpt)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
-      graft.operators.DurableIteration
-        .pageRankFixpointDurable(supplierPartEdges(s, dir), PrFixpointCap, ckpt)._1
-        .orderBy(col("r").desc, col("node")).limit(25)
+      // small-graph rounds: shuffle partitions scoped to key count
+      graft.core.Graft.withShufflePartitions(s, 8) {
+        graft.operators.DurableIteration
+          .pageRankFixpointDurable(supplierPartEdges(s, dir), PrFixpointCap, ckpt)._1
+      }.orderBy(col("r").desc, col("node")).limit(25)
     },
     Some(pagerankUnrolledSql(PrFixpointCap)))
 

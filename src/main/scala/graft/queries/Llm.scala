@@ -214,7 +214,11 @@ object Llm extends QueryGroup {
     "q_dedup_clusters",
     (s, dir) => {
       val (verts, edges) = dedupClusterGraph(s, dir)
-      clusterSizes(graft.operators.ConnectedComponents.components(verts, edges))
+      // round shuffles sized to the small dedup graph (caller-knob rule,
+      // Graft.withShufflePartitions doc)
+      clusterSizes(graft.core.Graft.withShufflePartitions(s, 8) {
+        graft.operators.ConnectedComponents.components(verts, edges)
+      })
     },
     Some(dedupClustersOracle))
 
@@ -239,8 +243,9 @@ object Llm extends QueryGroup {
       val fs = new org.apache.hadoop.fs.Path(ckpt)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
-      val (labels, _, _) = graft.operators.DurableIteration
-        .componentsDurable(verts, edges, 20, ckpt)
+      val (labels, _, _) = graft.core.Graft.withShufflePartitions(s, 8) {
+        graft.operators.DurableIteration.componentsDurable(verts, edges, 20, ckpt)
+      }
       clusterSizes(labels)
     },
     Some(dedupClustersOracle))
@@ -1080,7 +1085,8 @@ object Llm extends QueryGroup {
     * the df distribution (27k terms at sf0.1) and make the cosine a
     * real phrase-overlap measure.
     *
-    * Scale shape: the df cap (N/10) is LOAD-BEARING — without a cap,
+    * Scale shape: the ABSOLUTE df cap (default 100) is LOAD-BEARING —
+    * without a cap,
     * stopword-grade postings join every doc to every doc (unigrams
     * measured 124,745 of 124,750 possible pairs at sf0.01 = all-pairs);
     * with it, per-term fan-out is ≤ cap² and the whole plan is
@@ -1101,14 +1107,16 @@ object Llm extends QueryGroup {
   private val qSimSparse = Q(
     "q_sim_sparse",
     (s, dir) => {
-      graft.functions.GraftFunctions.register(s)
       val docs = table(s, dir, "documents").select("doc_id", "text")
       val nDocs = docs.count()
-      // gate default: relative cap N/10. At production corpus sizes a
-      // relative cap lets postings lists (and the ×1..×10 measured mild
-      // superlinearity in shuffle bytes) grow with N — operators pin an
-      // ABSOLUTE cap instead, same knob discipline as
-      // spark.graft.ngram.dfCap.
+      // ABSOLUTE df-cap default (100): a term in more than 100 docs
+      // carries <1% IDF discrimination while fanning out df² pair rows.
+      // A relative default (the old N/10) lets postings fan-out grow
+      // quadratically with corpus size — the one measured ×12 shuffle
+      // superlinearity in the ×1..×10 curves. Override via
+      // spark.graft.sparse.dfCap (same knob discipline as
+      // spark.graft.ngram.dfCap); recall-vs-cap measured in
+      // SparseRecallSpec.
       val dfCap = s.conf.getOption("spark.graft.sparse.dfCap").map { v =>
         val cap = try v.trim.toLong catch {
           case _: NumberFormatException => throw new IllegalArgumentException(
@@ -1117,33 +1125,8 @@ object Llm extends QueryGroup {
         require(cap > 0, s"spark.graft.sparse.dfCap must be > 0, got $cap " +
           "(a non-positive cap would drop every term)")
         cap
-      }.getOrElse(nDocs / 10)
-      val tok = docs
-        .withColumn("tl", filter(split(lower(col("text")), " "), x => x =!= ""))
-        .select(col("doc_id"),
-          explode(graft.functions.GraftFunctions.gramSeqNative(col("tl"), 3))
-            .as("t"))
-      val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= dfCap)
-      val w = tf.join(df, "t")
-        .select(col("t"), col("doc_id"),
-          (col("tf") * expr(s"(($nDocs * 100) div df)")).as("w"))
-      val norm = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
-      val wn = w.join(norm, "doc_id")
-      wn.select(col("t"), col("doc_id").as("doc_a"),
-          col("w").as("wa"), col("n2").as("na2"))
-        .join(wn.select(col("t"), col("doc_id").as("doc_b"),
-          col("w").as("wb"), col("n2").as("nb2")), Seq("t"))
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(sum(col("wa") * col("wb")).as("dot"),
-          first(col("na2")).as("na2"), first(col("nb2")).as("nb2"))
-        .select(col("doc_a"), col("doc_b"),
-          round(lit(1e6) * col("dot") /
-            sqrt(col("na2").cast("double") * col("nb2").cast("double")), 0)
-            .cast("long").as("cos_micro"))
-        .filter(col("cos_micro") >= 500000)
+      }.getOrElse(100L)
+      graft.operators.SparseSimilarity.cosinePairs(docs, nDocs, dfCap)
         .orderBy("doc_a", "doc_b")
     },
     Some(s"""WITH toks AS (
@@ -1161,7 +1144,7 @@ object Llm extends QueryGroup {
             tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
             n AS (SELECT count(*) AS n FROM documents),
             df AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
-            cap AS (SELECT t, df FROM df, n WHERE df <= n // 10),
+            cap AS (SELECT t, df FROM df WHERE df <= 100),
             w AS (SELECT tf.doc_id, tf.t, tf.tf * ((n.n * 100) // c.df) AS w
                   FROM tf JOIN cap c USING (t) CROSS JOIN n),
             norm AS (SELECT doc_id, sum(w*w) AS n2 FROM w GROUP BY 1),

@@ -878,12 +878,225 @@ object Relational extends QueryGroup {
              WHERE p_size = 15
              GROUP BY p_type ORDER BY p_type"""))
 
+  /** TPC-H Q10 shape (returned-item revenue, top-k customers): the
+    * big fact-fact join collapses to a per-customer aggregate BEFORE any
+    * dimension attaches — revenue is grouped on o_custkey right after
+    * the lineitem⋈orders join, then one equi-join picks up customer
+    * attributes and nation broadcasts. Wrong plan here (join customer
+    * first, aggregate last) drags customer columns through the fact
+    * shuffle; the aggregate-early shape ships only (custkey, revenue).
+    * Top-20 is TakeOrderedAndProject, revenue exact via moneySum. */
+  private val q10ReturnedRevenue = Q(
+    "q10_returned_revenue",
+    (s, dir) => {
+      val l = table(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      val o = table(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+                col("o_orderdate") < lit("1996-04-01").cast("timestamp_ntz"))
+        .select("o_orderkey", "o_custkey")
+      val c = table(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+      val n = table(s, dir, "nation").select("n_nationkey", "n_name")
+      l.join(o, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(moneySum(col("rev")).as("revenue"))
+        .join(c, col("c_custkey") === col("o_custkey"))
+        .join(broadcast(n), col("n_nationkey") === col("c_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"),
+          fixed4(col("c_acctbal")).as("acctbal_fp"), col("n_name"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some(s"""WITH rev AS (
+              SELECT o_custkey,
+                ${moneySumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+              FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+              WHERE l_returnflag = 'R'
+                AND o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate < TIMESTAMP '1996-04-01'
+              GROUP BY 1)
+            SELECT c_custkey, c_name, revenue,
+              ${fixed4Sql("c_acctbal")} AS acctbal_fp, n_name
+            FROM rev JOIN customer ON c_custkey = o_custkey
+            JOIN nation ON n_nationkey = c_nationkey
+            ORDER BY revenue DESC, c_custkey LIMIT 20"""))
+
+  /** TPC-H Q12 shape (priority counts by class, CASE-conditional
+    * aggregation), adapted to the reduced schema: l_shipmode →
+    * l_returnflag as the grouping dimension, the receipt-lateness fence
+    * → ship-lag > 75 days. The pattern under test: a join whose date
+    * arithmetic filter collapses the fact table BEFORE aggregation, and
+    * a two-way conditional count (CASE ... IN) computed in ONE pass —
+    * not two filtered subqueries re-scanning the join. */
+  private val q12PriorityLateship = Q(
+    "q12_priority_lateship",
+    (s, dir) => {
+      val l = table(s, dir, "lineitem").select("l_orderkey", "l_returnflag", "l_shipdate")
+      val o = table(s, dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      l.join(o, col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 75 DAY"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag,
+              CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+              CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                  THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            WHERE l_shipdate > o_orderdate + INTERVAL 75 DAY
+            GROUP BY 1 ORDER BY 1"""))
+
+  /** TPC-H Q15 shape (view + global max): the revenue view is computed
+    * ONCE and reused both as the ranking input and the scalar-max fence
+    * — the view aggregate is a single shuffle, the 1-row max broadcasts
+    * back onto it (no second scan of lineitem, no window-sort over the
+    * whole view). Revenue stays in exact 1e-4 long units end-to-end, so
+    * "equal to the max" cannot be broken by float rounding ties. */
+  private val q15TopSupplier = Q(
+    "q15_top_supplier",
+    (s, dir) => {
+      val rev = table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+                col("l_shipdate") < lit("1997-04-01").cast("timestamp_ntz"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(fixed4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("total_revenue_fp"))
+      val mx = rev.agg(max(col("total_revenue_fp")).as("mx"))
+      val sup = table(s, dir, "supplier").select("s_suppkey", "s_name")
+      rev.join(broadcast(mx))
+        .filter(col("total_revenue_fp") === col("mx"))
+        .join(broadcast(sup), col("s_suppkey") === col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue_fp")
+        .orderBy("s_suppkey")
+    },
+    Some(s"""WITH rev AS (
+              SELECT l_suppkey,
+                CAST(sum(${fixed4Sql("l_extendedprice * (1 - l_discount)")})
+                  AS BIGINT) AS total_revenue_fp
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate < TIMESTAMP '1997-04-01'
+              GROUP BY 1)
+            SELECT s_suppkey, s_name, total_revenue_fp
+            FROM rev JOIN supplier ON s_suppkey = l_suppkey
+            WHERE total_revenue_fp = (SELECT max(total_revenue_fp) FROM rev)
+            ORDER BY s_suppkey"""))
+
+  /** TPC-H Q17 shape (correlated scalar-average fence): "lines under 20%
+    * of their part's average quantity" decorrelates to a per-part
+    * aggregate joined back onto the brand-filtered line set — the
+    * correlated subquery never re-executes per row. The fence is kept
+    * exact by clearing the division: q < 0.2·(Σq/n) ⟺ 5·q·n < Σq in
+    * long arithmetic, so a borderline line cannot flip on float
+    * rounding. The brand dimension broadcasts; the per-part aggregate
+    * and the join reuse the same l_partkey partitioning. */
+  private val q17SmallQuantity = Q(
+    "q17_small_quantity",
+    (s, dir) => {
+      val p = table(s, dir, "part")
+        .filter(col("p_brand") === "Brand#23").select("p_partkey")
+      val pl = table(s, dir, "lineitem")
+        .join(broadcast(p), col("p_partkey") === col("l_partkey"))
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("q"),
+          col("l_extendedprice"))
+      val fence = pl.groupBy(col("l_partkey"))
+        .agg(sum(col("q")).as("sq"), count(lit(1)).as("nq"))
+      pl.join(fence, Seq("l_partkey"))
+        .filter(col("q") * lit(5L) * col("nq") < col("sq"))
+        .agg((moneySum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+    },
+    Some(s"""WITH pl AS (
+              SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q, l_extendedprice
+              FROM lineitem JOIN part ON p_partkey = l_partkey
+              WHERE p_brand = 'Brand#23'),
+            fence AS (
+              SELECT l_partkey, sum(q) AS sq, count(*) AS nq FROM pl GROUP BY 1)
+            SELECT ${moneySumSql("l_extendedprice")} / 7.0 AS avg_yearly
+            FROM pl JOIN fence USING (l_partkey) WHERE q * 5 * nq < sq"""))
+
+  /** TPC-H Q19 shape (disjunction of conjunctive brackets): revenue over
+    * an OR of three (brand, size-range, quantity-range) brackets. The
+    * planner pattern under test is OR-of-ANDs pushdown — the disjunction
+    * must not block filtering: Catalyst's CNF conversion extracts the
+    * part-only common factors (brand ∈ {...}, size ranges) below the
+    * join, so the broadcast build side carries qualifying parts only
+    * instead of the whole dimension (PlanPropertiesSpec asserts it). */
+  private val q19BracketRevenue = Q(
+    "q19_bracket_revenue",
+    (s, dir) => {
+      val p = table(s, dir, "part").select("p_partkey", "p_brand", "p_size")
+      val l = table(s, dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      l.join(broadcast(p), col("p_partkey") === col("l_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
+            col("l_quantity").between(20, 30)))
+        .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+    },
+    Some(s"""SELECT ${moneySumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand='Brand#12' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand='Brand#23' AND p_size BETWEEN 1 AND 25
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand='Brand#34' AND p_size BETWEEN 1 AND 35
+                   AND l_quantity BETWEEN 20 AND 30)"""))
+
+  /** TPC-H Q20 shape (nested IN over an aggregate-with-HAVING), adapted
+    * to the reduced schema (no partsupp): suppliers who shipped more
+    * than 55 units of some 'small%' part, in one nation. The IN
+    * decorrelates to a LEFT SEMI join against the (supplier, part)
+    * aggregate — dedup is free (semi join), the name-filtered part
+    * dimension broadcasts into the fact scan, and the tiny supplier
+    * table is probed last. */
+  private val q20PromoSuppliers = Q(
+    "q20_promo_suppliers",
+    (s, dir) => {
+      val p = table(s, dir, "part")
+        .filter(col("p_name").startsWith("small")).select("p_partkey")
+      val qualifying = table(s, dir, "lineitem")
+        .join(broadcast(p), col("p_partkey") === col("l_partkey"))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("sq"))
+        .filter(col("sq") > 55L)
+        .select("l_suppkey")
+      table(s, dir, "supplier")
+        .filter(col("s_nationkey") === 3)
+        .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"),
+          fixed4(col("s_acctbal")).as("acctbal_fp"))
+        .orderBy("s_name")
+    },
+    Some(s"""SELECT s_suppkey, s_name, ${fixed4Sql("s_acctbal")} AS acctbal_fp
+            FROM supplier
+            WHERE s_suppkey IN (
+                SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+                WHERE p_name LIKE 'small%'
+                GROUP BY l_suppkey, l_partkey
+                HAVING sum(CAST(l_quantity AS BIGINT)) > 55)
+              AND s_nationkey = 3
+            ORDER BY s_name"""))
+
   override val queries: Seq[Q] = Seq(
     qScanProject, qSourceValues, q1Agg, qAggDistinct,
     q3TopRevenue, qJoinLeft, qJoinRight, qJoinSemi, qJoinAnti, qJoinFull,
     qJoinCross, qJoinTheta, qJoinBloomPrune, q5NationRevenue, q13CustDist,
-    q14PromoShare, q4PriorityLate, q7VolumeShipping, q11PartShare,
-    q18LargeOrders, q21LateSuppliers, q22DormantCustomers, qAbcClassify,
+    q14PromoShare, q4PriorityLate, q7VolumeShipping, q10ReturnedRevenue,
+    q11PartShare, q12PriorityLateship, q15TopSupplier, q17SmallQuantity,
+    q18LargeOrders, q19BracketRevenue, q20PromoSuppliers,
+    q21LateSuppliers, q22DormantCustomers, qAbcClassify,
     qGiniConcentration, qShipSla, qSortLimit, qTopkGlobal,
     qSetUnionAll, qSetIntersect, qSetExcept,
     qSetIntersectAll, qSetExceptAll, qSetUnionByName, qSetDistinct)

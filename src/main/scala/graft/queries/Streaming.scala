@@ -108,6 +108,102 @@ object Streaming extends QueryGroup {
              AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 7 DAY
             ORDER BY p.user_id, purchase_id, s_ts"""))
 
+  /** LEFT OUTER stream-stream join, batch twin (EventStreams
+    * .purchaseSignupLeftJoin): every purchase, null-padded when no
+    * signup precedes it within 7 days. The outer side is where engines
+    * get watermark semantics wrong — the live emission contract
+    * (null rows exactly once, only after watermark passage, state
+    * evicted) is gated by q_stream_join_outer_live and differential-
+    * tested in StreamingSpec; this twin gates the JOIN semantics against
+    * the SQL oracle. */
+  private val qStreamJoinOuter = Q(
+    "q_stream_join_outer",
+    (s, dir) => EventStreams.purchaseSignupLeftJoin(table(s, dir, "events"))
+      .orderBy(col("user_id"), col("purchase_id"), col("s_ts")),
+    Some("""SELECT p.user_id, p.event_id AS purchase_id,
+              p.ts AS p_ts, s.ts AS s_ts
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+              ON p.user_id = s.user_id
+             AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 7 DAY
+            ORDER BY p.user_id, purchase_id, s_ts"""))
+
+  /** The LIVE left-outer stream-stream join under the driver gate — the
+    * real streaming runtime (file-source drips, per-side watermarks,
+    * state eviction), landed in chronological order with watermark-flush
+    * sentinels:
+    *  - real events arrive as 3 ts-range-partitioned drops, so no real
+    *    row is ever behind the watermark;
+    *  - drop 4 carries one far-future purchase and one far-future signup
+    *    sentinel (reserved user ids -100/-200 that can never match a
+    *    real row or each other) — BOTH side watermarks must advance,
+    *    because the global watermark is their min;
+    *  - drop 5 repeats the sentinels at the SAME event time: null
+    *    emission happens in the first batch whose watermark (set by the
+    *    PREVIOUS batch) clears the purchases, so the gate does not rely
+    *    on no-data micro-batches — and because the sentinel time never
+    *    advances past drop 4's, the final watermark (sentinel − 1 h)
+    *    never clears the sentinels themselves.
+    * The sentinels therefore never surface (signup sentinels produce no
+    * left rows at all), and the converged sink equals the batch twin —
+    * same oracle as q_stream_join_outer, produced by the bounded-state
+    * append path. */
+  private val qStreamJoinOuterLive = Q(
+    "q_stream_join_outer_live",
+    (s, dir) => {
+      val events = table(s, dir, "events")
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft-stream-join-outer")
+      val staged = root.resolve(
+        "cache-" + dir.replaceAll("[^A-Za-z0-9.]", "_")).resolve("staged")
+      if (!staged.resolve("_SUCCESS").toFile.exists())
+        events.repartitionByRange(3, col("ts"))
+          .write.mode("overwrite").parquet(staged.toString)
+      val mx = events.agg(
+        max(unix_micros(col("ts").cast("timestamp")))).collect()(0).getLong(0)
+      val srcRoot = root.resolve("src")
+      if (srcRoot.toFile.exists()) rmTree(srcRoot.toFile)
+      java.nio.file.Files.createDirectories(srcRoot)
+      def sentinel(path: java.nio.file.Path, tsUs: Long): Unit = {
+        import s.implicits._
+        Seq((-100L, tsUs, "purchase"), (-200L, tsUs, "signup"))
+          .toDF("user_id", "ts_us", "event_type")
+          .select(lit(-1L).as("event_id"),
+            timestamp_micros(col("ts_us")).cast("timestamp_ntz").as("ts"),
+            col("user_id"), col("event_type"),
+            lit(0.0).as("value"), lit("").as("props"))
+          .coalesce(1).write.mode("overwrite").parquet(path.toString)
+      }
+      val flushUs = mx + 30L * 24 * 3600 * 1000000L
+      sentinel(root.resolve("flush_a"), flushUs)
+      sentinel(root.resolve("flush_b"), flushUs)
+      def files(p: java.nio.file.Path) = new java.io.File(p.toString)
+        .listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      withStatePartitions(s, 8) {
+        val q = EventStreams.purchaseSignupLeftJoin(
+            s.readStream.schema(events.schema).parquet(srcRoot.toString))
+          .writeStream.format("memory").queryName("graft_stream_join_outer_sink")
+          .outputMode("append").start()
+        try {
+          (files(staged) ++ files(root.resolve("flush_a")) ++
+            files(root.resolve("flush_b")))
+            .zipWithIndex.foreach { case (f, i) =>
+              java.nio.file.Files.copy(f.toPath, srcRoot.resolve(s"drop_$i.parquet"))
+              q.processAllAvailable()
+            }
+        } finally q.stop()
+      }
+      s.table("graft_stream_join_outer_sink")
+        .orderBy(col("user_id"), col("purchase_id"), col("s_ts"))
+    },
+    Some("""SELECT p.user_id, p.event_id AS purchase_id,
+              p.ts AS p_ts, s.ts AS s_ts
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+              ON p.user_id = s.user_id
+             AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 7 DAY
+            ORDER BY p.user_id, purchase_id, s_ts"""))
+
   /** A LIVE structured stream under the driver gate: the events table is
     * drip-fed through a parquet file source in three landed drops (the
     * production shape — a directory accumulating files, each drop a
@@ -208,9 +304,21 @@ object Streaming extends QueryGroup {
   private def withStatePartitions[T](
       s: org.apache.spark.sql.SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
+    // Spark 4.1 writes a companion checksum file for every checkpoint
+    // file (offsets/commits/state deltas) by default — integrity
+    // insurance for long-lived checkpoints on unreliable stores. These
+    // gated streams use EPHEMERAL per-run checkpoints on local disk
+    // (wiped at query start), where the checksums only double the
+    // per-batch small-file count; with ~6 micro-batches and 8 state
+    // partitions that is pure fixed-cost, so scope them off here. A
+    // production deployment with durable checkpoints should leave the
+    // default on.
+    val ckKey = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
     val prev = s.conf.get(key)
+    val prevCk = s.conf.get(ckKey)
     s.conf.set(key, n.toString)
-    try body finally s.conf.set(key, prev)
+    s.conf.set(ckKey, "false")
+    try body finally { s.conf.set(key, prev); s.conf.set(ckKey, prevCk) }
   }
 
   /** Shared drip-runner for the append-mode live stream: stages (cached
@@ -367,24 +475,26 @@ object Streaming extends QueryGroup {
       val stream = s.readStream.schema(docs.schema).parquet(srcRoot.toString)
         .select(col("doc_id"), col("lang"),
           graft.operators.PortableHash.charHash(col("text")).as("fp"))
-      val q = stream.writeStream.outputMode("append")
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-          rmTree(new java.io.File(s"$store/batch=$id"))
-          rmTree(new java.io.File(s"$out/batch=$id"))
-          graft.operators.IncrementalIngest
-            .ingest(batch.sparkSession, store, id, batch.toDF())
-            .write.format("graft.sources.KvSinkProvider")
-            .option("path", s"$out/batch=$id").mode("append").save()
-        }
-        .start()
-      try {
-        new java.io.File(staged.toString).listFiles()
-          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-          .zipWithIndex.foreach { case (f, i) =>
-            java.nio.file.Files.copy(f.toPath, srcRoot.resolve(s"drop_$i.parquet"))
-            q.processAllAvailable()
+      withStatePartitions(s, 8) {
+        val q = stream.writeStream.outputMode("append")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            rmTree(new java.io.File(s"$store/batch=$id"))
+            rmTree(new java.io.File(s"$out/batch=$id"))
+            graft.operators.IncrementalIngest
+              .ingest(batch.sparkSession, store, id, batch.toDF())
+              .write.format("graft.sources.KvSinkProvider")
+              .option("path", s"$out/batch=$id").mode("append").save()
           }
-      } finally q.stop()
+          .start()
+        try {
+          new java.io.File(staged.toString).listFiles()
+            .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+            .zipWithIndex.foreach { case (f, i) =>
+              java.nio.file.Files.copy(f.toPath, srcRoot.resolve(s"drop_$i.parquet"))
+              q.processAllAvailable()
+            }
+        } finally q.stop()
+      }
       s.read.format("graft.sources.KvSourceProvider")
         .option("path", out).option("recursive", "true")
         .option("schema", "doc_id LONG, lang STRING, fp LONG").load()
@@ -419,6 +529,7 @@ object Streaming extends QueryGroup {
 
   override val queries: Seq[Q] = Seq(
     qStreamTumbling, qStreamSliding, qStreamSession, qStreamStateful,
-    qStreamJoin, qStreamEnrich, qStreamLive, qStreamLiveAppend, qStreamKvSink,
+    qStreamJoin, qStreamJoinOuter, qStreamJoinOuterLive, qStreamEnrich,
+    qStreamLive, qStreamLiveAppend, qStreamKvSink,
     qStreamIngest, qStreamDedup)
 }

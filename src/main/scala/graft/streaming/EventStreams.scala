@@ -114,8 +114,41 @@ object EventStreams {
     * watermarked stream-stream join shape. On batch input the watermark
     * is a no-op and this is a plain interval join. */
   def purchaseSignupJoin(events: DataFrame): DataFrame = {
-    // watermarks require TIMESTAMP (LTZ); session TZ is UTC everywhere so
-    // the ntz→ltz cast is value-preserving and the output casts back
+    val (p, sg, cond) = purchaseSignupSides(events)
+    p.join(sg, cond)
+      .select(col("user_id"), col("purchase_id"),
+        col("p_ts").cast("timestamp_ntz").as("p_ts"),
+        col("s_ts").cast("timestamp_ntz").as("s_ts"))
+  }
+
+  /** LEFT OUTER stream-stream interval join — [[purchaseSignupJoin]]'s
+    * outer twin, the shape engines get watermark semantics wrong on:
+    * every purchase appears, those without a signup in the preceding 7
+    * days as a null-padded row. In streaming append mode the null row
+    * for an unmatched purchase is emitted EXACTLY ONCE, and only after
+    * the global watermark passes the purchase's event time (at which
+    * point no matching signup can still arrive: the join bounds s_ts ≤
+    * p_ts, so once the watermark clears p_ts the candidate set is
+    * closed and the purchase's state is evicted) — bounded state, late
+    * null emission, no duplicates. On batch input the watermarks are
+    * no-ops and this is a plain left interval join, which is what the
+    * oracle gates; the streaming emission contract is differential-
+    * tested in StreamingSpec. */
+  def purchaseSignupLeftJoin(events: DataFrame): DataFrame = {
+    val (p, sg, cond) = purchaseSignupSides(events)
+    p.join(sg, cond, "left_outer")
+      .select(col("user_id"), col("purchase_id"),
+        col("p_ts").cast("timestamp_ntz").as("p_ts"),
+        col("s_ts").cast("timestamp_ntz").as("s_ts"))
+  }
+
+  /** Shared sides of the purchase↔signup interval joins. Watermarks
+    * require TIMESTAMP (LTZ); session TZ is UTC everywhere so the
+    * ntz→ltz cast is value-preserving and the outputs cast back. Both
+    * sides carry a 1-hour watermark and the join condition bounds both
+    * event times, so in streaming mode the state store retains only a
+    * bounded 7-day window per side. */
+  private def purchaseSignupSides(events: DataFrame) = {
     val p = events.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("purchase_id"),
         col("ts").cast("timestamp").as("p_ts"))
@@ -124,13 +157,10 @@ object EventStreams {
       .select(col("user_id").as("s_user"),
         col("ts").cast("timestamp").as("s_ts"))
       .withWatermark("s_ts", "1 hour")
-    p.join(sg,
-        col("user_id") === col("s_user") &&
-        col("s_ts") <= col("p_ts") &&
-        col("s_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"))
-      .select(col("user_id"), col("purchase_id"),
-        col("p_ts").cast("timestamp_ntz").as("p_ts"),
-        col("s_ts").cast("timestamp_ntz").as("s_ts"))
+    val cond = col("user_id") === col("s_user") &&
+      col("s_ts") <= col("p_ts") &&
+      col("s_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS")
+    (p, sg, cond)
   }
 
   /** Stream-static enrichment join: each event picks up its user's tier

@@ -49,8 +49,14 @@ class NgramDfCapSpec extends AnyFunSuite with SparkSessionFixture {
     val rareDocs = Seq(100L -> "rare pair term alpha beta",
       101L -> "rare pair term alpha beta")
     val dir = writeDocs(hotDocs ++ rareDocs)
-    // default relative cap = 8/10 = 0: df<=0 drops everything -> no rows
-    assert(SparkEntry.queries("q_sim_sparse")(spark, dir).collect().isEmpty)
+    // default ABSOLUTE cap (100) keeps every term here (max df=6), but
+    // the 0.5 cosine floor still kills the hot pairs (one shared
+    // stopword-grade trigram vs two rare ones each): only the identical
+    // rare pair scores under the default
+    val dflt = SparkEntry.queries("q_sim_sparse")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dflt == Set((100L, 101L)),
+      s"default absolute cap: expected the rare pair, got ${dflt.toSeq.sorted.mkString(", ")}")
     try {
       // absolute cap 3 admits the rare trigram (df=2) but not the hot
       // one (df=6): only the rare pair scores
