@@ -117,6 +117,24 @@ object Bench {
       }
     }
 
+    // Machine-speed canaries, published with the record: median empty
+    // RDD-job latency and empty SQL-execution latency. The r9 postmortem
+    // (identical code benching 2.1x slower after a host reboot; per-task
+    // compute unchanged, per-JOB fixed cost tripled) showed that a bench
+    // record must carry its own environment evidence — a cross-round
+    // consumer comparing totals needs to see whether the machine's
+    // scheduler-latency floor moved between records.
+    def medianMs(n: Int)(f: => Unit): Double = {
+      val ts = (1 to n).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e6
+      }.sorted
+      ts(n / 2)
+    }
+    (1 to 10).foreach(_ => spark.range(100).count()) // canary warmup
+    val envJobMs = medianMs(20)(
+      spark.sparkContext.parallelize(1 to 10, 4).count(): Unit)
+    val envSqlMs = medianMs(20)(spark.range(100).count(): Unit)
+
     // Untimed warmup: one full sweep of the selected registry. A partial
     // (3-query) warmup left first-iteration JIT/codegen cost landing on
     // whichever queries ran early — r4/r5 both published ~2-6x-inflated
@@ -197,7 +215,7 @@ object Bench {
     val regressedJson = regressed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val regressedVs = prevPath.filter(_ => prev.nonEmpty)
       .map(p => s""","regressed_vs":"$p"""").getOrElse("")
-    val envJson = f""""loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"cpus":$cpus"""
+    val envJson = f""""loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"env_job_ms":$envJobMs%.1f,"env_sql_ms":$envSqlMs%.1f,"cpus":$cpus"""
     val detail = s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"contended":$contendedJson,"failed":$failedJson,"regressed":$regressedJson$regressedVs,"iters":$iters,$envJson,"sf":"$sfDir"}"""
     // Full detail line first (may exceed a tail-capture window at 88+
     // queries — r01/r02 both came back parsed:null from head truncation),

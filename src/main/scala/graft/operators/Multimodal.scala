@@ -18,10 +18,14 @@ import org.apache.spark.sql.functions._
   * [[decodeImageStats]] parses actual encoded bytes into pixels and
   * exact integer channel statistics (gated end-to-end by
   * q_multimodal_decode against a closed-form oracle over deterministic
-  * fixture images). The audio/video feature path keeps a deterministic
-  * STUB decoder (no audio/video codecs ship in this container); its
-  * schema, encoders, partition batching and feature shape are real and
-  * tested (MultimodalSpec).
+  * fixture images). Audio decode is REAL for WAV/PCM: [[wavDecode]]
+  * implements the RIFF container grammar (chunk walk, word alignment,
+  * PCM 16-bit) and [[decodeAudioStats]] reduces decoded samples to
+  * exact integer stats (gated by q_multimodal_audio against a
+  * closed-form oracle). Only the VIDEO feature path keeps a
+  * deterministic stub decoder (no video codecs ship in this
+  * container); its schema, encoders, partition batching and feature
+  * shape are real and tested (MultimodalSpec).
   */
 object Multimodal extends Serializable {
 
@@ -308,6 +312,147 @@ object Multimodal extends Serializable {
       }
       val payload = ppmEncode(w, h, rgb)
       MediaItem(id, "image", payload, "synthetic", payload.length.toLong)
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // REAL audio decode: WAV/PCM (RIFF container grammar), pure JVM.
+  // ---------------------------------------------------------------
+
+  /** Exact integer audio statistics of one decoded clip. */
+  final case class AudioStats(
+      media_id: Long,
+      sample_rate: Int,
+      n_channels: Int,
+      n_frames: Long,
+      sum_abs: Long,
+      peak: Int)
+
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  /** Serialize 16-bit little-endian PCM as a WAV file: RIFF header,
+    * `fmt ` chunk, a LIST/INFO chunk (deliberate, and deliberately
+    * ODD-sized: every consumer must walk the chunk sequence with the
+    * RIFF word-alignment rule, not assume fmt+data back-to-back), then
+    * the `data` chunk. */
+  def wavEncode(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    require(samples.length % channels == 0,
+      s"${samples.length} samples not a multiple of $channels channels")
+    val info = "graft".getBytes("US-ASCII") // 5 bytes -> odd chunk, pad byte
+    val listBody = "INFO".getBytes("US-ASCII") ++ info
+    val listPadded = listBody ++ (if (listBody.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    val dataBytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      dataBytes(2 * i) = (samples(i) & 0xff).toByte
+      dataBytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val blockAlign = channels * 2
+    val fmt = le16(1) ++ le16(channels) ++ le32(sampleRate) ++
+      le32(sampleRate * blockAlign) ++ le16(blockAlign) ++ le16(16)
+    val chunks =
+      "fmt ".getBytes("US-ASCII") ++ le32(fmt.length) ++ fmt ++
+      "LIST".getBytes("US-ASCII") ++ le32(listBody.length) ++ listPadded ++
+      "data".getBytes("US-ASCII") ++ le32(dataBytes.length) ++ dataBytes
+    "RIFF".getBytes("US-ASCII") ++ le32(4 + chunks.length) ++
+      "WAVE".getBytes("US-ASCII") ++ chunks
+  }
+
+  /** Parse a WAV payload: RIFF/WAVE magic, then the chunk walk (id,
+    * little-endian size, word-aligned payloads) collecting `fmt ` and
+    * `data`; PCM (format 1), 16-bit only. Returns
+    * (sampleRate, channels, samples) with samples interleaved. */
+  def wavDecode(payload: Array[Byte]): (Int, Int, Array[Short]) = {
+    def u16(p: Int): Int = (payload(p) & 0xff) | ((payload(p + 1) & 0xff) << 8)
+    def u32(p: Int): Long = (payload(p) & 0xffL) | ((payload(p + 1) & 0xffL) << 8) |
+      ((payload(p + 2) & 0xffL) << 16) | ((payload(p + 3) & 0xffL) << 24)
+    def tag(p: Int): String = new String(payload, p, 4, "US-ASCII")
+    require(payload.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
+      "not a RIFF/WAVE payload")
+    var pos = 12
+    var rate = -1; var channels = -1; var bits = -1
+    var dataOff = -1; var dataLen = -1
+    while (pos + 8 <= payload.length) {
+      val id = tag(pos)
+      val size = u32(pos + 4).toInt
+      val body = pos + 8
+      require(body + size <= payload.length, s"truncated $id chunk")
+      id match {
+        case "fmt " =>
+          require(size >= 16, s"fmt chunk too short: $size")
+          val fmtCode = u16(body)
+          require(fmtCode == 1, s"unsupported WAV format $fmtCode (PCM only)")
+          channels = u16(body + 2)
+          rate = u32(body + 4).toInt
+          bits = u16(body + 14)
+          require(bits == 16, s"unsupported bit depth $bits (16-bit only)")
+        case "data" => dataOff = body; dataLen = size
+        case _ => () // LIST/fact/... skipped, but WALKED
+      }
+      pos = body + size + (size % 2) // RIFF word alignment
+    }
+    require(rate > 0 && channels > 0, "missing fmt chunk")
+    require(dataOff >= 0, "missing data chunk")
+    require(dataLen % (2 * channels) == 0,
+      s"data length $dataLen not frame-aligned for $channels channels")
+    val samples = new Array[Short](dataLen / 2)
+    var i = 0
+    while (i < samples.length) {
+      val p = dataOff + 2 * i
+      samples(i) = ((payload(p) & 0xff) | ((payload(p + 1) & 0xff) << 8)).toShort
+      i += 1
+    }
+    (rate, channels, samples)
+  }
+
+  /** Batched REAL audio decode: parse each WAV payload and reduce to
+    * exact integer stats — same iterator-to-iterator partition shape as
+    * [[decodeImageStats]]. */
+  def decodeAudioStats(items: Dataset[MediaItem]): Dataset[AudioStats] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      it.map { item =>
+        val (rate, channels, samples) = wavDecode(item.payload)
+        var sumAbs = 0L
+        var peak = 0
+        var i = 0
+        while (i < samples.length) {
+          val a = math.abs(samples(i).toInt)
+          sumAbs += a
+          if (a > peak) peak = a
+          i += 1
+        }
+        AudioStats(item.media_id, rate, channels,
+          samples.length.toLong / channels, sumAbs, peak)
+      }
+    }
+  }
+
+  /** Deterministic WAV fixture corpus: one clip per document — rate,
+    * channel count, frame count and every SAMPLE a pure function of
+    * doc_id (sample k = (doc_id·37 + k·11) mod 4001 − 2000) — so an
+    * oracle can compute the expected stats in closed form WITHOUT an
+    * audio decoder, and the gate proves the real encode→parse→stats
+    * path reproduces them from actual RIFF bytes. */
+  def syntheticAudio(documents: DataFrame): Dataset[MediaItem] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id")).as[Long].map { id =>
+      val rate = 8000 + (id % 3).toInt * 4000
+      val channels = 1 + (id % 2).toInt
+      val frames = 60 + (id % 40).toInt
+      val samples = new Array[Short](frames * channels)
+      var k = 0
+      while (k < samples.length) {
+        samples(k) = (((id * 37 + k.toLong * 11) % 4001L) - 2000L).toShort
+        k += 1
+      }
+      val payload = wavEncode(rate, channels, samples)
+      MediaItem(id, "audio", payload, "synthetic", payload.length.toLong)
     }
   }
 

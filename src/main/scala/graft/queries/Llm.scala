@@ -1767,6 +1767,45 @@ object Llm extends QueryGroup {
                         ELSE 12 END AS INTEGER) AS fit_h
             FROM s ORDER BY media_id"""))
 
+  /** REAL audio decode under the gate (operators/Multimodal): a
+    * deterministic 16-bit PCM clip per document — rate, channels, frame
+    * count and every sample a pure function of doc_id — is ENCODED to
+    * actual WAV bytes (RIFF header, fmt chunk, a deliberately odd-sized
+    * LIST chunk so the word-alignment rule is exercised, data chunk),
+    * PARSED back by the real RIFF chunk-walker inside the batched
+    * mapPartitions decoder, and reduced to exact integer stats
+    * (Σ|sample|, peak). The oracle recomputes everything in closed form
+    * (sample k = (id·37 + k·11) mod 4001 − 2000) WITHOUT audio code —
+    * a header-grammar bug, an endianness swap, or a channel-count
+    * mistake all hash-mismatch. 100 TB shape: pure narrow map, like the
+    * image decode. */
+  private val qMultimodalAudio = Q(
+    "q_multimodal_audio",
+    (s, dir) => {
+      val m = graft.operators.Multimodal
+      m.decodeAudioStats(m.syntheticAudio(table(s, dir, "documents")))
+        .toDF()
+        .orderBy(col("media_id"))
+    },
+    Some("""WITH d AS (
+              SELECT doc_id,
+                CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate,
+                CAST(1 + doc_id % 2 AS INTEGER) AS n_channels,
+                60 + doc_id % 40 AS frames
+              FROM documents),
+            s AS (
+              SELECT doc_id, sample_rate, n_channels, frames,
+                CAST(list_sum(list_transform(
+                  generate_series(0, frames * n_channels - 1),
+                  k -> abs((doc_id*37 + k*11) % 4001 - 2000))) AS BIGINT) AS sum_abs,
+                CAST(list_max(list_transform(
+                  generate_series(0, frames * n_channels - 1),
+                  k -> abs((doc_id*37 + k*11) % 4001 - 2000))) AS INTEGER) AS peak
+              FROM d)
+            SELECT doc_id AS media_id, sample_rate, n_channels,
+              CAST(frames AS BIGINT) AS n_frames, sum_abs, peak
+            FROM s ORDER BY media_id"""))
+
   /** REAL pixel resize under the gate: the same PPM fixtures as
     * q_multimodal_decode, decoded and NEAREST-NEIGHBOR-resampled into
     * the 16×12 aspect fit — target pixel (ty, tx) reads source
@@ -1964,7 +2003,8 @@ object Llm extends QueryGroup {
     qTextChi2, qDriftTerms,
     qVocabEncode, qTextBm25,
     qAggVectorCentroid, qAggVectorDispersion, qMultimodal,
-    qMultimodalDecode, qMultimodalResample, qDecontaminate, qTextPii, qDedupFuzzy)
+    qMultimodalDecode, qMultimodalResample, qMultimodalAudio,
+    qDecontaminate, qTextPii, qDedupFuzzy)
 
   /** Fuzzy string-match join (entity resolution): name pairs within
     * Levenshtein distance 2. Scale shape, in order: (1) match on the

@@ -954,11 +954,17 @@ object Relational extends QueryGroup {
             GROUP BY 1 ORDER BY 1"""))
 
   /** TPC-H Q15 shape (view + global max): the revenue view is computed
-    * ONCE and reused both as the ranking input and the scalar-max fence
-    * — the view aggregate is a single shuffle, the 1-row max broadcasts
-    * back onto it (no second scan of lineitem, no window-sort over the
-    * whole view). Revenue stays in exact 1e-4 long units end-to-end, so
-    * "equal to the max" cannot be broken by float rounding ties. */
+    * ONCE and reused both as the ranking input and the scalar-max fence.
+    * Reuse is FORCED with an eager localCheckpoint of the view — without
+    * it Catalyst plans the two consumers as two independent aggregation
+    * chains and scans the fact table twice (observed in the physical
+    * plan; exchange reuse does not fire across the broadcast boundary).
+    * The view is post-aggregation small (one row per supplier), so
+    * checkpointing it costs nothing next to a second fact scan at 100 TB
+    * — PlanPropertiesSpec asserts the final plan reads the view blocks
+    * and never rescans lineitem. Revenue stays in exact 1e-4 long units
+    * end-to-end, so "equal to the max" cannot be broken by float
+    * rounding ties. */
   private val q15TopSupplier = Q(
     "q15_top_supplier",
     (s, dir) => {
@@ -968,6 +974,7 @@ object Relational extends QueryGroup {
         .groupBy(col("l_suppkey"))
         .agg(sum(fixed4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
           .as("total_revenue_fp"))
+        .localCheckpoint()
       val mx = rev.agg(max(col("total_revenue_fp")).as("mx"))
       val sup = table(s, dir, "supplier").select("s_suppkey", "s_name")
       rev.join(broadcast(mx))

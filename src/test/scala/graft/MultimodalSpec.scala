@@ -178,6 +178,63 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionFixture {
       m.decodeImage("P6\n4 4\n255\nxy".getBytes("US-ASCII")))
   }
 
+  test("WAV encode -> decode round-trips rate/channels/samples exactly") {
+    val m = graft.operators.Multimodal
+    val samples = Array[Short](0, 1, -1, 32767, -32768, 1000, -999, 42)
+    val bytes = m.wavEncode(44100, 2, samples)
+    val (rate, ch, got) = m.wavDecode(bytes)
+    assert(rate == 44100 && ch == 2)
+    assert(got.toSeq == samples.toSeq, "PCM samples must round-trip bit-exactly")
+    // the fixture encoder emits an odd-sized LIST chunk before data: a
+    // decoder that skips the RIFF pad byte lands mid-chunk and fails —
+    // reaching data at all proves the word-alignment rule is honored
+  }
+
+  test("WAV chunk walk: grammar violations are rejected, not misread") {
+    val m = graft.operators.Multimodal
+    val good = m.wavEncode(8000, 1, Array[Short](1, 2, 3))
+    // bad magic
+    intercept[IllegalArgumentException](m.wavDecode("RIFX".getBytes ++ good.drop(4)))
+    // truncated data chunk: shrink the payload under the declared size
+    intercept[IllegalArgumentException](m.wavDecode(good.dropRight(2)))
+    // non-PCM format code (3 = IEEE float) in fmt
+    val nonPcm = good.clone()
+    val fmtBody = {
+      var p = 12
+      var found = -1
+      while (found < 0) {
+        val id = new String(nonPcm, p, 4, "US-ASCII")
+        val sz = (nonPcm(p + 4) & 0xff) | ((nonPcm(p + 5) & 0xff) << 8)
+        if (id == "fmt ") found = p + 8 else p += 8 + sz + (sz % 2)
+      }
+      found
+    }
+    nonPcm(fmtBody) = 3
+    intercept[IllegalArgumentException](m.wavDecode(nonPcm))
+  }
+
+  test("decodeAudioStats: distributed stats equal a local decode of the same fixtures") {
+    val m = graft.operators.Multimodal
+    val docs = graft.core.Graft
+      .table(spark, "/root/testdata/sf0.001", "documents").limit(40)
+    val got = m.decodeAudioStats(m.syntheticAudio(docs))
+      .collect().map(a => a.media_id -> a).toMap
+    docs.select("doc_id").collect().map(_.getLong(0)).foreach { id =>
+      val rate = 8000 + (id % 3).toInt * 4000
+      val channels = 1 + (id % 2).toInt
+      val frames = 60 + (id % 40).toInt
+      var sumAbs = 0L; var peak = 0
+      (0 until frames * channels).foreach { k =>
+        val v = (((id * 37 + k.toLong * 11) % 4001L) - 2000L).toInt
+        sumAbs += math.abs(v); peak = math.max(peak, math.abs(v))
+      }
+      val a = got(id)
+      assert(a.sample_rate == rate && a.n_channels == channels &&
+        a.n_frames == frames && a.sum_abs == sumAbs && a.peak == peak,
+        s"doc $id: $a != ($rate, $channels, $frames, $sumAbs, $peak)")
+    }
+  }
+
   test("NN resample picks exactly the floor-index source pixels") {
     val m = graft.operators.Multimodal
     val s = spark

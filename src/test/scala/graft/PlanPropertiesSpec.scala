@@ -167,6 +167,64 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkSessionFixture {
       s"scalar aggregate over a broadcast join must not hash-shuffle rows:\n$plan")
   }
 
+  private def relPlan(name: String): String =
+    graft.queries.Relational.queries.find(_.name == name).get
+      .run(spark, dir).queryExecution.executedPlan.toString
+
+  test("q10: aggregate-early — revenue groups on custkey BEFORE the customer join, top-20 is TakeOrdered") {
+    val plan = relPlan("q10_returned_revenue")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-20 must not full-sort:\n$plan")
+    // the aggregate's grouping key is o_custkey (pre-join), not c_custkey
+    val aggIdx = plan.indexOf("HashAggregate(keys=[o_custkey")
+    assert(aggIdx >= 0, s"revenue must aggregate on o_custkey before the customer join:\n$plan")
+    // returnflag filter reaches the lineitem scan
+    assert(plan.contains("EqualTo(l_returnflag,R)"), s"returnflag not pushed:\n$plan")
+  }
+
+  test("q12: date-lag filter keeps CASE counts in one aggregation pass") {
+    val plan = relPlan("q12_priority_lateship")
+    // one pass: exactly one pair of partial+final aggregates over the join
+    assert(plan.linesIterator.count(_.contains("HashAggregate")) == 2,
+      s"conditional counts must be one partial+final aggregation, not per-branch scans:\n$plan")
+  }
+
+  test("q15: view + scalar max — lineitem is scanned once, max broadcasts back") {
+    val plan = relPlan("q15_top_supplier")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"the 1-row max must broadcast:\n$plan")
+    // the view is checkpointed: both consumers read its blocks, the
+    // fact table is never rescanned by the final plan
+    assert(!plan.contains("lineitem.parquet"),
+      s"final plan must read the checkpointed view, not rescan lineitem:\n$plan")
+    assert(plan.linesIterator.count(_.contains("ExistingRDD")) >= 2,
+      s"both consumers must read the shared view blocks:\n$plan")
+  }
+
+  test("q17: correlated average fence decorrelates — no per-row subquery, fence joins on l_partkey") {
+    val plan = relPlan("q17_small_quantity")
+    assert(!plan.contains("Subquery"), s"fence must be decorrelated:\n$plan")
+    // per-part aggregate joined back on partkey
+    assert(plan.contains("HashAggregate(keys=[l_partkey"),
+      s"per-part fence aggregate missing:\n$plan")
+  }
+
+  test("q19: OR-of-ANDs — the union of brackets prunes BOTH scans") {
+    val plan = relPlan("q19_bracket_revenue")
+    // CNF extraction: the brand/size disjunction's part-only factor
+    // reaches the part scan as a pushed Or filter...
+    assert(plan.contains("Or(Or(And(EqualTo(p_brand"),
+      s"OR-of-ANDs part-side factor not pushed to the part scan:\n$plan")
+    // ...and the quantity-only factor reaches the lineitem scan
+    assert(plan.contains("Or(Or(And(GreaterThanOrEqual(l_quantity"),
+      s"quantity bracket factor not pushed to the lineitem scan:\n$plan")
+  }
+
+  test("q20: nested IN decorrelates to LEFT SEMI over the HAVING aggregate") {
+    val plan = relPlan("q20_promo_suppliers")
+    assert(plan.contains("LeftSemi"), s"IN must become a semi join:\n$plan")
+    assert(!plan.contains("Subquery"), s"IN must be decorrelated, not a subquery:\n$plan")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     // Row-level runtime filtering: when a selective dim filter exists and
     // the join must shuffle (dim above broadcast threshold), the optimizer
