@@ -1806,6 +1806,48 @@ object Llm extends QueryGroup {
               CAST(frames AS BIGINT) AS n_frames, sum_abs, peak
             FROM s ORDER BY media_id"""))
 
+  /** REAL video decode under the gate (operators/Multimodal): a
+    * deterministic 4:4:4 YUV clip per document — dims, frame count, fps
+    * and every plane byte a pure function of doc_id — is ENCODED to
+    * actual Y4M bytes (YUV4MPEG2 stream header, per-frame FRAME lines
+    * with an application parameter on odd frames so the frame-header
+    * grammar is exercised, raw planes), PARSED back by the real Y4M
+    * walker inside the batched mapPartitions decoder, FRAME-SAMPLED
+    * (every 2nd frame), and reduced to the sampled frames' exact luma
+    * sum. The oracle recomputes everything in closed form (luma byte j
+    * of frame f = (id·13 + f·101 + j·7) mod 256) WITHOUT video code —
+    * a header bug, a plane-stride mistake, or an off-by-one in the
+    * sample step all hash-mismatch. 100 TB shape: pure narrow map. */
+  private val qMultimodalVideo = Q(
+    "q_multimodal_video",
+    (s, dir) => {
+      val m = graft.operators.Multimodal
+      m.decodeVideoStats(m.syntheticVideo(table(s, dir, "documents")), 2)
+        .toDF()
+        .orderBy(col("media_id"))
+    },
+    Some("""WITH d AS (
+              SELECT doc_id,
+                CAST(4 + doc_id % 8 AS BIGINT) AS w,
+                CAST(4 + doc_id % 6 AS BIGINT) AS h,
+                3 + doc_id % 5 AS nf,
+                CAST(24 + (doc_id % 2) * 6 AS INTEGER) AS fps_num
+              FROM documents),
+            s AS (
+              SELECT doc_id, w, h, nf, fps_num,
+                CAST(list_sum(flatten(list_transform(
+                  list_filter(generate_series(0, nf - 1), f -> f % 2 = 0), f ->
+                    list_transform(generate_series(0, w*h - 1),
+                      j -> (doc_id*13 + f*101 + j*7) % 256)))) AS BIGINT)
+                  AS sum_y_sampled,
+                CAST(len(list_filter(generate_series(0, nf - 1), f -> f % 2 = 0))
+                  AS INTEGER) AS n_sampled
+              FROM d)
+            SELECT doc_id AS media_id,
+              CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+              CAST(nf AS INTEGER) AS n_frames, fps_num, sum_y_sampled, n_sampled
+            FROM s ORDER BY media_id"""))
+
   /** REAL pixel resize under the gate: the same PPM fixtures as
     * q_multimodal_decode, decoded and NEAREST-NEIGHBOR-resampled into
     * the 16×12 aspect fit — target pixel (ty, tx) reads source
@@ -2004,6 +2046,7 @@ object Llm extends QueryGroup {
     qVocabEncode, qTextBm25,
     qAggVectorCentroid, qAggVectorDispersion, qMultimodal,
     qMultimodalDecode, qMultimodalResample, qMultimodalAudio,
+    qMultimodalVideo,
     qDecontaminate, qTextPii, qDedupFuzzy)
 
   /** Fuzzy string-match join (entity resolution): name pairs within

@@ -1096,6 +1096,226 @@ object Relational extends QueryGroup {
               AND s_nationkey = 3
             ORDER BY s_name"""))
 
+  /** TPC-H Q2 shape (correlated min-cost supplier), adapted to the
+    * reduced schema (no partsupp): the supplier-part catalog is the
+    * per-(part, supplier) minimum net line price in exact 1e-4 longs.
+    * The pattern under test is the correlated scalar min subquery
+    * ("cost equal to the cheapest offer for that part among suppliers
+    * of one region"). Rather than decorrelating to an aggregate +
+    * self-join (two passes over the offer set), the min is a window
+    * over l_partkey on the SAME pass — one shuffle, no rescan,
+    * identical semantics because min-per-part needs no ordering. The
+    * region→nation→supplier chain collapses to one broadcast before
+    * the offer aggregation, and the part filter is pushed below the
+    * per-part min (legal: the min correlates only on partkey, so
+    * dropping non-qualifying parts cannot change it). Exact long
+    * costs mean "equal to the min" cannot be broken by float ties. */
+  private val q2MinCostSupplier = Q(
+    "q2_min_cost_supplier",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val n = table(s, dir, "nation")
+        .join(table(s, dir, "region").filter(col("r_name") === "EUROPE"),
+          col("r_regionkey") === col("n_regionkey"))
+        .select("n_nationkey", "n_name")
+      val sup = table(s, dir, "supplier")
+        .join(broadcast(n), col("n_nationkey") === col("s_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      val p = table(s, dir, "part")
+        .filter(col("p_type") === "LARGE" && col("p_size") <= 15)
+        .select("p_partkey", "p_name")
+      val offers = table(s, dir, "lineitem")
+        .join(broadcast(p), col("p_partkey") === col("l_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"), col("p_name"))
+        .agg(min(fixed4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("cost_fp"))
+        .join(broadcast(sup), col("s_suppkey") === col("l_suppkey"))
+      offers
+        .withColumn("mn", min(col("cost_fp"))
+          .over(Window.partitionBy(col("l_partkey"))))
+        .filter(col("cost_fp") === col("mn"))
+        .select(fixed4(col("s_acctbal")).as("acctbal_fp"), col("s_name"),
+          col("n_name"), col("l_partkey").as("p_partkey"), col("p_name"),
+          col("cost_fp"))
+        .orderBy(col("acctbal_fp").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    },
+    Some(s"""WITH sup AS (
+              SELECT s_suppkey, s_name, s_acctbal, n_name
+              FROM supplier JOIN nation ON n_nationkey = s_nationkey
+              JOIN region ON r_regionkey = n_regionkey
+              WHERE r_name = 'EUROPE'),
+            offers AS (
+              SELECT l_partkey, l_suppkey,
+                min(${fixed4Sql("l_extendedprice * (1 - l_discount)")}) AS cost_fp
+              FROM lineitem GROUP BY 1, 2),
+            eo AS (
+              SELECT l_partkey, cost_fp, s_name, s_acctbal, n_name
+              FROM offers JOIN sup ON s_suppkey = l_suppkey)
+            SELECT ${fixed4Sql("s_acctbal")} AS acctbal_fp, s_name, n_name,
+              p_partkey, p_name, cost_fp
+            FROM part p JOIN eo ON eo.l_partkey = p.p_partkey
+            WHERE p_size <= 15 AND p_type = 'LARGE'
+              AND cost_fp = (SELECT min(cost_fp) FROM eo e2
+                             WHERE e2.l_partkey = p.p_partkey)
+            ORDER BY acctbal_fp DESC, n_name, s_name, p_partkey LIMIT 100"""))
+
+  /** TPC-H Q8 shape (national market share): one nation's share of
+    * regional revenue per order year. Pattern under test: a five-way
+    * star join where every dimension broadcasts and the only shuffle
+    * is the lineitem⋈orders fact-fact key exchange, followed by a
+    * conditional two-sum aggregation in ONE pass (numerator = CASE on
+    * the supplier nation, denominator = all rows) — not two filtered
+    * re-scans. Share stays exact: both sums are 1e-4 longs and the
+    * final division is a single deterministic IEEE op per row. */
+  private val q8MarketShare = Q(
+    "q8_market_share",
+    (s, dir) => {
+      val p = table(s, dir, "part")
+        .filter(col("p_type") === "ECONOMY").select("p_partkey")
+      val amCust = table(s, dir, "customer")
+        .join(broadcast(table(s, dir, "nation")
+            .join(table(s, dir, "region").filter(col("r_name") === "AMERICA"),
+              col("r_regionkey") === col("n_regionkey"))
+            .select("n_nationkey")),
+          col("n_nationkey") === col("c_nationkey"))
+        .select("c_custkey")
+      val supN = table(s, dir, "supplier")
+        .join(broadcast(table(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+          col("n_nationkey") === col("s_nationkey"))
+        .select("s_suppkey", "supp_nation")
+      val o = table(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+                col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      table(s, dir, "lineitem")
+        .join(broadcast(p), col("p_partkey") === col("l_partkey"))
+        .join(o, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(amCust), col("c_custkey") === col("o_custkey"), "left_semi")
+        .join(broadcast(supN), col("s_suppkey") === col("l_suppkey"))
+        .select(year(col("o_orderdate")).cast("long").as("o_year"),
+          fixed4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev_fp"),
+          col("supp_nation"))
+        .groupBy(col("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_7", col("rev_fp")).otherwise(0L))
+            .as("nation_rev_fp"),
+          sum(col("rev_fp")).as("total_rev_fp"))
+        .withColumn("mkt_share", col("nation_rev_fp") / col("total_rev_fp"))
+        .orderBy(col("o_year"))
+    },
+    Some(s"""WITH rev AS (
+              SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                ${fixed4Sql("l_extendedprice * (1 - l_discount)")} AS rev_fp,
+                sn.n_name AS supp_nation
+              FROM lineitem
+              JOIN part ON p_partkey = l_partkey
+              JOIN orders ON o_orderkey = l_orderkey
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN nation sn ON sn.n_nationkey = s_nationkey
+              WHERE p_type = 'ECONOMY'
+                AND o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate < TIMESTAMP '1998-01-01'
+                AND o_custkey IN (
+                  SELECT c_custkey FROM customer
+                  JOIN nation cn ON cn.n_nationkey = c_nationkey
+                  JOIN region ON r_regionkey = cn.n_regionkey
+                  WHERE r_name = 'AMERICA'))
+            SELECT o_year,
+              CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN rev_fp ELSE 0 END)
+                AS BIGINT) AS nation_rev_fp,
+              CAST(sum(rev_fp) AS BIGINT) AS total_rev_fp,
+              CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN rev_fp ELSE 0 END)
+                AS BIGINT) / CAST(sum(rev_fp) AS BIGINT) AS mkt_share
+            FROM rev GROUP BY 1 ORDER BY 1"""))
+
+  /** TPC-H Q9 shape (product-type profit by nation and year), adapted
+    * to the reduced schema (no partsupp): supply cost is modeled as
+    * half the part's retail price per unit, so profit = net revenue −
+    * 0.5·retail·quantity, each term quantized per row to 1e-4 longs
+    * (the difference of two exact longs is exact — no float drift
+    * between Spark's partial-agg order and DuckDB's). Pattern under
+    * test: a LIKE-filtered dimension broadcast into the fact scan, the
+    * single fact-fact shuffle against orders, and a two-dimension
+    * (nation × year) aggregate with descending year order. */
+  private val q9ProductProfit = Q(
+    "q9_product_profit",
+    (s, dir) => {
+      val p = table(s, dir, "part")
+        .filter(col("p_name").like("%gear%"))
+        .select("p_partkey", "p_retailprice")
+      val o = table(s, dir, "orders").select("o_orderkey", "o_orderdate")
+      val supN = table(s, dir, "supplier")
+        .join(broadcast(table(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name").as("nation"))),
+          col("n_nationkey") === col("s_nationkey"))
+        .select("s_suppkey", "nation")
+      table(s, dir, "lineitem")
+        .join(broadcast(p), col("p_partkey") === col("l_partkey"))
+        .join(o, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(supN), col("s_suppkey") === col("l_suppkey"))
+        .select(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"),
+          (fixed4(col("l_extendedprice") * (lit(1) - col("l_discount"))) -
+           fixed4(col("p_retailprice") * lit(0.5) * col("l_quantity")))
+            .as("profit_fp"))
+        .groupBy(col("nation"), col("o_year"))
+        .agg(sum(col("profit_fp")).as("sum_profit_fp"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+    Some(s"""SELECT sn.n_name AS nation,
+              CAST(year(o_orderdate) AS BIGINT) AS o_year,
+              CAST(sum(${fixed4Sql("l_extendedprice * (1 - l_discount)")}
+                  - ${fixed4Sql("p_retailprice * 0.5 * l_quantity")})
+                AS BIGINT) AS sum_profit_fp
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation sn ON sn.n_nationkey = s_nationkey
+            WHERE p_name LIKE '%gear%'
+            GROUP BY 1, 2 ORDER BY 1, 2 DESC"""))
+
+  /** TPC-H Q16 shape (supplier counts per part attribute, with an
+    * exclusion list): distinct suppliers per (brand, type, size) over
+    * the part-supplier relation, excluding suppliers on a complaint
+    * analog (negative account balance) via NOT IN. Pattern under test:
+    * the NOT IN decorrelates to a broadcast LEFT ANTI join (null-free
+    * key, so no null-aware penalty), the attribute filter broadcasts
+    * into the fact scan, and count(DISTINCT) rides Spark's two-phase
+    * partial dedup — the supplier-pair dedup the canonical query gets
+    * from partsupp's uniqueness happens inside the aggregate, not as a
+    * separate distinct pass. */
+  private val q16SupplierParts = Q(
+    "q16_supplier_parts",
+    (s, dir) => {
+      val complainers = table(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0).select("s_suppkey")
+      val p = table(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#45" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 4, 7, 10, 15, 23, 45, 49))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      table(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+        .join(broadcast(p), col("p_partkey") === col("l_partkey"))
+        .join(broadcast(complainers), col("s_suppkey") === col("l_suppkey"),
+          "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    },
+    Some("""SELECT p_brand, p_type, p_size,
+              count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+              AND p_size IN (1, 4, 7, 10, 15, 23, 45, 49)
+              AND l_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""))
+
   override val queries: Seq[Q] = Seq(
     qScanProject, qSourceValues, q1Agg, qAggDistinct,
     q3TopRevenue, qJoinLeft, qJoinRight, qJoinSemi, qJoinAnti, qJoinFull,
@@ -1103,7 +1323,9 @@ object Relational extends QueryGroup {
     q14PromoShare, q4PriorityLate, q7VolumeShipping, q10ReturnedRevenue,
     q11PartShare, q12PriorityLateship, q15TopSupplier, q17SmallQuantity,
     q18LargeOrders, q19BracketRevenue, q20PromoSuppliers,
-    q21LateSuppliers, q22DormantCustomers, qAbcClassify,
+    q21LateSuppliers, q22DormantCustomers,
+    q2MinCostSupplier, q8MarketShare, q9ProductProfit, q16SupplierParts,
+    qAbcClassify,
     qGiniConcentration, qShipSla, qSortLimit, qTopkGlobal,
     qSetUnionAll, qSetIntersect, qSetExcept,
     qSetIntersectAll, qSetExceptAll, qSetUnionByName, qSetDistinct)

@@ -225,6 +225,52 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkSessionFixture {
     assert(!plan.contains("Subquery"), s"IN must be decorrelated, not a subquery:\n$plan")
   }
 
+  test("q2: min-cost fence is a window over ONE offer pass — no self-join, no subquery") {
+    val plan = relPlan("q2_min_cost_supplier")
+    // the per-part min must ride a Window over the offer aggregate's own
+    // l_partkey shuffle, not re-aggregate + join the offer set back
+    assert(plan.contains("windowspecdefinition"),
+      s"per-part min must be a window, not a join-back:\n$plan")
+    assert(!plan.contains("Subquery"), s"min fence must be decorrelated:\n$plan")
+    // part filter reaches the part scan, so non-qualifying parts never
+    // enter the offer aggregation
+    assert(plan.contains("EqualTo(p_type,LARGE)"),
+      s"part filter not pushed below the offer aggregate:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-100 must not full-sort:\n$plan")
+  }
+
+  test("q8: every dimension broadcasts — only the fact-fact join and the year aggregate shuffle") {
+    val plan = relPlan("q8_market_share")
+    val bhj = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= 3, s"part/customer/supplier dims must all broadcast:\n$plan")
+    // lineitem⋈orders contributes two hash exchanges (one per side) and
+    // the o_year aggregate at most one more; any further exchange means a
+    // dimension failed to broadcast
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx <= 3, s"more shuffles than fact-fact join + final aggregate:\n$plan")
+  }
+
+  test("q9: LIKE filter is pushed to the part scan; dims broadcast") {
+    val plan = relPlan("q9_product_profit")
+    assert(plan.contains("StringContains(p_name,gear)"),
+      s"LIKE '%gear%' not pushed to the part scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"dims must broadcast:\n$plan")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx <= 3, s"more shuffles than fact-fact join + final aggregate:\n$plan")
+  }
+
+  test("q16: NOT IN is a broadcast anti join; distinct count rides two-phase aggregation") {
+    val plan = relPlan("q16_supplier_parts")
+    assert(plan.contains("LeftAnti"),
+      s"supplier exclusion must be an anti join:\n$plan")
+    assert(plan.contains("Not(EqualTo(p_brand,Brand#45))"),
+      s"brand exclusion not pushed to the part scan:\n$plan")
+    // two hash exchanges: the (group, suppkey) dedup phase and the final
+    // group phase — the fact join itself must stay broadcast (shuffle-free)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx <= 2, s"fact joins must not shuffle:\n$plan")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     // Row-level runtime filtering: when a selective dim filter exists and
     // the join must shuffle (dim above broadcast threshold), the optimizer
