@@ -26,4 +26,14 @@ object GraftDatasetShim {
           lr.rdd.unpersist(blocking = false): Unit
         case _ => ()
       }
+
+  /** Force-create the driver-side StateStoreCoordinator RPC endpoint.
+    * It normally comes to life with the first STREAMING query; batch
+    * execution of transformWithState still runs a RocksDB state store,
+    * whose maintenance path phones the coordinator
+    * (reportSnapshotUploaded) and throws RpcEndpointNotFoundException
+    * out of the task in a batch-only session. Touching the lazy val
+    * here registers the endpoint up front. */
+  def ensureStateStoreCoordinator(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.asInstanceOf[SparkSession].streams.stateStoreCoordinator: Unit
 }

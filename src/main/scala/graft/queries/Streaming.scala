@@ -78,6 +78,60 @@ object Streaming extends QueryGroup {
               CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS value4
             FROM events GROUP BY user_id ORDER BY user_id"""))
 
+  /** transformWithState (Spark 4 arbitrary stateful processing v2) in
+    * batch execution — gates the typed-state-variable code path
+    * (ValueState totals + MapState per-type counts in
+    * EventStreams.UserLedgerProcessor). The oracle recomputes the
+    * ledger relationally: top_type is the count-max event type with a
+    * lexicographic tie-break, so the MapState iteration order cannot
+    * leak into the result. Streaming execution (RocksDB-backed, update
+    * semantics) is differential-tested in StreamingSpec. */
+  private val qStreamTws = Q(
+    "q_stream_tws",
+    (s, dir) => {
+      // transformWithState requires the RocksDB state store provider in
+      // BATCH execution too (typed state variables are column-family
+      // backed; the HDFS-backed store has none). Scope the provider to
+      // this query: the eager localCheckpoint materializes the ledger
+      // while the conf is set, and the per-user result is tiny next to
+      // the events scan at any scale.
+      // The RocksDB maintenance path phones the driver-side
+      // StateStoreCoordinator, an endpoint that normally comes to life
+      // with the first STREAMING query — in a batch-only session the
+      // report throws RpcEndpointNotFoundException out of the task, so
+      // the coordinator is force-created first (shim).
+      org.apache.spark.sql.classic.GraftDatasetShim.ensureStateStoreCoordinator(s)
+      val confs = Seq(
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try EventStreams.userLedger(
+          EventStreams.toTyped(table(s, dir, "events")))
+        .toDF()
+        .localCheckpoint()
+        .orderBy(col("user_id"))
+      finally saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    },
+    Some("""WITH tc AS (
+              SELECT user_id, event_type, count(*) AS c
+              FROM events GROUP BY 1, 2),
+            top AS (
+              SELECT user_id, event_type AS top_type,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY c DESC, event_type) AS rn,
+                count(*) OVER (PARTITION BY user_id) AS n_types
+              FROM tc)
+            SELECT e.user_id, count(*) AS n,
+              any_value(t.n_types) AS n_types,
+              any_value(t.top_type) AS top_type,
+              CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS value4
+            FROM events e JOIN top t ON t.user_id = e.user_id AND t.rn = 1
+            GROUP BY e.user_id ORDER BY e.user_id"""))
+
   /** Batch twin of the stream-static enrichment join ([[EventStreams
     * .enrichAgg]]): the user-tier dimension is derived deterministically
     * from the corpus (tier = user_id mod 3) and BROADCAST; streaming
@@ -534,6 +588,7 @@ object Streaming extends QueryGroup {
 
   override val queries: Seq[Q] = Seq(
     qStreamTumbling, qStreamSliding, qStreamSession, qStreamStateful,
+    qStreamTws,
     qStreamJoin, qStreamJoinOuter, qStreamJoinOuterLive, qStreamEnrich,
     qStreamLive, qStreamLiveAppend, qStreamKvSink,
     qStreamIngest, qStreamDedup)

@@ -326,21 +326,30 @@ object Windows extends QueryGroup {
 
   /** Salted row_number over a SKEWED order domain — the quantile-bounds
     * variant (operators/SaltedPrefix.exclusivePrefixSumQuantile). The
-    * order column is the SQUARE of a unique id: for a ~uniform id, half
-    * the squared values land in the lowest quarter of the range, so the
-    * linear min/max salt would pile ~2× the rows into its first buckets;
-    * equi-depth bounds from the deterministic hash-sample keep buckets
-    * ~uniform (balance asserted in WindowRankScaleSpec). Same single-
-    * window oracle contract as q_window_rownum_salted: bucket quality
-    * must never change the numbering. */
+    * skewed order is QUADRATIC in the id's high bits:
+    * sk_ord = (uid div 2²⁰)² · 2²⁰ + (uid mod 2²⁰) — strictly monotone
+    * in uid (the quotient-square term jumps by ≥ 2²⁰ per quotient step,
+    * dominating the remainder), hence unique, and for a ~uniform id
+    * half the values land in the lowest quarter of the range, so the
+    * linear min/max salt would pile ~2× the rows into its first
+    * buckets; equi-depth bounds from the deterministic hash-sample keep
+    * buckets ~uniform (balance asserted in WindowRankScaleSpec).
+    * Squaring only the quotient keeps the value in long range at ANY
+    * key scale (a plain uid² overflows once ids pass ~3·10⁹ — hit at
+    * the sf1 key-shifted sweep). Same single-window oracle contract as
+    * q_window_rownum_salted: bucket quality must never change the
+    * numbering. */
   private val qWindowRownumQsalted = Q(
     "q_window_rownum_qsalted",
     (s, dir) => {
       val l = table(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
-        // l_linenumber ∈ 1..7 ⇒ uid unique; uid² is the skewed order
+        // l_linenumber ∈ 1..7 ⇒ uid unique
         .withColumn("uid", col("l_orderkey") * 8 + col("l_linenumber"))
-        .withColumn("sk_ord", col("uid") * col("uid"))
+        .withColumn("__q", expr("uid div 1048576"))
+        .withColumn("sk_ord",
+          col("__q") * col("__q") * lit(1048576L) + pmod(col("uid"), lit(1048576L)))
+        .drop("__q")
       graft.operators.SaltedPrefix
         .exclusivePrefixSumQuantile(l, "l_returnflag", "sk_ord", lit(1L))
         .withColumn("rn", col("start_off") + 1)
@@ -349,8 +358,10 @@ object Windows extends QueryGroup {
     },
     Some("""SELECT l_orderkey, l_linenumber, l_returnflag,
               row_number() OVER (PARTITION BY l_returnflag
-                ORDER BY (l_orderkey * 8 + l_linenumber)
-                         * (l_orderkey * 8 + l_linenumber)) AS rn
+                ORDER BY ((l_orderkey * 8 + l_linenumber) // 1048576)
+                         * ((l_orderkey * 8 + l_linenumber) // 1048576)
+                         * 1048576
+                         + (l_orderkey * 8 + l_linenumber) % 1048576) AS rn
             FROM lineitem ORDER BY l_returnflag, rn"""))
 
   /** SCD-type-2 interval construction (the warehouse/CDC "event stream →

@@ -196,6 +196,76 @@ object EventStreams {
       }
   }
 
+  /** Output row of the transformWithState ledger: running totals plus
+    * the MapState-derived per-type rollup. */
+  final case class UserLedger(
+      user_id: Long, n: Long, n_types: Long, top_type: String, value4: Long)
+
+  /** ValueState payload for [[UserLedgerProcessor]]. */
+  final case class LedgerTotals(n: Long, value4: Long)
+
+  /** Spark 4 arbitrary stateful processing (transformWithState): the
+    * successor API to [GroupState]-based flatMapGroupsWithState, with
+    * TYPED STATE VARIABLES the store indexes individually — here a
+    * ValueState for the running (count, exact value sum) and a MapState
+    * keyed by event type. The MapState matters at scale: per-type
+    * counts update point-wise (one store key per type touched) instead
+    * of rewriting one monolithic blob per event, and RocksDB state
+    * backs it with O(touched keys) write amplification per batch.
+    * Emits the updated ledger for every key seen in the batch (update
+    * semantics: downstream consumers take the latest row per user). In
+    * batch execution each key is processed once with empty state — the
+    * oracle-checkable twin the q_stream_tws gate runs; streaming
+    * execution (which REQUIRES the RocksDB provider) is
+    * differential-tested in StreamingSpec. */
+  class UserLedgerProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EventU, UserLedger] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{MapState, TimeMode, TimerValues, TTLConfig, ValueState}
+
+    @transient private var counts: MapState[String, Long] = _
+    @transient private var totals: ValueState[LedgerTotals] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counts = getHandle.getMapState[String, Long]("counts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+      totals = getHandle.getValueState[LedgerTotals]("totals",
+        Encoders.product[LedgerTotals], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[EventU],
+        timerValues: TimerValues): Iterator[UserLedger] = {
+      var t = if (totals.exists()) totals.get() else LedgerTotals(0L, 0L)
+      rows.foreach { e =>
+        t = LedgerTotals(t.n + 1, t.value4 + math.round(e.value * 10000L))
+        val c = if (counts.containsKey(e.event_type)) counts.getValue(e.event_type) else 0L
+        counts.updateValue(e.event_type, c + 1L)
+      }
+      totals.update(t)
+      // derive the rollup from the map state: distinct-type count and the
+      // most frequent type (ties broken lexicographically, so the result
+      // is deterministic whatever order the store iterates)
+      var nTypes = 0L
+      var topType = ""
+      var topN = -1L
+      counts.iterator().foreach { case (ty, c) =>
+        nTypes += 1
+        if (c > topN || (c == topN && ty < topType)) { topN = c; topType = ty }
+      }
+      Iterator.single(UserLedger(user, t.n, nTypes, topType, t.value4))
+    }
+  }
+
+  /** Per-user ledger via transformWithState — see [[UserLedgerProcessor]]. */
+  def userLedger(events: Dataset[EventU]): Dataset[UserLedger] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new UserLedgerProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Project the events table into the typed stateful input. */
   def toTyped(events: DataFrame): Dataset[EventU] = {
     import events.sparkSession.implicits._

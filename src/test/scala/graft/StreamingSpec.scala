@@ -100,6 +100,40 @@ class StreamingSpec extends AnyFunSuite with SparkSessionFixture {
     assert(sortedRows(got) == sortedRows(exp))
   }
 
+  test("transformWithState: final update per user == batch ledger (RocksDB state)") {
+    // transformWithState's streaming execution requires the RocksDB
+    // state store provider (typed state variables are column-family
+    // backed); batch execution — the oracle-gated twin — needs none.
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[EventU]
+      val q = EventStreams.userLedger(mem.toDS()).toDF().writeStream
+        .format("memory").queryName("t_tws").outputMode("update").start()
+      try {
+        typedRows.grouped(math.max(1, typedRows.size / 3)).foreach { chunk =>
+          mem.addData(chunk)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val got = spark.table("t_tws")
+        .withColumn("emit_seq", monotonically_increasing_id())
+        .groupBy(col("user_id")).agg(max_by(struct(col("*")), col("emit_seq")).as("l"))
+        .select(col("l.user_id"), col("l.n"), col("l.n_types"),
+          col("l.top_type"), col("l.value4"))
+      val exp = EventStreams.userLedger(EventStreams.toTyped(eventsBatch)).toDF()
+      assert(sortedRows(got) == sortedRows(exp))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stream-static enrichment join: complete == batch broadcast join + agg") {
     // The static dim is an ordinary batch DataFrame captured by the
     // unified transform; streaming re-resolves (re-broadcasts) it per
