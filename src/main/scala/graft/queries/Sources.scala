@@ -44,6 +44,25 @@ object Sources extends QueryGroup {
     },
     Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"))
 
+  /** XML source/sink roundtrip — the spark-xml data source, built into
+    * Spark since 4.0 (rowTag framing, schema-on-read like JSON). The
+    * read carries the writer's schema explicitly so types survive the
+    * text roundtrip, same discipline as the CSV/JSON twins. */
+  private val qSourceXml = Q(
+    "q_source_xml_roundtrip",
+    (s, dir) => {
+      val n = table(s, dir, "nation")
+      val out = tmpDir("xml")
+      n.write.mode("overwrite").option("rowTag", "nation").xml(out)
+      s.read.schema(n.schema).option("rowTag", "nation").xml(out)
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n_nations"),
+          max(col("n_name")).as("last_nation"))
+        .orderBy(col("n_regionkey"))
+    },
+    Some("""SELECT n_regionkey, count(*) AS n_nations, max(n_name) AS last_nation
+            FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""))
+
   private val qSourceOrc = Q(
     "q_source_orc_roundtrip",
     (s, dir) => {
@@ -585,7 +604,7 @@ object Sources extends QueryGroup {
             FROM post GROUP BY 1 ORDER BY 1"""))
 
   override val queries: Seq[Q] =
-    Seq(qSourceCsv, qSourceJson, qSourceOrc, qSourceText, qSourcePartitioned,
+    Seq(qSourceCsv, qSourceJson, qSourceXml, qSourceOrc, qSourceText, qSourcePartitioned,
       qSourceBucketedJoin, qSourceDsv2, qSinkDsv2, qSourceKv, qSourceKvNet,
       qZorderLayout, qZonemapPrune, qStoreTimetravel, qSourceSchemaEvolution,
       qStoreDpo, qSourceCorrupt, qSourceBucketedAgg, qJoinNullsafe)

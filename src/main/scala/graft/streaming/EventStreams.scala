@@ -266,6 +266,99 @@ object EventStreams {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** Typed event row carrying a REAL timestamp column (watermarkable). */
+  final case class EventT(
+      event_id: Long, tsl: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  /** One closed session: end = last event + gap (session_window
+    * semantics), value4 = exact 1e-4-unit value sum. */
+  final case class SessionClose(
+      user_id: Long, start_us: Long, end_us: Long, n: Long, value4: Long)
+
+  /** Open-session state for [[SessionTimeoutProcessor]]. */
+  final case class OpenSession(start_us: Long, last_us: Long, n: Long, value4: Long)
+
+  /** Inactivity-timeout sessionization with EVENT-TIME TIMERS — the
+    * timer half of the transformWithState API ([[UserLedgerProcessor]]
+    * covers the state-variable half). Each user's open session lives in
+    * a ValueState; every batch re-registers one timer at
+    * last-event + gap, and when the WATERMARK passes that instant the
+    * engine calls handleExpiredTimer, which emits the closed session
+    * exactly once and clears the state — eviction is driven by event
+    * time, not by a poll. A batch whose rows straddle a gap closes the
+    * earlier session inline (walking the batch in timestamp order), so
+    * sessions are identical whatever the micro-batch boundaries — the
+    * property the StreamingSpec differential pins against a local
+    * collections oracle. */
+  class SessionTimeoutProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EventT, SessionClose] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
+
+    @transient private var open: ValueState[OpenSession] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[OpenSession]("open",
+        Encoders.product[OpenSession], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[EventT],
+        timerValues: TimerValues): Iterator[SessionClose] = {
+      // exact µs from the Timestamp: getTime() is ms-truncated, the
+      // sub-ms part lives in getNanos
+      def micros(t: java.sql.Timestamp): Long =
+        t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
+      val sorted = rows.toArray.sortBy(e => micros(e.tsl))
+      val out = Seq.newBuilder[SessionClose]
+      var st = if (open.exists()) open.get() else null
+      sorted.foreach { e =>
+        val us = micros(e.tsl)
+        val v4 = math.round(e.value * 10000L)
+        if (st == null) st = OpenSession(us, us, 1L, v4)
+        else if (us - st.last_us >= gapMs * 1000L) {
+          out += SessionClose(user, st.start_us, st.last_us + gapMs * 1000L,
+            st.n, st.value4)
+          st = OpenSession(us, us, 1L, v4)
+        } else st = OpenSession(st.start_us, math.max(st.last_us, us),
+          st.n + 1L, st.value4 + v4)
+      }
+      if (st != null) {
+        open.update(st)
+        // one live timer per key: drop the stale one, arm at last + gap
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(st.last_us / 1000L + gapMs)
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionClose] = {
+      // a timer can be stale if later rows extended the session in the
+      // same batch that fired it; re-check against the state
+      if (open.exists()) {
+        val st = open.get()
+        if (expiredTimerInfo.getExpiryTimeInMs() >= st.last_us / 1000L + gapMs) {
+          open.clear()
+          return Iterator.single(SessionClose(user, st.start_us,
+            st.last_us + gapMs * 1000L, st.n, st.value4))
+        }
+      }
+      Iterator.empty
+    }
+  }
+
+  /** Event-time-timer sessionization via transformWithState; the input
+    * must already carry a watermark on `tsl` (timers fire when the
+    * watermark passes last-event + gap). */
+  def sessionTimeouts(events: Dataset[EventT], gapMinutes: Int): Dataset[SessionClose] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimeoutProcessor(gapMinutes * 60000L),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Project the events table into the typed stateful input. */
   def toTyped(events: DataFrame): Dataset[EventU] = {
     import events.sparkSession.implicits._

@@ -134,6 +134,78 @@ class StreamingSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
+  test("transformWithState event-time timers: sessions close exactly once after watermark passage") {
+    // The timer half of the TWS API: an inactivity sessionizer whose
+    // closed-session emission is DRIVEN by the watermark passing
+    // last-event + gap. Differential against a local collections oracle
+    // (the reference's naive-evaluator discipline): whatever the
+    // micro-batch boundaries, the closed sessions must equal the
+    // single-pass gaps-and-islands sessionization of the same rows.
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rows = typedRows.filter(_.user_id % 40 == 0).sortBy(_.ts_us)
+      assert(rows.nonEmpty)
+      val gapMin = 120
+      val mem = MemoryStream[EventU]
+      val streamed = mem.toDF()
+        .withColumn("tsl", timestamp_micros(col("ts_us")))
+        .withWatermark("tsl", "0 seconds")
+        .select(col("event_id"), col("tsl"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[EventStreams.EventT]
+      val q = EventStreams.sessionTimeouts(streamed, gapMin).toDF().writeStream
+        .format("memory").queryName("t_tws_timer").outputMode("append").start()
+      try {
+        rows.grouped(math.max(1, rows.size / 5)).foreach { chunk =>
+          mem.addData(chunk)
+          q.processAllAvailable()
+        }
+        // two far-future sentinel batches for a reserved user: the first
+        // advances the watermark past every open session's timeout (the
+        // watermark a batch USES comes from the previous batch's data),
+        // the second gives the engine a batch in which those timers fire
+        val far = rows.last.ts_us + 365L * 24 * 3600 * 1000000L
+        (1 to 2).foreach { i =>
+          mem.addData(Seq(EventU(-i.toLong, far + i, -1L, "noop", 0.0)))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val got = spark.table("t_tws_timer").filter(col("user_id") =!= -1L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSeq.sorted
+      // local collections oracle: same gap rule (new session at >= gap)
+      val gapUs = gapMin * 60L * 1000000L
+      val exp = rows.groupBy(_.user_id).toSeq.flatMap { case (u, es) =>
+        val ts = es.sortBy(_.ts_us)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+        var start = ts.head.ts_us; var last = ts.head.ts_us
+        var n = 1L; var v4 = math.round(ts.head.value * 10000L)
+        ts.tail.foreach { e =>
+          if (e.ts_us - last >= gapUs) {
+            out += ((u, start, last + gapUs, n, v4))
+            start = e.ts_us; last = e.ts_us; n = 1L
+            v4 = math.round(e.value * 10000L)
+          } else {
+            last = e.ts_us; n += 1L; v4 += math.round(e.value * 10000L)
+          }
+        }
+        out += ((u, start, last + gapUs, n, v4))
+        out
+      }.sorted
+      assert(got == exp)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stream-static enrichment join: complete == batch broadcast join + agg") {
     // The static dim is an ordinary batch DataFrame captured by the
     // unified transform; streaming re-resolves (re-broadcasts) it per
