@@ -16,7 +16,7 @@ object SparkEntry {
     * capability area. */
   def groups: Seq[QueryGroup] =
     Seq(Relational, Windows, Advanced, Functions, Sources, Llm, Training,
-      PipelineQueries, Streaming)
+      PipelineQueries, Streaming, Clustering)
 
   private lazy val all: Seq[Q] = {
     val qs = groups.flatMap(_.queries)

@@ -112,6 +112,10 @@ object GraftFunctions {
       (c: Seq[Expression]) => QuantDotExpression(c(0), c(1), c(2))),
     ("graft_cosine", classOf[CosineExpression],
       (c: Seq[Expression]) => CosineExpression(c(0), c(1))),
+    ("graft_l2q", classOf[L2QuantExpression],
+      (c: Seq[Expression]) => L2QuantExpression(c(0), c(1))),
+    ("graft_quantvec", classOf[QuantVecExpression],
+      (c: Seq[Expression]) => QuantVecExpression(c(0), c(1))),
     ("graft_lshbucket", classOf[LshBucketExpression],
       (c: Seq[Expression]) => LshBucketExpression(c(0), c(1))),
     ("graft_simhash", classOf[SimHashExpression],
@@ -170,6 +174,10 @@ object GraftFunctions {
     call_function("graft_quantdot", a, b, lit(mult))
   def cosineNative(a: Column, b: Column): Column =
     call_function("graft_cosine", a, b)
+  def l2qNative(a: Column, b: Column): Column =
+    call_function("graft_l2q", a, b)
+  def quantVecNative(v: Column, mult: Double): Column =
+    call_function("graft_quantvec", v, lit(mult))
   def lshBucketNative(v: Column, nPlanes: Int): Column =
     call_function("graft_lshbucket", v, lit(nPlanes))
   def simHashNative(tokens: Column): Column =

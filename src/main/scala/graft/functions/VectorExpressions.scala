@@ -51,6 +51,35 @@ object VecOps {
     s
   }
 
+  /** Exact integer squared L2 between two quantized (long) vectors —
+    * the k-means assignment kernel ([[graft.operators.KMeansQuant]]).
+    * Coordinates are 1e-6 longs, so diff² ≤ ~4·10¹² and a 64-dim sum
+    * stays far inside int64. */
+  def l2Quant(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = a.getLong(i) - b.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  /** array<float> → array<long>: qround(x·mult) per element — the
+    * one-pass coordinate quantizer (DuckDB-round semantics). */
+  def quantizeVec(v: ArrayData, mult: Double): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = qround(v.getFloat(i).toDouble * mult)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
   /** cosine = dot/(|a||b|), each dot an ordered left fold in double —
     * the same op sequence as DuckDB's list_reduce, so bit-identical. */
   def cosine(a: ArrayData, b: ArrayData): Double = {
@@ -351,6 +380,43 @@ case class QuantDotExpression(first: Expression, second: Expression, third: Expr
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): QuantDotExpression =
     copy(first = f, second = s, third = t)
+}
+
+/** graft_l2q(a, b) — exact integer squared L2 over quantized vectors :
+  * BIGINT. */
+case class L2QuantExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecExprChecks.check(
+      VecExprChecks.longArray(left.dataType) && VecExprChecks.longArray(right.dataType),
+      prettyName, Seq(left.dataType, right.dataType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_l2q"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.l2Quant(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VecOps.l2Quant($a, $b);")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): L2QuantExpression = copy(left = l, right = r)
+}
+
+/** graft_quantvec(v, mult) — per-element qround(x·mult) : ARRAY<BIGINT>. */
+case class QuantVecExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecExprChecks.check(
+      VecExprChecks.floatArray(left.dataType) && right.dataType == DoubleType,
+      prettyName, Seq(left.dataType, right.dataType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_quantvec"
+  override protected def nullSafeEval(v: Any, m: Any): Any =
+    VecOps.quantizeVec(v.asInstanceOf[ArrayData], m.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, m) =>
+      s"${ev.value} = graft.functions.VecOps.quantizeVec($v, $m);")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): QuantVecExpression = copy(left = l, right = r)
 }
 
 /** graft_cosine(a, b) — ordered-fold cosine similarity : DOUBLE. */

@@ -150,4 +150,34 @@ object TypedAggregates {
     override def outputEncoder: Encoder[(Seq[Long], Long)] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Seq[Long], Long)]()
   }
+
+  /** Element-wise sum of ALREADY-quantized long vectors + count — the
+    * mergeable centroid-update state for [[graft.operators.KMeansQuant]]
+    * (VectorSum's sibling: no quantization inside the reduce, the input
+    * is integer already, so the state is exact by construction). dim
+    * longs + a count per (group, partition); partials combine map-side. */
+  final case class LongVectorSum(dim: Int)
+      extends Aggregator[Seq[Long], (Array[Long], Long), (Seq[Long], Long)] {
+    override def zero: (Array[Long], Long) = (new Array[Long](dim), 0L)
+    override def reduce(b: (Array[Long], Long), v: Seq[Long]): (Array[Long], Long) = {
+      var i = 0
+      val n = math.min(dim, v.length)
+      while (i < n) {
+        b._1(i) += v(i)
+        i += 1
+      }
+      (b._1, b._2 + 1)
+    }
+    override def merge(x: (Array[Long], Long), y: (Array[Long], Long)): (Array[Long], Long) = {
+      var i = 0
+      while (i < dim) { x._1(i) += y._1(i); i += 1 }
+      (x._1, x._2 + y._2)
+    }
+    override def finish(b: (Array[Long], Long)): (Seq[Long], Long) =
+      (b._1.toSeq, b._2)
+    override def bufferEncoder: Encoder[(Array[Long], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Long], Long)]()
+    override def outputEncoder: Encoder[(Seq[Long], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Seq[Long], Long)]()
+  }
 }

@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Graft._
+import graft.operators.KMeansQuant
+
+/** Unsupervised clustering over the embedding corpus and the semantic
+  * dedup built on top of it (SURVEY §2.3 north-star: the SemDeDup-family
+  * curation step a training-data pipeline runs between exact dedup and
+  * near-dup pruning — cluster the embedding space, then prune
+  * near-duplicates only WITHIN clusters, so candidate generation is a
+  * cluster-keyed equi-join, never corpus-quadratic).
+  *
+  * Both queries are integer-exact end to end (quantized coordinates,
+  * integer squared-L2, quantized means, quantized dot products) so the
+  * DuckDB oracle reproduces every assignment and every pruned pair
+  * bit-for-bit — see [[graft.operators.KMeansQuant]] for the arithmetic
+  * contract and the 100 TB shape notes.
+  */
+object Clustering extends QueryGroup {
+
+  private val K = 8
+  private val Dim = 64
+  private val Rounds = 3
+  private val SeedLo = 200L
+  private val SeedHi = SeedLo + K - 1
+
+  /** Shared fit: quantize, seed from the deterministic data-derived rows
+    * vec_id ∈ [200, 207] (cid = vec_id − 200; the same convention as
+    * q_sim_ivf's coarse quantizer), run three Lloyd passes. */
+  private def fitted(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val e = table(s, dir, "embeddings").select("vec_id", "embedding")
+    val data = e.withColumn("qv", KMeansQuant.quantize(col("embedding")))
+    val seeds = data.filter(col("vec_id").between(SeedLo, SeedHi))
+      .orderBy("vec_id")
+      .select("qv").as[Seq[Long]].collect().toSeq
+    KMeansQuant.fit(s, data, "qv", seeds, Rounds, Dim)._1
+  }
+
+  /** Lloyd k-means, K=8, three assignment passes: every vector's final
+    * cluster and its exact integer squared distance. The per-round plan
+    * is one codegen'd projection against broadcast-literal centroids
+    * (assignment — no join, no shuffle) plus one mergeable typed
+    * aggregation carrying 64 longs per (cluster, partition) (update);
+    * driver state is the K×64 centroid table only. */
+  private val qClusterKmeans = Q(
+    "q_cluster_kmeans",
+    (s, dir) => fitted(s, dir)
+      .select(col("vec_id"), col("cluster"), col("distq"))
+      .orderBy("vec_id"),
+    Some(s"""WITH ${KMeansQuant.oracleCtesSql(SeedLo, SeedHi, Rounds, Dim)}
+            SELECT vec_id, cid AS cluster, distq FROM a$Rounds ORDER BY vec_id"""))
+
+  /** SemDeDup: within each k-means cluster, a vector is dropped when an
+    * in-cluster neighbor with a SMALLER id sits above the cosine
+    * threshold; the keeper is the smallest such neighbor. Candidate
+    * generation is the cluster-keyed self-equi-join — at corpus scale K
+    * grows with N (fixed expected cluster size), so the pair count stays
+    * ~N·clusterSize, never N². Cosines ride the quantized integer dot
+    * kernel (graft_quantdot), the q_dedup_embedding discipline, so the
+    * ≥ τ cut cannot float-flip between engines. */
+  private val qDedupSemantic = Q(
+    "q_dedup_semantic",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.GraftFunctions._
+      val m = fitted(s, dir)
+        .withColumn("nq", quantDotNative(col("embedding"), col("embedding")))
+        .select("vec_id", "cluster", "embedding", "nq")
+      m.as("a")
+        .join(m.as("b"),
+          col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("dotq", quantDotNative(col("a.embedding"), col("b.embedding")))
+        .withColumn("cosine",
+          (col("dotq").cast("double") / lit(1e9)) /
+            (sqrt(col("a.nq").cast("double") / lit(1e9)) *
+             sqrt(col("b.nq").cast("double") / lit(1e9))))
+        .filter(col("cosine") >= 0.3)
+        .groupBy(col("b.vec_id").as("vec_id"), col("b.cluster").as("cluster"))
+        .agg(min(col("a.vec_id")).as("keeper"), count(lit(1)).as("n_dups"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH ${KMeansQuant.oracleCtesSql(SeedLo, SeedHi, Rounds, Dim)},
+             n AS (
+               SELECT vec_id,
+                 list_sum(list_transform(generate_series(1, $Dim), i ->
+                   CAST(round(CAST(embedding[i] AS DOUBLE) *
+                     CAST(embedding[i] AS DOUBLE) * 1000000000.0) AS BIGINT))) AS nq
+               FROM embeddings),
+             pairs AS (
+               SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.cid AS cluster,
+                 (CAST(list_sum(list_transform(generate_series(1, $Dim), i ->
+                   CAST(round(CAST(ea.embedding[i] AS DOUBLE) *
+                     CAST(eb.embedding[i] AS DOUBLE) * 1000000000.0) AS BIGINT)))
+                   AS DOUBLE) / 1000000000.0)
+                 / (sqrt(CAST(na.nq AS DOUBLE) / 1000000000.0) *
+                    sqrt(CAST(nb.nq AS DOUBLE) / 1000000000.0)) AS cosine
+               FROM a$Rounds x JOIN a$Rounds y
+                 ON x.cid = y.cid AND x.vec_id < y.vec_id
+               JOIN embeddings ea ON ea.vec_id = x.vec_id
+               JOIN embeddings eb ON eb.vec_id = y.vec_id
+               JOIN n na ON na.vec_id = x.vec_id
+               JOIN n nb ON nb.vec_id = y.vec_id)
+             SELECT vec_b AS vec_id, cluster, min(vec_a) AS keeper,
+               count(*) AS n_dups
+             FROM pairs WHERE cosine >= 0.3
+             GROUP BY vec_b, cluster ORDER BY vec_b"""))
+
+  override val queries: Seq[Q] = Seq(qClusterKmeans, qDedupSemantic)
+}

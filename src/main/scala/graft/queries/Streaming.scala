@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Graft._
 import graft.streaming.EventStreams
@@ -202,12 +203,21 @@ object Streaming extends QueryGroup {
     * left rows at all), and the converged sink equals the batch twin —
     * same oracle as q_stream_join_outer, produced by the bounded-state
     * append path. */
-  private val qStreamJoinOuterLive = Q(
-    "q_stream_join_outer_live",
-    (s, dir) => {
+  /** Shared live driver for the outer-join family: drip the staged
+    * ts-range drops plus the two-sided watermark-flush sentinels through
+    * a parquet file source into `joinFn`'s append stream. The sentinel
+    * reasoning in [[qStreamJoinOuterLive]]'s doc applies to BOTH outer
+    * variants: sentinel users −100/−200 can never match anything, drop 5
+    * repeats drop 4's event time so the final watermark (sentinel − 1 h)
+    * never clears the sentinels — left-side sentinel null rows never
+    * emit, and in the FULL variant the signup sentinel's eviction bound
+    * (s_ts + 7 d) is further still, so it never surfaces either. */
+  private def outerJoinLive(s: SparkSession, dir: String, variant: String,
+      joinFn: DataFrame => DataFrame): DataFrame = {
+    {
       val events = table(s, dir, "events")
       val root = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), "graft-stream-join-outer")
+        sys.props("java.io.tmpdir"), s"graft-stream-join-$variant")
       // staged drops AND sentinels are a pure function of the source dir
       // — cache the whole set per dir, repeated runs pay zero staging
       val cache = root.resolve("cache-" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
@@ -239,10 +249,11 @@ object Streaming extends QueryGroup {
       java.nio.file.Files.createDirectories(srcRoot)
       def files(p: java.nio.file.Path) = new java.io.File(p.toString)
         .listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val sink = s"graft_stream_join_${variant}_sink"
       withStatePartitions(s, 8) {
-        val q = EventStreams.purchaseSignupLeftJoin(
+        val q = joinFn(
             s.readStream.schema(events.schema).parquet(srcRoot.toString))
-          .writeStream.format("memory").queryName("graft_stream_join_outer_sink")
+          .writeStream.format("memory").queryName(sink)
           .outputMode("append").start()
         try {
           (files(staged) ++ files(flushA) ++ files(flushB))
@@ -252,9 +263,15 @@ object Streaming extends QueryGroup {
             }
         } finally q.stop()
       }
-      s.table("graft_stream_join_outer_sink")
+      s.table(sink)
         .orderBy(col("user_id"), col("purchase_id"), col("s_ts"))
-    },
+    }
+  }
+
+  private val qStreamJoinOuterLive = Q(
+    "q_stream_join_outer_live",
+    (s, dir) =>
+      outerJoinLive(s, dir, "outer", EventStreams.purchaseSignupLeftJoin),
     Some("""SELECT p.user_id, p.event_id AS purchase_id,
               p.ts AS p_ts, s.ts AS s_ts
             FROM (SELECT * FROM events WHERE event_type = 'purchase') p
@@ -262,6 +279,37 @@ object Streaming extends QueryGroup {
               ON p.user_id = s.user_id
              AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 7 DAY
             ORDER BY p.user_id, purchase_id, s_ts"""))
+
+  /** FULL OUTER stream-stream join, batch twin — both unmatched shapes
+    * null-pad (see EventStreams.purchaseSignupFullJoin for the per-side
+    * eviction reasoning). */
+  private val qStreamJoinFull = Q(
+    "q_stream_join_full",
+    (s, dir) => EventStreams.purchaseSignupFullJoin(table(s, dir, "events"))
+      .orderBy(col("user_id"), col("purchase_id"), col("s_ts")),
+    Some("""SELECT coalesce(p.user_id, s.user_id) AS user_id,
+              p.event_id AS purchase_id, p.ts AS p_ts, s.ts AS s_ts
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            FULL JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+              ON p.user_id = s.user_id
+             AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 7 DAY
+            ORDER BY user_id, purchase_id, s_ts"""))
+
+  /** The LIVE full-outer stream-stream join: same staged drips and
+    * two-sided flush sentinels as the left-outer live gate; the full
+    * variant additionally emits signup-null rows once the watermark
+    * passes s_ts + 7 days. Converged sink == batch twin. */
+  private val qStreamJoinFullLive = Q(
+    "q_stream_join_full_live",
+    (s, dir) =>
+      outerJoinLive(s, dir, "full", EventStreams.purchaseSignupFullJoin),
+    Some("""SELECT coalesce(p.user_id, s.user_id) AS user_id,
+              p.event_id AS purchase_id, p.ts AS p_ts, s.ts AS s_ts
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            FULL JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+              ON p.user_id = s.user_id
+             AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 7 DAY
+            ORDER BY user_id, purchase_id, s_ts"""))
 
   /** A LIVE structured stream under the driver gate: the events table is
     * drip-fed through a parquet file source in three landed drops (the
@@ -589,7 +637,8 @@ object Streaming extends QueryGroup {
   override val queries: Seq[Q] = Seq(
     qStreamTumbling, qStreamSliding, qStreamSession, qStreamStateful,
     qStreamTws,
-    qStreamJoin, qStreamJoinOuter, qStreamJoinOuterLive, qStreamEnrich,
+    qStreamJoin, qStreamJoinOuter, qStreamJoinOuterLive,
+    qStreamJoinFull, qStreamJoinFullLive, qStreamEnrich,
     qStreamLive, qStreamLiveAppend, qStreamKvSink,
     qStreamIngest, qStreamDedup)
 }

@@ -142,6 +142,25 @@ object EventStreams {
         col("s_ts").cast("timestamp_ntz").as("s_ts"))
   }
 
+  /** FULL OUTER stream-stream interval join — both unmatched shapes
+    * surface as null-padded rows. Eviction timing is per side: a
+    * purchase's candidate window closes when the watermark passes p_ts
+    * (the join bounds s_ts ≤ p_ts), a signup's when it passes
+    * s_ts + 7 days (matching purchases satisfy p_ts ∈ [s_ts, s_ts+7d]) —
+    * so signup-null rows emit LATER than purchase-null rows at the same
+    * event time, exactly once each, and both sides' state stays bounded
+    * to the 7-day window. On batch input this is a plain full interval
+    * join (the oracle-gated twin); the streaming emission contract is
+    * differential-tested in StreamJoinFullSpec. */
+  def purchaseSignupFullJoin(events: DataFrame): DataFrame = {
+    val (p, sg, cond) = purchaseSignupSides(events)
+    p.join(sg, cond, "full_outer")
+      .select(coalesce(col("user_id"), col("s_user")).as("user_id"),
+        col("purchase_id"),
+        col("p_ts").cast("timestamp_ntz").as("p_ts"),
+        col("s_ts").cast("timestamp_ntz").as("s_ts"))
+  }
+
   /** Shared sides of the purchase↔signup interval joins. Watermarks
     * require TIMESTAMP (LTZ); session TZ is UTC everywhere so the
     * ntz→ltz cast is value-preserving and the outputs cast back. Both
