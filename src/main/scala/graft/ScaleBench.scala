@@ -82,6 +82,29 @@ object ScaleBench {
         copies.reduce(_ unionAll _)
           .write.mode("overwrite").parquet(s"$out/documents.parquet")
       }
+      // embeddings twin (clustering/ANN variants): copy k rotates the 64
+      // dimensions by k — a coordinate permutation, so every within-copy
+      // distance/norm is EXACTLY preserved (identical per-copy workload)
+      // while cross-copy vectors decorrelate (no degenerate exact-dup
+      // corpus). vec_id shifts keep the k-means seeds (200-207) unique
+      // to the base copy — K stays fixed while the corpus scales, which
+      // is the pure assignment/update scaling measurement.
+      val emarker = new java.io.File(s"$out/embeddings.parquet/_SUCCESS")
+      if (!emarker.exists()) {
+        val ebase = graft.core.Graft.table(spark, sfDir, "embeddings")
+        val ecopies = (0 until f).map { k =>
+          val r = k % 64
+          val rotated =
+            if (r == 0) col("embedding")
+            else concat(slice(col("embedding"), r + 1, 64 - r),
+              slice(col("embedding"), 1, r))
+          ebase.select(
+            (col("vec_id") + lit(k.toLong * 100000000L)).as("vec_id"),
+            rotated.as("embedding"), col("label"))
+        }
+        ecopies.reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      }
       out
     }
 

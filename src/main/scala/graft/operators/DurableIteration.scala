@@ -277,4 +277,65 @@ object DurableIteration {
     if (stable) markConverged(spark, ckptDir, rounds)
     (state.select("node", "r"), rounds - startRound, startRound)
   }
+
+  /** [[KMeansQuant.fit]] with durable round state — the ML-training-loop
+    * shape of the durable fixpoint family: the per-round centroid table
+    * `(cid, cv)` (K·dim longs — metadata-sized however big the corpus)
+    * commits through the store, and re-invocation resumes from the last
+    * committed round instead of re-scanning the already-paid assignment
+    * passes. Assignment/update math is byte-identical to the in-memory
+    * fit (same kernels, same qround means), so durability cannot change
+    * a single assignment. Returns (assignedFrame, roundsRunHere,
+    * resumedFromRound). */
+  def kMeansDurable(
+      data: DataFrame, qvCol: String, init: Seq[Seq[Long]], rounds: Int,
+      dim: Int, ckptDir: String,
+      chaosHook: Int => Unit = _ => ()): (DataFrame, Int, Int) = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+
+    def centsOf(round: Int): Seq[Seq[Long]] =
+      spark.read.parquet(roundPath(ckptDir, round))
+        .select("cid", "cv").as[(Long, Seq[Long])]
+        .collect().sortBy(_._1).map(_._2).toSeq
+
+    readConverged(spark, ckptDir) match {
+      case Some(n) =>
+        return (KMeansQuant.withAssignment(data, qvCol, centsOf(n)), 0, n)
+      case None => ()
+    }
+    val startRound = latestCommitted(spark, ckptDir).getOrElse {
+      commitRound(
+        init.zipWithIndex.map { case (cv, cid) => (cid.toLong, cv) }
+          .toDF("cid", "cv"),
+        ckptDir, 0)
+      0
+    }
+    var cents = centsOf(startRound)
+    var iter = startRound
+    // rounds = number of assignment passes; the last pass has no update,
+    // so the centroid fixpoint completes after rounds-1 committed updates
+    while (iter < rounds - 1) {
+      chaosHook(iter)
+      val sums = KMeansQuant.withAssignment(data, qvCol, cents)
+        .select(col("cluster"), col(qvCol))
+        .as[(Long, Seq[Long])]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(TypedAggregates.LongVectorSum(dim).toColumn)
+        .collect()
+      val updated = sums.map { case (cid, (s, n)) =>
+        cid -> s.map(x => graft.functions.VecOps.qround(x.toDouble / n)).toSeq
+      }.toMap
+      cents = cents.indices.map(c => updated.getOrElse(c.toLong, cents(c)))
+      commitRound(
+        cents.zipWithIndex.map { case (cv, cid) => (cid.toLong, cv) }
+          .toDF("cid", "cv"),
+        ckptDir, iter + 1)
+      dropRound(spark, ckptDir, iter)
+      iter += 1
+    }
+    markConverged(spark, ckptDir, iter)
+    (KMeansQuant.withAssignment(data, qvCol, cents), iter - startRound, startRound)
+  }
 }

@@ -59,7 +59,7 @@ object KMeansQuant {
     * plan as literals (the broadcast-small side — K·dim longs), each
     * distance one codegen'd graft_l2q call — no interpreted
     * higher-order-function lambdas in the assignment hot path. */
-  private def distArray(qv: Column, centroids: Seq[Seq[Long]]): Column =
+  def distArray(qv: Column, centroids: Seq[Seq[Long]]): Column =
     array(centroids.map(c =>
       graft.functions.GraftFunctions.l2qNative(qv, typedlit(c))): _*)
 

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Graft._
 import graft.operators.KMeansQuant
@@ -27,8 +28,10 @@ object Clustering extends QueryGroup {
 
   /** Shared fit: quantize, seed from the deterministic data-derived rows
     * vec_id ∈ [200, 207] (cid = vec_id − 200; the same convention as
-    * q_sim_ivf's coarse quantizer), run three Lloyd passes. */
-  private def fitted(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    * q_sim_ivf's coarse quantizer), run three Lloyd passes. Returns the
+    * assigned frame AND the final centroids (the IVF query needs both). */
+  private def fitted(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, Seq[Seq[Long]]) = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
     val e = table(s, dir, "embeddings").select("vec_id", "embedding")
@@ -36,7 +39,7 @@ object Clustering extends QueryGroup {
     val seeds = data.filter(col("vec_id").between(SeedLo, SeedHi))
       .orderBy("vec_id")
       .select("qv").as[Seq[Long]].collect().toSeq
-    KMeansQuant.fit(s, data, "qv", seeds, Rounds, Dim)._1
+    KMeansQuant.fit(s, data, "qv", seeds, Rounds, Dim)
   }
 
   /** Lloyd k-means, K=8, three assignment passes: every vector's final
@@ -47,7 +50,7 @@ object Clustering extends QueryGroup {
     * driver state is the K×64 centroid table only. */
   private val qClusterKmeans = Q(
     "q_cluster_kmeans",
-    (s, dir) => fitted(s, dir)
+    (s, dir) => fitted(s, dir)._1
       .select(col("vec_id"), col("cluster"), col("distq"))
       .orderBy("vec_id"),
     Some(s"""WITH ${KMeansQuant.oracleCtesSql(SeedLo, SeedHi, Rounds, Dim)}
@@ -66,7 +69,7 @@ object Clustering extends QueryGroup {
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
       import graft.functions.GraftFunctions._
-      val m = fitted(s, dir)
+      val m = fitted(s, dir)._1
         .withColumn("nq", quantDotNative(col("embedding"), col("embedding")))
         .select("vec_id", "cluster", "embedding", "nq")
       m.as("a")
@@ -108,5 +111,100 @@ object Clustering extends QueryGroup {
              FROM pairs WHERE cosine >= 0.3
              GROUP BY vec_b, cluster ORDER BY vec_b"""))
 
-  override val queries: Seq[Q] = Seq(qClusterKmeans, qDedupSemantic)
+  /** Durable-round k-means twin: same three Lloyd passes, centroid table
+    * committed through the store each round (the ML-training-loop member
+    * of the DurableIteration family — crash between rounds resumes from
+    * the last committed centroids instead of re-paying the scans).
+    * Durability must not change a single assignment: same oracle as
+    * q_cluster_kmeans. */
+  private val qClusterKmeansDurable = Q(
+    "q_cluster_kmeans_durable",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val e = table(s, dir, "embeddings").select("vec_id", "embedding")
+      val data = e.withColumn("qv", KMeansQuant.quantize(col("embedding")))
+      val seeds = data.filter(col("vec_id").between(SeedLo, SeedHi))
+        .orderBy("vec_id")
+        .select("qv").as[Seq[Long]].collect().toSeq
+      // applicationId-scoped: two concurrent registry runs on one machine
+      // must never share (and wipe) each other's mid-fixpoint state
+      val ckpt = s"${sys.props("java.io.tmpdir")}/graft_ckpt/" +
+        s"${s.sparkContext.applicationId}/q_cluster_kmeans_durable"
+      val fs = new org.apache.hadoop.fs.Path(ckpt)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+      val (assigned, _, _) = graft.operators.DurableIteration.kMeansDurable(
+        data, "qv", seeds, Rounds, Dim, ckpt)
+      assigned.select(col("vec_id"), col("cluster"), col("distq"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH ${KMeansQuant.oracleCtesSql(SeedLo, SeedHi, Rounds, Dim)}
+            SELECT vec_id, cid AS cluster, distq FROM a$Rounds ORDER BY vec_id"""))
+
+  /** IVF-flat ANN with a TRAINED coarse quantizer (FAISS-style index
+    * construction, operator composition: the k-means fit feeds the index
+    * build): inverted lists ARE the final Lloyd assignment, queries
+    * probe their nprobe=2 nearest centroids and score exactly only
+    * inside those lists. Against q_sim_ivf's raw-data-row centroids,
+    * trained centroids track the corpus distribution, so lists are
+    * balanced and recall-per-probe is higher. List affinity ranks by
+    * the SAME exact integer squared-L2 the fit used — no float ranking
+    * until the final cosine. Scale: probe ranking is Q·K rows off a
+    * codegen'd literal-centroid projection; the candidate scan per
+    * query is nprobe/K of the corpus via the cid equi-join. */
+  private val qSimIvfKmeans = Q(
+    "q_sim_ivf_kmeans",
+    (s, dir) => {
+      import graft.functions.GraftFunctions._
+      val (assigned, cents) = fitted(s, dir)
+      val lists = assigned.select(col("vec_id"), col("embedding"),
+        col("cluster").as("cid"))
+      val wProbe = Window.partitionBy(col("query_id"))
+        .orderBy(col("cdist"), col("cid"))
+      val probes = assigned.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qemb"),
+          posexplode(KMeansQuant.distArray(col("qv"), cents)))
+        .select(col("query_id"), col("qemb"),
+          col("pos").cast("long").as("cid"), col("col").as("cdist"))
+        .withColumn("crk", row_number().over(wProbe))
+        .filter(col("crk") <= 2)
+        .select("query_id", "qemb", "cid")
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      lists.join(broadcast(probes), "cid")
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cosine", cosineNative(col("qemb"), col("embedding")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("query_id"), col("rk"), col("vec_id"),
+          col("cid").as("list_id"), col("cosine"))
+        .orderBy("query_id", "rk")
+    },
+    Some(s"""WITH ${KMeansQuant.oracleCtesSql(SeedLo, SeedHi, Rounds, Dim)},
+             probes AS (
+               SELECT query_id, cid FROM (
+                 SELECT e.vec_id AS query_id, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${KMeansQuant.l2qSql("e.qv", "c.cv", Dim)}, c.cid) AS crk
+                 FROM eq e CROSS JOIN c${Rounds - 1} c WHERE e.vec_id < 8) t
+               WHERE crk <= 2),
+             scored AS (
+               SELECT p.query_id, x.vec_id, x.cid,
+                 ${graft.operators.PortableHash.cosineSql(
+                   "qe.embedding", "ce.embedding", Dim)} AS cosine
+               FROM a$Rounds x JOIN probes p
+                 ON x.cid = p.cid AND x.vec_id <> p.query_id
+               JOIN embeddings qe ON qe.vec_id = p.query_id
+               JOIN embeddings ce ON ce.vec_id = x.vec_id),
+             ranked AS (
+               SELECT query_id, vec_id, cid, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, vec_id) AS rk
+               FROM scored)
+             SELECT query_id, rk, vec_id, cid AS list_id, cosine FROM ranked
+             WHERE rk <= 3 ORDER BY query_id, rk"""))
+
+  override val queries: Seq[Q] = Seq(qClusterKmeans, qClusterKmeansDurable,
+    qDedupSemantic, qSimIvfKmeans)
 }

@@ -112,6 +112,46 @@ class KMeansSpec extends AnyFunSuite with SparkSessionFixture {
     assert(res.passed, res.status.toString)
   }
 
+  test("durable k-means == in-memory fit, and crash-resumes") {
+    val s = spark
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val data = (0L until 30L).map(i =>
+      (i, Seq.tabulate(dim)(d => ((i % 5) * 0.2f + d * 0.01f))))
+      .toDF("vec_id", "embedding")
+      .withColumn("qv", KMeansQuant.quantize(col("embedding")))
+    val init = (0L until 3L).map(i =>
+      quantizeLocal(Seq.tabulate(dim)(d => ((i % 5) * 0.2f + d * 0.01f))))
+    val rounds = 4
+    val ckpt = s"${sys.props("java.io.tmpdir")}/graft_ckpt_test/kmeans-${System.nanoTime()}"
+
+    val (memAssigned, memCents) = KMeansQuant.fit(s, data, "qv", init, rounds, dim)
+    val want = memAssigned.select("vec_id", "cluster", "distq")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+
+    // crash inside round 2 (after rounds 0→1 and 1→2 updates committed)
+    val boom = intercept[RuntimeException] {
+      graft.operators.DurableIteration.kMeansDurable(
+        data, "qv", init, rounds, dim, ckpt,
+        chaosHook = r => if (r == 2) throw new RuntimeException("chaos"))
+      ()
+    }
+    assert(boom.getMessage == "chaos")
+
+    val (resAssigned, ranHere, resumedFrom) =
+      graft.operators.DurableIteration.kMeansDurable(data, "qv", init, rounds, dim, ckpt)
+    assert(resumedFrom == 2, s"expected resume from round 2, got $resumedFrom")
+    assert(ranHere == 1)
+    val got = resAssigned.select("vec_id", "cluster", "distq")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(got.toSeq == want.toSeq, "durability changed an assignment")
+
+    // converged marker: re-invocation is an idempotent no-op pass
+    val (_, ranAgain, from) =
+      graft.operators.DurableIteration.kMeansDurable(data, "qv", init, rounds, dim, ckpt)
+    assert(ranAgain == 0 && from == rounds - 1)
+  }
+
   test("q_cluster_kmeans and q_dedup_semantic run green on sf0.001") {
     val qs = graft.SparkEntry.queries
     val km = qs("q_cluster_kmeans")(spark, "/root/testdata/sf0.001").collect()
