@@ -46,6 +46,11 @@ object ScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // clustering scale lever: K ∝ N keeps expected cluster size constant
+    // (see queries/Clustering.kOf) — set per replication factor by the
+    // sweep driver
+    sys.env.get("SPARK_GRAFT_KMEANS_K")
+      .foreach(k => spark.conf.set("spark.graft.kmeans.k", k))
 
     val shuffleRead = new AtomicLong(0)
     val shuffleWrite = new AtomicLong(0)

@@ -26,6 +26,27 @@ object Clustering extends QueryGroup {
   private val SeedLo = 200L
   private val SeedHi = SeedLo + K - 1
 
+  /** Cluster-count knob (`spark.graft.kmeans.k`, default 8 — the value
+    * the oracles are written for; the driver gate never sets it). At
+    * corpus scale the SemDeDup rule is K ∝ N (constant expected cluster
+    * size ⇒ the within-cluster pair join stays ~N·clusterSize);
+    * ScaleBench sets this per replication factor to measure exactly
+    * that path. Seeds are the data rows [SeedLo, SeedLo+k): they must
+    * exist in the base corpus. Beyond K ≈ a few hundred the
+    * literal-centroid assignment should switch to a broadcast-join
+    * formulation (codegen method-size limits) — not needed at gate
+    * scales. */
+  private def kOf(s: org.apache.spark.sql.SparkSession): Int =
+    s.conf.getOption("spark.graft.kmeans.k").map { v =>
+      val k = try v.toInt catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"spark.graft.kmeans.k must be a positive integer, got '$v'")
+      }
+      require(k > 0 && k <= 512, s"spark.graft.kmeans.k out of range: $k")
+      k
+    }.getOrElse(K)
+
   /** Shared fit: quantize, seed from the deterministic data-derived rows
     * vec_id ∈ [200, 207] (cid = vec_id − 200; the same convention as
     * q_sim_ivf's coarse quantizer), run three Lloyd passes. Returns the
@@ -36,7 +57,8 @@ object Clustering extends QueryGroup {
     graft.functions.GraftFunctions.register(s)
     val e = table(s, dir, "embeddings").select("vec_id", "embedding")
     val data = e.withColumn("qv", KMeansQuant.quantize(col("embedding")))
-    val seeds = data.filter(col("vec_id").between(SeedLo, SeedHi))
+    val seeds = data.filter(
+        col("vec_id").between(SeedLo, SeedLo + kOf(s) - 1))
       .orderBy("vec_id")
       .select("qv").as[Seq[Long]].collect().toSeq
     KMeansQuant.fit(s, data, "qv", seeds, Rounds, Dim)
