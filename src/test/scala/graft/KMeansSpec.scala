@@ -152,6 +152,39 @@ class KMeansSpec extends AnyFunSuite with SparkSessionFixture {
     assert(ranAgain == 0 && from == rounds - 1)
   }
 
+  test("plan shapes: assignment is shuffle-free; SemDeDup pair join is " +
+      "cluster-equi-keyed; IVF probes broadcast") {
+    val dir = "/root/testdata/sf0.001"
+    val qs = graft.SparkEntry.queries
+
+    // final k-means assignment: pure codegen'd projection over the scan —
+    // the ONLY exchange is the output ORDER BY
+    val kmPlan = qs("q_cluster_kmeans")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!kmPlan.contains("Join"), s"assignment joins:\n$kmPlan")
+    assert("Exchange".r.findAllIn(kmPlan).size == 1,
+      s"assignment shuffles beyond the output sort:\n$kmPlan")
+
+    // SemDeDup: the pair join must be EQUI-keyed on cluster (broadcast at
+    // this scale; hash-partitioned on cluster beyond the threshold) —
+    // never a nested-loop cross product — and the count must two-phase
+    val semQe = qs("q_dedup_semantic")(spark, dir).queryExecution
+    val semPlan = semQe.executedPlan.toString
+    assert(!semPlan.contains("BroadcastNestedLoopJoin") &&
+      !semPlan.contains("CartesianProduct"),
+      s"pair generation is all-pairs:\n$semPlan")
+    assert(semPlan.contains("cluster"), semPlan)
+    assert("HashAggregate".r.findAllIn(semPlan).size >= 2,
+      s"per-vector agg is not two-phase:\n$semPlan")
+
+    // trained-IVF: probe set broadcasts; per-query top-k is
+    // WindowGroupLimit-pruned before the rank window
+    val ivfPlan = qs("q_sim_ivf_kmeans")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(ivfPlan.contains("BroadcastHashJoin"), ivfPlan)
+    assert(ivfPlan.contains("WindowGroupLimit"), ivfPlan)
+  }
+
   test("q_cluster_kmeans and q_dedup_semantic run green on sf0.001") {
     val qs = graft.SparkEntry.queries
     val km = qs("q_cluster_kmeans")(spark, "/root/testdata/sf0.001").collect()
