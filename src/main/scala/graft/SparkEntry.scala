@@ -16,7 +16,7 @@ object SparkEntry {
     * capability area. */
   def groups: Seq[QueryGroup] =
     Seq(Relational, Windows, Advanced, Functions, Sources, Llm, Training,
-      PipelineQueries, Streaming, Clustering)
+      PipelineQueries, Streaming, Clustering, Bpe)
 
   private lazy val all: Seq[Q] = {
     val qs = groups.flatMap(_.queries)

@@ -114,6 +114,8 @@ object GraftFunctions {
       (c: Seq[Expression]) => CosineExpression(c(0), c(1))),
     ("graft_l2q", classOf[L2QuantExpression],
       (c: Seq[Expression]) => L2QuantExpression(c(0), c(1))),
+    ("graft_bpe_merge", classOf[BpeMergeExpression],
+      (c: Seq[Expression]) => BpeMergeExpression(c(0), c(1), c(2))),
     ("graft_quantvec", classOf[QuantVecExpression],
       (c: Seq[Expression]) => QuantVecExpression(c(0), c(1))),
     ("graft_lshbucket", classOf[LshBucketExpression],
@@ -176,6 +178,8 @@ object GraftFunctions {
     call_function("graft_cosine", a, b)
   def l2qNative(a: Column, b: Column): Column =
     call_function("graft_l2q", a, b)
+  def bpeMergeNative(s: Column, l: Column, r: Column): Column =
+    call_function("graft_bpe_merge", s, l, r)
   def quantVecNative(v: Column, mult: Double): Column =
     call_function("graft_quantvec", v, lit(mult))
   def lshBucketNative(v: Column, nPlanes: Int): Column =

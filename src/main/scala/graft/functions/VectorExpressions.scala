@@ -97,6 +97,28 @@ object VecOps {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** One BPE merge pass over a space-delimited symbol string
+    * (s = " sym sym … "): replace the FIRST occurrence of " l r " with
+    * " lr " and RESTART the scan, until no occurrence remains. Because
+    * the replacement restores both boundary spaces, restart-scan is
+    * exactly canonical leftmost-greedy non-overlapping merge — including
+    * back-to-back pairs ("a b a b" → "ab ab") and self-runs
+    * ("a a a a" → "aa aa"), which single-pass replace() gets wrong (it
+    * consumes the shared delimiter and skips the adjacent match). The
+    * DuckDB twin is a recursive CTE doing the identical
+    * first-occurrence/restart step (see queries/Bpe). */
+  def bpeMerge(s: UTF8String, l: UTF8String, r: UTF8String): UTF8String = {
+    val pat = " " + l.toString + " " + r.toString + " "
+    val rep = " " + l.toString + r.toString + " "
+    var cur = s.toString
+    var pos = cur.indexOf(pat)
+    while (pos >= 0) {
+      cur = cur.substring(0, pos) + rep + cur.substring(pos + pat.length)
+      pos = cur.indexOf(pat)
+    }
+    UTF8String.fromString(cur)
+  }
+
   /** Deterministic hyperplane component — PortableHash.hyperplane. */
   def hyperplane(j: Int, i: Int): Long =
     (1315423911L * (j + 1) + 2654435761L * (i + 1)) % 1000003L - 501501L
@@ -399,6 +421,26 @@ case class L2QuantExpression(left: Expression, right: Expression)
       s"${ev.value} = graft.functions.VecOps.l2Quant($a, $b);")
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): L2QuantExpression = copy(left = l, right = r)
+}
+
+/** graft_bpe_merge(s, l, r) — one canonical BPE merge pass : STRING. */
+case class BpeMergeExpression(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecExprChecks.check(
+      Seq(first, second, third).forall(_.dataType == StringType),
+      prettyName, Seq(first.dataType, second.dataType, third.dataType))
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_bpe_merge"
+  override protected def nullSafeEval(s: Any, l: Any, r: Any): Any =
+    VecOps.bpeMerge(s.asInstanceOf[UTF8String], l.asInstanceOf[UTF8String],
+      r.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, l, r) =>
+      s"${ev.value} = graft.functions.VecOps.bpeMerge($s, $l, $r);")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): BpeMergeExpression =
+    copy(first = f, second = s, third = t)
 }
 
 /** graft_quantvec(v, mult) — per-element qround(x·mult) : ARRAY<BIGINT>. */

@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.Graft._
+
+/** BPE merge training (SURVEY §2.3 tokenization, the training half:
+  * q_vocab_encode encodes with a FIXED vocabulary; this learns the
+  * merge table from the corpus — the Sennrich-BPE loop every tokenizer
+  * build runs).
+  *
+  * Round structure (the reference's stage-barrier shape, like the
+  * k-means fit): count adjacent symbol pairs corpus-wide → pick the
+  * most frequent (deterministic tie-break: count desc, then left/right
+  * lexicographic) → apply the merge everywhere → repeat. Driver state
+  * per round is ONE (left, right, count) row; pair counting shuffles
+  * only the symbol-vocabulary² pair table (map-side combined), never
+  * corpus-sized data; merge application is a per-row codegen'd kernel.
+  *
+  * Merge application semantics — the part engines get wrong: canonical
+  * BPE merges leftmost-first non-overlapping, INCLUDING back-to-back
+  * matches ("a b a b" → "ab ab") and self-runs ("a a a a" → "aa aa").
+  * A single replace() pass breaks both (it consumes the shared
+  * delimiter space and skips the adjacent match). The graft_bpe_merge
+  * kernel replaces the first occurrence and RESTARTS the scan — because
+  * the replacement restores both boundary spaces, restart-scan is
+  * exactly canonical greedy merge; the DuckDB oracle's recursive CTE
+  * performs the identical first-occurrence/restart step, so the gate
+  * covers the application semantics, not just the counts.
+  *
+  * Scale note: this is the full-recount formulation — T merge rounds =
+  * T corpus passes, the right distributed shape for T up to dozens.
+  * Production 30k-merge trainers maintain pair-count DELTAS instead of
+  * recounting (only words containing the merged pair change counts);
+  * that optimization composes with this plan (filter rows on
+  * contains(s, pat) before the recount) and is deliberately left out of
+  * the gated query to keep the oracle 1:1. */
+object Bpe extends QueryGroup {
+
+  private val Rounds = 4
+  private val DocCap = 200L
+
+  /** Adjacent-pair counts over space-delimited symbol strings. Words
+    * with a single symbol contribute nothing (sequence guard ==
+    * DuckDB's empty generate_series). */
+  private def pairCounts(words: DataFrame): DataFrame =
+    words.select(split(trim(col("s")), " ").as("syms"))
+      .filter(size(col("syms")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("syms")) - 1),
+        i => struct(element_at(col("syms"), i).as("l"),
+          element_at(col("syms"), i + 1).as("r")))).as("pr"))
+      .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+      .agg(count(lit(1)).as("c"))
+
+  private def pairsCteSql(w: String, name: String): String =
+    s"""${name}_p AS (
+       |  SELECT pr[1] AS l, pr[2] AS r, count(*) AS c
+       |  FROM (SELECT unnest(list_transform(generate_series(1, len(syms) - 1),
+       |                 i -> [syms[i], syms[i + 1]])) AS pr
+       |        FROM (SELECT string_split(trim(s), ' ') AS syms FROM $w) t0) t
+       |  GROUP BY 1, 2),
+       |$name AS (SELECT l, r, c FROM ${name}_p ORDER BY c DESC, l, r LIMIT 1)""".stripMargin
+
+  private def applyCteSql(w: String, best: String, out: String): String =
+    s"""${out}_i AS (
+       |  SELECT wid, s FROM $w
+       |  UNION ALL
+       |  SELECT wid,
+       |    substr(s, 1, pos - 1) || ' ' || b.l || b.r || ' ' ||
+       |      substr(s, pos + length(' ' || b.l || ' ' || b.r || ' '))
+       |  FROM (SELECT wid, s,
+       |          instr(s, (SELECT ' ' || l || ' ' || r || ' ' FROM $best)) AS pos
+       |        FROM ${out}_i) t CROSS JOIN $best b
+       |  WHERE pos > 0),
+       |$out AS (
+       |  SELECT wid, s FROM ${out}_i
+       |  WHERE instr(s, (SELECT ' ' || l || ' ' || r || ' ' FROM $best)) = 0)""".stripMargin
+
+  private val oracle: String = {
+    val body = (1 to Rounds).map { t =>
+      val prev = if (t == 1) "words" else s"w${t - 1}"
+      val apply =
+        if (t < Rounds) ",\n" + applyCteSql(prev, s"b$t", s"w$t") else ""
+      pairsCteSql(prev, s"b$t") + apply
+    }.mkString(",\n")
+    val out = (1 to Rounds).map { t =>
+      s"SELECT CAST($t AS BIGINT) AS round, l AS left, r AS right, " +
+        s"l || r AS merged, c AS cnt FROM b$t"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE
+       |  words AS (
+       |    SELECT row_number() OVER () AS wid,
+       |      ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s
+       |    FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+       |          FROM documents WHERE doc_id < $DocCap) t
+       |    WHERE length(w) > 0),
+       |$body
+       |  $out
+       |  ORDER BY round""".stripMargin
+  }
+
+  private val qBpeTrain = Q(
+    "q_bpe_train",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.GraftFunctions.bpeMergeNative
+      var words = table(s, dir, "documents").filter(col("doc_id") < DocCap)
+        .select(explode(split(lower(col("text")), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .select(concat(lit(" "),
+          concat_ws(" ", split(col("w"), "")), lit(" ")).as("s"))
+      val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+      for (round <- 1 to Rounds) {
+        // global top-1: TakeOrderedAndProject over the vocab²-bounded
+        // pair aggregate; the collect is ONE row (driver state = the
+        // merge table, the Lloyd-loop discipline)
+        val row = pairCounts(words)
+          .orderBy(col("c").desc, col("l"), col("r")).limit(1)
+          .collect()(0)
+        val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
+        merges += ((round.toLong, l, r, l + r, c))
+        if (round < Rounds)
+          words = words.select(
+            bpeMergeNative(col("s"), lit(l), lit(r)).as("s"))
+      }
+      import s.implicits._
+      merges.result().toDF("round", "left", "right", "merged", "cnt")
+        .orderBy("round")
+    },
+    Some(oracle))
+
+  override val queries: Seq[Q] = Seq(qBpeTrain)
+}
