@@ -897,6 +897,54 @@ object Advanced extends QueryGroup {
                 AS bal_sum_fp
             FROM customer GROUP BY 1 ORDER BY 1"""))
 
+  /** WITH RECURSIVE through Spark 4's SQL surface (UnionLoop execution):
+    * a yearly calendar spine generated by recursion from the data's own
+    * bounds, gap-proof-joined to the per-year order counts — the
+    * date-spine continuity query every reporting layer runs, exercised
+    * through the NEW recursive-CTE engine path rather than sequence()
+    * (q_timeseries_fill gates that formulation). Iteration count = the
+    * data's year span (7 here) — each recursive step is a materialized
+    * batch, so spine granularity is the cost knob (a daily spine at this
+    * span would be ~2400 steps: wrong tool — use sequence(); recursion
+    * is for genuinely inductive state). */
+  private val qSqlRecursive = Q(
+    "q_sql_recursive",
+    (s, dir) => {
+      table(s, dir, "orders").createOrReplaceTempView("orders_rec")
+      s.sql("""
+        WITH RECURSIVE bounds AS (
+          SELECT date_trunc('year', min(o_orderdate)) AS lo,
+                 date_trunc('year', max(o_orderdate)) AS hi
+          FROM orders_rec),
+        spine(y, hi) AS (
+          SELECT lo, hi FROM bounds
+          UNION ALL
+          SELECT y + INTERVAL '1' YEAR, hi FROM spine WHERE y < hi),
+        rev AS (
+          SELECT date_trunc('year', o_orderdate) AS y, count(*) AS n,
+            sum(CAST(round(o_totalprice * 10000) AS BIGINT)) AS rev_fp
+          FROM orders_rec GROUP BY 1)
+        SELECT CAST(s.y AS TIMESTAMP_NTZ) AS year, coalesce(r.n, 0) AS n,
+          coalesce(r.rev_fp, 0) AS rev_fp
+        FROM spine s LEFT JOIN rev r ON s.y = r.y ORDER BY year""")
+    },
+    Some("""WITH RECURSIVE bounds AS (
+              SELECT date_trunc('year', min(o_orderdate)) AS lo,
+                     date_trunc('year', max(o_orderdate)) AS hi
+              FROM orders),
+            spine(y, hi) AS (
+              SELECT lo, hi FROM bounds
+              UNION ALL
+              SELECT y + INTERVAL 1 YEAR, hi FROM spine WHERE y < hi),
+            rev AS (
+              SELECT date_trunc('year', o_orderdate) AS y, count(*) AS n,
+                CAST(sum(CAST(round(o_totalprice * 10000) AS BIGINT)) AS BIGINT)
+                  AS rev_fp
+              FROM orders GROUP BY 1)
+            SELECT s.y AS year, coalesce(r.n, 0) AS n,
+              coalesce(r.rev_fp, 0) AS rev_fp
+            FROM spine s LEFT JOIN rev r ON s.y = r.y ORDER BY year"""))
+
   override val queries: Seq[Q] = Seq(
     qJoinRange, qJoinInterval, qJoinAsof, qJoinAsofNative, qJoinAsofFwd,
     qJoinAsofFwdNative,
@@ -905,7 +953,7 @@ object Advanced extends QueryGroup {
     qSqlAutoNative, qSubqueryScalar, qSubqueryExists, qSubqueryCorrScalar,
     qJoinLateral, qTypedCogroup, qGraphPagerank, qGraphPagerankFixpoint,
     qGraphPagerankDurable,
-    qSqlDdl)
+    qSqlDdl, qSqlRecursive)
 
   case class Nation(n_nationkey: Int, n_name: String, n_regionkey: Int)
   case class Region(r_regionkey: Int, r_name: String)
