@@ -63,6 +63,8 @@ object NativizeCharHash {
   *                  i -> array_min(transform(hashes, t -> perm(i, t))))
   *   gramHashes:  array_distinct(transform(sequence(1, size(th)-(n-1)),
   *                  i -> fold of th[i..i+n-1]))  over th = charHash'd tokens
+  *   l2Quant:     aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0L, +)
+  *                  — the k-means assignment distance (KMeansQuant)
   *
   * Matching follows the [[NativizeCharHash]] discipline — a structural
   * skeleton gate, then SEMANTIC verification by interpreted evaluation on
@@ -176,6 +178,34 @@ class NativizeHashKernels extends Rule[LogicalPlan] {
     nonEmpty && empty && mixed
   }
 
+  private val l2Probes: Seq[(Seq[Long], Seq[Long])] = Seq(
+    (Seq(0L), Seq(0L)),
+    (Seq(1L, 2L, 3L), Seq(3L, 1L, 2L)),
+    (Seq(-500000L, 700000L, 13L), Seq(700000L, -500000L, 12L)))
+
+  /** True iff the composed fold evaluates exactly like l2Quant on every
+    * probe pair (equal lengths — the rewrite guards unequal lengths at
+    * runtime). Self-distance (a ≡ b) substitutes one probe. */
+  private def semanticallyL2(whole: Expression, a: Expression, b: Expression): Boolean =
+    l2Probes.forall { case (pa, pb0) =>
+      val same = a.fastEquals(b)
+      val pb = if (same) pa else pb0
+      val litA = Literal.create(pa, ArrayType(LongType, containsNull = false))
+      val litB = Literal.create(pb, ArrayType(LongType, containsNull = false))
+      // TOP-DOWN substitution: one side may CONTAIN the other (e.g.
+      // b = reverse(a)); the higher node must be replaced first, which
+      // also erases the contained occurrence — transformUp would rewrite
+      // the inner side and un-match the outer one
+      val subbed = whole.transformDown {
+        case e if !same && e.fastEquals(b) => litB
+        case e if e.fastEquals(a) => litA
+      }
+      val want = VecOps.l2Quant(
+        ArrayData.toArrayData(pa.toArray), ArrayData.toArrayData(pb.toArray))
+      (try Option(subbed.eval(null)) catch { case _: Exception => None })
+        .contains(want)
+    }
+
   private def semanticallyGram(whole: Expression, input: Expression, n: Int): Boolean =
     tokenProbes.forall { p =>
       evalWith(whole, input,
@@ -210,6 +240,7 @@ class NativizeHashKernels extends Rule[LogicalPlan] {
     case ArrayType(_, false) => true
     case ArrayType(_, true) => e match {
       case _: StringSplit => true
+      case _: graft.functions.QuantVecExpression => true
       case _ => false
     }
     case _ => false
@@ -233,6 +264,29 @@ class NativizeHashKernels extends Rule[LogicalPlan] {
         ArrayType(LongType, containsNull = true))
       If(IsNull(hashes), nulls,
         Coalesce(Seq(MinHashSigExpression(hashes, Literal(k, IntegerType)), nulls)))
+
+    // l2Quant(a, b): aggregate(zip_with(a, b, (x,y) -> (x-y)²), 0L, +) —
+    // the k-means-assignment distance in its interpreted-HOF trap form.
+    // Exactness: probes pin the arithmetic for equal lengths; on unequal
+    // lengths the composed form is always NULL (zip_with null-pads, the
+    // subtraction nulls, the fold propagates), so the guarded else-branch
+    // is a null literal — which also covers NULL inputs (Size(null) makes
+    // the predicate null, and If treats that as false). The else-branch
+    // must NOT embed the original composed tree: transformAllExpressions
+    // recurses into rewrite results, and a self-containing rewrite
+    // re-matches forever. Null ELEMENTS are excluded statically
+    // (nullFreeElements both sides) — probe verification can't see that
+    // divergence.
+    case agg @ ArrayAggregate(ZipWith(a, b, _), Literal(0L, LongType), _, _)
+        if isLongArray(a.dataType) && isLongArray(b.dataType) &&
+          nullFreeElements(a) && nullFreeElements(b) &&
+          semanticallyL2(agg, a, b) => {
+      val kernel = graft.functions.L2QuantExpression(a, b)
+      if (a.fastEquals(b)) kernel
+      else If(EqualTo(Size(a, legacySizeOfNull = false),
+        Size(b, legacySizeOfNull = false)), kernel,
+        Literal.create(null, LongType))
+    }
 
     // gramHashes(tokens, n)
     case d @ ArrayDistinct(ArrayTransform(seqE, _))

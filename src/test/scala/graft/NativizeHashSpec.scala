@@ -121,6 +121,38 @@ class NativizeHashSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
+  test("composed quantized-L2 fold is rewritten to graft_l2q, values unchanged") {
+    withRule {
+      graft.functions.GraftFunctions.register(spark)
+      // parquet-backed input: a local Seq would constant-fold the whole
+      // plan to a LocalRelation and leave nothing to observe
+      val emb = spark.read
+        .parquet("/root/testdata/sf0.001/embeddings.parquet").limit(20)
+      val data = emb.select(col("vec_id").as("id"),
+          graft.functions.GraftFunctions.quantVecNative(col("embedding"), 1e6).as("qa"))
+        .withColumn("qb", reverse(col("qa")))
+      def l2hof(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, t) => acc + t)
+      val df = data.select(col("id"), l2hof(col("qa"), col("qb")).as("d"))
+      assert(nativesIn(df) { case e: graft.functions.L2QuantExpression => e }.nonEmpty,
+        s"not nativized:\n${df.queryExecution.optimizedPlan}")
+      val direct = data.select(col("id"),
+        graft.functions.GraftFunctions.l2qNative(col("qa"), col("qb")).as("d_d"))
+      assert(df.join(direct, "id").filter(col("d") =!= col("d_d")).count() === 0)
+      // self-distance rewrites too (no size guard needed)
+      val dfSelf = data.select(l2hof(col("qa"), col("qa")).as("d"))
+      assert(nativesIn(dfSelf) { case e: graft.functions.L2QuantExpression => e }.nonEmpty)
+      assert(dfSelf.collect().forall(_.getLong(0) == 0L))
+      // look-alike with a different combine — |x-y| fold — stays composed
+      val lookalike = data.select(aggregate(
+        zip_with(col("qa"), col("qb"), (x, y) => abs(x - y)),
+        lit(0L), (acc, t) => acc + t).as("d"))
+      assert(nativesIn(lookalike) { case e: graft.functions.L2QuantExpression => e }.isEmpty,
+        "look-alike L2 was wrongly nativized")
+    }
+  }
+
   test("q_sql_auto_native's plan actually runs the kernels, not the composed lambdas") {
     withRule {
       val df = SparkEntry.queries("q_sql_auto_native")(
