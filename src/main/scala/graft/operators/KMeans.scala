@@ -51,6 +51,23 @@ object KMeansQuant {
     s"""list_transform(generate_series(1, $dim),
        |  i -> CAST(round(CAST($v[i] AS DOUBLE) * 1000000.0) AS BIGINT))""".stripMargin
 
+  /** Normalized quantization — the SPHERICAL variant for cosine-metric
+    * uses (IVF coarse quantizers): on unit vectors, L2 ordering is
+    * cosine ordering (‖a−b‖² = 2−2·cosθ), so an L2-trained quantizer
+    * aligns with cosine retrieval. The norm is the ordered-fold dot
+    * (PortableHash.dot ≡ DuckDB list_reduce), the division one IEEE op,
+    * then the same qround — bit-identical across engines. */
+  def quantizeNormalized(v: Column): Column = {
+    val nrm = sqrt(graft.operators.PortableHash.dot(v, v))
+    transform(v, x => round(x.cast("double") / nrm * lit(Scale), 0).cast("long"))
+  }
+
+  def quantizeNormalizedSql(v: String, dim: Int): String =
+    s"""list_transform(generate_series(1, $dim),
+       |  i -> CAST(round(CAST($v[i] AS DOUBLE) /
+       |    sqrt(${graft.operators.PortableHash.dotSql(v, v, dim)})
+       |    * 1000000.0) AS BIGINT))""".stripMargin
+
   def l2qSql(a: String, b: String, dim: Int): String =
     s"""CAST(list_sum(list_transform(generate_series(1, $dim),
        |  i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)""".stripMargin
@@ -131,9 +148,13 @@ object KMeansQuant {
     * updates between. Seeds are the quantized vectors of
     * `[seedLo, seedHi]`, cid = vec_id − seedLo. The caller SELECTs from
     * `a$rounds`. */
-  def oracleCtesSql(seedLo: Long, seedHi: Long, rounds: Int, dim: Int): String = {
+  def oracleCtesSql(seedLo: Long, seedHi: Long, rounds: Int, dim: Int,
+      normalized: Boolean = false): String = {
+    val qvSql =
+      if (normalized) quantizeNormalizedSql("embedding", dim)
+      else quantizeSql("embedding", dim)
     val head = Seq(
-      s"eq AS (SELECT vec_id, ${quantizeSql("embedding", dim)} AS qv FROM embeddings)",
+      s"eq AS (SELECT vec_id, $qvSql AS qv FROM embeddings)",
       s"""c0 AS (SELECT CAST(vec_id - $seedLo AS BIGINT) AS cid, qv AS cv FROM eq
          |       WHERE vec_id BETWEEN $seedLo AND $seedHi)""".stripMargin)
     val body = (1 to rounds).flatMap { r =>

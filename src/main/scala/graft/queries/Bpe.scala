@@ -111,18 +111,26 @@ object Bpe extends QueryGroup {
         .select(concat(lit(" "),
           concat_ws(" ", split(col("w"), "")), lit(" ")).as("s"))
       val merges = Seq.newBuilder[(Long, String, String, String, Long)]
-      for (round <- 1 to Rounds) {
+      var exhausted = false
+      for (round <- 1 to Rounds if !exhausted) {
         // global top-1: TakeOrderedAndProject over the vocab²-bounded
         // pair aggregate; the collect is ONE row (driver state = the
-        // merge table, the Lloyd-loop discipline)
-        val row = pairCounts(words)
+        // merge table, the Lloyd-loop discipline). A corpus can run out
+        // of adjacent pairs before the round budget (every word fully
+        // merged) — real BPE training stops there, and so do we
+        // (ScalaCheck found the empty-corpus crash in the naive loop).
+        val top = pairCounts(words)
           .orderBy(col("c").desc, col("l"), col("r")).limit(1)
-          .collect()(0)
-        val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
-        merges += ((round.toLong, l, r, l + r, c))
-        if (round < Rounds)
-          words = words.select(
-            bpeMergeNative(col("s"), lit(l), lit(r)).as("s"))
+          .collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val row = top(0)
+          val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
+          merges += ((round.toLong, l, r, l + r, c))
+          if (round < Rounds)
+            words = words.select(
+              bpeMergeNative(col("s"), lit(l), lit(r)).as("s"))
+        }
       }
       import s.implicits._
       merges.result().toDF("round", "left", "right", "merged", "cnt")

@@ -51,12 +51,16 @@ object Clustering extends QueryGroup {
     * vec_id ∈ [200, 207] (cid = vec_id − 200; the same convention as
     * q_sim_ivf's coarse quantizer), run three Lloyd passes. Returns the
     * assigned frame AND the final centroids (the IVF query needs both). */
-  private def fitted(s: org.apache.spark.sql.SparkSession, dir: String)
+  private def fitted(s: org.apache.spark.sql.SparkSession, dir: String,
+      normalized: Boolean = false)
       : (org.apache.spark.sql.DataFrame, Seq[Seq[Long]]) = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
     val e = table(s, dir, "embeddings").select("vec_id", "embedding")
-    val data = e.withColumn("qv", KMeansQuant.quantize(col("embedding")))
+    val qv =
+      if (normalized) KMeansQuant.quantizeNormalized(col("embedding"))
+      else KMeansQuant.quantize(col("embedding"))
+    val data = e.withColumn("qv", qv)
     val seeds = data.filter(
         col("vec_id").between(SeedLo, SeedLo + kOf(s) - 1))
       .orderBy("vec_id")
@@ -170,7 +174,15 @@ object Clustering extends QueryGroup {
     * probe their nprobe=2 nearest centroids and score exactly only
     * inside those lists. Against q_sim_ivf's raw-data-row centroids,
     * trained centroids track the corpus distribution, so lists are
-    * balanced and recall-per-probe is higher. List affinity ranks by
+    * balanced and recall-per-probe is higher — measured in
+    * AnnRecallSpec at matched list count and probe budget (K=16,
+    * nprobe 2/4/6): trained 0.333/0.583/0.750 recall@3 vs raw rows
+    * 0.250/0.500/0.625, training strictly ahead at every budget. The
+    * fit runs on NORMALIZED quantized coordinates (spherical k-means):
+    * retrieval is cosine, and on unit vectors L2 ordering IS cosine
+    * ordering (‖a−b‖² = 2−2cosθ) — defensive here (this corpus arrives
+    * unit-norm) but the guard that keeps the quantizer correct for any
+    * embedding source. List affinity ranks by
     * the SAME exact integer squared-L2 the fit used — no float ranking
     * until the final cosine. Scale: probe ranking is Q·K rows off a
     * codegen'd literal-centroid projection; the candidate scan per
@@ -179,7 +191,7 @@ object Clustering extends QueryGroup {
     "q_sim_ivf_kmeans",
     (s, dir) => {
       import graft.functions.GraftFunctions._
-      val (assigned, cents) = fitted(s, dir)
+      val (assigned, cents) = fitted(s, dir, normalized = true)
       val lists = assigned.select(col("vec_id"), col("embedding"),
         col("cluster").as("cid"))
       val wProbe = Window.partitionBy(col("query_id"))
@@ -203,7 +215,8 @@ object Clustering extends QueryGroup {
           col("cid").as("list_id"), col("cosine"))
         .orderBy("query_id", "rk")
     },
-    Some(s"""WITH ${KMeansQuant.oracleCtesSql(SeedLo, SeedHi, Rounds, Dim)},
+    Some(s"""WITH ${KMeansQuant.oracleCtesSql(SeedLo, SeedHi, Rounds, Dim,
+               normalized = true)},
              probes AS (
                SELECT query_id, cid FROM (
                  SELECT e.vec_id AS query_id, c.cid,

@@ -603,9 +603,46 @@ object Sources extends QueryGroup {
                 AS BIGINT) AS content_sum
             FROM post GROUP BY 1 ORDER BY 1"""))
 
+  /** Raw-binary file source (spark.read.format("binaryFile")): per-doc
+    * payloads written as individual .bin files from the EXECUTORS (the
+    * multimodal-corpus ingestion shape — image/audio data arrives as an
+    * object store full of opaque files), read back through the
+    * binaryFile source with doc identity recovered from the path.
+    * Gated on exact byte length + md5 parity against the documents
+    * table — a truncated write, a charset mangle, or a path-mapping bug
+    * hash-mismatches. Bounded to 300 files at any sf; at corpus scale
+    * the same plan lists an object-store prefix in parallel and the
+    * payload column feeds the operators/Multimodal decoders. */
+  private val qSourceBinaryFile = Q(
+    "q_source_binaryfile",
+    (s, dir) => {
+      val out = tmpDir("binsrc")
+      table(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+          rows.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(out, f"doc_${r.getLong(0)}%06d.bin"),
+              r.getAs[Array[Byte]](1)): Unit
+          }
+        }
+      s.read.format("binaryFile").load(out)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1)
+            .cast("long").as("doc_id"),
+          col("length").as("n_bytes"),
+          md5(col("content")).as("payload_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+              md5(text) AS payload_md5
+            FROM documents WHERE doc_id < 300 ORDER BY doc_id"""))
+
   override val queries: Seq[Q] =
     Seq(qSourceCsv, qSourceJson, qSourceXml, qSourceOrc, qSourceText, qSourcePartitioned,
       qSourceBucketedJoin, qSourceDsv2, qSinkDsv2, qSourceKv, qSourceKvNet,
       qZorderLayout, qZonemapPrune, qStoreTimetravel, qSourceSchemaEvolution,
-      qStoreDpo, qSourceCorrupt, qSourceBucketedAgg, qJoinNullsafe)
+      qStoreDpo, qSourceCorrupt, qSourceBucketedAgg, qJoinNullsafe,
+      qSourceBinaryFile)
 }

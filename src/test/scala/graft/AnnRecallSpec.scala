@@ -100,6 +100,64 @@ class AnnRecallSpec extends AnyFunSuite with SparkSessionFixture {
     lists.join(broadcast(probes), "cid")
   }
 
+  /** IVF with the TRAINED coarse quantizer (q_sim_ivf_kmeans's
+    * construction: Lloyd centroids, lists = final assignment, probe
+    * ranking by exact integer L2). `k` seeds from vec_id 200.. — k=16
+    * matches the raw-row quantizer's list count for a fair
+    * recall-per-scan comparison. */
+  private def ivfKmeansCandidates(nprobe: Int, k: Int = 8): DataFrame = {
+    import graft.operators.KMeansQuant
+    val s = spark
+    import s.implicits._
+    val data = emb.withColumn("qv",
+      KMeansQuant.quantizeNormalized(col("embedding")))
+    val seeds = data.filter(col("vec_id").between(200, 200 + k - 1))
+      .orderBy("vec_id")
+      .select("qv").as[Seq[Long]].collect().toSeq
+    val (assigned, cents) = KMeansQuant.fit(s, data, "qv", seeds, 3, 64)
+    val lists = assigned.select(col("vec_id"), col("embedding"),
+      col("cluster").as("cid"))
+    val wP = Window.partitionBy("query_id").orderBy(col("cdist"), col("cid"))
+    val probes = assigned.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qemb"),
+        posexplode(KMeansQuant.distArray(col("qv"), cents)))
+      .select(col("query_id"), col("qemb").as("qv"),
+        col("pos").cast("long").as("cid"), col("col").as("cdist"))
+      .withColumn("crk", row_number().over(wP)).filter(col("crk") <= nprobe)
+      .select("query_id", "qv", "cid")
+    lists.join(broadcast(probes), "cid")
+  }
+
+  test("trained-centroid IVF: recall rises with nprobe; comparison vs " +
+      "raw-row centroids at matched candidate fractions") {
+    val curve = (1 to 4).map { np =>
+      val (r, s) = recallAndScan(ivfKmeansCandidates(np))
+      info(f"IVF-kmeans nprobe $np: recall@$K=$r%.3f scan=${s * 100}%.1f%%")
+      (np, r, s)
+    }
+    // list-count-matched comparison: trained K=16 vs the raw 16-row
+    // quantizer, same nprobe = same expected candidate fraction
+    val t16 = Seq(2, 4, 6).map { np =>
+      val (r, s) = recallAndScan(ivfKmeansCandidates(np, k = 16))
+      info(f"IVF-kmeans16 nprobe $np: recall@$K=$r%.3f scan=${s * 100}%.1f%%")
+      (np, r, s)
+    }
+    val r16 = Seq(2, 4, 6).map { np =>
+      val (r, s) = recallAndScan(ivfCandidates(np))
+      info(f"IVF-raw16    nprobe $np: recall@$K=$r%.3f scan=${s * 100}%.1f%%")
+      (np, r, s)
+    }
+    curve.sliding(2).foreach { case Seq((_, a, _), (_, b, _)) =>
+      assert(b >= a, "probing more lists must not lose neighbors")
+    }
+    // at equal list count and probe budget, training must not LOSE
+    // recall vs arbitrary data rows (tolerance one truth pair = 1/24)
+    t16.zip(r16).foreach { case ((np, rt, _), (_, rr, _)) =>
+      assert(rt >= rr - 1.0 / 24 - 1e-9,
+        f"trained K=16 recall $rt%.3f fell below raw ($rr%.3f) at nprobe $np")
+    }
+  }
+
   test("multi-probe LSH raises recall monotonically; radius-1 clears 0.5 on a small candidate fraction") {
     val (r0, s0) = recallAndScan(lshCandidates(0))
     val (r1, s1) = recallAndScan(lshCandidates(1))

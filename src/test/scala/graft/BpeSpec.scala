@@ -53,17 +53,24 @@ class BpeSpec extends AnyFunSuite with SparkSessionFixture {
     assert(res.passed, res.status.toString)
   }
 
-  /** Collections BPE trainer: same rounds, same tie-break. */
+  /** Collections BPE trainer: same rounds, same tie-break, same
+    * early stop on pair exhaustion. */
   private def trainLocal(words: Seq[List[String]], rounds: Int)
       : Seq[(String, String, Long)] = {
     var ws = words
-    (1 to rounds).map { t =>
+    val out = Seq.newBuilder[(String, String, Long)]
+    var stop = false
+    for (t <- 1 to rounds if !stop) {
       val counts = ws.flatMap(w => w.zip(w.drop(1)))
         .groupBy(identity).view.mapValues(_.size.toLong).toMap
-      val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
-      if (t < rounds) ws = ws.map(w => mergeLocal(w, l, r))
-      (l, r, c)
+      if (counts.isEmpty) stop = true
+      else {
+        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        if (t < rounds) ws = ws.map(w => mergeLocal(w, l, r))
+        out += ((l, r, c))
+      }
     }
+    out.result()
   }
 
   test("training loop == collections trainer on a random corpus") {
@@ -76,8 +83,10 @@ class BpeSpec extends AnyFunSuite with SparkSessionFixture {
     val prop = Prop.forAll(corpus, Gen.chooseNum(1, 3)) { (words, rounds) =>
       val expect = trainLocal(words, rounds)
       var df = words.map(w => w.mkString(" ", " ", " ")).toDF("s")
-      val got = (1 to rounds).map { t =>
-        val row = df.select(split(trim(col("s")), " ").as("syms"))
+      val got = Seq.newBuilder[(String, String, Long)]
+      var stop = false
+      for (t <- 1 to rounds if !stop) {
+        val top = df.select(split(trim(col("s")), " ").as("syms"))
           .filter(size(col("syms")) >= 2)
           .select(explode(transform(
             sequence(lit(1), size(col("syms")) - 1),
@@ -86,14 +95,18 @@ class BpeSpec extends AnyFunSuite with SparkSessionFixture {
           .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
           .agg(count(lit(1)).as("c"))
           .orderBy(col("c").desc, col("l"), col("r")).limit(1)
-          .collect()(0)
-        val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
-        if (t < rounds)
-          df = df.select(graft.functions.GraftFunctions
-            .bpeMergeNative(col("s"), lit(l), lit(r)).as("s"))
-        (l, r, c)
+          .collect()
+        if (top.isEmpty) stop = true
+        else {
+          val row = top(0)
+          val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
+          if (t < rounds)
+            df = df.select(graft.functions.GraftFunctions
+              .bpeMergeNative(col("s"), lit(l), lit(r)).as("s"))
+          got += ((l, r, c))
+        }
       }
-      got == expect
+      got.result() == expect
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
     assert(res.passed, res.status.toString)

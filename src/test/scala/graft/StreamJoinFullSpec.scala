@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.streaming.EventStreams
@@ -164,5 +165,67 @@ class StreamJoinFullSpec extends AnyFunSuite with SparkSessionFixture {
     val byLabel = results.toMap
     assert(byLabel("hdfs")._1.flatMap(_._1).sorted ==
       byLabel("rocksdb")._1.flatMap(_._1).sorted)
+  }
+
+  test("random corpora × random drip chunkings: emission multiset == batch twin") {
+    // micro-batch boundaries must never change the converged result —
+    // the chunking-invariance property, checked on random event sets cut
+    // at random points (events fed chronologically, as a file source
+    // landing in ts order would)
+    val genEvents: Gen[Seq[EventU]] = for {
+      n <- Gen.chooseNum(4, 22)
+      raw <- Gen.listOfN(n, for {
+        u <- Gen.chooseNum(1L, 5L)
+        day <- Gen.chooseNum(1, 12)
+        hour <- Gen.chooseNum(0, 23)
+        isP <- Gen.oneOf(true, false)
+      } yield (u, day, hour, isP))
+    } yield raw.distinct.zipWithIndex.map { case ((u, d, h, isP), i) =>
+      EventU(i.toLong, us(d, h), u, if (isP) "purchase" else "signup",
+        if (isP) 1.0 else 0.0)
+    }.sortBy(e => (e.ts_us, e.event_id))
+    val genCutMask: Gen[Seq[Boolean]] =
+      Gen.listOfN(25, Gen.oneOf(true, false))
+
+    val prop = Prop.forAll(genEvents, genCutMask) { (events, cutMask) =>
+      val drips = events.zipWithIndex
+        .foldLeft(Vector(Vector.empty[EventU])) { case (acc, (e, i)) =>
+          if (i > 0 && cutMask(i % cutMask.size)) acc :+ Vector(e)
+          else acc.init :+ (acc.last :+ e)
+        }.filter(_.nonEmpty)
+      val flushUs = events.map(_.ts_us).max + 30L * dayUs
+      val sentinels = Seq(
+        Seq(EventU(-1, flushUs, -100, "purchase", 0.0),
+          EventU(-2, flushUs, -200, "signup", 0.0)),
+        Seq(EventU(-3, flushUs, -100, "purchase", 0.0),
+          EventU(-4, flushUs, -200, "signup", 0.0)))
+
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "4")
+      implicit val sqlCtx = s2.sqlContext
+      import s2.implicits._
+      val mem = MemoryStream[EventU]
+      val sink = s"t_join_full_rand_${scala.util.Random.nextInt(Int.MaxValue)}"
+      val q = EventStreams.purchaseSignupFullJoin(
+          mem.toDF().withColumn("ts",
+            timestamp_micros(col("ts_us")).cast("timestamp_ntz")))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      val streamed = try {
+        (drips ++ sentinels).foreach { d =>
+          mem.addData(d)
+          q.processAllAvailable()
+        }
+        s2.table(sink).collect().toSeq.map(toRow).sorted
+      } finally q.stop()
+
+      val batch = EventStreams.purchaseSignupFullJoin(
+          spark.createDataFrame(events).withColumn("ts",
+            timestamp_micros(col("ts_us")).cast("timestamp_ntz")))
+        .collect().toSeq.map(toRow).sorted
+      streamed == batch
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
   }
 }
