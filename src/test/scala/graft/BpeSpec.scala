@@ -120,4 +120,26 @@ class BpeSpec extends AnyFunSuite with SparkSessionFixture {
     val cnts = out.sortBy(_.getLong(0)).map(_.getLong(4))
     assert(cnts.zip(cnts.drop(1)).forall { case (a, b) => a >= b })
   }
+
+  test("plan shape: the per-round top-pair is TakeOrdered over a " +
+      "two-phase aggregate, not a full sort") {
+    val s = spark
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val words = Seq(" a b c ", " a b d ", " b c a ").toDF("s")
+    val top = words.select(split(trim(col("s")), " ").as("syms"))
+      .filter(size(col("syms")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("syms")) - 1),
+        i => struct(element_at(col("syms"), i).as("l"),
+          element_at(col("syms"), i + 1).as("r")))).as("pr"))
+      .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("l"), col("r")).limit(1)
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-pair pays a full sort:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"pair count is not map-side combined:\n$plan")
+  }
 }
