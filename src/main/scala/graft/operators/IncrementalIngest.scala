@@ -52,4 +52,60 @@ object IncrementalIngest {
       .option("path", s"$store/batch=$batchId").mode("append").save()
     accepted.select(col("doc_id"), col("lang"), col("fp"))
   }
+
+  /** 4 LSH band keys from a 16-wide minhash signature, each one long:
+    * band j's key is the portable fold h → (h·131 + v) mod P over its 4
+    * signature values, seeded with j (so equal value-runs in different
+    * bands cannot collide). DuckDB twin: [[bandKeysSql]]. */
+  def bandKeys(sg: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(sequence(lit(0), lit(3)), j =>
+      aggregate(slice(sg, j * lit(4) + lit(1), lit(4)), j.cast("long"),
+        (h, v) => (h * lit(131L) + v) % lit(PortableHash.P)))
+
+  def bandKeysSql(sg: String): String =
+    s"""list_transform(generate_series(0, 3), j ->
+       |  list_reduce(list_prepend(CAST(j AS BIGINT), $sg[j*4+1:j*4+4]),
+       |    (h, v) -> (h * 131 + v) % ${PortableHash.P}))""".stripMargin
+
+  /** NEAR-dup ingestion round — [[ingest]]'s MinHash sibling (the
+    * continuously-crawled-corpus near-duplicate filter): the history
+    * accumulates LSH BAND KEYS instead of exact fingerprints, and a
+    * delta document is rejected when ANY of its band keys was already
+    * seen — by the committed history snapshot or by a smaller-doc_id
+    * document of the same delta. ALL of the delta's band keys are
+    * appended (the all-seen contract: rejected documents still poison
+    * their bands), which is what makes multi-round sequencing composable
+    * — when deltas arrive in doc_id order, any round decomposition
+    * yields exactly the one-shot result ("seen earlier" ≡ "smaller
+    * doc_id or history"), so the live foreachBatch twin and the batch
+    * gate share one oracle.
+    *
+    * Scale shape mirrors [[ingest]]: 4 band longs per document, the
+    * history⟂delta probe is a bk-keyed LEFT SEMI that hash-partitions
+    * both sides (history is the big side — never broadcast), in-delta
+    * first-wins is a bk group-by with map-side partials, and the append
+    * rides the sink's two-phase commit. */
+  def ingestNearDup(
+      spark: SparkSession, store: String, batchId: Long,
+      deltaDocs: DataFrame, deltaBands: DataFrame): DataFrame = {
+    val snapshot = Option(new File(store).listFiles())
+      .getOrElse(Array.empty[File])
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(_.getAbsolutePath).sorted
+    val known = snapshot.map { d =>
+      spark.read.format("graft.sources.KvSourceProvider")
+        .option("path", d).option("schema", "bk LONG").load()
+    }.reduceOption(_ unionAll _)
+    val histDrop = known.map(k =>
+      deltaBands.join(k, Seq("bk"), "left_semi").select("doc_id"))
+    val first = deltaBands.groupBy(col("bk"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    val inDeltaDrop = deltaBands.join(first, "bk")
+      .filter(col("doc_id") > col("first_doc")).select("doc_id")
+    val dropped = histDrop.fold(inDeltaDrop)(_ unionAll inDeltaDrop).distinct()
+    deltaBands.select(col("bk")).distinct()
+      .write.format("graft.sources.KvSinkProvider")
+      .option("path", s"$store/batch=$batchId").mode("append").save()
+    deltaDocs.join(dropped, Seq("doc_id"), "left_anti")
+  }
 }

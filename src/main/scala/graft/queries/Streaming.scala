@@ -613,6 +613,64 @@ object Streaming extends QueryGroup {
              SELECT min(doc_id) AS doc_id, min_by(lang, doc_id) AS lang, fp
              FROM fps GROUP BY fp ORDER BY doc_id"""))
 
+  /** LIVE near-dup ingestion: the q_ingest_neardup rounds run as a real
+    * stream — the historical crawl's band keys bootstrap the Store
+    * before the stream starts, the delta lands as three doc_id-ranged
+    * drops, and every micro-batch is one ingestNearDup round (snapshot
+    * filter → first-wins → band append) via foreachBatch. Because the
+    * all-seen contract makes doc_id-ordered round decomposition
+    * invisible, the converged accepted set equals the one-shot batch
+    * gate — same oracle (queries/Training.nearDupIngestOracle). */
+  private val qStreamIngestNeardup = Q(
+    "q_stream_ingest_neardup",
+    (s, dir) => {
+      val tmp = sys.props("java.io.tmpdir")
+      val root = new java.io.File(s"$tmp/graft-stream-ingest-neardup")
+      if (root.exists()) rmTree(root)
+      val store = s"$root/store"
+      val out = s"$root/accepted"
+      val docs = table(s, dir, "documents")
+      Training.bandedDocs(docs.filter(col("doc_id") % 3 =!= 0))
+        .select("bk").distinct()
+        .write.format("graft.sources.KvSinkProvider")
+        .option("path", s"$store/batch=0").mode("append").save()
+      val delta = docs.filter(col("doc_id") % 3 === 0)
+      val staged = root.toPath.resolve("staged")
+      delta.repartitionByRange(3, col("doc_id"))
+        .write.mode("overwrite").parquet(staged.toString)
+      val srcRoot = root.toPath.resolve("src")
+      java.nio.file.Files.createDirectories(srcRoot)
+      val stream = s.readStream.schema(docs.schema).parquet(srcRoot.toString)
+      withStatePartitions(s, 8) {
+        val q = stream.writeStream.outputMode("append")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            rmTree(new java.io.File(s"$store/batch=${id + 1}"))
+            rmTree(new java.io.File(s"$out/batch=$id"))
+            val banded = Training.bandedDocs(batch.toDF())
+            graft.operators.IncrementalIngest
+              .ingestNearDup(batch.sparkSession, store, id + 1,
+                banded.select("doc_id", "lang").distinct(),
+                banded.select("doc_id", "bk"))
+              .write.format("graft.sources.KvSinkProvider")
+              .option("path", s"$out/batch=$id").mode("append").save()
+          }
+          .start()
+        try {
+          new java.io.File(staged.toString).listFiles()
+            .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+            .zipWithIndex.foreach { case (f, i) =>
+              java.nio.file.Files.copy(f.toPath, srcRoot.resolve(s"drop_$i.parquet"))
+              q.processAllAvailable()
+            }
+        } finally q.stop()
+      }
+      s.read.format("graft.sources.KvSourceProvider")
+        .option("path", out).option("recursive", "true")
+        .option("schema", "doc_id LONG, lang STRING").load()
+        .orderBy("doc_id")
+    },
+    Some(Training.nearDupIngestOracle))
+
   /** Watermarked streaming dedup, batch twin (EventStreams.dedupEvents —
     * dropDuplicatesWithinWatermark, the bounded-state ingestion guard).
     * Input is events ⊎ its first 200 rows — a deterministic replayed-batch
@@ -640,5 +698,5 @@ object Streaming extends QueryGroup {
     qStreamJoin, qStreamJoinOuter, qStreamJoinOuterLive,
     qStreamJoinFull, qStreamJoinFullLive, qStreamEnrich,
     qStreamLive, qStreamLiveAppend, qStreamKvSink,
-    qStreamIngest, qStreamDedup)
+    qStreamIngest, qStreamIngestNeardup, qStreamDedup)
 }

@@ -858,6 +858,78 @@ object Training extends QueryGroup {
                min_by(lang, doc_id) AS lang, fp
              FROM novel GROUP BY fp ORDER BY doc_id"""))
 
+  /** The shared oracle of the near-dup ingestion twins (batch round here,
+    * live foreachBatch rounds in queries/Streaming): accepted = delta
+    * docs whose 4 minhash band keys collide with neither the historical
+    * crawl's bands nor a smaller-doc_id delta doc's. One oracle serves
+    * both BECAUSE the all-seen contract makes round decomposition
+    * invisible when deltas arrive in doc_id order (see
+    * IncrementalIngest.ingestNearDup). */
+  private[queries] lazy val nearDupIngestOracle: String = {
+    import graft.operators.{IncrementalIngest, PortableHash}
+    s"""WITH toks AS (
+       |    SELECT doc_id, lang, string_split(lower(text), ' ') AS tl FROM documents),
+       |  tok3 AS (SELECT * FROM toks WHERE len(tl) >= 3),
+       |  th AS (SELECT doc_id, lang, list_transform(tl, t -> ${charHashSql("t")}) AS th
+       |         FROM tok3),
+       |  hashed AS (
+       |    SELECT doc_id, lang, list_distinct(list_transform(generate_series(1, len(th) - 2),
+       |      i -> ((th[i] * 131 + th[i+1]) % $P * 131 + th[i+2]) % $P)) AS hs
+       |    FROM th),
+       |  sig AS (SELECT doc_id, lang, ${PortableHash.minhashSigSql("hs", 16)} AS sg
+       |          FROM hashed),
+       |  bands AS (SELECT doc_id, lang, unnest(${IncrementalIngest.bandKeysSql("sg")}) AS bk
+       |            FROM sig),
+       |  hist AS (SELECT DISTINCT bk FROM bands WHERE doc_id % 3 <> 0),
+       |  delta AS (SELECT * FROM bands WHERE doc_id % 3 = 0),
+       |  firstb AS (SELECT bk, min(doc_id) AS first_doc FROM delta GROUP BY bk),
+       |  dropped AS (
+       |    SELECT DISTINCT d.doc_id FROM delta d
+       |    WHERE EXISTS (SELECT 1 FROM hist h WHERE h.bk = d.bk)
+       |    UNION
+       |    SELECT DISTINCT d.doc_id FROM delta d
+       |    JOIN firstb f ON d.bk = f.bk AND d.doc_id > f.first_doc)
+       |  SELECT DISTINCT doc_id, lang FROM delta d
+       |  WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.doc_id = d.doc_id)
+       |  ORDER BY doc_id""".stripMargin
+  }
+
+  /** Banded delta/history sides shared by the near-dup ingest twins:
+    * (doc_id, lang, bk) — 4 band-key rows per sig-able document. */
+  private[queries] def bandedDocs(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    import graft.functions.GraftFunctions._
+    df.withColumn("tl", split(lower(col("text")), " "))
+      .filter(size(col("tl")) >= 3)
+      .withColumn("sg", minHashSigNative(gramHashesNative(col("tl"), 3), 16))
+      .select(col("doc_id"), col("lang"),
+        explode(graft.operators.IncrementalIngest.bandKeys(col("sg"))).as("bk"))
+  }
+
+  /** Near-duplicate incremental ingestion, one batch round: the
+    * historical crawl's LSH band keys bootstrap the Store, the delta
+    * (every third document) is filtered against that snapshot and
+    * against itself first-wins, and all delta bands append as the next
+    * batch. q_stream_ingest_neardup runs the SAME rounds live. */
+  private val qIngestNeardup = Q(
+    "q_ingest_neardup",
+    (s, dir) => {
+      val store = sys.props("java.io.tmpdir") + "/graft-kvsink/q_ingest_neardup"
+      rmTree(new java.io.File(store))
+      val docs = table(s, dir, "documents")
+      bandedDocs(docs.filter(col("doc_id") % 3 =!= 0))
+        .select("bk").distinct()
+        .write.format("graft.sources.KvSinkProvider")
+        .option("path", s"$store/batch=0").mode("append").save()
+      val delta = bandedDocs(docs.filter(col("doc_id") % 3 === 0))
+      graft.operators.IncrementalIngest.ingestNearDup(s, store, 1L,
+          delta.select("doc_id", "lang").distinct(),
+          delta.select("doc_id", "bk"))
+        .orderBy("doc_id")
+    },
+    Some(nearDupIngestOracle))
+
   /** Whole-table CONTENT DIGEST — the migration-validation primitive: an
     * order-insensitive fingerprint of a table's content (sum over rows
     * of a portable per-row hash), so two engines / two copies / two
@@ -1063,6 +1135,7 @@ object Training extends QueryGroup {
     qTextRepetition, qSplitAssign, qMixWeighted, qSamplePerGroup,
     qPackSequences, qLinesDedup, qProfileColumns, qChunkDocs, qChunkRoundtrip,
     qBasketPairs, qProfileGini, qTableDiff, qMixDeviation, qDedupLatest,
-    qCdcMerge, qDqChecks, qIngestIncremental, qTableDigest, qStoreCompact,
+    qCdcMerge, qDqChecks, qIngestIncremental, qIngestNeardup, qTableDigest,
+    qStoreCompact,
     qStoreForget, qAggIncrementalView, qShuffleGlobal)
 }

@@ -58,6 +58,38 @@ class IncrementalIngestSpec extends AnyFunSuite with SparkSessionFixture {
     assert(accepted.orderBy("doc_id").collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
   }
 
+  private def bandRows(rows: Seq[(Long, String, Seq[Long])]) = {
+    val s = spark
+    import s.implicits._
+    (rows.map { case (id, lang, _) => (id, lang) }.toDF("doc_id", "lang"),
+      rows.flatMap { case (id, _, bks) => bks.map(id -> _) }.toDF("doc_id", "bk"))
+  }
+
+  test("near-dup rounds: any doc_id-ordered decomposition equals one shot") {
+    // 6 docs, hand-built band keys: 2 collides with 1, 4 with history-of-3
+    // only transitively (3 rejected but its bands still poison), 5 clean
+    val docs = Seq(
+      (1L, "en", Seq(10L, 11L)),
+      (2L, "de", Seq(11L, 12L)), // shares band 11 with doc 1 → rejected
+      (3L, "fr", Seq(12L, 13L)), // shares band 12 with rejected doc 2 → rejected (all-seen)
+      (4L, "it", Seq(13L, 14L)), // shares band 13 with rejected doc 3 → rejected
+      (5L, "en", Seq(20L, 21L)), // clean → accepted
+      (6L, "de", Seq(21L, 22L))) // shares band 21 with doc 5 → rejected
+    def run(chunks: Seq[Seq[(Long, String, Seq[Long])]]): Seq[Long] = {
+      val store = freshStore()
+      chunks.zipWithIndex.flatMap { case (chunk, i) =>
+        val (d, b) = bandRows(chunk)
+        IncrementalIngest.ingestNearDup(spark, store, i + 1L, d, b)
+          .collect().map(_.getLong(0)).toSeq
+      }.sorted
+    }
+    val oneShot = run(Seq(docs))
+    assert(oneShot == Seq(1L, 5L))
+    assert(run(Seq(docs.take(2), docs.drop(2))) == oneShot)
+    assert(run(Seq(docs.take(3), docs.slice(3, 5), docs.drop(5))) == oneShot)
+    assert(run(docs.map(Seq(_))) == oneShot)
+  }
+
   test("compaction: many small batches become few files with identical content") {
     val s = spark
     import s.implicits._
