@@ -436,6 +436,67 @@ object Sources extends QueryGroup {
             FROM customer GROUP BY 1, 2
             ORDER BY snap, k"""))
 
+  /** SNAPSHOT DIFF over the Store's commit log — the migration-audit
+    * operation on top of q_store_timetravel's versioned reads: commit 1
+    * lands the baseline per-nation counts (nations < 20 only), commit 2
+    * appends CORRECTIONS (full counts, even nations only); the diff
+    * resolves the latest view per key by last-commit-wins (max_by over
+    * the carried commit column — the append-log → upsert-table
+    * resolution q_dedup_latest gates standalone), reads the baseline
+    * back through asOfCommit=1, and emits every added/changed key with
+    * old and new values. At warehouse scale this is two manifest-pruned
+    * snapshot scans + one key-partitioned full join — no data is
+    * rewritten to compute the audit. */
+  private val qStoreTimediff = Q(
+    "q_store_timediff",
+    (s, dir) => {
+      val out = sys.props("java.io.tmpdir") + "/graft-kvsink/q_store_timediff"
+      cleanDir(out)
+      val counts = table(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("v"))
+        .select(col("c_nationkey").as("k"), col("v"))
+      counts.filter(col("k") < 20).withColumn("c", lit(1L))
+        .write.format("graft.sources.KvSinkProvider")
+        .option("path", out).mode("append").save()
+      counts.filter(col("k") % 2 === 0).withColumn("c", lit(2L))
+        .write.format("graft.sources.KvSinkProvider")
+        .option("path", out).mode("append").save()
+      def readAsOf(asOf: Option[Int]) = {
+        val r = s.read.format("graft.sources.KvSourceProvider")
+          .option("path", out).option("schema", "k LONG, v LONG, c LONG")
+        asOf.fold(r)(v => r.option("asOfCommit", v.toString)).load()
+      }
+      val v1 = readAsOf(Some(1)).select(col("k"), col("v").as("v_old"))
+      val latest = readAsOf(None).groupBy(col("k"))
+        .agg(max_by(col("v"), col("c")).as("v_new"))
+      v1.join(latest, Seq("k"), "full_outer")
+        .withColumn("status",
+          when(col("v_old").isNull, "added")
+            .when(col("v_new") =!= col("v_old"), "changed")
+            .otherwise("unchanged"))
+        .filter(col("status") =!= "unchanged")
+        .select("k", "status", "v_old", "v_new")
+        .orderBy("k")
+    },
+    Some("""WITH v1 AS (
+              SELECT c_nationkey AS k, count(*) AS v FROM customer
+              WHERE c_nationkey < 20 GROUP BY 1),
+            v2d AS (
+              SELECT c_nationkey AS k, count(*) AS v FROM customer
+              WHERE c_nationkey % 2 = 0 GROUP BY 1),
+            res AS (
+              SELECT coalesce(d.k, v1.k) AS k, v1.v AS v_old,
+                coalesce(d.v, v1.v) AS v_new
+              FROM v1 FULL JOIN v2d d ON v1.k = d.k)
+            SELECT k,
+              CASE WHEN v_old IS NULL THEN 'added'
+                   WHEN v_new <> v_old THEN 'changed'
+                   ELSE 'unchanged' END AS status,
+              v_old, v_new
+            FROM res WHERE v_old IS NULL OR v_new <> v_old
+            ORDER BY k"""))
+
   /** BUCKETED AGGREGATION — bucketing's second dividend after
     * shuffle-free joins: a GROUP BY on the bucket key aggregates with NO
     * exchange at all, because the bucketed scan's hash partitioning
@@ -642,7 +703,8 @@ object Sources extends QueryGroup {
   override val queries: Seq[Q] =
     Seq(qSourceCsv, qSourceJson, qSourceXml, qSourceOrc, qSourceText, qSourcePartitioned,
       qSourceBucketedJoin, qSourceDsv2, qSinkDsv2, qSourceKv, qSourceKvNet,
-      qZorderLayout, qZonemapPrune, qStoreTimetravel, qSourceSchemaEvolution,
+      qZorderLayout, qZonemapPrune, qStoreTimetravel, qStoreTimediff,
+      qSourceSchemaEvolution,
       qStoreDpo, qSourceCorrupt, qSourceBucketedAgg, qJoinNullsafe,
       qSourceBinaryFile)
 }
