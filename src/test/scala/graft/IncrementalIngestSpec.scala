@@ -90,6 +90,24 @@ class IncrementalIngestSpec extends AnyFunSuite with SparkSessionFixture {
     assert(run(docs.map(Seq(_))) == oneShot)
   }
 
+  test("near-dup round plan: bk-keyed joins, no cartesian, two-phase " +
+      "first-wins aggregate") {
+    val store = freshStore()
+    // seed a history batch so the snapshot probe join is in the plan
+    val (d0, b0) = bandRows(Seq((1L, "en", Seq(10L, 11L))))
+    IncrementalIngest.ingestNearDup(spark, store, 1L, d0, b0).collect()
+    val (d, b) = bandRows(Seq((2L, "de", Seq(11L, 12L)), (3L, "fr", Seq(13L))))
+    val accepted = IncrementalIngest.ingestNearDup(spark, store, 2L, d, b)
+    val plan = accepted.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"near-dup round degenerated to all-pairs:\n$plan")
+    assert(plan.contains("LeftSemi"), s"history probe is not a semi join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"dropped filter is not an anti join:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"first-wins is not two-phase:\n$plan")
+  }
+
   test("compaction: many small batches become few files with identical content") {
     val s = spark
     import s.implicits._
