@@ -19,6 +19,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Marks this session as an oracle-gate run: bench-only knobs that
+    // would drift gated results away from their static oracles (e.g.
+    // spark.graft.kmeans.k) fail fast instead of silently diverging.
+    spark.conf.set("spark.graft.oracle.gate", "true")
     new java.io.File(outDir).mkdirs()
     // Optional comma-separated subset for fast local iteration; the
     // driver sets nothing and dumps the whole registry.

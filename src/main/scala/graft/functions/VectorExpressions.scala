@@ -108,15 +108,43 @@ object VecOps {
     * DuckDB twin is a recursive CTE doing the identical
     * first-occurrence/restart step (see queries/Bpe). */
   def bpeMerge(s: UTF8String, l: UTF8String, r: UTF8String): UTF8String = {
-    val pat = " " + l.toString + " " + r.toString + " "
-    val rep = " " + l.toString + r.toString + " "
-    var cur = s.toString
-    var pos = cur.indexOf(pat)
-    while (pos >= 0) {
-      cur = cur.substring(0, pos) + rep + cur.substring(pos + pat.length)
-      pos = cur.indexOf(pat)
+    val ls = l.toString
+    val rs = r.toString
+    val pat = " " + ls + " " + rs + " "
+    val rep = " " + ls + rs + " "
+    val src = s.toString
+    var pos = src.indexOf(pat)
+    if (pos < 0) return s
+    if (ls.indexOf(' ') >= 0 || rs.indexOf(' ') >= 0) {
+      // Degenerate space-containing "symbols" (never produced by the
+      // tokenizer, but reachable through the public kernel): keep the
+      // literal restart-from-0 semantics — the single-pass resume proof
+      // below relies on space-free l/r.
+      var cur = src
+      while (pos >= 0) {
+        cur = cur.substring(0, pos) + rep + cur.substring(pos + pat.length)
+        pos = cur.indexOf(pat)
+      }
+      return UTF8String.fromString(cur)
     }
-    UTF8String.fromString(cur)
+    // Space-free l/r: a replacement deletes one interior space and keeps
+    // both boundary spaces, so no new occurrence can START before the
+    // replacement's trailing space — and that space is the same ' ' char
+    // as src's (pat and rep both end with it), so the scan can continue
+    // over SRC from copied-1 instead of restarting over the rebuilt
+    // string. Back-to-back matches share exactly that boundary space
+    // ("a b a b", "a a a a"): pos == copied-1 then, and rep's leading
+    // space was already emitted as the previous rep's trailing space.
+    val sb = new java.lang.StringBuilder(src.length)
+    var copied = 0
+    while (pos >= 0) {
+      if (pos >= copied) sb.append(src, copied, pos).append(rep)
+      else sb.append(rep, 1, rep.length)
+      copied = pos + pat.length
+      pos = src.indexOf(pat, copied - 1)
+    }
+    sb.append(src, copied, src.length)
+    UTF8String.fromString(sb.toString)
   }
 
   /** Deterministic hyperplane component — PortableHash.hyperplane. */

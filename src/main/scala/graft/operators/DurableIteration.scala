@@ -300,9 +300,21 @@ object DurableIteration {
         .select("cid", "cv").as[(Long, Seq[Long])]
         .collect().sortBy(_._1).map(_._2).toSeq
 
+    // Resume is only valid when the persisted state belongs to THIS run
+    // shape: `rounds` assignment passes ⇒ the centroid fixpoint completes
+    // after rounds-1 committed updates. A _CONVERGED marker from an
+    // earlier invocation with a different `rounds`, or a committed round
+    // beyond rounds-1, would otherwise short-circuit the loop and
+    // silently return centroids from a different training length.
     readConverged(spark, ckptDir) match {
-      case Some(n) =>
+      case Some(n) if n == rounds - 1 =>
         return (KMeansQuant.withAssignment(data, qvCol, centsOf(n)), 0, n)
+      case Some(n) =>
+        throw new IllegalStateException(
+          s"kMeansDurable: checkpoint at $ckptDir converged after $n " +
+            s"update rounds but this invocation requested rounds=$rounds " +
+            s"(= ${rounds - 1} updates); wipe the checkpoint dir or match " +
+            "the original rounds")
       case None => ()
     }
     val startRound = latestCommitted(spark, ckptDir).getOrElse {
@@ -312,6 +324,12 @@ object DurableIteration {
         ckptDir, 0)
       0
     }
+    if (startRound > rounds - 1)
+      throw new IllegalStateException(
+        s"kMeansDurable: checkpoint at $ckptDir has committed round " +
+          s"$startRound, past this invocation's last update round " +
+          s"${rounds - 1} (rounds=$rounds); wipe the checkpoint dir or " +
+          "match the original rounds")
     var cents = centsOf(startRound)
     var iter = startRound
     // rounds = number of assignment passes; the last pass has no update,

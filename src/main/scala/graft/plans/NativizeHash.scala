@@ -183,28 +183,49 @@ class NativizeHashKernels extends Rule[LogicalPlan] {
     (Seq(1L, 2L, 3L), Seq(3L, 1L, 2L)),
     (Seq(-500000L, 700000L, 13L), Seq(700000L, -500000L, 12L)))
 
+  // Unequal-length pair: the rewrite synthesizes If(size-equal, kernel,
+  // NULL), so it is only sound when the COMPOSED form is itself NULL on
+  // length mismatch. A lambda that swallows the zip_with padding null
+  // (e.g. coalesce((x-y)*(x-y), 0L)) passes every equal-length probe yet
+  // yields a non-null partial sum here — this probe rejects it.
+  private val l2UnequalProbe: (Seq[Long], Seq[Long]) = (Seq(1L, 2L), Seq(3L))
+
+  private def substituteL2(whole: Expression, a: Expression, b: Expression,
+      pa: Seq[Long], pb: Seq[Long]): Expression = {
+    val same = a.fastEquals(b)
+    val litA = Literal.create(pa, ArrayType(LongType, containsNull = false))
+    val litB = Literal.create(pb, ArrayType(LongType, containsNull = false))
+    // TOP-DOWN substitution: one side may CONTAIN the other (e.g.
+    // b = reverse(a)); the higher node must be replaced first, which
+    // also erases the contained occurrence — transformUp would rewrite
+    // the inner side and un-match the outer one
+    whole.transformDown {
+      case e if !same && e.fastEquals(b) => litB
+      case e if e.fastEquals(a) => litA
+    }
+  }
+
   /** True iff the composed fold evaluates exactly like l2Quant on every
-    * probe pair (equal lengths — the rewrite guards unequal lengths at
-    * runtime). Self-distance (a ≡ b) substitutes one probe. */
-  private def semanticallyL2(whole: Expression, a: Expression, b: Expression): Boolean =
-    l2Probes.forall { case (pa, pb0) =>
-      val same = a.fastEquals(b)
+    * equal-length probe pair AND evaluates to NULL on an unequal-length
+    * pair (the rewrite's else-branch hard-codes NULL for that case).
+    * Self-distance (a ≡ b) substitutes one probe and can never see
+    * unequal lengths, so the null probe is skipped there. */
+  private def semanticallyL2(whole: Expression, a: Expression, b: Expression): Boolean = {
+    val same = a.fastEquals(b)
+    val equalLen = l2Probes.forall { case (pa, pb0) =>
       val pb = if (same) pa else pb0
-      val litA = Literal.create(pa, ArrayType(LongType, containsNull = false))
-      val litB = Literal.create(pb, ArrayType(LongType, containsNull = false))
-      // TOP-DOWN substitution: one side may CONTAIN the other (e.g.
-      // b = reverse(a)); the higher node must be replaced first, which
-      // also erases the contained occurrence — transformUp would rewrite
-      // the inner side and un-match the outer one
-      val subbed = whole.transformDown {
-        case e if !same && e.fastEquals(b) => litB
-        case e if e.fastEquals(a) => litA
-      }
       val want = VecOps.l2Quant(
         ArrayData.toArrayData(pa.toArray), ArrayData.toArrayData(pb.toArray))
-      (try Option(subbed.eval(null)) catch { case _: Exception => None })
-        .contains(want)
+      (try Option(substituteL2(whole, a, b, pa, pb).eval(null))
+       catch { case _: Exception => None }).contains(want)
     }
+    val nullOnUnequal = same || {
+      val (pa, pb) = l2UnequalProbe
+      (try Option(substituteL2(whole, a, b, pa, pb).eval(null))
+       catch { case _: Exception => Some(Boolean.box(false)) }).isEmpty
+    }
+    equalLen && nullOnUnequal
+  }
 
   private def semanticallyGram(whole: Expression, input: Expression, n: Int): Boolean =
     tokenProbes.forall { p =>

@@ -44,6 +44,17 @@ object Clustering extends QueryGroup {
             s"spark.graft.kmeans.k must be a positive integer, got '$v'")
       }
       require(k > 0 && k <= 512, s"spark.graft.kmeans.k out of range: $k")
+      // The oracles in this file are generated for K=8 (SeedHi is fixed);
+      // a session that sets the bench knob and then runs the gated
+      // queries would silently diverge from them. Verify marks its
+      // session with spark.graft.oracle.gate — fail fast there instead
+      // of letting four gates drift.
+      if (k != K &&
+          s.conf.getOption("spark.graft.oracle.gate").contains("true"))
+        throw new IllegalStateException(
+          s"spark.graft.kmeans.k=$k conflicts with the oracle-gated " +
+            s"clustering queries (oracles are fixed at K=$K); unset the " +
+            "knob for gate runs — it is a ScaleBench-only lever")
       k
     }.getOrElse(K)
 

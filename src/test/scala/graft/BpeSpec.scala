@@ -45,7 +45,11 @@ class BpeSpec extends AnyFunSuite with SparkSessionFixture {
   }
 
   test("kernel == canonical list merge on random symbol strings") {
-    val sym = Gen.oneOf("a", "b", "c", "ab", "bb")
+    // overlap-prone alphabet: l prefix-of r, r suffix-of l, self-runs —
+    // the cases where the kernel's resumed (non-restart) scan could
+    // diverge from the canonical definition if its no-earlier-match
+    // argument were wrong
+    val sym = Gen.oneOf("a", "b", "c", "ab", "bb", "aa", "aaa", "ba")
     val prop = Prop.forAll(Gen.listOfN(12, sym), sym, sym) { (syms, l, r) =>
       mergeStr(wrap(syms), l, r) == wrap(mergeLocal(syms, l, r))
     }

@@ -150,6 +150,22 @@ class KMeansSpec extends AnyFunSuite with SparkSessionFixture {
     val (_, ranAgain, from) =
       graft.operators.DurableIteration.kMeansDurable(data, "qv", init, rounds, dim, ckpt)
     assert(ranAgain == 0 && from == rounds - 1)
+
+    // resume with a DIFFERENT rounds must fail fast, not silently return
+    // centroids from the original training length (both the converged
+    // marker and a committed-round-past-the-request path)
+    val tooFew = intercept[IllegalStateException] {
+      graft.operators.DurableIteration.kMeansDurable(
+        data, "qv", init, rounds - 1, dim, ckpt)
+      ()
+    }
+    assert(tooFew.getMessage.contains("converged after"))
+    val tooMany = intercept[IllegalStateException] {
+      graft.operators.DurableIteration.kMeansDurable(
+        data, "qv", init, rounds + 2, dim, ckpt)
+      ()
+    }
+    assert(tooMany.getMessage.contains("converged after"))
   }
 
   test("plan shapes: assignment is shuffle-free; SemDeDup pair join is " +

@@ -150,6 +150,19 @@ class NativizeHashSpec extends AnyFunSuite with SparkSessionFixture {
         lit(0L), (acc, t) => acc + t).as("d"))
       assert(nativesIn(lookalike) { case e: graft.functions.L2QuantExpression => e }.isEmpty,
         "look-alike L2 was wrongly nativized")
+      // null-swallowing lambda: coalesce((x-y)², 0) matches every
+      // EQUAL-length probe bit-for-bit, but on unequal lengths the
+      // zip_with padding null folds to a non-null partial sum — while the
+      // rewrite's guard branch hard-codes NULL there. The unequal-length
+      // probe must reject it.
+      val swallow = data.select(aggregate(
+        zip_with(col("qa"), slice(col("qb"), 1, 3),
+          (x, y) => coalesce((x - y) * (x - y), lit(0L))),
+        lit(0L), (acc, t) => acc + t).as("d"))
+      assert(nativesIn(swallow) { case e: graft.functions.L2QuantExpression => e }.isEmpty,
+        "null-swallowing L2 look-alike was wrongly nativized — the " +
+          "If(size-equal, kernel, NULL) guard would change its value on " +
+          "unequal-length inputs")
     }
   }
 
