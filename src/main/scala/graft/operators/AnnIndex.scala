@@ -1,0 +1,220 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.KvCommitLog
+
+/** Persistent IVF index — BUILD ONCE, PROBE MANY (the FAISS lifecycle
+  * the inline `q_sim_ivf_kmeans` query lacks: there the coarse
+  * quantizer re-fits and the inverted lists rebuild inside every
+  * execution, which is fine for a gate and wrong for serving — at
+  * corpus scale an index is constructed once, committed, and then
+  * probed by thousands of independent query batches).
+  *
+  * On-disk layout under `dir` — versioned GENERATIONS published through
+  * the Store's commit log ([[graft.sources.KvCommitLog]], the same
+  * Delta-in-miniature discipline the KV sink uses):
+  *
+  * {{{
+  *   dir/gen-N/meta.json        index descriptor (k, dim, rounds, …)
+  *   dir/gen-N/centroids/       parquet (cid, cv)         — K·dim longs
+  *   dir/gen-N/lists/cid=…/     parquet, PARTITIONED BY cid
+  *   dir/_commit-N              manifest naming "gen-N"   — the commit
+  * }}}
+  *
+  * A build stages everything inside `gen-N` and appends the manifest
+  * LAST (atomic temp+rename): a crash mid-build leaves an orphan
+  * generation no reader can see; a committed generation is always
+  * complete. Rebuilds append `gen-(N+1)` without touching `gen-N`, so
+  * in-flight probes pinned to an older version keep reading a frozen
+  * snapshot — index time travel for free, same as the Store's
+  * `asOfCommit`.
+  *
+  * Scale shape (the reason the layout is what it is):
+  *   - centroids are K·dim longs — metadata-sized at any corpus size;
+  *     probe ranking is a codegen'd literal-centroid projection over the
+  *     QUERY batch only (no corpus scan, no shuffle).
+  *   - lists are hash-partitioned ON DISK by `cid`; a probe collects its
+  *     ≤ K distinct probe-list ids (bounded by K, independent of query
+  *     count) into a static partition filter, so the list scan READS
+  *     only nprobe/K of the corpus — pruning at the file listing, not a
+  *     post-scan filter. The per-query candidate join is a broadcast
+  *     equi-join on cid (query side ≪ corpus side, always).
+  *   - scoring inside the probed lists is the exact codegen'd cosine
+  *     kernel; ranking ties break on vec_id — bit-stable across runs.
+  *
+  * The fit math is byte-identical to [[KMeansQuant.fit]] (same kernels,
+  * same qround means, same lowest-cid argmin tie-break), so persistence
+  * cannot change a single retrieval result vs the inline query — gated
+  * by `q_sim_ivf_persisted` sharing `q_sim_ivf_kmeans`'s oracle.
+  *
+  * Reference scope: the reference engine has no ANN surface (its store
+  * is a KV file/Redis pair — src/Core/Store.hs:68-119); this is part of
+  * the training-data-pipeline extension tier. */
+object AnnIndex {
+
+  /** Index descriptor, committed inside the generation. Probes derive
+    * every parameter from this — a probe can never run with mismatched
+    * geometry. */
+  final case class IndexMeta(
+      k: Int, dim: Int, rounds: Int, normalized: Boolean, count: Long)
+
+  private def metaJson(m: IndexMeta): String =
+    s"""{"k":${m.k},"dim":${m.dim},"rounds":${m.rounds},""" +
+      s""""normalized":${m.normalized},"count":${m.count}}"""
+
+  private def parseMeta(s: String): IndexMeta = {
+    def field(name: String): String = {
+      val p = (s"""\"$name\":([^,}]+)""").r
+      p.findFirstMatchIn(s).map(_.group(1)).getOrElse(
+        throw new IllegalStateException(s"ann index meta missing '$name': $s"))
+    }
+    IndexMeta(field("k").toInt, field("dim").toInt, field("rounds").toInt,
+      field("normalized").toBoolean, field("count").toLong)
+  }
+
+  private def genName(v: Int) = s"gen-$v"
+
+  /** Latest committed generation version, 0 when none. */
+  def latestVersion(dir: String): Int =
+    KvCommitLog.latestVersion(Paths.get(dir))
+
+  /** Fit the coarse quantizer on `data` and commit a new index
+    * generation under `dir`. `data` must carry `idCol: long` and
+    * `embCol: array<float>` of length `dim`; `seedIds` select the
+    * init centroids (ascending id order = cid order, the same
+    * data-derived seeding convention as the gated clustering queries).
+    * Returns the committed version. */
+  def build(data: DataFrame, idCol: String, embCol: String,
+      seedIds: Seq[Long], rounds: Int, dim: Int, dir: String,
+      normalized: Boolean = true): Int = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val k = seedIds.size
+    require(k > 0, "ann index needs at least one seed")
+
+    val qv =
+      if (normalized) KMeansQuant.quantizeNormalized(col(embCol))
+      else KMeansQuant.quantize(col(embCol))
+    val corpus = data.select(col(idCol), col(embCol)).withColumn("__qv", qv)
+    val init = corpus.filter(col(idCol).isin(seedIds: _*))
+      .orderBy(idCol).select("__qv").as[Seq[Long]].collect().toSeq
+    require(init.size == k,
+      s"seed ids missing from corpus: wanted $k, found ${init.size}")
+    val (assigned, cents) =
+      KMeansQuant.fit(spark, corpus, "__qv", init, rounds, dim)
+
+    val base = Paths.get(dir)
+    Files.createDirectories(base)
+    val version = KvCommitLog.latestVersion(base) + 1
+    val gen = s"$dir/${genName(version)}"
+    // stage the whole generation, commit-manifest LAST
+    cents.zipWithIndex.map { case (cv, cid) => (cid.toLong, cv) }
+      .toDF("cid", "cv")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$gen/centroids")
+    assigned
+      .select(col("cluster").as("cid"), col(idCol), col(embCol))
+      .write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$gen/lists")
+    val count = spark.read.parquet(s"$gen/lists").count()
+    Files.writeString(Paths.get(s"$gen/meta.json"),
+      metaJson(IndexMeta(k, dim, rounds, normalized, count)))
+    KvCommitLog.append(base, Seq(genName(version)))
+    version
+  }
+
+  private def genDir(dir: String, asOf: Option[Int]): (String, Int) = {
+    val latest = KvCommitLog.latestVersion(Paths.get(dir))
+    require(latest > 0, s"no committed ann index at $dir " +
+      "(an uncommitted generation directory is not an index)")
+    val v = asOf.getOrElse(latest)
+    require(v >= 1 && v <= latest,
+      s"ann index version $v out of committed range [1, $latest] at $dir")
+    (s"$dir/${genName(v)}", v)
+  }
+
+  /** Descriptor of the committed generation (latest or `asOf`). */
+  def meta(dir: String, asOf: Option[Int] = None): IndexMeta = {
+    val (gen, _) = genDir(dir, asOf)
+    parseMeta(Files.readString(Paths.get(s"$gen/meta.json")))
+  }
+
+  /** Committed centroids in cid order — K·dim longs, driver-sized. */
+  def centroids(spark: SparkSession, dir: String,
+      asOf: Option[Int] = None): Seq[Seq[Long]] = {
+    import spark.implicits._
+    val (gen, _) = genDir(dir, asOf)
+    spark.read.parquet(s"$gen/centroids")
+      .select("cid", "cv").as[(Long, Seq[Long])]
+      .collect().sortBy(_._1).map(_._2).toSeq
+  }
+
+  /** Probe the committed index: for each row of `queries`
+    * (`idCol: long`, `embCol: array<float>`), rank the `nprobe`
+    * nearest inverted lists by the SAME exact integer squared-L2 the
+    * fit used (ties → lowest cid), scan only those lists, score by
+    * exact cosine, return the top `topK` per query as
+    * (query_id, rk, vec_id, list_id, cosine). NO re-fit happens here —
+    * the corpus is never aggregated, only the probed list partitions
+    * are read. `excludeSelf` drops candidates whose id equals the
+    * query id (the self-join retrieval convention). */
+  def probe(queries: DataFrame, dir: String, idCol: String, embCol: String,
+      nprobe: Int, topK: Int, excludeSelf: Boolean = false,
+      asOf: Option[Int] = None): DataFrame = {
+    val spark = queries.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val (gen, v) = genDir(dir, asOf)
+    val m = meta(dir, Some(v))
+    val cents = centroids(spark, dir, Some(v))
+    require(cents.size == m.k,
+      s"index corrupt: ${cents.size} centroids vs meta k=${m.k}")
+
+    val qv =
+      if (m.normalized) KMeansQuant.quantizeNormalized(col("__qemb"))
+      else KMeansQuant.quantize(col("__qemb"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist"), col("cid"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(embCol).as("__qemb"))
+      .withColumn("__qv", qv)
+      .select(col("query_id"), col("__qemb"),
+        posexplode(KMeansQuant.distArray(col("__qv"), cents)))
+      .select(col("query_id"), col("__qemb"),
+        col("pos").cast("long").as("cid"), col("col").as("cdist"))
+      .withColumn("__crk", row_number().over(wProbe))
+      .filter(col("__crk") <= nprobe)
+      .select("query_id", "__qemb", "cid")
+
+    // Distinct probe-list ids: bounded by K regardless of query count,
+    // so collecting them is a driver-sized action — and turning them
+    // into a STATIC IN-filter on the partition column prunes the list
+    // scan at file-listing time (nprobe/K of the corpus read, verified
+    // by AnnIndexSpec against the scan's partition count).
+    val probeCids = probes.select("cid").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val lists = spark.read.parquet(s"$gen/lists")
+      .filter(col("cid").isin(probeCids: _*))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col(idCol))
+    val cand = lists.join(broadcast(probes), "cid")
+    val filtered =
+      if (excludeSelf) cand.filter(col(idCol) =!= col("query_id")) else cand
+    filtered
+      .withColumn("cosine",
+        graft.functions.GraftFunctions.cosineNative(col("__qemb"), col(embCol)))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      // cid comes back as the INFERRED partition-column type (int);
+      // the public contract is bigint list ids
+      .select(col("query_id"), col("rk"), col(idCol).as("vec_id"),
+        col("cid").cast("long").as("list_id"), col("cosine"))
+      .orderBy("query_id", "rk")
+  }
+}

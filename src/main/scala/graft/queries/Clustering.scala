@@ -251,6 +251,57 @@ object Clustering extends QueryGroup {
              SELECT query_id, rk, vec_id, cid AS list_id, cosine FROM ranked
              WHERE rk <= 3 ORDER BY query_id, rk"""))
 
+  /** Persisted-index twin of q_sim_ivf_kmeans — the BUILD ONCE / PROBE
+    * MANY lifecycle: [[graft.operators.AnnIndex.build]] fits the same
+    * spherical coarse quantizer and commits centroids + cid-partitioned
+    * inverted lists through the Store's commit log; the probe then runs
+    * entirely off the committed generation (no re-fit, only the probed
+    * list partitions read — static partition pruning on the collected
+    * probe-cid set). The fit math is byte-identical to the inline query,
+    * so this SHARES its oracle: persistence must not change a single
+    * retrieval result. AnnIndexSpec covers the lifecycle pieces the gate
+    * can't see (probe-from-fresh-session, versioned rebuild + asOf
+    * time travel, orphan-generation rejection, pruned scan shape). */
+  private val qSimIvfPersisted = Q(
+    "q_sim_ivf_persisted",
+    (s, dir) => {
+      val idx = s"${sys.props("java.io.tmpdir")}/graft_ann/" +
+        s"${s.sparkContext.applicationId}/q_sim_ivf_persisted"
+      val fs = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+      val e = table(s, dir, "embeddings").select("vec_id", "embedding")
+      graft.operators.AnnIndex.build(e, "vec_id", "embedding",
+        (SeedLo until SeedLo + K).toSeq, Rounds, Dim, idx)
+      graft.operators.AnnIndex.probe(
+        e.filter(col("vec_id") < 8), idx, "vec_id", "embedding",
+        nprobe = 2, topK = 3, excludeSelf = true)
+    },
+    Some(s"""WITH ${KMeansQuant.oracleCtesSql(SeedLo, SeedHi, Rounds, Dim,
+               normalized = true)},
+             probes AS (
+               SELECT query_id, cid FROM (
+                 SELECT e.vec_id AS query_id, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${KMeansQuant.l2qSql("e.qv", "c.cv", Dim)}, c.cid) AS crk
+                 FROM eq e CROSS JOIN c${Rounds - 1} c WHERE e.vec_id < 8) t
+               WHERE crk <= 2),
+             scored AS (
+               SELECT p.query_id, x.vec_id, x.cid,
+                 ${graft.operators.PortableHash.cosineSql(
+                   "qe.embedding", "ce.embedding", Dim)} AS cosine
+               FROM a$Rounds x JOIN probes p
+                 ON x.cid = p.cid AND x.vec_id <> p.query_id
+               JOIN embeddings qe ON qe.vec_id = p.query_id
+               JOIN embeddings ce ON ce.vec_id = x.vec_id),
+             ranked AS (
+               SELECT query_id, vec_id, cid, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, vec_id) AS rk
+               FROM scored)
+             SELECT query_id, rk, vec_id, cid AS list_id, cosine FROM ranked
+             WHERE rk <= 3 ORDER BY query_id, rk"""))
+
   override val queries: Seq[Q] = Seq(qClusterKmeans, qClusterKmeansDurable,
-    qDedupSemantic, qSimIvfKmeans)
+    qDedupSemantic, qSimIvfKmeans, qSimIvfPersisted)
 }

@@ -1,0 +1,142 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.AnnIndex
+
+/** Lifecycle of the persisted IVF index — the pieces the
+  * `q_sim_ivf_persisted` oracle gate can't see: probe-many off one
+  * build (no re-fit, no corpus aggregation in the probe plan),
+  * partition-pruned list scans, versioned rebuild with asOf time
+  * travel, and rejection of uncommitted (orphan) generations. */
+class AnnIndexSpec extends AnyFunSuite with SparkSessionFixture {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    .select("vec_id", "embedding")
+
+  private def freshDir(tag: String): String = {
+    val d = s"${sys.props("java.io.tmpdir")}/graft_ann_spec/$tag-${System.nanoTime()}"
+    d
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Long, Long)] =
+    df.select("query_id", "rk", "vec_id", "list_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+
+  test("build once, probe many: repeat probes agree and never re-aggregate the corpus") {
+    val dir = freshDir("once")
+    val v = AnnIndex.build(corpus, "vec_id", "embedding",
+      (200L until 208L).toSeq, rounds = 3, dim = 64, dir)
+    assert(v == 1 && AnnIndex.latestVersion(dir) == 1)
+    val m = AnnIndex.meta(dir)
+    assert(m.k == 8 && m.dim == 64 && m.rounds == 3 && m.normalized)
+    assert(m.count == corpus.count())
+
+    val q = corpus.filter(col("vec_id") < 8)
+    val p1 = AnnIndex.probe(q, dir, "vec_id", "embedding",
+      nprobe = 2, topK = 3, excludeSelf = true)
+    val p2 = AnnIndex.probe(q, dir, "vec_id", "embedding",
+      nprobe = 2, topK = 3, excludeSelf = true)
+    assert(rows(p1) == rows(p2))
+    assert(rows(p1).nonEmpty)
+
+    // probe plan shape: NO aggregation anywhere (a re-fit would need
+    // one — Lloyd updates are a groupBy), and the list scan carries a
+    // partition filter on cid (pruning happens at file listing, not
+    // post-scan)
+    val plan = p1.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"probe plan aggregates — smells like an inline re-fit:\n$plan")
+    assert(plan.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(plan).isDefined,
+      s"list scan is not partition-pruned on cid:\n$plan")
+  }
+
+  test("probe reads only the probed list partitions from disk") {
+    val dir = freshDir("prune")
+    AnnIndex.build(corpus, "vec_id", "embedding",
+      (200L until 208L).toSeq, rounds = 3, dim = 64, dir)
+    // single query, nprobe=2 → at most 2 of the 8 cid partitions scanned
+    val p = AnnIndex.probe(corpus.filter(col("vec_id") === 0), dir,
+      "vec_id", "embedding", nprobe = 2, topK = 3, excludeSelf = true)
+    val total = corpus.count()
+    p.collect()
+    // AQE query stages are leaves that hide their subplans — recurse
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def allNodes(sp: SparkPlan): Seq[SparkPlan] =
+      Seq(sp) ++ sp.children.flatMap(allNodes) ++ (sp match {
+        case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+        case q: QueryStageExec => allNodes(q.plan)
+        case r: ReusedExchangeExec => allNodes(r.child)
+        case _ => Seq.empty
+      })
+    val scanned = allNodes(p.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("lists")) =>
+        s.metrics("numOutputRows").value
+    }.sum
+    assert(scanned > 0, "no list scan found in the probe plan")
+    assert(scanned < total,
+      s"probe scanned the whole corpus ($scanned of $total rows) — " +
+        "partition pruning is not effective")
+  }
+
+  test("rebuild appends a generation; asOf pins the frozen snapshot") {
+    val dir = freshDir("gens")
+    AnnIndex.build(corpus, "vec_id", "embedding",
+      (200L until 208L).toSeq, rounds = 3, dim = 64, dir)
+    val q = corpus.filter(col("vec_id") < 8)
+    val before = rows(AnnIndex.probe(q, dir, "vec_id", "embedding",
+      nprobe = 2, topK = 3, excludeSelf = true))
+
+    // different seeds → different quantizer → a genuinely new index
+    val v2 = AnnIndex.build(corpus, "vec_id", "embedding",
+      (100L until 108L).toSeq, rounds = 3, dim = 64, dir)
+    assert(v2 == 2 && AnnIndex.latestVersion(dir) == 2)
+
+    val pinned = rows(AnnIndex.probe(q, dir, "vec_id", "embedding",
+      nprobe = 2, topK = 3, excludeSelf = true, asOf = Some(1)))
+    assert(pinned == before,
+      "asOf=1 probe drifted after a rebuild — generations are not frozen")
+    // latest reads gen-2's centroids (seeded differently ⇒ different
+    // meta is too weak a check; compare centroid tables directly)
+    val c1 = AnnIndex.centroids(spark, dir, Some(1))
+    val c2 = AnnIndex.centroids(spark, dir, Some(2))
+    assert(c1 != c2, "rebuild with different seeds produced identical centroids")
+  }
+
+  test("orphan generation (no commit manifest) is not an index") {
+    val dir = freshDir("orphan")
+    Files.createDirectories(Paths.get(s"$dir/gen-1/lists"))
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.probe(corpus.limit(1), dir, "vec_id", "embedding",
+        nprobe = 1, topK = 1)
+      ()
+    }
+    assert(e.getMessage.contains("no committed ann index"))
+    val e2 = intercept[IllegalArgumentException] {
+      AnnIndex.meta(dir)
+      ()
+    }
+    assert(e2.getMessage.contains("no committed ann index"))
+  }
+
+  test("asOf outside the committed range fails fast") {
+    val dir = freshDir("range")
+    AnnIndex.build(corpus, "vec_id", "embedding",
+      (200L until 208L).toSeq, rounds = 3, dim = 64, dir)
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.probe(corpus.limit(1), dir, "vec_id", "embedding",
+        nprobe = 1, topK = 1, asOf = Some(2))
+      ()
+    }
+    assert(e.getMessage.contains("out of committed range"))
+  }
+}
