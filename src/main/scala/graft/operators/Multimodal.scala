@@ -24,8 +24,12 @@ import org.apache.spark.sql.functions._
   * exact integer stats (gated by q_multimodal_audio against a
   * closed-form oracle). Video decode is REAL for Y4M/YUV4MPEG2:
   * [[y4mDecode]] implements the stream-header + FRAME-line container
-  * grammar over raw 4:4:4 planes and [[decodeVideoStats]] reduces
-  * sampled frames to exact luma stats (gated by q_multimodal_video).
+  * grammar over raw 4:4:4 planes AND the 4:2:0 subsampled variants
+  * (C420/420jpeg/420mpeg2/420paldv, ceil-half chroma geometry,
+  * normalized to 4:4:4 by nearest-neighbor upsampling on decode);
+  * [[decodeVideoStats]] reduces sampled frames to exact luma stats
+  * (gated by q_multimodal_video) and [[decodeVideoYuvStats]] adds the
+  * chroma-plane sums (gated by q_multimodal_video420).
   * Compressed codecs (JPEG-in-PNG aside, H.264, MP3, …) would slot in
   * behind the same [[decodeImage]]-style magic-byte sniff; none ship
   * in this container. The generic [[decodeFeatures]] path keeps its
@@ -499,11 +503,47 @@ object Multimodal extends Serializable {
     out.toByteArray
   }
 
+  /** Serialize 4:2:0-subsampled YUV frames as YUV4MPEG2: each frame is
+    * w·h luma bytes followed by two ⌈w/2⌉·⌈h/2⌉ chroma planes (the
+    * ffmpeg odd-dimension convention — ceil halves). `chromaTag` picks
+    * the header token (420jpeg/420mpeg2/420paldv — same plane GEOMETRY,
+    * different siting phase; see [[y4mDecode]] for why decode treats
+    * them alike). */
+  def y4mEncode420(w: Int, h: Int, fpsNum: Int, fpsDen: Int,
+      frames: Array[Array[Byte]], chromaTag: String = "420jpeg"): Array[Byte] = {
+    require(Set("420", "420jpeg", "420mpeg2", "420paldv")(chromaTag),
+      s"not a 4:2:0 chroma tag: $chromaTag")
+    val cw = (w + 1) / 2; val ch = (h + 1) / 2
+    val planeBytes = w * h + 2 * cw * ch
+    frames.foreach(f => require(f.length == planeBytes,
+      s"frame ${f.length} != ${w}x$h + 2x${cw}x$ch (C$chromaTag)"))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"YUV4MPEG2 W$w H$h F$fpsNum:$fpsDen Ip A1:1 C$chromaTag\n"
+      .getBytes("US-ASCII"))
+    frames.zipWithIndex.foreach { case (f, i) =>
+      val params = if (i % 2 == 1) " Xgraft" else ""
+      out.write(s"FRAME$params\n".getBytes("US-ASCII"))
+      out.write(f)
+    }
+    out.toByteArray
+  }
+
   /** Parse a Y4M payload: the stream-header parameter tokens (W/H/F
-    * mandatory here, C must be 444 — 4:2:0 subsampling would change the
-    * plane sizes), then the frame walk: each frame is a `FRAME` line
-    * (parameters allowed, consumed to the newline) followed by
-    * 3·w·h raw plane bytes. Returns (w, h, fpsNum, fpsDen, frames). */
+    * mandatory here; C may be 444 or any 4:2:0 variant — 420, 420jpeg,
+    * 420mpeg2, 420paldv; absent C defaults to 420jpeg per the YUV4MPEG2
+    * spec), then the frame walk: each frame is a `FRAME` line
+    * (parameters allowed, consumed to the newline) followed by the raw
+    * planes — 3·w·h for C444, w·h + 2·⌈w/2⌉·⌈h/2⌉ for 4:2:0.
+    *
+    * 4:2:0 frames are NORMALIZED to 4:4:4 on decode: each subsampled
+    * chroma value is replicated to its 2×2 (or edge-clipped) block —
+    * nearest-neighbor upsampling, under which the three 4:2:0 siting
+    * variants (jpeg/mpeg2/paldv — half-pel phase differences that only
+    * matter to interpolating filters) are identical, so one code path
+    * serves all three tags. Downstream consumers always see 3·w·h
+    * frames regardless of the wire format.
+    *
+    * Returns (w, h, fpsNum, fpsDen, frames). */
   def y4mDecode(payload: Array[Byte]): (Int, Int, Int, Int, Array[Array[Byte]]) = {
     var pos = 0
     def line(): String = {
@@ -517,6 +557,9 @@ object Multimodal extends Serializable {
     val tokens = header.split(' ')
     require(tokens.head == "YUV4MPEG2", "not a YUV4MPEG2 payload")
     var w = -1; var h = -1; var fpsNum = -1; var fpsDen = -1
+    // the spec's default colourspace when C is absent is 420jpeg; the
+    // repo's own encoder always writes an explicit tag
+    var subsampled = true
     tokens.tail.filter(_.nonEmpty).foreach { t =>
       t.charAt(0) match {
         case 'W' => w = t.drop(1).toInt
@@ -524,22 +567,53 @@ object Multimodal extends Serializable {
         case 'F' =>
           val Array(n, d) = t.drop(1).split(':')
           fpsNum = n.toInt; fpsDen = d.toInt
-        case 'C' =>
-          require(t.drop(1) == "444", s"unsupported chroma ${t.drop(1)} (C444 only)")
+        case 'C' => t.drop(1) match {
+          case "444" => subsampled = false
+          case "420" | "420jpeg" | "420mpeg2" | "420paldv" => subsampled = true
+          case other => throw new IllegalArgumentException(
+            s"unsupported chroma $other (C444 and 4:2:0 variants only)")
+        }
         case _ => () // Ip, A1:1, X... skipped, but PARSED
       }
     }
     require(w > 0 && h > 0, "missing W/H in Y4M header")
     require(fpsNum > 0 && fpsDen > 0, "missing F in Y4M header")
-    val planeBytes = 3 * w * h
+    val cw = (w + 1) / 2; val ch = (h + 1) / 2
+    val planeBytes = if (subsampled) w * h + 2 * cw * ch else 3 * w * h
     val frames = Array.newBuilder[Array[Byte]]
     while (pos < payload.length) {
       val fl = line()
       require(fl == "FRAME" || fl.startsWith("FRAME "),
         s"expected FRAME line, got '$fl'")
       require(pos + planeBytes <= payload.length, "truncated Y4M frame")
-      val f = new Array[Byte](planeBytes)
-      System.arraycopy(payload, pos, f, 0, planeBytes)
+      val f =
+        if (!subsampled) {
+          val out = new Array[Byte](planeBytes)
+          System.arraycopy(payload, pos, out, 0, planeBytes)
+          out
+        } else {
+          // normalize to 4:4:4: copy luma, replicate each chroma cell
+          // to its covered full-resolution pixels
+          val out = new Array[Byte](3 * w * h)
+          System.arraycopy(payload, pos, out, 0, w * h)
+          var plane = 0
+          while (plane < 2) {
+            val src = pos + w * h + plane * cw * ch
+            val dst = (1 + plane) * w * h
+            var y = 0
+            while (y < h) {
+              val row = src + (y / 2) * cw
+              var x = 0
+              while (x < w) {
+                out(dst + y * w + x) = payload(row + x / 2)
+                x += 1
+              }
+              y += 1
+            }
+            plane += 1
+          }
+          out
+        }
       pos += planeBytes
       frames += f
     }
@@ -607,6 +681,94 @@ object Multimodal extends Serializable {
         plane
       }
       val payload = y4mEncode(w, h, fpsNum, 1, frames)
+      MediaItem(id, "video", payload, "synthetic", payload.length.toLong)
+    }
+  }
+
+  /** Exact integer YUV statistics of one decoded clip — like
+    * [[VideoStats]] plus the chroma sums, so a 4:2:0 decode is gated on
+    * the UPSAMPLED chroma planes too (a luma-only stat would pass even
+    * if the chroma replication were wrong). */
+  final case class VideoYuvStats(
+      media_id: Long,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      sum_y_sampled: Long,
+      sum_u_sampled: Long,
+      sum_v_sampled: Long,
+      n_sampled: Int)
+
+  /** Batched video decode with per-plane sums over the sampled frames.
+    * Frames arrive from [[y4mDecode]] already normalized to 4:4:4, so
+    * the three plane sums are fixed w·h strides regardless of the wire
+    * subsampling. Same narrow-map scale shape as [[decodeVideoStats]]. */
+  def decodeVideoYuvStats(items: Dataset[MediaItem], every: Int): Dataset[VideoYuvStats] = {
+    require(every >= 1, s"frame-sample step must be >= 1, got $every")
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      it.map { item =>
+        val (w, h, _, _, frames) = y4mDecode(item.payload)
+        val luma = w * h
+        var sumY = 0L; var sumU = 0L; var sumV = 0L
+        var sampled = 0
+        var f = 0
+        while (f < frames.length) {
+          val plane = frames(f)
+          var j = 0
+          while (j < luma) {
+            sumY += plane(j) & 0xff
+            sumU += plane(luma + j) & 0xff
+            sumV += plane(2 * luma + j) & 0xff
+            j += 1
+          }
+          sampled += 1
+          f += every
+        }
+        VideoYuvStats(item.media_id, w, h, frames.length, sumY, sumU, sumV, sampled)
+      }
+    }
+  }
+
+  /** Deterministic 4:2:0 Y4M fixture corpus: dims INCLUDE odd widths and
+    * heights (the ceil-half chroma-plane geometry is exercised, edge
+    * columns/rows replicate from clipped cells), the chroma tag rotates
+    * through the three 4:2:0 siting variants by doc_id, and every plane
+    * byte is a pure function of doc_id — luma byte j of frame f is
+    * (id·13 + f·101 + j·7) mod 256, chroma CELL c is
+    * (id·19 + f·7 + c·11) mod 256 for U and (id·23 + f·5 + c·13) mod 256
+    * for V — so the oracle can compute the UPSAMPLED sums in closed form
+    * (full-res pixel (y,x) reads cell (y div 2)·⌈w/2⌉ + (x div 2))
+    * without a video decoder. */
+  def syntheticVideo420(documents: DataFrame): Dataset[MediaItem] = {
+    import documents.sparkSession.implicits._
+    val tags = Array("420jpeg", "420mpeg2", "420paldv")
+    documents.select(col("doc_id")).as[Long].map { id =>
+      val w = 3 + (id % 8).toInt
+      val h = 3 + (id % 6).toInt
+      val nFrames = 2 + (id % 4).toInt
+      val fpsNum = 25 + (id % 2).toInt * 5
+      val cw = (w + 1) / 2; val ch = (h + 1) / 2
+      val luma = w * h
+      val cells = cw * ch
+      val frames = Array.tabulate(nFrames) { f =>
+        val plane = new Array[Byte](luma + 2 * cells)
+        var j = 0
+        while (j < luma) {
+          plane(j) = ((id * 13 + f.toLong * 101 + j.toLong * 7) % 256).toByte
+          j += 1
+        }
+        var c = 0
+        while (c < cells) {
+          plane(luma + c) = ((id * 19 + f.toLong * 7 + c.toLong * 11) % 256).toByte
+          plane(luma + cells + c) =
+            ((id * 23 + f.toLong * 5 + c.toLong * 13) % 256).toByte
+          c += 1
+        }
+        plane
+      }
+      val payload =
+        y4mEncode420(w, h, fpsNum, 1, frames, tags((id % 3).toInt))
       MediaItem(id, "video", payload, "synthetic", payload.length.toLong)
     }
   }

@@ -1848,6 +1848,62 @@ object Llm extends QueryGroup {
               CAST(nf AS INTEGER) AS n_frames, fps_num, sum_y_sampled, n_sampled
             FROM s ORDER BY media_id"""))
 
+  /** REAL 4:2:0 video decode under the gate: deterministic C420 clips —
+    * dims INCLUDING odd widths/heights (ceil-half chroma geometry), the
+    * chroma tag rotating through 420jpeg/420mpeg2/420paldv, every plane
+    * byte a pure function of doc_id — are ENCODED to actual subsampled
+    * Y4M bytes, PARSED back by the real walker (which normalizes chroma
+    * to 4:4:4 by 2×2 nearest replication), frame-sampled, and reduced
+    * to per-plane exact sums. The oracle recomputes the UPSAMPLED
+    * chroma sums in closed form — full-res pixel (y,x) reads subsampled
+    * cell (y div 2)·⌈w/2⌉ + (x div 2) — so a wrong plane stride, a
+    * floor-half-vs-ceil-half mistake on odd dims, or a swapped U/V
+    * plane all hash-mismatch. 100 TB shape: pure narrow map, like the
+    * 4:4:4 decode. */
+  private val qMultimodalVideo420 = Q(
+    "q_multimodal_video420",
+    (s, dir) => {
+      val m = graft.operators.Multimodal
+      m.decodeVideoYuvStats(m.syntheticVideo420(table(s, dir, "documents")), 2)
+        .toDF()
+        .orderBy(col("media_id"))
+    },
+    Some("""WITH d AS (
+              SELECT doc_id,
+                CAST(3 + doc_id % 8 AS BIGINT) AS w,
+                CAST(3 + doc_id % 6 AS BIGINT) AS h,
+                2 + doc_id % 4 AS nf
+              FROM documents),
+            s AS (
+              SELECT doc_id, w, h, nf,
+                CAST(list_sum(flatten(list_transform(
+                  list_filter(generate_series(0, nf - 1), f -> f % 2 = 0), f ->
+                    list_transform(generate_series(0, w*h - 1),
+                      j -> (doc_id*13 + f*101 + j*7) % 256)))) AS BIGINT)
+                  AS sum_y_sampled,
+                CAST(list_sum(flatten(list_transform(
+                  list_filter(generate_series(0, nf - 1), f -> f % 2 = 0), f ->
+                    list_transform(generate_series(0, w*h - 1),
+                      j -> (doc_id*19 + f*7 +
+                        (((j // w) // 2) * ((w + 1) // 2) + (j % w) // 2) * 11)
+                        % 256)))) AS BIGINT)
+                  AS sum_u_sampled,
+                CAST(list_sum(flatten(list_transform(
+                  list_filter(generate_series(0, nf - 1), f -> f % 2 = 0), f ->
+                    list_transform(generate_series(0, w*h - 1),
+                      j -> (doc_id*23 + f*5 +
+                        (((j // w) // 2) * ((w + 1) // 2) + (j % w) // 2) * 13)
+                        % 256)))) AS BIGINT)
+                  AS sum_v_sampled,
+                CAST(len(list_filter(generate_series(0, nf - 1), f -> f % 2 = 0))
+                  AS INTEGER) AS n_sampled
+              FROM d)
+            SELECT doc_id AS media_id,
+              CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+              CAST(nf AS INTEGER) AS n_frames,
+              sum_y_sampled, sum_u_sampled, sum_v_sampled, n_sampled
+            FROM s ORDER BY media_id"""))
+
   /** REAL pixel resize under the gate: the same PPM fixtures as
     * q_multimodal_decode, decoded and NEAREST-NEIGHBOR-resampled into
     * the 16×12 aspect fit — target pixel (ty, tx) reads source
@@ -2046,7 +2102,7 @@ object Llm extends QueryGroup {
     qVocabEncode, qTextBm25,
     qAggVectorCentroid, qAggVectorDispersion, qMultimodal,
     qMultimodalDecode, qMultimodalResample, qMultimodalAudio,
-    qMultimodalVideo,
+    qMultimodalVideo, qMultimodalVideo420,
     qDecontaminate, qTextPii, qDedupFuzzy)
 
   /** Fuzzy string-match join (entity resolution): name pairs within

@@ -259,11 +259,74 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionFixture {
       m.y4mDecode("YUV4MPEG3".getBytes ++ good.drop(9)))
     // truncated final frame
     intercept[IllegalArgumentException](m.y4mDecode(good.dropRight(1)))
-    // unsupported chroma subsampling must be rejected, not misread as 444
-    val c420 = new String(good.takeWhile(_ != '\n'), "US-ASCII")
-      .replace("C444", "C420") + "\n"
-    intercept[IllegalArgumentException](m.y4mDecode(
-      c420.getBytes("US-ASCII") ++ good.dropWhile(_ != '\n').drop(1)))
+    // unsupported chroma subsampling must be rejected, not misread
+    val c422 = new String(good.takeWhile(_ != '\n'), "US-ASCII")
+      .replace("C444", "C422") + "\n"
+    val e = intercept[IllegalArgumentException](m.y4mDecode(
+      c422.getBytes("US-ASCII") ++ good.dropWhile(_ != '\n').drop(1)))
+    assert(e.getMessage.contains("unsupported chroma"))
+  }
+
+  test("Y4M 4:2:0: chroma upsamples to exact 2x2 blocks, odd dims clip at edges") {
+    val m = graft.operators.Multimodal
+    // 3x3 luma, ceil-half chroma = 2x2 cells: hand-checkable
+    val y = Array.tabulate(9)(j => (10 + j).toByte)
+    val u = Array[Byte](1, 2, 3, 4)
+    val v = Array[Byte](5, 6, 7, 8)
+    val frame = y ++ u ++ v
+    for (tag <- Seq("420", "420jpeg", "420mpeg2", "420paldv")) {
+      val payload = m.y4mEncode420(3, 3, 24, 1, Array(frame), tag)
+      val (w, h, _, _, back) = m.y4mDecode(payload)
+      assert((w, h) === ((3, 3)))
+      val f = back.head
+      assert(f.length === 27, "4:2:0 frames must normalize to 4:4:4")
+      assert(f.slice(0, 9).sameElements(y))
+      // cell layout: (y/2, x/2) → pixel rows 0,1 read cell row 0; row 2
+      // reads cell row 1; cols 0,1 read cell col 0; col 2 cell col 1
+      assert(f.slice(9, 18).toSeq === Seq[Byte](1, 1, 2, 1, 1, 2, 3, 3, 4))
+      assert(f.slice(18, 27).toSeq === Seq[Byte](5, 5, 6, 5, 5, 6, 7, 7, 8))
+    }
+    // truncated 4:2:0 frame rejected
+    val good = m.y4mEncode420(3, 3, 24, 1, Array(frame))
+    intercept[IllegalArgumentException](m.y4mDecode(good.dropRight(1)))
+    // absent C token defaults to 420jpeg per the spec
+    val headless = new String(good.takeWhile(_ != '\n'), "US-ASCII")
+      .replace(" C420jpeg", "") + "\n"
+    val defaulted = m.y4mDecode(
+      headless.getBytes("US-ASCII") ++ good.dropWhile(_ != '\n').drop(1))
+    assert(defaulted._5.head.sameElements(m.y4mDecode(good)._5.head))
+  }
+
+  test("decodeVideoYuvStats: distributed per-plane stats equal a local closed form") {
+    val m = graft.operators.Multimodal
+    val docs = graft.core.Graft
+      .table(spark, "/root/testdata/sf0.001", "documents").limit(40)
+    val got = m.decodeVideoYuvStats(m.syntheticVideo420(docs), 2)
+      .collect().map(v => v.media_id -> v).toMap
+    docs.select("doc_id").collect().map(_.getLong(0)).foreach { id =>
+      val w = 3 + (id % 8).toInt
+      val h = 3 + (id % 6).toInt
+      val nf = 2 + (id % 4).toInt
+      val cw = (w + 1) / 2
+      var sumY = 0L; var sumU = 0L; var sumV = 0L; var sampled = 0
+      (0 until nf by 2).foreach { f =>
+        (0 until h).foreach { py =>
+          (0 until w).foreach { px =>
+            val j = py * w + px
+            val c = (py / 2) * cw + px / 2
+            sumY += (id * 13 + f.toLong * 101 + j.toLong * 7) % 256
+            sumU += (id * 19 + f.toLong * 7 + c.toLong * 11) % 256
+            sumV += (id * 23 + f.toLong * 5 + c.toLong * 13) % 256
+          }
+        }
+        sampled += 1
+      }
+      val got1 = got(id)
+      assert(got1.width == w && got1.height == h && got1.n_frames == nf &&
+        got1.sum_y_sampled == sumY && got1.sum_u_sampled == sumU &&
+        got1.sum_v_sampled == sumV && got1.n_sampled == sampled,
+        s"doc $id: $got1 != ($w, $h, $nf, $sumY, $sumU, $sumV, $sampled)")
+    }
   }
 
   test("decodeVideoStats: distributed sampled-luma stats equal a local decode") {
