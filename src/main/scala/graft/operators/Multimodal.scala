@@ -32,10 +32,14 @@ import org.apache.spark.sql.functions._
   * chroma-plane sums (gated by q_multimodal_video420).
   * Compressed codecs (JPEG-in-PNG aside, H.264, MP3, …) would slot in
   * behind the same [[decodeImage]]-style magic-byte sniff; none ship
-  * in this container. The generic [[decodeFeatures]] path keeps its
-  * deterministic stand-in embedding extractor — the one remaining
-  * fake, clearly marked (a real pipeline would run a model session
-  * there). */
+  * in this container. The generic [[decodeFeatures]] path is REAL too:
+  * it sniffs the payload, runs the matching decoder, and derives every
+  * feature from the decoded content (dims, frame counts, 8-bin
+  * histogram embeddings; [[decodeImagePHash]] adds aHash/dHash visual
+  * fingerprints) — an unrecognized payload honestly reports unknown
+  * dims (0) and a byte histogram, never fabricated decode results. A
+  * model-based embedding would slot in where the histogram embedding
+  * is computed, as a per-partition session. */
 object Multimodal extends Serializable {
 
   /** A media row: opaque payload + typed metadata. */
@@ -70,40 +74,70 @@ object Multimodal extends Serializable {
       .as[MediaItem]
   }
 
-  /** STUB decoder — a real implementation would decode `payload` with an
-    * image/audio codec here. Deterministic in the payload bytes so tests
-    * and reruns agree. One call per item, but construction-heavy decoder
-    * state would live at partition scope (see decodeFeatures). */
-  private[operators] def decodeStub(item: MediaItem): MediaFeatures = {
-    var h = 0L
-    var i = 0
-    while (i < item.payload.length) {
-      h = (h * 131 + (item.payload(i) & 0xff)) % 1000000007L
-      i += 1
-    }
+  /** 8-bin normalized histogram over 0..255 values (bin = v div 32) —
+    * the content-derived embedding used by [[decodeFeatures]]. One IEEE
+    * divide per bin at the very end; counts are exact integers. */
+  private def histEmbedding(values: Iterator[Int], n: Int): Array[Float] = {
+    val counts = new Array[Long](8)
+    values.foreach(v => counts(v >> 5) += 1)
     val emb = new Array[Float](8)
-    var j = 0
-    while (j < 8) {
-      emb(j) = (((h >> j) % 97L).toFloat) / 97.0f
-      j += 1
+    if (n > 0) {
+      var b = 0
+      while (b < 8) { emb(b) = counts(b).toFloat / n; b += 1 }
     }
-    MediaFeatures(
-      item.media_id, item.kind,
-      width = (h % 640L).toInt + 1,
-      height = ((h * 7L) % 480L).toInt + 1,
-      n_frames = if (item.kind == "video") (h % 30L).toInt + 2 else 1,
-      embedding = emb)
+    emb
   }
 
-  /** Batched per-partition decode: iterator-in/iterator-out so Spark
-    * pipelines it with adjacent narrow stages; the decoder (here: nothing,
-    * in real life: codec contexts, model sessions) is initialized once per
-    * partition, NOT per row. */
+  /** Integer luma of a packed-RGB pixel, UNDIVIDED (299r + 587g + 114b,
+    * range 0..255000): exact across engines, no rounding rule to agree
+    * on. Histogram binning divides by 1000 first (integer div). */
+  private def lumaInt(rgb: Array[Byte], p: Int): Int =
+    299 * (rgb(p) & 0xff) + 587 * (rgb(p + 1) & 0xff) + 114 * (rgb(p + 2) & 0xff)
+
+  /** REAL per-partition feature extraction — no model runtime, no
+    * fabricated values: the payload is sniffed and DECODED by the same
+    * parsers the gated stats queries use (P6/PNG pixels, WAV samples,
+    * Y4M frames), and every output is a statistic of the decoded
+    * content — real dims, real frame counts, an 8-bin normalized
+    * histogram as the embedding (pixel luma for images, frame-0 luma
+    * for video, |sample| magnitude for audio). A payload in none of
+    * the supported formats gets the honest answer: dims/frames 0
+    * (unknown, not invented) and the embedding = the payload's BYTE
+    * histogram — a true statistic of the bytes, labeled by the schema
+    * as nothing more. Iterator-in/iterator-out so Spark pipelines it;
+    * codec state (here: none) would initialize once per partition. */
   def decodeFeatures(items: Dataset[MediaItem]): Dataset[MediaFeatures] = {
     import items.sparkSession.implicits._
     items.mapPartitions { it =>
-      // per-partition decoder setup would go here (expensive, once)
-      it.map(decodeStub)
+      it.map { item =>
+        val p = item.payload
+        if (p.length >= 2 && p(0) == 'P' && p(1) == '6' ||
+            p.length >= 8 && p.take(8).sameElements(PngMagic)) {
+          val (w, h, rgb) = decodeImage(p)
+          MediaFeatures(item.media_id, item.kind, w, h, 1,
+            histEmbedding(
+              Iterator.range(0, w * h).map(i => lumaInt(rgb, 3 * i) / 1000),
+              w * h))
+        } else if (p.length >= 4 &&
+            new String(p, 0, 4, "US-ASCII") == "RIFF") {
+          val (rate, channels, samples) = wavDecode(p)
+          MediaFeatures(item.media_id, item.kind,
+            width = rate, height = channels,
+            n_frames = samples.length / channels,
+            histEmbedding(
+              samples.iterator.map(s => math.min(255, math.abs(s.toInt) >> 7)),
+              samples.length))
+        } else if (p.length >= 9 &&
+            new String(p, 0, 9, "US-ASCII") == "YUV4MPEG2") {
+          val (w, h, _, _, frames) = y4mDecode(p)
+          MediaFeatures(item.media_id, item.kind, w, h, frames.length,
+            histEmbedding(
+              Iterator.range(0, w * h).map(i => frames(0)(i) & 0xff), w * h))
+        } else {
+          MediaFeatures(item.media_id, item.kind, 0, 0, 0,
+            histEmbedding(p.iterator.map(_ & 0xff), p.length))
+        }
+      }
     }
   }
 
@@ -298,6 +332,101 @@ object Multimodal extends Serializable {
           p += 3
         }
         ImageStats(item.media_id, w, h, sr, sg, sb)
+      }
+    }
+  }
+
+  /** One histogram cell of a decoded image: exact count of channel
+    * values in bin `bin` (= value div 32, 8 bins). Long form — one row
+    * per (image, channel, bin), empty bins included — so the gate
+    * compares plain relational rows, no array encodings. */
+  final case class ImageHistBin(
+      media_id: Long, channel: String, bin: Int, cnt: Long)
+
+  /** Batched REAL decode → per-channel 8-bin histograms of the actual
+    * pixels. 24 rows per image regardless of content (empty bins emit
+    * cnt=0), a pure narrow flatMap. */
+  def decodeImageHist(items: Dataset[MediaItem]): Dataset[ImageHistBin] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      it.flatMap { item =>
+        val (w, h, rgb) = decodeImage(item.payload)
+        val counts = Array.ofDim[Long](3, 8)
+        var i = 0
+        while (i < w * h) {
+          var c = 0
+          while (c < 3) {
+            counts(c)((rgb(3 * i + c) & 0xff) >> 5) += 1
+            c += 1
+          }
+          i += 1
+        }
+        val names = Array("r", "g", "b")
+        for (c <- 0 until 3; b <- 0 until 8)
+          yield ImageHistBin(item.media_id, names(c), b, counts(c)(b))
+      }
+    }
+  }
+
+  /** Perceptual hashes of one decoded image, split into unsigned
+    * 32-bit halves (lo = bits 0..31, hi = bits 32..63) so no engine has
+    * to agree on 64-bit sign wraparound. */
+  final case class ImagePHash(
+      media_id: Long,
+      ahash_lo: Long, ahash_hi: Long,
+      dhash_lo: Long, dhash_hi: Long)
+
+  /** Batched REAL decode → perceptual hashes from the actual pixels —
+    * the near-duplicate-image fingerprint of a multimodal curation
+    * pipeline (two images whose hashes differ in few bits are visual
+    * near-dups; the hash column then feeds the SAME banded/bucketed
+    * join machinery as SimHash over text).
+    *
+    * aHash: the image is NN-downsampled to an 8×8 grid (cell (cy,cx)
+    * reads source pixel (cy·h div 8, cx·w div 8) — the exact integer
+    * convention every resampler in this file uses), each cell scored by
+    * UNDIVIDED integer luma (299r+587g+114b); bit i = cell i brighter
+    * than the grid mean, compared exactly as 64·l_i > Σl (no float
+    * mean). dHash: a 8-row × 9-col luma grid (cols div by 9), bit
+    * (cy,cx) = grid(cy,cx+1) > grid(cy,cx) — horizontal gradient signs.
+    * Both NN-sampled (not box-averaged) so a closed-form oracle can
+    * name the exact source pixel of every cell. */
+  def decodeImagePHash(items: Dataset[MediaItem]): Dataset[ImagePHash] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      it.map { item =>
+        val (w, h, rgb) = decodeImage(item.payload)
+        def cellLuma(cy: Int, cx: Int, cols: Int): Long = {
+          val sy = cy * h / 8
+          val sx = cx * w / cols
+          lumaInt(rgb, 3 * (sy * w + sx)).toLong
+        }
+        // aHash: 8×8 grid vs exact mean
+        val a = Array.tabulate(64)(i => cellLuma(i / 8, i % 8, 8))
+        val total = a.sum
+        var aLo = 0L; var aHi = 0L
+        var i = 0
+        while (i < 64) {
+          if (64L * a(i) > total) {
+            if (i < 32) aLo |= 1L << i else aHi |= 1L << (i - 32)
+          }
+          i += 1
+        }
+        // dHash: 8×9 grid, horizontal neighbor comparison
+        var dLo = 0L; var dHi = 0L
+        var cy = 0
+        while (cy < 8) {
+          var cx = 0
+          while (cx < 8) {
+            val bit = cy * 8 + cx
+            if (cellLuma(cy, cx + 1, 9) > cellLuma(cy, cx, 9)) {
+              if (bit < 32) dLo |= 1L << bit else dHi |= 1L << (bit - 32)
+            }
+            cx += 1
+          }
+          cy += 1
+        }
+        ImagePHash(item.media_id, aLo, aHi, dLo, dHi)
       }
     }
   }

@@ -1694,11 +1694,14 @@ object Llm extends QueryGroup {
   // -- multimodal ------------------------------------------------------
 
   /** Multimodal column plumbing: documents carried as opaque binary
-    * payloads with typed metadata, and a deterministic stand-in for the
-    * decode/feature-extract step (the real decoder is the
-    * operators/Multimodal mapPartitions stub — binary libs aren't in this
-    * container). The schema shape (binary + metadata + derived features)
-    * is the real contract. */
+    * payloads with typed metadata plus cheap byte-derived columns — the
+    * schema contract (binary + metadata + derived features) under the
+    * gate. The REAL decode/feature extraction lives in
+    * operators/Multimodal (decodeFeatures sniffs and decodes PPM/PNG/
+    * WAV/Y4M; gated by q_multimodal_decode/_audio/_video/_video420/
+    * _hist/_phash); the fake_* columns here are explicitly labeled
+    * byte-arithmetic placeholders exercising the metadata plumbing,
+    * not decode claims. */
   private val qMultimodal = Q(
     "q_multimodal",
     (s, dir) => table(s, dir, "documents")
@@ -1904,6 +1907,98 @@ object Llm extends QueryGroup {
               sum_y_sampled, sum_u_sampled, sum_v_sampled, n_sampled
             FROM s ORDER BY media_id"""))
 
+  /** REAL per-channel pixel histograms under the gate: the
+    * q_multimodal_decode PPM fixtures decoded and reduced to exact
+    * 8-bin channel histograms, emitted LONG FORM (one row per image ×
+    * channel × bin, empty bins included — plain relational rows, no
+    * array encodings to compare). The oracle counts the closed-form
+    * pixel values per bin; a channel swap, a bin-boundary off-by-one,
+    * or a dropped empty bin all mismatch. These histograms are also
+    * what [[graft.operators.Multimodal.decodeFeatures]] normalizes
+    * into its content-derived embedding — this gate pins the counting.
+    * 100 TB shape: narrow flatMap, 24 rows out per image. */
+  private val qMultimodalHist = Q(
+    "q_multimodal_hist",
+    (s, dir) => {
+      val m = graft.operators.Multimodal
+      m.decodeImageHist(m.syntheticImages(table(s, dir, "documents")))
+        .toDF()
+        .orderBy(col("media_id"), col("channel"), col("bin"))
+    },
+    Some("""WITH d AS (
+              SELECT doc_id,
+                CAST(8 + doc_id % 16 AS BIGINT) AS w,
+                CAST(6 + doc_id % 12 AS BIGINT) AS h
+              FROM documents),
+            c(channel, coff) AS (VALUES ('r', 0), ('g', 7), ('b', 14)),
+            bins AS (SELECT unnest(generate_series(0, 7)) AS bin)
+            SELECT d.doc_id AS media_id, c.channel,
+              CAST(bins.bin AS INTEGER) AS bin,
+              CAST(len(list_filter(generate_series(0, w*h - 1),
+                p -> ((doc_id*31 + 21*p + coff) % 256) // 32 = bin))
+                AS BIGINT) AS cnt
+            FROM d, c, bins
+            ORDER BY media_id, channel, bin"""))
+
+  /** REAL perceptual hashes under the gate: the same fixtures decoded
+    * and fingerprinted by aHash (8×8 NN-downsampled integer luma vs the
+    * exact grid mean, compared as 64·cell > Σcells — no float mean) and
+    * dHash (8×9 luma grid, horizontal gradient signs), each emitted as
+    * unsigned 32-bit halves so neither engine reasons about 64-bit sign
+    * wraparound. NN sampling means the oracle can name the exact source
+    * pixel of every cell ((cy·h div 8)·w + cx·w div 8) and recompute
+    * both hashes in closed form: a transposed grid, a wrong rounding
+    * rule, or a >=-for-> slip flips bits and hash-mismatches. This is
+    * the visual near-dup fingerprint — the hash columns feed the same
+    * banded/bucketed join machinery as SimHash over text. */
+  private val qMultimodalPhash = Q(
+    "q_multimodal_phash",
+    (s, dir) => {
+      val m = graft.operators.Multimodal
+      m.decodeImagePHash(m.syntheticImages(table(s, dir, "documents")))
+        .toDF()
+        .orderBy(col("media_id"))
+    },
+    Some("""WITH d AS (
+              SELECT doc_id,
+                CAST(8 + doc_id % 16 AS BIGINT) AS w,
+                CAST(6 + doc_id % 12 AS BIGINT) AS h
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                list_transform(
+                  list_transform(generate_series(0, 63),
+                    i -> ((i // 8) * h // 8) * w + ((i % 8) * w // 8)),
+                  p -> 299 * ((doc_id*31 + 21*p) % 256)
+                     + 587 * ((doc_id*31 + 21*p + 7) % 256)
+                     + 114 * ((doc_id*31 + 21*p + 14) % 256)) AS acell,
+                list_transform(
+                  list_transform(generate_series(0, 71),
+                    i -> ((i // 9) * h // 8) * w + ((i % 9) * w // 9)),
+                  p -> 299 * ((doc_id*31 + 21*p) % 256)
+                     + 587 * ((doc_id*31 + 21*p + 7) % 256)
+                     + 114 * ((doc_id*31 + 21*p + 14) % 256)) AS dcell
+              FROM d),
+            s AS (
+              SELECT doc_id, acell, dcell, list_sum(acell) AS atotal
+              FROM g)
+            SELECT doc_id AS media_id,
+              CAST(list_sum(list_transform(generate_series(0, 31),
+                i -> CASE WHEN 64*acell[i+1] > atotal
+                     THEN 1::BIGINT << i ELSE 0 END)) AS BIGINT) AS ahash_lo,
+              CAST(list_sum(list_transform(generate_series(32, 63),
+                i -> CASE WHEN 64*acell[i+1] > atotal
+                     THEN 1::BIGINT << (i - 32) ELSE 0 END)) AS BIGINT) AS ahash_hi,
+              CAST(list_sum(list_transform(generate_series(0, 31),
+                i -> CASE WHEN dcell[(i // 8) * 9 + (i % 8) + 2]
+                            > dcell[(i // 8) * 9 + (i % 8) + 1]
+                     THEN 1::BIGINT << i ELSE 0 END)) AS BIGINT) AS dhash_lo,
+              CAST(list_sum(list_transform(generate_series(32, 63),
+                i -> CASE WHEN dcell[(i // 8) * 9 + (i % 8) + 2]
+                            > dcell[(i // 8) * 9 + (i % 8) + 1]
+                     THEN 1::BIGINT << (i - 32) ELSE 0 END)) AS BIGINT) AS dhash_hi
+            FROM s ORDER BY media_id"""))
+
   /** REAL pixel resize under the gate: the same PPM fixtures as
     * q_multimodal_decode, decoded and NEAREST-NEIGHBOR-resampled into
     * the 16×12 aspect fit — target pixel (ty, tx) reads source
@@ -2102,7 +2197,7 @@ object Llm extends QueryGroup {
     qVocabEncode, qTextBm25,
     qAggVectorCentroid, qAggVectorDispersion, qMultimodal,
     qMultimodalDecode, qMultimodalResample, qMultimodalAudio,
-    qMultimodalVideo, qMultimodalVideo420,
+    qMultimodalVideo, qMultimodalVideo420, qMultimodalHist, qMultimodalPhash,
     qDecontaminate, qTextPii, qDedupFuzzy)
 
   /** Fuzzy string-match join (entity resolution): name pairs within

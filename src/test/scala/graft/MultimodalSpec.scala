@@ -30,24 +30,72 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionFixture {
     assert(a.map(_.embedding.toSeq).toSeq == b.map(_.embedding.toSeq).toSeq)
   }
 
-  test("feature shape contract: dims positive, embedding fixed-width, video multi-frame") {
-    val feats = Multimodal.decodeFeatures(Multimodal.fromDocuments(docs)).collect()
-    assert(feats.forall(f => f.width >= 1 && f.width <= 640))
-    assert(feats.forall(f => f.height >= 1 && f.height <= 480))
-    assert(feats.forall(_.embedding.length == 8))
-    assert(feats.forall(f => f.embedding.forall(v => v >= 0f && v <= 1f)))
-    assert(feats.filter(_.kind == "video").forall(_.n_frames >= 2))
-    assert(feats.filter(_.kind != "video").forall(_.n_frames == 1))
+  test("feature extraction is REAL per format, honest on opaque payloads") {
+    val small = docs.limit(30)
+    // real image payloads: dims come from the decoded PPM header
+    val img = Multimodal.decodeFeatures(Multimodal.syntheticImages(small)).collect()
+    img.foreach { f =>
+      assert(f.width == 8 + (f.media_id % 16).toInt)
+      assert(f.height == 6 + (f.media_id % 12).toInt)
+      assert(f.n_frames == 1)
+    }
+    // real audio payloads: rate/channels/frames from the decoded WAV
+    val aud = Multimodal.decodeFeatures(Multimodal.syntheticAudio(small)).collect()
+    aud.foreach { f =>
+      assert(f.width == 8000 + (f.media_id % 3).toInt * 4000)
+      assert(f.height == 1 + (f.media_id % 2).toInt)
+      assert(f.n_frames == 60 + (f.media_id % 40).toInt)
+    }
+    // real video payloads: dims + frame count from the decoded Y4M
+    val vid = Multimodal.decodeFeatures(Multimodal.syntheticVideo420(small)).collect()
+    vid.foreach { f =>
+      assert(f.width == 3 + (f.media_id % 8).toInt)
+      assert(f.height == 3 + (f.media_id % 6).toInt)
+      assert(f.n_frames == 2 + (f.media_id % 4).toInt)
+      assert(f.n_frames >= 2)
+    }
+    // opaque payloads (text bytes): dims/frames are NOT invented — they
+    // report 0 (unknown), and the embedding is the byte histogram
+    val opaque = Multimodal.decodeFeatures(Multimodal.fromDocuments(small)).collect()
+    opaque.foreach { f =>
+      assert(f.width == 0 && f.height == 0 && f.n_frames == 0)
+    }
+    // every path: fixed-width embedding, normalized frequencies (sum 1)
+    (img ++ aud ++ vid ++ opaque).foreach { f =>
+      assert(f.embedding.length == 8)
+      assert(f.embedding.forall(v => v >= 0f && v <= 1f))
+      assert(math.abs(f.embedding.map(_.toDouble).sum - 1.0) < 1e-5,
+        s"embedding of ${f.media_id} is not a distribution")
+    }
+  }
+
+  test("image embedding equals a local luma-histogram recompute of the fixture formula") {
+    val feats = Multimodal.decodeFeatures(
+      Multimodal.syntheticImages(docs.limit(25))).collect()
+    feats.foreach { f =>
+      val id = f.media_id
+      val w = 8 + (id % 16).toInt
+      val h = 6 + (id % 12).toInt
+      val counts = new Array[Long](8)
+      (0 until w * h).foreach { p =>
+        val r = ((id * 31 + 21L * p) % 256).toInt
+        val g = ((id * 31 + 21L * p + 7) % 256).toInt
+        val b = ((id * 31 + 21L * p + 14) % 256).toInt
+        counts(((299 * r + 587 * g + 114 * b) / 1000) >> 5) += 1
+      }
+      val want = counts.map(c => c.toFloat / (w * h)).toSeq
+      assert(f.embedding.toSeq == want, s"doc $id")
+    }
   }
 
   test("resize fits the box, preserves aspect, and is exact-integer stable") {
-    val feats = Multimodal.decodeFeatures(Multimodal.fromDocuments(docs))
-    val resized = Multimodal.resize(feats, 224, 224).collect()
+    val feats = Multimodal.decodeFeatures(Multimodal.syntheticImages(docs))
+    val resized = Multimodal.resize(feats, 12, 9).collect()
     val orig = feats.collect().map(f => f.media_id -> f).toMap
     resized.foreach { r =>
       val o = orig(r.media_id)
-      assert(r.width <= 224 && r.height <= 224 && r.width >= 1 && r.height >= 1)
-      if (o.width <= 224 && o.height <= 224) {
+      assert(r.width <= 12 && r.height <= 9 && r.width >= 1 && r.height >= 1)
+      if (o.width <= 12 && o.height <= 9) {
         assert(r.width == o.width && r.height == o.height)
       } else {
         // aspect preserved within integer flooring: r.w/r.h ~ o.w/o.h
@@ -58,17 +106,22 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionFixture {
   }
 
   test("frame sampling: every-Nth frame, frame 0 always present") {
-    val feats = Multimodal.decodeFeatures(Multimodal.fromDocuments(docs))
-    val samples = Multimodal.frameSample(feats, every = 5).collect()
-    val byId = samples.groupBy(_.media_id)
-    val orig = feats.collect()
-    orig.foreach { f =>
+    val vfeats = Multimodal.decodeFeatures(
+      Multimodal.syntheticVideo420(docs.limit(40)))
+    val vsamples = Multimodal.frameSample(vfeats, every = 3).collect()
+    val byId = vsamples.groupBy(_.media_id)
+    vfeats.collect().foreach { f =>
       val got = byId(f.media_id).map(_.frame_idx).sorted.toSeq
-      val expected = 0 until f.n_frames by 5
+      val expected = 0 until f.n_frames by 3
       assert(got == expected, s"media ${f.media_id}")
     }
-    assert(orig.filter(_.kind != "video")
-      .forall(f => byId(f.media_id).map(_.frame_idx).toSeq == Seq(0)))
+    // single-frame media contribute exactly frame 0
+    val ifeats = Multimodal.decodeFeatures(
+      Multimodal.syntheticImages(docs.limit(10)))
+    val isamples = Multimodal.frameSample(ifeats, every = 3).collect()
+    assert(isamples.groupBy(_.media_id).values
+      .forall(_.map(_.frame_idx).toSeq == Seq(0)))
+    assert(isamples.length == ifeats.count())
   }
 
   test("payload survives a shuffle intact (opaque binary column)") {
