@@ -51,6 +51,10 @@ object ScaleBench {
     // sweep driver
     sys.env.get("SPARK_GRAFT_KMEANS_K")
       .foreach(k => spark.conf.set("spark.graft.kmeans.k", k))
+    // BPE scale lever: lift the 200-doc training cap so the pair-count
+    // rounds run over the WHOLE replicated corpus
+    sys.env.get("SPARK_GRAFT_BPE_DOCCAP")
+      .foreach(c => spark.conf.set("spark.graft.bpe.doccap", c))
 
     val shuffleRead = new AtomicLong(0)
     val shuffleWrite = new AtomicLong(0)

@@ -453,6 +453,33 @@ object Multimodal extends Serializable {
     }
   }
 
+  /** Fixture corpus WITH planted visual near-duplicates: doc_id % 5 == 1
+    * clones the PREVIOUS document's image with its first pixel
+    * brightened by +16 per channel (mod 256) — a perturbation confined
+    * to one aHash grid cell, so the pair's perceptual distance is a few
+    * bits at most while unrelated images differ in ~32. Byte j of
+    * doc_id's raster is (base·31 + j·7 + bump) mod 256 with
+    * base = doc_id−1 and bump = 16·[j<3] for clones, base = doc_id and
+    * bump = 0 otherwise — still closed-form, so the dedup oracle can
+    * recompute every hash without an image decoder. */
+  def syntheticImagesNearDup(documents: DataFrame): Dataset[MediaItem] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id")).as[Long].map { id =>
+      val base = if (id % 5 == 1) id - 1 else id
+      val w = 8 + (base % 16).toInt
+      val h = 6 + (base % 12).toInt
+      val rgb = new Array[Byte](w * h * 3)
+      var j = 0
+      while (j < rgb.length) {
+        val bump = if (id % 5 == 1 && j < 3) 16 else 0
+        rgb(j) = ((base * 31 + j.toLong * 7 + bump) % 256).toByte
+        j += 1
+      }
+      val payload = ppmEncode(w, h, rgb)
+      MediaItem(id, "image", payload, "synthetic", payload.length.toLong)
+    }
+  }
+
   // ---------------------------------------------------------------
   // REAL audio decode: WAV/PCM (RIFF container grammar), pure JVM.
   // ---------------------------------------------------------------

@@ -1999,6 +1999,100 @@ object Llm extends QueryGroup {
                      THEN 1::BIGINT << (i - 32) ELSE 0 END)) AS BIGINT) AS dhash_hi
             FROM s ORDER BY media_id"""))
 
+  /** VISUAL near-dup detection — the image member of the dedup family:
+    * decode → aHash fingerprint → 16-bit BAND bucketing (4 bands; by
+    * pigeonhole any pair within hamming 3 shares an intact band) →
+    * candidate equi-join ON the band → exact hamming verify (codegen'd
+    * bit_count over xor) → keep-smallest-id, the same
+    * candidate-generation discipline as q_dedup_minhash/_simhash: the
+    * join is banded, NEVER all-pairs, so the shuffle carries
+    * fingerprint-sized rows and the pair count stays ~N·bucketSize at
+    * any corpus scale. Fixtures plant near-dup pairs (doc_id % 5 == 1
+    * clones its predecessor with one pixel brightened — a one-grid-cell
+    * perturbation); the oracle recomputes every aHash closed-form,
+    * bands and verifies in SQL, so Spark and DuckDB must agree on
+    * every candidate AND every hamming distance bit-for-bit. */
+  private val qDedupPhash = Q(
+    "q_dedup_phash",
+    (s, dir) => {
+      val m = graft.operators.Multimodal
+      val h = m.decodeImagePHash(
+          m.syntheticImagesNearDup(table(s, dir, "documents"))).toDF()
+        .select(col("media_id"), col("ahash_lo"), col("ahash_hi"))
+      val bands = h.select(col("media_id"),
+        posexplode(array(
+          col("ahash_lo").bitwiseAND(lit(65535L)),
+          shiftrightunsigned(col("ahash_lo"), 16),
+          col("ahash_hi").bitwiseAND(lit(65535L)),
+          shiftrightunsigned(col("ahash_hi"), 16))))
+        .select(col("media_id"), col("pos").as("bi"), col("col").as("bv"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+            col("a.media_id") < col("b.media_id"))
+        .select(col("a.media_id").as("ka"), col("b.media_id").as("kb"))
+        .distinct()
+      cand.join(h.as("ha"), col("ka") === col("ha.media_id"))
+        .join(h.as("hb"), col("kb") === col("hb.media_id"))
+        .select(col("ka"), col("kb"),
+          (bit_count(col("ha.ahash_lo").bitwiseXOR(col("hb.ahash_lo"))) +
+            bit_count(col("ha.ahash_hi").bitwiseXOR(col("hb.ahash_hi"))))
+            .as("dist"))
+        .filter(col("dist") <= 3)
+        .groupBy(col("kb").as("media_id"))
+        .agg(min(col("ka")).as("keeper"), count(lit(1)).as("n_dups"))
+        .orderBy("media_id")
+    },
+    Some("""WITH d AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 5 = 1 THEN doc_id - 1 ELSE doc_id END AS base,
+                (doc_id % 5 = 1) AS pert
+              FROM documents),
+            dd AS (
+              SELECT doc_id, base, pert,
+                CAST(8 + base % 16 AS BIGINT) AS w,
+                CAST(6 + base % 12 AS BIGINT) AS h
+              FROM d),
+            g AS (
+              SELECT doc_id,
+                list_transform(
+                  list_transform(generate_series(0, 63),
+                    i -> ((i // 8) * h // 8) * w + ((i % 8) * w // 8)),
+                  p -> 299 * ((base*31 + 21*p
+                         + CASE WHEN pert AND p = 0 THEN 16 ELSE 0 END) % 256)
+                     + 587 * ((base*31 + 21*p + 7
+                         + CASE WHEN pert AND p = 0 THEN 16 ELSE 0 END) % 256)
+                     + 114 * ((base*31 + 21*p + 14
+                         + CASE WHEN pert AND p = 0 THEN 16 ELSE 0 END) % 256))
+                  AS acell
+              FROM dd),
+            hsh AS (
+              SELECT doc_id,
+                CAST(list_sum(list_transform(generate_series(0, 31),
+                  i -> CASE WHEN 64*acell[i+1] > atotal
+                       THEN 1::BIGINT << i ELSE 0 END)) AS BIGINT) AS lo,
+                CAST(list_sum(list_transform(generate_series(32, 63),
+                  i -> CASE WHEN 64*acell[i+1] > atotal
+                       THEN 1::BIGINT << (i - 32) ELSE 0 END)) AS BIGINT) AS hi
+              FROM (SELECT doc_id, acell, list_sum(acell) AS atotal FROM g)),
+            bands AS (
+              SELECT doc_id,
+                unnest([lo % 65536, lo // 65536, hi % 65536, hi // 65536]) AS bv,
+                unnest([0, 1, 2, 3]) AS bi
+              FROM hsh),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS ka, b.doc_id AS kb
+              FROM bands a JOIN bands b
+                ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id),
+            ham AS (
+              SELECT ka, kb,
+                bit_count(xor(ha.lo, hb.lo)) + bit_count(xor(ha.hi, hb.hi)) AS dist
+              FROM cand
+              JOIN hsh ha ON ha.doc_id = ka
+              JOIN hsh hb ON hb.doc_id = kb)
+            SELECT kb AS media_id, min(ka) AS keeper, count(*) AS n_dups
+            FROM ham WHERE dist <= 3
+            GROUP BY kb ORDER BY media_id"""))
+
   /** REAL pixel resize under the gate: the same PPM fixtures as
     * q_multimodal_decode, decoded and NEAREST-NEIGHBOR-resampled into
     * the 16×12 aspect fit — target pixel (ty, tx) reads source
@@ -2198,6 +2292,7 @@ object Llm extends QueryGroup {
     qAggVectorCentroid, qAggVectorDispersion, qMultimodal,
     qMultimodalDecode, qMultimodalResample, qMultimodalAudio,
     qMultimodalVideo, qMultimodalVideo420, qMultimodalHist, qMultimodalPhash,
+    qDedupPhash,
     qDecontaminate, qTextPii, qDedupFuzzy)
 
   /** Fuzzy string-match join (entity resolution): name pairs within
