@@ -171,6 +171,34 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkSessionFixture {
     graft.queries.Relational.queries.find(_.name == name).get
       .run(spark, dir).queryExecution.executedPlan.toString
 
+  test("phash dedup: candidates come from a band EQUI-join, never a cartesian product") {
+    val plan = graft.SparkEntry.queries("q_dedup_phash")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"phash candidate generation fell back to all-pairs:\n$plan")
+    // the band join keys on (bi, bv) — both sides hashed/broadcast on them
+    assert(plan.contains("bi") && plan.contains("bv"),
+      s"band keys missing from the join plan:\n$plan")
+  }
+
+  test("persisted-ann probe: list scan carries a cid partition filter, no aggregates") {
+    val idx = s"${sys.props("java.io.tmpdir")}/graft_ann_plan/${System.nanoTime()}"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    graft.operators.AnnIndex.build(e, "vec_id", "embedding",
+      (200L until 208L).toSeq, rounds = 3, dim = 64, idx)
+    val plan = graft.operators.AnnIndex.probe(
+        e.filter(org.apache.spark.sql.functions.col("vec_id") < 8),
+        idx, "vec_id", "embedding", nprobe = 2, topK = 3, excludeSelf = true)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(plan).isDefined,
+      s"probe scan must prune list partitions on cid:\n$plan")
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"probe plan must not aggregate (that would be an inline re-fit):\n$plan")
+  }
+
   test("q10: aggregate-early — revenue groups on custkey BEFORE the customer join, top-20 is TakeOrdered") {
     val plan = relPlan("q10_returned_revenue")
     assert(plan.contains("TakeOrderedAndProject"), s"top-20 must not full-sort:\n$plan")
