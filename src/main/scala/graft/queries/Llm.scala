@@ -2012,6 +2012,44 @@ object Llm extends QueryGroup {
     * perturbation); the oracle recomputes every aHash closed-form,
     * bands and verifies in SQL, so Spark and DuckDB must agree on
     * every candidate AND every hamming distance bit-for-bit. */
+  /** Shared oracle CTE chain `d, dd, g, hsh(doc_id, lo, hi)`: the
+    * closed-form aHash of every syntheticImagesNearDup fixture — used by
+    * both the batch dedup (q_dedup_phash) and the incremental ingest
+    * (q_ingest_neardup_phash) oracles. */
+  private val phashHashCtesSql: String =
+    """d AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 1 THEN doc_id - 1 ELSE doc_id END AS base,
+      |    (doc_id % 5 = 1) AS pert
+      |  FROM documents),
+      |dd AS (
+      |  SELECT doc_id, base, pert,
+      |    CAST(8 + base % 16 AS BIGINT) AS w,
+      |    CAST(6 + base % 12 AS BIGINT) AS h
+      |  FROM d),
+      |g AS (
+      |  SELECT doc_id,
+      |    list_transform(
+      |      list_transform(generate_series(0, 63),
+      |        i -> ((i // 8) * h // 8) * w + ((i % 8) * w // 8)),
+      |      p -> 299 * ((base*31 + 21*p
+      |             + CASE WHEN pert AND p = 0 THEN 16 ELSE 0 END) % 256)
+      |         + 587 * ((base*31 + 21*p + 7
+      |             + CASE WHEN pert AND p = 0 THEN 16 ELSE 0 END) % 256)
+      |         + 114 * ((base*31 + 21*p + 14
+      |             + CASE WHEN pert AND p = 0 THEN 16 ELSE 0 END) % 256))
+      |      AS acell
+      |  FROM dd),
+      |hsh AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum(list_transform(generate_series(0, 31),
+      |      i -> CASE WHEN 64*acell[i+1] > atotal
+      |           THEN 1::BIGINT << i ELSE 0 END)) AS BIGINT) AS lo,
+      |    CAST(list_sum(list_transform(generate_series(32, 63),
+      |      i -> CASE WHEN 64*acell[i+1] > atotal
+      |           THEN 1::BIGINT << (i - 32) ELSE 0 END)) AS BIGINT) AS hi
+      |  FROM (SELECT doc_id, acell, list_sum(acell) AS atotal FROM g))""".stripMargin
+
   private val qDedupPhash = Q(
     "q_dedup_phash",
     (s, dir) => {
@@ -2042,38 +2080,7 @@ object Llm extends QueryGroup {
         .agg(min(col("ka")).as("keeper"), count(lit(1)).as("n_dups"))
         .orderBy("media_id")
     },
-    Some("""WITH d AS (
-              SELECT doc_id,
-                CASE WHEN doc_id % 5 = 1 THEN doc_id - 1 ELSE doc_id END AS base,
-                (doc_id % 5 = 1) AS pert
-              FROM documents),
-            dd AS (
-              SELECT doc_id, base, pert,
-                CAST(8 + base % 16 AS BIGINT) AS w,
-                CAST(6 + base % 12 AS BIGINT) AS h
-              FROM d),
-            g AS (
-              SELECT doc_id,
-                list_transform(
-                  list_transform(generate_series(0, 63),
-                    i -> ((i // 8) * h // 8) * w + ((i % 8) * w // 8)),
-                  p -> 299 * ((base*31 + 21*p
-                         + CASE WHEN pert AND p = 0 THEN 16 ELSE 0 END) % 256)
-                     + 587 * ((base*31 + 21*p + 7
-                         + CASE WHEN pert AND p = 0 THEN 16 ELSE 0 END) % 256)
-                     + 114 * ((base*31 + 21*p + 14
-                         + CASE WHEN pert AND p = 0 THEN 16 ELSE 0 END) % 256))
-                  AS acell
-              FROM dd),
-            hsh AS (
-              SELECT doc_id,
-                CAST(list_sum(list_transform(generate_series(0, 31),
-                  i -> CASE WHEN 64*acell[i+1] > atotal
-                       THEN 1::BIGINT << i ELSE 0 END)) AS BIGINT) AS lo,
-                CAST(list_sum(list_transform(generate_series(32, 63),
-                  i -> CASE WHEN 64*acell[i+1] > atotal
-                       THEN 1::BIGINT << (i - 32) ELSE 0 END)) AS BIGINT) AS hi
-              FROM (SELECT doc_id, acell, list_sum(acell) AS atotal FROM g)),
+    Some(s"""WITH $phashHashCtesSql,
             bands AS (
               SELECT doc_id,
                 unnest([lo % 65536, lo // 65536, hi % 65536, hi // 65536]) AS bv,
@@ -2092,6 +2099,81 @@ object Llm extends QueryGroup {
             SELECT kb AS media_id, min(ka) AS keeper, count(*) AS n_dups
             FROM ham WHERE dist <= 3
             GROUP BY kb ORDER BY media_id"""))
+
+  /** VISUAL near-dup INCREMENTAL INGESTION — q_ingest_neardup's image
+    * sibling, same [[graft.operators.IncrementalIngest.ingestNearDup]]
+    * machinery with pHash band keys instead of MinHash LSH bands (the
+    * operator is generic over the banding): history bootstraps the
+    * Store with the crawl's aHash bands (key = bandIdx·2¹⁶ + bandValue,
+    * disjoint across bands), the delta (every third image) is rejected
+    * when ANY of its bands was seen — by the committed snapshot or a
+    * smaller-id delta image — and all delta bands append (the all-seen
+    * contract, so round decomposition is invisible and this shares the
+    * one-shot oracle discipline). Scale shape: 4 band longs per image,
+    * history⟂delta is a bk-keyed LEFT SEMI hash-partitioned on both
+    * sides — the history is never broadcast.
+    *
+    * Honesty note: like its MinHash sibling this filter is
+    * VERIFICATION-FREE (band seen ⇒ reject, no hamming check — the
+    * crawl-frontier trade: cheap, monotone, composable). The synthetic
+    * fixtures cluster in band space (498/500 distinct hashes but only
+    * 527/2000 distinct band values — formulaic images correlate in
+    * 16-bit slices), so in-fixture rejection is much more aggressive
+    * than natural images would see; the gate pins EXACTNESS of the
+    * contract, not recall. Radius-verified dedup is q_dedup_phash. */
+  private val qIngestNeardupPhash = Q(
+    "q_ingest_neardup_phash",
+    (s, dir) => {
+      val store = sys.props("java.io.tmpdir") +
+        "/graft-kvsink/q_ingest_neardup_phash"
+      val fs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(store), true)
+      val m = graft.operators.Multimodal
+      val h = m.decodeImagePHash(
+        m.syntheticImagesNearDup(table(s, dir, "documents"))).toDF()
+      def bands(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("media_id").as("doc_id"),
+          posexplode(array(
+            col("ahash_lo").bitwiseAND(lit(65535L)),
+            shiftrightunsigned(col("ahash_lo"), 16),
+            col("ahash_hi").bitwiseAND(lit(65535L)),
+            shiftrightunsigned(col("ahash_hi"), 16))))
+          .select(col("doc_id"),
+            (col("pos").cast("long") * 65536L + col("col")).as("bk"))
+      bands(h.filter(col("media_id") % 3 =!= 0)).select("bk").distinct()
+        .write.format("graft.sources.KvSinkProvider")
+        .option("path", s"$store/batch=0").mode("append").save()
+      val deltaH = h.filter(col("media_id") % 3 === 0)
+      graft.operators.IncrementalIngest.ingestNearDup(s, store, 1L,
+          deltaH.select(col("media_id").as("doc_id"),
+            col("ahash_lo"), col("ahash_hi")),
+          bands(deltaH))
+        .select(col("doc_id").as("media_id"),
+          col("ahash_lo"), col("ahash_hi"))
+        .orderBy("media_id")
+    },
+    Some(s"""WITH $phashHashCtesSql,
+            bands AS (
+              SELECT doc_id,
+                unnest([0*65536 + lo % 65536, 1*65536 + lo // 65536,
+                        2*65536 + hi % 65536, 3*65536 + hi // 65536]) AS bk
+              FROM hsh),
+            hist AS (SELECT DISTINCT bk FROM bands WHERE doc_id % 3 <> 0),
+            delta AS (SELECT * FROM bands WHERE doc_id % 3 = 0),
+            firstb AS (
+              SELECT bk, min(doc_id) AS first_doc FROM delta GROUP BY bk),
+            dropped AS (
+              SELECT DISTINCT d.doc_id FROM delta d
+              WHERE EXISTS (SELECT 1 FROM hist h WHERE h.bk = d.bk)
+              UNION
+              SELECT DISTINCT d.doc_id FROM delta d
+              JOIN firstb f ON d.bk = f.bk AND d.doc_id > f.first_doc)
+            SELECT h.doc_id AS media_id, h.lo AS ahash_lo, h.hi AS ahash_hi
+            FROM hsh h
+            WHERE h.doc_id % 3 = 0
+              AND NOT EXISTS (SELECT 1 FROM dropped x WHERE x.doc_id = h.doc_id)
+            ORDER BY media_id"""))
 
   /** REAL pixel resize under the gate: the same PPM fixtures as
     * q_multimodal_decode, decoded and NEAREST-NEIGHBOR-resampled into
@@ -2292,7 +2374,7 @@ object Llm extends QueryGroup {
     qAggVectorCentroid, qAggVectorDispersion, qMultimodal,
     qMultimodalDecode, qMultimodalResample, qMultimodalAudio,
     qMultimodalVideo, qMultimodalVideo420, qMultimodalHist, qMultimodalPhash,
-    qDedupPhash,
+    qDedupPhash, qIngestNeardupPhash,
     qDecontaminate, qTextPii, qDedupFuzzy)
 
   /** Fuzzy string-match join (entity resolution): name pairs within
