@@ -2121,6 +2121,49 @@ object Llm extends QueryGroup {
     * 16-bit slices), so in-fixture rejection is much more aggressive
     * than natural images would see; the gate pins EXACTNESS of the
     * contract, not recall. Radius-verified dedup is q_dedup_phash. */
+  /** (doc_id, ahash_lo, ahash_hi, bk) — 4 disjoint band-key rows per
+    * fixture image (bk = bandIdx·2¹⁶ + 16-bit band value). Shared by the
+    * batch ingest gate and its live foreachBatch twin in Streaming. */
+  private[queries] def phashBandedDocs(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val m = graft.operators.Multimodal
+    m.decodeImagePHash(m.syntheticImagesNearDup(docs)).toDF()
+      .select(col("media_id").as("doc_id"),
+        col("ahash_lo"), col("ahash_hi"),
+        posexplode(array(
+          col("ahash_lo").bitwiseAND(lit(65535L)),
+          shiftrightunsigned(col("ahash_lo"), 16),
+          col("ahash_hi").bitwiseAND(lit(65535L)),
+          shiftrightunsigned(col("ahash_hi"), 16))))
+      .select(col("doc_id"), col("ahash_lo"), col("ahash_hi"),
+        (col("pos").cast("long") * 65536L + col("col")).as("bk"))
+  }
+
+  /** One-shot oracle shared by q_ingest_neardup_phash and its live twin
+    * (the all-seen contract makes the round decomposition invisible). */
+  private[queries] val phashIngestOracle: String =
+    s"""WITH $phashHashCtesSql,
+       |bands AS (
+       |  SELECT doc_id,
+       |    unnest([0*65536 + lo % 65536, 1*65536 + lo // 65536,
+       |            2*65536 + hi % 65536, 3*65536 + hi // 65536]) AS bk
+       |  FROM hsh),
+       |hist AS (SELECT DISTINCT bk FROM bands WHERE doc_id % 3 <> 0),
+       |delta AS (SELECT * FROM bands WHERE doc_id % 3 = 0),
+       |firstb AS (
+       |  SELECT bk, min(doc_id) AS first_doc FROM delta GROUP BY bk),
+       |dropped AS (
+       |  SELECT DISTINCT d.doc_id FROM delta d
+       |  WHERE EXISTS (SELECT 1 FROM hist h WHERE h.bk = d.bk)
+       |  UNION
+       |  SELECT DISTINCT d.doc_id FROM delta d
+       |  JOIN firstb f ON d.bk = f.bk AND d.doc_id > f.first_doc)
+       |SELECT h.doc_id AS media_id, h.lo AS ahash_lo, h.hi AS ahash_hi
+       |FROM hsh h
+       |WHERE h.doc_id % 3 = 0
+       |  AND NOT EXISTS (SELECT 1 FROM dropped x WHERE x.doc_id = h.doc_id)
+       |ORDER BY media_id""".stripMargin
+
   private val qIngestNeardupPhash = Q(
     "q_ingest_neardup_phash",
     (s, dir) => {
@@ -2129,51 +2172,20 @@ object Llm extends QueryGroup {
       val fs = new org.apache.hadoop.fs.Path(store)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(store), true)
-      val m = graft.operators.Multimodal
-      val h = m.decodeImagePHash(
-        m.syntheticImagesNearDup(table(s, dir, "documents"))).toDF()
-      def bands(df: org.apache.spark.sql.DataFrame) =
-        df.select(col("media_id").as("doc_id"),
-          posexplode(array(
-            col("ahash_lo").bitwiseAND(lit(65535L)),
-            shiftrightunsigned(col("ahash_lo"), 16),
-            col("ahash_hi").bitwiseAND(lit(65535L)),
-            shiftrightunsigned(col("ahash_hi"), 16))))
-          .select(col("doc_id"),
-            (col("pos").cast("long") * 65536L + col("col")).as("bk"))
-      bands(h.filter(col("media_id") % 3 =!= 0)).select("bk").distinct()
+      val docs = table(s, dir, "documents")
+      phashBandedDocs(docs.filter(col("doc_id") % 3 =!= 0))
+        .select("bk").distinct()
         .write.format("graft.sources.KvSinkProvider")
         .option("path", s"$store/batch=0").mode("append").save()
-      val deltaH = h.filter(col("media_id") % 3 === 0)
+      val delta = phashBandedDocs(docs.filter(col("doc_id") % 3 === 0))
       graft.operators.IncrementalIngest.ingestNearDup(s, store, 1L,
-          deltaH.select(col("media_id").as("doc_id"),
-            col("ahash_lo"), col("ahash_hi")),
-          bands(deltaH))
+          delta.select("doc_id", "ahash_lo", "ahash_hi").distinct(),
+          delta.select("doc_id", "bk"))
         .select(col("doc_id").as("media_id"),
           col("ahash_lo"), col("ahash_hi"))
         .orderBy("media_id")
     },
-    Some(s"""WITH $phashHashCtesSql,
-            bands AS (
-              SELECT doc_id,
-                unnest([0*65536 + lo % 65536, 1*65536 + lo // 65536,
-                        2*65536 + hi % 65536, 3*65536 + hi // 65536]) AS bk
-              FROM hsh),
-            hist AS (SELECT DISTINCT bk FROM bands WHERE doc_id % 3 <> 0),
-            delta AS (SELECT * FROM bands WHERE doc_id % 3 = 0),
-            firstb AS (
-              SELECT bk, min(doc_id) AS first_doc FROM delta GROUP BY bk),
-            dropped AS (
-              SELECT DISTINCT d.doc_id FROM delta d
-              WHERE EXISTS (SELECT 1 FROM hist h WHERE h.bk = d.bk)
-              UNION
-              SELECT DISTINCT d.doc_id FROM delta d
-              JOIN firstb f ON d.bk = f.bk AND d.doc_id > f.first_doc)
-            SELECT h.doc_id AS media_id, h.lo AS ahash_lo, h.hi AS ahash_hi
-            FROM hsh h
-            WHERE h.doc_id % 3 = 0
-              AND NOT EXISTS (SELECT 1 FROM dropped x WHERE x.doc_id = h.doc_id)
-            ORDER BY media_id"""))
+    Some(phashIngestOracle))
 
   /** REAL pixel resize under the gate: the same PPM fixtures as
     * q_multimodal_decode, decoded and NEAREST-NEIGHBOR-resampled into

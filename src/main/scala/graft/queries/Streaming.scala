@@ -671,6 +671,66 @@ object Streaming extends QueryGroup {
     },
     Some(Training.nearDupIngestOracle))
 
+  /** LIVE visual near-dup ingestion — q_ingest_neardup_phash's rounds
+    * run as a real stream, the image twin of q_stream_ingest_neardup:
+    * the historical crawl's pHash bands bootstrap the Store before the
+    * stream starts, the delta documents land as three doc_id-ranged
+    * drops, and every micro-batch DECODES its images and runs one
+    * ingestNearDup round (snapshot band filter → first-wins → band
+    * append) via foreachBatch. The all-seen contract makes the
+    * decomposition invisible: converged accepted set ≡ the one-shot
+    * batch gate, same oracle (queries/Llm.phashIngestOracle). */
+  private val qStreamIngestNeardupPhash = Q(
+    "q_stream_ingest_neardup_phash",
+    (s, dir) => {
+      val tmp = sys.props("java.io.tmpdir")
+      val root = new java.io.File(s"$tmp/graft-stream-ingest-neardup-phash")
+      if (root.exists()) rmTree(root)
+      val store = s"$root/store"
+      val out = s"$root/accepted"
+      val docs = table(s, dir, "documents")
+      Llm.phashBandedDocs(docs.filter(col("doc_id") % 3 =!= 0))
+        .select("bk").distinct()
+        .write.format("graft.sources.KvSinkProvider")
+        .option("path", s"$store/batch=0").mode("append").save()
+      val delta = docs.filter(col("doc_id") % 3 === 0)
+      val staged = root.toPath.resolve("staged")
+      delta.repartitionByRange(3, col("doc_id"))
+        .write.mode("overwrite").parquet(staged.toString)
+      val srcRoot = root.toPath.resolve("src")
+      java.nio.file.Files.createDirectories(srcRoot)
+      val stream = s.readStream.schema(docs.schema).parquet(srcRoot.toString)
+      withStatePartitions(s, 8) {
+        val q = stream.writeStream.outputMode("append")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            rmTree(new java.io.File(s"$store/batch=${id + 1}"))
+            rmTree(new java.io.File(s"$out/batch=$id"))
+            val banded = Llm.phashBandedDocs(batch.toDF())
+            graft.operators.IncrementalIngest
+              .ingestNearDup(batch.sparkSession, store, id + 1,
+                banded.select("doc_id", "ahash_lo", "ahash_hi").distinct(),
+                banded.select("doc_id", "bk"))
+              .write.format("graft.sources.KvSinkProvider")
+              .option("path", s"$out/batch=$id").mode("append").save()
+          }
+          .start()
+        try {
+          new java.io.File(staged.toString).listFiles()
+            .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+            .zipWithIndex.foreach { case (f, i) =>
+              java.nio.file.Files.copy(f.toPath, srcRoot.resolve(s"drop_$i.parquet"))
+              q.processAllAvailable()
+            }
+        } finally q.stop()
+      }
+      s.read.format("graft.sources.KvSourceProvider")
+        .option("path", out).option("recursive", "true")
+        .option("schema", "doc_id LONG, ahash_lo LONG, ahash_hi LONG").load()
+        .select(col("doc_id").as("media_id"), col("ahash_lo"), col("ahash_hi"))
+        .orderBy("media_id")
+    },
+    Some(Llm.phashIngestOracle))
+
   /** Watermarked streaming dedup, batch twin (EventStreams.dedupEvents —
     * dropDuplicatesWithinWatermark, the bounded-state ingestion guard).
     * Input is events ⊎ its first 200 rows — a deterministic replayed-batch
@@ -698,5 +758,6 @@ object Streaming extends QueryGroup {
     qStreamJoin, qStreamJoinOuter, qStreamJoinOuterLive,
     qStreamJoinFull, qStreamJoinFullLive, qStreamEnrich,
     qStreamLive, qStreamLiveAppend, qStreamKvSink,
-    qStreamIngest, qStreamIngestNeardup, qStreamDedup)
+    qStreamIngest, qStreamIngestNeardup, qStreamIngestNeardupPhash,
+    qStreamDedup)
 }
