@@ -129,30 +129,91 @@ object AnnIndex {
     version
   }
 
-  private def genDir(dir: String, asOf: Option[Int]): (String, Int) = {
-    val latest = KvCommitLog.latestVersion(Paths.get(dir))
-    require(latest > 0, s"no committed ann index at $dir " +
+  /** The manifest AT version v lists this version's member directories:
+    * a fit generation publishes `[gen-N]`; a delta append publishes the
+    * previous members PLUS its `delta-M` — so every version names its
+    * complete list set, older versions stay frozen, and the head entry
+    * is always the fit generation that owns centroids + meta. */
+  private def entriesAt(dir: String, asOf: Option[Int]): (Seq[String], Int) = {
+    val vs = KvCommitLog.versions(Paths.get(dir))
+    require(vs.nonEmpty, s"no committed ann index at $dir " +
       "(an uncommitted generation directory is not an index)")
+    val latest = vs.last._1
     val v = asOf.getOrElse(latest)
     require(v >= 1 && v <= latest,
       s"ann index version $v out of committed range [1, $latest] at $dir")
-    (s"$dir/${genName(v)}", v)
+    val manifest = vs.find(_._1 == v).getOrElse(
+      throw new IllegalStateException(s"ann index manifest $v missing at $dir"))._2
+    val entries = Files.readAllLines(manifest)
+      .toArray(Array.empty[String]).toSeq.filter(_.nonEmpty)
+    require(entries.nonEmpty, s"ann index manifest $v at $dir is empty")
+    (entries, v)
   }
 
-  /** Descriptor of the committed generation (latest or `asOf`). */
+  /** The version's fit generation (manifest lines are stored sorted, so
+    * the owner is found by prefix, not position). */
+  private def fitEntry(dir: String, entries: Seq[String]): String =
+    entries.filter(_.startsWith("gen-")) match {
+      case Seq(one) => one
+      case other => throw new IllegalStateException(
+        s"ann index manifest at $dir must name exactly one fit " +
+          s"generation, found ${other.size}: ${entries.mkString(", ")}")
+    }
+
+  /** Descriptor of the committed generation (latest or `asOf`) — owned
+    * by the version's fit generation. */
   def meta(dir: String, asOf: Option[Int] = None): IndexMeta = {
-    val (gen, _) = genDir(dir, asOf)
-    parseMeta(Files.readString(Paths.get(s"$gen/meta.json")))
+    val (entries, _) = entriesAt(dir, asOf)
+    parseMeta(Files.readString(
+      Paths.get(s"$dir/${fitEntry(dir, entries)}/meta.json")))
   }
 
   /** Committed centroids in cid order — K·dim longs, driver-sized. */
   def centroids(spark: SparkSession, dir: String,
       asOf: Option[Int] = None): Seq[Seq[Long]] = {
     import spark.implicits._
-    val (gen, _) = genDir(dir, asOf)
-    spark.read.parquet(s"$gen/centroids")
+    val (entries, _) = entriesAt(dir, asOf)
+    spark.read.parquet(s"$dir/${fitEntry(dir, entries)}/centroids")
       .select("cid", "cv").as[(Long, Seq[Long])]
       .collect().sortBy(_._1).map(_._2).toSeq
+  }
+
+  /** INCREMENTAL index maintenance — append `delta` vectors WITHOUT
+    * re-fitting: each delta vector is assigned to the frozen committed
+    * centroids (the same codegen'd literal-centroid projection the fit
+    * used), its rows land in a new cid-partitioned `delta-M/lists`, and
+    * the new version's manifest names the previous members plus the
+    * delta — old generations stay frozen (asOf probes see the corpus as
+    * of their version), nothing is rewritten, and probes over the new
+    * version scan the union of the member lists with the same partition
+    * pruning. This is how a 100 TB index tracks a growing corpus: the
+    * quantizer re-fits rarely (a new fit generation), deltas append
+    * daily at the cost of one assignment pass over the DELTA only.
+    * Returns the committed version. */
+  def appendDelta(delta: DataFrame, idCol: String, embCol: String,
+      dir: String): Int = {
+    val spark = delta.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val (entries, latest) = entriesAt(dir, None)
+    val m = meta(dir, Some(latest))
+    val cents = centroids(spark, dir, Some(latest))
+    val qv =
+      if (m.normalized) KMeansQuant.quantizeNormalized(col(embCol))
+      else KMeansQuant.quantize(col(embCol))
+    val assigned = KMeansQuant.withAssignment(
+      delta.select(col(idCol), col(embCol)).withColumn("__qv", qv),
+      "__qv", cents)
+    val version = latest + 1
+    val deltaName = s"delta-$version"
+    assigned
+      .select(col("cluster").as("cid"), col(idCol), col(embCol))
+      .write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$dir/$deltaName/lists")
+    val count = spark.read.parquet(s"$dir/$deltaName/lists").count()
+    Files.writeString(Paths.get(s"$dir/$deltaName/meta.json"),
+      metaJson(m.copy(count = count)))
+    KvCommitLog.append(Paths.get(dir), entries :+ deltaName)
+    version
   }
 
   /** Probe the committed index: for each row of `queries`
@@ -169,7 +230,7 @@ object AnnIndex {
       asOf: Option[Int] = None): DataFrame = {
     val spark = queries.sparkSession
     graft.functions.GraftFunctions.register(spark)
-    val (gen, v) = genDir(dir, asOf)
+    val (entries, v) = entriesAt(dir, asOf)
     val m = meta(dir, Some(v))
     val cents = centroids(spark, dir, Some(v))
     require(cents.size == m.k,
@@ -198,8 +259,13 @@ object AnnIndex {
     // by AnnIndexSpec against the scan's partition count).
     val probeCids = probes.select("cid").distinct()
       .collect().map(_.getLong(0)).sorted
-    val lists = spark.read.parquet(s"$gen/lists")
-      .filter(col("cid").isin(probeCids: _*))
+    // union of the version's member list dirs (fit generation + any
+    // appended deltas), each scan pruned to the probed partitions
+    val lists = entries.map(e =>
+        spark.read.parquet(s"$dir/$e/lists")
+          .filter(col("cid").isin(probeCids: _*))
+          .select(col("cid"), col(idCol), col(embCol)))
+      .reduce(_ unionAll _)
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col(idCol))

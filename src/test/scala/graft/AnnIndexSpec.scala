@@ -112,6 +112,64 @@ class AnnIndexSpec extends AnyFunSuite with SparkSessionFixture {
     assert(c1 != c2, "rebuild with different seeds produced identical centroids")
   }
 
+  test("appendDelta: delta assigned to FROZEN centroids, probes scan the union, old versions pinned") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val dir = freshDir("delta")
+    val hist = corpus.filter(col("vec_id") >= 50)
+    val delta = corpus.filter(col("vec_id") < 50 && col("vec_id") >= 8)
+    AnnIndex.build(hist, "vec_id", "embedding",
+      (200L until 208L).toSeq, rounds = 3, dim = 64, dir)
+    val q = corpus.filter(col("vec_id") < 8)
+    val before = rows(AnnIndex.probe(q, dir, "vec_id", "embedding",
+      nprobe = 2, topK = 3, excludeSelf = true))
+
+    val v2 = AnnIndex.appendDelta(delta, "vec_id", "embedding", dir)
+    assert(v2 == 2 && AnnIndex.latestVersion(dir) == 2)
+    // centroids are FROZEN: the delta append must not re-fit
+    assert(AnnIndex.centroids(spark, dir, Some(1)) ==
+      AnnIndex.centroids(spark, dir, Some(2)))
+    // the pinned version still sees only the history corpus
+    assert(rows(AnnIndex.probe(q, dir, "vec_id", "embedding",
+      nprobe = 2, topK = 3, excludeSelf = true, asOf = Some(1))) == before)
+
+    // differential: the persisted union probe must equal the same
+    // retrieval computed directly in memory against the frozen centroids
+    // (shared kernels, independent storage path)
+    val got = AnnIndex.probe(q, dir, "vec_id", "embedding",
+      nprobe = 2, topK = 3, excludeSelf = true)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("delta-2"), s"probe does not scan the delta lists:\n$plan")
+
+    val cents = AnnIndex.centroids(spark, dir)
+    val qv = graft.operators.KMeansQuant.quantizeNormalized(col("embedding"))
+    val combined = graft.operators.KMeansQuant.withAssignment(
+      hist.unionAll(delta).withColumn("__qv", qv), "__qv", cents)
+      .select(col("vec_id"), col("embedding"), col("cluster").as("cid"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist"), col("cid"))
+    val probes = q.withColumn("__qv", qv)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qemb"),
+        posexplode(graft.operators.KMeansQuant.distArray(col("__qv"), cents)))
+      .select(col("query_id"), col("qemb"),
+        col("pos").cast("long").as("cid"), col("col").as("cdist"))
+      .withColumn("crk", row_number().over(wProbe))
+      .filter(col("crk") <= 2).select("query_id", "qemb", "cid")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val want = combined.join(broadcast(probes), "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", graft.functions.GraftFunctions
+        .cosineNative(col("qemb"), col("embedding")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("query_id"), col("rk"), col("vec_id"),
+        col("cid").as("list_id"), col("cosine"))
+      .orderBy("query_id", "rk")
+    assert(rows(got) == rows(want),
+      "persisted union probe diverges from the direct in-memory retrieval")
+  }
+
   test("orphan generation (no commit manifest) is not an index") {
     val dir = freshDir("orphan")
     Files.createDirectories(Paths.get(s"$dir/gen-1/lists"))
