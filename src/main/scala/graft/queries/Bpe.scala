@@ -124,6 +124,113 @@ object Bpe extends QueryGroup {
        |  ORDER BY round""".stripMargin
   }
 
+  /** Doc-aware twin of [[applyCteSql]] for the encode phase: same
+    * first-occurrence/restart recursion with doc_id carried through. */
+  private def applyDocCteSql(w: String, best: String, out: String): String =
+    s"""${out}_i AS (
+       |  SELECT doc_id, wid, s FROM $w
+       |  UNION ALL
+       |  SELECT doc_id, wid,
+       |    substr(s, 1, pos - 1) || ' ' || b.l || b.r || ' ' ||
+       |      substr(s, pos + length(' ' || b.l || ' ' || b.r || ' '))
+       |  FROM (SELECT doc_id, wid, s,
+       |          instr(s, (SELECT ' ' || l || ' ' || r || ' ' FROM $best)) AS pos
+       |        FROM ${out}_i) t CROSS JOIN $best b
+       |  WHERE pos > 0),
+       |$out AS (
+       |  SELECT doc_id, wid, s FROM ${out}_i
+       |  WHERE instr(s, (SELECT ' ' || l || ' ' || r || ' ' FROM $best)) = 0)""".stripMargin
+
+  /** Oracle for the end-to-end flow: the training chain (b1..b4 over the
+    * capped sample) feeds a doc-aware encode chain over EVERY document,
+    * reduced to per-doc word and token counts. */
+  private val encodeOracle: String = {
+    val trainBody = (1 to Rounds).map { t =>
+      val prev = if (t == 1) "words" else s"w${t - 1}"
+      val apply =
+        if (t < Rounds) ",\n" + applyCteSql(prev, s"b$t", s"w$t") else ""
+      pairsCteSql(prev, s"b$t") + apply
+    }.mkString(",\n")
+    val encodeBody = (1 to Rounds).map { t =>
+      val prev = if (t == 1) "ew0" else s"e${t - 1}"
+      applyDocCteSql(prev, s"b$t", s"e$t")
+    }.mkString(",\n")
+    s"""WITH RECURSIVE
+       |  words AS (
+       |    SELECT row_number() OVER () AS wid,
+       |      ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s
+       |    FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+       |          FROM documents WHERE doc_id < $DocCap) t
+       |    WHERE length(w) > 0),
+       |$trainBody,
+       |  ew0 AS (
+       |    SELECT doc_id, row_number() OVER () AS wid,
+       |      ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s
+       |    FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+       |          FROM documents) t
+       |    WHERE length(w) > 0),
+       |$encodeBody
+       |  SELECT doc_id, count(*) AS n_words,
+       |    CAST(sum(len(string_split(trim(s), ' '))) AS BIGINT) AS n_tokens
+       |  FROM e$Rounds GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** End-to-end trained-tokenizer flow — TRAIN on the capped sample,
+    * ENCODE the whole corpus with the learned merge table: the
+    * composition every training-data pipeline runs (q_vocab_encode
+    * encodes with a FIXED vocabulary; this one's vocabulary is LEARNED
+    * by q_bpe_train's loop in the same execution). Output is per-doc
+    * word and post-merge token counts; the oracle replays the identical
+    * training chain and a doc-aware recursive encode over every
+    * document, so a drift in ANY learned merge, or in the leftmost-
+    * greedy application over any word of the corpus, shifts some doc's
+    * token count and hash-mismatches. Scale shape: training as
+    * q_bpe_train (vocab²-bounded shuffles, measured flat ×1..×10 at
+    * full-corpus cap); encoding is Rounds codegen'd kernel passes over
+    * the corpus — a narrow map, no shuffle until the final group-by. */
+  private val qBpeEncode = Q(
+    "q_bpe_encode",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.GraftFunctions.bpeMergeNative
+      var words = table(s, dir, "documents").filter(col("doc_id") < docCapOf(s))
+        .select(explode(split(lower(col("text")), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .select(concat(lit(" "),
+          concat_ws(" ", split(col("w"), "")), lit(" ")).as("s"))
+      val merges = Seq.newBuilder[(String, String)]
+      var exhausted = false
+      for (round <- 1 to Rounds if !exhausted) {
+        val top = pairCounts(words)
+          .orderBy(col("c").desc, col("l"), col("r")).limit(1)
+          .collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (l, r) = (top(0).getString(0), top(0).getString(1))
+          merges += ((l, r))
+          if (round < Rounds)
+            words = words.select(
+              bpeMergeNative(col("s"), lit(l), lit(r)).as("s"))
+        }
+      }
+      var enc = table(s, dir, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .select(col("doc_id"), concat(lit(" "),
+          concat_ws(" ", split(col("w"), "")), lit(" ")).as("s"))
+      merges.result().foreach { case (l, r) =>
+        enc = enc.select(col("doc_id"),
+          bpeMergeNative(col("s"), lit(l), lit(r)).as("s"))
+      }
+      enc.select(col("doc_id"),
+          size(split(trim(col("s")), " ")).as("toks"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("toks")).cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    },
+    Some(encodeOracle))
+
   private val qBpeTrain = Q(
     "q_bpe_train",
     (s, dir) => {
@@ -162,5 +269,5 @@ object Bpe extends QueryGroup {
     },
     Some(oracle))
 
-  override val queries: Seq[Q] = Seq(qBpeTrain)
+  override val queries: Seq[Q] = Seq(qBpeTrain, qBpeEncode)
 }
