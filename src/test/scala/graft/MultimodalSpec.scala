@@ -135,6 +135,25 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionFixture {
     assert(before == after)
   }
 
+  test("planted near-dup pairs sit within perceptual hamming 3; their bands collide") {
+    val m = graft.operators.Multimodal
+    val h = m.decodeImagePHash(m.syntheticImagesNearDup(docs.limit(60)))
+      .collect().map(p => p.media_id -> p).toMap
+    val pairs = h.keys.filter(id => id % 5 == 1 && h.contains(id - 1)).toSeq
+    assert(pairs.nonEmpty, "fixture slice contains no planted clone pairs")
+    pairs.foreach { id =>
+      val (a, b) = (h(id), h(id - 1))
+      val dist = java.lang.Long.bitCount(a.ahash_lo ^ b.ahash_lo) +
+        java.lang.Long.bitCount(a.ahash_hi ^ b.ahash_hi)
+      assert(dist <= 3, s"planted pair ($id, ${id - 1}) drifted to hamming $dist")
+      // pigeonhole: <=3 flips across 4 bands leaves one band intact
+      val bandsOf = (p: m.ImagePHash) => Seq(
+        p.ahash_lo & 0xffffL, p.ahash_lo >>> 16,
+        p.ahash_hi & 0xffffL, p.ahash_hi >>> 16)
+      assert(bandsOf(a).zip(bandsOf(b)).exists { case (x, y) => x == y })
+    }
+  }
+
   // ---- real image decode: PPM parser + PNG via imageio ----
 
   test("PPM decode: hand-built P6 bytes with known pixels give exact stats") {
