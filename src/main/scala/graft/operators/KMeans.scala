@@ -51,6 +51,13 @@ object KMeansQuant {
     s"""list_transform(generate_series(1, $dim),
        |  i -> CAST(round(CAST($v[i] AS DOUBLE) * 1000000.0) AS BIGINT))""".stripMargin
 
+  /** [[quantizeSql]] over the `dim`-wide subvector starting after
+    * `offset` elements — the per-subspace slice a product quantizer
+    * trains on. */
+  def quantizeSliceSql(v: String, offset: Int, dim: Int): String =
+    s"""list_transform(generate_series(1, $dim),
+       |  i -> CAST(round(CAST($v[i + $offset] AS DOUBLE) * 1000000.0) AS BIGINT))""".stripMargin
+
   /** Normalized quantization — the SPHERICAL variant for cosine-metric
     * uses (IVF coarse quantizers): on unit vectors, L2 ordering is
     * cosine ordering (‖a−b‖² = 2−2·cosθ), so an L2-trained quantizer
@@ -120,14 +127,16 @@ object KMeansQuant {
   }
 
   /** DuckDB CTE fragment: one assignment pass `out` from centroid table
-    * `prev` over quantized corpus `eq(vec_id, qv)`. */
-  def assignCteSql(prev: String, out: String, dim: Int): String =
+    * `prev` over quantized corpus `eq(vec_id, qv)` (name overridable for
+    * parallel per-subspace chains). */
+  def assignCteSql(prev: String, out: String, dim: Int,
+      eq: String = "eq"): String =
     s"""$out AS (
        |  SELECT vec_id, qv, cid, d AS distq FROM (
        |    SELECT vec_id, qv, cid, d,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
        |    FROM (SELECT e.vec_id, e.qv, c.cid, ${l2qSql("e.qv", "c.cv", dim)} AS d
-       |          FROM eq e CROSS JOIN $prev c) t0) t1
+       |          FROM $eq e CROSS JOIN $prev c) t0) t1
        |  WHERE rk = 1)""".stripMargin
 
   /** DuckDB CTE fragment: centroid update `out` from assignment
@@ -147,19 +156,30 @@ object KMeansQuant {
   /** Full oracle CTE chain for `rounds` passes: `eq`, `c0`, a1..aN with
     * updates between. Seeds are the quantized vectors of
     * `[seedLo, seedHi]`, cid = vec_id − seedLo. The caller SELECTs from
-    * `a$rounds`. */
+    * `a$rounds`. With `prefix` every CTE name is prefixed (parallel
+    * per-subspace chains); with `offset` the fit trains on the
+    * `dim`-wide subvector starting after `offset` elements — together
+    * they are the PRODUCT-quantizer training chain. */
   def oracleCtesSql(seedLo: Long, seedHi: Long, rounds: Int, dim: Int,
-      normalized: Boolean = false): String = {
+      normalized: Boolean = false, prefix: String = "",
+      offset: Int = 0): String = {
+    require(!(normalized && offset != 0),
+      "normalized slicing is not defined (norm is whole-vector)")
     val qvSql =
       if (normalized) quantizeNormalizedSql("embedding", dim)
-      else quantizeSql("embedding", dim)
+      else if (offset == 0) quantizeSql("embedding", dim)
+      else quantizeSliceSql("embedding", offset, dim)
     val head = Seq(
-      s"eq AS (SELECT vec_id, $qvSql AS qv FROM embeddings)",
-      s"""c0 AS (SELECT CAST(vec_id - $seedLo AS BIGINT) AS cid, qv AS cv FROM eq
+      s"${prefix}eq AS (SELECT vec_id, $qvSql AS qv FROM embeddings)",
+      s"""${prefix}c0 AS (SELECT CAST(vec_id - $seedLo AS BIGINT) AS cid, qv AS cv
+         |       FROM ${prefix}eq
          |       WHERE vec_id BETWEEN $seedLo AND $seedHi)""".stripMargin)
     val body = (1 to rounds).flatMap { r =>
-      val assign = assignCteSql(s"c${r - 1}", s"a$r", dim)
-      if (r < rounds) Seq(assign, updateCteSql(s"a$r", s"c${r - 1}", s"c$r", dim))
+      val assign = assignCteSql(s"${prefix}c${r - 1}", s"${prefix}a$r", dim,
+        eq = s"${prefix}eq")
+      if (r < rounds)
+        Seq(assign,
+          updateCteSql(s"${prefix}a$r", s"${prefix}c${r - 1}", s"${prefix}c$r", dim))
       else Seq(assign)
     }
     (head ++ body).mkString(",\n")

@@ -302,6 +302,115 @@ object Clustering extends QueryGroup {
              SELECT query_id, rk, vec_id, cid AS list_id, cosine FROM ranked
              WHERE rk <= 3 ORDER BY query_id, rk"""))
 
+  /** PRODUCT QUANTIZATION with ADC scoring (FAISS IndexPQ, completing
+    * the quantization family next to q_vector_quantize's scalar INT8):
+    * the 64-dim space splits into M=4 16-dim subspaces, each with its
+    * own K=8 codebook trained by the SAME exact-integer Lloyd chain as
+    * q_cluster_kmeans (seeds = data rows, lowest-cid argmin ties), so a
+    * vector compresses to 4 codes (3 bits each vs 64 floats — the
+    * memory ratio that lets a 100 TB corpus's candidates live in RAM).
+    * Query scoring is ASYMMETRIC DISTANCE COMPUTATION: per query ONE
+    * 4×8 integer lookup table (exact squared-L2 of each query subvector
+    * against each codeword — a literal-centroid projection over the
+    * QUERY batch only), then every candidate's distance is 4 table
+    * lookups + 3 adds, no float anywhere, ranked (distq, vec_id).
+    * The oracle replays all four per-subspace training chains
+    * (prefixed CTE chains), the corpus encoding, the lookup tables and
+    * the ranking — bit-for-bit. Scale shape: encoding = 4 codegen'd
+    * literal-centroid projections (narrow map); scoring = broadcast
+    * 256-entry tables against the code table, shuffle only the final
+    * per-query top-k window. Composes with the IVF list pruning of
+    * q_sim_ivf_kmeans (probe lists first, ADC-score inside) — gated
+    * here in its exhaustive IndexPQ form to keep the oracle 1:1.
+    * Deployment shape is ADC-shortlist → exact rerank; AnnRecallSpec
+    * MEASURES shortlist recall on this corpus: M=8/K=32 captures
+    * 0.54/0.75/0.92 of the true top-3 at shortlist 10/25/50 (2.5% of
+    * corpus), vs 0.25 for the gate's deliberately-small M=4/K=8 —
+    * finer subspaces and richer codebooks both help, monotonically. */
+  private val qSimPqAdc = Q(
+    "q_sim_pq_adc",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val M = 4
+      val SubDim = Dim / M
+      val e = table(s, dir, "embeddings").select("vec_id", "embedding")
+      val data = e.withColumn("qv", KMeansQuant.quantize(col("embedding")))
+      // per-subspace codebooks: independent exact-int Lloyd fits on the
+      // sliced coordinates, seeded from the same data rows
+      val subCents: Seq[Seq[Seq[Long]]] = (0 until M).map { m =>
+        val sub = data.withColumn("qvm",
+          slice(col("qv"), m * SubDim + 1, SubDim))
+        val seeds = sub.filter(col("vec_id").between(SeedLo, SeedHi))
+          .orderBy("vec_id").select("qvm").as[Seq[Long]].collect().toSeq
+        KMeansQuant.fit(s, sub, "qvm", seeds, Rounds, SubDim)._2
+      }
+      // encode: code_m = argmin codeword (lowest-cid ties) per subspace
+      val coded = (0 until M).foldLeft(data) { (df, m) =>
+        val dists = KMeansQuant.distArray(
+          slice(col("qv"), m * SubDim + 1, SubDim), subCents(m))
+        df.withColumn(s"code$m",
+          array_position(dists, array_min(dists)) - 1L)
+      }.select(col("vec_id") +: (0 until M).map(m => col(s"code$m")): _*)
+      // ADC tables: per query, per subspace, the 8 exact distances
+      val queries = data.filter(col("vec_id") < 8)
+      val tabled = (0 until M).foldLeft(
+          queries.select(col("vec_id").as("query_id"), col("qv"))) { (df, m) =>
+        df.withColumn(s"qd$m", KMeansQuant.distArray(
+          slice(col("qv"), m * SubDim + 1, SubDim), subCents(m)))
+      }.select(col("query_id") +: (0 until M).map(m => col(s"qd$m")): _*)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("distq"), col("vec_id"))
+      coded.join(broadcast(tabled), col("vec_id") =!= col("query_id"))
+        .withColumn("distq", (0 until M).map(m =>
+          element_at(col(s"qd$m"), (col(s"code$m") + 1L).cast("int")))
+          .reduce(_ + _))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("query_id"), col("rk"), col("vec_id"), col("distq"))
+        .orderBy("query_id", "rk")
+    },
+    Some {
+      val M = 4
+      val SubDim = Dim / M
+      val chains = (0 until M).map(m =>
+        KMeansQuant.oracleCtesSql(SeedLo, SeedHi, Rounds, SubDim,
+          prefix = s"s$m", offset = m * SubDim)).mkString(",\n")
+      val codesJoin = (1 until M)
+        .map(m => s"JOIN s${m}a$Rounds a$m USING (vec_id)").mkString(" ")
+      val codeCols = (0 until M)
+        .map(m => s"a$m.cid AS code$m").mkString(", ")
+      val qdCtes = (0 until M).map(m =>
+        s"""qd$m AS (
+           |  SELECT e.vec_id AS query_id, c.cid,
+           |    ${KMeansQuant.l2qSql("e.qv", "c.cv", SubDim)} AS d
+           |  FROM s${m}eq e CROSS JOIN s${m}c${Rounds - 1} c
+           |  WHERE e.vec_id < 8)""".stripMargin).mkString(",\n")
+      val qdJoins = (0 until M).map(m =>
+        s"JOIN qd$m d$m ON d$m.query_id = q.query_id AND d$m.cid = x.code$m")
+        .mkString("\n  ")
+      val dSum = (0 until M).map(m => s"d$m.d").mkString(" + ")
+      s"""WITH $chains,
+         |codes AS (
+         |  SELECT vec_id, $codeCols
+         |  FROM s0a$Rounds a0 $codesJoin),
+         |$qdCtes,
+         |cand AS (
+         |  SELECT q.query_id, x.vec_id, $dSum AS distq
+         |  FROM codes x
+         |  CROSS JOIN (SELECT vec_id AS query_id FROM embeddings
+         |              WHERE vec_id < 8) q
+         |  $qdJoins
+         |  WHERE x.vec_id <> q.query_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, distq,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY distq, vec_id) AS rk
+         |  FROM cand)
+         |SELECT query_id, rk, vec_id, distq FROM ranked
+         |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin
+    })
+
   override val queries: Seq[Q] = Seq(qClusterKmeans, qClusterKmeansDurable,
-    qDedupSemantic, qSimIvfKmeans, qSimIvfPersisted)
+    qDedupSemantic, qSimIvfKmeans, qSimIvfPersisted, qSimPqAdc)
 }

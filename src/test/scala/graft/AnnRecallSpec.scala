@@ -128,6 +128,69 @@ class AnnRecallSpec extends AnyFunSuite with SparkSessionFixture {
     lists.join(broadcast(probes), "cid")
   }
 
+  /** PQ-ADC ranking per query — q_sim_pq_adc's construction generalized
+    * over (M subspaces, k codewords): exact-int Lloyd codebooks,
+    * asymmetric-distance table scoring, returns the top-`shortlist` ids
+    * per query. PQ approximates the SCORE (not the candidate set), so
+    * its deployment shape is ADC-shortlist → exact rerank; shortlist
+    * recall (does the true top-3 survive into the shortlist?) is the
+    * measure that matters. */
+  private def pqShortlist(m: Int, k: Int, shortlist: Int): Map[Long, Set[Long]] = {
+    import graft.operators.KMeansQuant
+    val s = spark
+    import s.implicits._
+    val subDim = 64 / m
+    val data = emb.withColumn("qv", KMeansQuant.quantize(col("embedding")))
+    val subCents = (0 until m).map { mm =>
+      val sub = data.withColumn("qvm", slice(col("qv"), mm * subDim + 1, subDim))
+      val seeds = sub.filter(col("vec_id").between(200, 200 + k - 1))
+        .orderBy("vec_id").select("qvm").as[Seq[Long]].collect().toSeq
+      KMeansQuant.fit(s, sub, "qvm", seeds, 3, subDim)._2
+    }
+    val coded = (0 until m).foldLeft(data) { (df, mm) =>
+      val dists = KMeansQuant.distArray(
+        slice(col("qv"), mm * subDim + 1, subDim), subCents(mm))
+      df.withColumn(s"code$mm", array_position(dists, array_min(dists)) - 1L)
+    }
+    val tabled = (0 until m).foldLeft(
+        data.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("qv"))) { (df, mm) =>
+      df.withColumn(s"qd$mm", KMeansQuant.distArray(
+        slice(col("qv"), mm * subDim + 1, subDim), subCents(mm)))
+    }.drop("qv")
+    val w = Window.partitionBy("query_id").orderBy(col("distq"), col("vec_id"))
+    coded.join(broadcast(tabled), col("vec_id") =!= col("query_id"))
+      .withColumn("distq", (0 until m).map(mm =>
+        element_at(col(s"qd$mm"), (col(s"code$mm") + 1L).cast("int")))
+        .reduce(_ + _))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= shortlist)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+  }
+
+  test("PQ-ADC shortlist recall rises with shortlist size and codebook richness; " +
+      "M=8/K=32 captures >=0.8 of the true top-3 in a 50-wide shortlist (2.5% of corpus)") {
+    def recallOf(got: Map[Long, Set[Long]]): Double = {
+      val hits = truth.map { case (q, t) => (t & got.getOrElse(q, Set.empty)).size }.sum
+      hits.toDouble / truth.map(_._2.size).sum
+    }
+    // shortlist-size curve at fixed geometry (the rerank budget lever)
+    val bySize = Seq(10, 25, 50).map(n => n -> recallOf(pqShortlist(8, 32, n)))
+    bySize.sliding(2).foreach { case Seq((n1, r1), (n2, r2)) =>
+      assert(r2 >= r1 - 1e-9, s"recall fell from $r1 (n=$n1) to $r2 (n=$n2)")
+    }
+    assert(bySize.last._2 >= 0.8,
+      s"M=8/K=32 shortlist-50 recall ${bySize.last._2} below floor")
+    // geometry curve at fixed shortlist (the storage-accuracy lever):
+    // measured 0.25 (M=4,K=8) / 0.50 (M=4,K=32) / 0.67 (M=8,K=8) /
+    // 0.92 (M=8,K=32) — finer subspaces and richer codebooks both help
+    val coarse = recallOf(pqShortlist(4, 8, 50))
+    val fine = bySize.last._2
+    assert(fine >= coarse,
+      s"richer PQ geometry did not help: $coarse -> $fine")
+    info(s"shortlist curve (M=8,K=32): $bySize; coarse (M=4,K=8) at 50: $coarse")
+  }
+
   test("trained-centroid IVF: recall rises with nprobe; comparison vs " +
       "raw-row centroids at matched candidate fractions") {
     val curve = (1 to 4).map { np =>
