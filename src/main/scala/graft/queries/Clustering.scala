@@ -411,6 +411,129 @@ object Clustering extends QueryGroup {
          |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin
     })
 
+  /** IVF-PQ — the composed FAISS production index (IndexIVFPQ shape):
+    * the TRAINED spherical coarse quantizer prunes candidates to the
+    * nprobe=2 nearest inverted lists (q_sim_ivf_kmeans's machinery),
+    * and scoring INSIDE the probed lists is PQ asymmetric distance
+    * (q_sim_pq_adc's machinery) — so per query the corpus cost is
+    * (nprobe/K of the lists) × (M lookups + M−1 adds), never a float,
+    * never a full scan, and the candidate payload is M codes instead
+    * of the raw vector (the bandwidth ratio that makes a 100 TB
+    * corpus's candidate stream shippable). One honest divergence from
+    * FAISS: codes encode the RAW subvectors, not residuals against the
+    * coarse centroid — residual encoding changes no plan shape, only
+    * the codebook input, and is left out to keep the oracle chains
+    * shared with the two parent gates. Ranking is (distq, vec_id);
+    * the oracle composes both parents' CTE chains verbatim. */
+  private val qSimIvfPq = Q(
+    "q_sim_ivfpq",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val M = 4
+      val SubDim = Dim / M
+      val e = table(s, dir, "embeddings").select("vec_id", "embedding")
+      // coarse quantizer: the spherical fit (shared with q_sim_ivf_kmeans)
+      val (assigned, coarse) = fitted(s, dir, normalized = true)
+      val lists = assigned.select(col("vec_id"), col("qv"), col("cluster").as("cid"))
+      // PQ codebooks on the RAW quantized coordinates (shared with q_sim_pq_adc)
+      val data = e.withColumn("pqv", KMeansQuant.quantize(col("embedding")))
+      val subCents: Seq[Seq[Seq[Long]]] = (0 until M).map { m =>
+        val sub = data.withColumn("qvm",
+          slice(col("pqv"), m * SubDim + 1, SubDim))
+        val seeds = sub.filter(col("vec_id").between(SeedLo, SeedHi))
+          .orderBy("vec_id").select("qvm").as[Seq[Long]].collect().toSeq
+        KMeansQuant.fit(s, sub, "qvm", seeds, Rounds, SubDim)._2
+      }
+      val coded = (0 until M).foldLeft(
+          lists.join(data.select("vec_id", "pqv"), "vec_id")) { (df, m) =>
+        val dists = KMeansQuant.distArray(
+          slice(col("pqv"), m * SubDim + 1, SubDim), subCents(m))
+        df.withColumn(s"code$m",
+          array_position(dists, array_min(dists)) - 1L)
+      }.select(col("vec_id") +: col("cid") +:
+        (0 until M).map(m => col(s"code$m")): _*)
+      // probes: nprobe=2 nearest lists by the coarse quantizer's metric
+      val wProbe = Window.partitionBy(col("query_id"))
+        .orderBy(col("cdist"), col("cid"))
+      val qbase = assigned.filter(col("vec_id") < 8)
+        .join(data.select(col("vec_id"), col("pqv")), "vec_id")
+      val probes0 = qbase
+        .select(col("vec_id").as("query_id"), col("pqv"),
+          posexplode(KMeansQuant.distArray(col("qv"), coarse)))
+        .select(col("query_id"), col("pqv"),
+          col("pos").cast("long").as("cid"), col("col").as("cdist"))
+        .withColumn("crk", row_number().over(wProbe))
+        .filter(col("crk") <= 2)
+      // per-query ADC tables ride along with the probe rows
+      val probes = (0 until M).foldLeft(probes0) { (df, m) =>
+        df.withColumn(s"qd$m", KMeansQuant.distArray(
+          slice(col("pqv"), m * SubDim + 1, SubDim), subCents(m)))
+      }.select(col("query_id") +: col("cid") +:
+        (0 until M).map(m => col(s"qd$m")): _*)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("distq"), col("vec_id"))
+      coded.join(broadcast(probes), "cid")
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("distq", (0 until M).map(m =>
+          element_at(col(s"qd$m"), (col(s"code$m") + 1L).cast("int")))
+          .reduce(_ + _))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("query_id"), col("rk"), col("vec_id"),
+          col("cid").as("list_id"), col("distq"))
+        .orderBy("query_id", "rk")
+    },
+    Some {
+      val M = 4
+      val SubDim = Dim / M
+      val coarseChain = KMeansQuant.oracleCtesSql(
+        SeedLo, SeedHi, Rounds, Dim, normalized = true)
+      val pqChains = (0 until M).map(m =>
+        KMeansQuant.oracleCtesSql(SeedLo, SeedHi, Rounds, SubDim,
+          prefix = s"s$m", offset = m * SubDim)).mkString(",\n")
+      val codesJoin = (1 until M)
+        .map(m => s"JOIN s${m}a$Rounds a$m USING (vec_id)").mkString(" ")
+      val codeCols = (0 until M)
+        .map(m => s"a$m.cid AS code$m").mkString(", ")
+      val qdCtes = (0 until M).map(m =>
+        s"""qd$m AS (
+           |  SELECT e.vec_id AS query_id, c.cid,
+           |    ${KMeansQuant.l2qSql("e.qv", "c.cv", SubDim)} AS d
+           |  FROM s${m}eq e CROSS JOIN s${m}c${Rounds - 1} c
+           |  WHERE e.vec_id < 8)""".stripMargin).mkString(",\n")
+      val qdJoins = (0 until M).map(m =>
+        s"JOIN qd$m d$m ON d$m.query_id = p.query_id AND d$m.cid = x.code$m")
+        .mkString("\n  ")
+      val dSum = (0 until M).map(m => s"d$m.d").mkString(" + ")
+      s"""WITH $coarseChain,
+         |$pqChains,
+         |codes AS (
+         |  SELECT vec_id, $codeCols
+         |  FROM s0a$Rounds a0 $codesJoin),
+         |$qdCtes,
+         |probes AS (
+         |  SELECT query_id, cid FROM (
+         |    SELECT e.vec_id AS query_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${KMeansQuant.l2qSql("e.qv", "c.cv", Dim)}, c.cid) AS crk
+         |    FROM eq e CROSS JOIN c${Rounds - 1} c WHERE e.vec_id < 8) t
+         |  WHERE crk <= 2),
+         |cand AS (
+         |  SELECT p.query_id, x.vec_id, lx.cid AS list_id, $dSum AS distq
+         |  FROM a$Rounds lx
+         |  JOIN probes p ON lx.cid = p.cid AND lx.vec_id <> p.query_id
+         |  JOIN codes x ON x.vec_id = lx.vec_id
+         |  $qdJoins),
+         |ranked AS (
+         |  SELECT query_id, vec_id, list_id, distq,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY distq, vec_id) AS rk
+         |  FROM cand)
+         |SELECT query_id, rk, vec_id, list_id, distq FROM ranked
+         |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin
+    })
+
   override val queries: Seq[Q] = Seq(qClusterKmeans, qClusterKmeansDurable,
-    qDedupSemantic, qSimIvfKmeans, qSimIvfPersisted, qSimPqAdc)
+    qDedupSemantic, qSimIvfKmeans, qSimIvfPersisted, qSimPqAdc, qSimIvfPq)
 }
