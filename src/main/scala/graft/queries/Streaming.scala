@@ -731,6 +731,89 @@ object Streaming extends QueryGroup {
     },
     Some(Llm.phashIngestOracle))
 
+  /** LIVE ANN SERVING — the probe-many lifecycle actually served from a
+    * stream: the persisted IVF index ([[graft.operators.AnnIndex]]) is
+    * built ONCE before the stream starts; query vectors then arrive as
+    * three vec_id-ranged drops and every micro-batch probes the
+    * COMMITTED index via foreachBatch (no re-fit ever — the probe plan
+    * is aggregate-free and partition-pruned, AnnIndexSpec). Probes are
+    * per-query independent, so the converged result set equals a
+    * one-shot probe of all queries — the oracle is the same SQL shape
+    * as q_sim_ivf_persisted widened to the streamed query range. This
+    * is the serving half of a 100 TB retrieval deployment: index
+    * maintenance (build/appendDelta, versioned) decoupled from a query
+    * stream that only ever reads. */
+  private val qStreamAnnProbe = Q(
+    "q_stream_ann_probe",
+    (s, dir) => {
+      val tmp = sys.props("java.io.tmpdir")
+      val root = new java.io.File(s"$tmp/graft-stream-ann-probe")
+      if (root.exists()) rmTree(root)
+      val idx = s"$root/index"
+      val out = s"$root/results"
+      val e = table(s, dir, "embeddings").select("vec_id", "embedding")
+      graft.operators.AnnIndex.build(e, "vec_id", "embedding",
+        (200L until 208L).toSeq, 3, 64, idx)
+      val queries = e.filter(col("vec_id") < 24)
+      val staged = root.toPath.resolve("staged")
+      queries.repartitionByRange(3, col("vec_id"))
+        .write.mode("overwrite").parquet(staged.toString)
+      val srcRoot = root.toPath.resolve("src")
+      java.nio.file.Files.createDirectories(srcRoot)
+      val stream = s.readStream.schema(queries.schema).parquet(srcRoot.toString)
+      withStatePartitions(s, 8) {
+        val q = stream.writeStream.outputMode("append")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            rmTree(new java.io.File(s"$out/batch=$id"))
+            graft.operators.AnnIndex.probe(batch.toDF(), idx,
+                "vec_id", "embedding", nprobe = 2, topK = 3,
+                excludeSelf = true)
+              .write.format("graft.sources.KvSinkProvider")
+              .option("path", s"$out/batch=$id").mode("append").save()
+          }
+          .start()
+        try {
+          new java.io.File(staged.toString).listFiles()
+            .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+            .zipWithIndex.foreach { case (f, i) =>
+              java.nio.file.Files.copy(f.toPath, srcRoot.resolve(s"drop_$i.parquet"))
+              q.processAllAvailable()
+            }
+        } finally q.stop()
+      }
+      s.read.format("graft.sources.KvSourceProvider")
+        .option("path", out).option("recursive", "true")
+        .option("schema",
+          "query_id LONG, rk INT, vec_id LONG, list_id LONG, cosine DOUBLE")
+        .load()
+        .orderBy("query_id", "rk")
+    },
+    Some(s"""WITH ${graft.operators.KMeansQuant.oracleCtesSql(200L, 207L, 3, 64,
+               normalized = true)},
+             probes AS (
+               SELECT query_id, cid FROM (
+                 SELECT e.vec_id AS query_id, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${graft.operators.KMeansQuant.l2qSql(
+                       "e.qv", "c.cv", 64)}, c.cid) AS crk
+                 FROM eq e CROSS JOIN c2 c WHERE e.vec_id < 24) t
+               WHERE crk <= 2),
+             scored AS (
+               SELECT p.query_id, x.vec_id, x.cid,
+                 ${graft.operators.PortableHash.cosineSql(
+                   "qe.embedding", "ce.embedding", 64)} AS cosine
+               FROM a3 x JOIN probes p
+                 ON x.cid = p.cid AND x.vec_id <> p.query_id
+               JOIN embeddings qe ON qe.vec_id = p.query_id
+               JOIN embeddings ce ON ce.vec_id = x.vec_id),
+             ranked AS (
+               SELECT query_id, vec_id, cid, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, vec_id) AS rk
+               FROM scored)
+             SELECT query_id, rk, vec_id, cid AS list_id, cosine FROM ranked
+             WHERE rk <= 3 ORDER BY query_id, rk"""))
+
   /** Watermarked streaming dedup, batch twin (EventStreams.dedupEvents —
     * dropDuplicatesWithinWatermark, the bounded-state ingestion guard).
     * Input is events ⊎ its first 200 rows — a deterministic replayed-batch
@@ -759,5 +842,5 @@ object Streaming extends QueryGroup {
     qStreamJoinFull, qStreamJoinFullLive, qStreamEnrich,
     qStreamLive, qStreamLiveAppend, qStreamKvSink,
     qStreamIngest, qStreamIngestNeardup, qStreamIngestNeardupPhash,
-    qStreamDedup)
+    qStreamAnnProbe, qStreamDedup)
 }
