@@ -191,6 +191,70 @@ class AnnRecallSpec extends AnyFunSuite with SparkSessionFixture {
     info(s"shortlist curve (M=8,K=32): $bySize; coarse (M=4,K=8) at 50: $coarse")
   }
 
+  test("IVF-PQ: coarse pruning stacks on ADC with bounded recall cost; recall rises with nprobe") {
+    import graft.operators.KMeansQuant
+    val s = spark
+    import s.implicits._
+    val m = 8; val subDim = 64 / m; val k = 32; val shortlist = 50
+    // PQ pieces (as pqShortlist)
+    val data = emb.withColumn("qv", KMeansQuant.quantize(col("embedding")))
+    val subCents = (0 until m).map { mm =>
+      val sub = data.withColumn("qvm", slice(col("qv"), mm * subDim + 1, subDim))
+      val seeds = sub.filter(col("vec_id").between(200, 200 + k - 1))
+        .orderBy("vec_id").select("qvm").as[Seq[Long]].collect().toSeq
+      KMeansQuant.fit(s, sub, "qvm", seeds, 3, subDim)._2
+    }
+    // coarse IVF pieces (as ivfKmeansCandidates, K=8 spherical)
+    val ndata = emb.withColumn("nqv", KMeansQuant.quantizeNormalized(col("embedding")))
+    val cseeds = ndata.filter(col("vec_id").between(200, 207))
+      .orderBy("vec_id").select("nqv").as[Seq[Long]].collect().toSeq
+    val (assigned, coarse) = KMeansQuant.fit(s, ndata, "nqv", cseeds, 3, 64)
+    def ivfpq(nprobe: Int): Map[Long, Set[Long]] = {
+      val coded = (0 until m).foldLeft(
+          assigned.select(col("vec_id"), col("cluster").as("cid"))
+            .join(data.select("vec_id", "qv"), "vec_id")) { (df, mm) =>
+        val dists = KMeansQuant.distArray(
+          slice(col("qv"), mm * subDim + 1, subDim), subCents(mm))
+        df.withColumn(s"code$mm", array_position(dists, array_min(dists)) - 1L)
+      }
+      val wP = Window.partitionBy("query_id").orderBy(col("cdist"), col("cid"))
+      val probes0 = assigned.filter(col("vec_id") < 8)
+        .join(data.select("vec_id", "qv"), "vec_id")
+        .select(col("vec_id").as("query_id"), col("qv"),
+          posexplode(KMeansQuant.distArray(col("nqv"), coarse)))
+        .select(col("query_id"), col("qv"),
+          col("pos").cast("long").as("cid"), col("col").as("cdist"))
+        .withColumn("crk", row_number().over(wP)).filter(col("crk") <= nprobe)
+      val probes = (0 until m).foldLeft(probes0) { (df, mm) =>
+        df.withColumn(s"qd$mm", KMeansQuant.distArray(
+          slice(col("qv"), mm * subDim + 1, subDim), subCents(mm)))
+      }.select(col("query_id") +: col("cid") +:
+        (0 until m).map(mm => col(s"qd$mm")): _*)
+      val w = Window.partitionBy("query_id").orderBy(col("distq"), col("vec_id"))
+      coded.join(broadcast(probes), "cid")
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("distq", (0 until m).map(mm =>
+          element_at(col(s"qd$mm"), (col(s"code$mm") + 1L).cast("int")))
+          .reduce(_ + _))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= shortlist)
+        .select("query_id", "vec_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    }
+    def recallOf(got: Map[Long, Set[Long]]): Double = {
+      val hits = truth.map { case (q, t) => (t & got.getOrElse(q, Set.empty)).size }.sum
+      hits.toDouble / truth.map(_._2.size).sum
+    }
+    val exhaustive = recallOf(pqShortlist(m, k, shortlist))
+    val r = Seq(2, 4, 8).map(np => np -> recallOf(ivfpq(np)))
+    r.sliding(2).foreach { case Seq((n1, r1), (n2, r2)) =>
+      assert(r2 >= r1 - 1e-9, s"IVFPQ recall fell from $r1 (nprobe=$n1) to $r2 (nprobe=$n2)")
+    }
+    // full-probe IVFPQ scans everything → must equal exhaustive PQ
+    assert(math.abs(r.last._2 - exhaustive) < 1e-9,
+      s"nprobe=K IVFPQ ${r.last._2} != exhaustive PQ $exhaustive")
+    info(s"IVFPQ shortlist-recall by nprobe: $r (exhaustive PQ: $exhaustive)")
+  }
+
   test("trained-centroid IVF: recall rises with nprobe; comparison vs " +
       "raw-row centroids at matched candidate fractions") {
     val curve = (1 to 4).map { np =>

@@ -69,7 +69,12 @@ class PlanGuardSpec extends AnyFunSuite with SparkSessionFixture {
     "q_join_nullsafe" -> "scalar x scalar result join",
     // the (N, L) corpus totals — one-row broadcast against the
     // label-sized share table
-    "q_mix_deviation" -> "scalar (n, l) totals, one-row broadcast")
+    "q_mix_deviation" -> "scalar (n, l) totals, one-row broadcast",
+    // exhaustive IndexPQ (the deliberate ADC baseline, like q_sim_topk):
+    // the broadcast side is the 8-query ADC lookup-table set (8 rows ×
+    // M×K ints) — constant-bounded; the pruned production shape is
+    // q_sim_ivfpq, whose candidate join is cid-equi
+    "q_sim_pq_adc" -> "query ADC tables broadcast, query-set-bounded")
 
   /** Whole-tree traversal: SparkPlan.collect does NOT descend into
     * AdaptiveSparkPlanExec (its current plan is a field, not a child) or
