@@ -205,11 +205,16 @@ object AnnIndex {
       "__qv", cents)
     val version = latest + 1
     val deltaName = s"delta-$version"
-    assigned
+    val rows = assigned
       .select(col("cluster").as("cid"), col(idCol), col(embCol))
-      .write.mode("overwrite").partitionBy("cid")
+    // an empty partitioned parquet dir cannot be read back (no footer to
+    // infer schema from) — committing one would poison every future
+    // probe's union, so reject before writing anything
+    val count = rows.cache().count()
+    require(count > 0, "appendDelta: delta is empty — nothing to commit")
+    rows.write.mode("overwrite").partitionBy("cid")
       .parquet(s"$dir/$deltaName/lists")
-    val count = spark.read.parquet(s"$dir/$deltaName/lists").count()
+    rows.unpersist()
     Files.writeString(Paths.get(s"$dir/$deltaName/meta.json"),
       metaJson(m.copy(count = count)))
     KvCommitLog.append(Paths.get(dir), entries :+ deltaName)

@@ -125,7 +125,11 @@ object Bpe extends QueryGroup {
   }
 
   /** Doc-aware twin of [[applyCteSql]] for the encode phase: same
-    * first-occurrence/restart recursion with doc_id carried through. */
+    * first-occurrence/restart recursion with doc_id carried through.
+    * The terminal filter coalesces the scalar-subquery instr to 0 so an
+    * EMPTY merge table (training exhausted before this round) passes
+    * every row through unchanged — NULL = 0 would silently drop the
+    * whole corpus instead. */
   private def applyDocCteSql(w: String, best: String, out: String): String =
     s"""${out}_i AS (
        |  SELECT doc_id, wid, s FROM $w
@@ -139,7 +143,8 @@ object Bpe extends QueryGroup {
        |  WHERE pos > 0),
        |$out AS (
        |  SELECT doc_id, wid, s FROM ${out}_i
-       |  WHERE instr(s, (SELECT ' ' || l || ' ' || r || ' ' FROM $best)) = 0)""".stripMargin
+       |  WHERE coalesce(
+       |    instr(s, (SELECT ' ' || l || ' ' || r || ' ' FROM $best)), 0) = 0)""".stripMargin
 
   /** Oracle for the end-to-end flow: the training chain (b1..b4 over the
     * capped sample) feeds a doc-aware encode chain over EVERY document,

@@ -168,6 +168,16 @@ class AnnIndexSpec extends AnyFunSuite with SparkSessionFixture {
       .orderBy("query_id", "rk")
     assert(rows(got) == rows(want),
       "persisted union probe diverges from the direct in-memory retrieval")
+
+    // an empty delta must be rejected, not committed as an unreadable
+    // empty list dir that would poison future probes
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.appendDelta(corpus.filter(col("vec_id") < 0),
+        "vec_id", "embedding", dir)
+      ()
+    }
+    assert(e.getMessage.contains("delta is empty"))
+    assert(AnnIndex.latestVersion(dir) == 2, "failed append bumped the version")
   }
 
   test("orphan generation (no commit manifest) is not an index") {
