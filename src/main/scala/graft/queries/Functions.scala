@@ -351,8 +351,15 @@ object Functions extends QueryGroup {
     * l_quantity has 50 distinct values; l_extendedprice is cents-quantized
     * so its domain (~10M at full TPC-H) stays bounded regardless of row
     * count. The approx_percentile (GK sketch) accuracy CONTRACT is kept in
-    * the q_agg_approx_distinct style: the sketch's median must land within
-    * 1% of the exact median. */
+    * the q_agg_approx_distinct style — but stated in the sketch's OWN
+    * terms: GK guarantees RANK error (≤ n/accuracy), not relative VALUE
+    * error, and on this integer domain (each quantity ≈ 2% of rows ≫ the
+    * 0.1% rank error) a worst-case rank shift moves the answer to a
+    * value adjacent to the exact interpolated median — so the contract
+    * is |approx − exact| ≤ 1 quantity step. (A 1%-relative check is NOT
+    * implied by the sketch and flaked at the sf1 decade: a one-step jump
+    * near median 25 is ~4% relative, and the sketch's merge order — and
+    * hence which neighbor it lands on — varies with partitioning.) */
   private def countMapPercentiles(
       df: DataFrame, groupCol: String, valCol: String,
       qs: Seq[(String, Double)]): DataFrame = {
@@ -397,10 +404,10 @@ object Functions extends QueryGroup {
       qty
         .join(broadcast(price), Seq("l_returnflag"))
         .join(broadcast(approx), Seq("l_returnflag"))
-        .withColumn("approx_within_1pct",
-          abs(col("am") - col("qty_p50")) / col("qty_p50") <= 0.01)
+        .withColumn("approx_within_1q",
+          abs(col("am") - col("qty_p50")) <= 1.0)
         .select(col("l_returnflag"), col("qty_p25"), col("qty_p50"),
-          col("qty_p95"), col("price_median"), col("approx_within_1pct"))
+          col("qty_p95"), col("price_median"), col("approx_within_1q"))
         .orderBy(col("l_returnflag"))
     },
     Some("""SELECT l_returnflag,
@@ -408,7 +415,7 @@ object Functions extends QueryGroup {
               quantile_cont(l_quantity, 0.5) AS qty_p50,
               quantile_cont(l_quantity, 0.95) AS qty_p95,
               quantile_cont(l_extendedprice, 0.5) AS price_median,
-              TRUE AS approx_within_1pct
+              TRUE AS approx_within_1q
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   /** Exact mode from the same value→count map as the percentiles: most
