@@ -178,6 +178,146 @@ object AnnIndex {
       .collect().sortBy(_._1).map(_._2).toSeq
   }
 
+  /** [[build]] plus PRODUCT-QUANTIZATION codes — the persisted IVFPQ
+    * (FAISS IndexIVFPQ on disk): alongside the coarse generation, `m`
+    * per-subspace codebooks are trained on the RAW quantized
+    * coordinates (seeded from the same rows, exact-int Lloyd — the
+    * q_sim_pq_adc construction) and every list row carries its M codes,
+    * so [[probePq]] can ADC-score candidates from the codes alone —
+    * the candidate read is M small ints per row, not the raw vector.
+    * Layout adds `gen-N/pq/` (parquet: m, cid, cv) and `codeI` columns
+    * in the lists; committed by the same manifest-last protocol. */
+  def buildPq(data: DataFrame, idCol: String, embCol: String,
+      seedIds: Seq[Long], rounds: Int, dim: Int, dir: String,
+      m: Int): Int = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val k = seedIds.size
+    require(k > 0, "ann index needs at least one seed")
+    require(m > 0 && dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+
+    // coarse: spherical fit (cosine retrieval), as build()
+    val corpus = data.select(col(idCol), col(embCol))
+      .withColumn("__qv", KMeansQuant.quantizeNormalized(col(embCol)))
+      .withColumn("__pqv", KMeansQuant.quantize(col(embCol)))
+    val init = corpus.filter(col(idCol).isin(seedIds: _*))
+      .orderBy(idCol).select("__qv").as[Seq[Long]].collect().toSeq
+    require(init.size == k,
+      s"seed ids missing from corpus: wanted $k, found ${init.size}")
+    val (assigned, cents) =
+      KMeansQuant.fit(spark, corpus, "__qv", init, rounds, dim)
+    // PQ codebooks on the raw quantized subvectors
+    val subCents: Seq[Seq[Seq[Long]]] = (0 until m).map { mm =>
+      val sub = corpus.withColumn("__qvm",
+        slice(col("__pqv"), mm * subDim + 1, subDim))
+      val seeds = sub.filter(col(idCol).isin(seedIds: _*))
+        .orderBy(idCol).select("__qvm").as[Seq[Long]].collect().toSeq
+      KMeansQuant.fit(spark, sub, "__qvm", seeds, rounds, subDim)._2
+    }
+    val coded = (0 until m).foldLeft(assigned) { (df, mm) =>
+      val dists = KMeansQuant.distArray(
+        slice(col("__pqv"), mm * subDim + 1, subDim), subCents(mm))
+      df.withColumn(s"code$mm", array_position(dists, array_min(dists)) - 1L)
+    }
+
+    val base = Paths.get(dir)
+    Files.createDirectories(base)
+    val version = KvCommitLog.latestVersion(base) + 1
+    val gen = s"$dir/${genName(version)}"
+    cents.zipWithIndex.map { case (cv, cid) => (cid.toLong, cv) }
+      .toDF("cid", "cv").coalesce(1)
+      .write.mode("overwrite").parquet(s"$gen/centroids")
+    subCents.zipWithIndex.flatMap { case (cb, mm) =>
+      cb.zipWithIndex.map { case (cv, cid) => (mm, cid.toLong, cv) }
+    }.toDF("m", "cid", "cv").coalesce(1)
+      .write.mode("overwrite").parquet(s"$gen/pq")
+    coded
+      .select(col("cluster").as("cid") +: col(idCol) +: col(embCol) +:
+        (0 until m).map(mm => col(s"code$mm")): _*)
+      .write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$gen/lists")
+    val count = spark.read.parquet(s"$gen/lists").count()
+    Files.writeString(Paths.get(s"$gen/meta.json"),
+      metaJson(IndexMeta(k, dim, rounds, normalized = true, count)))
+    KvCommitLog.append(base, Seq(genName(version)))
+    version
+  }
+
+  /** Probe a [[buildPq]] index with ADC scoring: list ranking exactly
+    * as [[probe]] (frozen coarse centroids, static partition filter),
+    * but candidates are scored from their STORED codes against the
+    * query's per-subspace lookup tables — exact integer ADC, the raw
+    * vectors never leave disk. Output (query_id, rk, vec_id, list_id,
+    * distq), ranked (distq, id). */
+  def probePq(queries: DataFrame, dir: String, idCol: String, embCol: String,
+      nprobe: Int, topK: Int, excludeSelf: Boolean = false,
+      asOf: Option[Int] = None): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val (entries, v) = entriesAt(dir, asOf)
+    val m = meta(dir, Some(v))
+    val cents = centroids(spark, dir, Some(v))
+    val fit = fitEntry(dir, entries)
+    require(Files.exists(Paths.get(s"$dir/$fit/pq")),
+      s"index at $dir was built without PQ codebooks (AnnIndex.build) — " +
+        "probe it with AnnIndex.probe, or rebuild with buildPq")
+    val subCents: Seq[Seq[Seq[Long]]] =
+      spark.read.parquet(s"$dir/$fit/pq")
+        .select("m", "cid", "cv").as[(Int, Long, Seq[Long])]
+        .collect().groupBy(_._1).toSeq.sortBy(_._1)
+        .map(_._2.sortBy(_._2).map(_._3).toSeq)
+    val pqM = subCents.size
+    require(pqM > 0 && m.dim % pqM == 0,
+      s"index at $dir has no usable pq codebooks")
+    val subDim = m.dim / pqM
+
+    val probes0 = queries
+      .select(col(idCol).as("query_id"), col(embCol).as("__qemb"))
+      .withColumn("__qv", KMeansQuant.quantizeNormalized(col("__qemb")))
+      .withColumn("__pqv", KMeansQuant.quantize(col("__qemb")))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist"), col("cid"))
+    val ranked = probes0
+      .select(col("query_id"), col("__pqv"),
+        posexplode(KMeansQuant.distArray(col("__qv"), cents)))
+      .select(col("query_id"), col("__pqv"),
+        col("pos").cast("long").as("cid"), col("col").as("cdist"))
+      .withColumn("__crk", row_number().over(wProbe))
+      .filter(col("__crk") <= nprobe)
+    val probes = (0 until pqM).foldLeft(ranked) { (df, mm) =>
+      df.withColumn(s"qd$mm", KMeansQuant.distArray(
+        slice(col("__pqv"), mm * subDim + 1, subDim), subCents(mm)))
+    }.select(col("query_id") +: col("cid") +:
+      (0 until pqM).map(mm => col(s"qd$mm")): _*)
+
+    val probeCids = probes.select("cid").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val lists = entries.map(e =>
+        spark.read.parquet(s"$dir/$e/lists")
+          .filter(col("cid").isin(probeCids: _*))
+          .select(col("cid") +: col(idCol) +:
+            (0 until pqM).map(mm => col(s"code$mm")): _*))
+      .reduce(_ unionAll _)
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("distq"), col(idCol))
+    val cand = lists.join(broadcast(probes), "cid")
+    val filtered =
+      if (excludeSelf) cand.filter(col(idCol) =!= col("query_id")) else cand
+    filtered
+      .withColumn("distq", (0 until pqM).map(mm =>
+        element_at(col(s"qd$mm"), (col(s"code$mm") + 1L).cast("int")))
+        .reduce(_ + _))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("query_id"), col("rk"), col(idCol).as("vec_id"),
+        col("cid").cast("long").as("list_id"), col("distq"))
+      .orderBy("query_id", "rk")
+  }
+
   /** INCREMENTAL index maintenance — append `delta` vectors WITHOUT
     * re-fitting: each delta vector is assigned to the frozen committed
     * centroids (the same codegen'd literal-centroid projection the fit
@@ -193,6 +333,7 @@ object AnnIndex {
   def appendDelta(delta: DataFrame, idCol: String, embCol: String,
       dir: String): Int = {
     val spark = delta.sparkSession
+    import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
     val (entries, latest) = entriesAt(dir, None)
     val m = meta(dir, Some(latest))
@@ -203,10 +344,35 @@ object AnnIndex {
     val assigned = KMeansQuant.withAssignment(
       delta.select(col(idCol), col(embCol)).withColumn("__qv", qv),
       "__qv", cents)
+    // a PQ-carrying fit generation ⇒ deltas must carry codes too, or
+    // probePq's list union would miss columns; codes come from the SAME
+    // frozen codebooks
+    val fit = fitEntry(dir, entries)
+    val pqPath = Paths.get(s"$dir/$fit/pq")
+    val (withCodes, codeCols) =
+      if (!Files.exists(pqPath)) (assigned, Seq.empty[String])
+      else {
+        val subCents: Seq[Seq[Seq[Long]]] =
+          spark.read.parquet(pqPath.toString)
+            .select("m", "cid", "cv").as[(Int, Long, Seq[Long])]
+            .collect().groupBy(_._1).toSeq.sortBy(_._1)
+            .map(_._2.sortBy(_._2).map(_._3).toSeq)
+        val subDim = m.dim / subCents.size
+        val coded = subCents.indices.foldLeft(
+            assigned.withColumn("__pqv", KMeansQuant.quantize(col(embCol)))) {
+          (df, mm) =>
+            val dists = KMeansQuant.distArray(
+              slice(col("__pqv"), mm * subDim + 1, subDim), subCents(mm))
+            df.withColumn(s"code$mm",
+              array_position(dists, array_min(dists)) - 1L)
+        }
+        (coded, subCents.indices.map(mm => s"code$mm"))
+      }
     val version = latest + 1
     val deltaName = s"delta-$version"
-    val rows = assigned
-      .select(col("cluster").as("cid"), col(idCol), col(embCol))
+    val rows = withCodes
+      .select(col("cluster").as("cid") +: col(idCol) +: col(embCol) +:
+        codeCols.map(col): _*)
     // an empty partitioned parquet dir cannot be read back (no footer to
     // infer schema from) — committing one would poison every future
     // probe's union, so reject before writing anything

@@ -484,7 +484,11 @@ object Clustering extends QueryGroup {
           col("cid").as("list_id"), col("distq"))
         .orderBy("query_id", "rk")
     },
-    Some {
+    Some(ivfPqOracleSql))
+
+  /** Shared by q_sim_ivfpq and its persisted twin — the composed
+    * coarse+PQ CTE chains replayed bit-for-bit in DuckDB. */
+  private lazy val ivfPqOracleSql: String = {
       val M = 4
       val SubDim = Dim / M
       val coarseChain = KMeansQuant.oracleCtesSql(
@@ -532,8 +536,38 @@ object Clustering extends QueryGroup {
          |  FROM cand)
          |SELECT query_id, rk, vec_id, list_id, distq FROM ranked
          |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin
-    })
+  }
+
+  /** Persisted-index twin of q_sim_ivfpq — the full on-disk FAISS
+    * IndexIVFPQ lifecycle: [[graft.operators.AnnIndex.buildPq]] trains
+    * the spherical coarse quantizer AND the M per-subspace codebooks,
+    * commits centroids + codebooks + cid-partitioned lists (each row
+    * carrying its M codes) through the Store's commit log; the probe
+    * then ranks lists off the committed centroid table and ADC-scores
+    * candidates from their STORED codes — the raw vectors are never
+    * read back, the candidate payload is M small ints per row. Training
+    * and scoring math are byte-identical to the inline query, so this
+    * SHARES its oracle: persistence must not change a single retrieval
+    * result. AnnIndexSpec covers the lifecycle pieces the gate can't
+    * see (no-aggregate probe plan, code-carrying delta appends). */
+  private val qSimIvfPqPersisted = Q(
+    "q_sim_ivfpq_persisted",
+    (s, dir) => {
+      val idx = s"${sys.props("java.io.tmpdir")}/graft_ann/" +
+        s"${s.sparkContext.applicationId}/q_sim_ivfpq_persisted"
+      val fs = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+      val e = table(s, dir, "embeddings").select("vec_id", "embedding")
+      graft.operators.AnnIndex.buildPq(e, "vec_id", "embedding",
+        (SeedLo until SeedLo + K).toSeq, Rounds, Dim, idx, m = 4)
+      graft.operators.AnnIndex.probePq(
+        e.filter(col("vec_id") < 8), idx, "vec_id", "embedding",
+        nprobe = 2, topK = 3, excludeSelf = true)
+    },
+    Some(ivfPqOracleSql))
 
   override val queries: Seq[Q] = Seq(qClusterKmeans, qClusterKmeansDurable,
-    qDedupSemantic, qSimIvfKmeans, qSimIvfPersisted, qSimPqAdc, qSimIvfPq)
+    qDedupSemantic, qSimIvfKmeans, qSimIvfPersisted, qSimPqAdc, qSimIvfPq,
+    qSimIvfPqPersisted)
 }

@@ -196,6 +196,123 @@ class AnnIndexSpec extends AnyFunSuite with SparkSessionFixture {
     assert(e2.getMessage.contains("no committed ann index"))
   }
 
+  test("IVFPQ: probe scores from STORED codes — raw vectors never read back") {
+    val dir = freshDir("pq")
+    val v = AnnIndex.buildPq(corpus, "vec_id", "embedding",
+      (200L until 208L).toSeq, rounds = 3, dim = 64, dir, m = 4)
+    assert(v == 1)
+    val q = corpus.filter(col("vec_id") < 8)
+    val p1 = AnnIndex.probePq(q, dir, "vec_id", "embedding",
+      nprobe = 2, topK = 3, excludeSelf = true)
+    val p2 = AnnIndex.probePq(q, dir, "vec_id", "embedding",
+      nprobe = 2, topK = 3, excludeSelf = true)
+    assert(rows(p1) == rows(p2) && rows(p1).nonEmpty)
+
+    // no aggregation (a re-fit of coarse OR pq codebooks would need one)
+    // and the list scan is partition-pruned on cid
+    val plan = p1.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"probePq plan aggregates — smells like an inline re-fit:\n$plan")
+    assert("PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(plan).isDefined,
+      s"pq list scan is not partition-pruned on cid:\n$plan")
+    // the ADC bandwidth claim: the candidate read is the M codes, NOT
+    // the raw embedding column — pinned on the list scan's ReadSchema
+    val listScans = plan.linesIterator
+      .filter(l => l.contains("lists") && l.contains("ReadSchema")).toSeq
+    assert(listScans.nonEmpty, s"no lists ReadSchema line in plan:\n$plan")
+    assert(listScans.forall(!_.contains("embedding")),
+      s"probePq reads raw vectors from the lists — ADC should read codes only:\n$plan")
+  }
+
+  test("IVFPQ appendDelta: codes from FROZEN codebooks, union probe matches in-memory ADC") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.KMeansQuant
+    val dir = freshDir("pqdelta")
+    val hist = corpus.filter(col("vec_id") >= 50)
+    val delta = corpus.filter(col("vec_id") < 50 && col("vec_id") >= 8)
+    AnnIndex.buildPq(hist, "vec_id", "embedding",
+      (200L until 208L).toSeq, rounds = 3, dim = 64, dir, m = 4)
+    val q = corpus.filter(col("vec_id") < 8)
+    val before = rows(AnnIndex.probePq(q, dir, "vec_id", "embedding",
+      nprobe = 2, topK = 3, excludeSelf = true))
+
+    val v2 = AnnIndex.appendDelta(delta, "vec_id", "embedding", dir)
+    assert(v2 == 2)
+    // pinned version still sees only the history corpus
+    assert(rows(AnnIndex.probePq(q, dir, "vec_id", "embedding",
+      nprobe = 2, topK = 3, excludeSelf = true, asOf = Some(1))) == before)
+
+    val got = AnnIndex.probePq(q, dir, "vec_id", "embedding",
+      nprobe = 2, topK = 3, excludeSelf = true)
+    assert(got.queryExecution.executedPlan.toString.contains("delta-2"),
+      "probePq does not scan the delta lists")
+
+    // differential: union probe must equal ADC retrieval computed
+    // directly in memory from the SAME frozen centroids + codebooks
+    // (independent of the on-disk list/code storage path)
+    val spark0 = spark
+    import spark0.implicits._
+    val cents = AnnIndex.centroids(spark, dir)
+    val subCents: Seq[Seq[Seq[Long]]] =
+      spark.read.parquet(s"$dir/gen-1/pq")
+        .select("m", "cid", "cv").as[(Int, Long, Seq[Long])]
+        .collect().groupBy(_._1).toSeq.sortBy(_._1)
+        .map(_._2.sortBy(_._2).map(_._3).toSeq)
+    val subDim = 64 / subCents.size
+    val qvN = KMeansQuant.quantizeNormalized(col("embedding"))
+    val combined = KMeansQuant.withAssignment(
+      hist.unionAll(delta).withColumn("__qv", qvN), "__qv", cents)
+      .withColumn("__pqv", KMeansQuant.quantize(col("embedding")))
+    val coded = subCents.indices.foldLeft(combined) { (df, mm) =>
+      val dists = KMeansQuant.distArray(
+        slice(col("__pqv"), mm * subDim + 1, subDim), subCents(mm))
+      df.withColumn(s"code$mm", array_position(dists, array_min(dists)) - 1L)
+    }.select(col("vec_id") +: col("cluster").as("cid") +:
+      subCents.indices.map(mm => col(s"code$mm")): _*)
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist"), col("cid"))
+    val probes0 = q
+      .withColumn("__qv", qvN)
+      .withColumn("__pqv", KMeansQuant.quantize(col("embedding")))
+      .select(col("vec_id").as("query_id"), col("__pqv"),
+        posexplode(KMeansQuant.distArray(col("__qv"), cents)))
+      .select(col("query_id"), col("__pqv"),
+        col("pos").cast("long").as("cid"), col("col").as("cdist"))
+      .withColumn("crk", row_number().over(wProbe))
+      .filter(col("crk") <= 2)
+    val probes = subCents.indices.foldLeft(probes0) { (df, mm) =>
+      df.withColumn(s"qd$mm", KMeansQuant.distArray(
+        slice(col("__pqv"), mm * subDim + 1, subDim), subCents(mm)))
+    }.select(col("query_id") +: col("cid") +:
+      subCents.indices.map(mm => col(s"qd$mm")): _*)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("distq"), col("vec_id"))
+    val want = coded.join(broadcast(probes), "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("distq", subCents.indices.map(mm =>
+        element_at(col(s"qd$mm"), (col(s"code$mm") + 1L).cast("int")))
+        .reduce(_ + _))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("query_id"), col("rk"), col("vec_id"),
+        col("cid").cast("long").as("list_id"), col("distq"))
+      .orderBy("query_id", "rk")
+    assert(rows(got) == rows(want),
+      "persisted IVFPQ union probe diverges from in-memory ADC retrieval")
+  }
+
+  test("probePq on a codebook-less index fails fast with guidance") {
+    val dir = freshDir("nopq")
+    AnnIndex.build(corpus, "vec_id", "embedding",
+      (200L until 208L).toSeq, rounds = 3, dim = 64, dir)
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.probePq(corpus.limit(1), dir, "vec_id", "embedding",
+        nprobe = 1, topK = 1)
+      ()
+    }
+    assert(e.getMessage.contains("without PQ codebooks"))
+  }
+
   test("asOf outside the committed range fails fast") {
     val dir = freshDir("range")
     AnnIndex.build(corpus, "vec_id", "embedding",
