@@ -436,6 +436,19 @@ object Streaming extends QueryGroup {
   private def runLiveAppend(
       s: org.apache.spark.sql.SparkSession, dir: String, tag: String)(
       start: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    runLiveDrip(s, dir, tag, EventStreams.tumblingAppend)(start)
+
+  /** The drip loop itself, with the streaming transform as a parameter —
+    * runLiveAppend's machinery reused by the event-time-timer
+    * sessionization live gate (any watermarked append-mode transform of
+    * the raw events stream works; the flush sentinels advance the
+    * watermark far past max(ts), so both closed windows AND expired
+    * timers flush before the final drop). */
+  private def runLiveDrip(
+      s: org.apache.spark.sql.SparkSession, dir: String, tag: String,
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)(
+      start: org.apache.spark.sql.DataFrame =>
         org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val events = table(s, dir, "events")
     val cache = java.nio.file.Paths.get(
@@ -473,7 +486,7 @@ object Streaming extends QueryGroup {
     def files(p: java.nio.file.Path) = new java.io.File(p.toString)
       .listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
     withStatePartitions(s, 8) {
-      val q = start(EventStreams.tumblingAppend(
+      val q = start(transform(
         s.readStream.schema(events.schema).parquet(srcRoot.toString)))
       try {
         (files(staged) ++ files(flushA) ++ files(flushB))
@@ -484,6 +497,62 @@ object Streaming extends QueryGroup {
       } finally q.stop()
     }
   }
+
+  /** LIVE event-time-timer sessionization — the timer half of
+    * transformWithState gated through the driver (the state-variable
+    * half is q_stream_tws; the differential-only spec coverage became a
+    * gate here): closed sessions are EMITTED BY TIMERS — each user's
+    * open session arms one timer at last-event + gap, and the session
+    * closes exactly once when the WATERMARK passes that instant (or
+    * inline when a later batch straddles the gap). Chronological drops
+    * land one micro-batch at a time through runLiveDrip; the flush
+    * sentinels push the watermark a month past max(ts), firing every
+    * remaining timer, so the converged emission set equals the one-shot
+    * gaps-and-islands sessionization of the whole table — which is
+    * exactly the oracle (same 2 h gap as q_stream_session, emitted as
+    * epoch-µs longs; sentinel users filtered). RocksDB provider
+    * (transformWithState state variables are column-family backed). */
+  private val qStreamSessionTimersLive = Q(
+    "q_stream_session_timers_live",
+    (s, dir) => {
+      val pk = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(pk)
+      s.conf.set(pk,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        runLiveDrip(s, dir, "timers",
+            df => EventStreams.sessionTimeoutsAppend(df, gapMinutes = 120))(df =>
+          df.writeStream.format("memory")
+            .queryName("graft_stream_session_timers_sink")
+            .outputMode("append").start())
+        s.table("graft_stream_session_timers_sink")
+          .filter(col("user_id") >= 0)
+          .orderBy(col("user_id"), col("start_us"))
+      } finally prev match {
+        case Some(v) => s.conf.set(pk, v)
+        case None => s.conf.unset(pk)
+      }
+    },
+    Some("""WITH o AS (
+              SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value,
+                lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events),
+            m AS (
+              SELECT user_id, us, value,
+                CASE WHEN prev IS NULL OR us - prev >= 7200000000
+                     THEN 1 ELSE 0 END AS new_s
+              FROM o),
+            g AS (
+              SELECT user_id, us, value,
+                sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                  ROWS UNBOUNDED PRECEDING) AS sid
+              FROM m)
+            SELECT user_id, min(us) AS start_us,
+              max(us) + 7200000000 AS end_us, count(*) AS n,
+              CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS value4
+            FROM g GROUP BY user_id, sid
+            ORDER BY user_id, start_us"""))
 
   private val qStreamLiveAppend = Q(
     "q_stream_live_append",
@@ -840,7 +909,7 @@ object Streaming extends QueryGroup {
     qStreamTws,
     qStreamJoin, qStreamJoinOuter, qStreamJoinOuterLive,
     qStreamJoinFull, qStreamJoinFullLive, qStreamEnrich,
-    qStreamLive, qStreamLiveAppend, qStreamKvSink,
+    qStreamLive, qStreamLiveAppend, qStreamSessionTimersLive, qStreamKvSink,
     qStreamIngest, qStreamIngestNeardup, qStreamIngestNeardupPhash,
     qStreamAnnProbe, qStreamDedup)
 }

@@ -378,6 +378,22 @@ object EventStreams {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** Raw events frame → event-time-timer sessionization, append mode —
+    * the runLiveDrip-shaped wrapper: watermark on the event time (zero
+    * delay; the live gate's drops are chronological, so only the
+    * deliberate late sentinel is ever behind the watermark), typed to
+    * [[EventT]], closed sessions out. */
+  def sessionTimeoutsAppend(events: DataFrame, gapMinutes: Int): DataFrame = {
+    import events.sparkSession.implicits._
+    val typed = events
+      .withColumn("tsl", col("ts").cast("timestamp"))
+      .withWatermark("tsl", "0 seconds")
+      .select(col("event_id"), col("tsl"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[EventT]
+    sessionTimeouts(typed, gapMinutes).toDF()
+  }
+
   /** Project the events table into the typed stateful input. */
   def toTyped(events: DataFrame): Dataset[EventU] = {
     import events.sparkSession.implicits._
