@@ -118,6 +118,8 @@ object GraftFunctions {
       (c: Seq[Expression]) => BpeMergeExpression(c(0), c(1), c(2))),
     ("graft_quantvec", classOf[QuantVecExpression],
       (c: Seq[Expression]) => QuantVecExpression(c(0), c(1))),
+    ("graft_vecsub", classOf[VecSubExpression],
+      (c: Seq[Expression]) => VecSubExpression(c(0), c(1))),
     ("graft_lshbucket", classOf[LshBucketExpression],
       (c: Seq[Expression]) => LshBucketExpression(c(0), c(1))),
     ("graft_simhash", classOf[SimHashExpression],
@@ -182,6 +184,8 @@ object GraftFunctions {
     call_function("graft_bpe_merge", s, l, r)
   def quantVecNative(v: Column, mult: Double): Column =
     call_function("graft_quantvec", v, lit(mult))
+  def vecSubNative(a: Column, b: Column): Column =
+    call_function("graft_vecsub", a, b)
   def lshBucketNative(v: Column, nPlanes: Int): Column =
     call_function("graft_lshbucket", v, lit(nPlanes))
   def simHashNative(tokens: Column): Column =

@@ -80,6 +80,20 @@ object VecOps {
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
   }
 
+  /** Elementwise difference of two quantized (long) vectors — the
+    * residual kernel for residual-encoded product quantization
+    * (r = qv − coarse centroid). min-length semantics like [[l2Quant]]. */
+  def vecSub(a: ArrayData, b: ArrayData): ArrayData = {
+    val n = math.min(a.numElements(), b.numElements())
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = a.getLong(i) - b.getLong(i)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
   /** cosine = dot/(|a||b|), each dot an ordered left fold in double —
     * the same op sequence as DuckDB's list_reduce, so bit-identical. */
   def cosine(a: ArrayData, b: ArrayData): Double = {
@@ -449,6 +463,25 @@ case class L2QuantExpression(left: Expression, right: Expression)
       s"${ev.value} = graft.functions.VecOps.l2Quant($a, $b);")
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): L2QuantExpression = copy(left = l, right = r)
+}
+
+/** graft_vecsub(a, b) — elementwise difference of quantized vectors :
+  * ARRAY<BIGINT> (the PQ residual kernel). */
+case class VecSubExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecExprChecks.check(
+      VecExprChecks.longArray(left.dataType) && VecExprChecks.longArray(right.dataType),
+      prettyName, Seq(left.dataType, right.dataType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_vecsub"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.vecSub(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VecOps.vecSub($a, $b);")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): VecSubExpression = copy(left = l, right = r)
 }
 
 /** graft_bpe_merge(s, l, r) — one canonical BPE merge pass : STRING. */

@@ -174,7 +174,11 @@ object KMeansQuant {
       s"""${prefix}c0 AS (SELECT CAST(vec_id - $seedLo AS BIGINT) AS cid, qv AS cv
          |       FROM ${prefix}eq
          |       WHERE vec_id BETWEEN $seedLo AND $seedHi)""".stripMargin)
-    val body = (1 to rounds).flatMap { r =>
+    (head ++ chainBodySql(prefix, rounds, dim)).mkString(",\n")
+  }
+
+  private def chainBodySql(prefix: String, rounds: Int, dim: Int): Seq[String] =
+    (1 to rounds).flatMap { r =>
       val assign = assignCteSql(s"${prefix}c${r - 1}", s"${prefix}a$r", dim,
         eq = s"${prefix}eq")
       if (r < rounds)
@@ -182,6 +186,21 @@ object KMeansQuant {
           updateCteSql(s"${prefix}a$r", s"${prefix}c${r - 1}", s"${prefix}c$r", dim))
       else Seq(assign)
     }
-    (head ++ body).mkString(",\n")
+
+  /** [[oracleCtesSql]] over an ALREADY-QUANTIZED integer vector table
+    * `src(vec_id, vcol)` instead of raw `embeddings` — the training
+    * chain for residual product quantizers, where the fit input is the
+    * coarse residual (qv − assigned centroid), itself a prior CTE. The
+    * `dim`-wide slice after `offset` selects the subspace. */
+  def oracleCtesFromIntSql(src: String, vcol: String, seedLo: Long,
+      seedHi: Long, rounds: Int, dim: Int, prefix: String = "",
+      offset: Int = 0): String = {
+    val head = Seq(
+      s"""${prefix}eq AS (SELECT vec_id, list_transform(generate_series(1, $dim),
+         |  i -> $vcol[i + $offset]) AS qv FROM $src)""".stripMargin,
+      s"""${prefix}c0 AS (SELECT CAST(vec_id - $seedLo AS BIGINT) AS cid, qv AS cv
+         |       FROM ${prefix}eq
+         |       WHERE vec_id BETWEEN $seedLo AND $seedHi)""".stripMargin)
+    (head ++ chainBodySql(prefix, rounds, dim)).mkString(",\n")
   }
 }

@@ -567,7 +567,150 @@ object Clustering extends QueryGroup {
     },
     Some(ivfPqOracleSql))
 
+  /** RESIDUAL-encoded IVF-PQ — closing the one documented divergence
+    * from FAISS IndexIVFPQ: the PQ codebooks train on (and the codes
+    * encode) the COARSE RESIDUAL r = qv − assigned-centroid, not the
+    * raw vector. Residuals concentrate near the origin (the coarse fit
+    * has already explained the between-list variance), so the same
+    * codebook budget quantizes finer — the reason FAISS defaults to
+    * residual encoding. MEASURED in AnnRecallSpec: residual codes cut
+    * mean reconstruction distortion vs direct same-space codebooks at
+    * equal (M, K) — that is the robust statistical win; per-instance
+    * shortlist recall on the 8-query gate corpus is parity-within-noise
+    * (a reseeded codebook flips 1-2 of 24 truth pairs either way).
+    * Consequences faithfully modeled: the query's
+    * ADC tables become per-(query, probed-list) — the query residual
+    * depends on which centroid's list is being probed (nprobe × M × K
+    * table entries per query instead of M × K, still
+    * metadata-sized and riding the broadcast probe rows) — and every
+    * candidate's stored codes are vs its OWN list's centroid, which is
+    * exactly the probed one, so the table join keys on
+    * (query, list, code). The residual is a codegen'd graft_vecsub of
+    * two integer vectors (exact, no float); the oracle replays coarse
+    * chain → residual CTE → four residual training chains → per-list
+    * tables → ranking, bit-for-bit. */
+  private val qSimIvfPqResidual = Q(
+    "q_sim_ivfpq_residual",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val M = 4
+      val SubDim = Dim / M
+      // coarse: the trained spherical quantizer (shared with q_sim_ivfpq)
+      val (assigned, coarse) = fitted(s, dir, normalized = true)
+      val centsLit = typedlit(coarse)
+      // residual vs the row's ASSIGNED centroid — the codebook input
+      val resid = assigned.withColumn("rv",
+        graft.functions.GraftFunctions.vecSubNative(col("qv"),
+          element_at(centsLit, (col("cluster") + 1L).cast("int"))))
+      val subCents: Seq[Seq[Seq[Long]]] = (0 until M).map { m =>
+        val sub = resid.withColumn("qvm",
+          slice(col("rv"), m * SubDim + 1, SubDim))
+        val seeds = sub.filter(col("vec_id").between(SeedLo, SeedHi))
+          .orderBy("vec_id").select("qvm").as[Seq[Long]].collect().toSeq
+        KMeansQuant.fit(s, sub, "qvm", seeds, Rounds, SubDim)._2
+      }
+      val coded = (0 until M).foldLeft(resid) { (df, m) =>
+        val dists = KMeansQuant.distArray(
+          slice(col("rv"), m * SubDim + 1, SubDim), subCents(m))
+        df.withColumn(s"code$m",
+          array_position(dists, array_min(dists)) - 1L)
+      }.select(col("vec_id") +: col("cluster").as("cid") +:
+        (0 until M).map(m => col(s"code$m")): _*)
+      // probes, then PER-PROBED-LIST query residuals and ADC tables
+      val wProbe = Window.partitionBy(col("query_id"))
+        .orderBy(col("cdist"), col("cid"))
+      val probes0 = assigned.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("qv"),
+          posexplode(KMeansQuant.distArray(col("qv"), coarse)))
+        .select(col("query_id"), col("qv"),
+          col("pos").cast("long").as("cid"), col("col").as("cdist"))
+        .withColumn("crk", row_number().over(wProbe))
+        .filter(col("crk") <= 2)
+        .withColumn("rqv",
+          graft.functions.GraftFunctions.vecSubNative(col("qv"),
+            element_at(centsLit, (col("cid") + 1L).cast("int"))))
+      val probes = (0 until M).foldLeft(probes0) { (df, m) =>
+        df.withColumn(s"qd$m", KMeansQuant.distArray(
+          slice(col("rqv"), m * SubDim + 1, SubDim), subCents(m)))
+      }.select(col("query_id") +: col("cid") +:
+        (0 until M).map(m => col(s"qd$m")): _*)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("distq"), col("vec_id"))
+      coded.join(broadcast(probes), "cid")
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("distq", (0 until M).map(m =>
+          element_at(col(s"qd$m"), (col(s"code$m") + 1L).cast("int")))
+          .reduce(_ + _))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("query_id"), col("rk"), col("vec_id"),
+          col("cid").as("list_id"), col("distq"))
+        .orderBy("query_id", "rk")
+    },
+    Some {
+      val M = 4
+      val SubDim = Dim / M
+      val coarseChain = KMeansQuant.oracleCtesSql(
+        SeedLo, SeedHi, Rounds, Dim, normalized = true)
+      val resChains = (0 until M).map(m =>
+        KMeansQuant.oracleCtesFromIntSql("res", "rv", SeedLo, SeedHi,
+          Rounds, SubDim, prefix = s"r$m", offset = m * SubDim)).mkString(",\n")
+      val codesJoin = (1 until M)
+        .map(m => s"JOIN r${m}a$Rounds a$m USING (vec_id)").mkString(" ")
+      val codeCols = (0 until M)
+        .map(m => s"a$m.cid AS code$m").mkString(", ")
+      val qdCtes = (0 until M).map { m =>
+        val off = m * SubDim
+        s"""qd$m AS (
+           |  SELECT s.query_id, s.pcid, c.cid,
+           |    CAST(list_sum(list_transform(generate_series(1, $SubDim),
+           |      i -> (s.rqv[i + $off] - c.cv[i]) * (s.rqv[i + $off] - c.cv[i])))
+           |      AS BIGINT) AS d
+           |  FROM pres s CROSS JOIN r${m}c${Rounds - 1} c)""".stripMargin
+      }.mkString(",\n")
+      val qdJoins = (0 until M).map(m =>
+        s"JOIN qd$m d$m ON d$m.query_id = p.query_id AND d$m.pcid = lx.cid " +
+          s"AND d$m.cid = x.code$m").mkString("\n  ")
+      val dSum = (0 until M).map(m => s"d$m.d").mkString(" + ")
+      s"""WITH $coarseChain,
+         |res AS (
+         |  SELECT a.vec_id,
+         |    list_transform(generate_series(1, $Dim), i -> a.qv[i] - c.cv[i]) AS rv
+         |  FROM a$Rounds a JOIN c${Rounds - 1} c ON c.cid = a.cid),
+         |$resChains,
+         |codes AS (
+         |  SELECT vec_id, $codeCols
+         |  FROM r0a$Rounds a0 $codesJoin),
+         |probes AS (
+         |  SELECT query_id, cid FROM (
+         |    SELECT e.vec_id AS query_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${KMeansQuant.l2qSql("e.qv", "c.cv", Dim)}, c.cid) AS crk
+         |    FROM eq e CROSS JOIN c${Rounds - 1} c WHERE e.vec_id < 8) t
+         |  WHERE crk <= 2),
+         |pres AS (
+         |  SELECT p.query_id, p.cid AS pcid,
+         |    list_transform(generate_series(1, $Dim), i -> e.qv[i] - c.cv[i]) AS rqv
+         |  FROM probes p JOIN eq e ON e.vec_id = p.query_id
+         |  JOIN c${Rounds - 1} c ON c.cid = p.cid),
+         |$qdCtes,
+         |cand AS (
+         |  SELECT p.query_id, lx.vec_id, lx.cid AS list_id, $dSum AS distq
+         |  FROM a$Rounds lx
+         |  JOIN probes p ON lx.cid = p.cid AND lx.vec_id <> p.query_id
+         |  JOIN codes x ON x.vec_id = lx.vec_id
+         |  $qdJoins),
+         |ranked AS (
+         |  SELECT query_id, vec_id, list_id, distq,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY distq, vec_id) AS rk
+         |  FROM cand)
+         |SELECT query_id, rk, vec_id, list_id, distq FROM ranked
+         |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin
+    })
+
   override val queries: Seq[Q] = Seq(qClusterKmeans, qClusterKmeansDurable,
     qDedupSemantic, qSimIvfKmeans, qSimIvfPersisted, qSimPqAdc, qSimIvfPq,
-    qSimIvfPqPersisted)
+    qSimIvfPqPersisted, qSimIvfPqResidual)
 }
