@@ -1691,6 +1691,77 @@ object Llm extends QueryGroup {
             SELECT bigram, count(*) AS doc_freq FROM bg
             GROUP BY bigram ORDER BY doc_freq DESC, bigram LIMIT 25"""))
 
+  /** Statistical LM quality scoring (the CCNet/KenLM filtering step: a
+    * language model trained ON the corpus scores every document, and
+    * high-perplexity outliers — gibberish, boilerplate soup, wrong
+    * language — get filtered): a corpus bigram model is trained in two
+    * group-bys (unigram counts, bigram counts), and each document's
+    * score is the sum over its bigram occurrences of an EXACT INTEGER
+    * surprisal — bitlen(count(w1)) − bitlen(count(w1 w2)), where bitlen
+    * is the binary-representation length (Spark `bin`, DuckDB
+    * `format('{:b}')`). That is −log2 P(w2|w1) discretized to whole
+    * bits with NO float log anywhere (the repo-wide portable-hash
+    * discipline: a libm `ln` differing in one ulp between engines would
+    * break the hash gate) — ranking quality is unchanged since the
+    * discretization is monotone per term. avg_mbits (millibits per
+    * bigram, integer division) is the cross-length-comparable
+    * perplexity proxy an operator thresholds on.
+    *
+    * 100 TB shape: two count group-bys with map-side partials (shuffle
+    * = distinct unigrams/bigrams, not token occurrences), then two
+    * equi-joins of the bigram stream against the count tables keyed on
+    * token/bigram (NO broadcast assumption — corpus vocabularies
+    * outgrow any driver), and one final per-doc aggregation. Everything
+    * codegen'd; surprisal never floats. */
+  private val qTextLmScore = Q(
+    "q_text_lm_score",
+    (s, dir) => {
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      val toks = table(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(lower(col("text")), " ")).as(Seq("i", "t")))
+      val bigrams = toks
+        .withColumn("nxt", lead(col("t"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("doc_id"), col("t").as("w1"),
+          concat_ws(" ", col("t"), col("nxt")).as("bigram"))
+      val uc = toks.groupBy(col("t").as("w1"))
+        .agg(count(lit(1)).as("c1"))
+      val bc = bigrams.groupBy(col("bigram"))
+        .agg(count(lit(1)).as("c2"))
+      bigrams
+        .join(uc, "w1").join(bc, "bigram")
+        .withColumn("bits",
+          (length(bin(col("c1"))) - length(bin(col("c2")))).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("lm_bits"))
+        .withColumn("avg_mbits",
+          expr("lm_bits * 1000 div n_bigrams"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS tl
+              FROM documents),
+            toks AS (SELECT doc_id, unnest(tl) AS w FROM t),
+            uc AS (SELECT w, count(*) AS c1 FROM toks GROUP BY w),
+            bg AS (
+              SELECT doc_id, unnest(list_transform(
+                generate_series(1, len(tl) - 1),
+                i -> tl[i] || ' ' || tl[i+1])) AS bigram
+              FROM t WHERE len(tl) >= 2),
+            bc AS (SELECT bigram, count(*) AS c2 FROM bg GROUP BY bigram),
+            sc AS (
+              SELECT g.doc_id,
+                length(format('{:b}', u.c1)) -
+                  length(format('{:b}', b.c2)) AS bits
+              FROM bg g
+              JOIN bc b USING (bigram)
+              JOIN uc u ON u.w = string_split(g.bigram, ' ')[1])
+            SELECT doc_id, count(*) AS n_bigrams,
+              CAST(sum(bits) AS BIGINT) AS lm_bits,
+              CAST(sum(bits) AS BIGINT) * 1000 // count(*) AS avg_mbits
+            FROM sc GROUP BY doc_id ORDER BY doc_id"""))
+
   // -- multimodal ------------------------------------------------------
 
   /** Multimodal column plumbing: documents carried as opaque binary
@@ -2387,7 +2458,7 @@ object Llm extends QueryGroup {
     qMultimodalDecode, qMultimodalResample, qMultimodalAudio,
     qMultimodalVideo, qMultimodalVideo420, qMultimodalHist, qMultimodalPhash,
     qDedupPhash, qIngestNeardupPhash,
-    qDecontaminate, qTextPii, qDedupFuzzy)
+    qDecontaminate, qTextPii, qDedupFuzzy, qTextLmScore)
 
   /** Fuzzy string-match join (entity resolution): name pairs within
     * Levenshtein distance 2. Scale shape, in order: (1) match on the
