@@ -208,14 +208,11 @@ object AnnIndex {
       s"seed ids missing from corpus: wanted $k, found ${init.size}")
     val (assigned, cents) =
       KMeansQuant.fit(spark, corpus, "__qv", init, rounds, dim)
-    // PQ codebooks on the raw quantized subvectors
-    val subCents: Seq[Seq[Seq[Long]]] = (0 until m).map { mm =>
-      val sub = corpus.withColumn("__qvm",
-        slice(col("__pqv"), mm * subDim + 1, subDim))
-      val seeds = sub.filter(col(idCol).isin(seedIds: _*))
-        .orderBy(idCol).select("__qvm").as[Seq[Long]].collect().toSeq
-      KMeansQuant.fit(spark, sub, "__qvm", seeds, rounds, subDim)._2
-    }
+    // PQ codebooks on the raw quantized subvectors — the m independent
+    // fits run concurrently (fitSubspaces keys on `vec_id`)
+    val subCents = KMeansQuant.fitSubspaces(
+      spark, corpus.withColumnRenamed(idCol, "vec_id"), "__pqv",
+      seedIds, rounds, m, subDim)
     val coded = (0 until m).foldLeft(assigned) { (df, mm) =>
       val dists = KMeansQuant.distArray(
         slice(col("__pqv"), mm * subDim + 1, subDim), subCents(mm))

@@ -126,6 +126,36 @@ object KMeansQuant {
     (withAssignment(data, qvCol, cents), cents)
   }
 
+  /** Fit the `m` per-subspace PQ codebooks CONCURRENTLY: the Lloyd
+    * chains are fully independent (disjoint coordinate slices, same
+    * seed rows), so their blocking driver jobs are submitted from
+    * separate threads and share the cluster instead of queueing — wall
+    * time ≈ one fit instead of m (the jobs-per-fit fixed cost dominates
+    * at gate scale; at corpus scale the scans overlap). Results are
+    * assembled in subspace order — bit-identical to the sequential
+    * loop. `base` must carry `vec_id` and the full-width quantized
+    * vector in `vecCol`; seeds are the rows named by `seedIds`
+    * (ascending id = codeword id, the repo convention). */
+  def fitSubspaces(spark: SparkSession, base: DataFrame, vecCol: String,
+      seedIds: Seq[Long], rounds: Int, m: Int,
+      subDim: Int): Seq[Seq[Seq[Long]]] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    graft.functions.GraftFunctions.register(spark)
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val futs = (0 until m).map { mm =>
+      Future {
+        val sub = base.withColumn("qvm",
+          slice(col(vecCol), mm * subDim + 1, subDim))
+        val seeds = sub.filter(col("vec_id").isin(seedIds: _*))
+          .orderBy("vec_id").select("qvm")
+          .collect().map(_.getSeq[Long](0).toSeq).toSeq
+        fit(spark, sub, "qvm", seeds, rounds, subDim)._2
+      }
+    }
+    futs.map(Await.result(_, Duration.Inf))
+  }
+
   /** DuckDB CTE fragment: one assignment pass `out` from centroid table
     * `prev` over quantized corpus `eq(vec_id, qv)` (name overridable for
     * parallel per-subspace chains). */

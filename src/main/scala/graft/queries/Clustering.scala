@@ -337,14 +337,10 @@ object Clustering extends QueryGroup {
       val e = table(s, dir, "embeddings").select("vec_id", "embedding")
       val data = e.withColumn("qv", KMeansQuant.quantize(col("embedding")))
       // per-subspace codebooks: independent exact-int Lloyd fits on the
-      // sliced coordinates, seeded from the same data rows
-      val subCents: Seq[Seq[Seq[Long]]] = (0 until M).map { m =>
-        val sub = data.withColumn("qvm",
-          slice(col("qv"), m * SubDim + 1, SubDim))
-        val seeds = sub.filter(col("vec_id").between(SeedLo, SeedHi))
-          .orderBy("vec_id").select("qvm").as[Seq[Long]].collect().toSeq
-        KMeansQuant.fit(s, sub, "qvm", seeds, Rounds, SubDim)._2
-      }
+      // sliced coordinates, seeded from the same data rows, run
+      // CONCURRENTLY (independent chains — wall ≈ one fit, not M)
+      val subCents = KMeansQuant.fitSubspaces(
+        s, data, "qv", (SeedLo to SeedHi), Rounds, M, SubDim)
       // encode: code_m = argmin codeword (lowest-cid ties) per subspace
       val coded = (0 until M).foldLeft(data) { (df, m) =>
         val dists = KMeansQuant.distArray(
@@ -436,15 +432,11 @@ object Clustering extends QueryGroup {
       // coarse quantizer: the spherical fit (shared with q_sim_ivf_kmeans)
       val (assigned, coarse) = fitted(s, dir, normalized = true)
       val lists = assigned.select(col("vec_id"), col("qv"), col("cluster").as("cid"))
-      // PQ codebooks on the RAW quantized coordinates (shared with q_sim_pq_adc)
+      // PQ codebooks on the RAW quantized coordinates (shared with
+      // q_sim_pq_adc), the four independent fits run concurrently
       val data = e.withColumn("pqv", KMeansQuant.quantize(col("embedding")))
-      val subCents: Seq[Seq[Seq[Long]]] = (0 until M).map { m =>
-        val sub = data.withColumn("qvm",
-          slice(col("pqv"), m * SubDim + 1, SubDim))
-        val seeds = sub.filter(col("vec_id").between(SeedLo, SeedHi))
-          .orderBy("vec_id").select("qvm").as[Seq[Long]].collect().toSeq
-        KMeansQuant.fit(s, sub, "qvm", seeds, Rounds, SubDim)._2
-      }
+      val subCents = KMeansQuant.fitSubspaces(
+        s, data, "pqv", (SeedLo to SeedHi), Rounds, M, SubDim)
       val coded = (0 until M).foldLeft(
           lists.join(data.select("vec_id", "pqv"), "vec_id")) { (df, m) =>
         val dists = KMeansQuant.distArray(
@@ -603,13 +595,8 @@ object Clustering extends QueryGroup {
       val resid = assigned.withColumn("rv",
         graft.functions.GraftFunctions.vecSubNative(col("qv"),
           element_at(centsLit, (col("cluster") + 1L).cast("int"))))
-      val subCents: Seq[Seq[Seq[Long]]] = (0 until M).map { m =>
-        val sub = resid.withColumn("qvm",
-          slice(col("rv"), m * SubDim + 1, SubDim))
-        val seeds = sub.filter(col("vec_id").between(SeedLo, SeedHi))
-          .orderBy("vec_id").select("qvm").as[Seq[Long]].collect().toSeq
-        KMeansQuant.fit(s, sub, "qvm", seeds, Rounds, SubDim)._2
-      }
+      val subCents = KMeansQuant.fitSubspaces(
+        s, resid, "rv", (SeedLo to SeedHi), Rounds, M, SubDim)
       val coded = (0 until M).foldLeft(resid) { (df, m) =>
         val dists = KMeansQuant.distArray(
           slice(col("rv"), m * SubDim + 1, SubDim), subCents(m))
