@@ -59,13 +59,18 @@ object AnnIndex {
 
   /** Index descriptor, committed inside the generation. Probes derive
     * every parameter from this — a probe can never run with mismatched
-    * geometry. */
+    * geometry. `residual` marks PQ codebooks trained on coarse
+    * residuals (qv − assigned centroid, the FAISS IndexIVFPQ default)
+    * instead of the raw vectors; probes then build per-(query,
+    * probed-list) ADC tables. */
   final case class IndexMeta(
-      k: Int, dim: Int, rounds: Int, normalized: Boolean, count: Long)
+      k: Int, dim: Int, rounds: Int, normalized: Boolean, count: Long,
+      residual: Boolean = false)
 
   private def metaJson(m: IndexMeta): String =
     s"""{"k":${m.k},"dim":${m.dim},"rounds":${m.rounds},""" +
-      s""""normalized":${m.normalized},"count":${m.count}}"""
+      s""""normalized":${m.normalized},"count":${m.count},""" +
+      s""""residual":${m.residual}}"""
 
   private def parseMeta(s: String): IndexMeta = {
     def field(name: String): String = {
@@ -73,8 +78,13 @@ object AnnIndex {
       p.findFirstMatchIn(s).map(_.group(1)).getOrElse(
         throw new IllegalStateException(s"ann index meta missing '$name': $s"))
     }
+    def optField(name: String, dflt: String): String = {
+      val p = (s"""\"$name\":([^,}]+)""").r
+      p.findFirstMatchIn(s).map(_.group(1)).getOrElse(dflt)
+    }
     IndexMeta(field("k").toInt, field("dim").toInt, field("rounds").toInt,
-      field("normalized").toBoolean, field("count").toLong)
+      field("normalized").toBoolean, field("count").toLong,
+      optField("residual", "false").toBoolean)
   }
 
   private def genName(v: Int) = s"gen-$v"
@@ -186,10 +196,15 @@ object AnnIndex {
     * so [[probePq]] can ADC-score candidates from the codes alone —
     * the candidate read is M small ints per row, not the raw vector.
     * Layout adds `gen-N/pq/` (parquet: m, cid, cv) and `codeI` columns
-    * in the lists; committed by the same manifest-last protocol. */
+    * in the lists; committed by the same manifest-last protocol.
+    * `residual = true` (the FAISS IndexIVFPQ default) trains the
+    * codebooks on — and the codes encode — the coarse residual
+    * qv − assigned centroid instead of the raw quantized vector;
+    * [[probePq]] reads the flag from the committed meta and builds its
+    * ADC tables per probed list accordingly. */
   def buildPq(data: DataFrame, idCol: String, embCol: String,
       seedIds: Seq[Long], rounds: Int, dim: Int, dir: String,
-      m: Int): Int = {
+      m: Int, residual: Boolean = false): Int = {
     val spark = data.sparkSession
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
@@ -206,12 +221,20 @@ object AnnIndex {
       .orderBy(idCol).select("__qv").as[Seq[Long]].collect().toSeq
     require(init.size == k,
       s"seed ids missing from corpus: wanted $k, found ${init.size}")
-    val (assigned, cents) =
+    val (assigned0, cents) =
       KMeansQuant.fit(spark, corpus, "__qv", init, rounds, dim)
-    // PQ codebooks on the raw quantized subvectors — the m independent
-    // fits run concurrently (fitSubspaces keys on `vec_id`)
+    // code input: raw quantized subvectors, or the coarse residual in
+    // the normalized space (codegen'd vecsub against the literal
+    // centroid table)
+    val assigned =
+      if (!residual) assigned0
+      else assigned0.withColumn("__pqv",
+        graft.functions.GraftFunctions.vecSubNative(col("__qv"),
+          element_at(typedlit(cents), (col("cluster") + 1L).cast("int"))))
+    // PQ codebooks — the m independent fits run concurrently
+    // (fitSubspaces keys on `vec_id`)
     val subCents = KMeansQuant.fitSubspaces(
-      spark, corpus.withColumnRenamed(idCol, "vec_id"), "__pqv",
+      spark, assigned.withColumnRenamed(idCol, "vec_id"), "__pqv",
       seedIds, rounds, m, subDim)
     val coded = (0 until m).foldLeft(assigned) { (df, mm) =>
       val dists = KMeansQuant.distArray(
@@ -237,7 +260,8 @@ object AnnIndex {
       .parquet(s"$gen/lists")
     val count = spark.read.parquet(s"$gen/lists").count()
     Files.writeString(Paths.get(s"$gen/meta.json"),
-      metaJson(IndexMeta(k, dim, rounds, normalized = true, count)))
+      metaJson(IndexMeta(k, dim, rounds, normalized = true, count,
+        residual = residual)))
     KvCommitLog.append(base, Seq(genName(version)))
     version
   }
@@ -277,13 +301,21 @@ object AnnIndex {
       .withColumn("__pqv", KMeansQuant.quantize(col("__qemb")))
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("cdist"), col("cid"))
-    val ranked = probes0
-      .select(col("query_id"), col("__pqv"),
+    val ranked0 = probes0
+      .select(col("query_id"), col("__qv"), col("__pqv"),
         posexplode(KMeansQuant.distArray(col("__qv"), cents)))
-      .select(col("query_id"), col("__pqv"),
+      .select(col("query_id"), col("__qv"), col("__pqv"),
         col("pos").cast("long").as("cid"), col("col").as("cdist"))
       .withColumn("__crk", row_number().over(wProbe))
       .filter(col("__crk") <= nprobe)
+    // residual index ⇒ the ADC table input is the query's residual vs
+    // the PROBED centroid — per (query, list), mirroring the stored
+    // codes (each candidate's codes are vs its own list's centroid)
+    val ranked =
+      if (!m.residual) ranked0
+      else ranked0.withColumn("__pqv",
+        graft.functions.GraftFunctions.vecSubNative(col("__qv"),
+          element_at(typedlit(cents), (col("cid") + 1L).cast("int"))))
     val probes = (0 until pqM).foldLeft(ranked) { (df, mm) =>
       df.withColumn(s"qd$mm", KMeansQuant.distArray(
         slice(col("__pqv"), mm * subDim + 1, subDim), subCents(mm)))
@@ -355,8 +387,14 @@ object AnnIndex {
             .collect().groupBy(_._1).toSeq.sortBy(_._1)
             .map(_._2.sortBy(_._2).map(_._3).toSeq)
         val subDim = m.dim / subCents.size
-        val coded = subCents.indices.foldLeft(
-            assigned.withColumn("__pqv", KMeansQuant.quantize(col(embCol)))) {
+        // residual index ⇒ delta codes encode the residual vs the
+        // FROZEN assigned centroid, exactly as the fit generation did
+        val withPv =
+          if (m.residual) assigned.withColumn("__pqv",
+            graft.functions.GraftFunctions.vecSubNative(col("__qv"),
+              element_at(typedlit(cents), (col("cluster") + 1L).cast("int"))))
+          else assigned.withColumn("__pqv", KMeansQuant.quantize(col(embCol)))
+        val coded = subCents.indices.foldLeft(withPv) {
           (df, mm) =>
             val dists = KMeansQuant.distArray(
               slice(col("__pqv"), mm * subDim + 1, subDim), subCents(mm))

@@ -635,7 +635,10 @@ object Clustering extends QueryGroup {
           col("cid").as("list_id"), col("distq"))
         .orderBy("query_id", "rk")
     },
-    Some {
+    Some(ivfPqResidualOracleSql))
+
+  /** Shared by q_sim_ivfpq_residual and its persisted twin. */
+  private lazy val ivfPqResidualOracleSql: String = {
       val M = 4
       val SubDim = Dim / M
       val coarseChain = KMeansQuant.oracleCtesSql(
@@ -695,9 +698,36 @@ object Clustering extends QueryGroup {
          |  FROM cand)
          |SELECT query_id, rk, vec_id, list_id, distq FROM ranked
          |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin
-    })
+  }
+
+  /** Persisted twin of q_sim_ivfpq_residual — the COMPLETE on-disk
+    * FAISS IndexIVFPQ in its default (residual) configuration:
+    * [[graft.operators.AnnIndex.buildPq]] with `residual = true`
+    * commits centroids + residual-trained codebooks + code-carrying
+    * lists, the meta carries the residual flag, and
+    * [[graft.operators.AnnIndex.probePq]] reads it to build its ADC
+    * tables per probed list (the probes frame already carries cid, so
+    * the per-(query, list) tables are structurally free on the
+    * broadcast). Same math as the inline query ⇒ SHARES its oracle. */
+  private val qSimIvfPqResidualPersisted = Q(
+    "q_sim_ivfpq_residual_persisted",
+    (s, dir) => {
+      val idx = s"${sys.props("java.io.tmpdir")}/graft_ann/" +
+        s"${s.sparkContext.applicationId}/q_sim_ivfpq_residual_persisted"
+      val fs = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+      val e = table(s, dir, "embeddings").select("vec_id", "embedding")
+      graft.operators.AnnIndex.buildPq(e, "vec_id", "embedding",
+        (SeedLo until SeedLo + K).toSeq, Rounds, Dim, idx, m = 4,
+        residual = true)
+      graft.operators.AnnIndex.probePq(
+        e.filter(col("vec_id") < 8), idx, "vec_id", "embedding",
+        nprobe = 2, topK = 3, excludeSelf = true)
+    },
+    Some(ivfPqResidualOracleSql))
 
   override val queries: Seq[Q] = Seq(qClusterKmeans, qClusterKmeansDurable,
     qDedupSemantic, qSimIvfKmeans, qSimIvfPersisted, qSimPqAdc, qSimIvfPq,
-    qSimIvfPqPersisted, qSimIvfPqResidual)
+    qSimIvfPqPersisted, qSimIvfPqResidual, qSimIvfPqResidualPersisted)
 }
