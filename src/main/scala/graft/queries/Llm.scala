@@ -1762,6 +1762,96 @@ object Llm extends QueryGroup {
               CAST(sum(bits) AS BIGINT) * 1000 // count(*) AS avg_mbits
             FROM sc GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Exact-substring duplication detection (the ExactSubstr pass of
+    * training-data dedup: documents sharing any sufficiently-long exact
+    * token run are flagged and the duplicated SPANS measured, so a
+    * pipeline can trim repeated boilerplate instead of dropping whole
+    * documents). A token k-gram (k=6 words) that occurs ≥2 times
+    * anywhere in the corpus marks all its occurrences as duplicated;
+    * per document, overlapping hits merge into maximal spans
+    * (gaps-and-islands over covered token indices), and the output is
+    * each affected document's span count, duplicated-token count, and
+    * integer duplication rate (permille).
+    *
+    * 100 TB shape: the only corpus-wide step is one count group-by on
+    * the k-gram (map-side partials; shuffle = distinct grams, never
+    * occurrences), duplicated grams rejoin the occurrence stream by
+    * gram key, and everything after is per-document (covered-index
+    * explode is a bounded ×k, islands window partitioned by the
+    * high-cardinality doc_id). No all-pairs step exists at any size.
+    * The gram string could be replaced by its 64-bit hash to shrink the
+    * shuffle payload; kept textual here so the oracle replays it
+    * verbatim. */
+  private val qDedupSubstr = Q(
+    "q_dedup_substr",
+    (s, dir) => {
+      val k = 6
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      val toks = table(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(lower(col("text")), " ")).as(Seq("i", "t")))
+      val grams = toks
+        .withColumn("g", concat_ws(" ",
+          col("t") +: (1 until k).map(j => lead(col("t"), j).over(w)): _*))
+        .withColumn("lst", lead(col("t"), k - 1).over(w))
+        .filter(col("lst").isNotNull)
+        .select(col("doc_id"), col("i"), col("g"))
+      val dupg = grams.groupBy(col("g"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2)
+        .select("g")
+      val hits = grams.join(dupg, "g").select(col("doc_id"), col("i"))
+      val covered = hits
+        .select(col("doc_id"),
+          explode(sequence(col("i"), col("i") + lit(k - 1))).as("idx"))
+        .distinct()
+      val wi = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
+      val spans = covered
+        .withColumn("island", col("idx") - row_number().over(wi))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("island")).as("n_spans"),
+          count(lit(1)).as("dup_tokens"))
+      val ntok = toks.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"))
+      spans.join(ntok, "doc_id")
+        .withColumn("dup_permille", expr("dup_tokens * 1000 div n_tokens"))
+        .select("doc_id", "n_spans", "dup_tokens", "n_tokens", "dup_permille")
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS tl
+              FROM documents),
+            occ AS (
+              SELECT doc_id, unnest(generate_series(1, len(tl) - 5)) AS i
+              FROM t WHERE len(tl) >= 6),
+            grams AS (
+              SELECT o.doc_id, o.i,
+                t.tl[o.i] || ' ' || t.tl[o.i+1] || ' ' || t.tl[o.i+2] || ' ' ||
+                t.tl[o.i+3] || ' ' || t.tl[o.i+4] || ' ' || t.tl[o.i+5] AS g
+              FROM occ o JOIN t USING (doc_id)),
+            dupg AS (
+              SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+            hits AS (
+              SELECT doc_id, i FROM grams JOIN dupg USING (g)),
+            covered AS (
+              SELECT DISTINCT doc_id, i + j AS idx
+              FROM hits, generate_series(0, 5) AS s(j)),
+            isl AS (
+              SELECT doc_id, idx,
+                idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx)
+                  AS island
+              FROM covered),
+            spans AS (
+              SELECT doc_id, count(DISTINCT island) AS n_spans,
+                count(*) AS dup_tokens
+              FROM isl GROUP BY doc_id),
+            ntok AS (
+              SELECT doc_id, CAST(len(tl) AS BIGINT) AS n_tokens FROM t)
+            SELECT s.doc_id, s.n_spans, s.dup_tokens, n.n_tokens,
+              s.dup_tokens * 1000 // n.n_tokens AS dup_permille
+            FROM spans s JOIN ntok n USING (doc_id)
+            ORDER BY s.doc_id"""))
+
   // -- multimodal ------------------------------------------------------
 
   /** Multimodal column plumbing: documents carried as opaque binary
@@ -2376,6 +2466,93 @@ object Llm extends QueryGroup {
           FROM g GROUP BY lang ORDER BY lang"""
     })
 
+  /** SEMANTIC decontamination — the embedding-space twin of
+    * q_decontaminate: flag training vectors whose cosine to ANY
+    * benchmark/eval vector clears a threshold, catching paraphrased or
+    * re-encoded eval leakage that shares no exact n-gram. The fixture
+    * plants the leakage it must find (the q_decontaminate stance): the
+    * bench set (vec_id < 40) is re-injected into the corpus under
+    * offset ids, so every planted clone MUST be flagged at cosine 1.0,
+    * plus whatever organic near-bench vectors exist.
+    *
+    * 100 TB shape: candidates come from a hyperplane-LSH bucket
+    * equi-join (the q_dedup_embedding discipline — never all-pairs);
+    * the BENCH side is broadcast (eval suites are small by construction,
+    * the same asymmetry q_decontaminate exploits), so the corpus scan
+    * never shuffles at all — flag extraction is one broadcast join plus
+    * a hash-agg on the high-cardinality vec_id. Dot products and norms
+    * are quantized-integer kernels; the cosine double is derived from
+    * the same integers in both engines so the ≥ τ cut cannot
+    * float-flip. */
+  private val qDecontamSemantic = Q(
+    "q_decontam_semantic",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.GraftFunctions._
+      val e = table(s, dir, "embeddings")
+      val bench = e.filter(col("vec_id") < 40)
+        .withColumn("bucket", lshBucketNative(col("embedding"), 6))
+        .withColumn("bnq", quantDotNative(col("embedding"), col("embedding")))
+        .select(col("vec_id").as("bench_id"), col("bucket"),
+          col("embedding").as("bv"), col("bnq"))
+      val corpus = e.filter(col("vec_id") >= 40)
+        .unionAll(e.filter(col("vec_id") < 40)
+          .select((col("vec_id") + lit(1000000000L)).as("vec_id"),
+            col("embedding"), col("label")))
+        .withColumn("bucket", lshBucketNative(col("embedding"), 6))
+        .withColumn("nq", quantDotNative(col("embedding"), col("embedding")))
+      corpus.join(broadcast(bench), "bucket")
+        .withColumn("dotq", quantDotNative(col("embedding"), col("bv")))
+        .withColumn("cosine",
+          (col("dotq").cast("double") / lit(1e9)) /
+            (sqrt(col("nq").cast("double") / lit(1e9)) *
+             sqrt(col("bnq").cast("double") / lit(1e9))))
+        .filter(col("cosine") >= 0.3)
+        .groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("n_bench_hits"), max(col("cosine")).as("max_cos"))
+        .withColumn("leaked", col("vec_id") >= 1000000000L)
+        .select("vec_id", "n_bench_hits", "max_cos", "leaked")
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH corpus AS (
+               SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 40
+               UNION ALL
+               SELECT vec_id + 1000000000, embedding FROM embeddings
+               WHERE vec_id < 40),
+             c AS (
+               SELECT vec_id, embedding,
+                 ${lshBucketSql("embedding", 6, 64)} AS bucket,
+                 CAST(list_sum(list_transform(generate_series(1, 64), i ->
+                   CAST(round(CAST(embedding[i] AS DOUBLE) *
+                     CAST(embedding[i] AS DOUBLE) * 1000000000.0) AS BIGINT)))
+                   AS BIGINT) AS nq
+               FROM corpus),
+             b AS (
+               SELECT vec_id AS bench_id, embedding AS bv,
+                 ${lshBucketSql("embedding", 6, 64)} AS bucket,
+                 CAST(list_sum(list_transform(generate_series(1, 64), i ->
+                   CAST(round(CAST(embedding[i] AS DOUBLE) *
+                     CAST(embedding[i] AS DOUBLE) * 1000000000.0) AS BIGINT)))
+                   AS BIGINT) AS bnq
+               FROM embeddings WHERE vec_id < 40),
+             cand AS (
+               SELECT c.vec_id, c.nq, b.bnq,
+                 CAST(list_sum(list_transform(generate_series(1, 64), i ->
+                   CAST(round(CAST(c.embedding[i] AS DOUBLE) *
+                     CAST(b.bv[i] AS DOUBLE) * 1000000000.0) AS BIGINT)))
+                   AS BIGINT) AS dotq
+               FROM c JOIN b USING (bucket)),
+             scored AS (
+               SELECT vec_id,
+                 (CAST(dotq AS DOUBLE) / 1000000000.0) /
+                   (sqrt(CAST(nq AS DOUBLE) / 1000000000.0) *
+                    sqrt(CAST(bnq AS DOUBLE) / 1000000000.0)) AS cosine
+               FROM cand)
+             SELECT vec_id, count(*) AS n_bench_hits, max(cosine) AS max_cos,
+               vec_id >= 1000000000 AS leaked
+             FROM scored WHERE cosine >= 0.3
+             GROUP BY vec_id ORDER BY vec_id"""))
+
   /** INT8 SCALAR QUANTIZATION for vector search — the memory-bandwidth
     * lever production ANN uses before any index: per-dimension symmetric
     * scales (max |x| over the corpus, a 64-double table at ANY corpus
@@ -2458,7 +2635,8 @@ object Llm extends QueryGroup {
     qMultimodalDecode, qMultimodalResample, qMultimodalAudio,
     qMultimodalVideo, qMultimodalVideo420, qMultimodalHist, qMultimodalPhash,
     qDedupPhash, qIngestNeardupPhash,
-    qDecontaminate, qTextPii, qDedupFuzzy, qTextLmScore)
+    qDecontaminate, qTextPii, qDedupFuzzy, qTextLmScore, qDedupSubstr,
+    qDecontamSemantic)
 
   /** Fuzzy string-match join (entity resolution): name pairs within
     * Levenshtein distance 2. Scale shape, in order: (1) match on the

@@ -1131,11 +1131,262 @@ object Training extends QueryGroup {
                row_number() OVER (ORDER BY ${docHashSql("doc_id")}) AS pos
              FROM documents ORDER BY pos"""))
 
+  /** Trained text classifier (the CCNet/fastText-style quality- or
+    * language-filter step: a linear bag-of-words model trained on
+    * labeled documents scores every unlabeled one): multinomial Naive
+    * Bayes over word unigrams with add-one smoothing, trained on the
+    * 80% split (doc_id % 5 ≠ 0) with `lang` as the label, evaluated on
+    * the held-out 20%. All model arithmetic is EXACT INTEGER in the
+    * repo's bitlen discipline — the per-token surprisal for class c is
+    * bitlen(totc + V) − bitlen(count(w,c) + 1), i.e. −log2 of the
+    * smoothed class-conditional probability discretized to whole bits
+    * (Spark `bin` ↔ DuckDB `format('{:b}')`), plus the same
+    * discretization of the class prior — so both engines rank classes
+    * bit-identically and the hash gate holds. Prediction = argmin
+    * total bits, ties broken by class name. (The test corpus draws all
+    * languages from one shared vocabulary with per-language frequency
+    * profiles, so this classifies by frequency profile — the exact
+    * regime where multinomial NB applies.)
+    *
+    * 100 TB shape: training is two count group-bys (shuffle = distinct
+    * (class, word) pairs, map-side partials). Scoring joins the test
+    * token stream against the count table keyed on (class, word) — NO
+    * broadcast of the model (corpus vocabularies outgrow any driver);
+    * the only broadcast is the K-row class-totals table crossed onto
+    * the token stream (bounded by the label alphabet, not the data).
+    * Argmin is a per-document window over K rows. */
+  private val qClassifyNb = Q(
+    "q_classify_nb",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 5 =!= 0)
+      val test = docs.filter(col("doc_id") % 5 === 0)
+      val trTok = train.select(col("lang"),
+        explode(split(lower(col("text")), " ")).as("w"))
+      val cnt = trTok.groupBy(col("lang").as("cls"), col("w"))
+        .agg(count(lit(1)).as("cwc"))
+      val classes = trTok.groupBy(col("lang").as("cls"))
+        .agg(count(lit(1)).as("totc"))
+        .join(train.groupBy(col("lang").as("cls"))
+          .agg(count(lit(1)).as("ndocs")), "cls")
+        .crossJoin(trTok.select("w").distinct().agg(count(lit(1)).as("v")))
+        .crossJoin(train.agg(count(lit(1)).as("ntr")))
+      val teTok = test.select(col("doc_id"), col("lang"),
+        explode(split(lower(col("text")), " ")).as("w"))
+      val scored = teTok.crossJoin(broadcast(classes))
+        .join(cnt, Seq("cls", "w"), "left")
+        .withColumn("bits",
+          (length(bin(col("totc") + col("v"))) -
+            length(bin(coalesce(col("cwc"), lit(0L)) + 1))).cast("long"))
+      val perClass = scored
+        .groupBy(col("doc_id"), col("lang"), col("cls"))
+        .agg(sum(col("bits")).as("tok_bits"),
+          (max(length(bin(col("ntr")))) - max(length(bin(col("ndocs")))))
+            .cast("long").as("prior_bits"))
+        .withColumn("total_bits", col("tok_bits") + col("prior_bits"))
+      val wr = Window.partitionBy(col("doc_id"))
+        .orderBy(col("total_bits"), col("cls"))
+      perClass.withColumn("rk", row_number().over(wr))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("lang").as("true_lang"),
+          col("cls").as("pred_lang"), col("total_bits").as("bits"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH train AS (
+              SELECT * FROM documents WHERE doc_id % 5 <> 0),
+            test AS (
+              SELECT * FROM documents WHERE doc_id % 5 = 0),
+            trtok AS (
+              SELECT lang, unnest(string_split(lower(text), ' ')) AS w
+              FROM train),
+            cnt AS (
+              SELECT lang AS cls, w, count(*) AS cwc
+              FROM trtok GROUP BY 1, 2),
+            classes AS (
+              SELECT c.cls, c.totc, p.ndocs, v.v, n.ntr
+              FROM (SELECT lang AS cls, count(*) AS totc
+                    FROM trtok GROUP BY 1) c
+              JOIN (SELECT lang AS cls, count(*) AS ndocs
+                    FROM train GROUP BY 1) p USING (cls),
+                   (SELECT count(DISTINCT w) AS v FROM trtok) v,
+                   (SELECT count(*) AS ntr FROM train) n),
+            tetok AS (
+              SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w
+              FROM test),
+            ex AS (
+              SELECT t.doc_id, t.lang, k.cls, k.ndocs, k.ntr,
+                length(format('{:b}', k.totc + k.v)) -
+                  length(format('{:b}', coalesce(c.cwc, 0) + 1)) AS bits
+              FROM tetok t CROSS JOIN classes k
+              LEFT JOIN cnt c ON c.cls = k.cls AND c.w = t.w),
+            pc AS (
+              SELECT doc_id, lang, cls,
+                CAST(sum(bits)
+                  + length(format('{:b}', max(ntr)))
+                  - length(format('{:b}', max(ndocs))) AS BIGINT)
+                  AS total_bits
+              FROM ex GROUP BY doc_id, lang, cls),
+            rk AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY total_bits, cls) AS r
+              FROM pc)
+            SELECT doc_id, lang AS true_lang, cls AS pred_lang,
+              total_bits AS bits
+            FROM rk WHERE r = 1 ORDER BY doc_id"""))
+
+  /** Data selection via importance resampling (the DSIR recipe, Xie et
+    * al. 2023: weight every raw document by how much more likely its
+    * n-gram features are under a TARGET distribution than under the raw
+    * corpus distribution, then keep the top-weighted slice). Target
+    * distribution = the lang='en' subset (a quality-domain proxy);
+    * features = adjacent word bigrams with multiplicity. The
+    * log-likelihood ratio is EXACT INTEGER in the repo's bitlen
+    * discipline: per occurrence,
+    * w = [bitlen(R+V) − bitlen(cnt_raw(g)+1)] − [bitlen(T+V) −
+    * bitlen(cnt_tgt(g)+1)] — i.e. raw surprisal minus target surprisal,
+    * both add-one smoothed over the shared raw vocabulary V, discretized
+    * to whole bits (Spark `bin` ↔ DuckDB `format('{:b}')`) — so both
+    * engines rank documents bit-identically. Selection = top 150 by
+    * (weight desc, doc_id).
+    *
+    * 100 TB shape: the two n-gram language models are count group-bys
+    * (shuffle = distinct bigrams, map-side partials); scoring joins the
+    * occurrence stream against the count tables ON THE GRAM KEY — the
+    * models are never broadcast (a corpus-scale hashed-n-gram table
+    * outgrows any driver); the only broadcast is the 1-row scalar
+    * totals. Per-doc reduction is one hash-agg keyed by the
+    * high-cardinality doc_id; the final top-k is TakeOrdered-shaped
+    * (rank materializes over the already-selected 150 rows). */
+  private val qSelectDsir = Q(
+    "q_select_dsir",
+    (s, dir) => {
+      val d = table(s, dir, "documents")
+        .withColumn("tl", split(lower(col("text")), " "))
+        .filter(size(col("tl")) >= 2)
+      val occ = d.select(col("doc_id"), col("lang"),
+        explode(transform(sequence(lit(1), size(col("tl")) - 1),
+          i => concat(element_at(col("tl"), i), lit(" "),
+            element_at(col("tl"), i + 1)))).as("g"))
+      val cntR = occ.groupBy("g").agg(count(lit(1)).as("cr"))
+      val cntT = occ.filter(col("lang") === "en")
+        .groupBy("g").agg(count(lit(1)).as("ct"))
+      val scal = occ.agg(count(lit(1)).as("rr"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tt"))
+        .crossJoin(cntR.agg(count(lit(1)).as("v")))
+      val scored = occ
+        .join(cntR, "g")
+        .join(cntT, Seq("g"), "left")
+        .crossJoin(broadcast(scal))
+        .withColumn("wb",
+          ((length(bin(col("rr") + col("v"))) - length(bin(col("cr") + 1))) -
+            (length(bin(col("tt") + col("v"))) -
+              length(bin(coalesce(col("ct"), lit(0L)) + 1)))).cast("long"))
+      val perDoc = scored.groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_grams"), sum(col("wb")).as("w_bits"))
+        .orderBy(col("w_bits").desc, col("doc_id"))
+        .limit(150)
+      perDoc.withColumn("rk", row_number().over(
+          Window.orderBy(col("w_bits").desc, col("doc_id"))))
+        .select("rk", "doc_id", "lang", "n_grams", "w_bits")
+        .orderBy("rk")
+    },
+    Some("""WITH d AS (
+              SELECT doc_id, lang, string_split(lower(text), ' ') AS tl
+              FROM documents
+              WHERE len(string_split(lower(text), ' ')) >= 2),
+            occ AS (
+              SELECT doc_id, lang,
+                unnest(list_transform(generate_series(1, len(tl) - 1),
+                  i -> tl[i] || ' ' || tl[i+1])) AS g
+              FROM d),
+            cr AS (SELECT g, count(*) AS cr FROM occ GROUP BY g),
+            ct AS (SELECT g, count(*) AS ct FROM occ
+                   WHERE lang = 'en' GROUP BY g),
+            scal AS (
+              SELECT (SELECT count(*) FROM occ) AS rr,
+                (SELECT count(*) FROM occ WHERE lang = 'en') AS tt,
+                (SELECT count(*) FROM cr) AS v),
+            scored AS (
+              SELECT o.doc_id, o.lang,
+                (length(format('{:b}', s.rr + s.v)) -
+                 length(format('{:b}', r.cr + 1))) -
+                (length(format('{:b}', s.tt + s.v)) -
+                 length(format('{:b}', coalesce(t.ct, 0) + 1))) AS wb
+              FROM occ o
+              JOIN cr r USING (g)
+              LEFT JOIN ct t USING (g)
+              CROSS JOIN scal s),
+            pd AS (
+              SELECT doc_id, lang, count(*) AS n_grams,
+                CAST(sum(wb) AS BIGINT) AS w_bits
+              FROM scored GROUP BY doc_id, lang
+              ORDER BY w_bits DESC, doc_id LIMIT 150)
+            SELECT row_number() OVER (ORDER BY w_bits DESC, doc_id) AS rk,
+              doc_id, lang, n_grams, w_bits
+            FROM pd ORDER BY rk"""))
+
+  /** Token-budget corpus selection (the "fill the training run's token
+    * budget with the best documents" step): every document gets an
+    * integer lexical-diversity score (distinct-token permille — the
+    * cheap quality signal that penalizes boilerplate/repetition), the
+    * corpus is ranked (score desc, doc_id), and documents are taken in
+    * rank order until the cumulative token count reaches the budget
+    * (¼ of the corpus's total tokens, computed from the data so the
+    * query is scale-free).
+    *
+    * 100 TB shape: the rank-ordered running token sum is NOT one global
+    * window (that's one task at any scale) — the rank key is encoded
+    * into a single numeric order column and the cumulative sum runs
+    * through [[graft.operators.SaltedPrefix.exclusivePrefixSumQuantile]]
+    * (equi-depth salted stitching: per-bucket sums in parallel, bucket
+    * totals lifted by a broadcast offset table; quantile bounds because
+    * a score-derived order domain is exactly the skewed-domain case the
+    * linear salt collapses on). Budget is a 1-row broadcast scalar. */
+  private val qSelectBudget = Q(
+    "q_select_budget",
+    (s, dir) => {
+      val d = table(s, dir, "documents")
+        .withColumn("tl", split(lower(col("text")), " "))
+        .withColumn("n_tokens", size(col("tl")).cast("long"))
+        .withColumn("score",
+          expr("size(array_distinct(tl)) * 1000L div n_tokens"))
+        .withColumn("tok", ceil(col("n_chars") / 4.0).cast("long"))
+        .withColumn("ord",
+          (lit(1000L) - col("score")) * lit(1000000000000L) + col("doc_id"))
+        .withColumn("gall", lit(0))
+        .select("doc_id", "lang", "score", "tok", "ord", "gall")
+      val budget = d.agg(expr("sum(tok) div 4").as("budget"))
+      graft.operators.SaltedPrefix
+        .exclusivePrefixSumQuantile(d, "gall", "ord", col("tok"))
+        .crossJoin(broadcast(budget))
+        .withColumn("cum_tok", col("start_off") + col("tok"))
+        .filter(col("cum_tok") <= col("budget"))
+        .select("doc_id", "lang", "score", "tok", "cum_tok")
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+              SELECT doc_id, lang,
+                CAST(ceil(n_chars / 4.0) AS BIGINT) AS tok,
+                len(list_distinct(string_split(lower(text), ' '))) * 1000
+                  // len(string_split(lower(text), ' ')) AS score
+              FROM documents),
+            o AS (
+              SELECT doc_id, lang, score, tok,
+                CAST(COALESCE(sum(tok) OVER (ORDER BY score DESC, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + tok AS BIGINT) AS cum_tok
+              FROM t),
+            b AS (SELECT CAST(sum(tok) AS BIGINT) // 4 AS budget FROM t)
+            SELECT doc_id, lang, CAST(score AS BIGINT) AS score, tok, cum_tok
+            FROM o CROSS JOIN b WHERE cum_tok <= budget
+            ORDER BY doc_id"""))
+
   override val queries: Seq[Q] = Seq(
     qTextRepetition, qSplitAssign, qMixWeighted, qSamplePerGroup,
     qPackSequences, qLinesDedup, qProfileColumns, qChunkDocs, qChunkRoundtrip,
     qBasketPairs, qProfileGini, qTableDiff, qMixDeviation, qDedupLatest,
     qCdcMerge, qDqChecks, qIngestIncremental, qIngestNeardup, qTableDigest,
     qStoreCompact,
-    qStoreForget, qAggIncrementalView, qShuffleGlobal)
+    qStoreForget, qAggIncrementalView, qShuffleGlobal, qClassifyNb,
+    qSelectDsir, qSelectBudget)
 }

@@ -74,7 +74,16 @@ class PlanGuardSpec extends AnyFunSuite with SparkSessionFixture {
     // the broadcast side is the 8-query ADC lookup-table set (8 rows ×
     // M×K ints) — constant-bounded; the pruned production shape is
     // q_sim_ivfpq, whose candidate join is cid-equi
-    "q_sim_pq_adc" -> "query ADC tables broadcast, query-set-bounded")
+    "q_sim_pq_adc" -> "query ADC tables broadcast, query-set-bounded",
+    // the K-row class-totals table crossed onto the token stream —
+    // bounded by the label alphabet, never the data; the (class, word)
+    // model join itself plans as an equi join
+    "q_classify_nb" -> "class-totals cross, label-alphabet-bounded",
+    // the 1-row (R, T, V) corpus-totals scalar crossed onto the
+    // occurrence stream; both n-gram count joins are gram-equi
+    "q_select_dsir" -> "scalar corpus totals, one-row broadcast",
+    // the 1-row token-budget scalar crossed onto the ranked corpus
+    "q_select_budget" -> "scalar budget, one-row broadcast")
 
   /** Whole-tree traversal: SparkPlan.collect does NOT descend into
     * AdaptiveSparkPlanExec (its current plan is a field, not a child) or
