@@ -1,0 +1,172 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.KvCommitLog
+
+/** Store-committed COUNT-BASED text models — the TRAIN ONCE / SCORE MANY
+  * lifecycle for the multinomial-Naive-Bayes family, the model-artifact
+  * twin of [[AnnIndex]]'s versioned index generations (same protocol as
+  * the reference's store-backed-pipeline stance, src/Core/Store.hs:41-119):
+  * at 100 TB a classifier is trained once over the corpus, committed, and
+  * then scores thousands of batches/streams without ever re-touching the
+  * training documents.
+  *
+  * What makes a count model the PERFECT store artifact is that its
+  * sufficient statistics are MERGEABLE: per-(class, word) token counts
+  * and per-class totals sum exactly, so
+  *   - incremental training ([[appendDelta]]) is lossless by construction —
+  *     a model trained on A then extended with B scores bit-identically
+  *     to one trained on A ∪ B (the gate proves this, not just a spec);
+  *   - scoring merges member tables with ONE model-sized group-by — the
+  *     corpus is never re-read.
+  *
+  * Commit protocol (shared with [[AnnIndex]] / the Kv sink): stage the
+  * member directory fully, append the commit-log manifest LAST — a crash
+  * mid-build leaves an invisible orphan, never a readable half-model.
+  * Each manifest names its version's COMPLETE member set (a fit publishes
+  * `[gen-N]`; a delta publishes the previous members plus `delta-M`), so
+  * older versions stay frozen and `asOf` scoring time-travels exactly.
+  *
+  * Layout per member: `counts` (cls, w, cwc — the (class, word) token
+  * counts) and `classes` (cls, totc, ndocs — per-class token/doc totals).
+  * The smoothing scalars (vocabulary size V, training-doc count) are NOT
+  * stored: they are derived from the merged member tables at score time
+  * (model-table-sized work), which is what keeps delta merging exact —
+  * a stored V would go stale the moment a delta adds unseen words.
+  *
+  * All scoring arithmetic is the repo's exact-integer bitlen surprisal
+  * (see q_classify_nb): both engines — and any member partitioning —
+  * produce bit-identical class rankings.
+  */
+object ModelStore {
+
+  private def genName(v: Int) = s"gen-$v"
+  private def deltaName(v: Int) = s"delta-$v"
+
+  /** Latest committed model version, 0 when none. */
+  def latestVersion(dir: String): Int =
+    KvCommitLog.latestVersion(Paths.get(dir))
+
+  /** Test-only chaos hook: runs after a member directory is fully staged
+    * and before its manifest commits — the crash window the manifest-last
+    * protocol must make invisible. */
+  @volatile var chaosHook: () => Unit = () => ()
+
+  /** The mergeable sufficient statistics of `docs`: (class, word) token
+    * counts and per-class token/doc totals. Tokenization is the gated
+    * queries' convention (lowercased, single-space split). */
+  private def stats(docs: DataFrame, labelCol: String, textCol: String)
+      : (DataFrame, DataFrame) = {
+    val tok = docs.select(col(labelCol).as("cls"),
+      explode(split(lower(col(textCol)), " ")).as("w"))
+    val counts = tok.groupBy("cls", "w").agg(count(lit(1)).as("cwc"))
+    val classes = tok.groupBy("cls").agg(count(lit(1)).as("totc"))
+      .join(docs.groupBy(col(labelCol).as("cls"))
+        .agg(count(lit(1)).as("ndocs")), "cls")
+    (counts, classes)
+  }
+
+  private def stage(docs: DataFrame, labelCol: String, textCol: String,
+      dir: String, member: String): Unit = {
+    val (counts, classes) = stats(docs, labelCol, textCol)
+    counts.write.mode("overwrite").parquet(s"$dir/$member/counts")
+    classes.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/$member/classes")
+  }
+
+  /** Train on `docs` and commit a NEW model generation (manifest names
+    * only it — a retrain, not an extension). Returns the version. */
+  def train(docs: DataFrame, labelCol: String, textCol: String,
+      dir: String): Int = {
+    val base = Paths.get(dir)
+    Files.createDirectories(base)
+    val version = KvCommitLog.latestVersion(base) + 1
+    stage(docs, labelCol, textCol, dir, genName(version))
+    chaosHook()
+    KvCommitLog.append(base, Seq(genName(version)))
+    version
+  }
+
+  /** Extend the committed model with `docs`' statistics: stages a delta
+    * member and commits a manifest naming the previous members PLUS the
+    * delta. Lossless by count mergeability — scoring against the result
+    * is bit-identical to a one-shot train over the union. The training
+    * documents already absorbed into the model are never re-read. */
+  def appendDelta(docs: DataFrame, labelCol: String, textCol: String,
+      dir: String): Int = {
+    val prev = membersAt(dir, None)
+    val base = Paths.get(dir)
+    val version = KvCommitLog.latestVersion(base) + 1
+    stage(docs, labelCol, textCol, dir, deltaName(version))
+    chaosHook()
+    KvCommitLog.append(base, prev :+ deltaName(version))
+    version
+  }
+
+  /** Member directories of the committed model at `asOf` (default
+    * latest). */
+  private def membersAt(dir: String, asOf: Option[Int]): Seq[String] = {
+    val vs = KvCommitLog.versions(Paths.get(dir))
+    require(vs.nonEmpty, s"no committed model at $dir " +
+      "(an uncommitted member directory is not a model)")
+    val latest = vs.last._1
+    val v = asOf.getOrElse(latest)
+    require(v >= 1 && v <= latest,
+      s"model version $v out of committed range [1, $latest] at $dir")
+    val manifest = vs.find(_._1 == v).getOrElse(
+      throw new IllegalStateException(s"model manifest $v missing at $dir"))._2
+    val entries = Files.readAllLines(manifest)
+      .toArray(Array.empty[String]).toSeq.filter(_.nonEmpty)
+    require(entries.nonEmpty, s"model manifest $v at $dir is empty")
+    entries
+  }
+
+  /** Score `test` against the committed model (latest or `asOf`):
+    * argmin-bits multinomial NB over the MERGED member statistics.
+    * Returns (idCol, pred_cls, total_bits), one row per test document.
+    *
+    * Plan shape: member counts union + one (cls, w) group-by (shuffle =
+    * distinct model keys, never the corpus), smoothing scalars derived
+    * from the model tables and broadcast as the K-row class frame, the
+    * test token stream joined on the (cls, w) KEY — the model is never
+    * broadcast and the TRAINING documents are never scanned (spec-pinned:
+    * the score plan's file scans read only the model dir + test input). */
+  def score(test: DataFrame, idCol: String, textCol: String, dir: String,
+      asOf: Option[Int] = None): DataFrame = {
+    val spark = test.sparkSession
+    val members = membersAt(dir, asOf)
+    val cnt = members.map(m => spark.read.parquet(s"$dir/$m/counts"))
+      .reduce(_ unionAll _)
+      .groupBy("cls", "w").agg(sum(col("cwc")).as("cwc"))
+    val clsTab = members.map(m => spark.read.parquet(s"$dir/$m/classes"))
+      .reduce(_ unionAll _)
+      .groupBy("cls").agg(sum(col("totc")).as("totc"),
+        sum(col("ndocs")).as("ndocs"))
+    val classes = clsTab
+      .crossJoin(cnt.select("w").distinct().agg(count(lit(1)).as("v")))
+      .crossJoin(clsTab.agg(sum(col("ndocs")).as("ntr")))
+    val teTok = test.select(col(idCol),
+      explode(split(lower(col(textCol)), " ")).as("w"))
+    val scored = teTok.crossJoin(broadcast(classes))
+      .join(cnt, Seq("cls", "w"), "left")
+      .withColumn("bits",
+        (length(bin(col("totc") + col("v"))) -
+          length(bin(coalesce(col("cwc"), lit(0L)) + 1))).cast("long"))
+    val perClass = scored
+      .groupBy(col(idCol), col("cls"))
+      .agg(sum(col("bits")).as("tok_bits"),
+        (max(length(bin(col("ntr")))) - max(length(bin(col("ndocs")))))
+          .cast("long").as("prior_bits"))
+      .withColumn("total_bits", col("tok_bits") + col("prior_bits"))
+    val wr = Window.partitionBy(col(idCol))
+      .orderBy(col("total_bits"), col("cls"))
+    perClass.withColumn("rk", row_number().over(wr))
+      .filter(col("rk") === 1)
+      .select(col(idCol), col("cls").as("pred_cls"), col("total_bits"))
+  }
+}

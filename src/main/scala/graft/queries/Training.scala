@@ -1192,7 +1192,13 @@ object Training extends QueryGroup {
           col("cls").as("pred_lang"), col("total_bits").as("bits"))
         .orderBy(col("doc_id"))
     },
-    Some("""WITH train AS (
+    Some(nbOracleSql))
+
+  /** Shared multinomial-NB oracle — q_classify_nb and its persisted /
+    * incremental Store twins gate against the IDENTICAL SQL: neither
+    * persistence nor lossless delta merging may change one prediction. */
+  private lazy val nbOracleSql: String =
+    """WITH train AS (
               SELECT * FROM documents WHERE doc_id % 5 <> 0),
             test AS (
               SELECT * FROM documents WHERE doc_id % 5 = 0),
@@ -1232,7 +1238,74 @@ object Training extends QueryGroup {
               FROM pc)
             SELECT doc_id, lang AS true_lang, cls AS pred_lang,
               total_bits AS bits
-            FROM rk WHERE r = 1 ORDER BY doc_id"""))
+            FROM rk WHERE r = 1 ORDER BY doc_id"""
+
+  /** The held-out 20 % scored with predictions joined back to their true
+    * labels — the shared output shape of the three NB gates. */
+  private def nbScoreOutput(test: org.apache.spark.sql.DataFrame,
+      scored: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    scored.join(test.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang").as("true_lang"),
+        col("pred_cls").as("pred_lang"), col("total_bits").as("bits"))
+      .orderBy("doc_id")
+
+  /** TRAIN ONCE / SCORE MANY: q_classify_nb's model committed through
+    * the Store ([[graft.operators.ModelStore]] — the model-artifact twin
+    * of the persisted ANN index): sufficient statistics staged as a
+    * versioned generation (manifest-last, crash leaves an invisible
+    * orphan), scoring runs entirely off the committed tables — the
+    * training documents are never re-scanned (spec-pinned). Shares
+    * q_classify_nb's oracle verbatim: persistence cannot change a
+    * prediction. At 100 TB this is the production shape — one corpus
+    * pass to train, then every scoring batch reads the model-sized
+    * count tables only. */
+  private val qClassifyNbPersisted = Q(
+    "q_classify_nb_persisted",
+    (s, dir) => {
+      val mdl = s"${sys.props("java.io.tmpdir")}/graft_model/" +
+        s"${s.sparkContext.applicationId}/q_classify_nb_persisted"
+      val fs = new org.apache.hadoop.fs.Path(mdl)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(mdl), true)
+      val docs = table(s, dir, "documents")
+      graft.operators.ModelStore.train(
+        docs.filter(col("doc_id") % 5 =!= 0), "lang", "text", mdl)
+      val test = docs.filter(col("doc_id") % 5 === 0)
+      nbScoreOutput(test,
+        graft.operators.ModelStore.score(test, "doc_id", "text", mdl))
+    },
+    Some(nbOracleSql))
+
+  /** LOSSLESS INCREMENTAL TRAINING: the model is trained on HALF the
+    * training split, then extended with the other half via
+    * [[graft.operators.ModelStore.appendDelta]] — and still gates
+    * against the one-shot oracle, because a count model's sufficient
+    * statistics merge exactly (per-(class, word) counts and class
+    * totals sum; the smoothing vocabulary is re-derived from the merged
+    * tables, so delta-added words enter V). The ingest-pipeline shape:
+    * new labeled batches extend the committed model without re-reading
+    * absorbed documents, and every extension is a frozen version
+    * (asOf-scoreable, spec-pinned). */
+  private val qClassifyNbIncremental = Q(
+    "q_classify_nb_incremental",
+    (s, dir) => {
+      val mdl = s"${sys.props("java.io.tmpdir")}/graft_model/" +
+        s"${s.sparkContext.applicationId}/q_classify_nb_incremental"
+      val fs = new org.apache.hadoop.fs.Path(mdl)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(mdl), true)
+      val docs = table(s, dir, "documents")
+      graft.operators.ModelStore.train(
+        docs.filter(col("doc_id") % 5 === 1 || col("doc_id") % 5 === 2),
+        "lang", "text", mdl)
+      graft.operators.ModelStore.appendDelta(
+        docs.filter(col("doc_id") % 5 === 3 || col("doc_id") % 5 === 4),
+        "lang", "text", mdl)
+      val test = docs.filter(col("doc_id") % 5 === 0)
+      nbScoreOutput(test,
+        graft.operators.ModelStore.score(test, "doc_id", "text", mdl))
+    },
+    Some(nbOracleSql))
 
   /** Data selection via importance resampling (the DSIR recipe, Xie et
     * al. 2023: weight every raw document by how much more likely its
@@ -1388,5 +1461,6 @@ object Training extends QueryGroup {
     qCdcMerge, qDqChecks, qIngestIncremental, qIngestNeardup, qTableDigest,
     qStoreCompact,
     qStoreForget, qAggIncrementalView, qShuffleGlobal, qClassifyNb,
+    qClassifyNbPersisted, qClassifyNbIncremental,
     qSelectDsir, qSelectBudget)
 }

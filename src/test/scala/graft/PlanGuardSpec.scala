@@ -79,6 +79,8 @@ class PlanGuardSpec extends AnyFunSuite with SparkSessionFixture {
     // bounded by the label alphabet, never the data; the (class, word)
     // model join itself plans as an equi join
     "q_classify_nb" -> "class-totals cross, label-alphabet-bounded",
+    "q_classify_nb_persisted" -> "class-totals cross, label-alphabet-bounded",
+    "q_classify_nb_incremental" -> "class-totals cross, label-alphabet-bounded",
     // the 1-row (R, T, V) corpus-totals scalar crossed onto the
     // occurrence stream; both n-gram count joins are gram-equi
     "q_select_dsir" -> "scalar corpus totals, one-row broadcast",
