@@ -883,6 +883,65 @@ object Streaming extends QueryGroup {
              SELECT query_id, rk, vec_id, cid AS list_id, cosine FROM ranked
              WHERE rk <= 3 ORDER BY query_id, rk"""))
 
+  /** LIVE CLASSIFIER SERVING — the model-store twin of
+    * q_stream_ann_probe: the NB model ([[graft.operators.ModelStore]])
+    * is trained and committed ONCE before the stream starts; held-out
+    * documents then arrive as three doc_id-ranged drops and every
+    * micro-batch scores against the COMMITTED count tables via
+    * foreachBatch (training documents never re-read — ModelStoreSpec
+    * pins the score plan's scan set). Scores are per-document
+    * independent, so the converged result equals a one-shot scoring of
+    * the whole held-out split — which is exactly q_classify_nb's
+    * oracle, shared verbatim. The deployment shape: model maintenance
+    * (train/appendDelta, versioned) decoupled from a scoring stream
+    * that only ever reads model-sized tables. */
+  private val qStreamClassify = Q(
+    "q_stream_classify",
+    (s, dir) => {
+      val tmp = sys.props("java.io.tmpdir")
+      val root = new java.io.File(s"$tmp/graft-stream-classify")
+      if (root.exists()) rmTree(root)
+      val mdl = s"$root/model"
+      val out = s"$root/results"
+      val docs = table(s, dir, "documents").select("doc_id", "lang", "text")
+      graft.operators.ModelStore.train(
+        docs.filter(col("doc_id") % 5 =!= 0), "lang", "text", mdl)
+      val test = docs.filter(col("doc_id") % 5 === 0)
+      val staged = root.toPath.resolve("staged")
+      test.repartitionByRange(3, col("doc_id"))
+        .write.mode("overwrite").parquet(staged.toString)
+      val srcRoot = root.toPath.resolve("src")
+      java.nio.file.Files.createDirectories(srcRoot)
+      val stream = s.readStream.schema(test.schema).parquet(srcRoot.toString)
+      withStatePartitions(s, 8) {
+        val q = stream.writeStream.outputMode("append")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            rmTree(new java.io.File(s"$out/batch=$id"))
+            graft.operators.ModelStore.score(batch.toDF(), "doc_id", "text", mdl)
+              .write.format("graft.sources.KvSinkProvider")
+              .option("path", s"$out/batch=$id").mode("append").save()
+          }
+          .start()
+        try {
+          new java.io.File(staged.toString).listFiles()
+            .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+            .zipWithIndex.foreach { case (f, i) =>
+              java.nio.file.Files.copy(f.toPath, srcRoot.resolve(s"drop_$i.parquet"))
+              q.processAllAvailable()
+            }
+        } finally q.stop()
+      }
+      s.read.format("graft.sources.KvSourceProvider")
+        .option("path", out).option("recursive", "true")
+        .option("schema", "doc_id LONG, pred_cls STRING, total_bits LONG")
+        .load()
+        .join(test.select(col("doc_id"), col("lang")), "doc_id")
+        .select(col("doc_id"), col("lang").as("true_lang"),
+          col("pred_cls").as("pred_lang"), col("total_bits").as("bits"))
+        .orderBy("doc_id")
+    },
+    Some(Training.nbOracleSql))
+
   /** Watermarked streaming dedup, batch twin (EventStreams.dedupEvents —
     * dropDuplicatesWithinWatermark, the bounded-state ingestion guard).
     * Input is events ⊎ its first 200 rows — a deterministic replayed-batch
@@ -911,5 +970,5 @@ object Streaming extends QueryGroup {
     qStreamJoinFull, qStreamJoinFullLive, qStreamEnrich,
     qStreamLive, qStreamLiveAppend, qStreamSessionTimersLive, qStreamKvSink,
     qStreamIngest, qStreamIngestNeardup, qStreamIngestNeardupPhash,
-    qStreamAnnProbe, qStreamDedup)
+    qStreamAnnProbe, qStreamClassify, qStreamDedup)
 }

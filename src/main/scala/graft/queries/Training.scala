@@ -1197,7 +1197,7 @@ object Training extends QueryGroup {
   /** Shared multinomial-NB oracle — q_classify_nb and its persisted /
     * incremental Store twins gate against the IDENTICAL SQL: neither
     * persistence nor lossless delta merging may change one prediction. */
-  private lazy val nbOracleSql: String =
+  private[queries] lazy val nbOracleSql: String =
     """WITH train AS (
               SELECT * FROM documents WHERE doc_id % 5 <> 0),
             test AS (
