@@ -30,6 +30,22 @@ object PortableHash {
       lit(0L),
       (h, c) => (h * lit(131L) + c) % lit(P))
 
+  /** Driver-side Scala twin of [[charHash]] — the same left fold over
+    * CODEPOINTS (matching the graft_charhash kernel's iteration and
+    * DuckDB ascii()), for computing hash-derived constants (e.g.
+    * partition-bucket ids of query terms) on the driver.
+    * TextIndexSpec pins build/search agreement. */
+  def charHashLocal(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 131L + cp.toLong) % P
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
   /** DuckDB SQL for [[charHash]] — list_reduce has no init parameter, so
     * the 0 seed is prepended ( (0*131+c1) ≡ fold with init 0 ). */
   def charHashSql(e: String): String =

@@ -1,0 +1,160 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.KvCommitLog
+
+/** Store-committed INVERTED TEXT INDEX — build once / search many for
+  * lexical (BM25) retrieval, completing the persisted-artifact triple
+  * next to [[AnnIndex]] (vectors) and [[ModelStore]] (models): at 100 TB
+  * a text corpus is indexed once and then served to thousands of term
+  * queries, none of which may re-tokenize the corpus.
+  *
+  * Layout per member (same manifest-last commit protocol as its
+  * siblings — a crash while staging leaves an invisible orphan):
+  *   - `postings/` — (term, doc_id, tf, dl), PARTITIONED BY `tb` (the
+  *     term's portable-hash bucket, [[PortableHash.charHashLocal]] % 64):
+  *     a search computes its query terms' buckets ON THE DRIVER and
+  *     prunes the scan to those partitions at file listing — the
+  *     search-time read is O(matching postings), never the corpus.
+  *     Document length `dl` is DENORMALIZED onto every posting (the
+  *     [[AnnIndex]] codes-in-lists discipline) so BM25 scoring needs no
+  *     corpus-sized side join.
+  *   - `meta.json` — {ndocs, ttokens}, the corpus-level BM25 constants.
+  *
+  * Incremental maintenance: [[appendDelta]] stages a new member holding
+  * ONLY the delta's postings + its own meta; the manifest names the
+  * previous members plus the delta. Search merges members by plain
+  * union: each document's postings live in exactly one member (the
+  * delta contract: doc-disjoint batches, the IncrementalIngest
+  * discipline), so per-term document frequency is a row count over the
+  * union and the corpus constants are sums of member metas — search
+  * results are bit-identical to a one-shot rebuild (the gate proves it).
+  *
+  * All BM25 arithmetic is the gated q_text_bm25 integer formulation
+  * (k1=1.2, b=0.75 scaled to exact integer div) — engine-portable,
+  * partition-count-independent.
+  */
+object TextIndex {
+
+  /** Term-hash partition buckets per member. */
+  val Buckets = 64
+
+  private def genName(v: Int) = s"gen-$v"
+  private def deltaName(v: Int) = s"delta-$v"
+
+  def latestVersion(dir: String): Int =
+    KvCommitLog.latestVersion(Paths.get(dir))
+
+  /** Test-only chaos hook: runs after staging, before the manifest. */
+  @volatile var chaosHook: () => Unit = () => ()
+
+  private def stage(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, member: String): Unit = {
+    val spark = docs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val tok = docs.select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    tf.join(dl, "doc_id")
+      .withColumn("tb",
+        pmod(graft.functions.GraftFunctions.charHashNative(col("term")),
+          lit(Buckets.toLong)))
+      .write.mode("overwrite").partitionBy("tb")
+      .parquet(s"$dir/$member/postings")
+    val ndocs = docs.count()
+    val ttokens = dl.agg(coalesce(sum(col("dl")), lit(0L)))
+      .head.getLong(0)
+    Files.writeString(Paths.get(s"$dir/$member/meta.json"),
+      s"""{"ndocs":$ndocs,"ttokens":$ttokens}""")
+  }
+
+  /** Index `docs` and commit a NEW generation (a full rebuild).
+    * Returns the committed version. */
+  def build(docs: DataFrame, idCol: String, textCol: String,
+      dir: String): Int = {
+    val base = Paths.get(dir)
+    Files.createDirectories(base)
+    val version = KvCommitLog.latestVersion(base) + 1
+    stage(docs, idCol, textCol, dir, genName(version))
+    chaosHook()
+    KvCommitLog.append(base, Seq(genName(version)))
+    version
+  }
+
+  /** Extend the committed index with `docs` (doc-disjoint from every
+    * absorbed batch — the ingest contract that makes member-union df
+    * exact). Absorbed documents are never re-tokenized. */
+  def appendDelta(docs: DataFrame, idCol: String, textCol: String,
+      dir: String): Int = {
+    val prev = membersAt(dir, None)
+    val base = Paths.get(dir)
+    val version = KvCommitLog.latestVersion(base) + 1
+    stage(docs, idCol, textCol, dir, deltaName(version))
+    chaosHook()
+    KvCommitLog.append(base, prev :+ deltaName(version))
+    version
+  }
+
+  private def membersAt(dir: String, asOf: Option[Int]): Seq[String] = {
+    val vs = KvCommitLog.versions(Paths.get(dir))
+    require(vs.nonEmpty, s"no committed text index at $dir " +
+      "(an uncommitted member directory is not an index)")
+    val latest = vs.last._1
+    val v = asOf.getOrElse(latest)
+    require(v >= 1 && v <= latest,
+      s"text index version $v out of committed range [1, $latest] at $dir")
+    val manifest = vs.find(_._1 == v).getOrElse(
+      throw new IllegalStateException(s"text index manifest $v missing at $dir"))._2
+    val entries = Files.readAllLines(manifest)
+      .toArray(Array.empty[String]).toSeq.filter(_.nonEmpty)
+    require(entries.nonEmpty, s"text index manifest $v at $dir is empty")
+    entries
+  }
+
+  private def metaOf(dir: String, member: String): (Long, Long) = {
+    val s = Files.readString(Paths.get(s"$dir/$member/meta.json"))
+    def f(n: String): Long = (s"""\"$n\":(\\d+)""").r.findFirstMatchIn(s)
+      .map(_.group(1).toLong).getOrElse(
+        throw new IllegalStateException(s"text index meta missing '$n': $s"))
+    (f("ndocs"), f("ttokens"))
+  }
+
+  /** BM25 top-k over the committed index (latest or `asOf`): returns
+    * (doc_id, score) for the `terms` disjunction, score = the exact
+    * integer q_text_bm25 formula summed over matched terms.
+    *
+    * Plan shape: query-term buckets computed on the DRIVER prune the
+    * postings scan at file listing (spec-measured); document frequency
+    * comes from the fetched postings themselves (a term's posting rows
+    * all live in its bucket); corpus constants are member-meta sums —
+    * the search never aggregates, joins, or even lists the corpus. */
+  def search(spark: SparkSession, dir: String, terms: Seq[String],
+      topK: Int, asOf: Option[Int] = None): DataFrame = {
+    require(terms.nonEmpty, "text index search needs at least one term")
+    val members = membersAt(dir, asOf)
+    val (nDocs, tTokens) = members.map(metaOf(dir, _))
+      .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    val buckets = terms.map(t =>
+      java.lang.Math.floorMod(PortableHash.charHashLocal(t), Buckets.toLong))
+      .distinct
+    val post = members.map(m => spark.read.parquet(s"$dir/$m/postings"))
+      .reduce(_ unionAll _)
+      .filter(col("tb").isin(buckets: _*))
+      .filter(col("term").isin(terms: _*))
+    val dfT = post.groupBy("term").agg(count(lit(1)).as("df"))
+    post.join(broadcast(dfT), "term")
+      .withColumn("s", expr(
+        s"""((($nDocs - df + 1) * 100000) div (df + 1)) *
+            ((tf * 22 * $tTokens * 10000) div
+             (10 * $tTokens * tf + 3 * $tTokens + 9 * dl * $nDocs))"""))
+      .groupBy("doc_id").agg(sum(col("s")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+}

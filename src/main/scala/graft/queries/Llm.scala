@@ -1045,7 +1045,13 @@ object Llm extends QueryGroup {
         .orderBy(col("score").desc, col("doc_id"))
         .limit(10)
     },
-    Some("""WITH raw AS (
+    Some(bm25OracleSql))
+
+  /** Shared BM25 oracle — q_text_bm25 and its persisted/incremental
+    * Store-index twins gate against the IDENTICAL SQL: neither
+    * persistence nor doc-disjoint delta merging may change a score. */
+  private lazy val bm25OracleSql: String =
+    """WITH raw AS (
               SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
               FROM documents),
             tok AS (SELECT doc_id, term FROM raw WHERE term <> ''),
@@ -1065,7 +1071,61 @@ object Llm extends QueryGroup {
                 consts)
             SELECT doc_id, CAST(sum(s) AS BIGINT) AS score
             FROM scored GROUP BY 1
-            ORDER BY score DESC, doc_id LIMIT 10"""))
+            ORDER BY score DESC, doc_id LIMIT 10"""
+
+  /** PERSISTED INVERTED INDEX, the build-once/search-many lexical
+    * retrieval path ([[graft.operators.TextIndex]] — the text third of
+    * the persisted-artifact triple next to the ANN index and the model
+    * store): postings committed as versioned Store generations,
+    * PARTITIONED BY the term's portable-hash bucket so a search prunes
+    * its scan to the query terms' buckets at file listing; document
+    * length rides denormalized on every posting (no corpus-sized side
+    * join at search time); document frequency and the BM25 corpus
+    * constants come from the fetched postings + member metas — the
+    * search never re-tokenizes, aggregates, or lists the corpus.
+    * Shares q_text_bm25's oracle verbatim: persistence cannot change
+    * a score. TextIndexSpec pins the pruned-scan shape, crash-window
+    * orphans, asOf freezing and driver/executor bucket agreement. */
+  private val qTextBm25Persisted = Q(
+    "q_text_bm25_persisted",
+    (s, dir) => {
+      val idx = s"${sys.props("java.io.tmpdir")}/graft_textindex/" +
+        s"${s.sparkContext.applicationId}/q_text_bm25_persisted"
+      val fs = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+      graft.operators.TextIndex.build(
+        table(s, dir, "documents"), "doc_id", "text", idx)
+      graft.operators.TextIndex.search(s, idx,
+        Seq("hash", "join", "vector"), topK = 10)
+    },
+    Some(bm25OracleSql))
+
+  /** INCREMENTAL index maintenance: the index is built on half the
+    * corpus, extended with the other half via
+    * [[graft.operators.TextIndex.appendDelta]] (absorbed documents
+    * never re-tokenized) — and still gates against the one-shot oracle:
+    * doc-disjoint member postings union losslessly (per-term df is a
+    * row count over the union, corpus constants sum from member metas).
+    * The 100 TB ingest shape: each arriving batch indexes only itself
+    * and commits a frozen, asOf-addressable version. */
+  private val qTextBm25Incremental = Q(
+    "q_text_bm25_incremental",
+    (s, dir) => {
+      val idx = s"${sys.props("java.io.tmpdir")}/graft_textindex/" +
+        s"${s.sparkContext.applicationId}/q_text_bm25_incremental"
+      val fs = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+      val docs = table(s, dir, "documents")
+      graft.operators.TextIndex.build(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", idx)
+      graft.operators.TextIndex.appendDelta(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", idx)
+      graft.operators.TextIndex.search(s, idx,
+        Seq("hash", "join", "vector"), topK = 10)
+    },
+    Some(bm25OracleSql))
 
   /** SPARSE TF-IDF cosine similarity join — the inverted-index text-
     * similarity path (plagiarism/boilerplate detection, lexical near-dup
@@ -2636,7 +2696,7 @@ object Llm extends QueryGroup {
     qMultimodalVideo, qMultimodalVideo420, qMultimodalHist, qMultimodalPhash,
     qDedupPhash, qIngestNeardupPhash,
     qDecontaminate, qTextPii, qDedupFuzzy, qTextLmScore, qDedupSubstr,
-    qDecontamSemantic)
+    qDecontamSemantic, qTextBm25Persisted, qTextBm25Incremental)
 
   /** Fuzzy string-match join (entity resolution): name pairs within
     * Levenshtein distance 2. Scale shape, in order: (1) match on the
