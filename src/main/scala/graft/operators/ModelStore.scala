@@ -73,6 +73,12 @@ object ModelStore {
 
   private def stage(docs: DataFrame, labelCol: String, textCol: String,
       dir: String, member: String): Unit = {
+    // fail fast on an empty batch BEFORE anything is staged: an empty
+    // parquet member has no inferable schema and would poison every
+    // later score that unions the members
+    require(!docs.isEmpty,
+      s"refusing to stage an EMPTY batch as model member $member at " +
+        s"$dir — empty members would break every subsequent score")
     val (counts, classes) = stats(docs, labelCol, textCol)
     counts.write.mode("overwrite").parquet(s"$dir/$member/counts")
     classes.coalesce(1).write.mode("overwrite")

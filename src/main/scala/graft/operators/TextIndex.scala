@@ -56,6 +56,14 @@ object TextIndex {
       dir: String, member: String): Unit = {
     val spark = docs.sparkSession
     graft.functions.GraftFunctions.register(spark)
+    // fail fast on an empty batch BEFORE anything is staged: an empty
+    // partitioned-parquet member has no inferable schema and would
+    // poison every later search that unions the members — better to
+    // reject the append than to commit a generation no one can read
+    val ndocs = docs.count()
+    require(ndocs > 0,
+      s"refusing to stage an EMPTY batch as text-index member $member " +
+        s"at $dir — empty members would break every subsequent search")
     val tok = docs.select(col(idCol).as("doc_id"),
         explode(split(lower(col(textCol)), " ")).as("term"))
       .filter(col("term") =!= "")
@@ -67,7 +75,6 @@ object TextIndex {
           lit(Buckets.toLong)))
       .write.mode("overwrite").partitionBy("tb")
       .parquet(s"$dir/$member/postings")
-    val ndocs = docs.count()
     val ttokens = dl.agg(coalesce(sum(col("dl")), lit(0L)))
       .head.getLong(0)
     Files.writeString(Paths.get(s"$dir/$member/meta.json"),

@@ -1912,6 +1912,106 @@ object Llm extends QueryGroup {
             FROM spans s JOIN ntok n USING (doc_id)
             ORDER BY s.doc_id"""))
 
+  /** The TRIM transform completing ExactSubstr dedup (q_dedup_substr
+    * finds the duplicated spans; this produces the CLEANED corpus): every
+    * token covered by a corpus-duplicated ≥6-token run is removed, and
+    * each document's surviving token stream is fingerprinted with the
+    * portable rolling hash over its token hashes IN POSITION ORDER — so
+    * the gate pins the exact kept-token sequence (an off-by-one in span
+    * coverage, a dropped survivor, or a reorder all hash-mismatch), not
+    * just counts. Every document appears in the output (undamaged docs
+    * keep their full stream; fully-duplicated docs keep zero tokens,
+    * fingerprint 0).
+    *
+    * 100 TB shape: same single corpus-wide gram count group-by as
+    * q_dedup_substr; the trim itself is a doc-keyed anti-join (kept =
+    * tokens ∖ covered) plus one per-doc ordered fold — bounded per-doc
+    * state, doc_id-keyed shuffles only. */
+  private val qDedupSubstrTrim = Q(
+    "q_dedup_substr_trim",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val k = 6
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      val toks = table(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(lower(col("text")), " ")).as(Seq("i", "t")))
+      val grams = toks
+        .withColumn("g", concat_ws(" ",
+          col("t") +: (1 until k).map(j => lead(col("t"), j).over(w)): _*))
+        .withColumn("lst", lead(col("t"), k - 1).over(w))
+        .filter(col("lst").isNotNull)
+        .select(col("doc_id"), col("i"), col("g"))
+      val dupg = grams.groupBy(col("g"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2)
+        .select("g")
+      val covered = grams.join(dupg, "g")
+        .select(col("doc_id"),
+          explode(sequence(col("i"), col("i") + lit(k - 1))).as("idx"))
+        .distinct()
+      val kept = toks
+        .join(covered, toks("doc_id") === covered("doc_id") &&
+          toks("i") === covered("idx"), "left_anti")
+        .withColumn("th", graft.functions.GraftFunctions.charHashNative(col("t")))
+      val keptAgg = kept.groupBy("doc_id")
+        .agg(count(lit(1)).as("kept_tokens"),
+          aggregate(
+            transform(array_sort(collect_list(struct(col("i"), col("th")))),
+              x => x.getField("th")),
+            lit(0L),
+            (h, t) => (h * lit(131L) + t) % lit(PortableHash.P))
+            .as("kept_fp"))
+      val ntok = toks.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"))
+      ntok.join(keptAgg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+          coalesce(col("kept_fp"), lit(0L)).as("kept_fp"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH t AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS tl
+              FROM documents),
+            toks AS (
+              SELECT doc_id, unnest(generate_series(1, len(tl))) AS i
+              FROM t),
+            tok AS (
+              SELECT o.doc_id, o.i, t.tl[o.i] AS tk
+              FROM toks o JOIN t USING (doc_id)),
+            occ AS (
+              SELECT doc_id, unnest(generate_series(1, len(tl) - 5)) AS i
+              FROM t WHERE len(tl) >= 6),
+            grams AS (
+              SELECT o.doc_id, o.i,
+                t.tl[o.i] || ' ' || t.tl[o.i+1] || ' ' || t.tl[o.i+2] || ' ' ||
+                t.tl[o.i+3] || ' ' || t.tl[o.i+4] || ' ' || t.tl[o.i+5] AS g
+              FROM occ o JOIN t USING (doc_id)),
+            dupg AS (
+              SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+            covered AS (
+              SELECT DISTINCT doc_id, i + j AS idx
+              FROM (SELECT doc_id, i FROM grams JOIN dupg USING (g)) h,
+                generate_series(0, 5) AS s(j)),
+            kept AS (
+              SELECT k.doc_id, k.i, ${charHashSql("k.tk")} AS th
+              FROM tok k
+              WHERE NOT EXISTS (SELECT 1 FROM covered c
+                WHERE c.doc_id = k.doc_id AND c.idx = k.i)),
+            ka AS (
+              SELECT doc_id, count(*) AS kept_tokens,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list(th ORDER BY i)),
+                  (h, x) -> (h * 131 + x) % ${PortableHash.P}) AS kept_fp
+              FROM kept GROUP BY doc_id),
+            nt AS (
+              SELECT doc_id, CAST(len(tl) AS BIGINT) AS n_tokens FROM t)
+            SELECT n.doc_id, n.n_tokens,
+              COALESCE(ka.kept_tokens, 0) AS kept_tokens,
+              COALESCE(ka.kept_fp, 0) AS kept_fp
+            FROM nt n LEFT JOIN ka USING (doc_id)
+            ORDER BY n.doc_id"""))
+
   // -- multimodal ------------------------------------------------------
 
   /** Multimodal column plumbing: documents carried as opaque binary
@@ -2696,7 +2796,8 @@ object Llm extends QueryGroup {
     qMultimodalVideo, qMultimodalVideo420, qMultimodalHist, qMultimodalPhash,
     qDedupPhash, qIngestNeardupPhash,
     qDecontaminate, qTextPii, qDedupFuzzy, qTextLmScore, qDedupSubstr,
-    qDecontamSemantic, qTextBm25Persisted, qTextBm25Incremental)
+    qDecontamSemantic, qTextBm25Persisted, qTextBm25Incremental,
+    qDedupSubstrTrim)
 
   /** Fuzzy string-match join (entity resolution): name pairs within
     * Levenshtein distance 2. Scale shape, in order: (1) match on the

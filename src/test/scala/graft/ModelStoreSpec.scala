@@ -129,6 +129,19 @@ class ModelStoreSpec extends AnyFunSuite with SparkSessionFixture {
     assert(rows(ModelStore.score(test0, "doc_id", "text", dir)) != before)
   }
 
+  test("an empty batch is rejected before staging (cannot poison the model)") {
+    val dir = freshDir("emptybatch")
+    ModelStore.train(docs.filter(col("doc_id") % 5 === 1), "lang", "text", dir)
+    val test0 = docs.filter(col("doc_id") % 5 === 0)
+    val before = rows(ModelStore.score(test0, "doc_id", "text", dir))
+    val e = intercept[IllegalArgumentException] {
+      ModelStore.appendDelta(docs.filter(lit(false)), "lang", "text", dir)
+    }
+    assert(e.getMessage.contains("EMPTY batch"))
+    assert(ModelStore.latestVersion(dir) == 1)
+    assert(rows(ModelStore.score(test0, "doc_id", "text", dir)) == before)
+  }
+
   test("scoring an empty model dir fails fast") {
     val dir = freshDir("empty")
     Files.createDirectories(Paths.get(dir))

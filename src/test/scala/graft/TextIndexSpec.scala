@@ -127,6 +127,20 @@ class TextIndexSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
+  test("an empty batch is rejected before staging (cannot poison the index)") {
+    val dir = freshDir("emptybatch")
+    TextIndex.build(docs.limit(10), "doc_id", "text", dir)
+    val terms = Seq("hash", "join")
+    val before = rows(TextIndex.search(spark, dir, terms, 10))
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.appendDelta(docs.filter(lit(false)), "doc_id", "text", dir)
+    }
+    assert(e.getMessage.contains("EMPTY batch"))
+    // nothing staged, nothing committed, search unaffected
+    assert(TextIndex.latestVersion(dir) == 1)
+    assert(rows(TextIndex.search(spark, dir, terms, 10)) == before)
+  }
+
   test("searching an empty index dir fails fast") {
     val dir = freshDir("empty")
     Files.createDirectories(Paths.get(dir))
