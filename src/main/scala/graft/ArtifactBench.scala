@@ -87,6 +87,82 @@ object ArtifactBench {
       f""""modelstore_train_score_sec":$msBuild%.3f,""" +
       f""""modelstore_score_only_sec":$msServe%.3f,""" +
       f""""modelstore_speedup":${msBuild / msServe}%.2f}""")
+
+    // ---- serve-path scale curves + compaction payoff ------------------
+    // SPARK_GRAFT_SCALE_ROOT points at the key-shifted replicas
+    // (tools/scale_testdata.py): build/train grow with the corpus while
+    // the serve paths read only query-term buckets / model-sized tables
+    // + a FIXED scoring batch — the curves make the decoupling measured
+    // fact, not prose. Then, at the largest factor, the compaction
+    // payoff: search on a 1-member index vs the same index as 8 members.
+    val scaleRoot = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROOT", "")
+    if (scaleRoot.nonEmpty) {
+      val factors = Seq(1, 2, 5, 10).filter(f =>
+        new java.io.File(s"$scaleRoot/x$f/documents.parquet").exists())
+      val fixedBatch = spark.read
+        .parquet(s"$scaleRoot/x${factors.head}/documents.parquet")
+        .select("doc_id", "lang", "text").filter(col("doc_id") % 5 === 0)
+      val curves = factors.map { f =>
+        val d = spark.read.parquet(s"$scaleRoot/x$f/documents.parquet")
+          .select("doc_id", "lang", "text")
+        val tDir = s"$root/scale-ti-x$f"
+        wipe(tDir)
+        val tBuild = time {
+          graft.operators.TextIndex.build(d, "doc_id", "text", tDir)
+        }
+        graft.operators.TextIndex.search(spark, tDir, terms, 10).collect()
+        val tServe = minOf {
+          graft.operators.TextIndex.search(spark, tDir, terms, 10)
+            .collect(): Unit
+        }
+        val mDir = s"$root/scale-ms-x$f"
+        wipe(mDir)
+        val mBuild = time {
+          graft.operators.ModelStore.train(
+            d.filter(col("doc_id") % 5 =!= 0), "lang", "text", mDir)
+        }
+        graft.operators.ModelStore.score(fixedBatch, "doc_id", "text", mDir)
+          .collect()
+        val mServe = minOf {
+          graft.operators.ModelStore.score(fixedBatch, "doc_id", "text", mDir)
+            .collect(): Unit
+        }
+        f -> (tBuild, tServe, mBuild, mServe)
+      }
+
+      val big = spark.read
+        .parquet(s"$scaleRoot/x${factors.last}/documents.parquet")
+        .select("doc_id", "lang", "text")
+      val cDir = s"$root/scale-compact"
+      wipe(cDir)
+      graft.operators.TextIndex.build(
+        big.filter(col("doc_id") % 8 === 0), "doc_id", "text", cDir)
+      (1 to 7).foreach(i => graft.operators.TextIndex.appendDelta(
+        big.filter(col("doc_id") % 8 === i), "doc_id", "text", cDir))
+      graft.operators.TextIndex.search(spark, cDir, terms, 10).collect()
+      val tFrag = minOf {
+        graft.operators.TextIndex.search(spark, cDir, terms, 10)
+          .collect(): Unit
+      }
+      graft.operators.TextIndex.compact(spark, cDir)
+      graft.operators.TextIndex.search(spark, cDir, terms, 10).collect()
+      val tComp = minOf {
+        graft.operators.TextIndex.search(spark, cDir, terms, 10)
+          .collect(): Unit
+      }
+
+      def arr(sel: ((Double, Double, Double, Double)) => Double): String =
+        curves.map { case (f, t) => f""""x$f":${sel(t)}%.3f""" }.mkString(",")
+      println(
+        s"""{"metric":"artifact_serve_scale","iters":$iters,""" +
+        s""""textindex_build_sec":{${arr(_._1)}},""" +
+        s""""textindex_search_sec":{${arr(_._2)}},""" +
+        s""""modelstore_train_sec":{${arr(_._3)}},""" +
+        s""""modelstore_score_fixed_batch_sec":{${arr(_._4)}},""" +
+        f""""compaction_members":8,"search_8_members_sec":$tFrag%.3f,""" +
+        f""""search_compacted_sec":$tComp%.3f,""" +
+        f""""compaction_speedup":${tFrag / tComp}%.2f}""")
+    }
     spark.stop()
   }
 }

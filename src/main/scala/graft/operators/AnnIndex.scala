@@ -422,6 +422,51 @@ object AnnIndex {
     version
   }
 
+  /** COMPACT the committed member set into one generation. Each
+    * [[appendDelta]] adds a member directory, and a probe pays
+    * per-member file listings and a wider list union; compaction
+    * rewrites the union of all member lists as ONE `gen-(N+1)` (same
+    * `cid` partitioning, so probe pruning is unchanged), carrying the
+    * fit generation's centroids — and PQ codebooks when present —
+    * FORWARD UNFITTED. No re-fit, no re-assignment, no re-encoding:
+    * cluster ids and PQ codes are already materialized on every list
+    * row, so moving the rows between files cannot change a single
+    * probe result (the gate shares the incremental query's oracle).
+    * Older versions keep their frozen member sets (`asOf`).
+    * Returns the committed version. */
+  def compact(spark: SparkSession, dir: String): Int = {
+    val (entries, latest) = entriesAt(dir, None)
+    val fit = fitEntry(dir, entries)
+    val m = meta(dir, Some(latest))
+    val total = entries.map(e => parseMeta(
+      Files.readString(Paths.get(s"$dir/$e/meta.json"))).count).sum
+    val version = latest + 1
+    val gen = s"$dir/${genName(version)}"
+    spark.read.parquet(s"$dir/$fit/centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$gen/centroids")
+    if (Files.exists(Paths.get(s"$dir/$fit/pq")))
+      spark.read.parquet(s"$dir/$fit/pq")
+        .coalesce(1).write.mode("overwrite").parquet(s"$gen/pq")
+    entries.map(e => spark.read.parquet(s"$dir/$e/lists"))
+      .reduce(_ unionAll _)
+      .write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$gen/lists")
+    Files.writeString(Paths.get(s"$gen/meta.json"),
+      metaJson(m.copy(count = total)))
+    KvCommitLog.append(Paths.get(dir), Seq(genName(version)))
+    version
+  }
+
+  /** Member directories named by the version's manifest (public for
+    * specs measuring read amplification). */
+  def members(dir: String, asOf: Option[Int] = None): Seq[String] =
+    entriesAt(dir, asOf)._1
+
+  /** Reclaim history: drop versions below `keepFrom` and delete member
+    * directories only they referenced. Returns the deleted names. */
+  def vacuum(dir: String, keepFrom: Int): Seq[String] =
+    KvCommitLog.vacuum(Paths.get(dir), keepFrom)
+
   /** Probe the committed index: for each row of `queries`
     * (`idCol: long`, `embCol: array<float>`), rank the `nprobe`
     * nearest inverted lists by the SAME exact integer squared-L2 the

@@ -114,6 +114,43 @@ object ModelStore {
     version
   }
 
+  /** COMPACT the committed member set into one generation: merge the
+    * member statistics — the SAME (cls, w) / cls group-by sums that
+    * [[score]] performs on every read — once at write time, and commit
+    * a manifest naming only the merged member. Lossless by count
+    * mergeability (the merge is associative, so merging early vs at
+    * read time is the same arithmetic); every later score then unions
+    * ONE member instead of N. Older versions keep their frozen member
+    * sets (`asOf`). Returns the committed version. */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String): Int = {
+    val members = membersAt(dir, None)
+    val version = KvCommitLog.latestVersion(Paths.get(dir)) + 1
+    val gen = genName(version)
+    members.map(m => spark.read.parquet(s"$dir/$m/counts"))
+      .reduce(_ unionAll _)
+      .groupBy("cls", "w").agg(sum(col("cwc")).as("cwc"))
+      .write.mode("overwrite").parquet(s"$dir/$gen/counts")
+    members.map(m => spark.read.parquet(s"$dir/$m/classes"))
+      .reduce(_ unionAll _)
+      .groupBy("cls").agg(sum(col("totc")).as("totc"),
+        sum(col("ndocs")).as("ndocs"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/$gen/classes")
+    chaosHook()
+    KvCommitLog.append(Paths.get(dir), Seq(gen))
+    version
+  }
+
+  /** Member directories named by the version's manifest (public for
+    * specs measuring read amplification). */
+  def members(dir: String, asOf: Option[Int] = None): Seq[String] =
+    membersAt(dir, asOf)
+
+  /** Reclaim history: drop versions below `keepFrom` and delete member
+    * directories only they referenced. Returns the deleted names. */
+  def vacuum(dir: String, keepFrom: Int): Seq[String] =
+    KvCommitLog.vacuum(Paths.get(dir), keepFrom)
+
   /** Member directories of the committed model at `asOf` (default
     * latest). */
   private def membersAt(dir: String, asOf: Option[Int]): Seq[String] = {

@@ -108,6 +108,46 @@ object TextIndex {
     version
   }
 
+  /** COMPACT the committed member set into one generation. Incremental
+    * maintenance trades write cost for read amplification: every
+    * [[appendDelta]] adds a member, and a search pays per-member file
+    * listings + parquet footers + a wider union. Compaction rewrites the
+    * union of all member postings as a single generation (same `tb`
+    * partitioning, so bucket pruning is unchanged) with summed corpus
+    * meta, and commits a manifest naming only it. Lossless by the same
+    * law that makes delta search exact: members are doc-disjoint, so
+    * the union IS the index — rewriting it in one member changes which
+    * files hold the rows, never the rows. Older versions keep reading
+    * their own frozen member sets ([[search]] `asOf`); the superseded
+    * member directories stay on disk for them. Returns the version. */
+  def compact(spark: SparkSession, dir: String): Int = {
+    val members = membersAt(dir, None)
+    val version = KvCommitLog.latestVersion(Paths.get(dir)) + 1
+    val (nDocs, tTokens) = members.map(metaOf(dir, _))
+      .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    members.map(m => spark.read.parquet(s"$dir/$m/postings"))
+      .reduce(_ unionAll _)
+      .write.mode("overwrite").partitionBy("tb")
+      .parquet(s"$dir/${genName(version)}/postings")
+    Files.writeString(Paths.get(s"$dir/${genName(version)}/meta.json"),
+      s"""{"ndocs":$nDocs,"ttokens":$tTokens}""")
+    chaosHook()
+    KvCommitLog.append(Paths.get(dir), Seq(genName(version)))
+    version
+  }
+
+  /** Member directories named by the version's manifest (public for
+    * specs measuring read amplification). */
+  def members(dir: String, asOf: Option[Int] = None): Seq[String] =
+    membersAt(dir, asOf)
+
+  /** Reclaim history: drop versions below `keepFrom` and delete member
+    * directories only they referenced (typically the pre-compaction
+    * members). Time travel within [keepFrom, latest] is untouched.
+    * Returns the deleted member names. */
+  def vacuum(dir: String, keepFrom: Int): Seq[String] =
+    KvCommitLog.vacuum(Paths.get(dir), keepFrom)
+
   private def membersAt(dir: String, asOf: Option[Int]): Seq[String] = {
     val vs = KvCommitLog.versions(Paths.get(dir))
     require(vs.nonEmpty, s"no committed text index at $dir " +

@@ -302,6 +302,117 @@ object Clustering extends QueryGroup {
              SELECT query_id, rk, vec_id, cid AS list_id, cosine FROM ranked
              WHERE rk <= 3 ORDER BY query_id, rk"""))
 
+  /** Oracle for the incremental-maintenance ANN gates: the coarse
+    * quantizer fits on the corpus MINUS the delta block
+    * (vec_id ∈ [300, 399] — contiguous so it exists at every SF, and
+    * disjoint from both the seed rows [200, 207] and the probe queries
+    * [0, 8)), then the delta assigns against the FROZEN final centroids
+    * (c2), exactly what [[graft.operators.AnnIndex.appendDelta]] does.
+    * Candidates are the union of fit-time and delta assignments. */
+  private[queries] def ivfIncrementalOracle: String = {
+    val qn = KMeansQuant.quantizeNormalizedSql("embedding", Dim)
+    val head = Seq(
+      s"""eq AS (SELECT vec_id, $qn AS qv FROM embeddings
+         |       WHERE vec_id NOT BETWEEN 300 AND 399)""".stripMargin,
+      s"""c0 AS (SELECT CAST(vec_id - $SeedLo AS BIGINT) AS cid, qv AS cv
+         |       FROM eq WHERE vec_id BETWEEN $SeedLo AND $SeedHi)""".stripMargin)
+    val body = (1 to Rounds).flatMap { r =>
+      val assign = KMeansQuant.assignCteSql(s"c${r - 1}", s"a$r", Dim)
+      if (r < Rounds)
+        Seq(assign, KMeansQuant.updateCteSql(s"a$r", s"c${r - 1}", s"c$r", Dim))
+      else Seq(assign)
+    }
+    val tail = Seq(
+      s"""eqB AS (SELECT vec_id, $qn AS qv FROM embeddings
+         |        WHERE vec_id BETWEEN 300 AND 399)""".stripMargin,
+      KMeansQuant.assignCteSql(s"c${Rounds - 1}", "aB", Dim, eq = "eqB"),
+      s"""allx AS (SELECT vec_id, cid FROM a$Rounds
+         |         UNION ALL SELECT vec_id, cid FROM aB)""".stripMargin)
+    s"""WITH ${(head ++ body ++ tail).mkString(",\n")},
+       |     probes AS (
+       |       SELECT query_id, cid FROM (
+       |         SELECT e.vec_id AS query_id, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${KMeansQuant.l2qSql("e.qv", "c.cv", Dim)}, c.cid) AS crk
+       |         FROM eq e CROSS JOIN c${Rounds - 1} c WHERE e.vec_id < 8) t
+       |       WHERE crk <= 2),
+       |     scored AS (
+       |       SELECT p.query_id, x.vec_id, x.cid,
+       |         ${graft.operators.PortableHash.cosineSql(
+                   "qe.embedding", "ce.embedding", Dim)} AS cosine
+       |       FROM allx x JOIN probes p
+       |         ON x.cid = p.cid AND x.vec_id <> p.query_id
+       |       JOIN embeddings qe ON qe.vec_id = p.query_id
+       |       JOIN embeddings ce ON ce.vec_id = x.vec_id),
+       |     ranked AS (
+       |       SELECT query_id, vec_id, cid, cosine,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cosine DESC, vec_id) AS rk
+       |       FROM scored)
+       |SELECT query_id, rk, vec_id, cid AS list_id, cosine FROM ranked
+       |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin
+  }
+
+  /** INCREMENTAL INDEX MAINTENANCE gated end-to-end (previously
+    * spec-only): the index is built WITHOUT the vec_id ∈ [300, 399]
+    * block, which then arrives as a delta batch —
+    * [[graft.operators.AnnIndex.appendDelta]] assigns it against the
+    * committed FROZEN centroids (no re-fit — one assignment pass over
+    * the delta only) and publishes a new version naming the old lists
+    * plus the delta's. The probe unions fit + delta lists, and the
+    * oracle replays exactly that: a fit chain on the reduced corpus,
+    * one frozen-centroid assignment of the block, candidates from the
+    * union. The 100 TB ingest shape: daily embedding batches extend a
+    * trillion-row index at delta cost. */
+  private val qSimIvfIncremental = Q(
+    "q_sim_ivf_incremental",
+    (s, dir) => {
+      val idx = s"${sys.props("java.io.tmpdir")}/graft_ann/" +
+        s"${s.sparkContext.applicationId}/q_sim_ivf_incremental"
+      val fs = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+      val e = table(s, dir, "embeddings").select("vec_id", "embedding")
+      graft.operators.AnnIndex.build(
+        e.filter(!col("vec_id").between(300, 399)), "vec_id", "embedding",
+        (SeedLo to SeedHi).toSeq, Rounds, Dim, idx)
+      graft.operators.AnnIndex.appendDelta(
+        e.filter(col("vec_id").between(300, 399)), "vec_id", "embedding", idx)
+      graft.operators.AnnIndex.probe(
+        e.filter(col("vec_id") < 8), idx, "vec_id", "embedding",
+        nprobe = 2, topK = 3, excludeSelf = true)
+    },
+    Some(ivfIncrementalOracle))
+
+  /** GENERATION COMPACTION for the ANN index: after deltas accrete,
+    * [[graft.operators.AnnIndex.compact]] rewrites the member-list
+    * union as ONE generation carrying the fit's centroids forward
+    * UNFITTED — cluster ids are already materialized on every list row,
+    * so moving rows between files cannot change a probe result. Same
+    * incremental oracle verbatim: build − block, delta the block,
+    * compact, probe. AnnIndexSpec pins member collapse, frozen asOf
+    * history, and the probe-plan shape on the compacted index. */
+  private val qSimIvfCompacted = Q(
+    "q_sim_ivf_compacted",
+    (s, dir) => {
+      val idx = s"${sys.props("java.io.tmpdir")}/graft_ann/" +
+        s"${s.sparkContext.applicationId}/q_sim_ivf_compacted"
+      val fs = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+      val e = table(s, dir, "embeddings").select("vec_id", "embedding")
+      graft.operators.AnnIndex.build(
+        e.filter(!col("vec_id").between(300, 399)), "vec_id", "embedding",
+        (SeedLo to SeedHi).toSeq, Rounds, Dim, idx)
+      graft.operators.AnnIndex.appendDelta(
+        e.filter(col("vec_id").between(300, 399)), "vec_id", "embedding", idx)
+      graft.operators.AnnIndex.compact(s, idx)
+      graft.operators.AnnIndex.probe(
+        e.filter(col("vec_id") < 8), idx, "vec_id", "embedding",
+        nprobe = 2, topK = 3, excludeSelf = true)
+    },
+    Some(ivfIncrementalOracle))
+
   /** PRODUCT QUANTIZATION with ADC scoring (FAISS IndexPQ, completing
     * the quantization family next to q_vector_quantize's scalar INT8):
     * the 64-dim space splits into M=4 16-dim subspaces, each with its
@@ -728,6 +839,7 @@ object Clustering extends QueryGroup {
     Some(ivfPqResidualOracleSql))
 
   override val queries: Seq[Q] = Seq(qClusterKmeans, qClusterKmeansDurable,
-    qDedupSemantic, qSimIvfKmeans, qSimIvfPersisted, qSimPqAdc, qSimIvfPq,
+    qDedupSemantic, qSimIvfKmeans, qSimIvfPersisted, qSimIvfIncremental,
+    qSimIvfCompacted, qSimPqAdc, qSimIvfPq,
     qSimIvfPqPersisted, qSimIvfPqResidual, qSimIvfPqResidualPersisted)
 }

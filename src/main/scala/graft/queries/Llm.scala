@@ -1050,7 +1050,7 @@ object Llm extends QueryGroup {
   /** Shared BM25 oracle — q_text_bm25 and its persisted/incremental
     * Store-index twins gate against the IDENTICAL SQL: neither
     * persistence nor doc-disjoint delta merging may change a score. */
-  private lazy val bm25OracleSql: String =
+  private[queries] lazy val bm25OracleSql: String =
     """WITH raw AS (
               SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
               FROM documents),
@@ -1122,6 +1122,38 @@ object Llm extends QueryGroup {
         docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", idx)
       graft.operators.TextIndex.appendDelta(
         docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", idx)
+      graft.operators.TextIndex.search(s, idx,
+        Seq("hash", "join", "vector"), topK = 10)
+    },
+    Some(bm25OracleSql))
+
+  /** GENERATION COMPACTION: incremental maintenance accretes one member
+    * directory per [[graft.operators.TextIndex.appendDelta]] and every
+    * search pays per-member listings/footers and a wider union —
+    * [[graft.operators.TextIndex.compact]] rewrites the member union as
+    * ONE generation (same term-bucket partitioning, summed corpus meta)
+    * and commits a manifest naming only it. Build half + delta half +
+    * compact still gates against the one-shot oracle: members are
+    * doc-disjoint, so rewriting which FILES hold the postings can never
+    * change a score. The 100 TB shape: bounded read amplification —
+    * deltas absorb continuously, a periodic compaction returns searches
+    * to single-member cost, and superseded members stay on disk for
+    * asOf readers (TextIndexSpec pins member collapse + frozen
+    * history). */
+  private val qTextBm25Compacted = Q(
+    "q_text_bm25_compacted",
+    (s, dir) => {
+      val idx = s"${sys.props("java.io.tmpdir")}/graft_textindex/" +
+        s"${s.sparkContext.applicationId}/q_text_bm25_compacted"
+      val fs = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+      val docs = table(s, dir, "documents")
+      graft.operators.TextIndex.build(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", idx)
+      graft.operators.TextIndex.appendDelta(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", idx)
+      graft.operators.TextIndex.compact(s, idx)
       graft.operators.TextIndex.search(s, idx,
         Seq("hash", "join", "vector"), topK = 10)
     },
@@ -2797,6 +2829,7 @@ object Llm extends QueryGroup {
     qDedupPhash, qIngestNeardupPhash,
     qDecontaminate, qTextPii, qDedupFuzzy, qTextLmScore, qDedupSubstr,
     qDecontamSemantic, qTextBm25Persisted, qTextBm25Incremental,
+    qTextBm25Compacted,
     qDedupSubstrTrim)
 
   /** Fuzzy string-match join (entity resolution): name pairs within

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Graft._
 import graft.streaming.EventStreams
@@ -942,6 +943,268 @@ object Streaming extends QueryGroup {
     },
     Some(Training.nbOracleSql))
 
+  /** LIVE SEARCH SERVING — the text-index twin of q_stream_ann_probe /
+    * q_stream_classify, completing live serving across the whole
+    * persisted-artifact triple: the inverted index
+    * ([[graft.operators.TextIndex]]) is built and committed ONCE before
+    * the stream starts; term queries then arrive as three drops and
+    * every micro-batch searches the COMMITTED postings via foreachBatch
+    * (no re-tokenize ever — each search reads only its query terms'
+    * `tb` bucket partitions, TextIndexSpec pins the pruned scan).
+    * Searches are per-query independent, so the converged result equals
+    * a one-shot evaluation of all queries — the oracle is the gated
+    * BM25 formula per (query, doc), ranked within query. The 100 TB
+    * deployment: index maintenance (build/appendDelta/compact,
+    * versioned) decoupled from a query stream that reads only
+    * posting-bucket slices. */
+  private val qStreamBm25Serve = Q(
+    "q_stream_bm25_serve",
+    (s, dir) => {
+      import s.implicits._
+      val tmp = sys.props("java.io.tmpdir")
+      val root = new java.io.File(s"$tmp/graft-stream-bm25")
+      if (root.exists()) rmTree(root)
+      val idx = s"$root/index"
+      val out = s"$root/results"
+      graft.operators.TextIndex.build(
+        table(s, dir, "documents"), "doc_id", "text", idx)
+      val queries = Seq(
+        (0L, Seq("hash", "join", "vector")),
+        (1L, Seq("stream", "window")),
+        (2L, Seq("merge", "sort", "filter"))).toDF("query_id", "terms")
+      val staged = root.toPath.resolve("staged")
+      queries.repartitionByRange(3, col("query_id"))
+        .write.mode("overwrite").parquet(staged.toString)
+      val srcRoot = root.toPath.resolve("src")
+      java.nio.file.Files.createDirectories(srcRoot)
+      val stream = s.readStream.schema(queries.schema).parquet(srcRoot.toString)
+      withStatePartitions(s, 8) {
+        val q = stream.writeStream.outputMode("append")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            val reqs = batch.collect() // a batch of query REQUESTS — driver-sized by definition
+            if (reqs.nonEmpty) {
+              rmTree(new java.io.File(s"$out/batch=$id"))
+              val w = Window.orderBy(col("score").desc, col("doc_id"))
+              reqs.toSeq.map { r =>
+                  val qid = r.getLong(r.fieldIndex("query_id"))
+                  val terms = r.getSeq[String](r.fieldIndex("terms"))
+                  graft.operators.TextIndex.search(s, idx, terms, topK = 10)
+                    .withColumn("query_id", lit(qid))
+                    .withColumn("rk", row_number().over(w))
+                    .select("query_id", "rk", "doc_id", "score")
+                }
+                .reduce(_ unionAll _)
+                .write.format("graft.sources.KvSinkProvider")
+                .option("path", s"$out/batch=$id").mode("append").save()
+            }
+          }
+          .start()
+        try {
+          new java.io.File(staged.toString).listFiles()
+            .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+            .zipWithIndex.foreach { case (f, i) =>
+              java.nio.file.Files.copy(f.toPath, srcRoot.resolve(s"drop_$i.parquet"))
+              q.processAllAvailable()
+            }
+        } finally q.stop()
+      }
+      s.read.format("graft.sources.KvSourceProvider")
+        .option("path", out).option("recursive", "true")
+        .option("schema", "query_id LONG, rk INT, doc_id LONG, score LONG")
+        .load()
+        .orderBy("query_id", "rk")
+    },
+    Some("""WITH raw AS (
+              SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+              FROM documents),
+            tok AS (SELECT doc_id, term FROM raw WHERE term <> ''),
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+            consts AS (
+              SELECT (SELECT count(*) FROM documents) AS n_docs,
+                     (SELECT sum(dl) FROM dl) AS t_tokens),
+            qterms(query_id, term) AS (VALUES
+              (0, 'hash'), (0, 'join'), (0, 'vector'),
+              (1, 'stream'), (1, 'window'),
+              (2, 'merge'), (2, 'sort'), (2, 'filter')),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+                   WHERE term IN (SELECT DISTINCT term FROM qterms)
+                   GROUP BY 1, 2),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            scored AS (
+              SELECT q.query_id, tf.doc_id,
+                (((n_docs - df.df + 1) * 100000) // (df.df + 1)) *
+                ((tf.tf * 22 * t_tokens * 10000) //
+                 (10 * t_tokens * tf.tf + 3 * t_tokens + 9 * dl.dl * n_docs)) AS s
+              FROM tf JOIN qterms q USING (term) JOIN df USING (term)
+                JOIN dl ON tf.doc_id = dl.doc_id, consts),
+            agg AS (SELECT query_id, doc_id, CAST(sum(s) AS BIGINT) AS score
+                    FROM scored GROUP BY 1, 2),
+            ranked AS (
+              SELECT query_id, doc_id, score,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, doc_id) AS rk
+              FROM agg)
+            SELECT CAST(query_id AS BIGINT) AS query_id, rk, doc_id, score
+            FROM ranked WHERE rk <= 10 ORDER BY query_id, rk"""))
+
+  /** LIVE INDEX INGESTION — the maintenance half of the text-index
+    * lifecycle as a real stream (q_stream_bm25_serve is the read half):
+    * document batches arrive as three doc_id-ranged drops and every
+    * micro-batch extends the committed index via
+    * [[graft.operators.TextIndex.appendDelta]] (first batch bootstraps
+    * with build) — absorbed documents are never re-tokenized, each
+    * commit is a frozen version. Because drops are doc-disjoint, the
+    * converged index is member-union-identical to a one-shot build, so
+    * the final search gates against the same BM25 oracle as the batch
+    * queries. The 100 TB ingest loop: crawl batches land continuously,
+    * the index version advances per batch, searches read whichever
+    * version is committed. */
+  private val qStreamTextIndexIngest = Q(
+    "q_stream_text_index_ingest",
+    (s, dir) => {
+      val tmp = sys.props("java.io.tmpdir")
+      val root = new java.io.File(s"$tmp/graft-stream-text-ingest")
+      if (root.exists()) rmTree(root)
+      val idx = s"$root/index"
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+      val staged = root.toPath.resolve("staged")
+      docs.repartitionByRange(3, col("doc_id"))
+        .write.mode("overwrite").parquet(staged.toString)
+      val srcRoot = root.toPath.resolve("src")
+      java.nio.file.Files.createDirectories(srcRoot)
+      val stream = s.readStream.schema(docs.schema).parquet(srcRoot.toString)
+      withStatePartitions(s, 8) {
+        val q = stream.writeStream.outputMode("append")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            if (!batch.isEmpty) {
+              if (graft.operators.TextIndex.latestVersion(idx) == 0)
+                graft.operators.TextIndex.build(
+                  batch.toDF(), "doc_id", "text", idx): Unit
+              else
+                graft.operators.TextIndex.appendDelta(
+                  batch.toDF(), "doc_id", "text", idx): Unit
+            }
+          }
+          .start()
+        try {
+          new java.io.File(staged.toString).listFiles()
+            .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+            .zipWithIndex.foreach { case (f, i) =>
+              java.nio.file.Files.copy(f.toPath, srcRoot.resolve(s"drop_$i.parquet"))
+              q.processAllAvailable()
+            }
+        } finally q.stop()
+      }
+      graft.operators.TextIndex.search(s, idx,
+        Seq("hash", "join", "vector"), topK = 10)
+    },
+    Some(Llm.bm25OracleSql))
+
+  /** LIVE INCREMENTAL TRAINING — the maintenance half of the model
+    * lifecycle as a real stream (q_stream_classify is the serving
+    * half): labeled training batches arrive as three doc_id-ranged
+    * drops and every micro-batch folds its sufficient statistics into
+    * the committed model via [[graft.operators.ModelStore.appendDelta]]
+    * (first batch bootstraps with train). Count statistics merge
+    * exactly, so the converged model is bit-identical to a one-shot
+    * train over the union — scoring the held-out split gates against
+    * q_classify_nb's oracle verbatim. */
+  private val qStreamClassifyTrain = Q(
+    "q_stream_classify_train",
+    (s, dir) => {
+      val tmp = sys.props("java.io.tmpdir")
+      val root = new java.io.File(s"$tmp/graft-stream-classify-train")
+      if (root.exists()) rmTree(root)
+      val mdl = s"$root/model"
+      val docs = table(s, dir, "documents").select("doc_id", "lang", "text")
+      val train = docs.filter(col("doc_id") % 5 =!= 0)
+      val staged = root.toPath.resolve("staged")
+      train.repartitionByRange(3, col("doc_id"))
+        .write.mode("overwrite").parquet(staged.toString)
+      val srcRoot = root.toPath.resolve("src")
+      java.nio.file.Files.createDirectories(srcRoot)
+      val stream = s.readStream.schema(train.schema).parquet(srcRoot.toString)
+      withStatePartitions(s, 8) {
+        val q = stream.writeStream.outputMode("append")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            if (!batch.isEmpty) {
+              if (graft.operators.ModelStore.latestVersion(mdl) == 0)
+                graft.operators.ModelStore.train(
+                  batch.toDF(), "lang", "text", mdl): Unit
+              else
+                graft.operators.ModelStore.appendDelta(
+                  batch.toDF(), "lang", "text", mdl): Unit
+            }
+          }
+          .start()
+        try {
+          new java.io.File(staged.toString).listFiles()
+            .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+            .zipWithIndex.foreach { case (f, i) =>
+              java.nio.file.Files.copy(f.toPath, srcRoot.resolve(s"drop_$i.parquet"))
+              q.processAllAvailable()
+            }
+        } finally q.stop()
+      }
+      val test = docs.filter(col("doc_id") % 5 === 0)
+      graft.operators.ModelStore.score(test, "doc_id", "text", mdl)
+        .join(test.select(col("doc_id"), col("lang")), "doc_id")
+        .select(col("doc_id"), col("lang").as("true_lang"),
+          col("pred_cls").as("pred_lang"), col("total_bits").as("bits"))
+        .orderBy("doc_id")
+    },
+    Some(Training.nbOracleSql))
+
+  /** LIVE ANN INGESTION — the maintenance half of the vector-index
+    * lifecycle as a real stream (q_stream_ann_probe is the serving
+    * half): the coarse quantizer is fit ONCE on the historical corpus
+    * (minus the vec_id ∈ [300, 399] block), then the block arrives as
+    * two drops and every micro-batch extends the committed index via
+    * [[graft.operators.AnnIndex.appendDelta]] — one frozen-centroid
+    * assignment pass over the delta, no re-fit ever. Deltas are
+    * vec-disjoint, so the converged list union equals the one-shot
+    * incremental build — same oracle as q_sim_ivf_incremental. */
+  private val qStreamAnnIngest = Q(
+    "q_stream_ann_ingest",
+    (s, dir) => {
+      val tmp = sys.props("java.io.tmpdir")
+      val root = new java.io.File(s"$tmp/graft-stream-ann-ingest")
+      if (root.exists()) rmTree(root)
+      val idx = s"$root/index"
+      val e = table(s, dir, "embeddings").select("vec_id", "embedding")
+      graft.operators.AnnIndex.build(
+        e.filter(!col("vec_id").between(300, 399)), "vec_id", "embedding",
+        (200L until 208L).toSeq, 3, 64, idx)
+      val delta = e.filter(col("vec_id").between(300, 399))
+      val staged = root.toPath.resolve("staged")
+      delta.repartitionByRange(2, col("vec_id"))
+        .write.mode("overwrite").parquet(staged.toString)
+      val srcRoot = root.toPath.resolve("src")
+      java.nio.file.Files.createDirectories(srcRoot)
+      val stream = s.readStream.schema(delta.schema).parquet(srcRoot.toString)
+      withStatePartitions(s, 8) {
+        val q = stream.writeStream.outputMode("append")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            if (!batch.isEmpty)
+              graft.operators.AnnIndex.appendDelta(
+                batch.toDF(), "vec_id", "embedding", idx): Unit
+          }
+          .start()
+        try {
+          new java.io.File(staged.toString).listFiles()
+            .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+            .zipWithIndex.foreach { case (f, i) =>
+              java.nio.file.Files.copy(f.toPath, srcRoot.resolve(s"drop_$i.parquet"))
+              q.processAllAvailable()
+            }
+        } finally q.stop()
+      }
+      graft.operators.AnnIndex.probe(
+        e.filter(col("vec_id") < 8), idx, "vec_id", "embedding",
+        nprobe = 2, topK = 3, excludeSelf = true)
+    },
+    Some(Clustering.ivfIncrementalOracle))
+
   /** Watermarked streaming dedup, batch twin (EventStreams.dedupEvents —
     * dropDuplicatesWithinWatermark, the bounded-state ingestion guard).
     * Input is events ⊎ its first 200 rows — a deterministic replayed-batch
@@ -970,5 +1233,7 @@ object Streaming extends QueryGroup {
     qStreamJoinFull, qStreamJoinFullLive, qStreamEnrich,
     qStreamLive, qStreamLiveAppend, qStreamSessionTimersLive, qStreamKvSink,
     qStreamIngest, qStreamIngestNeardup, qStreamIngestNeardupPhash,
-    qStreamAnnProbe, qStreamClassify, qStreamDedup)
+    qStreamAnnProbe, qStreamClassify, qStreamBm25Serve,
+    qStreamTextIndexIngest, qStreamClassifyTrain, qStreamAnnIngest,
+    qStreamDedup)
 }

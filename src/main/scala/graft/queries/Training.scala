@@ -1307,6 +1307,38 @@ object Training extends QueryGroup {
     },
     Some(nbOracleSql))
 
+  /** GENERATION COMPACTION for the model store: after incremental
+    * training accretes members, [[graft.operators.ModelStore.compact]]
+    * merges the member statistics — the same (cls, w)/cls sums scoring
+    * performs on every read — ONCE at write time and commits a
+    * single-member manifest. Train half + delta half + compact still
+    * gates against the one-shot oracle because the merge is associative:
+    * merging early is the same arithmetic as merging at read time. The
+    * 100 TB shape: continuous labeled-batch absorption with
+    * periodically-rebounded read amplification; asOf versions stay
+    * frozen (ModelStoreSpec pins member collapse + history). */
+  private val qClassifyNbCompacted = Q(
+    "q_classify_nb_compacted",
+    (s, dir) => {
+      val mdl = s"${sys.props("java.io.tmpdir")}/graft_model/" +
+        s"${s.sparkContext.applicationId}/q_classify_nb_compacted"
+      val fs = new org.apache.hadoop.fs.Path(mdl)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(mdl), true)
+      val docs = table(s, dir, "documents")
+      graft.operators.ModelStore.train(
+        docs.filter(col("doc_id") % 5 === 1 || col("doc_id") % 5 === 2),
+        "lang", "text", mdl)
+      graft.operators.ModelStore.appendDelta(
+        docs.filter(col("doc_id") % 5 === 3 || col("doc_id") % 5 === 4),
+        "lang", "text", mdl)
+      graft.operators.ModelStore.compact(s, mdl)
+      val test = docs.filter(col("doc_id") % 5 === 0)
+      nbScoreOutput(test,
+        graft.operators.ModelStore.score(test, "doc_id", "text", mdl))
+    },
+    Some(nbOracleSql))
+
   /** Data selection via importance resampling (the DSIR recipe, Xie et
     * al. 2023: weight every raw document by how much more likely its
     * n-gram features are under a TARGET distribution than under the raw
@@ -1461,6 +1493,6 @@ object Training extends QueryGroup {
     qCdcMerge, qDqChecks, qIngestIncremental, qIngestNeardup, qTableDigest,
     qStoreCompact,
     qStoreForget, qAggIncrementalView, qShuffleGlobal, qClassifyNb,
-    qClassifyNbPersisted, qClassifyNbIncremental,
+    qClassifyNbPersisted, qClassifyNbIncremental, qClassifyNbCompacted,
     qSelectDsir, qSelectBudget)
 }

@@ -148,6 +148,36 @@ object KvCommitLog {
     versions(dir).takeWhile(_._1 <= asOf).flatMap { case (_, p) =>
       Files.readAllLines(p).asScala.filter(_.nonEmpty)
     }.toSet
+
+  /** VACUUM the log: drop every manifest below `keepFrom` and delete the
+    * store entries (member directories or files) that only those dropped
+    * manifests referenced. Retention is reference-based, not name-based:
+    * an entry named by ANY retained manifest survives, so time travel
+    * within [keepFrom, latest] is untouched and only genuinely
+    * unreachable history is reclaimed. Deliberately touches nothing it
+    * cannot account for — entries never named by a dropped manifest
+    * (checkpoints, metas, staging dirs) are left alone. Returns the
+    * deleted entry names. */
+  def vacuum(dir: java.nio.file.Path, keepFrom: Int): Seq[String] = {
+    val vs = versions(dir)
+    require(vs.nonEmpty, s"no commit log at $dir — nothing to vacuum")
+    val latest = vs.last._1
+    require(keepFrom >= 1 && keepFrom <= latest,
+      s"vacuum keepFrom $keepFrom out of committed range [1, $latest] at $dir")
+    val (dropped, kept) = vs.partition(_._1 < keepFrom)
+    def names(ms: Seq[(Int, java.nio.file.Path)]): Set[String] =
+      ms.flatMap { case (_, p) =>
+        Files.readAllLines(p).asScala.filter(_.nonEmpty)
+      }.toSet
+    val doomed = (names(dropped) -- names(kept)).toSeq.sorted
+    def rm(f: File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty[File]).foreach(rm)
+      Files.deleteIfExists(f.toPath): Unit
+    }
+    doomed.foreach(n => rm(dir.resolve(n).toFile))
+    dropped.foreach { case (_, p) => Files.deleteIfExists(p): Unit }
+    doomed
+  }
 }
 
 /** Field framing escape shared by sink (write) and source (read): a

@@ -112,6 +112,54 @@ class AnnIndexSpec extends AnyFunSuite with SparkSessionFixture {
     assert(c1 != c2, "rebuild with different seeds produced identical centroids")
   }
 
+  test("compaction: members collapse to one, probes unchanged, history frozen, PQ codes survive") {
+    val dir = freshDir("compact")
+    AnnIndex.build(corpus.filter(!col("vec_id").between(300, 399)),
+      "vec_id", "embedding", (200L until 208L).toSeq, rounds = 3, dim = 64, dir)
+    AnnIndex.appendDelta(corpus.filter(col("vec_id").between(300, 349)),
+      "vec_id", "embedding", dir)
+    AnnIndex.appendDelta(corpus.filter(col("vec_id").between(350, 399)),
+      "vec_id", "embedding", dir)
+    val q = corpus.filter(col("vec_id") < 8)
+    def probeAll(asOf: Option[Int] = None) =
+      rows(AnnIndex.probe(q, dir, "vec_id", "embedding",
+        nprobe = 2, topK = 3, excludeSelf = true, asOf = asOf))
+    val before = probeAll()
+    assert(AnnIndex.members(dir).size == 3)
+    val cBefore = AnnIndex.centroids(spark, dir)
+    val total = AnnIndex.meta(dir).count +
+      // fit meta holds the fit member's count; add the two delta counts
+      corpus.filter(col("vec_id").between(300, 399)).count()
+
+    val v = AnnIndex.compact(spark, dir)
+    assert(v == 4)
+    assert(AnnIndex.members(dir) == Seq("gen-4"))
+    // centroids carried forward UNFITTED, full count in the merged meta
+    assert(AnnIndex.centroids(spark, dir) == cBefore)
+    assert(AnnIndex.meta(dir).count == total)
+    assert(probeAll() == before)
+    // frozen history: the 3-member version still reads its own members
+    assert(AnnIndex.members(dir, Some(3)).size == 3)
+    assert(probeAll(asOf = Some(3)) == before)
+    assert(probeAll(asOf = Some(1)) != before)
+
+    // a PQ-carrying index compacts with its codebooks + codes intact
+    val pqDir = freshDir("compact-pq")
+    AnnIndex.buildPq(corpus.filter(!col("vec_id").between(300, 399)),
+      "vec_id", "embedding", (200L until 208L).toSeq, rounds = 3, dim = 64,
+      pqDir, m = 4)
+    AnnIndex.appendDelta(corpus.filter(col("vec_id").between(300, 399)),
+      "vec_id", "embedding", pqDir)
+    def probePqAll() = AnnIndex.probePq(q, pqDir, "vec_id", "embedding",
+        nprobe = 2, topK = 3, excludeSelf = true)
+      .select("query_id", "rk", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val pqBefore = probePqAll()
+    AnnIndex.compact(spark, pqDir)
+    assert(AnnIndex.members(pqDir) == Seq("gen-3"))
+    assert(probePqAll() == pqBefore)
+  }
+
   test("appendDelta: delta assigned to FROZEN centroids, probes scan the union, old versions pinned") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window

@@ -83,6 +83,36 @@ class ModelStoreSpec extends AnyFunSuite with SparkSessionFixture {
       rows(ModelStore.score(test0, "doc_id", "text", incDir)))
   }
 
+  test("compaction merges members losslessly and freezes history") {
+    val dir = freshDir("compact")
+    val test0 = docs.filter(col("doc_id") % 5 === 0)
+    ModelStore.train(
+      docs.filter(col("doc_id") % 5 === 1), "lang", "text", dir)
+    ModelStore.appendDelta(
+      docs.filter(col("doc_id") % 5 === 2), "lang", "text", dir)
+    ModelStore.appendDelta(
+      docs.filter(col("doc_id") % 5 === 3 || col("doc_id") % 5 === 4),
+      "lang", "text", dir)
+    val before = rows(ModelStore.score(test0, "doc_id", "text", dir))
+    assert(ModelStore.members(dir).size == 3)
+    val v = ModelStore.compact(spark, dir)
+    assert(v == 4)
+    assert(ModelStore.members(dir) == Seq("gen-4"))
+    assert(rows(ModelStore.score(test0, "doc_id", "text", dir)) == before)
+    // frozen history: the 3-member version still reads its own members
+    assert(ModelStore.members(dir, Some(3)).size == 3)
+    assert(rows(ModelStore.score(test0, "doc_id", "text", dir,
+      asOf = Some(3))) == before)
+    assert(rows(ModelStore.score(test0, "doc_id", "text", dir,
+      asOf = Some(1))) != before)
+    // crash mid-compaction is invisible (manifest-last)
+    ModelStore.chaosHook = () => throw new RuntimeException("chaos")
+    try intercept[RuntimeException] { ModelStore.compact(spark, dir) }
+    finally ModelStore.chaosHook = () => ()
+    assert(ModelStore.latestVersion(dir) == 4)
+    assert(rows(ModelStore.score(test0, "doc_id", "text", dir)) == before)
+  }
+
   test("asOf pins the pre-delta version; an unseen-word delta grows V only at the head") {
     val dir = freshDir("asof")
     val half1 = docs.filter(col("doc_id") % 5 === 1 || col("doc_id") % 5 === 2)

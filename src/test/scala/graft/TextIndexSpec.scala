@@ -106,6 +106,66 @@ class TextIndexSpec extends AnyFunSuite with SparkSessionFixture {
     assert(v2 == 2)
   }
 
+  test("compaction collapses members, changes no result, freezes history") {
+    val dir = freshDir("compact")
+    TextIndex.build(docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", dir)
+    TextIndex.appendDelta(docs.filter(col("doc_id") % 3 === 1),
+      "doc_id", "text", dir)
+    TextIndex.appendDelta(docs.filter(col("doc_id") % 3 === 2),
+      "doc_id", "text", dir)
+    val terms = Seq("hash", "join", "vector")
+    val before = rows(TextIndex.search(spark, dir, terms, 10))
+    assert(TextIndex.members(dir).size == 3)
+    val v = TextIndex.compact(spark, dir)
+    assert(v == 4)
+    // read amplification rebounded: one member, same scores
+    assert(TextIndex.members(dir) == Seq("gen-4"))
+    assert(rows(TextIndex.search(spark, dir, terms, 10)) == before)
+    // pre-compact versions keep their frozen member sets
+    assert(TextIndex.members(dir, Some(3)).size == 3)
+    assert(rows(TextIndex.search(spark, dir, terms, 10, asOf = Some(3)))
+      == before)
+    assert(rows(TextIndex.search(spark, dir, terms, 10, asOf = Some(1)))
+      != before)
+    // a crash mid-compaction is invisible (manifest-last)
+    TextIndex.chaosHook = () => throw new RuntimeException("chaos")
+    try intercept[RuntimeException] { TextIndex.compact(spark, dir) }
+    finally TextIndex.chaosHook = () => ()
+    assert(TextIndex.latestVersion(dir) == 4)
+    assert(rows(TextIndex.search(spark, dir, terms, 10)) == before)
+  }
+
+  test("vacuum reclaims only unreachable members; retained time travel intact") {
+    val dir = freshDir("vacuum")
+    TextIndex.build(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", dir)
+    TextIndex.appendDelta(docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", dir)
+    TextIndex.compact(spark, dir) // v3, members [gen-3]
+    val terms = Seq("hash", "join", "vector")
+    val head = rows(TextIndex.search(spark, dir, terms, 10))
+    val v2Rows = rows(TextIndex.search(spark, dir, terms, 10, asOf = Some(2)))
+
+    // keep v2+: v1's manifest drops, but BOTH its members survive —
+    // v2 still references them (reference-based retention)
+    assert(TextIndex.vacuum(dir, keepFrom = 2).isEmpty)
+    assert(rows(TextIndex.search(spark, dir, terms, 10, asOf = Some(2)))
+      == v2Rows)
+    intercept[Exception] {
+      TextIndex.search(spark, dir, terms, 10, asOf = Some(1)).collect()
+    }
+
+    // keep the compacted head only: the superseded members are deleted
+    val deleted = TextIndex.vacuum(dir, keepFrom = 3)
+    assert(deleted.toSet == Set("gen-1", "delta-2"))
+    assert(!Files.exists(Paths.get(s"$dir/gen-1")))
+    assert(!Files.exists(Paths.get(s"$dir/delta-2")))
+    assert(Files.exists(Paths.get(s"$dir/gen-3")))
+    assert(rows(TextIndex.search(spark, dir, terms, 10)) == head)
+    intercept[Exception] {
+      TextIndex.search(spark, dir, terms, 10, asOf = Some(2)).collect()
+    }
+  }
+
   test("driver bucket hash agrees with the executor kernel beyond ASCII") {
     import spark.implicits._
     val dir = freshDir("unicode")
