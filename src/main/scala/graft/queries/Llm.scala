@@ -1159,6 +1159,351 @@ object Llm extends QueryGroup {
     },
     Some(bm25OracleSql))
 
+  /** HYBRID RETRIEVAL — reciprocal-rank fusion of the lexical (BM25)
+    * and dense (embedding-cosine) arms, the standard production
+    * retrieval composition (RRF, Cormack et al. 2009: fused score =
+    * Σ_systems 1/(k + rank), k = 60). Each arm contributes its top-20
+    * RANKS only — RRF is deliberately score-scale-free, which is what
+    * makes heterogeneous systems fusable — and the fused score is kept
+    * EXACT INTEGER: 10⁶ div (60 + rank) summed over arms (missing from
+    * an arm ⇒ 0), so both engines rank bit-identically.
+    *
+    * Scale shape: the lexical arm is the gated BM25 plan (term-filtered
+    * tf, broadcast df, TakeOrdered top-20); the dense arm is a
+    * single-query-vector broadcast over a codegen'd cosine projection
+    * with TakeOrdered top-20 (the q_sim_topk discipline — at corpus
+    * scale this arm swaps to the persisted-IVF probe unchanged, since
+    * fusion consumes only (id, rank)); fusion itself is a 40-row
+    * full-outer join — constant-sized whatever the corpus. */
+  private val qSearchHybridRrf = Q(
+    "q_search_hybrid_rrf",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+      val tok = docs
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+        .filter(col("term") =!= "")
+      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val nDocs = docs.count()
+      val tTok = dl.agg(sum(col("dl"))).head.getLong(0)
+      val tf = tok.filter(col("term").isin("hash", "join", "vector"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val lexTop = tf.join(broadcast(dfT), "term").join(dl, "doc_id")
+        .withColumn("s", expr(
+          s"""((($nDocs - df + 1) * 100000) div (df + 1)) *
+              ((tf * 22 * $tTok * 10000) div
+               (10 * $tTok * tf + 3 * $tTok + 9 * dl * $nDocs))"""))
+        .groupBy("doc_id").agg(sum(col("s")).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(20)
+      val lex = lexTop
+        .withColumn("rank_lex", row_number()
+          .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        .select("doc_id", "rank_lex")
+
+      val e = table(s, dir, "embeddings").select("vec_id", "embedding")
+      val q0 = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val denseTop = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q0))
+        .withColumn("cosine",
+          graft.functions.GraftFunctions.cosineNative(col("qv"), col("embedding")))
+        .select("vec_id", "cosine")
+        .orderBy(col("cosine").desc, col("vec_id")).limit(20)
+      val dense = denseTop
+        .withColumn("rank_dense", row_number()
+          .over(Window.orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
+        .select(col("vec_id").as("doc_id"), col("rank_dense"))
+
+      lex.join(dense, Seq("doc_id"), "full_outer")
+        .withColumn("rank_lex", coalesce(col("rank_lex"), lit(0L)))
+        .withColumn("rank_dense", coalesce(col("rank_dense"), lit(0L)))
+        .withColumn("rrf", expr(
+          """CASE WHEN rank_lex > 0 THEN 1000000 div (60 + rank_lex) ELSE 0 END +
+             CASE WHEN rank_dense > 0 THEN 1000000 div (60 + rank_dense) ELSE 0 END""").cast("long"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+        .withColumn("rk", row_number()
+          .over(Window.orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+        .select("rk", "doc_id", "rank_lex", "rank_dense", "rrf")
+        .orderBy("rk")
+    },
+    Some(s"""WITH raw AS (
+               SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+               FROM documents),
+             tok AS (SELECT doc_id, term FROM raw WHERE term <> ''),
+             dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+             consts AS (
+               SELECT (SELECT count(*) FROM documents) AS n_docs,
+                      (SELECT sum(dl) FROM dl) AS t_tokens),
+             tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+                    WHERE term IN ('hash', 'join', 'vector') GROUP BY 1, 2),
+             df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             scoredlex AS (
+               SELECT tf.doc_id,
+                 (((n_docs - df.df + 1) * 100000) // (df.df + 1)) *
+                 ((tf.tf * 22 * t_tokens * 10000) //
+                  (10 * t_tokens * tf.tf + 3 * t_tokens + 9 * dl.dl * n_docs)) AS s
+               FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id,
+                 consts),
+             lex AS (
+               SELECT doc_id, rank_lex FROM (
+                 SELECT doc_id,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS rank_lex
+                 FROM (SELECT doc_id, CAST(sum(s) AS BIGINT) AS score
+                       FROM scoredlex GROUP BY 1) t0) t1
+               WHERE rank_lex <= 20),
+             qe AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+             densescored AS (
+               SELECT e.vec_id, ${cosineSql("q.qv", "e.embedding", 64)} AS cosine
+               FROM embeddings e CROSS JOIN qe q WHERE e.vec_id <> 0),
+             dense AS (
+               SELECT vec_id AS doc_id, rank_dense FROM (
+                 SELECT vec_id,
+                   row_number() OVER (ORDER BY cosine DESC, vec_id) AS rank_dense
+                 FROM densescored) t2
+               WHERE rank_dense <= 20),
+             fused AS (
+               SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+                 coalesce(l.rank_lex, 0) AS rank_lex,
+                 coalesce(d.rank_dense, 0) AS rank_dense
+               FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id),
+             rrfed AS (
+               SELECT doc_id, rank_lex, rank_dense,
+                 CAST(CASE WHEN rank_lex > 0
+                        THEN 1000000 // (60 + rank_lex) ELSE 0 END +
+                      CASE WHEN rank_dense > 0
+                        THEN 1000000 // (60 + rank_dense) ELSE 0 END
+                   AS BIGINT) AS rrf
+               FROM fused)
+             SELECT row_number() OVER (ORDER BY rrf DESC, doc_id) AS rk,
+               doc_id, rank_lex, rank_dense, rrf
+             FROM rrfed ORDER BY rrf DESC, doc_id LIMIT 10"""))
+
+  /** MMR DIVERSIFIED RERANK (maximal marginal relevance, Carbonell &
+    * Goldstein 1998): from each query's dense top-12 shortlist, greedily
+    * select 5 maximizing λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)
+    * with λ = 0.7 — the standard redundancy-removal rerank between
+    * retrieval and consumption (dedups near-identical hits the raw
+    * ranking would return back-to-back).
+    *
+    * Scale shape: shortlist generation is the q_sim_topk discipline
+    * (broadcast query vectors over one codegen'd cosine projection +
+    * per-query window top-k); the candidate-pair similarity matrix is a
+    * query_id-keyed equi-self-join (k² = 144 rows per query, never
+    * corpus-pairs); the greedy loop itself runs per-query inside one
+    * typed flatMapGroups whose group state is k²-bounded — queries
+    * parallelize across partitions, and at corpus scale the shortlist
+    * arm swaps to the persisted-IVF probe unchanged.
+    *
+    * Determinism: rel/sim are the established ordered-fold cosines;
+    * each greedy step is one IEEE multiply-subtract per candidate
+    * (identical literal constants both engines) with max over selected
+    * sims (order-free) and doc_id tie-breaks; the oracle replays the
+    * greedy selection via a recursive CTE carrying the selected list. */
+  private val qSearchMmr = Q(
+    "q_search_mmr",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      import s.implicits._
+      val e = table(s, dir, "embeddings").select("vec_id", "embedding")
+      val q = e.filter(col("vec_id") < 2)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("rel").desc, col("vec_id"))
+      val cands = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("rel",
+          graft.functions.GraftFunctions.cosineNative(col("qv"), col("embedding")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 12)
+        .select("query_id", "vec_id", "rel", "embedding")
+      val pairs = cands.as("a").join(cands.as("b"),
+          col("a.query_id") === col("b.query_id") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .withColumn("sim", graft.functions.GraftFunctions.cosineNative(
+          col("a.embedding"), col("b.embedding")))
+        .select(col("a.query_id").as("query_id"), col("a.vec_id").as("a"),
+          col("a.rel").as("rel"), col("b.vec_id").as("b"), col("sim"))
+        .as[(Long, Long, Double, Long, Double)]
+      pairs.groupByKey(_._1)
+        .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double, Long, Double)]) =>
+          val rows = it.toVector
+          val rel = rows.map(r => r._2 -> r._3).toMap
+          val sim = rows.map(r => (r._2, r._4) -> r._5).toMap
+          var selected = Vector.empty[Long]
+          var remaining = rel.keySet
+          val out = Vector.newBuilder[(Long, Long, Long, Double)]
+          var rk = 1L
+          while (rk <= 5 && remaining.nonEmpty) {
+            // score = λ·rel − (1−λ)·maxsim; empty-selection maxsim = 0
+            val pick = remaining.map { c =>
+              val maxsim =
+                if (selected.isEmpty) 0.0
+                else selected.map(s0 => sim((c, s0))).max
+              (c, 0.7 * rel(c) - 0.3 * maxsim)
+            }.minBy { case (c, sc) => (-sc, c) }
+            out += ((qid, rk, pick._1, pick._2))
+            selected :+= pick._1
+            remaining -= pick._1
+            rk += 1
+          }
+          out.result().iterator
+        }
+        .toDF("query_id", "rk", "vec_id", "mmr")
+        .orderBy("query_id", "rk")
+    },
+    Some(s"""WITH RECURSIVE q AS (
+               SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < 2),
+             scored AS (
+               SELECT q.query_id, e.vec_id,
+                 ${cosineSql("q.qv", "e.embedding", 64)} AS rel, e.embedding
+               FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+             cands AS (
+               SELECT query_id, vec_id, rel, embedding FROM (
+                 SELECT query_id, vec_id, rel, embedding,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY rel DESC, vec_id) AS rn
+                 FROM scored) t WHERE rn <= 12),
+             sims AS (
+               SELECT a.query_id, a.vec_id AS a, b.vec_id AS b,
+                 ${cosineSql("a.embedding", "b.embedding", 64)} AS sim
+               FROM cands a JOIN cands b
+                 ON a.query_id = b.query_id AND a.vec_id <> b.vec_id),
+             sel(query_id, rk, sel, pick, mmr) AS (
+               SELECT query_id, CAST(1 AS BIGINT), [vec_id], vec_id, 0.7 * rel
+               FROM (SELECT query_id, vec_id, rel,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY rel DESC, vec_id) AS rn
+                     FROM cands) t WHERE rn = 1
+               UNION ALL
+               SELECT query_id, rk + 1, list_append(sel, pick2), pick2, score2
+               FROM (
+                 SELECT s.query_id, s.rk, s.sel, c.vec_id AS pick2,
+                   0.7 * c.rel - 0.3 * (SELECT max(m.sim) FROM sims m
+                     WHERE m.query_id = c.query_id AND m.a = c.vec_id
+                       AND list_contains(s.sel, m.b)) AS score2,
+                   row_number() OVER (PARTITION BY s.query_id ORDER BY
+                     0.7 * c.rel - 0.3 * (SELECT max(m.sim) FROM sims m
+                       WHERE m.query_id = c.query_id AND m.a = c.vec_id
+                         AND list_contains(s.sel, m.b)) DESC, c.vec_id) AS rn
+                 FROM sel s JOIN cands c ON c.query_id = s.query_id
+                   AND NOT list_contains(s.sel, c.vec_id)
+                 WHERE s.rk < 5) u WHERE rn = 1)
+             SELECT query_id, rk, pick AS vec_id, mmr
+             FROM sel ORDER BY query_id, rk"""))
+
+  /** PSEUDO-RELEVANCE FEEDBACK query expansion (the RM3 recipe,
+    * Lavrenko & Croft 2001 / Abdul-Jaleel 2004): run the lexical query,
+    * take the top-10 docs as a silent relevance sample, mine the 3
+    * strongest expansion terms from them (highest feedback-set tf,
+    * original terms and short tokens excluded), then re-score with the
+    * expanded term set — original terms at weight 2, expansion at 1 —
+    * and return the final top-10. Recall-oriented twin of q_search_mmr
+    * (PRF widens the net; MMR prunes redundancy).
+    *
+    * Scale shape: both passes are the gated BM25 plan (term-filtered tf
+    * via a broadcast term-set join, broadcast df, window top-k); the
+    * feedback set is constant (10 docs), so expansion mining is a
+    * semi-join against 10 ids followed by a tiny top-3 — nothing between
+    * the two passes grows with the corpus. Scoring is the exact-integer
+    * BM25 kernel throughout, with integer term weights, so ranking is
+    * bit-identical across engines. */
+  private val qSearchPrfRm3 = Q(
+    "q_search_prf_rm3",
+    (s, dir) => {
+      import s.implicits._
+      val docs = table(s, dir, "documents")
+      val tok = docs
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+        .filter(col("term") =!= "")
+      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val nDocs = docs.count()
+      val tTok = dl.agg(sum(col("dl"))).head.getLong(0)
+      def bm25Col: org.apache.spark.sql.Column = expr(
+        s"""((($nDocs - df + 1) * 100000) div (df + 1)) *
+            ((tf * 22 * $tTok * 10000) div
+             (10 * $tTok * tf + 3 * $tTok + 9 * dl * $nDocs))""")
+      def scorePass(termsW: DataFrame): DataFrame = {
+        val tf = tok.join(broadcast(termsW), "term")
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        tf.join(broadcast(dfT), "term").join(dl, "doc_id")
+          .join(broadcast(termsW), "term")
+          .withColumn("s", bm25Col * col("w"))
+          .groupBy("doc_id").agg(sum(col("s")).as("score"))
+      }
+      val orig = Seq("hash", "join", "vector")
+      val origW = orig.toDF("term").withColumn("w", lit(2L))
+      val fb = scorePass(origW)
+        .orderBy(col("score").desc, col("doc_id")).limit(10)
+        .select("doc_id")
+      val expTerms = tok
+        .join(broadcast(fb), "doc_id")
+        .filter(!col("term").isin(orig: _*) && length(col("term")) >= 4)
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term")).limit(3)
+        .select(col("term")).withColumn("w", lit(1L))
+      scorePass(origW.unionByName(expTerms))
+        .orderBy(col("score").desc, col("doc_id")).limit(10)
+        .withColumn("rk", row_number()
+          .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        .select("rk", "doc_id", "score")
+        .orderBy("rk")
+    },
+    Some(s"""WITH raw AS (
+               SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+               FROM documents),
+             tok AS (SELECT doc_id, term FROM raw WHERE term <> ''),
+             dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+             consts AS (
+               SELECT (SELECT count(*) FROM documents) AS n_docs,
+                      (SELECT sum(dl) FROM dl) AS t_tokens),
+             tf1 AS (SELECT doc_id, term, count(*) AS tf FROM tok
+                     WHERE term IN ('hash', 'join', 'vector') GROUP BY 1, 2),
+             df1 AS (SELECT term, count(*) AS df FROM tf1 GROUP BY 1),
+             fb AS (
+               SELECT doc_id FROM (
+                 SELECT tf1.doc_id, CAST(sum(
+                   (((n_docs - df1.df + 1) * 100000) // (df1.df + 1)) *
+                   ((tf1.tf * 22 * t_tokens * 10000) //
+                    (10 * t_tokens * tf1.tf + 3 * t_tokens +
+                     9 * dl.dl * n_docs)) * 2) AS BIGINT) AS score
+                 FROM tf1 JOIN df1 USING (term)
+                   JOIN dl ON tf1.doc_id = dl.doc_id, consts
+                 GROUP BY 1) t0
+               ORDER BY score DESC, doc_id LIMIT 10),
+             expt AS (
+               SELECT term, CAST(1 AS BIGINT) AS w FROM (
+                 SELECT term, count(*) AS cnt
+                 FROM tok JOIN fb USING (doc_id)
+                 WHERE term NOT IN ('hash', 'join', 'vector')
+                   AND length(term) >= 4
+                 GROUP BY 1)
+               ORDER BY cnt DESC, term LIMIT 3),
+             termw AS (
+               SELECT term, CAST(2 AS BIGINT) AS w
+               FROM (VALUES ('hash'), ('join'), ('vector')) v(term)
+               UNION ALL SELECT term, w FROM expt),
+             tf2 AS (
+               SELECT tok.doc_id, tok.term, count(*) AS tf
+               FROM tok JOIN termw ON tok.term = termw.term GROUP BY 1, 2),
+             df2 AS (SELECT term, count(*) AS df FROM tf2 GROUP BY 1),
+             scored AS (
+               SELECT tf2.doc_id, CAST(sum(
+                 (((n_docs - df2.df + 1) * 100000) // (df2.df + 1)) *
+                 ((tf2.tf * 22 * t_tokens * 10000) //
+                  (10 * t_tokens * tf2.tf + 3 * t_tokens +
+                   9 * dl.dl * n_docs)) * termw.w) AS BIGINT) AS score
+               FROM tf2 JOIN df2 USING (term)
+                 JOIN termw ON tf2.term = termw.term
+                 JOIN dl ON tf2.doc_id = dl.doc_id, consts
+               GROUP BY 1),
+             top AS (SELECT doc_id, score FROM scored
+                     ORDER BY score DESC, doc_id LIMIT 10)
+             SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rk,
+               doc_id, score
+             FROM top ORDER BY rk"""))
+
   /** SPARSE TF-IDF cosine similarity join — the inverted-index text-
     * similarity path (plagiarism/boilerplate detection, lexical near-dup
     * mining), algorithmically distinct from both the minhash family
@@ -2829,7 +3174,7 @@ object Llm extends QueryGroup {
     qDedupPhash, qIngestNeardupPhash,
     qDecontaminate, qTextPii, qDedupFuzzy, qTextLmScore, qDedupSubstr,
     qDecontamSemantic, qTextBm25Persisted, qTextBm25Incremental,
-    qTextBm25Compacted,
+    qTextBm25Compacted, qSearchHybridRrf, qSearchMmr, qSearchPrfRm3,
     qDedupSubstrTrim)
 
   /** Fuzzy string-match join (entity resolution): name pairs within

@@ -31,6 +31,13 @@ class PlanGuardSpec extends AnyFunSuite with SparkSessionFixture {
     // the deliberate BRUTE-FORCE baseline the ANN variants are measured
     // against; the broadcast side is the single query vector
     "q_sim_topk" -> "brute-force baseline, single-query-vector broadcast",
+    // dense arm = ONE query vector broadcast over a cosine projection
+    // (the q_sim_topk discipline); at corpus scale it swaps to the
+    // persisted-IVF probe unchanged since fusion consumes only ranks
+    "q_search_hybrid_rrf" -> "single-query-vector broadcast, dense arm",
+    // shortlist arm = the 2-row query-vector set broadcast (q_sim_topk
+    // discipline); the MMR pair matrix itself is a query_id equi-join
+    "q_search_mmr" -> "query-vector-set broadcast, shortlist arm",
     // IVF coarse assignment = argmin over the k-row centroid codebook
     "q_sim_ivf" -> "codebook argmin, broadcast k-row centroid table",
     // scalar subquery lowers to a one-row broadcast join by construction
@@ -81,6 +88,8 @@ class PlanGuardSpec extends AnyFunSuite with SparkSessionFixture {
     "q_classify_nb" -> "class-totals cross, label-alphabet-bounded",
     "q_classify_nb_persisted" -> "class-totals cross, label-alphabet-bounded",
     "q_classify_nb_incremental" -> "class-totals cross, label-alphabet-bounded",
+    "q_classify_nb_compacted" -> "class-totals cross, label-alphabet-bounded",
+    "q_stream_classify_train" -> "class-totals cross, label-alphabet-bounded",
     // the 1-row (R, T, V) corpus-totals scalar crossed onto the
     // occurrence stream; both n-gram count joins are gram-equi
     "q_select_dsir" -> "scalar corpus totals, one-row broadcast",
