@@ -838,8 +838,129 @@ object Clustering extends QueryGroup {
     },
     Some(ivfPqResidualOracleSql))
 
+  /** HYBRID RETRIEVAL OVER COMMITTED ARTIFACTS — the production twin of
+    * q_search_hybrid_rrf: both arms are served from persisted indexes
+    * instead of inline scans. The lexical top-20 comes from
+    * [[graft.operators.TextIndex.search]] (bucket-pruned postings scan,
+    * no re-tokenization), the dense top-20 from
+    * [[graft.operators.AnnIndex.probe]] (partition-pruned inverted
+    * lists, no re-fit), and fusion is the same exact-integer RRF
+    * (k = 60, ranks only cross the boundary). This is the claim the
+    * inline query's Scaladoc makes ("either arm swaps to its persisted
+    * twin unchanged") made checkable: the fused ranking gates against
+    * an oracle that replays BOTH stores' math — the BM25 integer
+    * formula and the full spherical-Lloyd probe chain — end to end.
+    * Ranks differ from the inline query only where the dense arm's
+    * IVF approximation differs from brute force, exactly as deployed.
+    *
+    * Scale: search reads the query terms' tb buckets; probe reads
+    * nprobe/K of the lists; fusion is a 40-row full-outer join —
+    * constant whatever the corpus. Build cost is paid inside the gate
+    * for hermeticity (same stance as every persisted-artifact gate);
+    * AnnIndexSpec/TextIndexSpec pin the no-refit probe-from-fresh-
+    * session lifecycle. */
+  private val qSearchHybridPersisted = Q(
+    "q_search_hybrid_persisted",
+    (s, dir) => {
+      val base = s"${sys.props("java.io.tmpdir")}/graft_hybrid/" +
+        s"${s.sparkContext.applicationId}/q_search_hybrid_persisted"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      graft.operators.TextIndex.build(
+        table(s, dir, "documents"), "doc_id", "text", s"$base/text")
+      val e = table(s, dir, "embeddings").select("vec_id", "embedding")
+      graft.operators.AnnIndex.build(e, "vec_id", "embedding",
+        (SeedLo until SeedLo + K).toSeq, Rounds, Dim, s"$base/ann")
+      val lex = graft.operators.TextIndex.search(s, s"$base/text",
+          Seq("hash", "join", "vector"), topK = 20)
+        .withColumn("rank_lex", row_number()
+          .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        .select("doc_id", "rank_lex")
+      val dense = graft.operators.AnnIndex.probe(
+          e.filter(col("vec_id") === 0), s"$base/ann", "vec_id", "embedding",
+          nprobe = 2, topK = 20, excludeSelf = true)
+        .select(col("vec_id").as("doc_id"), col("rk").cast("long").as("rank_dense"))
+      lex.join(dense, Seq("doc_id"), "full_outer")
+        .withColumn("rank_lex", coalesce(col("rank_lex"), lit(0L)))
+        .withColumn("rank_dense", coalesce(col("rank_dense"), lit(0L)))
+        .withColumn("rrf", expr(
+          """CASE WHEN rank_lex > 0 THEN 1000000 div (60 + rank_lex) ELSE 0 END +
+             CASE WHEN rank_dense > 0 THEN 1000000 div (60 + rank_dense) ELSE 0 END""").cast("long"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+        .withColumn("rk", row_number()
+          .over(Window.orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+        .select("rk", "doc_id", "rank_lex", "rank_dense", "rrf")
+        .orderBy("rk")
+    },
+    Some(s"""WITH ${KMeansQuant.oracleCtesSql(SeedLo, SeedHi, Rounds, Dim,
+               normalized = true)},
+             probes AS (
+               SELECT query_id, cid FROM (
+                 SELECT e.vec_id AS query_id, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${KMeansQuant.l2qSql("e.qv", "c.cv", Dim)}, c.cid) AS crk
+                 FROM eq e CROSS JOIN c${Rounds - 1} c WHERE e.vec_id = 0) t
+               WHERE crk <= 2),
+             densescored AS (
+               SELECT p.query_id, x.vec_id,
+                 ${graft.operators.PortableHash.cosineSql(
+                   "qe.embedding", "ce.embedding", Dim)} AS cosine
+               FROM a$Rounds x JOIN probes p
+                 ON x.cid = p.cid AND x.vec_id <> p.query_id
+               JOIN embeddings qe ON qe.vec_id = p.query_id
+               JOIN embeddings ce ON ce.vec_id = x.vec_id),
+             dense AS (
+               SELECT vec_id AS doc_id, rank_dense FROM (
+                 SELECT vec_id, row_number() OVER (
+                   ORDER BY cosine DESC, vec_id) AS rank_dense
+                 FROM densescored) t WHERE rank_dense <= 20),
+             rawl AS (
+               SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+               FROM documents),
+             tokl AS (SELECT doc_id, term FROM rawl WHERE term <> ''),
+             dll AS (SELECT doc_id, count(*) AS dl FROM tokl GROUP BY 1),
+             constsl AS (
+               SELECT (SELECT count(*) FROM documents) AS n_docs,
+                      (SELECT sum(dl) FROM dll) AS t_tokens),
+             tfl AS (SELECT doc_id, term, count(*) AS tf FROM tokl
+                     WHERE term IN ('hash', 'join', 'vector') GROUP BY 1, 2),
+             dfl AS (SELECT term, count(*) AS df FROM tfl GROUP BY 1),
+             scoredlex AS (
+               SELECT tfl.doc_id,
+                 (((n_docs - dfl.df + 1) * 100000) // (dfl.df + 1)) *
+                 ((tfl.tf * 22 * t_tokens * 10000) //
+                  (10 * t_tokens * tfl.tf + 3 * t_tokens +
+                   9 * dll.dl * n_docs)) AS s
+               FROM tfl JOIN dfl USING (term)
+                 JOIN dll ON tfl.doc_id = dll.doc_id, constsl),
+             lex AS (
+               SELECT doc_id, rank_lex FROM (
+                 SELECT doc_id,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS rank_lex
+                 FROM (SELECT doc_id, CAST(sum(s) AS BIGINT) AS score
+                       FROM scoredlex GROUP BY 1) t0) t1
+               WHERE rank_lex <= 20),
+             fused AS (
+               SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+                 coalesce(l.rank_lex, 0) AS rank_lex,
+                 coalesce(d.rank_dense, 0) AS rank_dense
+               FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id),
+             rrfed AS (
+               SELECT doc_id, rank_lex, rank_dense,
+                 CAST(CASE WHEN rank_lex > 0
+                        THEN 1000000 // (60 + rank_lex) ELSE 0 END +
+                      CASE WHEN rank_dense > 0
+                        THEN 1000000 // (60 + rank_dense) ELSE 0 END
+                   AS BIGINT) AS rrf
+               FROM fused)
+             SELECT row_number() OVER (ORDER BY rrf DESC, doc_id) AS rk,
+               doc_id, rank_lex, rank_dense, rrf
+             FROM rrfed ORDER BY rrf DESC, doc_id LIMIT 10"""))
+
   override val queries: Seq[Q] = Seq(qClusterKmeans, qClusterKmeansDurable,
     qDedupSemantic, qSimIvfKmeans, qSimIvfPersisted, qSimIvfIncremental,
     qSimIvfCompacted, qSimPqAdc, qSimIvfPq,
-    qSimIvfPqPersisted, qSimIvfPqResidual, qSimIvfPqResidualPersisted)
+    qSimIvfPqPersisted, qSimIvfPqResidual, qSimIvfPqResidualPersisted,
+    qSearchHybridPersisted)
 }
