@@ -89,9 +89,20 @@ object AnnIndex {
 
   private def genName(v: Int) = s"gen-$v"
 
+  /** Unique dot-hidden staging name: invisible to [[entriesAt]] (only
+    * manifests name members) and collision-free across concurrent
+    * writers, so no two builders ever write into the same directory. */
+  private def stagingName(): String =
+    s".staging-${System.nanoTime}-${Thread.currentThread.getId}"
+
   /** Latest committed generation version, 0 when none. */
   def latestVersion(dir: String): Int =
     KvCommitLog.latestVersion(Paths.get(dir))
+
+  /** Test-only chaos hook: runs after a delta is fully staged and before
+    * its manifest commits — the window where a concurrent commit forces
+    * the OCC rebase (or, for a re-fit, the staleness abort). */
+  @volatile var chaosHook: () => Unit = () => ()
 
   /** Fit the coarse quantizer on `data` and commit a new index
     * generation under `dir`. `data` must carry `idCol: long` and
@@ -121,9 +132,10 @@ object AnnIndex {
 
     val base = Paths.get(dir)
     Files.createDirectories(base)
-    val version = KvCommitLog.latestVersion(base) + 1
-    val gen = s"$dir/${genName(version)}"
-    // stage the whole generation, commit-manifest LAST
+    val staged = stagingName()
+    val gen = s"$dir/$staged"
+    // stage the whole generation under a hidden unique name,
+    // commit-manifest LAST (OCC: the rename + publish are no-clobber)
     cents.zipWithIndex.map { case (cv, cid) => (cid.toLong, cv) }
       .toDF("cid", "cv")
       .coalesce(1)
@@ -135,8 +147,8 @@ object AnnIndex {
     val count = spark.read.parquet(s"$gen/lists").count()
     Files.writeString(Paths.get(s"$gen/meta.json"),
       metaJson(IndexMeta(k, dim, rounds, normalized, count)))
-    KvCommitLog.append(base, Seq(genName(version)))
-    version
+    KvCommitLog.commitMember(base, staged, genName,
+      (_, name) => Seq(name))
   }
 
   /** The manifest AT version v lists this version's member directories:
@@ -244,8 +256,8 @@ object AnnIndex {
 
     val base = Paths.get(dir)
     Files.createDirectories(base)
-    val version = KvCommitLog.latestVersion(base) + 1
-    val gen = s"$dir/${genName(version)}"
+    val staged = stagingName()
+    val gen = s"$dir/$staged"
     cents.zipWithIndex.map { case (cv, cid) => (cid.toLong, cv) }
       .toDF("cid", "cv").coalesce(1)
       .write.mode("overwrite").parquet(s"$gen/centroids")
@@ -262,8 +274,8 @@ object AnnIndex {
     Files.writeString(Paths.get(s"$gen/meta.json"),
       metaJson(IndexMeta(k, dim, rounds, normalized = true, count,
         residual = residual)))
-    KvCommitLog.append(base, Seq(genName(version)))
-    version
+    KvCommitLog.commitMember(base, staged, genName,
+      (_, name) => Seq(name))
   }
 
   /** Probe a [[buildPq]] index with ADC scoring: list ranking exactly
@@ -403,8 +415,7 @@ object AnnIndex {
         }
         (coded, subCents.indices.map(mm => s"code$mm"))
       }
-    val version = latest + 1
-    val deltaName = s"delta-$version"
+    val staged = stagingName()
     val rows = withCodes
       .select(col("cluster").as("cid") +: col(idCol) +: col(embCol) +:
         codeCols.map(col): _*)
@@ -414,12 +425,24 @@ object AnnIndex {
     val count = rows.cache().count()
     require(count > 0, "appendDelta: delta is empty — nothing to commit")
     rows.write.mode("overwrite").partitionBy("cid")
-      .parquet(s"$dir/$deltaName/lists")
+      .parquet(s"$dir/$staged/lists")
     rows.unpersist()
-    Files.writeString(Paths.get(s"$dir/$deltaName/meta.json"),
+    Files.writeString(Paths.get(s"$dir/$staged/meta.json"),
       metaJson(m.copy(count = count)))
-    KvCommitLog.append(Paths.get(dir), entries :+ deltaName)
-    version
+    chaosHook()
+    // OCC rebase folds a concurrent delta's members into this manifest;
+    // it is only sound while the delta's assignments/codes still match
+    // the committed fit — a concurrent RE-FIT (new gen generation)
+    // invalidates them, so that conflict aborts instead of rebasing
+    KvCommitLog.commitMember(Paths.get(dir), staged,
+      v => s"delta-$v",
+      (_, name) => {
+        val (now, _) = entriesAt(dir, None)
+        require(fitEntry(dir, now) == fit,
+          s"ann index at $dir was re-fit concurrently; this delta's " +
+            "assignments/codes target the old quantizer — re-run appendDelta")
+        now :+ name
+      })
   }
 
   /** COMPACT the committed member set into one generation. Each
@@ -440,8 +463,8 @@ object AnnIndex {
     val m = meta(dir, Some(latest))
     val total = entries.map(e => parseMeta(
       Files.readString(Paths.get(s"$dir/$e/meta.json"))).count).sum
-    val version = latest + 1
-    val gen = s"$dir/${genName(version)}"
+    val staged = stagingName()
+    val gen = s"$dir/$staged"
     spark.read.parquet(s"$dir/$fit/centroids")
       .coalesce(1).write.mode("overwrite").parquet(s"$gen/centroids")
     if (Files.exists(Paths.get(s"$dir/$fit/pq")))
@@ -453,8 +476,11 @@ object AnnIndex {
       .parquet(s"$gen/lists")
     Files.writeString(Paths.get(s"$gen/meta.json"),
       metaJson(m.copy(count = total)))
-    KvCommitLog.append(Paths.get(dir), Seq(genName(version)))
-    version
+    // CAS at latest+1: the rewritten generation was derived from the
+    // version-`latest` snapshot — any concurrent commit supersedes it,
+    // so the compaction must abort (and rerun), never publish over it
+    KvCommitLog.commitMember(Paths.get(dir), staged, genName,
+      (_, name) => Seq(name), expectedBase = Some(latest))
   }
 
   /** Member directories named by the version's manifest (public for

@@ -85,17 +85,23 @@ object ModelStore {
       .parquet(s"$dir/$member/classes")
   }
 
+  /** Unique dot-hidden staging name: invisible to [[membersAt]] (only
+    * manifests name members) and collision-free across concurrent
+    * writers, so no two trainers ever write into the same directory. */
+  private def stagingName(): String =
+    s".staging-${System.nanoTime}-${Thread.currentThread.getId}"
+
   /** Train on `docs` and commit a NEW model generation (manifest names
     * only it — a retrain, not an extension). Returns the version. */
   def train(docs: DataFrame, labelCol: String, textCol: String,
       dir: String): Int = {
     val base = Paths.get(dir)
     Files.createDirectories(base)
-    val version = KvCommitLog.latestVersion(base) + 1
-    stage(docs, labelCol, textCol, dir, genName(version))
+    val staged = stagingName()
+    stage(docs, labelCol, textCol, dir, staged)
     chaosHook()
-    KvCommitLog.append(base, Seq(genName(version)))
-    version
+    KvCommitLog.commitMember(base, staged, genName,
+      (_, name) => Seq(name))
   }
 
   /** Extend the committed model with `docs`' statistics: stages a delta
@@ -105,13 +111,17 @@ object ModelStore {
     * documents already absorbed into the model are never re-read. */
   def appendDelta(docs: DataFrame, labelCol: String, textCol: String,
       dir: String): Int = {
-    val prev = membersAt(dir, None)
+    membersAt(dir, None) // fail fast: a delta needs a committed model
     val base = Paths.get(dir)
-    val version = KvCommitLog.latestVersion(base) + 1
-    stage(docs, labelCol, textCol, dir, deltaName(version))
+    val staged = stagingName()
+    stage(docs, labelCol, textCol, dir, staged)
     chaosHook()
-    KvCommitLog.append(base, prev :+ deltaName(version))
-    version
+    // OCC rebase: on a lost race the manifest is recomputed from the
+    // winner's member set, so a concurrent delta's statistics are folded
+    // in rather than lost (count-mergeability makes any interleaving
+    // score-identical to the sequential order)
+    KvCommitLog.commitMember(base, staged, deltaName,
+      (_, name) => membersAt(dir, None) :+ name)
   }
 
   /** COMPACT the committed member set into one generation: merge the
@@ -123,22 +133,26 @@ object ModelStore {
     * ONE member instead of N. Older versions keep their frozen member
     * sets (`asOf`). Returns the committed version. */
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String): Int = {
-    val members = membersAt(dir, None)
-    val version = KvCommitLog.latestVersion(Paths.get(dir)) + 1
-    val gen = genName(version)
+    // pin the snapshot: members AT base, so the CAS below can reject a
+    // commit that lands between this read and the manifest publish
+    val base0 = latestVersion(dir)
+    val members = membersAt(dir, Some(base0))
+    val staged = stagingName()
     members.map(m => spark.read.parquet(s"$dir/$m/counts"))
       .reduce(_ unionAll _)
       .groupBy("cls", "w").agg(sum(col("cwc")).as("cwc"))
-      .write.mode("overwrite").parquet(s"$dir/$gen/counts")
+      .write.mode("overwrite").parquet(s"$dir/$staged/counts")
     members.map(m => spark.read.parquet(s"$dir/$m/classes"))
       .reduce(_ unionAll _)
       .groupBy("cls").agg(sum(col("totc")).as("totc"),
         sum(col("ndocs")).as("ndocs"))
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/$gen/classes")
+      .write.mode("overwrite").parquet(s"$dir/$staged/classes")
     chaosHook()
-    KvCommitLog.append(Paths.get(dir), Seq(gen))
-    version
+    // CAS at base0+1: the merged member was derived from the snapshot
+    // at base0 — a concurrent commit supersedes it, so abort + rerun
+    KvCommitLog.commitMember(Paths.get(dir), staged, genName,
+      (_, name) => Seq(name), expectedBase = Some(base0))
   }
 
   /** Member directories named by the version's manifest (public for

@@ -81,31 +81,41 @@ object TextIndex {
       s"""{"ndocs":$ndocs,"ttokens":$ttokens}""")
   }
 
+  /** Unique dot-hidden staging name: invisible to [[membersAt]] (only
+    * manifests name members) and collision-free across concurrent
+    * writers, so no two stores ever write into the same directory. */
+  private def stagingName(): String =
+    s".staging-${System.nanoTime}-${Thread.currentThread.getId}"
+
   /** Index `docs` and commit a NEW generation (a full rebuild).
     * Returns the committed version. */
   def build(docs: DataFrame, idCol: String, textCol: String,
       dir: String): Int = {
     val base = Paths.get(dir)
     Files.createDirectories(base)
-    val version = KvCommitLog.latestVersion(base) + 1
-    stage(docs, idCol, textCol, dir, genName(version))
+    val staged = stagingName()
+    stage(docs, idCol, textCol, dir, staged)
     chaosHook()
-    KvCommitLog.append(base, Seq(genName(version)))
-    version
+    KvCommitLog.commitMember(base, staged, genName,
+      (_, name) => Seq(name))
   }
 
   /** Extend the committed index with `docs` (doc-disjoint from every
     * absorbed batch — the ingest contract that makes member-union df
-    * exact). Absorbed documents are never re-tokenized. */
+    * exact). Absorbed documents are never re-tokenized. A concurrent
+    * committer is handled by OCC rebase: the manifest is recomputed
+    * from the WINNER's member set, so a racing delta's member is folded
+    * in rather than lost (doc-disjointness across writers is the same
+    * ingest contract as across batches). */
   def appendDelta(docs: DataFrame, idCol: String, textCol: String,
       dir: String): Int = {
-    val prev = membersAt(dir, None)
+    membersAt(dir, None) // fail fast: a delta needs a committed index
     val base = Paths.get(dir)
-    val version = KvCommitLog.latestVersion(base) + 1
-    stage(docs, idCol, textCol, dir, deltaName(version))
+    val staged = stagingName()
+    stage(docs, idCol, textCol, dir, staged)
     chaosHook()
-    KvCommitLog.append(base, prev :+ deltaName(version))
-    version
+    KvCommitLog.commitMember(base, staged, deltaName,
+      (_, name) => membersAt(dir, None) :+ name)
   }
 
   /** COMPACT the committed member set into one generation. Incremental
@@ -121,19 +131,25 @@ object TextIndex {
     * their own frozen member sets ([[search]] `asOf`); the superseded
     * member directories stay on disk for them. Returns the version. */
   def compact(spark: SparkSession, dir: String): Int = {
-    val members = membersAt(dir, None)
-    val version = KvCommitLog.latestVersion(Paths.get(dir)) + 1
+    // pin the snapshot: members AT base, so the CAS below can reject a
+    // commit that lands between this read and the manifest publish
+    val base0 = latestVersion(dir)
+    val members = membersAt(dir, Some(base0))
+    val staged = stagingName()
     val (nDocs, tTokens) = members.map(metaOf(dir, _))
       .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
     members.map(m => spark.read.parquet(s"$dir/$m/postings"))
       .reduce(_ unionAll _)
       .write.mode("overwrite").partitionBy("tb")
-      .parquet(s"$dir/${genName(version)}/postings")
-    Files.writeString(Paths.get(s"$dir/${genName(version)}/meta.json"),
+      .parquet(s"$dir/$staged/postings")
+    Files.writeString(Paths.get(s"$dir/$staged/meta.json"),
       s"""{"ndocs":$nDocs,"ttokens":$tTokens}""")
     chaosHook()
-    KvCommitLog.append(Paths.get(dir), Seq(genName(version)))
-    version
+    // CAS at base0+1: the rewritten generation was derived from the
+    // version-base0 snapshot — any concurrent commit supersedes it, so
+    // the compaction must abort (and rerun), never publish over it
+    KvCommitLog.commitMember(Paths.get(dir), staged, genName,
+      (_, name) => Seq(name), expectedBase = Some(base0))
   }
 
   /** Member directories named by the version's manifest (public for

@@ -111,11 +111,16 @@ case class KvCommit(stagedFile: String) extends WriterCommitMessage
   * listing-based consumer (the source's default latest view, the net
   * daemon, compaction) is unaffected.
   *
-  * Manifest writes are atomic (dot-hidden temp + move) and versions are
-  * dense from 1; the log is driver-written once per batch commit, the
-  * same single-writer discipline the sink's publish step already has.
-  * At 100 TB this is metadata-sized state: one small file per commit,
-  * read only at plan time. */
+  * Manifest writes are atomic AND no-clobber (a fully-written dot-hidden
+  * temp published via hard link, which FAILS on an existing target
+  * instead of replacing it), and versions are dense from 1. That makes
+  * the log safe under CONCURRENT WRITERS — the Delta/Iceberg optimistic-
+  * concurrency discipline: a lost race is an explicit conflict the
+  * committer handles (bump-and-retry for this sink's union-semantics
+  * delta manifests, content rebase or abort for the artifact stores'
+  * snapshot manifests via [[commitMember]]), never a silently
+  * overwritten commit. At 100 TB this is metadata-sized state: one
+  * small file per commit, read only at plan time. */
 object KvCommitLog {
   private val ManifestName = "_commit-(\\d+)".r
 
@@ -134,13 +139,101 @@ object KvCommitLog {
   def latestVersion(dir: java.nio.file.Path): Int =
     versions(dir).lastOption.map(_._1).getOrElse(0)
 
-  /** Record one commit's published file names as the next version. */
-  def append(dir: java.nio.file.Path, published: Seq[String]): Unit = {
-    val next = latestVersion(dir) + 1
-    val tmp = dir.resolve(s"._commit-$next.tmp")
+  /** Attempt to publish `published` as EXACTLY `version`. The manifest
+    * body is fully written to a dot-hidden temp (invisible to
+    * [[versions]]) and published with `Files.createLink` — an atomic
+    * create-if-absent, so when two writers race the same version
+    * exactly one wins and the loser gets `false`, never a replaced
+    * manifest. The temp name carries a writer nonce so racing writers
+    * cannot clobber each other's staging either. */
+  def tryAppendAt(dir: java.nio.file.Path, version: Int,
+      published: Seq[String]): Boolean = {
+    val tmp = dir.resolve(
+      s"._commit-$version-${System.nanoTime}-${Thread.currentThread.getId}.tmp")
     Files.write(tmp, published.sorted.mkString("\n").getBytes("UTF-8"))
-    Files.move(tmp, dir.resolve(s"_commit-$next"),
-      StandardCopyOption.REPLACE_EXISTING)
+    try {
+      Files.createLink(dir.resolve(s"_commit-$version"), tmp)
+      Files.deleteIfExists(tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        false
+    }
+  }
+
+  /** Record one commit's published file names as the next free version
+    * and return it. Lost races bump and retry, which is EXACT for this
+    * log's delta semantics — [[filesAsOf]] unions all manifests ≤ asOf,
+    * so each manifest names only its own files and commit order commutes.
+    * Snapshot-style manifests (full member lists) must NOT use this
+    * blind retry: they rebase or abort through [[commitMember]]. */
+  def append(dir: java.nio.file.Path, published: Seq[String]): Int = {
+    var v = latestVersion(dir) + 1
+    while (!tryAppendAt(dir, v, published))
+      v = math.max(v + 1, latestVersion(dir) + 1)
+    v
+  }
+
+  /** OCC commit for the artifact stores' SNAPSHOT manifests: the member
+    * was fully staged under `stagedName` (a dot-hidden name no reader or
+    * vacuum can see); this claims a committed member name with an atomic
+    * no-clobber rename, then publishes `manifestOf(v, name)` with the
+    * atomic no-clobber [[tryAppendAt]] — so every interleaving with a
+    * concurrent committer is an explicit outcome, never a silently
+    * overwritten commit or a shared staging directory.
+    *
+    * `expectedBase` selects the conflict policy:
+    *
+    *   - `None` (REBASE — delta appends, full rebuilds): a lost manifest
+    *     race re-invokes `manifestOf` at the next free version, and the
+    *     function re-reads the winner's committed state — that is how a
+    *     delta append folds a concurrent delta's members into its own
+    *     manifest instead of dropping them. A taken member name (an
+    *     in-flight or crashed claimant) just bumps the name counter: the
+    *     manifest is the authority on membership, the versioned names
+    *     are a convention, so name and version may drift past an orphan.
+    *   - `Some(base)` (CAS — compaction, whose staged member is DERIVED
+    *     from the snapshot at `base`): publish exactly at `base + 1`;
+    *     any conflict (member name taken, or the manifest slot won by
+    *     someone else) throws — the staged member stays on disk as an
+    *     orphan no manifest names, the same crash-window shape every
+    *     store already tolerates, and the caller re-runs against the
+    *     new snapshot.
+    *
+    * Returns the committed version. */
+  def commitMember(dir: java.nio.file.Path, stagedName: String,
+      nameOf: Int => String, manifestOf: (Int, String) => Seq[String],
+      expectedBase: Option[Int] = None): Int = {
+    def conflict(what: String): Nothing =
+      throw new IllegalStateException(
+        s"concurrent commit at $dir superseded the version-" +
+          s"${expectedBase.getOrElse(-1)} snapshot this member was " +
+          s"derived from ($what); staged member left unpublished — " +
+          "re-run the operation against the new head")
+    // claim a committed member name (atomic no-clobber rename)
+    var n = expectedBase.map(_ + 1).getOrElse(latestVersion(dir) + 1)
+    var name = stagedName
+    while (name == stagedName) {
+      try {
+        Files.move(dir.resolve(stagedName), dir.resolve(nameOf(n)))
+        name = nameOf(n)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          if (expectedBase.isDefined)
+            conflict(s"member name ${nameOf(n)} already claimed")
+          n += 1
+      }
+    }
+    // publish the manifest at the next free version (exactly base+1
+    // under CAS), recomputing the content after every lost race
+    var v = expectedBase.map(_ + 1).getOrElse(latestVersion(dir) + 1)
+    while (true) {
+      if (tryAppendAt(dir, v, manifestOf(v, name))) return v
+      if (expectedBase.isDefined) conflict(s"version $v already committed")
+      v = math.max(v + 1, latestVersion(dir) + 1)
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** File names published by all commits with version ≤ asOf. */

@@ -145,9 +145,10 @@ class ModelStoreSpec extends AnyFunSuite with SparkSessionFixture {
       }
     } finally ModelStore.chaosHook = () => ()
 
-    // the staged-but-uncommitted delta directory exists on disk...
+    // the staged-but-uncommitted member exists on disk (under its
+    // dot-hidden staging name — never renamed to a committed name)...
     assert(Files.list(Paths.get(dir)).toArray.map(_.toString)
-      .exists(_.contains("delta-")), "chaos fired after staging — dir expected")
+      .exists(_.contains(".staging-")), "chaos fired after staging — dir expected")
     // ...but the committed model is unchanged and scores identically
     assert(ModelStore.latestVersion(dir) == 1)
     assert(rows(ModelStore.score(test0, "doc_id", "text", dir)) == before)
