@@ -184,6 +184,52 @@ object Sources extends QueryGroup {
             FROM (SELECT unnest(range(25000, 75000)) AS i)
             GROUP BY tag ORDER BY tag"""))
 
+  /** COMPLETE aggregate pushdown into the DSv2 connector
+    * (`SupportsPushDownAggregates`, sources/SeqSource): count/min/max/sum
+    * grouped by `tag` are answered by the connector in closed form — the
+    * executed plan contains NO aggregate node and the scan generates zero
+    * source rows (SeqSourceSpec pins both). This is the 100 TB shape where
+    * the storage layer answers from metadata (parquet footers, warehouse
+    * server-side aggregation) instead of shipping a table to compute a
+    * count. The id-range filter composes: it is pushed first and the
+    * closed forms respect the narrowed interval. */
+  private val qSourceDsv2Agg = Q(
+    "q_source_dsv2_agg",
+    (s, dir) => {
+      s.read.format("graft.sources.SeqSourceProvider")
+        .option("rows", "100000").option("partitions", "8").load()
+        .filter(col("id") >= 123L && col("id") < 54321L)
+        .groupBy(col("tag"))
+        .agg(count(lit(1)).as("n"), min(col("id")).as("id_min"),
+          max(col("id")).as("id_max"), sum(col("id")).as("id_sum"))
+        .orderBy(col("tag"))
+    },
+    Some("""SELECT 't' || CAST(i % 10 AS VARCHAR) AS tag, count(*) AS n,
+              min(i) AS id_min, max(i) AS id_max, CAST(sum(i) AS BIGINT) AS id_sum
+            FROM (SELECT unnest(range(123, 54321)) AS i)
+            GROUP BY tag ORDER BY tag"""))
+
+  /** Top-N pushdown into the DSv2 connector (`SupportsPushDownTopN` +
+    * `SupportsPushDownLimit`): ORDER BY id DESC LIMIT n plans an n-row
+    * tail slice of the (filter-narrowed) interval instead of generating
+    * the full table and sorting it — the source stops producing data it
+    * knows will be discarded; Spark's residual sort+limit sees exactly n
+    * rows. SeqSourceSpec pins the planned interval. */
+  private val qSourceDsv2Topn = Q(
+    "q_source_dsv2_topn",
+    (s, dir) => {
+      s.read.format("graft.sources.SeqSourceProvider")
+        .option("rows", "100000000").option("partitions", "8").load()
+        .filter(col("id") < 90000000L)
+        .orderBy(col("id").desc)
+        .limit(7)
+        .select(col("id"), col("val4"), col("tag"))
+    },
+    Some("""SELECT i AS id, (i * 7919) % 10007 AS val4,
+              't' || CAST(i % 10 AS VARCHAR) AS tag
+            FROM (SELECT unnest(range(89999993, 90000000)) AS i)
+            ORDER BY id DESC"""))
+
   private def cleanDir(out: String): Unit = {
     val dirF = new java.io.File(out)
     if (dirF.exists()) {
@@ -253,6 +299,181 @@ object Sources extends QueryGroup {
             FROM customer
             WHERE c_mktsegment = 'BUILDING' AND c_nationkey >= 10
             GROUP BY 1 ORDER BY k"""))
+
+  /** ZONE-MAP FILE SKIPPING over the Store (sources/KvSink `KvZoneMap` +
+    * sources/KvSource): the 2PC sink publishes per-file integer min/max
+    * sidecars at commit (the task sees every row anyway — stats are
+    * free); the source consults them at SPLIT PLANNING, so a selective
+    * key predicate over a range-partitioned store opens only the files
+    * whose range covers it — the Store-native analog of parquet row-group
+    * stats / Iceberg manifest ranges. KvZoneMapSpec pins the actual
+    * file-skip counts (8 listed → 1 planned for a point lookup); this
+    * gate pins that pruning never changes answers. 100 TB shape: sidecars
+    * are driver-side metadata, and the scan cost of a key lookup becomes
+    * proportional to the MATCHING data, not the store size. */
+  private val qSourceKvZonemap = Q(
+    "q_source_kv_zonemap",
+    (s, dir) => {
+      val out = sys.props("java.io.tmpdir") + "/graft-kvsink/q_source_kv_zonemap"
+      cleanDir(out)
+      table(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("cust"),
+          col("o_orderpriority").as("prio"))
+        .repartitionByRange(8, col("k"))
+        .write.format("graft.sources.KvSinkProvider")
+        .option("path", out).mode("append").save()
+      s.read.format("graft.sources.KvSourceProvider")
+        .option("path", out)
+        .option("schema", "k LONG, cust LONG, prio STRING").load()
+        .filter(col("k") >= 1000L && col("k") < 3000L)
+        .groupBy(col("prio"))
+        .agg(count(lit(1)).as("n"), min(col("k")).as("k_min"),
+          max(col("k")).as("k_max"), sum(col("cust")).as("cust_sum"))
+        .orderBy(col("prio"))
+    },
+    Some("""SELECT o_orderpriority AS prio, count(*) AS n,
+              min(o_orderkey) AS k_min, max(o_orderkey) AS k_max,
+              CAST(sum(o_custkey) AS BIGINT) AS cust_sum
+            FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 3000
+            GROUP BY prio ORDER BY prio"""))
+
+  /** STATS-ANSWERED aggregates over the Store (`SupportsPushDownAggregates`
+    * on sources/KvSource): ungrouped, unfiltered count/min/max fold the
+    * committed zone-map sidecars — `count(*)` over the store is a
+    * metadata fold, not a scan (the executed plan has NO aggregate node
+    * and opens no data file; KvZoneMapSpec proves the no-open claim by
+    * corrupting a data file under an intact sidecar). The manifest-count
+    * path every real table format has; at 100 TB the difference between
+    * a driver-side metadata fold and a full-store read. */
+  private val qSourceKvAgg = Q(
+    "q_source_kv_agg",
+    (s, dir) => {
+      val out = sys.props("java.io.tmpdir") + "/graft-kvsink/q_source_kv_agg"
+      cleanDir(out)
+      table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("k"), col("l_partkey").as("pk"),
+          col("l_quantity").cast("long").as("qty"))
+        .repartition(8)
+        .write.format("graft.sources.KvSinkProvider")
+        .option("path", out).mode("append").save()
+      s.read.format("graft.sources.KvSourceProvider")
+        .option("path", out)
+        .option("schema", "k LONG, pk LONG, qty LONG").load()
+        .agg(count(lit(1)).as("n"), min(col("k")).as("k_min"),
+          max(col("k")).as("k_max"), min(col("qty")).as("qty_min"),
+          max(col("qty")).as("qty_max"))
+    },
+    Some("""SELECT count(*) AS n, min(l_orderkey) AS k_min,
+              max(l_orderkey) AS k_max,
+              CAST(min(l_quantity) AS BIGINT) AS qty_min,
+              CAST(max(l_quantity) AS BIGINT) AS qty_max
+            FROM lineitem"""))
+
+  /** RUNTIME file skipping — dynamic partition pruning for the custom
+    * Store (`SupportsRuntimeV2Filtering`): the selective build side of a
+    * broadcast join hands its materialized join-key set to the scan
+    * BEFORE split planning, and the same zone-map check drops every
+    * committed file whose range covers none of the keys. The predicate
+    * arrives at RUNTIME (it is data, not a literal in the query), which
+    * is exactly the case static pushdown cannot reach — the fact-table
+    * scan of a star join reads only the files the dimension's surviving
+    * keys touch. Correctness never depends on it (the join still
+    * filters); KvZoneMapSpec pins that the files are actually skipped. */
+  private val qSourceKvRuntimePrune = Q(
+    "q_source_kv_runtime_prune",
+    (s, dir) => {
+      val out = sys.props("java.io.tmpdir") + "/graft-kvsink/q_source_kv_runtime"
+      cleanDir(out)
+      table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("k"),
+          // TPC-H quantities are whole numbers carried as double — cast
+          // exactly to keep the integer-sum discipline through the store
+          col("l_quantity").cast("long").as("qty"),
+          col("l_linenumber").as("ln"))
+        .repartitionByRange(8, col("k"))
+        .write.format("graft.sources.KvSinkProvider")
+        .option("path", out).mode("append").save()
+      val fact = s.read.format("graft.sources.KvSourceProvider")
+        .option("path", out)
+        .option("schema", "k LONG, qty LONG, ln INT").load()
+      val dim = table(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderkey") < 500L)
+        .select(col("o_orderkey").as("k"), col("o_custkey"))
+      fact.join(broadcast(dim), "k")
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_lines"), sum(col("qty")).as("qty_sum"),
+          max(col("o_custkey")).as("cust"))
+        .orderBy(col("k"))
+    },
+    Some("""SELECT l_orderkey AS k, count(*) AS n_lines,
+              CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+              max(o_custkey) AS cust
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderpriority = '1-URGENT' AND o_orderkey < 500
+            GROUP BY k ORDER BY k"""))
+
+  /** STORAGE-PARTITIONED JOIN over the Store (sink `partitionColumn` +
+    * source `partitionedBy` → `SupportsReportPartitioning` with
+    * `KeyGroupedPartitioning(identity(k))` and per-split `HasPartitionKey`):
+    * two stores CO-PARTITIONED BY VALUE at write time join at read time
+    * with ZERO shuffle — Spark lines their splits up by partition key
+    * (`spark.sql.sources.v2.bucketing.enabled`), and the grouped
+    * aggregation above the join reuses the same clustering. KvSpjSpec
+    * pins the plan (no Exchange anywhere under a SortMergeJoin); this
+    * gate pins the values. The 100 TB shape: the bucketed co-located
+    * join (q_source_bucketed_join) re-expressed for the engine's own
+    * Store — partition once at ingest, never move either fact table
+    * again. */
+  private val qSourceKvSpj = Q(
+    "q_source_kv_spj",
+    (s, dir) => {
+      val outC = sys.props("java.io.tmpdir") + "/graft-kvsink/q_spj_cust"
+      val outS = sys.props("java.io.tmpdir") + "/graft-kvsink/q_spj_supp"
+      cleanDir(outC); cleanDir(outS)
+      table(s, dir, "customer")
+        .select(col("c_nationkey").as("k"), col("c_custkey").as("ck"))
+        .repartition(8, col("k"))
+        .write.format("graft.sources.KvSinkProvider")
+        .option("path", outC).option("partitionColumn", "k")
+        .mode("append").save()
+      table(s, dir, "supplier")
+        .select(col("s_nationkey").as("k"), col("s_suppkey").as("sk"))
+        .repartition(8, col("k"))
+        .write.format("graft.sources.KvSinkProvider")
+        .option("path", outS).option("partitionColumn", "k")
+        .mode("append").save()
+      val oldB = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+      val oldT = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        def rd(p: String, vc: String) =
+          s.read.format("graft.sources.KvSourceProvider")
+            .option("path", p).option("schema", s"k LONG, $vc LONG")
+            .option("partitionedBy", "k").load()
+        rd(outC, "ck").join(rd(outS, "sk"), "k")
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("n_pairs"), sum(col("ck")).as("ck_sum"),
+            max(col("sk")).as("sk_max"))
+          .orderBy(col("k"))
+          // settle the plan inside the conf window; the gate hashes rows
+          .localCheckpoint()
+      } finally {
+        oldB match {
+          case Some(v) => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+          case None => s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+        }
+        oldT match {
+          case Some(v) => s.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+          case None => s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        }
+      }
+    },
+    Some("""SELECT c_nationkey AS k, count(*) AS n_pairs,
+              CAST(sum(c_custkey) AS BIGINT) AS ck_sum,
+              max(s_suppkey) AS sk_max
+            FROM customer JOIN supplier ON c_nationkey = s_nationkey
+            GROUP BY k ORDER BY k"""))
 
   /** KV read over a LIVE network server — the last fidelity gap to the
     * reference's Redis store, which talks a real protocol to an external
@@ -702,7 +923,9 @@ object Sources extends QueryGroup {
 
   override val queries: Seq[Q] =
     Seq(qSourceCsv, qSourceJson, qSourceXml, qSourceOrc, qSourceText, qSourcePartitioned,
-      qSourceBucketedJoin, qSourceDsv2, qSinkDsv2, qSourceKv, qSourceKvNet,
+      qSourceBucketedJoin, qSourceDsv2, qSourceDsv2Agg, qSourceDsv2Topn,
+      qSinkDsv2, qSourceKv, qSourceKvNet, qSourceKvZonemap, qSourceKvRuntimePrune,
+      qSourceKvAgg, qSourceKvSpj,
       qZorderLayout, qZonemapPrune, qStoreTimetravel, qStoreTimediff,
       qSourceSchemaEvolution,
       qStoreDpo, qSourceCorrupt, qSourceBucketedAgg, qJoinNullsafe,

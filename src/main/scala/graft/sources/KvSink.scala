@@ -56,10 +56,12 @@ class KvSinkProvider extends TableProvider {
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new KvTable(properties.get("path"), schema)
+    new KvTable(properties.get("path"), schema,
+      Option(properties.get("partitionColumn")))
 }
 
-class KvTable(path: String, writeSchema: StructType) extends Table with SupportsWrite {
+class KvTable(path: String, writeSchema: StructType,
+    partCol: Option[String] = None) extends Table with SupportsWrite {
   require(path != null && path.nonEmpty, "graft kv sink requires option 'path'")
   override def name(): String = s"graft_kv_sink($path)"
   override def schema(): StructType = writeSchema
@@ -68,38 +70,118 @@ class KvTable(path: String, writeSchema: StructType) extends Table with Supports
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new KvBatchWrite(path, info.schema())
+        override def toBatch: BatchWrite =
+          new KvBatchWrite(path, info.schema(), partCol)
       }
     }
 }
 
-class KvBatchWrite(path: String, schema: StructType) extends BatchWrite {
+class KvBatchWrite(path: String, schema: StructType,
+    partCol: Option[String] = None) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    KvWriterFactory(path, schema)
+    KvWriterFactory(path, schema, partCol)
 
   /** Driver-side atomic publish: exactly one staged file per partition
     * (Spark's OutputCommitCoordinator guarantees one committed attempt),
-    * moved into the readable directory. */
+    * moved into the readable directory. Each file's ZONE MAP (per-column
+    * min/max gathered while the task wrote, [[KvZoneMap]]) is published
+    * first, as a hidden sidecar — so a data file is never visible without
+    * its stats, and readers can skip whole files on static or runtime
+    * (join-key) predicates without opening them. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = Paths.get(path)
     Files.createDirectories(dir)
-    val published = messages.map { case KvCommit(staged) =>
-      val src = Paths.get(staged)
-      Files.move(src, dir.resolve(src.getFileName),
-        StandardCopyOption.REPLACE_EXISTING)
-      src.getFileName.toString
+    val published = messages.flatMap { case KvCommit(files) =>
+      files.map { sf =>
+        val src = Paths.get(sf.stagedFile)
+        KvZoneMap.write(dir, src.getFileName.toString, sf.rows, sf.stats)
+        Files.move(src, dir.resolve(src.getFileName),
+          StandardCopyOption.REPLACE_EXISTING)
+        src.getFileName.toString
+      }
     }
     KvCommitLog.append(dir, published.toSeq)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case KvCommit(staged) => Files.deleteIfExists(Paths.get(staged))
+      case KvCommit(files) =>
+        files.foreach(sf => Files.deleteIfExists(Paths.get(sf.stagedFile)))
       case _ => ()
     }
 }
 
-case class KvCommit(stagedFile: String) extends WriterCommitMessage
+/** One staged file with its write-time statistics. A task commits one of
+  * these per output file: exactly one in the default layout, one per
+  * partition value present in its input for `partitionColumn` writes. */
+case class KvStagedFile(
+    stagedFile: String,
+    rows: Long,
+    stats: Seq[(String, Long, Long)])
+
+case class KvCommit(files: Seq[KvStagedFile]) extends WriterCommitMessage
+
+/** Per-file ZONE MAPS for the Store: the task that writes a file already
+  * sees every row, so it records min/max of each integer-typed column for
+  * free; the driver publishes them as a hidden sidecar `_zm.<file>` next
+  * to the data file at commit. The source consults sidecars at PLAN time
+  * to skip files a pushed (or runtime join-key) predicate can never match
+  * — the Store-native analog of parquet row-group statistics / Iceberg
+  * manifest value ranges. A file without a sidecar (older data, artifact-
+  * store members, compaction output written by other flows) is simply
+  * never skipped, so pruning is always sound.
+  *
+  * Scale note (100 TB): sidecars are metadata-sized (one line per integer
+  * column), read only on the driver during split planning, and turn a
+  * selective key lookup over a range-partitioned store from "open every
+  * committed file" into "open the one file whose range covers the key" —
+  * the same reason real table formats carry min/max in manifests. */
+object KvZoneMap {
+  /** Hidden (underscore) AND suffixed `.zm`, so neither Spark/Hadoop
+    * listings, the kv source's own walk, nor a `*.csv` glob ever take a
+    * sidecar for data. */
+  def sidecarName(file: String): String = s"_zm.$file.zm"
+
+  /** One file's committed statistics: exact row count plus per-integer-
+    * column [min, max] (empty col map for an empty file). */
+  final case class Stats(rows: Long, cols: Map[String, (Long, Long)])
+
+  /** Publish atomically: fully-written dot-hidden temp, then move. Runs
+    * BEFORE the data file move, so a visible file always has its stats.
+    * First line is `#rows,N`; one `col,min,max` line per integer column. */
+  def write(dir: java.nio.file.Path, file: String, rows: Long,
+      stats: Seq[(String, Long, Long)]): Unit = {
+    val tmp = dir.resolve(s".zm-tmp-$file")
+    val body = (s"#rows,$rows" +: stats.map { case (c, mn, mx) =>
+      s"${KvEscape.escape(c)},$mn,$mx"
+    }).mkString("", "\n", "\n")
+    Files.write(tmp, body.getBytes("UTF-8"))
+    Files.move(tmp, dir.resolve(sidecarName(file)),
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Read a data file's sidecar; None when absent (never prune or answer
+    * aggregates without stats). */
+  def read(dataFile: java.io.File): Option[Stats] = {
+    val side = new java.io.File(dataFile.getParentFile, sidecarName(dataFile.getName))
+    if (!side.isFile) None
+    else {
+      val src = scala.io.Source.fromFile(side, "UTF-8")
+      try {
+        var rows = -1L
+        val cols = Map.newBuilder[String, (Long, Long)]
+        src.getLines().filter(_.nonEmpty).foreach {
+          case line if line.startsWith("#rows,") =>
+            rows = line.stripPrefix("#rows,").toLong
+          case line =>
+            val Array(c, mn, mx) = line.split(",", 3)
+            cols += KvEscape.unescape(c) -> ((mn.toLong, mx.toLong))
+        }
+        if (rows < 0) None else Some(Stats(rows, cols.result()))
+      } finally src.close()
+    }
+  }
+}
 
 /** The Store's COMMIT LOG — a Delta/Iceberg-style transaction log in
   * miniature: every successful [[KvBatchWrite.commit]] appends a hidden
@@ -267,7 +349,12 @@ object KvCommitLog {
       Option(f.listFiles()).getOrElse(Array.empty[File]).foreach(rm)
       Files.deleteIfExists(f.toPath): Unit
     }
-    doomed.foreach(n => rm(dir.resolve(n).toFile))
+    doomed.foreach { n =>
+      rm(dir.resolve(n).toFile)
+      // reclaim the entry's zone-map sidecar with it (absent for
+      // artifact-store members — deleteIfExists is the no-op then)
+      Files.deleteIfExists(dir.resolve(KvZoneMap.sidecarName(n))): Unit
+    }
     dropped.foreach { case (_, p) => Files.deleteIfExists(p): Unit }
     doomed
   }
@@ -286,20 +373,61 @@ object KvEscape {
       .replace("%2C", ",").replace("%25", "%")
 }
 
-case class KvWriterFactory(path: String, schema: StructType) extends DataWriterFactory {
+case class KvWriterFactory(path: String, schema: StructType,
+    partCol: Option[String] = None) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new KvDataWriter(path, schema, partitionId, taskId)
+    new KvDataWriter(path, schema, partitionId, taskId, partCol)
 }
 
-class KvDataWriter(path: String, schema: StructType, partitionId: Int, taskId: Long)
+/** Task-side writer. Default layout: ONE staged file per task. With
+  * `partitionColumn` (an integer column): one staged file per partition
+  * VALUE present in the task's input — the value-partitioned layout whose
+  * committed sidecars carry min==max for that column, which is what lets
+  * the source report key-grouped output partitioning (storage-partitioned
+  * joins / shuffle-free aggregation; see [[KvSourceProvider]]
+  * `partitionedBy`). Callers co-locate a value into one task by
+  * `repartition(n, col)` upstream; the layout stays correct either way
+  * (several files may share a value — the source groups them). */
+class KvDataWriter(path: String, schema: StructType, partitionId: Int,
+    taskId: Long, partCol: Option[String] = None)
     extends DataWriter[InternalRow] {
 
-  private val staged = {
-    val d = new File(path, "_staging")
-    d.mkdirs()
-    new File(d, s"part-$partitionId-$taskId.csv")
+  private val statIdx: Array[Int] = schema.fields.zipWithIndex.collect {
+    case (f, i) if f.dataType == LongType || f.dataType == IntegerType => i
   }
-  private val out = new BufferedWriter(new FileWriter(staged))
+  private val partIdx: Option[Int] = partCol.map { c =>
+    val i = schema.fieldNames.indexOf(c)
+    require(i >= 0, s"graft kv sink: partitionColumn '$c' not in schema")
+    require(schema.fields(i).dataType == LongType ||
+      schema.fields(i).dataType == IntegerType,
+      s"graft kv sink: partitionColumn '$c' must be integer-typed")
+    i
+  }
+
+  /** One open staged file + its zone-map accumulators. */
+  private final class FileAcc(suffix: String) {
+    val staged: File = {
+      val d = new File(path, "_staging")
+      d.mkdirs()
+      new File(d, s"part-$partitionId-$taskId$suffix.csv")
+    }
+    val out = new BufferedWriter(new FileWriter(staged))
+    val mins: Array[Long] = Array.fill(statIdx.length)(Long.MaxValue)
+    val maxs: Array[Long] = Array.fill(statIdx.length)(Long.MinValue)
+    var nRows = 0L
+  }
+
+  // default layout uses the single accumulator keyed 0
+  private val accs = scala.collection.mutable.LinkedHashMap.empty[Long, FileAcc]
+  private def accFor(row: InternalRow): FileAcc = partIdx match {
+    case None => accs.getOrElseUpdate(0L, new FileAcc(""))
+    case Some(i) =>
+      val v = schema.fields(i).dataType match {
+        case LongType => row.getLong(i)
+        case _ => row.getInt(i).toLong
+      }
+      accs.getOrElseUpdate(v, new FileAcc(s"-p$v"))
+  }
 
   override def write(row: InternalRow): Unit = {
     val line = schema.fields.zipWithIndex.map { case (f, i) =>
@@ -312,19 +440,43 @@ class KvDataWriter(path: String, schema: StructType, partitionId: Int, taskId: L
           s"graft kv sink: unsupported field type ${dt.catalogString}")
       }
     }.mkString(",")
-    out.write(line)
-    out.newLine()
+    val acc = accFor(row)
+    var j = 0
+    while (j < statIdx.length) {
+      val i = statIdx(j)
+      val v = schema.fields(i).dataType match {
+        case LongType => row.getLong(i)
+        case _ => row.getInt(i).toLong
+      }
+      if (v < acc.mins(j)) acc.mins(j) = v
+      if (v > acc.maxs(j)) acc.maxs(j) = v
+      j += 1
+    }
+    acc.nRows += 1
+    acc.out.write(line)
+    acc.out.newLine()
   }
 
   override def commit(): WriterCommitMessage = {
-    out.close()
-    KvCommit(staged.getAbsolutePath)
+    // the default layout commits its (possibly empty) file even when no
+    // row arrived, preserving the historical one-file-per-task contract
+    if (partIdx.isEmpty && accs.isEmpty) accs(0L) = new FileAcc("")
+    KvCommit(accs.values.toSeq.map { acc =>
+      acc.out.close()
+      val stats =
+        if (acc.nRows == 0L) Seq.empty
+        else statIdx.indices.map { j =>
+          (schema.fields(statIdx(j)).name, acc.mins(j), acc.maxs(j))
+        }.toSeq
+      KvStagedFile(acc.staged.getAbsolutePath, acc.nRows, stats)
+    })
   }
 
-  override def abort(): Unit = {
-    out.close()
-    staged.delete()
-  }
+  override def abort(): Unit =
+    accs.values.foreach { acc =>
+      acc.out.close()
+      acc.staged.delete(): Unit
+    }
 
   override def close(): Unit = ()
 }

@@ -7,7 +7,9 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -78,32 +80,42 @@ class KvSourceProvider extends TableProvider {
       Option(properties.get("recursive")).exists(_.toBoolean),
       // snapshot time travel: plan splits from KvCommitLog manifests
       // with version <= asOfCommit instead of the latest directory view
-      Option(properties.get("asOfCommit")).map(_.toInt))
+      Option(properties.get("asOfCommit")).map(_.toInt),
+      // value-partitioned layout (sink option partitionColumn): report
+      // key-grouped output partitioning for storage-partitioned joins
+      Option(properties.get("partitionedBy")))
 }
 
 class KvReadTable(
     path: String, dataSchema: StructType, pattern: String, recursive: Boolean,
-    asOfCommit: Option[Int] = None)
+    asOfCommit: Option[Int] = None, partitionedBy: Option[String] = None)
     extends Table with SupportsRead {
   require(path != null && path.nonEmpty,
     "graft kv source requires option 'path' (or 'endpoint' for mode=net)")
   require(asOfCommit.isEmpty || (!path.startsWith("net://") && !recursive),
     "graft kv source: asOfCommit applies to flat local stores only " +
       "(the commit log names files in one directory)")
+  require(partitionedBy.forall(c => dataSchema.fieldNames.contains(c) &&
+    (dataSchema(c).dataType == LongType || dataSchema(c).dataType == IntegerType)),
+    s"graft kv source: partitionedBy must name an integer-typed schema column")
+  require(partitionedBy.isEmpty || !path.startsWith("net://"),
+    "graft kv source: partitionedBy applies to local stores only")
   override def name(): String = s"graft_kv_source($path)"
   override def schema(): StructType = dataSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new KvScanBuilder(path, dataSchema, pattern, recursive, asOfCommit)
+    new KvScanBuilder(path, dataSchema, pattern, recursive, asOfCommit,
+      partitionedBy)
 }
 
 class KvScanBuilder(
     path: String, dataSchema: StructType, pattern: String, recursive: Boolean,
-    asOfCommit: Option[Int] = None)
+    asOfCommit: Option[Int] = None, partitionedBy: Option[String] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
 
   private var required: StructType = dataSchema
   private var pushed: Array[Filter] = Array.empty
@@ -134,15 +146,98 @@ class KvScanBuilder(
 
   override def pushedFilters(): Array[Filter] = pushed
 
+  /** STATS-ANSWERED aggregates: count(*) / count(col) [the sink never
+    * writes nulls] / min / max over integer columns, ungrouped and
+    * unfiltered, are answered from the committed zone-map sidecars —
+    * the scan opens a data file only as a fallback when its sidecar is
+    * missing (foreign/pre-stats writers). The manifest-count path every
+    * real table format has: `count(*)` over 100 TB is a metadata fold,
+    * not a scan. Declines whenever a row filter was pushed (stats are
+    * whole-file), in net mode, or for any other aggregate shape. */
+  override def pushAggregation(a: Aggregation): Boolean =
+    translateAgg(a) match {
+      case Some(kinds) => agg = Some(kinds); true
+      case None => false
+    }
+
+  override def supportCompletePushDown(a: Aggregation): Boolean =
+    translateAgg(a).isDefined
+
+  private var agg: Option[Seq[KvAggKind]] = None
+
+  private def translateAgg(a: Aggregation): Option[Seq[KvAggKind]] = {
+    if (pushed.nonEmpty || path.startsWith("net://")) return None
+    if (a.groupByExpressions().nonEmpty) return None
+    val ints = dataSchema.fields.collect {
+      case f if f.dataType == LongType || f.dataType == IntegerType => f.name
+    }.toSet
+    val all = dataSchema.fieldNames.toSet
+    def ref(e: org.apache.spark.sql.connector.expressions.Expression,
+        in: Set[String]): Option[String] = e match {
+      case r: org.apache.spark.sql.connector.expressions.NamedReference
+          if r.fieldNames.length == 1 && in(r.fieldNames()(0)) =>
+        Some(r.fieldNames()(0))
+      case _ => None
+    }
+    val kinds = a.aggregateExpressions().toSeq.map[Option[KvAggKind]] {
+      case _: CountStar => Some(KvAggRows)
+      case c: Count if !c.isDistinct => ref(c.column(), all).map(_ => KvAggRows)
+      case m: Min => ref(m.column(), ints).map(KvAggMin)
+      case m: Max => ref(m.column(), ints).map(KvAggMax)
+      case _ => None
+    }
+    if (kinds.nonEmpty && kinds.forall(_.isDefined)) Some(kinds.map(_.get))
+    else None
+  }
+
   override def build(): Scan =
-    new KvScan(path, dataSchema, pattern, required, pushed, recursive, asOfCommit)
+    new KvScan(path, dataSchema, pattern, required, pushed, recursive,
+      asOfCommit, agg,
+      // key-grouped partitioning is only reportable while the partition
+      // column survives pruning and no aggregate collapsed the scan
+      partitionedBy.filter(c => agg.isEmpty && required.fieldNames.contains(c)))
 }
 
+/** Aggregates the kv source answers from sidecar stats. */
+sealed trait KvAggKind extends Serializable
+case object KvAggRows extends KvAggKind
+case class KvAggMin(col: String) extends KvAggKind
+case class KvAggMax(col: String) extends KvAggKind
+
 case class KvFilePartition(file: String) extends InputPartition
+
+/** Observability for file-skipping: per-path counters updated at split
+  * planning (listed → planned after zone-map pruning), so specs and
+  * operators can SEE pruning instead of trusting it. Driver-side only —
+  * split planning runs on the driver. */
+object KvPruneStats {
+  import java.util.concurrent.ConcurrentHashMap
+  private val stats = new ConcurrentHashMap[String, (Int, Int)]()
+  def record(path: String, listed: Int, planned: Int): Unit =
+    stats.put(path, (listed, planned)): Unit
+  /** (files listed, files planned after pruning) for the last scan. */
+  def last(path: String): Option[(Int, Int)] = Option(stats.get(path))
+}
 
 /** A network split: one committed field served by a [[KvDaemon]] at
   * `endpoint` — the executor fetches it with a streaming GET. */
 case class KvNetPartition(endpoint: String, field: String) extends InputPartition
+
+/** A stats-answered aggregate "split": the reader folds the files'
+  * committed sidecars (opening a data file only when its sidecar is
+  * missing) and emits ONE row. */
+case class KvAggPartition(files: Seq[String], kinds: Seq[KvAggKind])
+    extends InputPartition
+
+/** One partition VALUE of a value-partitioned store: every file whose
+  * committed sidecar pins the partition column to `value`. Carrying the
+  * key ([[HasPartitionKey]]) is what lets Spark line partitions up across
+  * two co-partitioned stores without shuffling either. */
+case class KvGroupPartition(value: Long, isLong: Boolean, files: Seq[String])
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    InternalRow(if (isLong) value else value.toInt)
+}
 
 class KvScan(
     path: String,
@@ -151,16 +246,203 @@ class KvScan(
     required: StructType,
     pushed: Array[Filter],
     recursive: Boolean = false,
-    asOfCommit: Option[Int] = None)
-    extends Scan with Batch {
+    asOfCommit: Option[Int] = None,
+    agg: Option[Seq[KvAggKind]] = None,
+    partitionedBy: Option[String] = None)
+    extends Scan with Batch with SupportsRuntimeV2Filtering
+    with SupportsReportPartitioning with SupportsReportStatistics {
 
-  override def readSchema(): StructType = required
+  /** Plan-time statistics from commit metadata: exact row count folded
+    * from the zone-map sidecars, bytes from the file listing — no data
+    * read. This is what lets Catalyst make the RIGHT join strategy call
+    * (broadcast a store that IS small instead of sort-merging against the
+    * unknown-size default) — at 100 TB, the difference between shipping a
+    * kilobyte dimension and shuffling a fact table. Files without a
+    * sidecar contribute size only (row count stays unknown overall,
+    * matching the "never guess" discipline). */
+  override def estimateStatistics(): Statistics = {
+    if (path.startsWith("net://"))
+      return new Statistics {
+        override def sizeInBytes() = java.util.OptionalLong.empty()
+        override def numRows() = java.util.OptionalLong.empty()
+      }
+    val files = listDataFiles()
+    val bytes = files.map(_.length()).sum
+    var rows = 0L
+    var allKnown = true
+    files.foreach { f =>
+      KvZoneMap.read(f) match {
+        case Some(st) => rows += st.rows
+        case None => allKnown = false
+      }
+    }
+    val knownRows = if (allKnown) rows else -1L
+    new Statistics {
+      override def sizeInBytes() = java.util.OptionalLong.of(bytes)
+      override def numRows() =
+        if (knownRows >= 0) java.util.OptionalLong.of(knownRows)
+        else java.util.OptionalLong.empty()
+    }
+  }
+
+  import org.apache.spark.sql.connector.expressions.{Expressions, Literal => VLiteral, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.{Predicate => VPredicate}
+
+  /** With an aggregation pushed, Spark maps the scan output POSITIONALLY
+    * to the aggregate list (no grouping is ever pushed here). */
+  override def readSchema(): StructType = agg match {
+    case None => required
+    case Some(kinds) => StructType(kinds.zipWithIndex.map {
+      case (KvAggRows, i) => StructField(s"agg_$i", LongType, nullable = false)
+      case (_, i) => StructField(s"agg_$i", LongType, nullable = true)
+    })
+  }
   override def toBatch: Batch = this
   override def description(): String =
     s"graft_kv($path pat='$pattern'" +
       asOfCommit.map(v => s" asOf=$v").getOrElse("") +
-      s") cols=${required.fieldNames.mkString(",")}" +
-      (if (pushed.nonEmpty) s" pushed=${pushed.mkString(",")}" else "")
+      s") cols=${readSchema().fieldNames.mkString(",")}" +
+      (if (pushed.nonEmpty) s" pushed=${pushed.mkString(",")}" else "") +
+      agg.map(k => s" aggpush=[${k.mkString(",")}]").getOrElse("") +
+      partitionedBy.map(c => s" keyGroupedBy=$c").getOrElse("")
+
+  // ---- runtime (join-key) file skipping -------------------------------
+  // Spark's dynamic-pruning machinery hands the materialized build-side
+  // key set of a selective join to the scan BEFORE split planning (the
+  // DSv2 generalization of dynamic partition pruning). We fold those key
+  // sets into the same zone-map check the static pushed filters use:
+  // a committed file whose [min,max] contains none of the keys is never
+  // opened. Correctness does not depend on this — the join above still
+  // filters rows — so unparseable predicates are simply ignored.
+
+  private def intCols: Set[String] = dataSchema.fields.collect {
+    case f if f.dataType == LongType || f.dataType == IntegerType => f.name
+  }.toSet
+
+  /** Runtime pruning is offered on every integer-typed column of a LOCAL
+    * store (net mode plans against the daemon, which serves no sidecars).
+    * Restricted to the PRUNED read schema — Spark resolves these refs
+    * against the scan relation's output, where pruned-away columns no
+    * longer exist. */
+  override def filterAttributes(): Array[NamedReference] =
+    // a value-partitioned scan keeps its reported partition-value set
+    // stable by declining runtime pruning (the join still filters rows)
+    if (path.startsWith("net://") || agg.isDefined || partitionedBy.isDefined)
+      Array.empty
+    else required.fieldNames.filter(intCols).sorted.map(Expressions.column)
+
+  // ---- key-grouped output partitioning (storage-partitioned joins) ----
+  // A store written with the sink's `partitionColumn` holds one-or-more
+  // files per VALUE of that column (each file's sidecar has min==max).
+  // Reporting KeyGroupedPartitioning over identity(col), with one split
+  // per value carrying its partition key, lets Spark plan joins between
+  // two co-partitioned stores — and aggregations keyed on the column —
+  // WITHOUT a shuffle (`spark.sql.sources.v2.bucketing.enabled`). The
+  // 100 TB shape: two fact tables co-partitioned at write join at read
+  // with zero data movement, Hive-bucketed-join re-expressed as DSv2.
+
+  /** Planned once and reused so outputPartitioning().numPartitions always
+    * matches the splits actually handed to Spark. */
+  private lazy val groupedByValue: Array[InputPartition] = {
+    val col = partitionedBy.get
+    val isLong = dataSchema(col).dataType == LongType
+    val groups = listDataFiles()
+      .flatMap { f =>
+        val st = KvZoneMap.read(f).getOrElse(throw new IllegalStateException(
+          s"graft kv source: partitionedBy=$col but ${f.getName} has no " +
+            "stats sidecar — not a value-partitioned store"))
+        if (st.rows == 0L) None // an empty file belongs to no value
+        else {
+          val (mn, mx) = st.cols.getOrElse(col, throw new IllegalStateException(
+            s"graft kv source: no stats for partition column $col in ${f.getName}"))
+          require(mn == mx,
+            s"graft kv source: ${f.getName} spans $col in [$mn,$mx] — the store " +
+              s"was not written with partitionColumn=$col")
+          Some((mn, f))
+        }
+      }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+    groups.map { case (v, fs) =>
+      KvGroupPartition(v, isLong, fs.map(_._2.getAbsolutePath).sorted)
+        : InputPartition
+    }.toArray
+  }
+
+  override def outputPartitioning(): Partitioning = partitionedBy match {
+    case Some(col) =>
+      new KeyGroupedPartitioning(
+        Array(Expressions.identity(col)), groupedByValue.length)
+    case None => new UnknownPartitioning(0)
+  }
+
+  @volatile private var runtimeKeys: Map[String, Set[Long]] = Map.empty
+
+  override def filter(predicates: Array[VPredicate]): Unit = {
+    val parsed = predicates.toSeq.flatMap { p =>
+      p.name() match {
+        case "IN" | "=" =>
+          val refs = p.children().collect { case r: NamedReference => r }
+          val lits = p.children().collect { case l: VLiteral[_] => l.value() }
+          val longs = lits.collect {
+            case l: java.lang.Long => l.longValue()
+            case i: java.lang.Integer => i.longValue()
+          }
+          refs match {
+            case Array(r) if r.fieldNames.length == 1 &&
+                intCols(r.fieldNames()(0)) && longs.length == lits.length &&
+                longs.nonEmpty =>
+              Some(r.fieldNames()(0) -> longs.toSet)
+            case _ => None
+          }
+        case _ => None
+      }
+    }
+    // multiple runtime filters on the same column intersect semantically;
+    // keeping the smaller set is sound (pruning only ever keeps MORE files)
+    runtimeKeys = parsed.groupBy(_._1).map { case (c, vs) =>
+      c -> vs.map(_._2).minBy(_.size)
+    }
+  }
+
+  /** Does any pushed static filter or runtime key set rule out a file
+    * whose integer columns span the sidecar's [min,max] ranges? */
+  private def zoneMapKeeps(f: File): Boolean =
+    KvZoneMap.read(f).map(_.cols) match {
+      case None => true // no stats ⇒ never skip
+      case Some(zm) =>
+        def asLong(v: Any): Option[Long] = v match {
+          case l: java.lang.Long => Some(l.longValue())
+          case i: java.lang.Integer => Some(i.longValue())
+          case _ => None
+        }
+        val staticOk = pushed.forall {
+          case EqualTo(a, v) => zm.get(a) match {
+            case Some((mn, mx)) => asLong(v).forall(x => x >= mn && x <= mx)
+            case None => true
+          }
+          case In(a, vs) => zm.get(a) match {
+            case Some((mn, mx)) =>
+              val longs = vs.flatMap(asLong(_))
+              longs.length != vs.length || longs.exists(x => x >= mn && x <= mx)
+            case None => true
+          }
+          case GreaterThan(a, v) =>
+            zm.get(a).forall { case (_, mx) => asLong(v).forall(mx > _) }
+          case GreaterThanOrEqual(a, v) =>
+            zm.get(a).forall { case (_, mx) => asLong(v).forall(mx >= _) }
+          case LessThan(a, v) =>
+            zm.get(a).forall { case (mn, _) => asLong(v).forall(mn < _) }
+          case LessThanOrEqual(a, v) =>
+            zm.get(a).forall { case (mn, _) => asLong(v).forall(mn <= _) }
+          case _ => true
+        }
+        staticOk && runtimeKeys.forall { case (c, keys) =>
+          zm.get(c) match {
+            case Some((mn, mx)) => keys.exists(k => k >= mn && k <= mx)
+            case None => true
+          }
+        }
+    }
 
   /** One split per committed file; `_staging` and any other hidden
     * (underscore/dot-prefixed) entries are not data — at EVERY level when
@@ -172,12 +454,9 @@ class KvScan(
     * (the daemon applies the suffix pattern and hidden-path discipline
     * server-side, and is always recursive); each name becomes one
     * network split. */
-  override def planInputPartitions(): Array[InputPartition] = {
-    if (path.startsWith("net://")) {
-      val endpoint = path.stripPrefix("net://")
-      return KvDaemon.scanFields(endpoint, pattern)
-        .map(KvNetPartition(endpoint, _): InputPartition).toArray
-    }
+  /** The directory view a scan parses: visible (non-hidden) files that
+    * match the suffix pattern, within the asOf snapshot when set. */
+  private def listDataFiles(): Seq[File] = {
     def visible(f: File) =
       !f.getName.startsWith("_") && !f.getName.startsWith(".")
     def walk(d: File): Seq[File] =
@@ -199,6 +478,29 @@ class KvScan(
     }
     walk(new File(path))
       .filter(f => f.getName.endsWith(pattern) && snapshot(f))
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    if (path.startsWith("net://")) {
+      val endpoint = path.stripPrefix("net://")
+      return KvDaemon.scanFields(endpoint, pattern)
+        .map(KvNetPartition(endpoint, _): InputPartition).toArray
+    }
+    // value-partitioned layout: one split per partition value, planned
+    // once (outputPartitioning's split count must stay consistent)
+    if (partitionedBy.isDefined) return groupedByValue
+    val listed = listDataFiles()
+    // stats-answered aggregate: one partition folding the sidecars (no
+    // pushed filters by construction, so no pruning interplay)
+    agg.foreach { kinds =>
+      return Array(KvAggPartition(
+        listed.map(_.getAbsolutePath).sorted, kinds))
+    }
+    // zone-map file skipping: static pushed predicates and runtime join
+    // keys against each file's committed min/max sidecar (absent ⇒ keep)
+    val kept = listed.filter(zoneMapKeeps)
+    KvPruneStats.record(path, listed.length, kept.length)
+    kept
       .map(_.getAbsolutePath)
       .sorted
       .map(KvFilePartition(_): InputPartition)
@@ -215,7 +517,64 @@ class KvReaderFactory(
     pushed: Array[Filter])
     extends PartitionReaderFactory {
 
+  /** Fold the committed sidecar stats into one aggregate row; a file
+    * without a sidecar is PARSED instead (sound fallback for data written
+    * before stats or by foreign flows) — still never a Spark-side
+    * aggregate. */
+  private def aggReader(p: KvAggPartition): PartitionReader[InternalRow] = {
+    var rows = 0L
+    val mins = scala.collection.mutable.Map.empty[String, Long]
+    val maxs = scala.collection.mutable.Map.empty[String, Long]
+    def fold(c: String, mn: Long, mx: Long): Unit = {
+      mins.get(c) match {
+        case Some(cur) => if (mn < cur) mins(c) = mn
+        case None => mins(c) = mn
+      }
+      maxs.get(c) match {
+        case Some(cur) => if (mx > cur) maxs(c) = mx
+        case None => maxs(c) = mx
+      }
+    }
+    val intIdx = dataSchema.fields.zipWithIndex.collect {
+      case (f, i) if f.dataType == LongType => (f.name, i, true)
+      case (f, i) if f.dataType == IntegerType => (f.name, i, false)
+    }
+    p.files.foreach { fp =>
+      val f = new File(fp)
+      KvZoneMap.read(f) match {
+        case Some(st) =>
+          rows += st.rows
+          if (st.rows > 0) st.cols.foreach { case (c, (mn, mx)) => fold(c, mn, mx) }
+        case None =>
+          val src = scala.io.Source.fromFile(f, "UTF-8")
+          try src.getLines().filter(_.nonEmpty).foreach { line =>
+            rows += 1L
+            val parts = line.split(",", -1)
+            intIdx.foreach { case (c, i, isLong) =>
+              val v = if (isLong) parts(i).toLong else parts(i).toInt.toLong
+              fold(c, v, v)
+            }
+          } finally src.close()
+      }
+    }
+    val row = InternalRow.fromSeq(p.kinds.map[Any] {
+      case KvAggRows => rows
+      case KvAggMin(c) => mins.get(c).map(Long.box).orNull
+      case KvAggMax(c) => maxs.get(c).map(Long.box).orNull
+    })
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    partition match {
+      case p: KvAggPartition => return aggReader(p)
+      case _ => ()
+    }
     // same parse/filter/project pipeline over either line stream: a
     // local committed file or a daemon-served network fetch
     val (lineSrc, closer): (Iterator[String], () => Unit) = partition match {
@@ -225,6 +584,24 @@ class KvReaderFactory(
       case KvNetPartition(endpoint, field) =>
         val fl = new KvDaemon.FieldLines(endpoint, field)
         (fl, () => fl.close())
+      case KvGroupPartition(_, _, files) =>
+        // one value's files, parsed sequentially; each source closes as
+        // it exhausts, the closer covers an abandoned (partial) read
+        var open: scala.io.Source = null
+        val it = files.iterator.flatMap { fp =>
+          val src = scala.io.Source.fromFile(fp, "UTF-8")
+          open = src
+          new Iterator[String] {
+            private val lines = src.getLines()
+            override def hasNext: Boolean = {
+              val h = lines.hasNext
+              if (!h) src.close()
+              h
+            }
+            override def next(): String = lines.next()
+          }
+        }
+        (it, () => if (open != null) open.close())
     }
     val idx = dataSchema.fieldNames.zipWithIndex.toMap
     val types = dataSchema.fields.map(_.dataType)

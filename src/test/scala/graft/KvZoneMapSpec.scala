@@ -1,0 +1,193 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.KvPruneStats
+
+/** Zone-map file skipping for the Store (sources/KvSink `KvZoneMap` +
+  * sources/KvSource): the sink publishes per-file integer min/max
+  * sidecars at commit; the source consults them at split planning to skip
+  * files a pushed static predicate — or a RUNTIME join-key set handed
+  * over by Spark's dynamic-pruning machinery (`SupportsRuntimeV2Filtering`)
+  * — can never match. */
+class KvZoneMapSpec extends AnyFunSuite with SparkSessionFixture {
+
+  private def freshDir(name: String): String = {
+    val out = new File(sys.props("java.io.tmpdir"), s"graft-kvzm/$name")
+    def rm(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(out)
+    out.getAbsolutePath
+  }
+
+  private def writeStore(out: String, nParts: Int = 8): Unit =
+    spark.range(0L, 8000L)
+      .select(col("id").as("k"), (col("id") * 3L).as("v"))
+      .repartitionByRange(nParts, col("k"))
+      .write.format("graft.sources.KvSinkProvider")
+      .option("path", out).mode("append").save()
+
+  private def readStore(out: String) =
+    spark.read.format("graft.sources.KvSourceProvider")
+      .option("path", out).option("schema", "k LONG, v LONG").load()
+
+  test("sink publishes one sidecar per committed file") {
+    val out = freshDir("sidecars")
+    writeStore(out)
+    val fs = new File(out).listFiles()
+    val data = fs.filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val zms = fs.filter(_.getName.startsWith("_zm."))
+    assert(data.length === 8)
+    assert(zms.map(_.getName.stripPrefix("_zm.").stripSuffix(".zm")).sorted.toSeq ===
+      data.map(_.getName).sorted.toSeq)
+  }
+
+  test("static point/range predicates skip non-covering files") {
+    val out = freshDir("static")
+    writeStore(out)
+    // point lookup: exactly one of the 8 range-partitioned files covers it
+    val one = readStore(out).filter(col("k") === 4242L).collect()
+    assert(one.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((4242L, 12726L)))
+    val (listed, planned) = KvPruneStats.last(out).get
+    assert(listed === 8)
+    assert(planned === 1)
+    // range: only the covering prefix of files survives
+    val n = readStore(out).filter(col("k") < 1500L).count()
+    assert(n === 1500L)
+    val (_, planned2) = KvPruneStats.last(out).get
+    assert(planned2 < 8)
+    // IN: two distant keys → at most two files
+    val got = readStore(out)
+      .filter(col("k").isin(3L, 7777L)).orderBy("k").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(3L, 7777L))
+    val (_, planned3) = KvPruneStats.last(out).get
+    assert(planned3 <= 2)
+  }
+
+  test("a file without a sidecar is never skipped (pruning stays sound)") {
+    val out = freshDir("nosidecar")
+    writeStore(out)
+    // simulate pre-zone-map data / foreign writers: drop the sidecar of
+    // the FIRST range file (k min 0 — which does not cover the probe key,
+    // so keeping it is purely the missing-stats discipline)
+    val first = new File(out).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .find(f => graft.sources.KvZoneMap.read(f).exists(_.cols.get("k").exists(_._1 == 0L)))
+      .get
+    assert(new File(out, graft.sources.KvZoneMap.sidecarName(first.getName)).delete())
+    val got = readStore(out).filter(col("k") === 4242L).collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(4242L))
+    val (listed, planned) = KvPruneStats.last(out).get
+    assert(listed === 8)
+    assert(planned === 2, "the statless file must be planned alongside the covering one")
+  }
+
+  test("runtime join-key filtering prunes files through dynamic pruning") {
+    val out = freshDir("runtime")
+    writeStore(out)
+    // selective build side over a non-foldable source (a LocalRelation's
+    // filter would constant-fold away and dynamic pruning requires a
+    // surviving selective predicate): two keys from opposite range ends
+    val dim = spark.range(0L, 8000L).select(col("id").as("k"))
+      .filter(col("k").isin(10L, 7300L))
+      .withColumn("name", concat(lit("n"), col("k")))
+    val j = readStore(out).join(broadcast(dim), "k")
+      .select(col("k"), col("v"), col("name"))
+    val got = j.orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got === Seq((10L, 30L, "n10"), (7300L, 21900L, "n7300")))
+    val (listed, planned) = KvPruneStats.last(out).get
+    assert(listed === 8)
+    assert(planned <= 2,
+      s"runtime IN-set should prune to the two covering files, planned=$planned")
+  }
+
+  private def hasAggregateExec(df: org.apache.spark.sql.DataFrame): Boolean = {
+    val p = df.queryExecution.executedPlan.toString
+    p.contains("HashAggregate") || p.contains("SortAggregate") ||
+      p.contains("ObjectHashAggregate")
+  }
+
+  test("stats-answered aggregates: count/min/max folded from sidecars, files never opened") {
+    val out = freshDir("statsagg")
+    writeStore(out)
+    // corrupt one DATA file (sidecar intact): if the scan opened it, the
+    // parse would throw — the stats path must not touch it
+    val victim = new File(out).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .head
+    java.nio.file.Files.write(victim.toPath, "not,a,row\n".getBytes)
+    val df = readStore(out).agg(
+      count(lit(1)).as("n"), min(col("k")).as("k_min"),
+      max(col("k")).as("k_max"), count(col("v")).as("nv"))
+    assert(!hasAggregateExec(df), df.queryExecution.executedPlan.toString)
+    assert(df.queryExecution.executedPlan.toString.contains("aggpush"))
+    val r = df.collect().head
+    assert(r.getLong(0) === 8000L)
+    assert(r.getLong(1) === 0L)
+    assert(r.getLong(2) === 7999L)
+    assert(r.getLong(3) === 8000L)
+  }
+
+  test("stats aggregate falls back to parsing a sidecar-less file, stays exact") {
+    val out = freshDir("statsaggfallback")
+    writeStore(out)
+    val data = new File(out).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(new File(out, graft.sources.KvZoneMap.sidecarName(data.head.getName)).delete())
+    val df = readStore(out).agg(count(lit(1)).as("n"), min(col("k")).as("k_min"),
+      max(col("k")).as("k_max"))
+    assert(!hasAggregateExec(df))
+    val r = df.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((8000L, 0L, 7999L)))
+  }
+
+  test("stats aggregate declines with a row filter, grouping, or string min") {
+    val out = freshDir("statsaggdecline")
+    writeStore(out)
+    val filtered = readStore(out).filter(col("k") > 10L).agg(count(lit(1)).as("n"))
+    assert(hasAggregateExec(filtered))
+    assert(filtered.collect().head.getLong(0) === 7989L)
+    val grouped = readStore(out).groupBy(col("k") % 2).agg(count(lit(1)).as("n"))
+    assert(hasAggregateExec(grouped))
+    assert(grouped.collect().map(_.getLong(1)).sum === 8000L)
+  }
+
+  test("commit-metadata statistics reach the optimizer: exact rows, real bytes") {
+    val out = freshDir("stats")
+    writeStore(out)
+    val df = readStore(out)
+    val stats = df.queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.contains(BigInt(8000)), stats.toString)
+    val actualBytes = new File(out).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.length()).sum
+    assert(stats.sizeInBytes === BigInt(actualBytes), stats.toString)
+    // the consequence: a genuinely small store becomes the BROADCAST side
+    // of a join with a big frame, without any hint
+    val big = spark.range(0L, 2000000L).select((col("id") % 8000L).as("k"),
+      col("id").as("z"))
+    val j = big.join(readStore(out), "k")
+    j.collect()
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("runtime pruning composes with a pushed static filter") {
+    val out = freshDir("compose")
+    writeStore(out)
+    val dim = spark.range(0L, 8000L).select(col("id").as("k"))
+      .filter(col("k").isin(10L, 7300L))
+    // static k < 1000 already rules out the 7300 file; runtime keys rule
+    // out everything but the first
+    val j = readStore(out).filter(col("k") < 1000L).join(broadcast(dim), "k")
+    assert(j.collect().map(_.getLong(0)).toSeq === Seq(10L))
+    val (listed, planned) = KvPruneStats.last(out).get
+    assert(listed === 8)
+    assert(planned === 1)
+  }
+}

@@ -63,4 +63,109 @@ class SeqSourceSpec extends AnyFunSuite with SparkSessionFixture {
     assert(scan.scan.readSchema().fieldNames.toSeq === Seq("tag"))
     assert(df.distinct().count() === 10)
   }
+
+  private def seqScanOf(df: org.apache.spark.sql.DataFrame): SeqScan =
+    df.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }).head.scan.asInstanceOf[SeqScan]
+
+  // string-based: AdaptiveSparkPlanExec hides its inner plan from collect
+  private def hasAggregateExec(df: org.apache.spark.sql.DataFrame): Boolean = {
+    val p = df.queryExecution.executedPlan.toString
+    p.contains("HashAggregate") || p.contains("SortAggregate") ||
+      p.contains("ObjectHashAggregate")
+  }
+
+  test("COMPLETE aggregate pushdown: global count/min/max/sum, no agg exec") {
+    val df = read(100000, parts = 8)
+      .filter(col("id") >= 123L && col("id") < 4321L)
+      .agg(count(lit(1)).as("n"), min(col("id")).as("lo"),
+        max(col("id")).as("hi"), sum(col("id")).as("s"))
+    assert(!hasAggregateExec(df), df.queryExecution.executedPlan.toString)
+    assert(seqScanOf(df).description().contains("aggpush"))
+    val r = df.collect().head
+    val n = 4321L - 123L
+    assert(r.getLong(0) === n)
+    assert(r.getLong(1) === 123L)
+    assert(r.getLong(2) === 4320L)
+    assert(r.getLong(3) === (123L + 4320L) * n / 2)
+  }
+
+  test("COMPLETE aggregate pushdown: grouped by tag, matches row-level twin") {
+    val df = read(54321, parts = 8)
+      .filter(col("id") >= 17L)
+      .groupBy(col("tag"))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("id_min"),
+        max(col("id")).as("id_max"), sum(col("id")).as("id_sum"))
+    assert(!hasAggregateExec(df), df.queryExecution.executedPlan.toString)
+    // the twin computes the same thing row-by-row on the driver — no
+    // Spark aggregate that could itself be pushed
+    val twin = read(54321, parts = 8).filter(col("id") >= 17L)
+      .collect().map(_.getLong(0)).groupBy(SeqSource.tag)
+      .map { case (t, ids) =>
+        Seq[Any](t, ids.length.toLong, ids.min, ids.max, ids.sum)
+      }.toSeq.sortBy(_.head.toString)
+    val got = df.orderBy("tag").collect().map(_.toSeq).toSeq
+    assert(got === twin)
+  }
+
+  test("avg(id) pushes as decomposed SUM+COUNT (Spark-side division)") {
+    val df = read(1000).groupBy("tag").agg(avg(col("id")).as("a"))
+    assert(!hasAggregateExec(df), df.queryExecution.executedPlan.toString)
+    assert(seqScanOf(df).description().contains("aggpush"))
+    val got = df.orderBy("tag").collect().map(r => r.getString(0) -> r.getDouble(1))
+    // ids with id%10 == r in [0,1000): r, r+10, …, r+990 → mean r+495
+    got.zipWithIndex.foreach { case ((t, a), r) =>
+      assert(t === s"t$r"); assert(a === (r + 495).toDouble)
+    }
+  }
+
+  test("aggregate pushdown declines unsupported shapes (sum(val4), count distinct, group by val4)") {
+    for (df <- Seq(
+        read(1000).groupBy("tag").agg(sum(col("val4")).as("s")),
+        read(1000).groupBy("tag").agg(countDistinct(col("id")).as("m")),
+        read(1000).groupBy("val4").agg(count(lit(1)).as("n")))) {
+      assert(hasAggregateExec(df), df.queryExecution.executedPlan.toString)
+      assert(!df.queryExecution.executedPlan.toString.contains("aggpush"))
+    }
+    // and a post-scan (non-pushed) filter blocks aggregate pushdown
+    val f = read(1000).filter(col("val4") > 100L)
+      .agg(count(lit(1)).as("n"))
+    assert(hasAggregateExec(f))
+  }
+
+  test("aggregate pushdown on the empty interval: count 0, null min/max/sum") {
+    val df = read(1000).filter(col("id") >= 5000L)
+      .agg(count(lit(1)).as("n"), min(col("id")).as("lo"), sum(col("id")).as("s"))
+    val r = df.collect().head
+    assert(r.getLong(0) === 0L)
+    assert(r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("limit pushdown truncates the generated interval") {
+    val df = read(100000000L, parts = 8).limit(5)
+    val scan = seqScanOf(df)
+    assert(scan.description().contains("limitpush=5"), scan.description())
+    assert(scan.description().contains("[0,5)"), scan.description())
+    assert(df.collect().map(_.getLong(0)).toSeq === (0L until 5L))
+  }
+
+  test("top-N pushdown: ORDER BY id DESC LIMIT n plans the tail slice") {
+    val df = read(100000000L, parts = 8).orderBy(col("id").desc).limit(3)
+    val scan = seqScanOf(df)
+    assert(scan.description().contains("limitpush=3 tail"), scan.description())
+    assert(scan.description().contains("[99999997,100000000)"), scan.description())
+    assert(df.collect().map(_.getLong(0)).toSeq ===
+      Seq(99999999L, 99999998L, 99999997L))
+  }
+
+  test("top-N pushdown composes with a pushed id-range filter") {
+    val df = read(100000000L, parts = 8)
+      .filter(col("id") >= 1000L && col("id") < 900000L)
+      .orderBy(col("id")).limit(4)
+    val scan = seqScanOf(df)
+    assert(scan.description().contains("[1000,1004)"), scan.description())
+    assert(df.collect().map(_.getLong(0)).toSeq === (1000L until 1004L))
+  }
 }
