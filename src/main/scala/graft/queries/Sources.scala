@@ -475,6 +475,78 @@ object Sources extends QueryGroup {
             FROM customer JOIN supplier ON c_nationkey = s_nationkey
             GROUP BY k ORDER BY k"""))
 
+  /** BUCKETED storage-partitioned join — the HIGH-cardinality twin of
+    * [[qSourceKvSpj]]: identity partitioning needs few distinct values,
+    * so real fact⨝fact joins co-partition by a derived BUCKET column
+    * (orderkey % 32 here; any deterministic hash works). Both stores are
+    * written `partitionColumn=b`, the join condition carries the
+    * (redundant, declarative) bucket equality alongside the key, and
+    * clustering {b} ⊆ join keys {k, b} lets Spark line the two stores up
+    * split-for-split — the TPC-H orders⨝lineitem join with ZERO
+    * shuffle of either side. This is manual Hive bucketing re-expressed
+    * through DSv2 key-grouped partitioning, the layout a 100 TB ingest
+    * would choose for its hottest join key. */
+  private val qSourceKvSpjBucketed = Q(
+    "q_source_kv_spj_bucketed",
+    (s, dir) => {
+      val outO = sys.props("java.io.tmpdir") + "/graft-kvsink/q_spjb_orders"
+      val outL = sys.props("java.io.tmpdir") + "/graft-kvsink/q_spjb_lineitem"
+      cleanDir(outO); cleanDir(outL)
+      table(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), (col("o_orderkey") % 32L).as("b"),
+          col("o_custkey").as("cust"))
+        .repartition(8, col("b"))
+        .write.format("graft.sources.KvSinkProvider")
+        .option("path", outO).option("partitionColumn", "b")
+        .mode("append").save()
+      table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("k"), (col("l_orderkey") % 32L).as("b"),
+          col("l_quantity").cast("long").as("qty"))
+        .repartition(8, col("b"))
+        .write.format("graft.sources.KvSinkProvider")
+        .option("path", outL).option("partitionColumn", "b")
+        .mode("append").save()
+      val oldB = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+      val oldT = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      // join keys {k, b} are a SUPERSET of partition keys {b}: sound
+      // (equal b => same split pair) but gated by a planner conf that
+      // defaults to requiring the full key match
+      val oldR = s.conf.getOption("spark.sql.requireAllClusterKeysForCoPartition")
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      try {
+        def rd(p: String, vc: String) =
+          s.read.format("graft.sources.KvSourceProvider")
+            .option("path", p).option("schema", s"k LONG, b LONG, $vc LONG")
+            .option("partitionedBy", "b").load()
+        rd(outO, "cust").join(rd(outL, "qty"), Seq("k", "b"))
+          .groupBy(col("b"))
+          .agg(count(lit(1)).as("n_lines"), sum(col("qty")).as("qty_sum"),
+            max(col("cust")).as("cust_max"))
+          .orderBy(col("b"))
+          .localCheckpoint()
+      } finally {
+        oldB match {
+          case Some(v) => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+          case None => s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+        }
+        oldT match {
+          case Some(v) => s.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+          case None => s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        }
+        oldR match {
+          case Some(v) => s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", v)
+          case None => s.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
+        }
+      }
+    },
+    Some("""SELECT o_orderkey % 32 AS b, count(*) AS n_lines,
+              CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+              max(o_custkey) AS cust_max
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY b ORDER BY b"""))
+
   /** KV read over a LIVE network server — the last fidelity gap to the
     * reference's Redis store, which talks a real protocol to an external
     * server (hscan with match pattern + count-1000 paging,
@@ -925,7 +997,7 @@ object Sources extends QueryGroup {
     Seq(qSourceCsv, qSourceJson, qSourceXml, qSourceOrc, qSourceText, qSourcePartitioned,
       qSourceBucketedJoin, qSourceDsv2, qSourceDsv2Agg, qSourceDsv2Topn,
       qSinkDsv2, qSourceKv, qSourceKvNet, qSourceKvZonemap, qSourceKvRuntimePrune,
-      qSourceKvAgg, qSourceKvSpj,
+      qSourceKvAgg, qSourceKvSpj, qSourceKvSpjBucketed,
       qZorderLayout, qZonemapPrune, qStoreTimetravel, qStoreTimediff,
       qSourceSchemaEvolution,
       qStoreDpo, qSourceCorrupt, qSourceBucketedAgg, qJoinNullsafe,

@@ -166,6 +166,49 @@ class KvSpjSpec extends AnyFunSuite with SparkSessionFixture {
     assert(df.collect().map(_.getLong(1)).sum === (0L until 1000L).sum)
   }
 
+  test("bucketed co-partitioning: HIGH-cardinality keys join with zero shuffle") {
+    // identity partitioning needs low-cardinality values; a derived
+    // bucket column (here k % 32 — any deterministic hash works) is the
+    // manual-bucketing recipe: partition both stores by the bucket,
+    // include it in the join condition (redundant but declarative:
+    // bucket is a function of k), and clustering {b} ⊆ join keys {k, b}
+    // lets Spark line the stores up without moving either.
+    def writeBucketed(out: String, rows: Long, mul: Long): Unit =
+      spark.range(0L, rows)
+        .select(col("id").as("k"), (col("id") % 32L).as("b"),
+          (col("id") * mul).as("v"))
+        .repartition(8, col("b"))
+        .write.format("graft.sources.KvSinkProvider")
+        .option("path", out).option("partitionColumn", "b")
+        .mode("append").save()
+    val a = freshDir("bkt-a")
+    val b = freshDir("bkt-b")
+    writeBucketed(a, 50000L, 1L)
+    writeBucketed(b, 50000L, 3L)
+    // join keys {k, b} are a SUPERSET of the partition keys {b} — sound
+    // (equal b ⇒ same split pair) but gated by a planner conf that
+    // defaults to requiring the full key match
+    val old = spark.conf.getOption("spark.sql.requireAllClusterKeysForCoPartition")
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    try withSpjConf {
+      def rd(p: String, vc: String) =
+        spark.read.format("graft.sources.KvSourceProvider")
+          .option("path", p).option("schema", s"k LONG, b LONG, $vc LONG")
+          .option("partitionedBy", "b").load()
+      val j = rd(a, "v").join(rd(b, "w"), Seq("k", "b"))
+        .groupBy("b")
+        .agg(count(lit(1)).as("n"), sum(col("v") + col("w")).as("s"))
+      val plan = finalPlan(j).split("== Initial Plan ==").head
+      assert(!plan.contains("Exchange"), plan)
+      val rows = j.collect()
+      assert(rows.map(_.getLong(1)).sum === 50000L)
+      assert(rows.map(_.getLong(2)).sum === (0L until 50000L).map(i => i * 4L).sum)
+    } finally old match {
+      case Some(v) => spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", v)
+      case None => spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
+    }
+  }
+
   test("a store not written with partitionColumn fails fast under partitionedBy") {
     val out = freshDir("notpartitioned")
     spark.range(0L, 100L).select((col("id") % 5L).as("k"), col("id").as("v"))

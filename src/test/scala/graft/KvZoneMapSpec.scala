@@ -157,6 +157,24 @@ class KvZoneMapSpec extends AnyFunSuite with SparkSessionFixture {
     assert(grouped.collect().map(_.getLong(1)).sum === 8000L)
   }
 
+  test("pruning scales with selectivity, not store size: 1 file planned at 8 AND 80 files") {
+    // the 100 TB argument in miniature: a point lookup's cost is the
+    // matching data, however much unrelated history the store holds
+    for ((files, rows) <- Seq((8, 8000L), (80, 80000L))) {
+      val out = freshDir(s"growth$files")
+      spark.range(0L, rows)
+        .select(col("id").as("k"), (col("id") * 3L).as("v"))
+        .repartitionByRange(files, col("k"))
+        .write.format("graft.sources.KvSinkProvider")
+        .option("path", out).mode("append").save()
+      val got = readStore(out).filter(col("k") === 4242L).collect()
+      assert(got.map(_.getLong(0)).toSeq === Seq(4242L))
+      val (listed, planned) = KvPruneStats.last(out).get
+      assert(listed === files)
+      assert(planned === 1, s"store of $files files planned $planned for a point lookup")
+    }
+  }
+
   test("commit-metadata statistics reach the optimizer: exact rows, real bytes") {
     val out = freshDir("stats")
     writeStore(out)
