@@ -369,6 +369,45 @@ object Sources extends QueryGroup {
               CAST(max(l_quantity) AS BIGINT) AS qty_max
             FROM lineitem"""))
 
+  /** TYPED zone-map pruning — the double/string families: a store
+    * range-partitioned by MONEY (o_totalprice) prunes on a price range
+    * from the double sidecar bounds (bounds are COMPARED, never summed —
+    * the exactness discipline holds: sums below go through fixed4), and
+    * the string family prunes equality/range predicates on text columns
+    * (lexicographic bounds, percent-escaped in the sidecar so framing
+    * characters round-trip — KvZoneMapSpec pins both and the escape).
+    * The shape every real table format has: numeric AND string column
+    * ranges in metadata, so a "price between" or "category =" scan
+    * opens only the covering files. */
+  private val qSourceKvZonemapTyped = Q(
+    "q_source_kv_zonemap_typed",
+    (s, dir) => {
+      val out = sys.props("java.io.tmpdir") + "/graft-kvsink/q_source_kv_zonemap_typed"
+      cleanDir(out)
+      table(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+          col("o_orderpriority").as("prio"))
+        .repartitionByRange(8, col("price"))
+        .write.format("graft.sources.KvSinkProvider")
+        .option("path", out).mode("append").save()
+      s.read.format("graft.sources.KvSourceProvider")
+        .option("path", out)
+        .option("schema", "k LONG, price DOUBLE, prio STRING").load()
+        .filter(col("price") >= 100000.0 && col("price") < 150000.0 &&
+          col("prio") <= "3-MEDIUM")
+        .groupBy(col("prio"))
+        .agg(count(lit(1)).as("n"), min(col("k")).as("k_min"),
+          moneySum(col("price")).as("price_sum"))
+        .orderBy(col("prio"))
+    },
+    Some(s"""SELECT o_orderpriority AS prio, count(*) AS n,
+               min(o_orderkey) AS k_min,
+               ${moneySumSql("o_totalprice")} AS price_sum
+             FROM orders
+             WHERE o_totalprice >= 100000.0 AND o_totalprice < 150000.0
+               AND o_orderpriority <= '3-MEDIUM'
+             GROUP BY prio ORDER BY prio"""))
+
   /** RUNTIME file skipping — dynamic partition pruning for the custom
     * Store (`SupportsRuntimeV2Filtering`): the selective build side of a
     * broadcast join hands its materialized join-key set to the scan
@@ -997,7 +1036,7 @@ object Sources extends QueryGroup {
     Seq(qSourceCsv, qSourceJson, qSourceXml, qSourceOrc, qSourceText, qSourcePartitioned,
       qSourceBucketedJoin, qSourceDsv2, qSourceDsv2Agg, qSourceDsv2Topn,
       qSinkDsv2, qSourceKv, qSourceKvNet, qSourceKvZonemap, qSourceKvRuntimePrune,
-      qSourceKvAgg, qSourceKvSpj, qSourceKvSpjBucketed,
+      qSourceKvAgg, qSourceKvSpj, qSourceKvSpjBucketed, qSourceKvZonemapTyped,
       qZorderLayout, qZonemapPrune, qStoreTimetravel, qStoreTimediff,
       qSourceSchemaEvolution,
       qStoreDpo, qSourceCorrupt, qSourceBucketedAgg, qJoinNullsafe,

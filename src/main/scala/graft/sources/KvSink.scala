@@ -94,7 +94,8 @@ class KvBatchWrite(path: String, schema: StructType,
     val published = messages.flatMap { case KvCommit(files) =>
       files.map { sf =>
         val src = Paths.get(sf.stagedFile)
-        KvZoneMap.write(dir, src.getFileName.toString, sf.rows, sf.stats)
+        KvZoneMap.write(dir, src.getFileName.toString, sf.rows, sf.stats,
+          sf.dstats, sf.sstats)
         Files.move(src, dir.resolve(src.getFileName),
           StandardCopyOption.REPLACE_EXISTING)
         src.getFileName.toString
@@ -117,7 +118,9 @@ class KvBatchWrite(path: String, schema: StructType,
 case class KvStagedFile(
     stagedFile: String,
     rows: Long,
-    stats: Seq[(String, Long, Long)])
+    stats: Seq[(String, Long, Long)],
+    dstats: Seq[(String, Double, Double)] = Seq.empty,
+    sstats: Seq[(String, String, String)] = Seq.empty)
 
 case class KvCommit(files: Seq[KvStagedFile]) extends WriterCommitMessage
 
@@ -142,20 +145,34 @@ object KvZoneMap {
     * sidecar for data. */
   def sidecarName(file: String): String = s"_zm.$file.zm"
 
-  /** One file's committed statistics: exact row count plus per-integer-
-    * column [min, max] (empty col map for an empty file). */
-  final case class Stats(rows: Long, cols: Map[String, (Long, Long)])
+  /** One file's committed statistics: exact row count plus per-column
+    * [min, max] by type family — integer, double (bounds compared only,
+    * never summed — `Double.toString` round-trips exactly), and string
+    * (full values, escaped; lexicographic bounds). Empty col maps for an
+    * empty file. */
+  final case class Stats(
+      rows: Long,
+      cols: Map[String, (Long, Long)],
+      dcols: Map[String, (Double, Double)] = Map.empty,
+      scols: Map[String, (String, String)] = Map.empty)
 
   /** Publish atomically: fully-written dot-hidden temp, then move. Runs
     * BEFORE the data file move, so a visible file always has its stats.
-    * First line is `#rows,N`; one `col,min,max` line per integer column. */
+    * Lines: `#rows,N`, then `col,min,max` per integer column,
+    * `#d,col,min,max` per double column, `#s,col,min,max` per string
+    * column (name and string bounds percent-escaped). */
   def write(dir: java.nio.file.Path, file: String, rows: Long,
-      stats: Seq[(String, Long, Long)]): Unit = {
+      stats: Seq[(String, Long, Long)],
+      dstats: Seq[(String, Double, Double)] = Seq.empty,
+      sstats: Seq[(String, String, String)] = Seq.empty): Unit = {
     val tmp = dir.resolve(s".zm-tmp-$file")
-    val body = (s"#rows,$rows" +: stats.map { case (c, mn, mx) =>
-      s"${KvEscape.escape(c)},$mn,$mx"
-    }).mkString("", "\n", "\n")
-    Files.write(tmp, body.getBytes("UTF-8"))
+    val lines = (s"#rows,$rows" +:
+      stats.map { case (c, mn, mx) => s"${KvEscape.escape(c)},$mn,$mx" }) ++
+      dstats.map { case (c, mn, mx) => s"#d,${KvEscape.escape(c)},$mn,$mx" } ++
+      sstats.map { case (c, mn, mx) =>
+        s"#s,${KvEscape.escape(c)},${KvEscape.escape(mn)},${KvEscape.escape(mx)}"
+      }
+    Files.write(tmp, lines.mkString("", "\n", "\n").getBytes("UTF-8"))
     Files.move(tmp, dir.resolve(sidecarName(file)),
       StandardCopyOption.REPLACE_EXISTING)
   }
@@ -170,14 +187,24 @@ object KvZoneMap {
       try {
         var rows = -1L
         val cols = Map.newBuilder[String, (Long, Long)]
+        val dcols = Map.newBuilder[String, (Double, Double)]
+        val scols = Map.newBuilder[String, (String, String)]
         src.getLines().filter(_.nonEmpty).foreach {
           case line if line.startsWith("#rows,") =>
             rows = line.stripPrefix("#rows,").toLong
+          case line if line.startsWith("#d,") =>
+            val Array(_, c, mn, mx) = line.split(",", 4)
+            dcols += KvEscape.unescape(c) -> ((mn.toDouble, mx.toDouble))
+          case line if line.startsWith("#s,") =>
+            val Array(_, c, mn, mx) = line.split(",", 4)
+            scols += KvEscape.unescape(c) ->
+              ((KvEscape.unescape(mn), KvEscape.unescape(mx)))
           case line =>
             val Array(c, mn, mx) = line.split(",", 3)
             cols += KvEscape.unescape(c) -> ((mn.toLong, mx.toLong))
         }
-        if (rows < 0) None else Some(Stats(rows, cols.result()))
+        if (rows < 0) None
+        else Some(Stats(rows, cols.result(), dcols.result(), scols.result()))
       } finally src.close()
     }
   }
@@ -395,6 +422,12 @@ class KvDataWriter(path: String, schema: StructType, partitionId: Int,
   private val statIdx: Array[Int] = schema.fields.zipWithIndex.collect {
     case (f, i) if f.dataType == LongType || f.dataType == IntegerType => i
   }
+  private val dStatIdx: Array[Int] = schema.fields.zipWithIndex.collect {
+    case (f, i) if f.dataType == DoubleType => i
+  }
+  private val sStatIdx: Array[Int] = schema.fields.zipWithIndex.collect {
+    case (f, i) if f.dataType == StringType => i
+  }
   private val partIdx: Option[Int] = partCol.map { c =>
     val i = schema.fieldNames.indexOf(c)
     require(i >= 0, s"graft kv sink: partitionColumn '$c' not in schema")
@@ -414,6 +447,10 @@ class KvDataWriter(path: String, schema: StructType, partitionId: Int,
     val out = new BufferedWriter(new FileWriter(staged))
     val mins: Array[Long] = Array.fill(statIdx.length)(Long.MaxValue)
     val maxs: Array[Long] = Array.fill(statIdx.length)(Long.MinValue)
+    val dMins: Array[Double] = Array.fill(dStatIdx.length)(Double.MaxValue)
+    val dMaxs: Array[Double] = Array.fill(dStatIdx.length)(Double.MinValue)
+    val sMins: Array[String] = Array.fill(sStatIdx.length)(null)
+    val sMaxs: Array[String] = Array.fill(sStatIdx.length)(null)
     var nRows = 0L
   }
 
@@ -452,6 +489,20 @@ class KvDataWriter(path: String, schema: StructType, partitionId: Int,
       if (v > acc.maxs(j)) acc.maxs(j) = v
       j += 1
     }
+    j = 0
+    while (j < dStatIdx.length) {
+      val v = row.getDouble(dStatIdx(j))
+      if (v < acc.dMins(j)) acc.dMins(j) = v
+      if (v > acc.dMaxs(j)) acc.dMaxs(j) = v
+      j += 1
+    }
+    j = 0
+    while (j < sStatIdx.length) {
+      val v = row.getUTF8String(sStatIdx(j)).toString
+      if (acc.sMins(j) == null || v < acc.sMins(j)) acc.sMins(j) = v
+      if (acc.sMaxs(j) == null || v > acc.sMaxs(j)) acc.sMaxs(j) = v
+      j += 1
+    }
     acc.nRows += 1
     acc.out.write(line)
     acc.out.newLine()
@@ -463,12 +514,23 @@ class KvDataWriter(path: String, schema: StructType, partitionId: Int,
     if (partIdx.isEmpty && accs.isEmpty) accs(0L) = new FileAcc("")
     KvCommit(accs.values.toSeq.map { acc =>
       acc.out.close()
+      val empty = acc.nRows == 0L
       val stats =
-        if (acc.nRows == 0L) Seq.empty
+        if (empty) Seq.empty
         else statIdx.indices.map { j =>
           (schema.fields(statIdx(j)).name, acc.mins(j), acc.maxs(j))
         }.toSeq
-      KvStagedFile(acc.staged.getAbsolutePath, acc.nRows, stats)
+      val dstats =
+        if (empty) Seq.empty
+        else dStatIdx.indices.map { j =>
+          (schema.fields(dStatIdx(j)).name, acc.dMins(j), acc.dMaxs(j))
+        }.toSeq
+      val sstats =
+        if (empty) Seq.empty
+        else sStatIdx.indices.map { j =>
+          (schema.fields(sStatIdx(j)).name, acc.sMins(j), acc.sMaxs(j))
+        }.toSeq
+      KvStagedFile(acc.staged.getAbsolutePath, acc.nRows, stats, dstats, sstats)
     })
   }
 

@@ -405,39 +405,89 @@ class KvScan(
   }
 
   /** Does any pushed static filter or runtime key set rule out a file
-    * whose integer columns span the sidecar's [min,max] ranges? */
+    * whose column bounds span the sidecar's [min,max] ranges? Typed:
+    * integer, double (bounds compared, never summed) and string
+    * (lexicographic) families each prune their own columns; a value
+    * whose type doesn't match its family keeps the file (never guess). */
   private def zoneMapKeeps(f: File): Boolean =
-    KvZoneMap.read(f).map(_.cols) match {
+    KvZoneMap.read(f) match {
       case None => true // no stats ⇒ never skip
-      case Some(zm) =>
+      case Some(st) =>
         def asLong(v: Any): Option[Long] = v match {
           case l: java.lang.Long => Some(l.longValue())
           case i: java.lang.Integer => Some(i.longValue())
           case _ => None
         }
-        val staticOk = pushed.forall {
-          case EqualTo(a, v) => zm.get(a) match {
-            case Some((mn, mx)) => asLong(v).forall(x => x >= mn && x <= mx)
-            case None => true
-          }
-          case In(a, vs) => zm.get(a) match {
-            case Some((mn, mx)) =>
-              val longs = vs.flatMap(asLong(_))
-              longs.length != vs.length || longs.exists(x => x >= mn && x <= mx)
-            case None => true
-          }
-          case GreaterThan(a, v) =>
-            zm.get(a).forall { case (_, mx) => asLong(v).forall(mx > _) }
-          case GreaterThanOrEqual(a, v) =>
-            zm.get(a).forall { case (_, mx) => asLong(v).forall(mx >= _) }
-          case LessThan(a, v) =>
-            zm.get(a).forall { case (mn, _) => asLong(v).forall(mn < _) }
-          case LessThanOrEqual(a, v) =>
-            zm.get(a).forall { case (mn, _) => asLong(v).forall(mn <= _) }
-          case _ => true
+        def asDouble(v: Any): Option[Double] = v match {
+          case d: java.lang.Double => Some(d.doubleValue())
+          case f: java.lang.Float => Some(f.doubleValue())
+          case l: java.lang.Long => Some(l.doubleValue())
+          case i: java.lang.Integer => Some(i.doubleValue())
+          case _ => None
+        }
+        def asStr(v: Any): Option[String] = v match {
+          case s: String => Some(s)
+          case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+          case _ => None
+        }
+        // per-family evaluation; returns None when the column has no
+        // bounds in that family or the literal doesn't convert
+        def intKeep(fi: Filter): Option[Boolean] = fi match {
+          case EqualTo(a, v) => st.cols.get(a).flatMap { case (mn, mx) =>
+            asLong(v).map(x => x >= mn && x <= mx) }
+          case In(a, vs) => st.cols.get(a).flatMap { case (mn, mx) =>
+            val longs = vs.flatMap(asLong(_))
+            if (longs.length != vs.length) None
+            else Some(longs.exists(x => x >= mn && x <= mx)) }
+          case GreaterThan(a, v) => st.cols.get(a).flatMap { case (_, mx) =>
+            asLong(v).map(mx > _) }
+          case GreaterThanOrEqual(a, v) => st.cols.get(a).flatMap { case (_, mx) =>
+            asLong(v).map(mx >= _) }
+          case LessThan(a, v) => st.cols.get(a).flatMap { case (mn, _) =>
+            asLong(v).map(mn < _) }
+          case LessThanOrEqual(a, v) => st.cols.get(a).flatMap { case (mn, _) =>
+            asLong(v).map(mn <= _) }
+          case _ => None
+        }
+        def dblKeep(fi: Filter): Option[Boolean] = fi match {
+          case EqualTo(a, v) => st.dcols.get(a).flatMap { case (mn, mx) =>
+            asDouble(v).map(x => x >= mn && x <= mx) }
+          case In(a, vs) => st.dcols.get(a).flatMap { case (mn, mx) =>
+            val ds = vs.flatMap(asDouble(_))
+            if (ds.length != vs.length) None
+            else Some(ds.exists(x => x >= mn && x <= mx)) }
+          case GreaterThan(a, v) => st.dcols.get(a).flatMap { case (_, mx) =>
+            asDouble(v).map(mx > _) }
+          case GreaterThanOrEqual(a, v) => st.dcols.get(a).flatMap { case (_, mx) =>
+            asDouble(v).map(mx >= _) }
+          case LessThan(a, v) => st.dcols.get(a).flatMap { case (mn, _) =>
+            asDouble(v).map(mn < _) }
+          case LessThanOrEqual(a, v) => st.dcols.get(a).flatMap { case (mn, _) =>
+            asDouble(v).map(mn <= _) }
+          case _ => None
+        }
+        def strKeep(fi: Filter): Option[Boolean] = fi match {
+          case EqualTo(a, v) => st.scols.get(a).flatMap { case (mn, mx) =>
+            asStr(v).map(x => x >= mn && x <= mx) }
+          case In(a, vs) => st.scols.get(a).flatMap { case (mn, mx) =>
+            val ss = vs.flatMap(asStr(_))
+            if (ss.length != vs.length) None
+            else Some(ss.exists(x => x >= mn && x <= mx)) }
+          case GreaterThan(a, v) => st.scols.get(a).flatMap { case (_, mx) =>
+            asStr(v).map(mx > _) }
+          case GreaterThanOrEqual(a, v) => st.scols.get(a).flatMap { case (_, mx) =>
+            asStr(v).map(mx >= _) }
+          case LessThan(a, v) => st.scols.get(a).flatMap { case (mn, _) =>
+            asStr(v).map(mn < _) }
+          case LessThanOrEqual(a, v) => st.scols.get(a).flatMap { case (mn, _) =>
+            asStr(v).map(mn <= _) }
+          case _ => None
+        }
+        val staticOk = pushed.forall { fi =>
+          intKeep(fi).orElse(dblKeep(fi)).orElse(strKeep(fi)).getOrElse(true)
         }
         staticOk && runtimeKeys.forall { case (c, keys) =>
-          zm.get(c) match {
+          st.cols.get(c) match {
             case Some((mn, mx)) => keys.exists(k => k >= mn && k <= mx)
             case None => true
           }

@@ -175,6 +175,50 @@ class KvZoneMapSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
+  test("typed zone maps: double and string bounds prune files") {
+    val out = freshDir("typed")
+    spark.range(0L, 8000L)
+      .select(col("id").as("k"), (col("id") * 1.5).as("price"),
+        concat(lit("g"), (col("id") / 1000L).cast("long")).as("grade"))
+      .repartitionByRange(8, col("k"))
+      .write.format("graft.sources.KvSinkProvider")
+      .option("path", out).mode("append").save()
+    val rd = spark.read.format("graft.sources.KvSourceProvider")
+      .option("path", out)
+      .option("schema", "k LONG, price DOUBLE, grade STRING").load()
+    // double range: only the low-k files can hold price < 1500
+    val cheap = rd.filter(col("price") < 1500.0)
+    assert(cheap.count() === 1000L)
+    val (l1, p1) = KvPruneStats.last(out).get
+    assert(l1 === 8 && p1 < 8, s"double pruning planned $p1 of $l1")
+    // string equality: grade is k-range-aligned, so at most 2 files span g6
+    val g6 = rd.filter(col("grade") === "g6")
+    assert(g6.count() === 1000L)
+    val (_, p2) = KvPruneStats.last(out).get
+    assert(p2 <= 2, s"string pruning planned $p2 of 8")
+    // string range prunes too
+    rd.filter(col("grade") < "g1").count()
+    val (_, p3) = KvPruneStats.last(out).get
+    assert(p3 <= 2, s"string range planned $p3 of 8")
+  }
+
+  test("string bounds with framing characters escape correctly in sidecars") {
+    val out = freshDir("escape")
+    val s = spark
+    import s.implicits._
+    Seq((1L, "a,b\nc"), (2L, "z%z"), (3L, "plain"))
+      .toDF("k", "txt").repartition(1)
+      .write.format("graft.sources.KvSinkProvider")
+      .option("path", out).mode("append").save()
+    val data = new File(out).listFiles().filter(f =>
+      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val st = graft.sources.KvZoneMap.read(data.head).get
+    assert(st.scols("txt") === (("a,b\nc", "z%z")))
+    val rd = spark.read.format("graft.sources.KvSourceProvider")
+      .option("path", out).option("schema", "k LONG, txt STRING").load()
+    assert(rd.filter(col("txt") === "a,b\nc").count() === 1L)
+  }
+
   test("commit-metadata statistics reach the optimizer: exact rows, real bytes") {
     val out = freshDir("stats")
     writeStore(out)
