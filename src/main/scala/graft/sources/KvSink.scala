@@ -449,6 +449,9 @@ class KvDataWriter(path: String, schema: StructType, partitionId: Int,
     val maxs: Array[Long] = Array.fill(statIdx.length)(Long.MinValue)
     val dMins: Array[Double] = Array.fill(dStatIdx.length)(Double.MaxValue)
     val dMaxs: Array[Double] = Array.fill(dStatIdx.length)(Double.MinValue)
+    // a NaN makes [min,max] meaningless under Spark's NaN-equality
+    // semantics — that column publishes no double bounds for this file
+    val dNaN: Array[Boolean] = Array.fill(dStatIdx.length)(false)
     val sMins: Array[String] = Array.fill(sStatIdx.length)(null)
     val sMaxs: Array[String] = Array.fill(sStatIdx.length)(null)
     var nRows = 0L
@@ -491,9 +494,15 @@ class KvDataWriter(path: String, schema: StructType, partitionId: Int,
     }
     j = 0
     while (j < dStatIdx.length) {
-      val v = row.getDouble(dStatIdx(j))
-      if (v < acc.dMins(j)) acc.dMins(j) = v
-      if (v > acc.dMaxs(j)) acc.dMaxs(j) = v
+      val raw = row.getDouble(dStatIdx(j))
+      // -0.0 normalizes to 0.0 (Spark comparison semantics equate them,
+      // so bounds must not distinguish them either)
+      val v = if (raw == 0.0) 0.0 else raw
+      if (java.lang.Double.isNaN(v)) acc.dNaN(j) = true
+      else {
+        if (v < acc.dMins(j)) acc.dMins(j) = v
+        if (v > acc.dMaxs(j)) acc.dMaxs(j) = v
+      }
       j += 1
     }
     j = 0
@@ -522,9 +531,11 @@ class KvDataWriter(path: String, schema: StructType, partitionId: Int,
         }.toSeq
       val dstats =
         if (empty) Seq.empty
-        else dStatIdx.indices.map { j =>
-          (schema.fields(dStatIdx(j)).name, acc.dMins(j), acc.dMaxs(j))
-        }.toSeq
+        else dStatIdx.indices
+          .filter(j => !acc.dNaN(j) && acc.dMins(j) <= acc.dMaxs(j))
+          .map { j =>
+            (schema.fields(dStatIdx(j)).name, acc.dMins(j), acc.dMaxs(j))
+          }.toSeq
       val sstats =
         if (empty) Seq.empty
         else sStatIdx.indices.map { j =>

@@ -204,6 +204,82 @@ case object KvAggRows extends KvAggKind
 case class KvAggMin(col: String) extends KvAggKind
 case class KvAggMax(col: String) extends KvAggKind
 
+/** The zone-map FILE-SKIP decision, as a pure function so its soundness
+  * ("a skipped file can hold no qualifying row") is property-testable
+  * against a naive evaluator over arbitrary data and predicates
+  * (KvZonePruneSpec). Typed: integer, double (bounds compared, never
+  * summed) and string (lexicographic) families each prune their own
+  * columns; a predicate whose literal doesn't convert to its column's
+  * family — or whose column has no bounds — keeps the file (never
+  * guess). */
+object KvZonePrune {
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case l: java.lang.Long => Some(l.longValue())
+    case i: java.lang.Integer => Some(i.longValue())
+    case _ => None
+  }
+  private def asDouble(v: Any): Option[Double] = v match {
+    case d: java.lang.Double => Some(d.doubleValue())
+    case f: java.lang.Float => Some(f.doubleValue())
+    case l: java.lang.Long => Some(l.doubleValue())
+    case i: java.lang.Integer => Some(i.doubleValue())
+    case _ => None
+  }
+  private def asStr(v: Any): Option[String] = v match {
+    case s: String => Some(s)
+    case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+    case _ => None
+  }
+
+  /** One family's verdict for one predicate: None = this family doesn't
+    * decide (no bounds for the column / unconvertible literal). */
+  private def familyKeep[T](fi: Filter, bounds: Map[String, (T, T)],
+      conv: Any => Option[T])(implicit ord: Ordering[T]): Option[Boolean] = {
+    import ord._
+    fi match {
+      case EqualTo(a, v) => bounds.get(a).flatMap { case (mn, mx) =>
+        conv(v).map(x => x >= mn && x <= mx) }
+      case In(a, vs) => bounds.get(a).flatMap { case (mn, mx) =>
+        val ts = vs.toSeq.flatMap(conv(_))
+        if (ts.length != vs.length) None
+        else Some(ts.exists(x => x >= mn && x <= mx)) }
+      case GreaterThan(a, v) => bounds.get(a).flatMap { case (_, mx) =>
+        conv(v).map(mx > _) }
+      case GreaterThanOrEqual(a, v) => bounds.get(a).flatMap { case (_, mx) =>
+        conv(v).map(mx >= _) }
+      case LessThan(a, v) => bounds.get(a).flatMap { case (mn, _) =>
+        conv(v).map(mn < _) }
+      case LessThanOrEqual(a, v) => bounds.get(a).flatMap { case (mn, _) =>
+        conv(v).map(mn <= _) }
+      case _ => None
+    }
+  }
+
+  def keeps(st: KvZoneMap.Stats, pushed: Seq[Filter],
+      runtimeKeys: Map[String, Set[Long]]): Boolean = {
+    // NaN never appears in published double bounds (the writer withholds
+    // the column), and a NaN LITERAL must not prune (Spark: NaN = NaN);
+    // -0.0 normalizes to 0.0 on both sides, so with NaN excluded the
+    // total ordering below coincides with IEEE comparison
+    def dblConv(v: Any): Option[Double] =
+      asDouble(v).filterNot(java.lang.Double.isNaN)
+        .map(d => if (d == 0.0) 0.0 else d)
+    val staticOk = pushed.forall { fi =>
+      familyKeep(fi, st.cols, asLong)
+        .orElse(familyKeep(fi, st.dcols, dblConv)(Ordering.Double.TotalOrdering))
+        .orElse(familyKeep(fi, st.scols, asStr))
+        .getOrElse(true)
+    }
+    staticOk && runtimeKeys.forall { case (c, keys) =>
+      st.cols.get(c) match {
+        case Some((mn, mx)) => keys.exists(k => k >= mn && k <= mx)
+        case None => true
+      }
+    }
+  }
+}
+
 case class KvFilePartition(file: String) extends InputPartition
 
 /** Observability for file-skipping: per-path counters updated at split
@@ -405,93 +481,11 @@ class KvScan(
   }
 
   /** Does any pushed static filter or runtime key set rule out a file
-    * whose column bounds span the sidecar's [min,max] ranges? Typed:
-    * integer, double (bounds compared, never summed) and string
-    * (lexicographic) families each prune their own columns; a value
-    * whose type doesn't match its family keeps the file (never guess). */
+    * whose column bounds span the sidecar's [min,max] ranges? */
   private def zoneMapKeeps(f: File): Boolean =
     KvZoneMap.read(f) match {
       case None => true // no stats ⇒ never skip
-      case Some(st) =>
-        def asLong(v: Any): Option[Long] = v match {
-          case l: java.lang.Long => Some(l.longValue())
-          case i: java.lang.Integer => Some(i.longValue())
-          case _ => None
-        }
-        def asDouble(v: Any): Option[Double] = v match {
-          case d: java.lang.Double => Some(d.doubleValue())
-          case f: java.lang.Float => Some(f.doubleValue())
-          case l: java.lang.Long => Some(l.doubleValue())
-          case i: java.lang.Integer => Some(i.doubleValue())
-          case _ => None
-        }
-        def asStr(v: Any): Option[String] = v match {
-          case s: String => Some(s)
-          case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
-          case _ => None
-        }
-        // per-family evaluation; returns None when the column has no
-        // bounds in that family or the literal doesn't convert
-        def intKeep(fi: Filter): Option[Boolean] = fi match {
-          case EqualTo(a, v) => st.cols.get(a).flatMap { case (mn, mx) =>
-            asLong(v).map(x => x >= mn && x <= mx) }
-          case In(a, vs) => st.cols.get(a).flatMap { case (mn, mx) =>
-            val longs = vs.flatMap(asLong(_))
-            if (longs.length != vs.length) None
-            else Some(longs.exists(x => x >= mn && x <= mx)) }
-          case GreaterThan(a, v) => st.cols.get(a).flatMap { case (_, mx) =>
-            asLong(v).map(mx > _) }
-          case GreaterThanOrEqual(a, v) => st.cols.get(a).flatMap { case (_, mx) =>
-            asLong(v).map(mx >= _) }
-          case LessThan(a, v) => st.cols.get(a).flatMap { case (mn, _) =>
-            asLong(v).map(mn < _) }
-          case LessThanOrEqual(a, v) => st.cols.get(a).flatMap { case (mn, _) =>
-            asLong(v).map(mn <= _) }
-          case _ => None
-        }
-        def dblKeep(fi: Filter): Option[Boolean] = fi match {
-          case EqualTo(a, v) => st.dcols.get(a).flatMap { case (mn, mx) =>
-            asDouble(v).map(x => x >= mn && x <= mx) }
-          case In(a, vs) => st.dcols.get(a).flatMap { case (mn, mx) =>
-            val ds = vs.flatMap(asDouble(_))
-            if (ds.length != vs.length) None
-            else Some(ds.exists(x => x >= mn && x <= mx)) }
-          case GreaterThan(a, v) => st.dcols.get(a).flatMap { case (_, mx) =>
-            asDouble(v).map(mx > _) }
-          case GreaterThanOrEqual(a, v) => st.dcols.get(a).flatMap { case (_, mx) =>
-            asDouble(v).map(mx >= _) }
-          case LessThan(a, v) => st.dcols.get(a).flatMap { case (mn, _) =>
-            asDouble(v).map(mn < _) }
-          case LessThanOrEqual(a, v) => st.dcols.get(a).flatMap { case (mn, _) =>
-            asDouble(v).map(mn <= _) }
-          case _ => None
-        }
-        def strKeep(fi: Filter): Option[Boolean] = fi match {
-          case EqualTo(a, v) => st.scols.get(a).flatMap { case (mn, mx) =>
-            asStr(v).map(x => x >= mn && x <= mx) }
-          case In(a, vs) => st.scols.get(a).flatMap { case (mn, mx) =>
-            val ss = vs.flatMap(asStr(_))
-            if (ss.length != vs.length) None
-            else Some(ss.exists(x => x >= mn && x <= mx)) }
-          case GreaterThan(a, v) => st.scols.get(a).flatMap { case (_, mx) =>
-            asStr(v).map(mx > _) }
-          case GreaterThanOrEqual(a, v) => st.scols.get(a).flatMap { case (_, mx) =>
-            asStr(v).map(mx >= _) }
-          case LessThan(a, v) => st.scols.get(a).flatMap { case (mn, _) =>
-            asStr(v).map(mn < _) }
-          case LessThanOrEqual(a, v) => st.scols.get(a).flatMap { case (mn, _) =>
-            asStr(v).map(mn <= _) }
-          case _ => None
-        }
-        val staticOk = pushed.forall { fi =>
-          intKeep(fi).orElse(dblKeep(fi)).orElse(strKeep(fi)).getOrElse(true)
-        }
-        staticOk && runtimeKeys.forall { case (c, keys) =>
-          st.cols.get(c) match {
-            case Some((mn, mx)) => keys.exists(k => k >= mn && k <= mx)
-            case None => true
-          }
-        }
+      case Some(st) => KvZonePrune.keeps(st, pushed.toSeq, runtimeKeys)
     }
 
   /** One split per committed file; `_staging` and any other hidden
