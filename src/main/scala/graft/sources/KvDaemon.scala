@@ -81,6 +81,11 @@ object KvDaemon {
     walk(root, "").filter(_.endsWith(pattern)).sorted
   }
 
+  /** Traversal/hidden-path guard shared by GET and STATS. */
+  private def badField(name: String): Boolean =
+    name.contains("..") || name.startsWith("/") ||
+      name.split("/").exists(s => s.startsWith("_") || s.startsWith("."))
+
   private def handle(sock: Socket, dir: String): Unit = {
     try {
       val in = new BufferedReader(new InputStreamReader(sock.getInputStream, UTF_8))
@@ -103,13 +108,33 @@ object KvDaemon {
             out.write("END\n")
           case "GET" =>
             val name = line.substring(4)
-            if (name.contains("..") || name.startsWith("/") ||
-                name.split("/").exists(s => s.startsWith("_") || s.startsWith("."))) {
+            if (badField(name)) {
               out.write("ERR bad field name\n")
             } else {
               val src = scala.io.Source.fromFile(new File(dir, name), "UTF-8")
               try src.getLines().foreach(l => out.write(s"L $l\n"))
               finally src.close()
+              out.write("END\n")
+            }
+          case "STATS" =>
+            // serve a field's committed zone-map sidecar (server-side
+            // stats, the analog of a KV cluster answering OBJECT/DEBUG
+            // metadata): the SERVER resolves the hidden sidecar path
+            // from the visible field name — clients never name hidden
+            // paths, the GET traversal guard stays intact. A statless
+            // field replies bare END (client: never prune).
+            val name = line.substring(6)
+            if (badField(name)) {
+              out.write("ERR bad field name\n")
+            } else {
+              val data = new File(dir, name)
+              val side = new File(data.getParentFile,
+                KvZoneMap.sidecarName(data.getName))
+              if (side.isFile) {
+                val src = scala.io.Source.fromFile(side, "UTF-8")
+                try src.getLines().foreach(l => out.write(s"S $l\n"))
+                finally src.close()
+              }
               out.write("END\n")
             }
           case "QUIT" =>
@@ -160,6 +185,27 @@ object KvDaemon {
       out.write("QUIT\n")
       out.flush()
       fields.toSeq
+    } finally sock.close()
+  }
+
+  /** One field's committed zone-map stats, served by the daemon — the
+    * driver-side pruning call at split planning. None when the field has
+    * no sidecar (never prune without stats). */
+  def statsFor(endpoint: String, field: String): Option[KvZoneMap.Stats] = {
+    val (sock, in, out) = connect(endpoint)
+    try {
+      out.write(s"STATS $field\n")
+      out.flush()
+      val lines = mutable.ArrayBuffer[String]()
+      var l = in.readLine()
+      while (l != null && l != "END") {
+        require(l.startsWith("S "), s"kv daemon: bad stats line $l")
+        lines += l.substring(2)
+        l = in.readLine()
+      }
+      out.write("QUIT\n")
+      out.flush()
+      if (lines.isEmpty) None else KvZoneMap.parseLines(lines.iterator)
     } finally sock.close()
   }
 

@@ -177,6 +177,31 @@ object KvZoneMap {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Parse sidecar lines into Stats — shared by the local file read and
+    * the daemon's network STATS reply. None without a `#rows` line. */
+  def parseLines(lines: Iterator[String]): Option[Stats] = {
+    var rows = -1L
+    val cols = Map.newBuilder[String, (Long, Long)]
+    val dcols = Map.newBuilder[String, (Double, Double)]
+    val scols = Map.newBuilder[String, (String, String)]
+    lines.filter(_.nonEmpty).foreach {
+      case line if line.startsWith("#rows,") =>
+        rows = line.stripPrefix("#rows,").toLong
+      case line if line.startsWith("#d,") =>
+        val Array(_, c, mn, mx) = line.split(",", 4)
+        dcols += KvEscape.unescape(c) -> ((mn.toDouble, mx.toDouble))
+      case line if line.startsWith("#s,") =>
+        val Array(_, c, mn, mx) = line.split(",", 4)
+        scols += KvEscape.unescape(c) ->
+          ((KvEscape.unescape(mn), KvEscape.unescape(mx)))
+      case line =>
+        val Array(c, mn, mx) = line.split(",", 3)
+        cols += KvEscape.unescape(c) -> ((mn.toLong, mx.toLong))
+    }
+    if (rows < 0) None
+    else Some(Stats(rows, cols.result(), dcols.result(), scols.result()))
+  }
+
   /** Read a data file's sidecar; None when absent (never prune or answer
     * aggregates without stats). */
   def read(dataFile: java.io.File): Option[Stats] = {
@@ -184,28 +209,7 @@ object KvZoneMap {
     if (!side.isFile) None
     else {
       val src = scala.io.Source.fromFile(side, "UTF-8")
-      try {
-        var rows = -1L
-        val cols = Map.newBuilder[String, (Long, Long)]
-        val dcols = Map.newBuilder[String, (Double, Double)]
-        val scols = Map.newBuilder[String, (String, String)]
-        src.getLines().filter(_.nonEmpty).foreach {
-          case line if line.startsWith("#rows,") =>
-            rows = line.stripPrefix("#rows,").toLong
-          case line if line.startsWith("#d,") =>
-            val Array(_, c, mn, mx) = line.split(",", 4)
-            dcols += KvEscape.unescape(c) -> ((mn.toDouble, mx.toDouble))
-          case line if line.startsWith("#s,") =>
-            val Array(_, c, mn, mx) = line.split(",", 4)
-            scols += KvEscape.unescape(c) ->
-              ((KvEscape.unescape(mn), KvEscape.unescape(mx)))
-          case line =>
-            val Array(c, mn, mx) = line.split(",", 3)
-            cols += KvEscape.unescape(c) -> ((mn.toLong, mx.toLong))
-        }
-        if (rows < 0) None
-        else Some(Stats(rows, cols.result(), dcols.result(), scols.result()))
-      } finally src.close()
+      try parseLines(src.getLines()) finally src.close()
     }
   }
 }

@@ -395,16 +395,15 @@ class KvScan(
     case f if f.dataType == LongType || f.dataType == IntegerType => f.name
   }.toSet
 
-  /** Runtime pruning is offered on every integer-typed column of a LOCAL
-    * store (net mode plans against the daemon, which serves no sidecars).
-    * Restricted to the PRUNED read schema — Spark resolves these refs
-    * against the scan relation's output, where pruned-away columns no
-    * longer exist. */
+  /** Runtime pruning is offered on every integer-typed column, for local
+    * stores AND net mode (the daemon serves committed sidecars via
+    * STATS). Restricted to the PRUNED read schema — Spark resolves these
+    * refs against the scan relation's output, where pruned-away columns
+    * no longer exist. */
   override def filterAttributes(): Array[NamedReference] =
     // a value-partitioned scan keeps its reported partition-value set
     // stable by declining runtime pruning (the join still filters rows)
-    if (path.startsWith("net://") || agg.isDefined || partitionedBy.isDefined)
-      Array.empty
+    if (agg.isDefined || partitionedBy.isDefined) Array.empty
     else required.fieldNames.filter(intCols).sorted.map(Expressions.column)
 
   // ---- key-grouped output partitioning (storage-partitioned joins) ----
@@ -527,8 +526,22 @@ class KvScan(
   override def planInputPartitions(): Array[InputPartition] = {
     if (path.startsWith("net://")) {
       val endpoint = path.stripPrefix("net://")
-      return KvDaemon.scanFields(endpoint, pattern)
-        .map(KvNetPartition(endpoint, _): InputPartition).toArray
+      val listed = KvDaemon.scanFields(endpoint, pattern)
+      // server-side zone maps: the daemon serves each field's committed
+      // sidecar (STATS), and the same pure skip decision drops fields a
+      // pushed or runtime predicate can never match — file skipping
+      // without a filesystem, the way a remote KV cluster would answer
+      // from its own metadata. Statless fields are never skipped.
+      val kept =
+        if (pushed.isEmpty && runtimeKeys.isEmpty) listed
+        else listed.filter { f =>
+          KvDaemon.statsFor(endpoint, f) match {
+            case Some(st) => KvZonePrune.keeps(st, pushed.toSeq, runtimeKeys)
+            case None => true
+          }
+        }
+      KvPruneStats.record(path, listed.length, kept.length)
+      return kept.map(KvNetPartition(endpoint, _): InputPartition).toArray
     }
     // value-partitioned layout: one split per partition value, planned
     // once (outputPartitioning's split count must stay consistent)

@@ -239,6 +239,32 @@ class KvZoneMapSpec extends AnyFunSuite with SparkSessionFixture {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("net mode prunes from daemon-served stats: point lookup fetches one field") {
+    val out = freshDir("netprune")
+    writeStore(out)
+    val port = graft.sources.KvDaemon.ensure(out)
+    val netPath = s"net://127.0.0.1:$port"
+    val rd = spark.read.format("graft.sources.KvSourceProvider")
+      .option("endpoint", s"127.0.0.1:$port")
+      .option("schema", "k LONG, v LONG").load()
+    val got = rd.filter(col("k") === 4242L).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((4242L, 12726L)))
+    val (listed, planned) = KvPruneStats.last(netPath).get
+    assert(listed === 8)
+    assert(planned === 1, s"daemon stats should prune to 1 field, planned=$planned")
+    // runtime join-key pruning works over the socket too
+    val dim = spark.range(0L, 8000L).select(col("id").as("k"))
+      .filter(col("k").isin(10L, 7300L))
+    val j = rd.join(broadcast(dim), "k")
+    assert(j.collect().map(_.getLong(0)).sorted.toSeq === Seq(10L, 7300L))
+    val (_, planned2) = KvPruneStats.last(netPath).get
+    assert(planned2 <= 2, s"runtime keys over net planned $planned2")
+    // an unfiltered scan stays full — and never pays the STATS round trips
+    assert(rd.count() === 8000L)
+    val (_, planned3) = KvPruneStats.last(netPath).get
+    assert(planned3 === 8)
+  }
+
   test("runtime pruning composes with a pushed static filter") {
     val out = freshDir("compose")
     writeStore(out)
