@@ -408,6 +408,36 @@ object Sources extends QueryGroup {
                AND o_orderpriority <= '3-MEDIUM'
              GROUP BY prio ORDER BY prio"""))
 
+  /** GROUPED stats-answered aggregate — `GROUP BY partition_column` over
+    * a value-partitioned store folds each value's sidecars: per-group
+    * row counts and integer min/max come entirely from commit metadata
+    * (per-file bounds are exact and a group is a union of whole files),
+    * with a row-level parse fallback for statless/foreign files. The
+    * partition-level rollup every table format answers from its
+    * manifest; plan has NO aggregate node (KvSpjSpec pins it). */
+  private val qSourceKvAggGrouped = Q(
+    "q_source_kv_agg_grouped",
+    (s, dir) => {
+      val out = sys.props("java.io.tmpdir") + "/graft-kvsink/q_source_kv_agg_grouped"
+      cleanDir(out)
+      table(s, dir, "customer")
+        .select(col("c_nationkey").as("nk"), col("c_custkey").as("ck"))
+        .repartition(8, col("nk"))
+        .write.format("graft.sources.KvSinkProvider")
+        .option("path", out).option("partitionColumn", "nk")
+        .mode("append").save()
+      s.read.format("graft.sources.KvSourceProvider")
+        .option("path", out).option("schema", "nk LONG, ck LONG")
+        .option("partitionedBy", "nk").load()
+        .groupBy(col("nk"))
+        .agg(count(lit(1)).as("n"), min(col("ck")).as("ck_min"),
+          max(col("ck")).as("ck_max"))
+        .orderBy(col("nk"))
+    },
+    Some("""SELECT c_nationkey AS nk, count(*) AS n,
+              min(c_custkey) AS ck_min, max(c_custkey) AS ck_max
+            FROM customer GROUP BY nk ORDER BY nk"""))
+
   /** RUNTIME file skipping — dynamic partition pruning for the custom
     * Store (`SupportsRuntimeV2Filtering`): the selective build side of a
     * broadcast join hands its materialized join-key set to the scan
@@ -1036,7 +1066,8 @@ object Sources extends QueryGroup {
     Seq(qSourceCsv, qSourceJson, qSourceXml, qSourceOrc, qSourceText, qSourcePartitioned,
       qSourceBucketedJoin, qSourceDsv2, qSourceDsv2Agg, qSourceDsv2Topn,
       qSinkDsv2, qSourceKv, qSourceKvNet, qSourceKvZonemap, qSourceKvRuntimePrune,
-      qSourceKvAgg, qSourceKvSpj, qSourceKvSpjBucketed, qSourceKvZonemapTyped,
+      qSourceKvAgg, qSourceKvAggGrouped, qSourceKvSpj, qSourceKvSpjBucketed,
+      qSourceKvZonemapTyped,
       qZorderLayout, qZonemapPrune, qStoreTimetravel, qStoreTimediff,
       qSourceSchemaEvolution,
       qStoreDpo, qSourceCorrupt, qSourceBucketedAgg, qJoinNullsafe,

@@ -147,11 +147,15 @@ class KvScanBuilder(
   override def pushedFilters(): Array[Filter] = pushed
 
   /** STATS-ANSWERED aggregates: count(*) / count(col) [the sink never
-    * writes nulls] / min / max over integer columns, ungrouped and
-    * unfiltered, are answered from the committed zone-map sidecars —
-    * the scan opens a data file only as a fallback when its sidecar is
-    * missing (foreign/pre-stats writers). The manifest-count path every
-    * real table format has: `count(*)` over 100 TB is a metadata fold,
+    * writes nulls] / min / max over integer columns, unfiltered, are
+    * answered from the committed zone-map sidecars — the scan opens a
+    * data file only as a fallback when its sidecar is missing
+    * (foreign/pre-stats writers). Ungrouped always; GROUPED BY the
+    * store's partition column when reading with `partitionedBy` (each
+    * value's rows/bounds fold exactly from its own files' sidecars —
+    * per-file min/max are exact, and a group is a union of whole files).
+    * The manifest-count path every real table format has: `count(*)` —
+    * or `GROUP BY partition.count()` — over 100 TB is a metadata fold,
     * not a scan. Declines whenever a row filter was pushed (stats are
     * whole-file), in net mode, or for any other aggregate shape. */
   override def pushAggregation(a: Aggregation): Boolean =
@@ -163,11 +167,10 @@ class KvScanBuilder(
   override def supportCompletePushDown(a: Aggregation): Boolean =
     translateAgg(a).isDefined
 
-  private var agg: Option[Seq[KvAggKind]] = None
+  private var agg: Option[KvAggPush] = None
 
-  private def translateAgg(a: Aggregation): Option[Seq[KvAggKind]] = {
+  private def translateAgg(a: Aggregation): Option[KvAggPush] = {
     if (pushed.nonEmpty || path.startsWith("net://")) return None
-    if (a.groupByExpressions().nonEmpty) return None
     val ints = dataSchema.fields.collect {
       case f if f.dataType == LongType || f.dataType == IntegerType => f.name
     }.toSet
@@ -179,6 +182,15 @@ class KvScanBuilder(
         Some(r.fieldNames()(0))
       case _ => None
     }
+    val groupCol: Option[String] = a.groupByExpressions() match {
+      case Array() => None
+      case Array(g) => // grouped: only by the declared partition column
+        partitionedBy.flatMap(pc => ref(g, Set(pc))) match {
+          case some @ Some(_) => some
+          case None => return None
+        }
+      case _ => return None
+    }
     val kinds = a.aggregateExpressions().toSeq.map[Option[KvAggKind]] {
       case _: CountStar => Some(KvAggRows)
       case c: Count if !c.isDistinct => ref(c.column(), all).map(_ => KvAggRows)
@@ -186,7 +198,8 @@ class KvScanBuilder(
       case m: Max => ref(m.column(), ints).map(KvAggMax)
       case _ => None
     }
-    if (kinds.nonEmpty && kinds.forall(_.isDefined)) Some(kinds.map(_.get))
+    if (kinds.nonEmpty && kinds.forall(_.isDefined))
+      Some(KvAggPush(groupCol, kinds.map(_.get)))
     else None
   }
 
@@ -203,6 +216,10 @@ sealed trait KvAggKind extends Serializable
 case object KvAggRows extends KvAggKind
 case class KvAggMin(col: String) extends KvAggKind
 case class KvAggMax(col: String) extends KvAggKind
+
+/** A pushed stats aggregation: optional grouping by the store's
+  * partition column, plus the aggregate list. */
+case class KvAggPush(groupCol: Option[String], kinds: Seq[KvAggKind])
 
 /** The zone-map FILE-SKIP decision, as a pure function so its soundness
   * ("a skipped file can hold no qualifying row") is property-testable
@@ -302,8 +319,8 @@ case class KvNetPartition(endpoint: String, field: String) extends InputPartitio
 /** A stats-answered aggregate "split": the reader folds the files'
   * committed sidecars (opening a data file only when its sidecar is
   * missing) and emits ONE row. */
-case class KvAggPartition(files: Seq[String], kinds: Seq[KvAggKind])
-    extends InputPartition
+case class KvAggPartition(files: Seq[String], kinds: Seq[KvAggKind],
+    groupCol: Option[String] = None) extends InputPartition
 
 /** One partition VALUE of a value-partitioned store: every file whose
   * committed sidecar pins the partition column to `value`. Carrying the
@@ -323,7 +340,7 @@ class KvScan(
     pushed: Array[Filter],
     recursive: Boolean = false,
     asOfCommit: Option[Int] = None,
-    agg: Option[Seq[KvAggKind]] = None,
+    agg: Option[KvAggPush] = None,
     partitionedBy: Option[String] = None)
     extends Scan with Batch with SupportsRuntimeV2Filtering
     with SupportsReportPartitioning with SupportsReportStatistics {
@@ -368,10 +385,13 @@ class KvScan(
     * to the aggregate list (no grouping is ever pushed here). */
   override def readSchema(): StructType = agg match {
     case None => required
-    case Some(kinds) => StructType(kinds.zipWithIndex.map {
-      case (KvAggRows, i) => StructField(s"agg_$i", LongType, nullable = false)
-      case (_, i) => StructField(s"agg_$i", LongType, nullable = true)
-    })
+    case Some(KvAggPush(groupCol, kinds)) =>
+      val g = groupCol.map(c => StructField(c, dataSchema(c).dataType,
+        nullable = false)).toSeq
+      StructType(g ++ kinds.zipWithIndex.map {
+        case (KvAggRows, i) => StructField(s"agg_$i", LongType, nullable = false)
+        case (_, i) => StructField(s"agg_$i", LongType, nullable = true)
+      })
   }
   override def toBatch: Batch = this
   override def description(): String =
@@ -379,7 +399,9 @@ class KvScan(
       asOfCommit.map(v => s" asOf=$v").getOrElse("") +
       s") cols=${readSchema().fieldNames.mkString(",")}" +
       (if (pushed.nonEmpty) s" pushed=${pushed.mkString(",")}" else "") +
-      agg.map(k => s" aggpush=[${k.mkString(",")}]").getOrElse("") +
+      agg.map(p => s" aggpush=[" +
+        p.groupCol.map(c => s"group=$c ").getOrElse("") +
+        p.kinds.mkString(",") + "]").getOrElse("") +
       partitionedBy.map(c => s" keyGroupedBy=$c").getOrElse("")
 
   // ---- runtime (join-key) file skipping -------------------------------
@@ -549,9 +571,9 @@ class KvScan(
     val listed = listDataFiles()
     // stats-answered aggregate: one partition folding the sidecars (no
     // pushed filters by construction, so no pruning interplay)
-    agg.foreach { kinds =>
+    agg.foreach { p =>
       return Array(KvAggPartition(
-        listed.map(_.getAbsolutePath).sorted, kinds))
+        listed.map(_.getAbsolutePath).sorted, p.kinds, p.groupCol))
     }
     // zone-map file skipping: static pushed predicates and runtime join
     // keys against each file's committed min/max sidecar (absent ⇒ keep)
@@ -574,55 +596,90 @@ class KvReaderFactory(
     pushed: Array[Filter])
     extends PartitionReaderFactory {
 
-  /** Fold the committed sidecar stats into one aggregate row; a file
-    * without a sidecar is PARSED instead (sound fallback for data written
-    * before stats or by foreign flows) — still never a Spark-side
-    * aggregate. */
+  /** Fold the committed sidecar stats into aggregate rows — one row
+    * globally, or one per partition value when grouped; a file without a
+    * sidecar is PARSED instead (sound fallback for data written before
+    * stats or by foreign flows: parsed rows bucket by the actual column
+    * value, so even a value-spanning foreign file aggregates exactly) —
+    * still never a Spark-side aggregate. */
   private def aggReader(p: KvAggPartition): PartitionReader[InternalRow] = {
-    var rows = 0L
-    val mins = scala.collection.mutable.Map.empty[String, Long]
-    val maxs = scala.collection.mutable.Map.empty[String, Long]
-    def fold(c: String, mn: Long, mx: Long): Unit = {
-      mins.get(c) match {
-        case Some(cur) => if (mn < cur) mins(c) = mn
-        case None => mins(c) = mn
+    final class Acc {
+      var rows = 0L
+      val mins = scala.collection.mutable.Map.empty[String, Long]
+      val maxs = scala.collection.mutable.Map.empty[String, Long]
+      def fold(c: String, mn: Long, mx: Long): Unit = {
+        mins.get(c) match {
+          case Some(cur) => if (mn < cur) mins(c) = mn
+          case None => mins(c) = mn
+        }
+        maxs.get(c) match {
+          case Some(cur) => if (mx > cur) maxs(c) = mx
+          case None => maxs(c) = mx
+        }
       }
-      maxs.get(c) match {
-        case Some(cur) => if (mx > cur) maxs(c) = mx
-        case None => maxs(c) = mx
-      }
+    }
+    // key None = the global fold; key Some(v) = one partition value
+    val accs = scala.collection.mutable.SortedMap.empty[Long, Acc]
+    val global = new Acc
+    def accFor(group: Option[Long]): Acc = group match {
+      case None => global
+      case Some(v) => accs.getOrElseUpdate(v, new Acc)
     }
     val intIdx = dataSchema.fields.zipWithIndex.collect {
       case (f, i) if f.dataType == LongType => (f.name, i, true)
       case (f, i) if f.dataType == IntegerType => (f.name, i, false)
     }
+    val groupIdx: Option[(Int, Boolean)] = p.groupCol.map { c =>
+      val i = dataSchema.fieldNames.indexOf(c)
+      (i, dataSchema.fields(i).dataType == LongType)
+    }
     p.files.foreach { fp =>
       val f = new File(fp)
       KvZoneMap.read(f) match {
-        case Some(st) =>
-          rows += st.rows
-          if (st.rows > 0) st.cols.foreach { case (c, (mn, mx)) => fold(c, mn, mx) }
-        case None =>
+        case Some(st) if p.groupCol.forall(c =>
+            st.rows == 0L || st.cols.get(c).exists(b => b._1 == b._2)) =>
+          if (st.rows > 0) {
+            val acc = accFor(p.groupCol.map(c => st.cols(c)._1))
+            acc.rows += st.rows
+            st.cols.foreach { case (c, (mn, mx)) => acc.fold(c, mn, mx) }
+          }
+        case _ =>
+          // no sidecar, or (grouped) a value-spanning foreign file:
+          // parse and bucket row-by-row — exact either way
           val src = scala.io.Source.fromFile(f, "UTF-8")
           try src.getLines().filter(_.nonEmpty).foreach { line =>
-            rows += 1L
             val parts = line.split(",", -1)
+            val acc = accFor(groupIdx.map { case (i, isLong) =>
+              if (isLong) parts(i).toLong else parts(i).toInt.toLong
+            })
+            acc.rows += 1L
             intIdx.foreach { case (c, i, isLong) =>
               val v = if (isLong) parts(i).toLong else parts(i).toInt.toLong
-              fold(c, v, v)
+              acc.fold(c, v, v)
             }
           } finally src.close()
       }
     }
-    val row = InternalRow.fromSeq(p.kinds.map[Any] {
-      case KvAggRows => rows
-      case KvAggMin(c) => mins.get(c).map(Long.box).orNull
-      case KvAggMax(c) => maxs.get(c).map(Long.box).orNull
-    })
+    def rowOf(group: Option[Long], acc: Acc): InternalRow = {
+      val aggVals = p.kinds.map[Any] {
+        case KvAggRows => acc.rows
+        case KvAggMin(c) => acc.mins.get(c).map(Long.box).orNull
+        case KvAggMax(c) => acc.maxs.get(c).map(Long.box).orNull
+      }
+      val g: Seq[Any] = (group, groupIdx) match {
+        case (Some(v), Some((_, isLong))) => Seq(if (isLong) v else v.toInt)
+        case _ => Nil
+      }
+      InternalRow.fromSeq(g ++ aggVals)
+    }
+    val out: Seq[InternalRow] =
+      if (p.groupCol.isDefined) accs.toSeq.map { case (v, a) => rowOf(Some(v), a) }
+      else Seq(rowOf(None, global))
     new PartitionReader[InternalRow] {
-      private var emitted = false
-      override def next(): Boolean = { val r = !emitted; emitted = true; r }
-      override def get(): InternalRow = row
+      private val it = out.iterator
+      private var cur: InternalRow = _
+      override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
+      override def get(): InternalRow = cur
       override def close(): Unit = ()
     }
   }

@@ -209,6 +209,33 @@ class KvSpjSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
+  test("grouped stats aggregate: groupBy(partition column) folds sidecars per value") {
+    val out = freshDir("groupagg")
+    writePartitioned(out, 5000L, 3L)
+    val df = readPartitioned(out, "v")
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"), min(col("v")).as("v_min"), max(col("v")).as("v_max"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"), plan)
+    assert(plan.contains("aggpush"), plan)
+    val got = df.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val want = (0L until 5000L).map(id => (id % 25L, id * 3L))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (k, xs) => (k, xs.length.toLong, xs.map(_._2).min, xs.map(_._2).max) }
+    assert(got === want)
+    // fallback: drop one sidecar — that file parses row-by-row, grouped
+    // results stay exact
+    val data = new File(out).listFiles().filter(f =>
+      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(new File(out, graft.sources.KvZoneMap.sidecarName(data.head.getName)).delete())
+    val again = readPartitioned(out, "v").groupBy("k")
+      .agg(count(lit(1)).as("n"), min(col("v")).as("v_min"), max(col("v")).as("v_max"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(again === want)
+  }
+
   test("a store not written with partitionColumn fails fast under partitionedBy") {
     val out = freshDir("notpartitioned")
     spark.range(0L, 100L).select((col("id") % 5L).as("k"), col("id").as("v"))
