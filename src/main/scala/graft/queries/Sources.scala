@@ -361,12 +361,13 @@ object Sources extends QueryGroup {
         .option("schema", "k LONG, pk LONG, qty LONG").load()
         .agg(count(lit(1)).as("n"), min(col("k")).as("k_min"),
           max(col("k")).as("k_max"), min(col("qty")).as("qty_min"),
-          max(col("qty")).as("qty_max"))
+          max(col("qty")).as("qty_max"), sum(col("qty")).as("qty_sum"))
     },
     Some("""SELECT count(*) AS n, min(l_orderkey) AS k_min,
               max(l_orderkey) AS k_max,
               CAST(min(l_quantity) AS BIGINT) AS qty_min,
-              CAST(max(l_quantity) AS BIGINT) AS qty_max
+              CAST(max(l_quantity) AS BIGINT) AS qty_max,
+              CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
             FROM lineitem"""))
 
   /** TYPED zone-map pruning — the double/string families: a store
@@ -431,11 +432,12 @@ object Sources extends QueryGroup {
         .option("partitionedBy", "nk").load()
         .groupBy(col("nk"))
         .agg(count(lit(1)).as("n"), min(col("ck")).as("ck_min"),
-          max(col("ck")).as("ck_max"))
+          max(col("ck")).as("ck_max"), sum(col("ck")).as("ck_sum"))
         .orderBy(col("nk"))
     },
     Some("""SELECT c_nationkey AS nk, count(*) AS n,
-              min(c_custkey) AS ck_min, max(c_custkey) AS ck_max
+              min(c_custkey) AS ck_min, max(c_custkey) AS ck_max,
+              CAST(sum(c_custkey) AS BIGINT) AS ck_sum
             FROM customer GROUP BY nk ORDER BY nk"""))
 
   /** RUNTIME file skipping — dynamic partition pruning for the custom

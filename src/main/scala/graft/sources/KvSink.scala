@@ -95,7 +95,7 @@ class KvBatchWrite(path: String, schema: StructType,
       files.map { sf =>
         val src = Paths.get(sf.stagedFile)
         KvZoneMap.write(dir, src.getFileName.toString, sf.rows, sf.stats,
-          sf.dstats, sf.sstats)
+          sf.dstats, sf.sstats, sf.sums)
         Files.move(src, dir.resolve(src.getFileName),
           StandardCopyOption.REPLACE_EXISTING)
         src.getFileName.toString
@@ -120,7 +120,8 @@ case class KvStagedFile(
     rows: Long,
     stats: Seq[(String, Long, Long)],
     dstats: Seq[(String, Double, Double)] = Seq.empty,
-    sstats: Seq[(String, String, String)] = Seq.empty)
+    sstats: Seq[(String, String, String)] = Seq.empty,
+    sums: Seq[(String, Long)] = Seq.empty)
 
 case class KvCommit(files: Seq[KvStagedFile]) extends WriterCommitMessage
 
@@ -148,13 +149,16 @@ object KvZoneMap {
   /** One file's committed statistics: exact row count plus per-column
     * [min, max] by type family — integer, double (bounds compared only,
     * never summed — `Double.toString` round-trips exactly), and string
-    * (full values, escaped; lexicographic bounds). Empty col maps for an
-    * empty file. */
+    * (full values, escaped; lexicographic bounds) — plus per-column
+    * integer SUMS (`sums`, Long ring arithmetic: wrapping + is
+    * associative, so folded partials equal Spark's own non-ANSI sum).
+    * Empty col maps for an empty file. */
   final case class Stats(
       rows: Long,
       cols: Map[String, (Long, Long)],
       dcols: Map[String, (Double, Double)] = Map.empty,
-      scols: Map[String, (String, String)] = Map.empty)
+      scols: Map[String, (String, String)] = Map.empty,
+      sums: Map[String, Long] = Map.empty)
 
   /** Publish atomically: fully-written dot-hidden temp, then move. Runs
     * BEFORE the data file move, so a visible file always has its stats.
@@ -164,14 +168,16 @@ object KvZoneMap {
   def write(dir: java.nio.file.Path, file: String, rows: Long,
       stats: Seq[(String, Long, Long)],
       dstats: Seq[(String, Double, Double)] = Seq.empty,
-      sstats: Seq[(String, String, String)] = Seq.empty): Unit = {
+      sstats: Seq[(String, String, String)] = Seq.empty,
+      sums: Seq[(String, Long)] = Seq.empty): Unit = {
     val tmp = dir.resolve(s".zm-tmp-$file")
     val lines = (s"#rows,$rows" +:
       stats.map { case (c, mn, mx) => s"${KvEscape.escape(c)},$mn,$mx" }) ++
       dstats.map { case (c, mn, mx) => s"#d,${KvEscape.escape(c)},$mn,$mx" } ++
       sstats.map { case (c, mn, mx) =>
         s"#s,${KvEscape.escape(c)},${KvEscape.escape(mn)},${KvEscape.escape(mx)}"
-      }
+      } ++
+      sums.map { case (c, sm) => s"#sum,${KvEscape.escape(c)},$sm" }
     Files.write(tmp, lines.mkString("", "\n", "\n").getBytes("UTF-8"))
     Files.move(tmp, dir.resolve(sidecarName(file)),
       StandardCopyOption.REPLACE_EXISTING)
@@ -184,6 +190,7 @@ object KvZoneMap {
     val cols = Map.newBuilder[String, (Long, Long)]
     val dcols = Map.newBuilder[String, (Double, Double)]
     val scols = Map.newBuilder[String, (String, String)]
+    val sums = Map.newBuilder[String, Long]
     lines.filter(_.nonEmpty).foreach {
       case line if line.startsWith("#rows,") =>
         rows = line.stripPrefix("#rows,").toLong
@@ -194,12 +201,16 @@ object KvZoneMap {
         val Array(_, c, mn, mx) = line.split(",", 4)
         scols += KvEscape.unescape(c) ->
           ((KvEscape.unescape(mn), KvEscape.unescape(mx)))
+      case line if line.startsWith("#sum,") =>
+        val Array(_, c, sm) = line.split(",", 3)
+        sums += KvEscape.unescape(c) -> sm.toLong
       case line =>
         val Array(c, mn, mx) = line.split(",", 3)
         cols += KvEscape.unescape(c) -> ((mn.toLong, mx.toLong))
     }
     if (rows < 0) None
-    else Some(Stats(rows, cols.result(), dcols.result(), scols.result()))
+    else Some(Stats(rows, cols.result(), dcols.result(), scols.result(),
+      sums.result()))
   }
 
   /** Read a data file's sidecar; None when absent (never prune or answer
@@ -451,6 +462,10 @@ class KvDataWriter(path: String, schema: StructType, partitionId: Int,
     val out = new BufferedWriter(new FileWriter(staged))
     val mins: Array[Long] = Array.fill(statIdx.length)(Long.MaxValue)
     val maxs: Array[Long] = Array.fill(statIdx.length)(Long.MinValue)
+    // integer column sums in Long ring arithmetic — wrapping + is
+    // associative, so per-file partials fold to exactly what Spark's own
+    // (non-ANSI) sum over the rows would produce
+    val sums: Array[Long] = Array.fill(statIdx.length)(0L)
     val dMins: Array[Double] = Array.fill(dStatIdx.length)(Double.MaxValue)
     val dMaxs: Array[Double] = Array.fill(dStatIdx.length)(Double.MinValue)
     // a NaN makes [min,max] meaningless under Spark's NaN-equality
@@ -494,6 +509,7 @@ class KvDataWriter(path: String, schema: StructType, partitionId: Int,
       }
       if (v < acc.mins(j)) acc.mins(j) = v
       if (v > acc.maxs(j)) acc.maxs(j) = v
+      acc.sums(j) += v
       j += 1
     }
     j = 0
@@ -545,7 +561,12 @@ class KvDataWriter(path: String, schema: StructType, partitionId: Int,
         else sStatIdx.indices.map { j =>
           (schema.fields(sStatIdx(j)).name, acc.sMins(j), acc.sMaxs(j))
         }.toSeq
-      KvStagedFile(acc.staged.getAbsolutePath, acc.nRows, stats, dstats, sstats)
+      val sums =
+        if (empty) Seq.empty
+        else statIdx.indices
+          .map(j => (schema.fields(statIdx(j)).name, acc.sums(j))).toSeq
+      KvStagedFile(acc.staged.getAbsolutePath, acc.nRows, stats, dstats,
+        sstats, sums)
     })
   }
 

@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.sources._
@@ -196,6 +196,7 @@ class KvScanBuilder(
       case c: Count if !c.isDistinct => ref(c.column(), all).map(_ => KvAggRows)
       case m: Min => ref(m.column(), ints).map(KvAggMin)
       case m: Max => ref(m.column(), ints).map(KvAggMax)
+      case sm: Sum if !sm.isDistinct => ref(sm.column(), ints).map(KvAggSum)
       case _ => None
     }
     if (kinds.nonEmpty && kinds.forall(_.isDefined))
@@ -216,6 +217,7 @@ sealed trait KvAggKind extends Serializable
 case object KvAggRows extends KvAggKind
 case class KvAggMin(col: String) extends KvAggKind
 case class KvAggMax(col: String) extends KvAggKind
+case class KvAggSum(col: String) extends KvAggKind
 
 /** A pushed stats aggregation: optional grouping by the store's
   * partition column, plus the aggregate list. */
@@ -607,6 +609,9 @@ class KvReaderFactory(
       var rows = 0L
       val mins = scala.collection.mutable.Map.empty[String, Long]
       val maxs = scala.collection.mutable.Map.empty[String, Long]
+      val sums = scala.collection.mutable.Map.empty[String, Long]
+      def foldSum(c: String, sm: Long): Unit =
+        sums(c) = sums.getOrElse(c, 0L) + sm
       def fold(c: String, mn: Long, mx: Long): Unit = {
         mins.get(c) match {
           case Some(cur) => if (mn < cur) mins(c) = mn
@@ -633,15 +638,21 @@ class KvReaderFactory(
       val i = dataSchema.fieldNames.indexOf(c)
       (i, dataSchema.fields(i).dataType == LongType)
     }
+    // a sidecar answers for its file only when it carries everything this
+    // query needs: a pinned partition value when grouped, and a committed
+    // sum for every SUM column (older sidecars predate #sum lines)
+    val sumCols = p.kinds.collect { case KvAggSum(c) => c }.toSet
     p.files.foreach { fp =>
       val f = new File(fp)
       KvZoneMap.read(f) match {
-        case Some(st) if p.groupCol.forall(c =>
-            st.rows == 0L || st.cols.get(c).exists(b => b._1 == b._2)) =>
+        case Some(st) if st.rows == 0L ||
+            (p.groupCol.forall(c => st.cols.get(c).exists(b => b._1 == b._2)) &&
+              sumCols.forall(st.sums.contains)) =>
           if (st.rows > 0) {
             val acc = accFor(p.groupCol.map(c => st.cols(c)._1))
             acc.rows += st.rows
             st.cols.foreach { case (c, (mn, mx)) => acc.fold(c, mn, mx) }
+            st.sums.foreach { case (c, sm) => acc.foldSum(c, sm) }
           }
         case _ =>
           // no sidecar, or (grouped) a value-spanning foreign file:
@@ -656,6 +667,7 @@ class KvReaderFactory(
             intIdx.foreach { case (c, i, isLong) =>
               val v = if (isLong) parts(i).toLong else parts(i).toInt.toLong
               acc.fold(c, v, v)
+              acc.foldSum(c, v)
             }
           } finally src.close()
       }
@@ -665,6 +677,7 @@ class KvReaderFactory(
         case KvAggRows => acc.rows
         case KvAggMin(c) => acc.mins.get(c).map(Long.box).orNull
         case KvAggMax(c) => acc.maxs.get(c).map(Long.box).orNull
+        case KvAggSum(c) => acc.sums.get(c).map(Long.box).orNull
       }
       val g: Seq[Any] = (group, groupIdx) match {
         case (Some(v), Some((_, isLong))) => Seq(if (isLong) v else v.toInt)

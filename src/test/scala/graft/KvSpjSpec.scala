@@ -214,15 +214,18 @@ class KvSpjSpec extends AnyFunSuite with SparkSessionFixture {
     writePartitioned(out, 5000L, 3L)
     val df = readPartitioned(out, "v")
       .groupBy("k")
-      .agg(count(lit(1)).as("n"), min(col("v")).as("v_min"), max(col("v")).as("v_max"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("v_min"),
+        max(col("v")).as("v_max"), sum(col("v")).as("v_sum"))
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"), plan)
     assert(plan.contains("aggpush"), plan)
-    val got = df.orderBy("k").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    def quad(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val got = df.orderBy("k").collect().map(quad).toSeq
     val want = (0L until 5000L).map(id => (id % 25L, id * 3L))
       .groupBy(_._1).toSeq.sortBy(_._1)
-      .map { case (k, xs) => (k, xs.length.toLong, xs.map(_._2).min, xs.map(_._2).max) }
+      .map { case (k, xs) => (k, xs.length.toLong, xs.map(_._2).min,
+        xs.map(_._2).max, xs.map(_._2).sum) }
     assert(got === want)
     // fallback: drop one sidecar — that file parses row-by-row, grouped
     // results stay exact
@@ -230,9 +233,9 @@ class KvSpjSpec extends AnyFunSuite with SparkSessionFixture {
       f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
     assert(new File(out, graft.sources.KvZoneMap.sidecarName(data.head.getName)).delete())
     val again = readPartitioned(out, "v").groupBy("k")
-      .agg(count(lit(1)).as("n"), min(col("v")).as("v_min"), max(col("v")).as("v_max"))
-      .orderBy("k").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      .agg(count(lit(1)).as("n"), min(col("v")).as("v_min"),
+        max(col("v")).as("v_max"), sum(col("v")).as("v_sum"))
+      .orderBy("k").collect().map(quad).toSeq
     assert(again === want)
   }
 

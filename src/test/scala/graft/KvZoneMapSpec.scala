@@ -123,7 +123,8 @@ class KvZoneMapSpec extends AnyFunSuite with SparkSessionFixture {
     java.nio.file.Files.write(victim.toPath, "not,a,row\n".getBytes)
     val df = readStore(out).agg(
       count(lit(1)).as("n"), min(col("k")).as("k_min"),
-      max(col("k")).as("k_max"), count(col("v")).as("nv"))
+      max(col("k")).as("k_max"), count(col("v")).as("nv"),
+      sum(col("v")).as("v_sum"))
     assert(!hasAggregateExec(df), df.queryExecution.executedPlan.toString)
     assert(df.queryExecution.executedPlan.toString.contains("aggpush"))
     val r = df.collect().head
@@ -131,6 +132,24 @@ class KvZoneMapSpec extends AnyFunSuite with SparkSessionFixture {
     assert(r.getLong(1) === 0L)
     assert(r.getLong(2) === 7999L)
     assert(r.getLong(3) === 8000L)
+    assert(r.getLong(4) === (0L until 8000L).map(_ * 3L).sum)
+  }
+
+  test("a sidecar lacking a requested #sum (old format) falls back to parsing that file") {
+    val out = freshDir("oldsidecar")
+    writeStore(out)
+    // rewrite one sidecar without its #sum lines — the pre-sum format
+    val data = new File(out).listFiles().filter(f =>
+      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith(".")).head
+    val side = new File(out, graft.sources.KvZoneMap.sidecarName(data.getName))
+    val stripped = scala.io.Source.fromFile(side, "UTF-8").getLines()
+      .filterNot(_.startsWith("#sum,")).mkString("", "\n", "\n")
+    java.nio.file.Files.write(side.toPath, stripped.getBytes("UTF-8"))
+    val df = readStore(out).agg(count(lit(1)).as("n"), sum(col("v")).as("v_sum"))
+    assert(!hasAggregateExec(df))
+    val r = df.collect().head
+    assert(r.getLong(0) === 8000L)
+    assert(r.getLong(1) === (0L until 8000L).map(_ * 3L).sum)
   }
 
   test("stats aggregate falls back to parsing a sidecar-less file, stays exact") {
@@ -263,6 +282,31 @@ class KvZoneMapSpec extends AnyFunSuite with SparkSessionFixture {
     assert(rd.count() === 8000L)
     val (_, planned3) = KvPruneStats.last(netPath).get
     assert(planned3 === 8)
+  }
+
+  test("pruning composes with asOfCommit time travel (snapshot first, zone maps second)") {
+    val out = freshDir("asof")
+    writeStore(out) // commit 1: k in [0, 8000)
+    spark.range(8000L, 16000L)
+      .select(col("id").as("k"), (col("id") * 3L).as("v"))
+      .repartitionByRange(8, col("k"))
+      .write.format("graft.sources.KvSinkProvider")
+      .option("path", out).mode("append").save() // commit 2
+    val asOf1 = spark.read.format("graft.sources.KvSourceProvider")
+      .option("path", out).option("schema", "k LONG, v LONG")
+      .option("asOfCommit", "1").load()
+    // inside the snapshot: zone maps prune within commit 1's 8 files
+    assert(asOf1.filter(col("k") === 4242L).collect().map(_.getLong(0)).toSeq === Seq(4242L))
+    val (listed, planned) = KvPruneStats.last(out).get
+    assert(listed === 8, "snapshot must hide commit 2's files before pruning")
+    assert(planned === 1)
+    // outside the snapshot: the row exists in the store but not at asOf 1
+    assert(asOf1.filter(col("k") === 12000L).count() === 0L)
+    // and the latest view sees it, pruned to one of 16 files
+    val latest = readStore(out)
+    assert(latest.filter(col("k") === 12000L).count() === 1L)
+    val (listed2, planned2) = KvPruneStats.last(out).get
+    assert(listed2 === 16 && planned2 === 1)
   }
 
   test("runtime pruning composes with a pushed static filter") {
