@@ -209,6 +209,36 @@ object KvDaemon {
     } finally sock.close()
   }
 
+  /** Committed zone-map stats for MANY fields over ONE connection — the
+    * split-planning pruning call. A per-field connection pays O(fields)
+    * sequential connect/QUIT round trips on the driver (r11 ADVICE); the
+    * daemon's handler loop already serves multiple commands per
+    * connection, so pruning a large store is one socket and `fields`
+    * pipelined STATS exchanges. Fields without a sidecar map to None
+    * (never prune without stats). */
+  def statsForMany(endpoint: String,
+      fields: Seq[String]): Map[String, Option[KvZoneMap.Stats]] = {
+    if (fields.isEmpty) return Map.empty
+    val (sock, in, out) = connect(endpoint)
+    try {
+      val result = fields.map { field =>
+        out.write(s"STATS $field\n")
+        out.flush()
+        val lines = mutable.ArrayBuffer[String]()
+        var l = in.readLine()
+        while (l != null && l != "END") {
+          require(l.startsWith("S "), s"kv daemon: bad stats line $l")
+          lines += l.substring(2)
+          l = in.readLine()
+        }
+        field -> (if (lines.isEmpty) None else KvZoneMap.parseLines(lines.iterator))
+      }.toMap
+      out.write("QUIT\n")
+      out.flush()
+      result
+    } finally sock.close()
+  }
+
   /** Streaming line fetch of one field — the per-task data read. The
     * returned iterator holds the socket open until exhausted or
     * `close()`d. */

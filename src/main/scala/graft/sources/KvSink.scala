@@ -413,6 +413,38 @@ object KvEscape {
   def unescape(s: String): String =
     s.replace("%0D", "\r").replace("%0A", "\n")
       .replace("%2C", ",").replace("%25", "%")
+
+  /** CODE-POINT string order — the order Spark itself compares strings in
+    * (`UTF8String.compareTo` is byte-wise UTF-8, which equals code-point
+    * order). Java's `String.compareTo` is UTF-16 code-UNIT order instead,
+    * which sorts supplementary characters (stored as surrogate pairs in
+    * [0xD800,0xDFFF]) BELOW [0xE000,0xFFFF] even though their code points
+    * are above — so a writer bound, prune decision, or reader filter using
+    * `compareTo` silently diverges from Spark on non-BMP text (r11 ADVICE).
+    * Everything that orders store strings — writer bounds, zone-map prune,
+    * reader eval — goes through here. The fix-up is the standard one: when
+    * both differing units are ≥ 0xD800, shift surrogates above BMP before
+    * differencing. Total and consistent even on unpaired surrogates. */
+  def cpCompare(a: String, b: String): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val ca = a.charAt(i)
+      val cb = b.charAt(i)
+      if (ca != cb) {
+        if (ca >= 0xD800 && cb >= 0xD800) {
+          val xa = if (ca >= 0xE000) ca - 0x800 else ca + 0x2000
+          val xb = if (cb >= 0xE000) cb - 0x800 else cb + 0x2000
+          return xa - xb
+        }
+        return ca - cb
+      }
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  val cpOrdering: Ordering[String] = (a: String, b: String) => cpCompare(a, b)
 }
 
 case class KvWriterFactory(path: String, schema: StructType,
@@ -452,20 +484,38 @@ class KvDataWriter(path: String, schema: StructType, partitionId: Int,
     i
   }
 
-  /** One open staged file + its zone-map accumulators. */
-  private final class FileAcc(suffix: String) {
+  /** One staged file + its zone-map accumulators. The writer handle is
+    * LAZY and re-openable (append mode), so a high-cardinality
+    * `partitionColumn` degrades to open/close churn past [[MaxOpenWriters]]
+    * instead of exhausting file descriptors mid-write (r11 ADVICE). */
+  private final class FileAcc(val key: Long, suffix: String) {
     val staged: File = {
       val d = new File(path, "_staging")
       d.mkdirs()
-      new File(d, s"part-$partitionId-$taskId$suffix.csv")
+      val f = new File(d, s"part-$partitionId-$taskId$suffix.csv")
+      f.createNewFile() // the (possibly empty) file exists from creation
+      f
     }
-    val out = new BufferedWriter(new FileWriter(staged))
+    private var w: BufferedWriter = null
+    def writer(): BufferedWriter = {
+      if (w == null) {
+        evictIfNeeded(this)
+        w = new BufferedWriter(new FileWriter(staged, true))
+      }
+      w
+    }
+    def isOpen: Boolean = w != null
+    def closeWriter(): Unit = if (w != null) { w.close(); w = null }
     val mins: Array[Long] = Array.fill(statIdx.length)(Long.MaxValue)
     val maxs: Array[Long] = Array.fill(statIdx.length)(Long.MinValue)
     // integer column sums in Long ring arithmetic — wrapping + is
     // associative, so per-file partials fold to exactly what Spark's own
-    // (non-ANSI) sum over the rows would produce
+    // (non-ANSI) sum over the rows would produce. A sum that OVERFLOWS is
+    // withheld from the sidecar instead (sumBad) — readers then parse the
+    // file for sums, which is always sound (same discipline as NaN and
+    // double bounds).
     val sums: Array[Long] = Array.fill(statIdx.length)(0L)
+    val sumBad: Array[Boolean] = Array.fill(statIdx.length)(false)
     val dMins: Array[Double] = Array.fill(dStatIdx.length)(Double.MaxValue)
     val dMaxs: Array[Double] = Array.fill(dStatIdx.length)(Double.MinValue)
     // a NaN makes [min,max] meaningless under Spark's NaN-equality
@@ -476,19 +526,52 @@ class KvDataWriter(path: String, schema: StructType, partitionId: Int,
     var nRows = 0L
   }
 
+  /** Simultaneously-open writer cap: past it the least-recently-USED open
+    * accumulator is flushed closed and transparently reopened in append
+    * mode on its next row. */
+  private val MaxOpenWriters = 64
+  // open keys in least-recently-used-first order
+  private val openLru = scala.collection.mutable.LinkedHashSet.empty[Long]
+  private def evictIfNeeded(opening: FileAcc): Unit = {
+    if (openLru.size >= MaxOpenWriters) {
+      val victim = openLru.head
+      openLru.remove(victim)
+      accs(victim).closeWriter()
+    }
+    openLru.add(opening.key): Unit
+  }
+  private def touch(acc: FileAcc): Unit = if (acc.isOpen) {
+    // move to most-recently-used position (no-op cost when already last)
+    if (openLru.lastOption.contains(acc.key)) ()
+    else { openLru.remove(acc.key); openLru.add(acc.key): Unit }
+  }
+
   // default layout uses the single accumulator keyed 0
   private val accs = scala.collection.mutable.LinkedHashMap.empty[Long, FileAcc]
   private def accFor(row: InternalRow): FileAcc = partIdx match {
-    case None => accs.getOrElseUpdate(0L, new FileAcc(""))
+    case None => accs.getOrElseUpdate(0L, new FileAcc(0L, ""))
     case Some(i) =>
       val v = schema.fields(i).dataType match {
         case LongType => row.getLong(i)
         case _ => row.getInt(i).toLong
       }
-      accs.getOrElseUpdate(v, new FileAcc(s"-p$v"))
+      accs.getOrElseUpdate(v, new FileAcc(v, s"-p$v"))
   }
 
   override def write(row: InternalRow): Unit = {
+    // NULLS ARE REJECTED, not silently written as 0 (r11 ADVICE): the
+    // source's IsNotNull handling and the stats-answered count(col)/
+    // min/max/sum all rely on the sink's no-nulls invariant — enforce it
+    // here with a clear error instead of corrupting data and stats.
+    var c = 0
+    while (c < schema.fields.length) {
+      if (row.isNullAt(c))
+        throw new IllegalArgumentException(
+          s"graft kv sink: null value for column '${schema.fields(c).name}' " +
+            "— the store carries a no-nulls invariant (stats-answered " +
+            "aggregates depend on it); coalesce or filter nulls upstream")
+      c += 1
+    }
     val line = schema.fields.zipWithIndex.map { case (f, i) =>
       f.dataType match {
         case LongType => row.getLong(i).toString
@@ -509,7 +592,10 @@ class KvDataWriter(path: String, schema: StructType, partitionId: Int,
       }
       if (v < acc.mins(j)) acc.mins(j) = v
       if (v > acc.maxs(j)) acc.maxs(j) = v
-      acc.sums(j) += v
+      if (!acc.sumBad(j)) {
+        try acc.sums(j) = Math.addExact(acc.sums(j), v)
+        catch { case _: ArithmeticException => acc.sumBad(j) = true }
+      }
       j += 1
     }
     j = 0
@@ -528,21 +614,26 @@ class KvDataWriter(path: String, schema: StructType, partitionId: Int,
     j = 0
     while (j < sStatIdx.length) {
       val v = row.getUTF8String(sStatIdx(j)).toString
-      if (acc.sMins(j) == null || v < acc.sMins(j)) acc.sMins(j) = v
-      if (acc.sMaxs(j) == null || v > acc.sMaxs(j)) acc.sMaxs(j) = v
+      // code-point order (= Spark's UTF8String order), NOT Java compareTo
+      if (acc.sMins(j) == null || KvEscape.cpCompare(v, acc.sMins(j)) < 0)
+        acc.sMins(j) = v
+      if (acc.sMaxs(j) == null || KvEscape.cpCompare(v, acc.sMaxs(j)) > 0)
+        acc.sMaxs(j) = v
       j += 1
     }
     acc.nRows += 1
-    acc.out.write(line)
-    acc.out.newLine()
+    val out = acc.writer()
+    touch(acc)
+    out.write(line)
+    out.newLine()
   }
 
   override def commit(): WriterCommitMessage = {
     // the default layout commits its (possibly empty) file even when no
     // row arrived, preserving the historical one-file-per-task contract
-    if (partIdx.isEmpty && accs.isEmpty) accs(0L) = new FileAcc("")
+    if (partIdx.isEmpty && accs.isEmpty) accs(0L) = new FileAcc(0L, "")
     KvCommit(accs.values.toSeq.map { acc =>
-      acc.out.close()
+      acc.closeWriter()
       val empty = acc.nRows == 0L
       val stats =
         if (empty) Seq.empty
@@ -564,6 +655,7 @@ class KvDataWriter(path: String, schema: StructType, partitionId: Int,
       val sums =
         if (empty) Seq.empty
         else statIdx.indices
+          .filter(j => !acc.sumBad(j))
           .map(j => (schema.fields(statIdx(j)).name, acc.sums(j))).toSeq
       KvStagedFile(acc.staged.getAbsolutePath, acc.nRows, stats, dstats,
         sstats, sums)
@@ -572,7 +664,7 @@ class KvDataWriter(path: String, schema: StructType, partitionId: Int,
 
   override def abort(): Unit =
     accs.values.foreach { acc =>
-      acc.out.close()
+      acc.closeWriter()
       acc.staged.delete(): Unit
     }
 

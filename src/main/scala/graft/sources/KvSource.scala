@@ -287,7 +287,9 @@ object KvZonePrune {
     val staticOk = pushed.forall { fi =>
       familyKeep(fi, st.cols, asLong)
         .orElse(familyKeep(fi, st.dcols, dblConv)(Ordering.Double.TotalOrdering))
-        .orElse(familyKeep(fi, st.scols, asStr))
+        // code-point order, matching the writer's bounds and Spark's own
+        // UTF8String comparison (NOT Java's UTF-16 compareTo)
+        .orElse(familyKeep(fi, st.scols, asStr)(KvEscape.cpOrdering))
         .getOrElse(true)
     }
     staticOk && runtimeKeys.forall { case (c, keys) =>
@@ -320,9 +322,13 @@ case class KvNetPartition(endpoint: String, field: String) extends InputPartitio
 
 /** A stats-answered aggregate "split": the reader folds the files'
   * committed sidecars (opening a data file only when its sidecar is
-  * missing) and emits ONE row. */
+  * missing) and emits ONE row. `ansi` (captured at plan time) makes the
+  * sum fold OVERFLOW-CHECKED, matching Spark's ANSI sum raising instead
+  * of wrapping — per-file sums themselves never wrap (the writer
+  * withholds an overflowed `#sum`, forcing the parse fallback). */
 case class KvAggPartition(files: Seq[String], kinds: Seq[KvAggKind],
-    groupCol: Option[String] = None) extends InputPartition
+    groupCol: Option[String] = None, ansi: Boolean = false)
+    extends InputPartition
 
 /** One partition VALUE of a value-partitioned store: every file whose
   * committed sidecar pins the partition column to `value`. Carrying the
@@ -558,10 +564,16 @@ class KvScan(
       // from its own metadata. Statless fields are never skipped.
       val kept =
         if (pushed.isEmpty && runtimeKeys.isEmpty) listed
-        else listed.filter { f =>
-          KvDaemon.statsFor(endpoint, f) match {
-            case Some(st) => KvZonePrune.keeps(st, pushed.toSeq, runtimeKeys)
-            case None => true
+        else {
+          // one connection for ALL sidecars (not one connect/QUIT per
+          // field): planning a filtered scan of an n-field store is one
+          // socket round, not n sequential driver round trips
+          val stats = KvDaemon.statsForMany(endpoint, listed)
+          listed.filter { f =>
+            stats.getOrElse(f, None) match {
+              case Some(st) => KvZonePrune.keeps(st, pushed.toSeq, runtimeKeys)
+              case None => true
+            }
           }
         }
       KvPruneStats.record(path, listed.length, kept.length)
@@ -575,7 +587,8 @@ class KvScan(
     // pushed filters by construction, so no pruning interplay)
     agg.foreach { p =>
       return Array(KvAggPartition(
-        listed.map(_.getAbsolutePath).sorted, p.kinds, p.groupCol))
+        listed.map(_.getAbsolutePath).sorted, p.kinds, p.groupCol,
+        org.apache.spark.sql.internal.SQLConf.get.ansiEnabled))
     }
     // zone-map file skipping: static pushed predicates and runtime join
     // keys against each file's committed min/max sidecar (absent ⇒ keep)
@@ -610,8 +623,19 @@ class KvReaderFactory(
       val mins = scala.collection.mutable.Map.empty[String, Long]
       val maxs = scala.collection.mutable.Map.empty[String, Long]
       val sums = scala.collection.mutable.Map.empty[String, Long]
-      def foldSum(c: String, sm: Long): Unit =
-        sums(c) = sums.getOrElse(c, 0L) + sm
+      // ANSI: checked adds raise on overflow like Spark's own sum would;
+      // non-ANSI: Long ring arithmetic equals Spark's wrapping sum
+      def foldSum(c: String, sm: Long): Unit = {
+        val cur = sums.getOrElse(c, 0L)
+        sums(c) =
+          if (p.ansi)
+            try Math.addExact(cur, sm)
+            catch { case _: ArithmeticException =>
+              throw new ArithmeticException(
+                s"graft kv source: sum($c) overflows Long (ANSI mode)")
+            }
+          else cur + sm
+      }
       def fold(c: String, mn: Long, mx: Long): Unit = {
         mins.get(c) match {
           case Some(cur) => if (mn < cur) mins(c) = mn
@@ -760,7 +784,9 @@ class KvReaderFactory(
         case l: Long => java.lang.Long.compare(l, litV.asInstanceOf[Number].longValue())
         case i: Int => java.lang.Long.compare(i.toLong, litV.asInstanceOf[Number].longValue())
         case d: Double => java.lang.Double.compare(d, litV.asInstanceOf[Number].doubleValue())
-        case s: String => s.compareTo(litV.toString)
+        // code-point order = Spark's UTF8String order, so connector-side
+        // filtering agrees with what Spark itself would have evaluated
+        case s: String => KvEscape.cpCompare(s, litV.toString)
         case _ => throw new IllegalArgumentException(s"graft kv source: uncomparable $colV")
       }
 

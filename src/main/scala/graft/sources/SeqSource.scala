@@ -95,8 +95,26 @@ object SeqSource {
     }
   }
 
-  /** Sum of the arithmetic progression first..last stride 10, n terms. */
-  def apSum(first: Long, last: Long, n: Long): Long = n * (first + last) / 2L
+  /** Sum of the arithmetic progression first..last stride 10, n terms —
+    * EXACT mod 2^64, matching Spark's wrapping (non-ANSI) Long sum: the
+    * even factor is split off BEFORE multiplying (r11 ADVICE — the naive
+    * `n*(first+last)/2` loses the carry once the product wraps). `first`
+    * and `last` share parity (stride 10), so the midpoint is exact; the
+    * remaining wrapped multiply distributes over mod 2^64. */
+  def apSum(first: Long, last: Long, n: Long): Long =
+    if (n % 2L == 0L) (n / 2L) * (first + last)
+    else n * (first + (last - first) / 2L)
+
+  /** ANSI twin: overflow raises (as Spark's own ANSI sum would) instead
+    * of wrapping. */
+  def apSumChecked(first: Long, last: Long, n: Long): Long =
+    try {
+      if (n % 2L == 0L) Math.multiplyExact(n / 2L, Math.addExact(first, last))
+      else Math.multiplyExact(n, first + (last - first) / 2L)
+    } catch { case _: ArithmeticException =>
+      throw new ArithmeticException(
+        "graft seq source: sum(id) overflows Long (ANSI mode)")
+    }
 }
 
 class SeqTable(rows: Long, partitions: Int) extends Table with SupportsRead {
@@ -231,8 +249,8 @@ case class SeqRangePartition(start: Long, end: Long) extends InputPartition
 
 /** A pushed-aggregation "partition": no row range at all — the single
   * reader answers the aggregate from the interval arithmetic. */
-case class SeqAggPartition(lo: Long, hi: Long, agg: SeqSource.PushedAgg)
-    extends InputPartition
+case class SeqAggPartition(lo: Long, hi: Long, agg: SeqSource.PushedAgg,
+    ansi: Boolean = false) extends InputPartition
 
 class SeqScan(
     lo: Long, hi: Long, partitions: Int, required: StructType,
@@ -265,7 +283,10 @@ class SeqScan(
       }.getOrElse("")
 
   override def planInputPartitions(): Array[InputPartition] = {
-    agg.foreach { a => return Array(SeqAggPartition(lo, hi, a)) }
+    agg.foreach { a =>
+      return Array(SeqAggPartition(lo, hi, a,
+        org.apache.spark.sql.internal.SQLConf.get.ansiEnabled))
+    }
     val n = hi - lo
     val nParts = math.max(1, math.min(partitions.toLong, n).toInt)
     val step = (n + nParts - 1) / nParts
@@ -303,6 +324,8 @@ class SeqReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
   /** Closed-form aggregate answers — counts, interval ends, and
     * arithmetic-progression sums; never materializes a source row. */
   private def aggReader(p: SeqAggPartition): PartitionReader[InternalRow] = {
+    val sum: (Long, Long, Long) => Long =
+      if (p.ansi) apSumChecked else apSum
     val rows: Seq[InternalRow] =
       if (p.agg.byTag) {
         (0L until 10L).flatMap { r =>
@@ -312,7 +335,7 @@ class SeqReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
                 case CountAll => n
                 case MinId => first
                 case MaxId => last
-                case SumId => apSum(first, last, n)
+                case SumId => sum(first, last, n)
               })
           }
         }
@@ -322,7 +345,7 @@ class SeqReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
           case CountAll => n
           case MinId => if (n > 0) p.lo else null
           case MaxId => if (n > 0) p.hi - 1 else null
-          case SumId => if (n > 0) apSum(p.lo, p.hi - 1, n) else null
+          case SumId => if (n > 0) sum(p.lo, p.hi - 1, n) else null
         }))
       }
     new PartitionReader[InternalRow] {

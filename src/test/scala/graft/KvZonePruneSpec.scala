@@ -30,7 +30,11 @@ class KvZonePruneSpec extends AnyFunSuite {
       Double.NegativeInfinity, 0.0, -0.0),
     1 -> Gen.chooseNum(-5L, 5L).map(_.toDouble))
   private val genStr: Gen[String] =
-    Gen.listOfN(3, Gen.oneOf("a", "b", "zz", ",", "%", "\n", "")).map(_.mkString)
+    // includes supplementary characters (surrogate pairs) and high-BMP
+    // units: code-point order and Java's UTF-16 compareTo DISAGREE on
+    // exactly these, so the generator exercises the r11 ADVICE divergence
+    Gen.listOfN(3, Gen.oneOf("a", "b", "zz", ",", "%", "\n", "",
+      "\uD83D\uDE00", "\uFFFD", "\uE000")).map(_.mkString)
   private val genRow: Gen[Row] = for {
     k <- Gen.chooseNum(-100L, 100L)
     d <- genDouble
@@ -50,7 +54,9 @@ class KvZonePruneSpec extends AnyFunSuite {
       KvZoneMap.Stats(rows.length.toLong,
         Map("k" -> ((rows.map(_.k).min, rows.map(_.k).max))),
         dBounds,
-        Map("s" -> ((rows.map(_.s).min, rows.map(_.s).max))))
+        // string bounds in CODE-POINT order, exactly like the writer
+        Map("s" -> ((rows.map(_.s).min(graft.sources.KvEscape.cpOrdering),
+          rows.map(_.s).max(graft.sources.KvEscape.cpOrdering)))))
     }
 
   /** Spark-semantics row evaluation of one well-typed predicate. NaN
@@ -61,7 +67,11 @@ class KvZonePruneSpec extends AnyFunSuite {
     // Spark comparison semantics: -0.0 == 0.0, NaN greatest and equal to itself
     def cmpD(v: Any): Int =
       java.lang.Double.compare(norm(r.d), norm(v.asInstanceOf[Double]))
-    def cmpS(v: Any): Int = r.s.compareTo(v.asInstanceOf[String])
+    // Spark compares strings as UTF8String = code-point order, NOT Java's
+    // UTF-16 compareTo — the naive evaluator must model Spark, so a
+    // UTF-16-ordered prune decision now FAILS this property (r11 ADVICE)
+    def cmpS(v: Any): Int =
+      graft.sources.KvEscape.cpCompare(r.s, v.asInstanceOf[String])
     def cmp(a: String, v: Any): Int = a match {
       case "k" => cmpL(v)
       case "d" => cmpD(v)
