@@ -67,17 +67,26 @@ object KvDaemon {
   }
 
   /** Committed (visible) files under `root`, as sorted relative paths,
-    * suffix-filtered — the hscan match analog, applied server-side. */
+    * suffix-filtered — the hscan match analog, applied server-side. A
+    * directory with a commit log serves ITS manifests' live view (REMOVE
+    * lines from row-level delete/overwrite honored — a removed file is
+    * not a field, even though it stays on disk for time travel). */
   private def listFields(root: File, pattern: String): Seq[String] = {
     def visible(f: File) =
       !f.getName.startsWith("_") && !f.getName.startsWith(".")
-    def walk(d: File, prefix: String): Seq[String] =
+    def walk(d: File, prefix: String): Seq[String] = {
+      val live: File => Boolean =
+        if (KvCommitLog.latestVersion(d.toPath) > 0) {
+          val names = KvCommitLog.liveFiles(d.toPath)
+          f => names(f.getName)
+        } else _ => true
       Option(d.listFiles()).getOrElse(Array.empty[File]).toSeq
         .filter(visible)
         .flatMap { f =>
-          if (f.isFile) Seq(prefix + f.getName)
+          if (f.isFile) { if (live(f)) Seq(prefix + f.getName) else Nil }
           else walk(f, prefix + f.getName + "/")
         }
+    }
     walk(root, "").filter(_.endsWith(pattern)).sorted
   }
 

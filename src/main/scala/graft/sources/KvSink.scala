@@ -57,29 +57,43 @@ class KvSinkProvider extends TableProvider {
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new KvTable(properties.get("path"), schema,
-      Option(properties.get("partitionColumn")))
+      Option(properties.get("partitionColumn")),
+      Option(properties.get("txnId")))
 }
 
 class KvTable(path: String, writeSchema: StructType,
-    partCol: Option[String] = None) extends Table with SupportsWrite {
+    partCol: Option[String] = None, txnId: Option[String] = None)
+    extends Table with SupportsWrite {
   require(path != null && path.nonEmpty, "graft kv sink requires option 'path'")
   override def name(): String = s"graft_kv_sink($path)"
   override def schema(): StructType = writeSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
+    new WriteBuilder with SupportsTruncate {
+      private var replace = false
+      override def truncate(): WriteBuilder = { replace = true; this }
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new KvBatchWrite(path, info.schema(), partCol)
+          new KvBatchWrite(path, info.schema(), partCol, replace, txnId)
       }
     }
 }
 
 class KvBatchWrite(path: String, schema: StructType,
-    partCol: Option[String] = None) extends BatchWrite {
+    partCol: Option[String] = None, replace: Boolean = false,
+    txnId: Option[String] = None) extends BatchWrite {
+  /** Per-write nonce folded into staged/published file names: partitionId
+    * and taskId are only unique within one SparkContext, and with
+    * overwrite + time travel an old version's file must NEVER be clobbered
+    * by a later write that happens to reuse the same task numbering (a
+    * fresh JVM writing to an existing store). */
+  private val nonce: String =
+    java.lang.Long.toUnsignedString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong(), 36)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    KvWriterFactory(path, schema, partCol)
+    KvWriterFactory(path, schema, partCol, nonce)
 
   /** Driver-side atomic publish: exactly one staged file per partition
     * (Spark's OutputCommitCoordinator guarantees one committed attempt),
@@ -87,10 +101,28 @@ class KvBatchWrite(path: String, schema: StructType,
     * min/max gathered while the task wrote, [[KvZoneMap]]) is published
     * first, as a hidden sidecar — so a data file is never visible without
     * its stats, and readers can skip whole files on static or runtime
-    * (join-key) predicates without opening them. */
+    * (join-key) predicates without opening them.
+    *
+    * With `replace` (INSERT OVERWRITE / SaveMode.Overwrite through
+    * SupportsTruncate) the manifest also carries REMOVE lines for every
+    * previously-live file — overwrite is one new log version, old
+    * snapshots stay readable, nothing is physically deleted.
+    *
+    * With `txnId` (streaming foreachBatch exactly-once) the id is first
+    * checked against the log — a replayed batch discards its staged files
+    * and publishes NOTHING — and otherwise recorded in the manifest, so
+    * at-least-once replay becomes exactly-once output without the
+    * wipe-before-write the pre-r12 ingest twins used. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = Paths.get(path)
     Files.createDirectories(dir)
+    if (txnId.exists(KvCommitLog.txnCommitted(dir, _))) {
+      abort(messages) // replay of an already-committed txn: discard staging
+      return
+    }
+    val removed =
+      if (replace) KvCommitLog.liveFiles(dir).toSeq
+      else Nil
     val published = messages.flatMap { case KvCommit(files) =>
       files.map { sf =>
         val src = Paths.get(sf.stagedFile)
@@ -101,7 +133,7 @@ class KvBatchWrite(path: String, schema: StructType,
         src.getFileName.toString
       }
     }
-    KvCommitLog.append(dir, published.toSeq)
+    KvCommitLog.append(dir, published.toSeq, removed, txnId): Unit
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -247,6 +279,30 @@ object KvZoneMap {
   * small file per commit, read only at plan time. */
 object KvCommitLog {
   private val ManifestName = "_commit-(\\d+)".r
+  private val CheckpointName = "_checkpoint-(\\d+)".r
+
+  /** Manifest line grammar (each manifest, one entry per line):
+    *   - `name`        — file PUBLISHED (added to the live set) by this commit
+    *   - `-name`       — file REMOVED from the live set by this commit (the
+    *                     file stays on disk so time travel below this version
+    *                     keeps working; [[vacuumDelta]] reclaims it)
+    *   - `#txn,<id>`   — idempotency marker: a writer-supplied transaction
+    *                     id (e.g. a streaming batchId) recorded with the
+    *                     commit, so an at-least-once REPLAY of the same txn
+    *                     can detect it already committed and no-op
+    * Removal and txn lines are r12 extensions; pre-existing manifests are
+    * pure add lists and fold identically under the new reader. */
+  private def isTxnLine(l: String): Boolean = l.startsWith("#txn,")
+  private def isRemoveLine(l: String): Boolean = l.startsWith("-")
+
+  /** Published/removed entry names may not collide with the line grammar
+    * or the hidden-path discipline. */
+  private def checkName(n: String): String = {
+    require(n.nonEmpty && !n.startsWith("-") && !n.startsWith("#") &&
+      !n.startsWith("_") && !n.startsWith("."),
+      s"graft commit log: illegal entry name '$n'")
+    n
+  }
 
   /** (version, manifestPath) pairs present in `dir`, ascending. */
   def versions(dir: java.nio.file.Path): Seq[(Int, java.nio.file.Path)] = {
@@ -259,9 +315,28 @@ object KvCommitLog {
       .sortBy(_._1)
   }
 
-  /** Latest committed version, 0 when the log is empty. */
+  /** (version, checkpointPath) pairs, ascending. A checkpoint at V holds
+    * the full live file set AFTER manifest V applied — the fold base that
+    * lets [[vacuumDelta]] drop manifests ≤ V without breaking
+    * [[filesAsOf]] for versions ≥ V (the Delta checkpoint discipline in
+    * miniature). */
+  def checkpoints(dir: java.nio.file.Path): Seq[(Int, java.nio.file.Path)] = {
+    val d = dir.toFile
+    Option(d.listFiles()).getOrElse(Array.empty[File]).toSeq
+      .flatMap(f => f.getName match {
+        case CheckpointName(v) => Some((v.toInt, f.toPath))
+        case _ => None
+      })
+      .sortBy(_._1)
+  }
+
+  /** Latest committed version, 0 when the log is empty. Checkpoints count:
+    * a fully-vacuumed log (all manifests folded into one checkpoint) still
+    * knows its head version. */
   def latestVersion(dir: java.nio.file.Path): Int =
-    versions(dir).lastOption.map(_._1).getOrElse(0)
+    math.max(
+      versions(dir).lastOption.map(_._1).getOrElse(0),
+      checkpoints(dir).lastOption.map(_._1).getOrElse(0))
 
   /** Attempt to publish `published` as EXACTLY `version`. The manifest
     * body is fully written to a dot-hidden temp (invisible to
@@ -286,17 +361,44 @@ object KvCommitLog {
     }
   }
 
-  /** Record one commit's published file names as the next free version
-    * and return it. Lost races bump and retry, which is EXACT for this
-    * log's delta semantics — [[filesAsOf]] unions all manifests ≤ asOf,
-    * so each manifest names only its own files and commit order commutes.
+  /** Record one commit's published (and optionally removed) file names as
+    * the next free version and return it. Lost races bump and retry, which
+    * is EXACT for this log's delta semantics — each manifest names only
+    * its own adds/removes and commit order commutes (adds and removes in
+    * concurrent manifests touch disjoint files by construction: a writer
+    * only removes files it read from a committed snapshot, see KvStore).
     * Snapshot-style manifests (full member lists) must NOT use this
-    * blind retry: they rebase or abort through [[commitMember]]. */
-  def append(dir: java.nio.file.Path, published: Seq[String]): Int = {
+    * blind retry: they rebase or abort through [[commitMember]].
+    *
+    * `txn`: an idempotency id recorded as a `#txn,` line; when the SAME id
+    * is already in the log the commit is a NO-OP returning 0 — an
+    * at-least-once replay publishes nothing twice ([[txnCommitted]]). */
+  def append(dir: java.nio.file.Path, published: Seq[String],
+      removed: Seq[String] = Nil, txn: Option[String] = None): Int = {
+    published.foreach(checkName)
+    removed.foreach(checkName)
+    txn.foreach(t => require(!t.contains("\n") && !t.contains("\r"),
+      s"graft commit log: illegal txn id '$t'"))
+    if (txn.exists(txnCommitted(dir, _))) return 0
+    val lines = txn.map(t => s"#txn,$t").toSeq ++
+      removed.sorted.map("-" + _) ++ published.sorted
     var v = latestVersion(dir) + 1
-    while (!tryAppendAt(dir, v, published))
+    while (!tryAppendAt(dir, v, lines)) {
+      // a lost race may have been our own txn's earlier (crashed-after-
+      // publish) attempt or a concurrent replica — re-check before retrying
+      if (txn.exists(txnCommitted(dir, _))) return 0
       v = math.max(v + 1, latestVersion(dir) + 1)
+    }
     v
+  }
+
+  /** Has a commit carrying `#txn,<txn>` already been published? One
+    * plan-time metadata pass over the (small) manifests. */
+  def txnCommitted(dir: java.nio.file.Path, txn: String): Boolean = {
+    val marker = s"#txn,$txn"
+    versions(dir).exists { case (_, p) =>
+      Files.readAllLines(p).asScala.exists(_ == marker)
+    }
   }
 
   /** OCC commit for the artifact stores' SNAPSHOT manifests: the member
@@ -360,11 +462,109 @@ object KvCommitLog {
     throw new IllegalStateException("unreachable")
   }
 
-  /** File names published by all commits with version ≤ asOf. */
-  def filesAsOf(dir: java.nio.file.Path, asOf: Int): Set[String] =
-    versions(dir).takeWhile(_._1 <= asOf).flatMap { case (_, p) =>
-      Files.readAllLines(p).asScala.filter(_.nonEmpty)
-    }.toSet
+  /** The LIVE file set at version `asOf`: the newest checkpoint ≤ asOf
+    * (empty set at version 0 when none) with manifests (checkpoint, asOf]
+    * folded on top in version order — adds insert, `-name` removes, txn
+    * markers are skipped. For pre-r12 logs (pure add lines, no
+    * checkpoints) this is exactly the old all-manifests union. Throws when
+    * the needed history was vacuumed away (manifests missing below the
+    * oldest checkpoint). */
+  def filesAsOf(dir: java.nio.file.Path, asOf: Int): Set[String] = {
+    val base = checkpoints(dir).takeWhile(_._1 <= asOf).lastOption
+    val baseV = base.map(_._1).getOrElse(0)
+    val live = scala.collection.mutable.Set.empty[String]
+    base.foreach { case (_, p) =>
+      live ++= Files.readAllLines(p).asScala.filter(_.nonEmpty)
+    }
+    val ms = versions(dir).filter { case (v, _) => v > baseV && v <= asOf }
+    // the fold needs contiguous history from the base: a gap means the
+    // versions below were vacuumed (their checkpoint is above asOf)
+    ms.headOption.foreach { case (v0, _) =>
+      require(v0 == baseV + 1,
+        s"graft commit log: history below version $v0 at $dir was vacuumed " +
+          s"— snapshot $asOf is no longer reconstructible")
+    }
+    if (ms.isEmpty && asOf > 0 && base.isEmpty && latestVersion(dir) > 0)
+      throw new IllegalStateException(
+        s"graft commit log: history at or below version $asOf at $dir was " +
+          "vacuumed — snapshot no longer reconstructible")
+    ms.foreach { case (_, p) =>
+      Files.readAllLines(p).asScala.filter(_.nonEmpty).foreach { l =>
+        if (isTxnLine(l)) ()
+        else if (isRemoveLine(l)) live -= l.substring(1)
+        else live += l
+      }
+    }
+    live.toSet
+  }
+
+  /** The latest live view — what a reader without `asOfCommit` plans. */
+  def liveFiles(dir: java.nio.file.Path): Set[String] =
+    filesAsOf(dir, latestVersion(dir))
+
+  /** Write the checkpoint at `version` (atomic no-clobber, like
+    * manifests); `live` must be the exact live set after manifest
+    * `version` applied. False when that checkpoint already exists. */
+  def writeCheckpoint(dir: java.nio.file.Path, version: Int,
+      live: Set[String]): Boolean = {
+    live.foreach(checkName)
+    val tmp = dir.resolve(
+      s"._checkpoint-$version-${System.nanoTime}-${Thread.currentThread.getId}.tmp")
+    Files.write(tmp, live.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    try {
+      Files.createLink(dir.resolve(s"_checkpoint-$version"), tmp)
+      Files.deleteIfExists(tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        false
+    }
+  }
+
+  /** VACUUM for ADD/REMOVE delta logs (the KV data store; snapshot-
+    * manifest artifact stores keep using [[vacuum]]): reclaim every data
+    * file no snapshot ≥ `keepFrom` can reach, then fold the dropped
+    * history into a checkpoint at `keepFrom` and delete the manifests it
+    * replaces. Time travel within [keepFrom, latest] is untouched;
+    * versions below now throw from [[filesAsOf]] instead of returning
+    * wrong (file-less) answers. Returns the deleted entry names. */
+  def vacuumDelta(dir: java.nio.file.Path, keepFrom: Int): Seq[String] = {
+    val latest = latestVersion(dir)
+    require(latest > 0, s"no commit log at $dir — nothing to vacuum")
+    require(keepFrom >= 1 && keepFrom <= latest,
+      s"vacuum keepFrom $keepFrom out of committed range [1, $latest] at $dir")
+    val liveAtKeep = filesAsOf(dir, keepFrom)
+    val ms = versions(dir)
+    def addsIn(sel: ((Int, java.nio.file.Path)) => Boolean): Set[String] =
+      ms.filter(sel).flatMap { case (_, p) =>
+        Files.readAllLines(p).asScala
+          .filter(l => l.nonEmpty && !isTxnLine(l) && !isRemoveLine(l))
+      }.toSet
+    // reachable from any retained snapshot = live at keepFrom, plus
+    // everything added after it (still live at its own add version)
+    val reachable = liveAtKeep ++ addsIn(_._1 > keepFrom)
+    val doomed = (addsIn(_ => true) -- reachable).toSeq.sorted
+    def rm(f: File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty[File]).foreach(rm)
+      Files.deleteIfExists(f.toPath): Unit
+    }
+    doomed.foreach { n =>
+      rm(dir.resolve(n).toFile)
+      Files.deleteIfExists(dir.resolve(KvZoneMap.sidecarName(n))): Unit
+    }
+    // checkpoint replaces the manifests it folds; only after it is
+    // durably published do the superseded manifests (and any older
+    // checkpoints) go away
+    writeCheckpoint(dir, keepFrom, liveAtKeep): Unit
+    ms.filter(_._1 <= keepFrom).foreach { case (_, p) =>
+      Files.deleteIfExists(p): Unit
+    }
+    checkpoints(dir).filter(_._1 < keepFrom).foreach { case (_, p) =>
+      Files.deleteIfExists(p): Unit
+    }
+    doomed
+  }
 
   /** VACUUM the log: drop every manifest below `keepFrom` and delete the
     * store entries (member directories or files) that only those dropped
@@ -448,9 +648,10 @@ object KvEscape {
 }
 
 case class KvWriterFactory(path: String, schema: StructType,
-    partCol: Option[String] = None) extends DataWriterFactory {
+    partCol: Option[String] = None, nonce: String = "0")
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new KvDataWriter(path, schema, partitionId, taskId, partCol)
+    new KvDataWriter(path, schema, partitionId, taskId, partCol, nonce)
 }
 
 /** Task-side writer. Default layout: ONE staged file per task. With
@@ -463,7 +664,7 @@ case class KvWriterFactory(path: String, schema: StructType,
   * `repartition(n, col)` upstream; the layout stays correct either way
   * (several files may share a value — the source groups them). */
 class KvDataWriter(path: String, schema: StructType, partitionId: Int,
-    taskId: Long, partCol: Option[String] = None)
+    taskId: Long, partCol: Option[String] = None, nonce: String = "0")
     extends DataWriter[InternalRow] {
 
   private val statIdx: Array[Int] = schema.fields.zipWithIndex.collect {
@@ -492,7 +693,7 @@ class KvDataWriter(path: String, schema: StructType, partitionId: Int,
     val staged: File = {
       val d = new File(path, "_staging")
       d.mkdirs()
-      val f = new File(d, s"part-$partitionId-$taskId$suffix.csv")
+      val f = new File(d, s"part-$partitionId-$taskId-$nonce$suffix.csv")
       f.createNewFile() // the (possibly empty) file exists from creation
       f
     }

@@ -316,6 +316,19 @@ object KvPruneStats {
   def last(path: String): Option[(Int, Int)] = Option(stats.get(path))
 }
 
+/** Observability for split-plan LISTING (r12): how the last scan of a
+  * path derived its file view — `manifest` (planned from the commit log,
+  * zero data-directory traversal) or `walk` (filesystem listing, the
+  * log-less fallback). At millions of files the directory walk is the
+  * classic lakehouse driver bottleneck the manifests exist to remove;
+  * KvCatalogSpec pins that committed stores plan from manifests. */
+object KvListStats {
+  import java.util.concurrent.ConcurrentHashMap
+  private val modes = new ConcurrentHashMap[String, String]()
+  def record(path: String, mode: String): Unit = modes.put(path, mode): Unit
+  def last(path: String): Option[String] = Option(modes.get(path))
+}
+
 /** A network split: one committed field served by a [[KvDaemon]] at
   * `endpoint` — the executor fetches it with a streaming GET. */
 case class KvNetPartition(endpoint: String, field: String) extends InputPartition
@@ -528,28 +541,62 @@ class KvScan(
     * server-side, and is always recursive); each name becomes one
     * network split. */
   /** The directory view a scan parses: visible (non-hidden) files that
-    * match the suffix pattern, within the asOf snapshot when set. */
+    * match the suffix pattern, within the asOf snapshot when set.
+    *
+    * MANIFEST-FIRST (r12): a committed flat store is planned from its
+    * commit log — the manifests already name every live file, so the
+    * latest view (and any asOf snapshot) needs ZERO directory traversal.
+    * At millions of files that walk is the classic lakehouse driver
+    * bottleneck; here listing cost becomes O(log size), metadata-only.
+    * The walk remains for log-less directories, and the RECURSIVE layout
+    * walks the tree but consults each subdirectory's own log where one
+    * exists (so a sub-store's REMOVE lines — row-level delete, overwrite
+    * — are honored instead of resurrected by the listing). */
   private def listDataFiles(): Seq[File] = {
     def visible(f: File) =
       !f.getName.startsWith("_") && !f.getName.startsWith(".")
-    def walk(d: File): Seq[File] =
-      Option(d.listFiles()).getOrElse(Array.empty[File]).toSeq
+    val root = new File(path)
+    if (!recursive) {
+      val dirPath = java.nio.file.Paths.get(path)
+      val latest = KvCommitLog.latestVersion(dirPath)
+      if (latest > 0) {
+        val v = asOfCommit.getOrElse(latest)
+        KvListStats.record(path, "manifest")
+        return KvCommitLog.filesAsOf(dirPath, v).toSeq.sorted
+          .filter(_.endsWith(pattern))
+          .map(n => new File(root, n))
+          // manifests may name non-file entries in foreign layouts
+          // (artifact-store member directories); a scan parses files only
+          .filter(_.isFile)
+      }
+    }
+    def walk(d: File): Seq[File] = {
+      val kids = Option(d.listFiles()).getOrElse(Array.empty[File]).toSeq
         .filter(visible)
-        .flatMap { f =>
-          if (f.isFile) Seq(f)
-          else if (recursive && f.isDirectory) walk(f)
-          else Nil
-        }
-    // Snapshot view: the commit log names exactly the files published by
-    // commits <= asOf; later commits' files exist in the directory but
-    // are not part of that snapshot. Plan-time metadata only.
+      // a committed subdirectory's live view comes from ITS log (remove
+      // lines honored); file entries not in the live set are not data
+      val live: File => Boolean =
+        if (KvCommitLog.latestVersion(d.toPath) > 0) {
+          val names = KvCommitLog.liveFiles(d.toPath)
+          f => names(f.getName)
+        } else _ => true
+      kids.flatMap { f =>
+        if (f.isFile) { if (live(f)) Seq(f) else Nil }
+        else if (recursive && f.isDirectory) walk(f)
+        else Nil
+      }
+    }
+    // Snapshot view over a LOG-LESS flat directory can only be empty
+    // (asOfCommit with no log names no files) — the committed case
+    // returned above; recursive asOf is rejected at construction.
     val snapshot: File => Boolean = asOfCommit match {
       case Some(v) =>
         val named = KvCommitLog.filesAsOf(java.nio.file.Paths.get(path), v)
         f => named(f.getName)
       case None => _ => true
     }
-    walk(new File(path))
+    KvListStats.record(path, "walk")
+    walk(root)
       .filter(f => f.getName.endsWith(pattern) && snapshot(f))
   }
 
