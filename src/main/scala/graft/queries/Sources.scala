@@ -861,6 +861,102 @@ object Sources extends QueryGroup {
             FROM res WHERE v_old IS NULL OR v_new <> v_old
             ORDER BY k"""))
 
+  /** ROW-LEVEL DELETE through the Store's commit log (sources/KvStore):
+    * a range predicate deletes rows copy-on-write — only the files whose
+    * committed zone-map bounds intersect [1000, 3000) are rewritten
+    * (executor-side, one task per file), the untouched files stay
+    * byte-identical, and the whole mutation is ONE CAS-published log
+    * version. The gate reads BOTH the post-delete latest view and the
+    * pre-delete snapshot (`asOfCommit=1`) — a delete that leaked a row,
+    * dropped a bystander, or destroyed history breaks the hash. The
+    * Delta/Iceberg DELETE FROM discipline on the engine's own Store;
+    * the reference's mutable-store surface (Store.hs:41-67 saveData
+    * overwrite) re-expressed as versioned copy-on-write. */
+  private val qStoreDelete = Q(
+    "q_store_delete",
+    (s, dir) => {
+      import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+      val out = sys.props("java.io.tmpdir") + "/graft-kvsink/q_store_delete"
+      cleanDir(out)
+      table(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("cust"),
+          col("o_orderpriority").as("prio"))
+        .repartitionByRange(8, col("k"))
+        .write.format("graft.sources.KvSinkProvider")
+        .option("path", out).mode("append").save()
+      graft.sources.KvStore.deleteWhere(s, out,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "k LONG, cust LONG, prio STRING"),
+        Seq(GreaterThanOrEqual("k", 1000L), LessThan("k", 3000L)))
+      def readAsOf(asOf: Option[Int]) = {
+        val r = s.read.format("graft.sources.KvSourceProvider")
+          .option("path", out).option("schema", "k LONG, cust LONG, prio STRING")
+        asOf.fold(r)(v => r.option("asOfCommit", v.toString)).load()
+      }
+      readAsOf(None).withColumn("snap", lit(2L))
+        .unionAll(readAsOf(Some(1)).withColumn("snap", lit(1L)))
+        .groupBy(col("snap"), col("prio"))
+        .agg(count(lit(1)).as("n"), min(col("k")).as("k_min"),
+          max(col("k")).as("k_max"), sum(col("cust")).as("cust_sum"))
+        .orderBy("snap", "prio")
+    },
+    Some("""WITH snaps AS (
+              SELECT 1 AS snap, o_orderkey, o_custkey, o_orderpriority
+              FROM orders
+              UNION ALL
+              SELECT 2, o_orderkey, o_custkey, o_orderpriority FROM orders
+              WHERE NOT (o_orderkey >= 1000 AND o_orderkey < 3000))
+            SELECT CAST(snap AS BIGINT) AS snap, o_orderpriority AS prio,
+              count(*) AS n, min(o_orderkey) AS k_min,
+              max(o_orderkey) AS k_max,
+              CAST(sum(o_custkey) AS BIGINT) AS cust_sum
+            FROM snaps GROUP BY 1, 2 ORDER BY snap, prio"""))
+
+  /** MERGE INTO the Store (sources/KvStore.merge): one atomic commit
+    * applies an upsert batch (replace-the-row CDC semantics, keyed on k)
+    * AND a set of row-level deletes — store rows whose key is touched are
+    * removed copy-on-write from zone-map-intersecting files only, the
+    * change batch lands through the sink's own 2PC write, and the latest
+    * view is the merged state while `asOfCommit=1` still reads the
+    * pre-merge snapshot. Oracle recomputes the post-state from the source
+    * table (evens < 20 upserted ×10, odds < 20 untouched, ≥ 20 deleted),
+    * so a missed upsert, a resurrected delete, or a lost bystander all
+    * hash-mismatch. */
+  private val qStoreMerge = Q(
+    "q_store_merge",
+    (s, dir) => {
+      val out = sys.props("java.io.tmpdir") + "/graft-kvsink/q_store_merge"
+      cleanDir(out)
+      val counts = table(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("v"))
+        .select(col("c_nationkey").as("k"), col("v"))
+      counts.repartitionByRange(4, col("k"))
+        .write.format("graft.sources.KvSinkProvider")
+        .option("path", out).mode("append").save()
+      val upserts = counts.filter(col("k") % 2 === 0 && col("k") < 20)
+        .select(col("k"), (col("v") * 10).as("v"))
+      graft.sources.KvStore.merge(s, out,
+        org.apache.spark.sql.types.StructType.fromDDL("k LONG, v LONG"),
+        "k", upserts, deleteKeys = (20L to 24L))
+      def readAsOf(asOf: Option[Int]) = {
+        val r = s.read.format("graft.sources.KvSourceProvider")
+          .option("path", out).option("schema", "k LONG, v LONG")
+        asOf.fold(r)(v => r.option("asOfCommit", v.toString)).load()
+      }
+      readAsOf(Some(1)).withColumn("snap", lit(1L))
+        .unionAll(readAsOf(None).withColumn("snap", lit(2L)))
+        .select("snap", "k", "v")
+        .orderBy("snap", "k")
+    },
+    Some("""WITH c AS (
+              SELECT c_nationkey AS k, count(*) AS v FROM customer GROUP BY 1)
+            SELECT CAST(1 AS BIGINT) AS snap, k, v FROM c
+            UNION ALL
+            SELECT 2, k, CASE WHEN k % 2 = 0 THEN v * 10 ELSE v END
+            FROM c WHERE k < 20
+            ORDER BY snap, k"""))
+
   /** BUCKETED AGGREGATION — bucketing's second dividend after
     * shuffle-free joins: a GROUP BY on the bucket key aggregates with NO
     * exchange at all, because the bucketed scan's hash partitioning
@@ -1071,6 +1167,7 @@ object Sources extends QueryGroup {
       qSourceKvAgg, qSourceKvAggGrouped, qSourceKvSpj, qSourceKvSpjBucketed,
       qSourceKvZonemapTyped,
       qZorderLayout, qZonemapPrune, qStoreTimetravel, qStoreTimediff,
+      qStoreDelete, qStoreMerge,
       qSourceSchemaEvolution,
       qStoreDpo, qSourceCorrupt, qSourceBucketedAgg, qJoinNullsafe,
       qSourceBinaryFile)

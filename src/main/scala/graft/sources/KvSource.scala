@@ -652,6 +652,52 @@ class KvScan(
     new KvReaderFactory(dataSchema, required.fieldNames, pushed)
 }
 
+/** Row-level evaluation of pushed predicates against a parsed store row —
+  * shared by the scan's connector-side filtering and [[KvStore]]'s
+  * copy-on-write rewrites, so a DELETE drops exactly the rows a filtered
+  * SELECT would have returned. String comparisons are code-point order
+  * (Spark's own UTF8String semantics). */
+object KvRowEval {
+  /** Parse one CSV line into typed values (the sink writes
+    * long/int/double/string with no quoting or embedded commas for
+    * the numeric types; strings are written percent-escaped, so a
+    * trailing -1 split limit preserves empty fields). */
+  def parse(line: String, types: Array[DataType]): Array[Any] = {
+    val parts = line.split(",", -1)
+    Array.tabulate(types.length) { i =>
+      types(i) match {
+        case LongType => parts(i).toLong
+        case IntegerType => parts(i).toInt
+        case DoubleType => parts(i).toDouble
+        case StringType => KvEscape.unescape(parts(i))
+        case dt => throw new IllegalArgumentException(
+          s"graft kv source: unsupported field type ${dt.catalogString}")
+      }
+    }
+  }
+
+  def cmp(colV: Any, litV: Any): Int = colV match {
+    case l: Long => java.lang.Long.compare(l, litV.asInstanceOf[Number].longValue())
+    case i: Int => java.lang.Long.compare(i.toLong, litV.asInstanceOf[Number].longValue())
+    case d: Double => java.lang.Double.compare(d, litV.asInstanceOf[Number].doubleValue())
+    // code-point order = Spark's UTF8String order, so connector-side
+    // filtering agrees with what Spark itself would have evaluated
+    case s: String => KvEscape.cpCompare(s, litV.toString)
+    case _ => throw new IllegalArgumentException(s"graft kv source: uncomparable $colV")
+  }
+
+  def eval(f: Filter, idx: Map[String, Int], row: Array[Any]): Boolean = f match {
+    case EqualTo(a, v) => cmp(row(idx(a)), v) == 0
+    case GreaterThan(a, v) => cmp(row(idx(a)), v) > 0
+    case GreaterThanOrEqual(a, v) => cmp(row(idx(a)), v) >= 0
+    case LessThan(a, v) => cmp(row(idx(a)), v) < 0
+    case LessThanOrEqual(a, v) => cmp(row(idx(a)), v) <= 0
+    case In(a, vs) => vs.exists(v => cmp(row(idx(a)), v) == 0)
+    case IsNotNull(_) => true // the sink never writes nulls
+    case _ => true
+  }
+}
+
 class KvReaderFactory(
     dataSchema: StructType,
     requiredFields: Array[String],
@@ -809,44 +855,8 @@ class KvReaderFactory(
       private val lines = lineSrc
       private var current: Array[Any] = _
 
-      /** Parse one CSV line into typed values (the sink writes
-        * long/int/double/string with no quoting or embedded commas for
-        * the numeric types; strings are written verbatim, so a trailing
-        * -1 split limit preserves empty fields). */
-      private def parse(line: String): Array[Any] = {
-        val parts = line.split(",", -1)
-        Array.tabulate(types.length) { i =>
-          types(i) match {
-            case LongType => parts(i).toLong
-            case IntegerType => parts(i).toInt
-            case DoubleType => parts(i).toDouble
-            case StringType => KvEscape.unescape(parts(i))
-            case dt => throw new IllegalArgumentException(
-              s"graft kv source: unsupported field type ${dt.catalogString}")
-          }
-        }
-      }
-
-      private def cmp(colV: Any, litV: Any): Int = colV match {
-        case l: Long => java.lang.Long.compare(l, litV.asInstanceOf[Number].longValue())
-        case i: Int => java.lang.Long.compare(i.toLong, litV.asInstanceOf[Number].longValue())
-        case d: Double => java.lang.Double.compare(d, litV.asInstanceOf[Number].doubleValue())
-        // code-point order = Spark's UTF8String order, so connector-side
-        // filtering agrees with what Spark itself would have evaluated
-        case s: String => KvEscape.cpCompare(s, litV.toString)
-        case _ => throw new IllegalArgumentException(s"graft kv source: uncomparable $colV")
-      }
-
-      private def eval(f: Filter, row: Array[Any]): Boolean = f match {
-        case EqualTo(a, v) => cmp(row(idx(a)), v) == 0
-        case GreaterThan(a, v) => cmp(row(idx(a)), v) > 0
-        case GreaterThanOrEqual(a, v) => cmp(row(idx(a)), v) >= 0
-        case LessThan(a, v) => cmp(row(idx(a)), v) < 0
-        case LessThanOrEqual(a, v) => cmp(row(idx(a)), v) <= 0
-        case In(a, vs) => vs.exists(v => cmp(row(idx(a)), v) == 0)
-        case IsNotNull(_) => true // the sink never writes nulls
-        case _ => true
-      }
+      private def parse(line: String): Array[Any] =
+        KvRowEval.parse(line, types)
 
       override def next(): Boolean = {
         current = null
@@ -854,7 +864,7 @@ class KvReaderFactory(
           val line = lines.next()
           if (line.nonEmpty) {
             val row = parse(line)
-            if (pushed.forall(eval(_, row))) current = row
+            if (pushed.forall(KvRowEval.eval(_, idx, row))) current = row
           }
         }
         current != null
