@@ -32,13 +32,16 @@ object IncrementalIngest {
     * Reads every committed `batch=*` under `store`, appends accepted
     * fingerprints as `batch=$batchId`, and returns the accepted rows
     * (doc_id, lang, fp) — first occurrence per fingerprint. */
+  /** `txn`: an idempotency id recorded in the batch directory's commit
+    * log — a replayed round's append publishes nothing twice, WITHOUT
+    * wiping (the Delta `txn` discipline; see KvCommitLog). The snapshot
+    * read is bounded to batches strictly BELOW `batchId`, so a replay
+    * that already appended its own fingerprints still recomputes the
+    * same accepted set (its own batch is not "history" to itself). */
   def ingest(
       spark: SparkSession, store: String, batchId: Long,
-      delta: DataFrame): DataFrame = {
-    val snapshot = Option(new File(store).listFiles())
-      .getOrElse(Array.empty[File])
-      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
-      .map(_.getAbsolutePath).sorted
+      delta: DataFrame, txn: Option[String] = None): DataFrame = {
+    val snapshot = earlierBatches(store, batchId)
     val known = snapshot.map { d =>
       spark.read.format("graft.sources.KvSourceProvider")
         .option("path", d).option("schema", "fp LONG").load()
@@ -47,11 +50,23 @@ object IncrementalIngest {
     val accepted = novel.groupBy(col("fp"))
       .agg(min(col("doc_id")).as("doc_id"),
         min_by(col("lang"), col("doc_id")).as("lang"))
-    accepted.select(col("fp"))
+    val w = accepted.select(col("fp"))
       .write.format("graft.sources.KvSinkProvider")
-      .option("path", s"$store/batch=$batchId").mode("append").save()
+      .option("path", s"$store/batch=$batchId")
+    txn.fold(w)(t => w.option("txnId", t)).mode("append").save()
     accepted.select(col("doc_id"), col("lang"), col("fp"))
   }
+
+  /** Committed batch directories strictly below `batchId`, sorted — the
+    * history a round dedups against. Bounding (instead of "every dir
+    * present") is what makes a crash-replayed round deterministic: its
+    * own possibly-already-committed append is excluded. */
+  private def earlierBatches(store: String, batchId: Long): Seq[String] =
+    Option(new File(store).listFiles())
+      .getOrElse(Array.empty[File])
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=") &&
+        f.getName.stripPrefix("batch=").toLong < batchId)
+      .map(_.getAbsolutePath).sorted.toSeq
 
   /** 4 LSH band keys from a 16-wide minhash signature, each one long:
     * band j's key is the portable fold h → (h·131 + v) mod P over its 4
@@ -87,11 +102,9 @@ object IncrementalIngest {
     * rides the sink's two-phase commit. */
   def ingestNearDup(
       spark: SparkSession, store: String, batchId: Long,
-      deltaDocs: DataFrame, deltaBands: DataFrame): DataFrame = {
-    val snapshot = Option(new File(store).listFiles())
-      .getOrElse(Array.empty[File])
-      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
-      .map(_.getAbsolutePath).sorted
+      deltaDocs: DataFrame, deltaBands: DataFrame,
+      txn: Option[String] = None): DataFrame = {
+    val snapshot = earlierBatches(store, batchId)
     val known = snapshot.map { d =>
       spark.read.format("graft.sources.KvSourceProvider")
         .option("path", d).option("schema", "bk LONG").load()
@@ -103,9 +116,10 @@ object IncrementalIngest {
     val inDeltaDrop = deltaBands.join(first, "bk")
       .filter(col("doc_id") > col("first_doc")).select("doc_id")
     val dropped = histDrop.fold(inDeltaDrop)(_ unionAll inDeltaDrop).distinct()
-    deltaBands.select(col("bk")).distinct()
+    val w = deltaBands.select(col("bk")).distinct()
       .write.format("graft.sources.KvSinkProvider")
-      .option("path", s"$store/batch=$batchId").mode("append").save()
+      .option("path", s"$store/batch=$batchId")
+    txn.fold(w)(t => w.option("txnId", t)).mode("append").save()
     deltaDocs.join(dropped, Seq("doc_id"), "left_anti")
   }
 }

@@ -574,10 +574,12 @@ object Streaming extends QueryGroup {
     * Store layer fed by a live stream, composing three graft surfaces:
     * the watermarked append stream (each closed window emitted exactly
     * once), `foreachBatch` writing every micro-batch's emissions into a
-    * per-batch directory of the two-phase-commit KvSink (the per-batchId
-    * directory is wiped before writing, so a replayed batch overwrites
-    * instead of duplicating — idempotent, which is what upgrades Spark's
-    * at-least-once batch replay to exactly-once file output), and the
+    * per-batch directory of the two-phase-commit KvSink with the batchId
+    * recorded as a TRANSACTION ID in the commit-log manifest (the Delta
+    * `txn` discipline: a replayed batch detects its id already committed
+    * and publishes NOTHING — no wipe, no deletion, at-least-once replay
+    * upgraded to exactly-once output; KvStreamRecoverySpec crash-proves
+    * it), and the
     * recursive KvSource reading the whole batch tree back. Window bounds
     * travel as epoch-micro longs (the sink's CSV carries
     * long/int/double/string) and are reconstructed on read; the converged
@@ -596,10 +598,9 @@ object Streaming extends QueryGroup {
             col("event_type"), col("n"), col("value_sum"))
           .writeStream.outputMode("append")
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-            val batchDir = new java.io.File(s"$out/batch=$id")
-            if (batchDir.exists()) rmTree(batchDir)
             batch.write.format("graft.sources.KvSinkProvider")
-              .option("path", batchDir.getAbsolutePath).mode("append").save()
+              .option("path", s"$out/batch=$id").option("txnId", s"b$id")
+              .mode("append").save()
           }
           .start())
       s.read.format("graft.sources.KvSourceProvider")
@@ -625,9 +626,11 @@ object Streaming extends QueryGroup {
     * against the Store snapshot of all earlier batches, first-occurrence
     * within the batch, accepted fingerprints appended as this batch's
     * Store directory) and lands its accepted rows in a per-batch KvSink
-    * output. Wiping both per-batchId directories before writing makes a
-    * replayed micro-batch overwrite instead of duplicate — at-least-once
-    * replay becomes exactly-once ingestion, the same idempotency idiom
+    * output. Both writes carry the batchId as a commit-log TRANSACTION
+    * ID — a replayed micro-batch recomputes against the sub-batchId
+    * history (its own append is excluded from the snapshot) and its
+    * re-writes publish nothing — at-least-once replay becomes
+    * exactly-once ingestion without ever deleting, the same txn idiom
     * as q_stream_kv_sink.
     *
     * The oracle is BATCH-BOUNDARY-FREE: drops are range-partitioned on
@@ -655,12 +658,12 @@ object Streaming extends QueryGroup {
       withStatePartitions(s, 8) {
         val q = stream.writeStream.outputMode("append")
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-            rmTree(new java.io.File(s"$store/batch=$id"))
-            rmTree(new java.io.File(s"$out/batch=$id"))
             graft.operators.IncrementalIngest
-              .ingest(batch.sparkSession, store, id, batch.toDF())
+              .ingest(batch.sparkSession, store, id, batch.toDF(),
+                txn = Some(s"b$id"))
               .write.format("graft.sources.KvSinkProvider")
-              .option("path", s"$out/batch=$id").mode("append").save()
+              .option("path", s"$out/batch=$id").option("txnId", s"b$id")
+              .mode("append").save()
           }
           .start()
         try {
@@ -714,15 +717,14 @@ object Streaming extends QueryGroup {
       withStatePartitions(s, 8) {
         val q = stream.writeStream.outputMode("append")
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-            rmTree(new java.io.File(s"$store/batch=${id + 1}"))
-            rmTree(new java.io.File(s"$out/batch=$id"))
             val banded = Training.bandedDocs(batch.toDF())
             graft.operators.IncrementalIngest
               .ingestNearDup(batch.sparkSession, store, id + 1,
                 banded.select("doc_id", "lang").distinct(),
-                banded.select("doc_id", "bk"))
+                banded.select("doc_id", "bk"), txn = Some(s"b${id + 1}"))
               .write.format("graft.sources.KvSinkProvider")
-              .option("path", s"$out/batch=$id").mode("append").save()
+              .option("path", s"$out/batch=$id").option("txnId", s"b$id")
+              .mode("append").save()
           }
           .start()
         try {
@@ -773,15 +775,14 @@ object Streaming extends QueryGroup {
       withStatePartitions(s, 8) {
         val q = stream.writeStream.outputMode("append")
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-            rmTree(new java.io.File(s"$store/batch=${id + 1}"))
-            rmTree(new java.io.File(s"$out/batch=$id"))
             val banded = Llm.phashBandedDocs(batch.toDF())
             graft.operators.IncrementalIngest
               .ingestNearDup(batch.sparkSession, store, id + 1,
                 banded.select("doc_id", "ahash_lo", "ahash_hi").distinct(),
-                banded.select("doc_id", "bk"))
+                banded.select("doc_id", "bk"), txn = Some(s"b${id + 1}"))
               .write.format("graft.sources.KvSinkProvider")
-              .option("path", s"$out/batch=$id").mode("append").save()
+              .option("path", s"$out/batch=$id").option("txnId", s"b$id")
+              .mode("append").save()
           }
           .start()
         try {
@@ -834,12 +835,12 @@ object Streaming extends QueryGroup {
       withStatePartitions(s, 8) {
         val q = stream.writeStream.outputMode("append")
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-            rmTree(new java.io.File(s"$out/batch=$id"))
             graft.operators.AnnIndex.probe(batch.toDF(), idx,
                 "vec_id", "embedding", nprobe = 2, topK = 3,
                 excludeSelf = true)
               .write.format("graft.sources.KvSinkProvider")
-              .option("path", s"$out/batch=$id").mode("append").save()
+              .option("path", s"$out/batch=$id").option("txnId", s"b$id")
+              .mode("append").save()
           }
           .start()
         try {
@@ -917,10 +918,10 @@ object Streaming extends QueryGroup {
       withStatePartitions(s, 8) {
         val q = stream.writeStream.outputMode("append")
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-            rmTree(new java.io.File(s"$out/batch=$id"))
             graft.operators.ModelStore.score(batch.toDF(), "doc_id", "text", mdl)
               .write.format("graft.sources.KvSinkProvider")
-              .option("path", s"$out/batch=$id").mode("append").save()
+              .option("path", s"$out/batch=$id").option("txnId", s"b$id")
+              .mode("append").save()
           }
           .start()
         try {
@@ -983,7 +984,6 @@ object Streaming extends QueryGroup {
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
             val reqs = batch.collect() // a batch of query REQUESTS — driver-sized by definition
             if (reqs.nonEmpty) {
-              rmTree(new java.io.File(s"$out/batch=$id"))
               val w = Window.orderBy(col("score").desc, col("doc_id"))
               reqs.toSeq.map { r =>
                   val qid = r.getLong(r.fieldIndex("query_id"))
@@ -995,7 +995,8 @@ object Streaming extends QueryGroup {
                 }
                 .reduce(_ unionAll _)
                 .write.format("graft.sources.KvSinkProvider")
-                .option("path", s"$out/batch=$id").mode("append").save()
+                .option("path", s"$out/batch=$id").option("txnId", s"b$id")
+                .mode("append").save()
             }
           }
           .start()

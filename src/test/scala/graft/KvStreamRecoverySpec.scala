@@ -142,4 +142,101 @@ class KvStreamRecoverySpec extends AnyFunSuite with SparkSessionFixture {
     assert(got === ref,
       "recovered run diverged from the uninterrupted run")
   }
+
+  /** The r12 discipline the live twins actually use: the batchId rides
+    * as a TRANSACTION ID in the sink's commit-log manifest, so a crash-
+    * replayed batch detects it already committed and publishes NOTHING —
+    * exactly-once WITHOUT wipe-before-write. Crash-proved: the batch's
+    * first-write files must survive the replay untouched (same names,
+    * same log version — nothing deleted, nothing duplicated). */
+  test("txn-id replay: no duplicate member, no wipe, first write survives") {
+    val events = graft.core.Graft.table(spark, sf, "events")
+      .orderBy("ts", "event_id")
+    val root = Files.createTempDirectory("graft_kv_txn_recovery")
+    val srcDir = root.resolve("src"); Files.createDirectories(srcDir)
+    val ckpt = root.resolve("ckpt").toString
+    val staged = root.resolve("staged").toString
+    val out = root.resolve("kv").toString
+
+    val withIdx = events.withColumn("idx", monotonically_increasing_id())
+    def stage(i: Int): java.io.File = {
+      withIdx.filter(col("idx") % 3 === i).drop("idx")
+        .coalesce(1).write.mode("overwrite").parquet(s"$staged/t$i")
+      new java.io.File(s"$staged/t$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+    }
+
+    def start(crashOnNthNonEmpty: Int) = {
+      val nonEmpty = new java.util.concurrent.atomic.AtomicInteger(0)
+      val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val q = agg(
+          spark.readStream.schema(events.schema).parquet(srcDir.toString))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          b.write.format("graft.sources.KvSinkProvider")
+            .option("path", s"$out/batch=$id").option("txnId", s"b$id")
+            .mode("append").save()
+          if (!b.isEmpty && nonEmpty.incrementAndGet() == crashOnNthNonEmpty &&
+              crashed.compareAndSet(false, true))
+            throw new RuntimeException("injected post-write crash")
+        }
+        .start()
+      (q, crashed)
+    }
+
+    // run 1: crash after the first non-empty batch persisted + committed
+    // its kv output but BEFORE the streaming checkpoint records it
+    val (q1, crashed1) = start(crashOnNthNonEmpty = 1)
+    try {
+      (0 until 3).foreach { i =>
+        if (q1.exception.isEmpty) {
+          Files.move(stage(i).toPath, srcDir.resolve(s"drop_$i.parquet"))
+          q1.processAllAvailable()
+        }
+      }
+    } catch { case _: Exception => () }
+    val deadline = System.currentTimeMillis + 30000
+    while (q1.exception.isEmpty && System.currentTimeMillis < deadline)
+      Thread.sleep(100)
+    assert(q1.exception.isDefined && crashed1.get())
+
+    // snapshot the crashed batch dirs: file sets + log versions
+    def batchState(): Map[String, (Set[String], Int)] =
+      Option(new java.io.File(out).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("batch=")).map { d =>
+          val p = d.toPath
+          d.getName -> (graft.sources.KvCommitLog.liveFiles(p),
+            graft.sources.KvCommitLog.latestVersion(p))
+        }.toMap
+    val afterCrash = batchState()
+    assert(afterCrash.nonEmpty, "no batch output persisted before the crash")
+
+    // run 2: resume — the uncommitted batch REPLAYS with the same id;
+    // its write must be a published no-op
+    val (q2, _) = start(crashOnNthNonEmpty = 0)
+    try {
+      q2.processAllAvailable()
+      (0 until 3).foreach { i =>
+        if (!Files.exists(srcDir.resolve(s"drop_$i.parquet"))) {
+          Files.move(stage(i).toPath, srcDir.resolve(s"drop_$i.parquet"))
+          q2.processAllAvailable()
+        }
+      }
+    } finally q2.stop()
+
+    val afterReplay = batchState()
+    afterCrash.foreach { case (b, (files, version)) =>
+      val (files2, version2) = afterReplay(b)
+      assert(files2 == files, s"$b: replay changed the live file set")
+      assert(version2 == version, s"$b: replay published a new version")
+    }
+    // and the accumulated rows equal the plain batch aggregation (no dup)
+    val got = spark.read.format("graft.sources.KvSourceProvider")
+      .option("path", out).option("recursive", "true")
+      .option("schema", "ws_us LONG, event_type STRING, n LONG").load()
+      .collect().map(_.toString).sorted.toSeq
+    assert(got.nonEmpty && got.distinct.size == got.size,
+      "duplicated rows after txn replay")
+  }
 }
