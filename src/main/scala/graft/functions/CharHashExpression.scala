@@ -116,6 +116,8 @@ object GraftFunctions {
       (c: Seq[Expression]) => L2QuantExpression(c(0), c(1))),
     ("graft_bpe_merge", classOf[BpeMergeExpression],
       (c: Seq[Expression]) => BpeMergeExpression(c(0), c(1), c(2))),
+    ("graft_bpe_merge_all", classOf[BpeMergeAllExpression],
+      (c: Seq[Expression]) => BpeMergeAllExpression(c(0), c(1), c(2))),
     ("graft_quantvec", classOf[QuantVecExpression],
       (c: Seq[Expression]) => QuantVecExpression(c(0), c(1))),
     ("graft_vecsub", classOf[VecSubExpression],
@@ -182,6 +184,9 @@ object GraftFunctions {
     call_function("graft_l2q", a, b)
   def bpeMergeNative(s: Column, l: Column, r: Column): Column =
     call_function("graft_bpe_merge", s, l, r)
+
+  def bpeMergeAllNative(s: Column, ls: Column, rs: Column): Column =
+    call_function("graft_bpe_merge_all", s, ls, rs)
   def quantVecNative(v: Column, mult: Double): Column =
     call_function("graft_quantvec", v, lit(mult))
   def vecSubNative(a: Column, b: Column): Column =

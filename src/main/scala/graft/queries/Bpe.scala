@@ -236,6 +236,169 @@ object Bpe extends QueryGroup {
     },
     Some(encodeOracle))
 
+  /** The PRODUCTION-budget trainer (operators/BpeTrainer): 256-merge
+    * budget, one distributed word-frequency pass + the in-memory
+    * delta-maintained Sennrich loop every real trainer runs. Chain
+    * length for the oracle. The gate corpus (a 31-word synthetic
+    * lexicon) CLOSES its vocabulary before the budget — every word
+    * fully merged — so the gate also proves exhaustion handling at
+    * production budgets; [[OracleChainRounds]] is sized past the
+    * closure point (DuckDB's expression-depth cap forbids emitting all
+    * 256 rounds, and every round past closure is provably empty). */
+  private val BigBudget = 256
+  private val OracleChainRounds = 96
+
+  /** Freq-weighted twins of the chain generators, over DISTINCT words —
+    * identical counts and tie-breaks (a pair's count over instances
+    * equals its freq-weighted count over distinct words), tractable at
+    * production round counts. MATERIALIZED is load-bearing: without it
+    * DuckDB inlines each round's CTEs into every consumer and the chain
+    * re-evaluates exponentially. */
+  private def pairsCteSqlW(w: String, name: String): String =
+    s"""${name}_p AS MATERIALIZED (
+       |  SELECT pr[1] AS l, pr[2] AS r, CAST(sum(f) AS BIGINT) AS c
+       |  FROM (SELECT f, unnest(list_transform(generate_series(1, len(syms) - 1),
+       |                 i -> [syms[i], syms[i + 1]])) AS pr
+       |        FROM (SELECT f, string_split(trim(s), ' ') AS syms FROM $w) t0) t
+       |  GROUP BY 1, 2),
+       |$name AS MATERIALIZED (
+       |  SELECT l, r, c FROM ${name}_p ORDER BY c DESC, l, r LIMIT 1)""".stripMargin
+
+  private def applyCteSqlW(w: String, best: String, out: String): String =
+    s"""${out}_i AS (
+       |  SELECT wid, s, f FROM $w
+       |  UNION ALL
+       |  SELECT wid,
+       |    substr(s, 1, pos - 1) || ' ' || b.l || b.r || ' ' ||
+       |      substr(s, pos + length(' ' || b.l || ' ' || b.r || ' ')), f
+       |  FROM (SELECT wid, s, f,
+       |          instr(s, (SELECT ' ' || l || ' ' || r || ' ' FROM $best)) AS pos
+       |        FROM ${out}_i) t CROSS JOIN $best b
+       |  WHERE pos > 0),
+       |$out AS MATERIALIZED (
+       |  SELECT wid, s, f FROM ${out}_i
+       |  WHERE coalesce(
+       |    instr(s, (SELECT ' ' || l || ' ' || r || ' ' FROM $best)), 0) = 0)""".stripMargin
+
+  private def wordsCteW: String =
+    s"""words AS MATERIALIZED (
+       |    SELECT row_number() OVER () AS wid,
+       |      ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s, f
+       |    FROM (SELECT w, count(*) AS f
+       |          FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+       |                FROM documents WHERE doc_id < $DocCap) t0
+       |          WHERE length(w) > 0 GROUP BY w) t)""".stripMargin
+
+  private def trainChainW: String =
+    (1 to OracleChainRounds).map { t =>
+      val prev = if (t == 1) "words" else s"w${t - 1}"
+      pairsCteSqlW(prev, s"b$t") + ",\n" + applyCteSqlW(prev, s"b$t", s"w$t")
+    }.mkString(",\n")
+
+  private val bigOracle: String = {
+    val out = (1 to OracleChainRounds).map { t =>
+      s"SELECT CAST($t AS BIGINT) AS round, l AS left, r AS right, " +
+        s"l || r AS merged, c AS cnt FROM b$t"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE
+       |  $wordsCteW,
+       |$trainChainW
+       |  SELECT round, "left", "right", merged, cnt FROM (
+       |  $out)
+       |  ORDER BY round""".stripMargin
+  }
+
+  private val qBpeTrainBudget = Q(
+    "q_bpe_train_budget256",
+    (s, dir) => {
+      import s.implicits._
+      // the ONLY corpus-scale work: distinct-word frequencies (shuffle
+      // bounded by the word vocabulary); the merge loop is driver-side
+      // over that metadata-sized table — the production trainer split
+      val wordFreqs = table(s, dir, "documents")
+        .filter(col("doc_id") < docCapOf(s))
+        .select(explode(split(lower(col("text")), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      graft.operators.BpeTrainer.train(wordFreqs, budget = BigBudget)
+        .map(m => (m.round.toLong, m.left, m.right, m.left + m.right, m.cnt))
+        .toDF("round", "left", "right", "merged", "cnt")
+        .orderBy("round")
+    },
+    Some(bigOracle))
+
+  /** Whole-table ENCODE: train at the production budget, then encode the
+    * corpus with ONE `graft_bpe_merge_all` kernel call per row — the
+    * entire learned merge table applied in a single partition pass
+    * instead of one stacked projection per merge (at 32k merges the
+    * difference between 1 and 32k codegen stages). The oracle trains the
+    * same chain, encodes the DISTINCT words through it (a deliberately
+    * different algorithm — words repeat, so per-word token counts join
+    * back to doc instances), and aggregates per doc. */
+  private val encodeTableOracle: String = {
+    // the all-docs DISTINCT words run through their own apply chain
+    // (e1..eN using the learned b1..bN) — words repeat, so encoding the
+    // vocabulary once and joining token counts back to doc instances is
+    // the cheap equivalent of encoding every instance
+    val encodeChain = (1 to OracleChainRounds).map { t =>
+      val prev = if (t == 1) "ew0" else s"e${t - 1}"
+      applyCteSqlW(prev, s"b$t", s"e$t")
+    }.mkString(",\n")
+    s"""WITH RECURSIVE
+       |  $wordsCteW,
+       |$trainChainW,
+       |  ew0 AS MATERIALIZED (
+       |    SELECT row_number() OVER (ORDER BY w) AS wid, w,
+       |      ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s,
+       |      CAST(1 AS BIGINT) AS f
+       |    FROM (SELECT DISTINCT w
+       |          FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+       |                FROM documents) t
+       |          WHERE length(w) > 0)),
+       |$encodeChain,
+       |  uniq AS (
+       |    SELECT n.w, len(string_split(trim(e.s), ' ')) AS toks
+       |    FROM ew0 n JOIN e$OracleChainRounds e ON n.wid = e.wid),
+       |  docw AS (
+       |    SELECT doc_id, w
+       |    FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+       |          FROM documents) t
+       |    WHERE length(w) > 0)
+       |  SELECT doc_id, count(*) AS n_words,
+       |    CAST(sum(toks) AS BIGINT) AS n_tokens
+       |  FROM docw JOIN uniq USING (w)
+       |  GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  private val qBpeEncodeTable = Q(
+    "q_bpe_encode_table",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.GraftFunctions.bpeMergeAllNative
+      val wordFreqs = table(s, dir, "documents")
+        .filter(col("doc_id") < docCapOf(s))
+        .select(explode(split(lower(col("text")), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val merges = graft.operators.BpeTrainer.train(wordFreqs, BigBudget)
+      val ls = typedLit(merges.map(_.left))
+      val rs = typedLit(merges.map(_.right))
+      table(s, dir, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .select(col("doc_id"), concat(lit(" "),
+          concat_ws(" ", split(col("w"), "")), lit(" ")).as("s"))
+        .select(col("doc_id"),
+          size(split(trim(bpeMergeAllNative(col("s"), ls, rs)), " ")).as("toks"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("toks")).cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    },
+    Some(encodeTableOracle))
+
   private val qBpeTrain = Q(
     "q_bpe_train",
     (s, dir) => {
@@ -274,5 +437,6 @@ object Bpe extends QueryGroup {
     },
     Some(oracle))
 
-  override val queries: Seq[Q] = Seq(qBpeTrain, qBpeEncode)
+  override val queries: Seq[Q] =
+    Seq(qBpeTrain, qBpeEncode, qBpeTrainBudget, qBpeEncodeTable)
 }

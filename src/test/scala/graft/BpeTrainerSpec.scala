@@ -1,0 +1,123 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.BpeTrainer
+
+/** The production-shaped BPE trainer (operators/BpeTrainer) — exactness
+  * and the round-count scale dimension (r11 verdict item 6):
+  *
+  *  - the in-memory delta-maintained loop produces EXACTLY the merges of
+  *    the gated distributed top-1 loop (same counts, same tie-breaks) on
+  *    the same corpus sample;
+  *  - the whole-table encode kernel (graft_bpe_merge_all) equals the
+  *    stacked per-merge kernel passes;
+  *  - production merge counts are tractable: a 32k-merge budget over a
+  *    synthetic 20k-word vocabulary trains in seconds on the driver
+  *    (the cost-vs-merge-count curve is recorded in SURVEY §8).
+  */
+class BpeTrainerSpec extends AnyFunSuite with SparkSessionFixture {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def wordFreqs(cap: Long): Seq[(String, Long)] =
+    graft.core.Graft.table(spark, sf, "documents")
+      .filter(col("doc_id") < cap)
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  /** The gated distributed formulation, replicated: instance-level pair
+    * counting + top-1 collect per round + kernel merge pass. */
+  private def distributedTrain(cap: Long, rounds: Int): Seq[(String, String, Long)] = {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.GraftFunctions.bpeMergeNative
+    var words = graft.core.Graft.table(spark, sf, "documents")
+      .filter(col("doc_id") < cap)
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(concat(lit(" "),
+        concat_ws(" ", split(col("w"), "")), lit(" ")).as("s"))
+    val out = Seq.newBuilder[(String, String, Long)]
+    var exhausted = false
+    for (_ <- 1 to rounds if !exhausted) {
+      val pairs = words.select(split(trim(col("s")), " ").as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("l"),
+            element_at(col("syms"), i + 1).as("r")))).as("pr"))
+        .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r")).limit(1).collect()
+      if (pairs.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (pairs(0).getString(0), pairs(0).getString(1),
+          pairs(0).getLong(2))
+        out += ((l, r, c))
+        words = words.select(bpeMergeNative(col("s"), lit(l), lit(r)).as("s"))
+      }
+    }
+    out.result()
+  }
+
+  test("in-memory trainer == distributed top-1 loop (merges, counts, order)") {
+    val mem = BpeTrainer.train(wordFreqs(100), budget = 24)
+      .map(m => (m.left, m.right, m.cnt))
+    val dist = distributedTrain(100, 24)
+    assert(mem == dist, s"in-memory/distributed divergence:\n mem=$mem\ndist=$dist")
+  }
+
+  test("trainer runs to exhaustion and stops (no pairs left)") {
+    val ms = BpeTrainer.train(Seq(("ab", 3L), ("abc", 2L)), budget = 100)
+    // "a b"(5) -> "ab"; "ab c"(2) -> "abc"; nothing left
+    assert(ms.map(m => (m.left, m.right, m.cnt)) ==
+      Seq(("a", "b", 5L), ("ab", "c", 2L)))
+  }
+
+  test("whole-table encode kernel == stacked per-merge kernel passes") {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.GraftFunctions.{bpeMergeAllNative, bpeMergeNative}
+    val merges = BpeTrainer.train(wordFreqs(100), budget = 16)
+    val base = graft.core.Graft.table(spark, sf, "documents")
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("doc_id"), concat(lit(" "),
+        concat_ws(" ", split(col("w"), "")), lit(" ")).as("s"))
+    var stacked = base
+    merges.foreach { m =>
+      stacked = stacked.select(col("doc_id"),
+        bpeMergeNative(col("s"), lit(m.left), lit(m.right)).as("s"))
+    }
+    val oneShot = base.select(col("doc_id"),
+      bpeMergeAllNative(col("s"),
+        typedLit(merges.map(_.left)), typedLit(merges.map(_.right))).as("s"))
+    val a = stacked.orderBy("doc_id", "s").collect().map(_.toString).toSeq
+    val b = oneShot.orderBy("doc_id", "s").collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
+  test("production budgets are tractable: 32k merges over a 20k-word vocab") {
+    // synthetic vocabulary: deterministic pseudo-words over a 12-letter
+    // alphabet, Zipf-ish freqs — rich enough that 32k merges don't
+    // exhaust (the sf corpus's 31-word lexicon closes at ~89)
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 20000).map { i =>
+      val len = 4 + rnd.nextInt(12)
+      val w = (0 until len).map(_ => ('a' + rnd.nextInt(12)).toChar).mkString
+      (w, 1L + 100000L / (i + 1))
+    }.distinct
+    val t0 = System.nanoTime()
+    val ms = BpeTrainer.train(vocab, budget = 32768)
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"32k-merge budget over ${vocab.size} words: ${ms.size} merges in $secs%.1f s")
+    assert(ms.size > 4096, s"vocabulary closed too early: ${ms.size}")
+    // counts are non-increasing is NOT required (delta updates can raise
+    // later pairs), but every merge must have a positive count
+    assert(ms.forall(_.cnt > 0))
+    // generous wall bound: the loop is vocabulary-bounded driver compute
+    assert(secs < 120.0, f"32k merges took $secs%.1f s — not tractable")
+  }
+}
