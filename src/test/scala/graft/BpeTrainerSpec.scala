@@ -15,7 +15,7 @@ import graft.operators.BpeTrainer
   *    stacked per-merge kernel passes;
   *  - production merge counts are tractable: a 32k-merge budget over a
   *    synthetic 20k-word vocabulary trains in seconds on the driver
-  *    (the cost-vs-merge-count curve is recorded in SURVEY §8).
+  *    (the cost-vs-merge-count curve is recorded in the SURVEY r12 narrative).
   */
 class BpeTrainerSpec extends AnyFunSuite with SparkSessionFixture {
 

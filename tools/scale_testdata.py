@@ -44,6 +44,21 @@ def scale(src: str, dst: str, factor: int) -> None:
     con = duckdb.connect()
     import os
     os.makedirs(dst, exist_ok=True)
+    # Guard (r12 postmortem): replicating an ALREADY-shifted directory
+    # collides keys — replica k of a shifted id j*SHIFT+d lands on
+    # (j+k)*SHIFT+d, merging distinct entities (an sf10 built as two
+    # stacked x10 runs had only ~19% distinct doc_ids, which silently
+    # corrupts every doc-keyed window). Always scale FROM BASE data in
+    # one application (e.g. factor 100), never stack runs.
+    for t, keys in KEYED.items():
+        hi = con.execute(
+            f"SELECT max({keys[0]}) FROM parquet_scan('{src}/{t}.parquet')"
+        ).fetchone()[0]
+        if hi is not None and hi + factor * SHIFT >= 2**62 or (hi or 0) >= SHIFT:
+            raise SystemExit(
+                f"{t}: max({keys[0]})={hi} >= SHIFT={SHIFT} — '{src}' is "
+                "already key-shifted; scale from the base sf directory "
+                "in ONE application instead of stacking runs")
     for t in FIXED:
         con.execute(
             f"COPY (SELECT * FROM parquet_scan('{src}/{t}.parquet')) "
