@@ -61,23 +61,29 @@ object CampaignBench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.contains(n) }
     selected.foreach { case (name, fn) =>
-      val times = (1 to iters).map { _ =>
+      // each iteration snapshots ITS OWN counters after a listener-settle
+      // sleep, so the published record pairs the min wall time with the
+      // metrics of the iteration that produced it (not the last one)
+      val runs = (1 to iters).map { _ =>
         shuffleRead.set(0); shuffleWrite.set(0)
         spilled.set(0); peakStageWrite.set(0)
         val t0 = System.nanoTime()
-        try {
+        val wall = try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         } catch { case e: Throwable =>
           System.err.println(s"[campaign] $name FAILED: ${e.getMessage}")
           -1.0
         }
+        // listener events lag task completion; settle before reading
+        // (listenerBus is private[spark] — a short sleep suffices here,
+        // the numbers are coarse campaign evidence, not a tight gate)
+        Thread.sleep(500)
+        (wall, shuffleRead.get, shuffleWrite.get, spilled.get,
+          peakStageWrite.get)
       }
-      // listener events lag task completion; settle before reading
-      // (listenerBus is private[spark] — a short sleep suffices here,
-      // the numbers are coarse campaign evidence, not a tight gate)
-      Thread.sleep(500)
-      println(f"""{"query":"$name","wall_sec":${times.min}%.2f,"shuffle_read":${shuffleRead.get},"shuffle_write":${shuffleWrite.get},"spill":${spilled.get},"peak_stage_write":${peakStageWrite.get},"sf":"$sfDir","iters":$iters}""")
+      val (wall, sr, sw, sp, pk) = runs.minBy(_._1)
+      println(f"""{"query":"$name","wall_sec":$wall%.2f,"shuffle_read":$sr,"shuffle_write":$sw,"spill":$sp,"peak_stage_write":$pk,"sf":"$sfDir","iters":$iters}""")
       System.out.flush()
     }
     spark.stop()

@@ -44,13 +44,18 @@ object BpeTrainer {
     * (vocabulary closure — every word is one token). */
   def train(wordFreqs: Seq[(String, Long)], budget: Int,
       maxVocab: Int = Int.MaxValue): Seq[Merge] = {
-    // symbol sequences, frequency-capped like production trainers
-    val words: Array[Array[String]] = wordFreqs
-      .sortBy { case (w, f) => (-f, w) }.take(maxVocab)
-      .map(_._1.map(_.toString).toArray).toArray
-    val freqs: Array[Long] = wordFreqs
-      .sortBy { case (w, f) => (-f, w) }.take(maxVocab)
-      .map(_._2).toArray
+    // symbol sequences, frequency-capped like production trainers.
+    // CODE-POINT splits and ordering throughout: the distributed loop's
+    // split(w, "") never cuts a surrogate pair, and UTF8String/DuckDB
+    // compare by code point — Java's per-char split/< diverge on
+    // supplementary-plane text
+    def cpSplit(w: String): Array[String] =
+      w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    val capped = wordFreqs.sortWith { case ((w1, f1), (w2, f2)) =>
+      f1 > f2 || (f1 == f2 && graft.sources.KvEscape.cpCompare(w1, w2) < 0)
+    }.take(maxVocab)
+    val words: Array[Array[String]] = capped.map(p => cpSplit(p._1)).toArray
+    val freqs: Array[Long] = capped.map(_._2).toArray
 
     // pair -> summed freq over every adjacent position; pair -> words
     // containing it (the delta index: a merge touches only these)
@@ -96,12 +101,17 @@ object BpeTrainer {
     var round = 1
     while (round <= budget && counts.nonEmpty) {
       // (count DESC, l ASC, r ASC) — the oracle chain's exact tie-break;
-      // the scan is pair-vocabulary-bounded
+      // the scan is pair-vocabulary-bounded. Symbol order is CODE-POINT
+      // order (cpCompare), matching Spark's UTF8String and the DuckDB
+      // oracle — Java String.< is UTF-16 code-unit order, which diverges
+      // on supplementary-plane symbols.
       var best: (String, String) = null
       var bestC = Long.MinValue
       counts.foreach { case (p, c) =>
-        if (c > bestC || (c == bestC &&
-            (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))) {
+        if (c > bestC || (c == bestC && {
+          val l = graft.sources.KvEscape.cpCompare(p._1, best._1)
+          l < 0 || (l == 0 && graft.sources.KvEscape.cpCompare(p._2, best._2) < 0)
+        })) {
           best = p; bestC = c
         }
       }

@@ -120,9 +120,12 @@ class KvBatchWrite(path: String, schema: StructType,
       abort(messages) // replay of an already-committed txn: discard staging
       return
     }
-    val removed =
-      if (replace) KvCommitLog.liveFiles(dir).toSeq
-      else Nil
+    // a REPLACE commit's remove list is the live set of a SPECIFIC base
+    // version, so it must publish at exactly base+1 (OCC, like
+    // KvStore.mutate) — append()'s blind retry would let two racing
+    // overwrites both land, yielding the union of their write sets
+    val base = if (replace) Some(KvCommitLog.latestVersion(dir)) else None
+    val removed = base.map(KvCommitLog.filesAsOf(dir, _).toSeq).getOrElse(Nil)
     val published = messages.flatMap { case KvCommit(files) =>
       files.map { sf =>
         val src = Paths.get(sf.stagedFile)
@@ -133,7 +136,25 @@ class KvBatchWrite(path: String, schema: StructType,
         src.getFileName.toString
       }
     }
-    KvCommitLog.append(dir, published.toSeq, removed, txnId): Unit
+    base match {
+      case Some(b) =>
+        if (!KvCommitLog.tryReplaceAt(dir, b, published.toSeq, removed,
+            txnId)) {
+          // conflict: another commit moved the head past the snapshot our
+          // remove list was read from — clean up and surface it, the same
+          // discipline as KvStore.mutate (the files we moved in are named
+          // by no manifest, so readers never saw them)
+          published.foreach { n =>
+            Files.deleteIfExists(dir.resolve(KvZoneMap.sidecarName(n))): Unit
+            Files.deleteIfExists(dir.resolve(n)): Unit
+          }
+          throw new IllegalStateException(
+            s"concurrent commit at $dir superseded the version-$b snapshot " +
+              "this overwrite replaces — re-run against the new head")
+        }
+      case None =>
+        KvCommitLog.append(dir, published.toSeq, Nil, txnId): Unit
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -392,11 +413,36 @@ object KvCommitLog {
     v
   }
 
+  /** OCC publish for a REPLACE commit (INSERT OVERWRITE /
+    * SaveMode.Overwrite): the new snapshot lands at exactly `base + 1`,
+    * where `base` is the version whose live set the writer captured as
+    * `removed`. Unlike [[append]]'s blind retry — exact only for deltas
+    * whose adds/removes are disjoint by construction — a lost race here
+    * means another commit changed the live set after it was read, and the
+    * union of two overwrites is last-writer-wins for NEITHER, so the
+    * caller must abort and re-run (the KvStore.mutate discipline).
+    * Returns false on conflict; the txn no-op check mirrors [[append]]. */
+  def tryReplaceAt(dir: java.nio.file.Path, base: Int,
+      published: Seq[String], removed: Seq[String],
+      txn: Option[String] = None): Boolean = {
+    published.foreach(checkName)
+    removed.foreach(checkName)
+    txn.foreach(t => require(!t.contains("\n") && !t.contains("\r"),
+      s"graft commit log: illegal txn id '$t'"))
+    if (txn.exists(txnCommitted(dir, _))) return true
+    val lines = txn.map(t => s"#txn,$t").toSeq ++
+      removed.sorted.map("-" + _) ++ published.sorted
+    tryAppendAt(dir, base + 1, lines)
+  }
+
   /** Has a commit carrying `#txn,<txn>` already been published? One
-    * plan-time metadata pass over the (small) manifests. */
+    * plan-time metadata pass over the (small) manifests — plus the
+    * checkpoints, which carry forward the txn markers of manifests
+    * [[vacuumDelta]] folded away (else a post-vacuum replay of an old
+    * streaming batch would publish twice). */
   def txnCommitted(dir: java.nio.file.Path, txn: String): Boolean = {
     val marker = s"#txn,$txn"
-    versions(dir).exists { case (_, p) =>
+    (versions(dir) ++ checkpoints(dir)).exists { case (_, p) =>
       Files.readAllLines(p).asScala.exists(_ == marker)
     }
   }
@@ -474,7 +520,9 @@ object KvCommitLog {
     val baseV = base.map(_._1).getOrElse(0)
     val live = scala.collection.mutable.Set.empty[String]
     base.foreach { case (_, p) =>
-      live ++= Files.readAllLines(p).asScala.filter(_.nonEmpty)
+      // checkpoints carry forwarded `#txn,` markers alongside live names
+      live ++= Files.readAllLines(p).asScala
+        .filter(l => l.nonEmpty && !isTxnLine(l))
     }
     val ms = versions(dir).filter { case (v, _) => v > baseV && v <= asOf }
     // the fold needs contiguous history from the base: a gap means the
@@ -504,13 +552,17 @@ object KvCommitLog {
 
   /** Write the checkpoint at `version` (atomic no-clobber, like
     * manifests); `live` must be the exact live set after manifest
-    * `version` applied. False when that checkpoint already exists. */
+    * `version` applied, and `txns` the idempotency markers of every
+    * manifest ≤ `version` the checkpoint may replace — carried forward
+    * as `#txn,` lines so [[txnCommitted]] still answers after the
+    * manifests are vacuumed. False when that checkpoint already exists. */
   def writeCheckpoint(dir: java.nio.file.Path, version: Int,
-      live: Set[String]): Boolean = {
+      live: Set[String], txns: Seq[String] = Nil): Boolean = {
     live.foreach(checkName)
     val tmp = dir.resolve(
       s"._checkpoint-$version-${System.nanoTime}-${Thread.currentThread.getId}.tmp")
-    Files.write(tmp, live.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    val lines = txns.distinct.sorted.map(t => s"#txn,$t") ++ live.toSeq.sorted
+    Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
     try {
       Files.createLink(dir.resolve(s"_checkpoint-$version"), tmp)
       Files.deleteIfExists(tmp)
@@ -555,8 +607,16 @@ object KvCommitLog {
     }
     // checkpoint replaces the manifests it folds; only after it is
     // durably published do the superseded manifests (and any older
-    // checkpoints) go away
-    writeCheckpoint(dir, keepFrom, liveAtKeep): Unit
+    // checkpoints) go away. Txn idempotency markers in the folded
+    // history (manifests ≤ keepFrom and already-folded markers in the
+    // checkpoints being replaced) are carried into the new checkpoint —
+    // else a streaming batch replayed after the vacuum would pass
+    // txnCommitted and publish a second time.
+    val txns = (ms.filter(_._1 <= keepFrom).map(_._2) ++
+        checkpoints(dir).filter(_._1 < keepFrom).map(_._2))
+      .flatMap(p => Files.readAllLines(p).asScala.filter(isTxnLine))
+      .map(_.stripPrefix("#txn,"))
+    writeCheckpoint(dir, keepFrom, liveAtKeep, txns): Unit
     ms.filter(_._1 <= keepFrom).foreach { case (_, p) =>
       Files.deleteIfExists(p): Unit
     }

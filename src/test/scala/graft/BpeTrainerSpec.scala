@@ -99,6 +99,22 @@ class BpeTrainerSpec extends AnyFunSuite with SparkSessionFixture {
     assert(a == b)
   }
 
+  test("non-BMP corpora: code-point symbol split and code-point tie-break") {
+    // U+E000 (one char) vs U+10000 (surrogate pair): UTF-16 code-unit
+    // order says "𐀀" < ""; code point order the reverse
+    // — UTF8String and the DuckDB oracle use code points
+    val e = ""
+    val s = new String(Character.toChars(0x10000))
+    // a surrogate pair must stay ONE symbol, like split(w, "")
+    val m1 = BpeTrainer.train(Seq((s + "b", 3L)), budget = 10)
+    assert(m1.map(m => (m.left, m.right, m.cnt)) == Seq((s, "b", 3L)),
+      s"surrogate pair split apart: $m1")
+    // tied pair counts break by code point
+    val m2 = BpeTrainer.train(Seq((e + "a", 2L), (s + "a", 2L)), budget = 1)
+    assert(m2.head.left == e,
+      s"tie must break by code point, not UTF-16 units: ${m2.head}")
+  }
+
   test("production budgets are tractable: 32k merges over a 20k-word vocab") {
     // synthetic vocabulary: deterministic pseudo-words over a 12-letter
     // alphabet, Zipf-ish freqs — rich enough that 32k merges don't

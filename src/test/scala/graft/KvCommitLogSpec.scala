@@ -120,6 +120,50 @@ class KvCommitLogSpec extends AnyFunSuite with SparkSessionFixture {
     assert(readKv(out, "k LONG").count() == 9)
   }
 
+  test("txn markers survive vacuumDelta: a post-vacuum replay is still a no-op") {
+    val out = freshDir("txnvac")
+    val dir = Paths.get(out)
+    writeKv(spark.range(0, 4).select(col("id").as("k")), out,
+      Map("txnId" -> "7"))                                      // v1 (#txn,7)
+    writeKv(spark.range(4, 8).select(col("id").as("k")), out)   // v2
+    // vacuum folds v1+v2 into a checkpoint and DELETES both manifests —
+    // the #txn,7 marker must be carried into the checkpoint
+    KvCommitLog.vacuumDelta(dir, 2)
+    assert(KvCommitLog.versions(dir).isEmpty, "manifests should be folded")
+    assert(KvCommitLog.txnCommitted(dir, "7"),
+      "txn marker lost in vacuum — a replay would publish twice")
+    val v = KvCommitLog.latestVersion(dir)
+    writeKv(spark.range(0, 4).select(col("id").as("k")), out,
+      Map("txnId" -> "7")) // the replay, after history was vacuumed
+    assert(KvCommitLog.latestVersion(dir) == v,
+      "post-vacuum replay published a new version")
+    assert(readKv(out, "k LONG").count() == 8, "post-vacuum replay duplicated")
+    // and a second vacuum carries the marker forward again (checkpoint →
+    // checkpoint), plus new manifests' markers join it
+    writeKv(spark.range(8, 9).select(col("id").as("k")), out,
+      Map("txnId" -> "8"))                                      // v3 (#txn,8)
+    KvCommitLog.vacuumDelta(dir, 3)
+    assert(KvCommitLog.txnCommitted(dir, "7") && KvCommitLog.txnCommitted(dir, "8"))
+    assert(!KvCommitLog.txnCommitted(dir, "9"))
+  }
+
+  test("racing overwrites: exactly one wins, the loser aborts (no union)") {
+    val out = freshDir("occow")
+    val dir = Paths.get(out)
+    writeKv(spark.range(0, 10).coalesce(1).select(col("id").as("k")), out) // v1
+    val base = KvCommitLog.latestVersion(dir)
+    val removedAtBase = KvCommitLog.filesAsOf(dir, base).toSeq
+    // writer A commits its overwrite first (same base snapshot)
+    assert(KvCommitLog.tryReplaceAt(dir, base, Seq("a.csv"), removedAtBase))
+    // writer B read the SAME base — its remove list is stale, must lose
+    assert(!KvCommitLog.tryReplaceAt(dir, base, Seq("b.csv"), removedAtBase),
+      "second overwrite of the same base must conflict, not union")
+    // and the full sink path surfaces the conflict: start an overwrite
+    // whose base is pre-A by committing A's manifest between liveFiles
+    // capture and publish — simulated here by direct log check
+    assert(KvCommitLog.liveFiles(dir) == Set("a.csv"))
+  }
+
   test("overwrite is a new log version; the pre-overwrite snapshot survives") {
     val out = freshDir("overwrite")
     writeKv(spark.range(0, 10).select(col("id").as("k")), out) // v1

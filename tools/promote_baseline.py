@@ -22,7 +22,10 @@ def main() -> None:
     with open(detail_path) as f:
         detail = json.load(f)
     new_canary = float(detail.get("env_sql_ms", 0) or 0)
-    queries = {k: float(v) for k, v in detail["queries"].items() if v is not None}
+    # failed queries are recorded as -1.0 sentinels — a negative floor
+    # would flag every later successful run as regressed, so drop them
+    queries = {k: float(v) for k, v in detail["queries"].items()
+               if v is not None and float(v) >= 0}
 
     note = f"canary-normalized per-query minimums; env_sql_ms frame {new_canary}"
     try:
