@@ -184,7 +184,92 @@ object SqlStore extends QueryGroup {
     Some("""SELECT s_nationkey AS k, count(*) AS n_supp
             FROM supplier GROUP BY 1 ORDER BY k"""))
 
+  /** SQL `UPDATE ... SET ... WHERE` (r13) — Spark's GROUP-BASED row-level
+    * operation API over the store (sources/KvRowLevel): the group scan
+    * zone-map-targets the rewrite set (only files whose sidecar bounds
+    * intersect the WHERE are rewritten — KvCatalogSpec pins the pruning),
+    * arbitrary SET expressions recompute the kept rows, and ONE manifest
+    * CASed at base+1 publishes removes+adds; the pre-update snapshot
+    * stays readable by VERSION AS OF. */
+  private val qSqlStoreUpdate = Q(
+    "q_sql_store_update",
+    (s, dir) => {
+      cat(s)
+      fresh(s, "t_up")
+      s.sql("CREATE TABLE graftkv.cat.t_up (k BIGINT, cust BIGINT, prio STRING)")
+      table(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""INSERT INTO graftkv.cat.t_up
+               SELECT o_orderkey, o_custkey, o_orderpriority FROM orders_v""")
+      s.sql("""UPDATE graftkv.cat.t_up
+               SET cust = cust + 1000000, prio = concat(prio, '#U')
+               WHERE k >= 1000 AND k < 3000""")
+      s.sql("""SELECT snap, prio, count(*) AS n, min(k) AS k_min,
+                 max(k) AS k_max, sum(cust) AS cust_sum
+               FROM (
+                 SELECT CAST(1 AS BIGINT) AS snap, *
+                 FROM graftkv.cat.t_up VERSION AS OF 1
+                 UNION ALL
+                 SELECT CAST(2 AS BIGINT) AS snap, * FROM graftkv.cat.t_up)
+               GROUP BY 1, 2 ORDER BY snap, prio""")
+    },
+    Some("""WITH snaps AS (
+              SELECT 1 AS snap, o_orderkey, o_custkey, o_orderpriority
+              FROM orders
+              UNION ALL
+              SELECT 2,
+                o_orderkey,
+                CASE WHEN o_orderkey >= 1000 AND o_orderkey < 3000
+                     THEN o_custkey + 1000000 ELSE o_custkey END,
+                CASE WHEN o_orderkey >= 1000 AND o_orderkey < 3000
+                     THEN o_orderpriority || '#U' ELSE o_orderpriority END
+              FROM orders)
+            SELECT CAST(snap AS BIGINT) AS snap, o_orderpriority AS prio,
+              count(*) AS n, min(o_orderkey) AS k_min,
+              max(o_orderkey) AS k_max,
+              CAST(sum(o_custkey) AS BIGINT) AS cust_sum
+            FROM snaps GROUP BY 1, 2 ORDER BY snap, prio"""))
+
+  /** SQL `MERGE INTO` (r13) — the CDC verb, full multi-action generality
+    * through the same group-based CoW path. The ON condition references
+    * the source, so static pruning cannot target; Spark's runtime group
+    * filtering runs the match as a dynamic `_file` subquery over a
+    * REGULAR pruned scan and only the matched files are rewritten
+    * (KvCatalogSpec pins that), while NOT MATCHED rows append. */
+  private val qSqlStoreMerge = Q(
+    "q_sql_store_merge",
+    (s, dir) => {
+      cat(s)
+      fresh(s, "t_mrg")
+      s.sql("CREATE TABLE graftkv.cat.t_mrg (k BIGINT, cust BIGINT)")
+      table(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""INSERT INTO graftkv.cat.t_mrg
+               SELECT o_orderkey, o_custkey FROM orders_v""")
+      // the change batch: orderkey+1 collides with existing keys only
+      // where the keyspace is locally dense — matched rows update,
+      // unmatched insert (exactly the CDC upsert shape)
+      s.sql("""MERGE INTO graftkv.cat.t_mrg t
+               USING (SELECT o_orderkey + 1 AS k, o_custkey * 10 AS nc
+                      FROM orders_v WHERE o_orderkey < 2000) c
+               ON t.k = c.k
+               WHEN MATCHED THEN UPDATE SET cust = c.nc
+               WHEN NOT MATCHED THEN INSERT (k, cust) VALUES (c.k, c.nc)""")
+      s.sql("""SELECT k % 10 AS bucket, count(*) AS n, min(k) AS k_min,
+                 max(k) AS k_max, sum(cust) AS cust_sum
+               FROM graftkv.cat.t_mrg GROUP BY 1 ORDER BY bucket""")
+    },
+    Some("""WITH changes AS (
+              SELECT o_orderkey + 1 AS k, o_custkey * 10 AS nc
+              FROM orders WHERE o_orderkey < 2000),
+            merged AS (
+              SELECT coalesce(t.o_orderkey, c.k) AS k,
+                     coalesce(c.nc, t.o_custkey) AS cust
+              FROM orders t FULL OUTER JOIN changes c ON t.o_orderkey = c.k)
+            SELECT k % 10 AS bucket, count(*) AS n, min(k) AS k_min,
+              max(k) AS k_max, CAST(sum(cust) AS BIGINT) AS cust_sum
+            FROM merged GROUP BY 1 ORDER BY bucket"""))
+
   override val queries: Seq[Q] =
     Seq(qSqlStoreCatalog, qSqlStoreTimetravel, qSqlStoreDelete,
-      qSqlStoreOverwrite, qSqlStorePartitioned, qSqlStoreCtas)
+      qSqlStoreOverwrite, qSqlStorePartitioned, qSqlStoreCtas,
+      qSqlStoreUpdate, qSqlStoreMerge)
 }

@@ -234,7 +234,26 @@ class KvCatalog extends TableCatalog with SupportsNamespaces {
   * a second engine. `asOf` (VERSION AS OF) tables are read-only. */
 class KvCatalogTable(ident: String, dir: String, tblSchema: StructType,
     partCol: Option[String], asOf: Option[Int])
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsMetadataColumns with SupportsRowLevelOperations {
+
+  /** `_file` (which committed file a row lives in) — the group identity
+    * for SQL row-level ops, and a user-visible input_file_name analog. */
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(KvRowLevel.fileMetadataColumn)
+
+  /** SQL UPDATE / MERGE INTO / (non-metadata) DELETE: group-based
+    * copy-on-write through the commit log — see [[KvRowLevelOperation]].
+    * Pushable DELETEs keep short-circuiting to [[KvStore.deleteWhere]]
+    * via [[SupportsDelete]] (Spark's OptimizeMetadataOnlyDeleteFromTable
+    * picks that path whenever [[canDeleteWhere]] accepts). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(asOf.isEmpty,
+      s"graft kv catalog: cannot mutate time-travel snapshot $ident")
+    () => new KvRowLevelOperation(dir, tblSchema, partCol, info.command())
+  }
 
   override def name(): String = ident
   override def schema(): StructType = tblSchema

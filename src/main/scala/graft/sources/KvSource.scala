@@ -820,12 +820,18 @@ class KvReaderFactory(
       case _ => ()
     }
     // same parse/filter/project pipeline over either line stream: a
-    // local committed file or a daemon-served network fetch
+    // local committed file or a daemon-served network fetch. `fileOf`
+    // names the entry the CURRENT line came from — the `_file` metadata
+    // column (row-level CoW group identity; also exposed to users like
+    // input_file_name); for net splits the daemon field is the analog.
+    var currentFile: String = null
     val (lineSrc, closer): (Iterator[String], () => Unit) = partition match {
       case KvFilePartition(file) =>
+        currentFile = new File(file).getName
         val src = scala.io.Source.fromFile(file, "UTF-8")
         (src.getLines(), () => src.close())
       case KvNetPartition(endpoint, field) =>
+        currentFile = field
         val fl = new KvDaemon.FieldLines(endpoint, field)
         (fl, () => fl.close())
       case KvGroupPartition(_, _, files) =>
@@ -835,6 +841,7 @@ class KvReaderFactory(
         val it = files.iterator.flatMap { fp =>
           val src = scala.io.Source.fromFile(fp, "UTF-8")
           open = src
+          currentFile = new File(fp).getName
           new Iterator[String] {
             private val lines = src.getLines()
             override def hasNext: Boolean = {
@@ -849,7 +856,9 @@ class KvReaderFactory(
     }
     val idx = dataSchema.fieldNames.zipWithIndex.toMap
     val types = dataSchema.fields.map(_.dataType)
-    val outIdx = requiredFields.map(idx)
+    // -1 marks the _file metadata column (not a parsed field)
+    val outIdx = requiredFields.map(f =>
+      if (f == KvRowLevel.FileCol) -1 else idx(f))
 
     new PartitionReader[InternalRow] {
       private val lines = lineSrc
@@ -872,7 +881,8 @@ class KvReaderFactory(
 
       override def get(): InternalRow =
         InternalRow.fromSeq(outIdx.toSeq.map { i =>
-          current(i) match {
+          if (i < 0) UTF8String.fromString(currentFile)
+          else current(i) match {
             case s: String => UTF8String.fromString(s)
             case v => v
           }

@@ -103,17 +103,120 @@ class KvCatalogSpec extends AnyFunSuite with SparkSessionFixture {
       spark.sql("INSERT INTO kcs.ns.ro VERSION AS OF 1 VALUES (3, 'c')")
     }
     assert(e1 != null)
-    // an untranslatable DELETE condition (expression over a column) must
-    // fail at analysis, not delete the wrong rows
-    val e2 = intercept[Exception] {
-      spark.sql("DELETE FROM kcs.ns.ro WHERE k % 2 = 0")
-    }
-    assert(e2.getMessage.toLowerCase.contains("delete"),
-      s"unexpected error: ${e2.getMessage}")
-    assert(spark.sql("SELECT count(*) FROM kcs.ns.ro").collect()(0).getLong(0) == 2)
-    // ...while a translatable one works
+    // an untranslatable DELETE condition (expression over a column) falls
+    // through SupportsDelete to the GROUP-BASED row-level path (r13) —
+    // previously an analysis error, now a copy-on-write rewrite
+    spark.sql("DELETE FROM kcs.ns.ro WHERE k % 2 = 0")
+    assert(spark.sql("SELECT k FROM kcs.ns.ro").collect().map(_.getLong(0))
+      .toSeq == Seq(1L))
+    // ...and a translatable one short-circuits through SupportsDelete
     spark.sql("DELETE FROM kcs.ns.ro WHERE s = 'a'")
-    assert(spark.sql("SELECT count(*) FROM kcs.ns.ro").collect()(0).getLong(0) == 1)
+    assert(spark.sql("SELECT count(*) FROM kcs.ns.ro").collect()(0).getLong(0) == 0)
+  }
+
+  test("SQL UPDATE: zone-map-targeted CoW rewrite, time travel preserved") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS kcs.ns.up")
+    spark.sql("CREATE TABLE kcs.ns.up (k BIGINT, v BIGINT)")
+    spark.range(0, 1000).select(col("id").as("k"), (col("id") * 3).as("v"))
+      .createOrReplaceTempView("up_src")
+    spark.sql("INSERT INTO kcs.ns.up SELECT /*+ REPARTITION_BY_RANGE(8, k) */ * FROM up_src")
+    val dir = tableDir("up")
+    val preVersion = graft.sources.KvCommitLog.latestVersion(
+      java.nio.file.Paths.get(dir))
+    val preFiles = graft.sources.KvCommitLog.liveFiles(
+      java.nio.file.Paths.get(dir))
+
+    spark.sql("UPDATE kcs.ns.up SET v = v + 1000000 WHERE k >= 10 AND k < 50")
+    // capture the CoW group scan's pruning BEFORE any later scan of the
+    // same dir overwrites the per-path counters
+    val (listed, planned) = KvPruneStats.last(dir).get
+
+    // semantics: exactly the WHERE range updated, everything else intact
+    val got = spark.sql("SELECT k, v FROM kcs.ns.up").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got == (0L until 1000L).map(k =>
+      (k, if (k >= 10 && k < 50) k * 3 + 1000000 else k * 3)))
+    // plan shape: the group scan zone-map-targeted the rewrite — only the
+    // range-covering file(s) were scanned/rewritten, not all 8
+    assert(listed == 8 && planned < listed,
+      s"UPDATE rewrite not zone-map-targeted: listed=$listed planned=$planned")
+    // one new version; untouched files still live under their old names
+    val post = graft.sources.KvCommitLog.liveFiles(java.nio.file.Paths.get(dir))
+    assert(graft.sources.KvCommitLog.latestVersion(
+      java.nio.file.Paths.get(dir)) == preVersion + 1)
+    assert((preFiles intersect post).size == 8 - planned,
+      "untouched files must keep their committed identity")
+    // time travel below the mutation still answers the old rows
+    val old = spark.sql(
+      s"SELECT v FROM kcs.ns.up VERSION AS OF $preVersion WHERE k = 20")
+      .collect()(0).getLong(0)
+    assert(old == 60L, s"pre-update snapshot lost: $old")
+  }
+
+  test("SQL MERGE INTO: runtime group filtering rewrites matched files only") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS kcs.ns.mg")
+    spark.sql("CREATE TABLE kcs.ns.mg (k BIGINT, v BIGINT)")
+    spark.range(0, 1000).select(col("id").as("k"), (col("id") * 3).as("v"))
+      .createOrReplaceTempView("mg_src")
+    spark.sql("INSERT INTO kcs.ns.mg SELECT /*+ REPARTITION_BY_RANGE(8, k) */ * FROM mg_src")
+    val dir = tableDir("mg")
+    // a CDC-sized change batch: 3 updates in one value range, 2 inserts
+    import spark.implicits._
+    Seq((20L, -1L), (21L, -2L), (22L, -3L), (5000L, 50L), (5001L, 51L))
+      .toDF("k", "v").createOrReplaceTempView("mg_changes")
+
+    spark.sql("""
+      MERGE INTO kcs.ns.mg t USING mg_changes s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+    """)
+    // capture the CoW group scan's pruning before later scans overwrite it
+    val (listed, planned) = KvPruneStats.last(dir).get
+
+    val got = spark.sql("SELECT k, v FROM kcs.ns.mg").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val expect = (0L until 1000L).map {
+      case 20L => (20L, -1L); case 21L => (21L, -2L); case 22L => (22L, -3L)
+      case k => (k, k * 3)
+    } ++ Seq((5000L, 50L), (5001L, 51L))
+    assert(got == expect, s"merge semantics broken (got ${got.size} rows)")
+    // the ON condition references the source, so only RUNTIME group
+    // filtering can target — the dynamic _file subquery must have pruned
+    assert(listed == 8 && planned < listed,
+      s"MERGE rewrite not runtime-group-targeted: listed=$listed planned=$planned")
+  }
+
+  test("row-level OCC: a concurrent commit aborts the derived rewrite") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS kcs.ns.occ")
+    spark.sql("CREATE TABLE kcs.ns.occ (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO kcs.ns.occ VALUES (1, 10), (2, 20)")
+    val dir = java.nio.file.Paths.get(tableDir("occ"))
+    import org.apache.spark.sql.connector.write.RowLevelOperation
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val tblSchema = org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, v BIGINT")
+    val op = new graft.sources.KvRowLevelOperation(
+      tableDir("occ"), tblSchema, None, RowLevelOperation.Command.UPDATE)
+    // the operation scan plans its group set from the pinned base...
+    val scan = op.newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+    assert(scan.toBatch.planInputPartitions().nonEmpty)
+    // ...then a concurrent writer commits before this op's write lands
+    graft.sources.KvCommitLog.append(dir, Nil, Nil)
+    val write = op.newWriteBuilder(new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+      override def queryId(): String = "occ-test"
+      override def schema(): org.apache.spark.sql.types.StructType = tblSchema
+      override def options(): CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty()
+    }).build().toBatch
+    val e = intercept[IllegalStateException] {
+      write.commit(Array.empty)
+    }
+    assert(e.getMessage.contains("concurrent commit"),
+      s"expected OCC conflict, got: ${e.getMessage}")
+    // the table is unharmed: both rows still there, no partial mutation
+    assert(spark.sql("SELECT count(*) FROM kcs.ns.occ").collect()(0)
+      .getLong(0) == 2)
   }
 
   test("catalog DDL surface: list/rename/drop, schema enforcement") {
