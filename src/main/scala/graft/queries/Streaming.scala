@@ -1227,6 +1227,58 @@ object Streaming extends QueryGroup {
                ${moneySumSql("value")} AS value_sum
              FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** STREAMING FROM THE STORE (r13) — the commit log as a streaming
+    * source (sources/KvMicroBatchStream): a store-to-store pipeline where
+    * commit-log versions are offsets on BOTH ends. Store A takes three
+    * ranged document drops (one before the stream starts — consumed as
+    * the snapshot batch — two while it runs, each one delta batch); the
+    * stream transforms and txn-commits every batch into store B, so
+    * at-least-once replay collapses to exactly-once downstream. The
+    * converged content of B equals the batch transform of A — the
+    * KvStreamSourceSpec restart/change-commit contracts hold behind it. */
+  private val qStreamStoreSource = Q(
+    "q_stream_store_source",
+    (s, dir) => {
+      val tmp = sys.props("java.io.tmpdir")
+      val root = new java.io.File(s"$tmp/graft-stream-store-source")
+      if (root.exists()) rmTree(root)
+      java.nio.file.Files.createDirectories(root.toPath)
+      val storeA = s"$root/a"
+      val storeB = s"$root/b"
+      val ckpt = s"$root/ckpt"
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          length(col("text")).cast("long").as("len"))
+      def drop(b: Int): Unit =
+        docs.filter(pmod(col("doc_id"), lit(3)) === b)
+          .write.format("graft.sources.KvSinkProvider")
+          .option("path", storeA).mode("append").save()
+      drop(0) // committed before the stream starts: the snapshot batch
+      val q = s.readStream.format("graft.sources.KvSourceProvider")
+        .option("path", storeA)
+        .option("schema", "doc_id LONG, lang STRING, len LONG").load()
+        .select(col("doc_id"), col("lang"), (col("len") * 2).as("len2"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          b.write.format("graft.sources.KvSinkProvider")
+            .option("path", storeB).option("txnId", s"b$id")
+            .mode("append").save()
+        }
+        .start()
+      try {
+        q.processAllAvailable()
+        drop(1); q.processAllAvailable() // one commit-log delta batch
+        drop(2); q.processAllAvailable() // and another
+      } finally q.stop()
+      s.read.format("graft.sources.KvSourceProvider")
+        .option("path", storeB)
+        .option("schema", "doc_id LONG, lang STRING, len2 LONG").load()
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, lang, length(text) * 2 AS len2
+            FROM documents ORDER BY doc_id"""))
+
   override val queries: Seq[Q] = Seq(
     qStreamTumbling, qStreamSliding, qStreamSession, qStreamStateful,
     qStreamTws,
@@ -1236,5 +1288,5 @@ object Streaming extends QueryGroup {
     qStreamIngest, qStreamIngestNeardup, qStreamIngestNeardupPhash,
     qStreamAnnProbe, qStreamClassify, qStreamBm25Serve,
     qStreamTextIndexIngest, qStreamClassifyTrain, qStreamAnnIngest,
-    qStreamDedup)
+    qStreamDedup, qStreamStoreSource)
 }

@@ -266,11 +266,14 @@ class KvCatalogTable(ident: String, dir: String, tblSchema: StructType,
   override def capabilities(): util.Set[TableCapability] =
     if (asOf.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
     else util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new KvScanBuilder(dir, tblSchema, "", recursive = false, asOf, partCol)
+    new KvScanBuilder(dir, tblSchema, "", recursive = false, asOf, partCol,
+      // readStream.option("skipChangeCommits", true).table("graftkv.ns.t")
+      Option(options.get("skipChangeCommits")).exists(_.toBoolean))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOf.isEmpty,

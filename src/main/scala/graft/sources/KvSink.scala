@@ -496,6 +496,39 @@ object KvCommitLog {
     }
   }
 
+  /** The files ADDED by manifests in `(after, until]` — the streaming
+    * source's DELTA read ([[graft.sources.KvMicroBatchStream]]): each
+    * committed version is an offset, its add lines are the micro-batch.
+    * Remove-carrying commits (overwrite / row-level delete / merge /
+    * compaction) are not append batches: they THROW by default — a
+    * changed row silently re-emitted or skipped is corrupted streaming
+    * semantics — or are skipped whole with `skipChangeCommits` (the
+    * Delta `skipChangeCommits` contract). A manifest missing inside the
+    * range means vacuum reclaimed history the stream still needs. */
+  def addsBetween(dir: java.nio.file.Path, after: Int, until: Int,
+      skipChangeCommits: Boolean = false): Seq[String] = {
+    if (until <= after) return Nil
+    val byV = versions(dir).toMap
+    ((after + 1) to until).flatMap { v =>
+      byV.get(v) match {
+        case None => throw new IllegalStateException(
+          s"graft commit log: manifest $v at $dir was vacuumed — a " +
+            "streaming read cannot replay it; keep vacuum above the " +
+            "stream's replayable horizon")
+        case Some(p) =>
+          val lines = linesOf(p)
+          if (lines.exists(isRemoveLine)) {
+            if (skipChangeCommits) Nil
+            else throw new IllegalStateException(
+              s"graft commit log: version $v at $dir is not append-only " +
+                "(overwrite/delete/merge/compaction); streaming reads " +
+                "consume appends — set skipChangeCommits=true to skip " +
+                "change commits")
+          } else lines.filterNot(isTxnLine)
+      }
+    }
+  }
+
   /** OCC commit for the artifact stores' SNAPSHOT manifests: the member
     * was fully staged under `stagedName` (a dot-hidden name no reader or
     * vacuum can see); this claims a committed member name with an atomic

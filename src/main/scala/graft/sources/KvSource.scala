@@ -83,12 +83,16 @@ class KvSourceProvider extends TableProvider {
       Option(properties.get("asOfCommit")).map(_.toInt),
       // value-partitioned layout (sink option partitionColumn): report
       // key-grouped output partitioning for storage-partitioned joins
-      Option(properties.get("partitionedBy")))
+      Option(properties.get("partitionedBy")),
+      // streaming read: skip commits that carry remove lines instead of
+      // failing on them (the Delta skipChangeCommits contract)
+      Option(properties.get("skipChangeCommits")).exists(_.toBoolean))
 }
 
 class KvReadTable(
     path: String, dataSchema: StructType, pattern: String, recursive: Boolean,
-    asOfCommit: Option[Int] = None, partitionedBy: Option[String] = None)
+    asOfCommit: Option[Int] = None, partitionedBy: Option[String] = None,
+    skipChangeCommits: Boolean = false)
     extends Table with SupportsRead {
   require(path != null && path.nonEmpty,
     "graft kv source requires option 'path' (or 'endpoint' for mode=net)")
@@ -103,15 +107,21 @@ class KvReadTable(
   override def name(): String = s"graft_kv_source($path)"
   override def schema(): StructType = dataSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    // a flat committed LOCAL store is also a streaming source: each
+    // commit-log version is an offset (KvMicroBatchStream)
+    if (path.startsWith("net://") || recursive || asOfCommit.isDefined)
+      util.EnumSet.of(TableCapability.BATCH_READ)
+    else util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KvScanBuilder(path, dataSchema, pattern, recursive, asOfCommit,
-      partitionedBy)
+      partitionedBy, skipChangeCommits)
 }
 
 class KvScanBuilder(
     path: String, dataSchema: StructType, pattern: String, recursive: Boolean,
-    asOfCommit: Option[Int] = None, partitionedBy: Option[String] = None)
+    asOfCommit: Option[Int] = None, partitionedBy: Option[String] = None,
+    skipChangeCommits: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
@@ -209,7 +219,8 @@ class KvScanBuilder(
       asOfCommit, agg,
       // key-grouped partitioning is only reportable while the partition
       // column survives pruning and no aggregate collapsed the scan
-      partitionedBy.filter(c => agg.isEmpty && required.fieldNames.contains(c)))
+      partitionedBy.filter(c => agg.isEmpty && required.fieldNames.contains(c)),
+      skipChangeCommits)
 }
 
 /** Aggregates the kv source answers from sidecar stats. */
@@ -362,9 +373,23 @@ class KvScan(
     recursive: Boolean = false,
     asOfCommit: Option[Int] = None,
     agg: Option[KvAggPush] = None,
-    partitionedBy: Option[String] = None)
+    partitionedBy: Option[String] = None,
+    skipChangeCommits: Boolean = false)
     extends Scan with Batch with SupportsRuntimeV2Filtering
     with SupportsReportPartitioning with SupportsReportStatistics {
+
+  /** STREAMING source over the commit log: every committed version is an
+    * offset; see [[KvMicroBatchStream]]. Flat local stores only (the
+    * same restriction as asOfCommit — offsets are log versions). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(!path.startsWith("net://") && !recursive && asOfCommit.isEmpty &&
+      agg.isEmpty,
+      "graft kv source: streaming reads apply to flat local committed " +
+        "stores (no net mode, recursion, asOfCommit, or pushed aggregates)")
+    new KvMicroBatchStream(path, dataSchema, pattern, required, pushed,
+      skipChangeCommits)
+  }
 
   /** Plan-time statistics from commit metadata: exact row count folded
     * from the zone-map sidecars, bytes from the file listing — no data
@@ -650,6 +675,86 @@ class KvScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new KvReaderFactory(dataSchema, required.fieldNames, pushed)
+}
+
+/** The commit-log version as a streaming offset. */
+case class KvVersionOffset(version: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = version.toString
+}
+
+/** STREAMING source FROM the store (r13) — the commit log was already a
+  * versioned change log (every append is one manifest, txn-marked and
+  * checkpointed); this exposes it as a Structured Streaming source so
+  * store-to-store pipelines compose: `readStream` over store A →
+  * transform → txn-committed `foreachBatch` into store B is an
+  * exactly-once chain with offsets on BOTH ends.
+  *
+  *  - **offset = committed version.** `latestOffset` is one metadata
+  *    read; batch `(start, end]` reads exactly the files ADDED by those
+  *    manifests ([[KvCommitLog.addsBetween]]) — delta planning, no
+  *    directory walk, no re-read of old data.
+  *  - **the FIRST batch is a snapshot**, `filesAsOf(end)` — so a stream
+  *    started on an existing store begins from its full current content
+  *    (vacuumed history folds through checkpoints, remove lines apply)
+  *    and the converged result equals a batch read.
+  *  - **non-append commits** (overwrite / row-level delete / merge /
+  *    compaction carry remove lines) fail the stream by default; with
+  *    `skipChangeCommits=true` they are skipped whole — the Delta
+  *    change-feed contract, never a silent wrong answer.
+  *  - **replay is exact**: offsets live in the stream's own checkpoint;
+  *    a restart replans `(lastCommitted, …]` from the same immutable
+  *    manifests ([[KvMetaCache]] makes that a memory hit).
+  *
+  * Scale note (100 TB): per-trigger planning cost is the NEW manifests
+  * only — metadata-sized and independent of store size; the snapshot
+  * batch parallelizes one task per committed file like every store scan.
+  * Reference anchor: the reference's socket store streams whole fields
+  * on demand (/root/reference/src/Core/Store.hs:99-119); versioned
+  * append consumption is that stance under Spark's streaming contract. */
+class KvMicroBatchStream(path: String, dataSchema: StructType,
+    pattern: String, required: StructType, pushed: Array[Filter],
+    skipChangeCommits: Boolean)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private val dir = java.nio.file.Paths.get(path)
+
+  override def initialOffset(): Offset = KvVersionOffset(0)
+  override def latestOffset(): Offset =
+    KvVersionOffset(KvCommitLog.latestVersion(dir))
+  override def deserializeOffset(json: String): Offset =
+    KvVersionOffset(json.trim.toInt)
+  override def commit(end: Offset): Unit = () // retention is vacuum policy
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[KvVersionOffset].version
+    val e = end.asInstanceOf[KvVersionOffset].version
+    val names =
+      if (s == 0) KvCommitLog.filesAsOf(dir, e).toSeq // initial snapshot
+      else KvCommitLog.addsBetween(dir, s, e, skipChangeCommits)
+    names.sorted
+      .filter(_.endsWith(pattern))
+      .map(n => new File(path, n))
+      .filter(_.isFile)
+      // zone-map file skipping works per delta batch too
+      .filter { f =>
+        KvZoneMap.read(f) match {
+          case Some(st) => KvZonePrune.keeps(st, pushed.toSeq, Map.empty)
+          case None => true
+        }
+      }
+      .map(f => KvFilePartition(f.getAbsolutePath): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KvReaderFactory(dataSchema, required.fieldNames, pushed)
+
+  override def toString: String =
+    s"graft_kv_stream($path" +
+      (if (skipChangeCommits) " skipChangeCommits" else "") + ")"
 }
 
 /** Row-level evaluation of pushed predicates against a parsed store row —
