@@ -268,8 +268,52 @@ object SqlStore extends QueryGroup {
               max(k) AS k_max, CAST(sum(cust) AS BIGINT) AS cust_sum
             FROM merged GROUP BY 1 ORDER BY bucket"""))
 
+  /** `ALTER TABLE ADD COLUMN` (r13) — schema EVOLUTION through the
+    * catalog: the _meta file records schema eras keyed by commit version,
+    * committed files stay byte-identical (rows are positional, readers
+    * null-fill columns past a row's width), count/sum over the new column
+    * stay stats-answered via the sidecars' null tracking, and VERSION AS
+    * OF below the ALTER presents (and reads) the old schema. */
+  private val qSqlStoreEvolution = Q(
+    "q_sql_store_evolution",
+    (s, dir) => {
+      cat(s)
+      fresh(s, "t_evo")
+      s.sql("CREATE TABLE graftkv.cat.t_evo (k BIGINT, prio STRING)")
+      table(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""INSERT INTO graftkv.cat.t_evo
+               SELECT o_orderkey, o_orderpriority FROM orders_v
+               WHERE o_orderkey < 3000""")
+      s.sql("ALTER TABLE graftkv.cat.t_evo ADD COLUMN cust BIGINT")
+      s.sql("""INSERT INTO graftkv.cat.t_evo
+               SELECT o_orderkey, o_orderpriority, o_custkey FROM orders_v
+               WHERE o_orderkey >= 3000""")
+      s.sql("""SELECT snap, prio, count(*) AS n, count(cust) AS n_cust,
+                 sum(cust) AS cust_sum, min(k) AS k_min, max(k) AS k_max
+               FROM (
+                 SELECT CAST(1 AS BIGINT) AS snap, k, prio,
+                   CAST(NULL AS BIGINT) AS cust
+                 FROM graftkv.cat.t_evo VERSION AS OF 1
+                 UNION ALL
+                 SELECT CAST(2 AS BIGINT) AS snap, k, prio, cust
+                 FROM graftkv.cat.t_evo)
+               GROUP BY 1, 2 ORDER BY snap, prio""")
+    },
+    Some("""WITH snaps AS (
+              SELECT 1 AS snap, o_orderkey AS k, o_orderpriority AS prio,
+                CAST(NULL AS BIGINT) AS cust
+              FROM orders WHERE o_orderkey < 3000
+              UNION ALL
+              SELECT 2, o_orderkey, o_orderpriority,
+                CASE WHEN o_orderkey >= 3000 THEN o_custkey END
+              FROM orders)
+            SELECT CAST(snap AS BIGINT) AS snap, prio, count(*) AS n,
+              count(cust) AS n_cust, CAST(sum(cust) AS BIGINT) AS cust_sum,
+              min(k) AS k_min, max(k) AS k_max
+            FROM snaps GROUP BY 1, 2 ORDER BY snap, prio"""))
+
   override val queries: Seq[Q] =
     Seq(qSqlStoreCatalog, qSqlStoreTimetravel, qSqlStoreDelete,
       qSqlStoreOverwrite, qSqlStorePartitioned, qSqlStoreCtas,
-      qSqlStoreUpdate, qSqlStoreMerge)
+      qSqlStoreUpdate, qSqlStoreMerge, qSqlStoreEvolution)
 }

@@ -72,27 +72,54 @@ class KvCatalog extends TableCatalog with SupportsNamespaces {
   private def metaOf(dir: File) = new File(dir, "_meta")
 
   // ---- table metadata (the hidden _meta file) ------------------------
+  //
+  // Lines: `schema,<ddl>` (the CREATE-time schema — era starting at
+  // commit version 0), `partitionColumn,<c>`, and one `era,<start>,<ddl>`
+  // per ALTER TABLE ADD COLUMN (r13): the schema for snapshots with
+  // version >= start. Data rows are POSITIONAL, and evolution only
+  // appends columns at the end — so readers null-fill columns past a
+  // row's width and never need per-file schema tracking; the era list
+  // exists so VERSION AS OF presents the schema of its day.
 
-  private def writeMeta(dir: File, schema: StructType,
+  private def writeMeta(dir: File, eras: Seq[(Int, StructType)],
       partCol: Option[String]): Unit = {
-    val lines = Seq(s"schema,${KvEscape.escape(schema.toDDL)}") ++
-      partCol.map(c => s"partitionColumn,${KvEscape.escape(c)}")
+    val lines = Seq(s"schema,${KvEscape.escape(eras.head._2.toDDL)}") ++
+      partCol.map(c => s"partitionColumn,${KvEscape.escape(c)}") ++
+      eras.tail.map { case (v, sch) =>
+        s"era,$v,${KvEscape.escape(sch.toDDL)}"
+      }
     Files.write(metaOf(dir).toPath,
       lines.mkString("", "\n", "\n").getBytes("UTF-8")): Unit
   }
 
-  private def readMeta(dir: File): Option[(StructType, Option[String])] = {
+  /** Schema eras ascending by start version (head = the CREATE era at 0)
+    * plus the partition column. */
+  private def readMeta(dir: File): Option[(Seq[(Int, StructType)], Option[String])] = {
     val m = metaOf(dir)
     if (!m.isFile) None
     else {
-      val kv = Files.readAllLines(m.toPath).asScala.filter(_.nonEmpty)
-        .map { l =>
-          val Array(k, v) = l.split(",", 2)
-          k -> KvEscape.unescape(v)
-        }.toMap
-      Some((StructType.fromDDL(kv("schema")), kv.get("partitionColumn")))
+      val lines = Files.readAllLines(m.toPath).asScala.filter(_.nonEmpty)
+      var base: StructType = null
+      var partCol: Option[String] = None
+      val eras = Seq.newBuilder[(Int, StructType)]
+      lines.foreach { l =>
+        val Array(k, v) = l.split(",", 2)
+        k match {
+          case "schema" => base = StructType.fromDDL(KvEscape.unescape(v))
+          case "partitionColumn" => partCol = Some(KvEscape.unescape(v))
+          case "era" =>
+            val Array(start, ddl) = v.split(",", 2)
+            eras += ((start.toInt, StructType.fromDDL(KvEscape.unescape(ddl))))
+          case _ => ()
+        }
+      }
+      Some(((0, base) +: eras.result().sortBy(_._1), partCol))
     }
   }
+
+  /** The schema a snapshot at `version` reads with (newest era <= it). */
+  private def eraAt(eras: Seq[(Int, StructType)], version: Int): StructType =
+    eras.takeWhile(_._1 <= version).last._2
 
   // ---- TableCatalog ---------------------------------------------------
 
@@ -110,9 +137,9 @@ class KvCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadTable(ident: Identifier): Table =
     readMeta(dirFor(ident)) match {
-      case Some((schema, partCol)) =>
+      case Some((eras, partCol)) =>
         new KvCatalogTable(ident.toString, dirFor(ident).getAbsolutePath,
-          schema, partCol, None)
+          eras.last._2, partCol, None)
       case None => throw new NoSuchTableException(ident)
     }
 
@@ -120,13 +147,15 @@ class KvCatalog extends TableCatalog with SupportsNamespaces {
     * `asOfCommit` snapshot planning (the same manifests, zero copies). */
   override def loadTable(ident: Identifier, version: String): Table =
     readMeta(dirFor(ident)) match {
-      case Some((schema, partCol)) =>
+      case Some((eras, partCol)) =>
         val v = try version.toInt catch {
           case _: NumberFormatException => throw new IllegalArgumentException(
             s"graft kv catalog: VERSION AS OF takes a commit number, got '$version'")
         }
+        // time travel presents the SCHEMA of its day too: a snapshot
+        // below an ADD COLUMN has no such column
         new KvCatalogTable(s"$ident@v$version", dirFor(ident).getAbsolutePath,
-          schema, partCol, Some(v))
+          eraAt(eras, v), partCol, Some(v))
       case None => throw new NoSuchTableException(ident)
     }
 
@@ -159,13 +188,51 @@ class KvCatalog extends TableCatalog with SupportsNamespaces {
     val dir = dirFor(ident)
     if (metaOf(dir).isFile) throw new TableAlreadyExistsException(ident)
     Files.createDirectories(dir.toPath)
-    writeMeta(dir, schema, partCol)
+    writeMeta(dir, Seq((0, schema)), partCol)
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft kv catalog: ALTER TABLE is not supported")
+  /** `ALTER TABLE ... ADD COLUMN[S]` (r13): columns append AT THE END and
+    * must be nullable — committed rows stay byte-identical and readers
+    * null-fill past each row's width; the new era is recorded in _meta
+    * starting at the NEXT commit version, so time travel below it still
+    * presents (and reads) the old schema. Everything else — DROP/RENAME/
+    * retype/reposition — is rejected: positional rows make those
+    * rewrite-the-store operations, not metadata ones. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = dirFor(ident)
+    val (eras, partCol) = readMeta(dir)
+      .getOrElse(throw new NoSuchTableException(ident))
+    var schema = eras.last._2
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          "graft kv catalog: nested columns are not supported")
+        val name = add.fieldNames()(0)
+        require(!schema.fieldNames.contains(name),
+          s"graft kv catalog: column '$name' already exists")
+        require(!name.startsWith("_") && !name.startsWith("."),
+          s"graft kv catalog: illegal column name '$name'")
+        require(Seq(LongType, IntegerType, DoubleType, StringType)
+          .contains(add.dataType()),
+          s"graft kv catalog: unsupported column type " +
+            s"${add.dataType().catalogString} for '$name'")
+        require(add.isNullable,
+          s"graft kv catalog: added column '$name' must be nullable — " +
+            "existing rows null-fill it")
+        require(add.position() == null,
+          "graft kv catalog: column position is not supported — added " +
+            "columns append at the end (rows are positional)")
+        schema = schema.add(StructField(name, add.dataType(), nullable = true))
+      case other => throw new UnsupportedOperationException(
+        s"graft kv catalog: unsupported ALTER TABLE change $other — only " +
+          "ADD COLUMN (nullable, appended at the end) is supported")
+    }
+    val start = KvCommitLog.latestVersion(dir.toPath) + 1
+    // several ALTERs between commits collapse into one era (same start)
+    writeMeta(dir, eras.filterNot(_._1 == start) :+ ((start, schema)), partCol)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirFor(ident)

@@ -228,7 +228,7 @@ class KvCoWBatchWrite(op: KvRowLevelOperation, dir: String,
       files.map { sf =>
         val src = Paths.get(sf.stagedFile)
         KvZoneMap.write(dirPath, src.getFileName.toString, sf.rows, sf.stats,
-          sf.dstats, sf.sstats, sf.sums)
+          sf.dstats, sf.sstats, sf.sums, sf.nulls)
         Files.move(src, dirPath.resolve(src.getFileName),
           StandardCopyOption.REPLACE_EXISTING)
         src.getFileName.toString

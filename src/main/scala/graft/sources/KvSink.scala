@@ -130,7 +130,7 @@ class KvBatchWrite(path: String, schema: StructType,
       files.map { sf =>
         val src = Paths.get(sf.stagedFile)
         KvZoneMap.write(dir, src.getFileName.toString, sf.rows, sf.stats,
-          sf.dstats, sf.sstats, sf.sums)
+          sf.dstats, sf.sstats, sf.sums, sf.nulls)
         Files.move(src, dir.resolve(src.getFileName),
           StandardCopyOption.REPLACE_EXISTING)
         src.getFileName.toString
@@ -174,7 +174,8 @@ case class KvStagedFile(
     stats: Seq[(String, Long, Long)],
     dstats: Seq[(String, Double, Double)] = Seq.empty,
     sstats: Seq[(String, String, String)] = Seq.empty,
-    sums: Seq[(String, Long)] = Seq.empty)
+    sums: Seq[(String, Long)] = Seq.empty,
+    nulls: Seq[(String, Long)] = Seq.empty)
 
 case class KvCommit(files: Seq[KvStagedFile]) extends WriterCommitMessage
 
@@ -211,7 +212,13 @@ object KvZoneMap {
       cols: Map[String, (Long, Long)],
       dcols: Map[String, (Double, Double)] = Map.empty,
       scols: Map[String, (String, String)] = Map.empty,
-      sums: Map[String, Long] = Map.empty)
+      sums: Map[String, Long] = Map.empty,
+      nulls: Map[String, Long] = Map.empty) {
+    /** Null tracking present? r13 sidecars carry a `#n,col,N` line per
+      * column (even 0); older sidecars predate nulls entirely — absent
+      * tracking + bounds present ⇒ the no-nulls-era writer wrote it. */
+    def nullsTracked: Boolean = nulls.nonEmpty
+  }
 
   /** Publish atomically: fully-written dot-hidden temp, then move. Runs
     * BEFORE the data file move, so a visible file always has its stats.
@@ -222,7 +229,8 @@ object KvZoneMap {
       stats: Seq[(String, Long, Long)],
       dstats: Seq[(String, Double, Double)] = Seq.empty,
       sstats: Seq[(String, String, String)] = Seq.empty,
-      sums: Seq[(String, Long)] = Seq.empty): Unit = {
+      sums: Seq[(String, Long)] = Seq.empty,
+      nulls: Seq[(String, Long)] = Seq.empty): Unit = {
     val tmp = dir.resolve(s".zm-tmp-$file")
     val lines = (s"#rows,$rows" +:
       stats.map { case (c, mn, mx) => s"${KvEscape.escape(c)},$mn,$mx" }) ++
@@ -230,7 +238,10 @@ object KvZoneMap {
       sstats.map { case (c, mn, mx) =>
         s"#s,${KvEscape.escape(c)},${KvEscape.escape(mn)},${KvEscape.escape(mx)}"
       } ++
-      sums.map { case (c, sm) => s"#sum,${KvEscape.escape(c)},$sm" }
+      sums.map { case (c, sm) => s"#sum,${KvEscape.escape(c)},$sm" } ++
+      // per-column NULL counts (r13 schema evolution: nulls exist) — one
+      // line per column, 0 included, so presence == tracking
+      nulls.map { case (c, n) => s"#n,${KvEscape.escape(c)},$n" }
     Files.write(tmp, lines.mkString("", "\n", "\n").getBytes("UTF-8"))
     Files.move(tmp, dir.resolve(sidecarName(file)),
       StandardCopyOption.REPLACE_EXISTING)
@@ -244,9 +255,13 @@ object KvZoneMap {
     val dcols = Map.newBuilder[String, (Double, Double)]
     val scols = Map.newBuilder[String, (String, String)]
     val sums = Map.newBuilder[String, Long]
+    val nulls = Map.newBuilder[String, Long]
     lines.filter(_.nonEmpty).foreach {
       case line if line.startsWith("#rows,") =>
         rows = line.stripPrefix("#rows,").toLong
+      case line if line.startsWith("#n,") =>
+        val Array(_, c, n) = line.split(",", 3)
+        nulls += KvEscape.unescape(c) -> n.toLong
       case line if line.startsWith("#d,") =>
         val Array(_, c, mn, mx) = line.split(",", 4)
         dcols += KvEscape.unescape(c) -> ((mn.toDouble, mx.toDouble))
@@ -263,7 +278,7 @@ object KvZoneMap {
     }
     if (rows < 0) None
     else Some(Stats(rows, cols.result(), dcols.result(), scols.result(),
-      sums.result()))
+      sums.result(), nulls.result()))
   }
 
   /** Read a data file's sidecar; None when absent (never prune or answer
@@ -745,6 +760,12 @@ object KvCommitLog {
   * corrupt the file. Escape order matters — '%' first on write, last on
   * read. */
 object KvEscape {
+  /** The NULL token for string fields: a raw `%` always escapes to
+    * `%25`, so `%N` can never appear in escaped data — an unambiguous
+    * null marker (numeric fields use the empty field instead, which a
+    * written number can never be). */
+  val NullToken = "%N"
+
   def escape(s: String): String =
     s.replace("%", "%25").replace(",", "%2C")
       .replace("\n", "%0A").replace("\r", "%0D")
@@ -862,6 +883,9 @@ class KvDataWriter(path: String, schema: StructType, partitionId: Int,
     val dNaN: Array[Boolean] = Array.fill(dStatIdx.length)(false)
     val sMins: Array[String] = Array.fill(sStatIdx.length)(null)
     val sMaxs: Array[String] = Array.fill(sStatIdx.length)(null)
+    // per-column null counts (r13: schema evolution makes nulls real) —
+    // published as `#n` sidecar lines so count(col) stays stats-answered
+    val nullCnt: Array[Long] = Array.fill(schema.fields.length)(0L)
     var nRows = 0L
   }
 
@@ -898,21 +922,22 @@ class KvDataWriter(path: String, schema: StructType, partitionId: Int,
   }
 
   override def write(row: InternalRow): Unit = {
-    // NULLS ARE REJECTED, not silently written as 0 (r11 ADVICE): the
-    // source's IsNotNull handling and the stats-answered count(col)/
-    // min/max/sum all rely on the sink's no-nulls invariant — enforce it
-    // here with a clear error instead of corrupting data and stats.
-    var c = 0
-    while (c < schema.fields.length) {
-      if (row.isNullAt(c))
-        throw new IllegalArgumentException(
-          s"graft kv sink: null value for column '${schema.fields(c).name}' " +
-            "— the store carries a no-nulls invariant (stats-answered " +
-            "aggregates depend on it); coalesce or filter nulls upstream")
-      c += 1
+    // NULLS are carried, counted, and excluded from bounds/sums (r13 —
+    // ALTER TABLE ADD COLUMN makes them real): a null numeric writes the
+    // empty field, a null string writes the `%N` token (impossible in
+    // escaped data, where every raw `%` becomes `%25`). The PARTITION
+    // column stays non-null — it is the file-routing key.
+    partIdx.foreach { i =>
+      require(!row.isNullAt(i),
+        s"graft kv sink: null value for partition column " +
+          s"'${schema.fields(i).name}' — partition routing needs a value")
     }
     val line = schema.fields.zipWithIndex.map { case (f, i) =>
-      f.dataType match {
+      if (row.isNullAt(i)) f.dataType match {
+        case StringType => KvEscape.NullToken
+        case _ => ""
+      }
+      else f.dataType match {
         case LongType => row.getLong(i).toString
         case IntegerType => row.getInt(i).toString
         case DoubleType => row.getDouble(i).toString
@@ -922,42 +947,53 @@ class KvDataWriter(path: String, schema: StructType, partitionId: Int,
       }
     }.mkString(",")
     val acc = accFor(row)
+    var c = 0
+    while (c < schema.fields.length) {
+      if (row.isNullAt(c)) acc.nullCnt(c) += 1
+      c += 1
+    }
     var j = 0
     while (j < statIdx.length) {
       val i = statIdx(j)
-      val v = schema.fields(i).dataType match {
-        case LongType => row.getLong(i)
-        case _ => row.getInt(i).toLong
-      }
-      if (v < acc.mins(j)) acc.mins(j) = v
-      if (v > acc.maxs(j)) acc.maxs(j) = v
-      if (!acc.sumBad(j)) {
-        try acc.sums(j) = Math.addExact(acc.sums(j), v)
-        catch { case _: ArithmeticException => acc.sumBad(j) = true }
+      if (!row.isNullAt(i)) {
+        val v = schema.fields(i).dataType match {
+          case LongType => row.getLong(i)
+          case _ => row.getInt(i).toLong
+        }
+        if (v < acc.mins(j)) acc.mins(j) = v
+        if (v > acc.maxs(j)) acc.maxs(j) = v
+        if (!acc.sumBad(j)) {
+          try acc.sums(j) = Math.addExact(acc.sums(j), v)
+          catch { case _: ArithmeticException => acc.sumBad(j) = true }
+        }
       }
       j += 1
     }
     j = 0
     while (j < dStatIdx.length) {
-      val raw = row.getDouble(dStatIdx(j))
-      // -0.0 normalizes to 0.0 (Spark comparison semantics equate them,
-      // so bounds must not distinguish them either)
-      val v = if (raw == 0.0) 0.0 else raw
-      if (java.lang.Double.isNaN(v)) acc.dNaN(j) = true
-      else {
-        if (v < acc.dMins(j)) acc.dMins(j) = v
-        if (v > acc.dMaxs(j)) acc.dMaxs(j) = v
+      if (!row.isNullAt(dStatIdx(j))) {
+        val raw = row.getDouble(dStatIdx(j))
+        // -0.0 normalizes to 0.0 (Spark comparison semantics equate them,
+        // so bounds must not distinguish them either)
+        val v = if (raw == 0.0) 0.0 else raw
+        if (java.lang.Double.isNaN(v)) acc.dNaN(j) = true
+        else {
+          if (v < acc.dMins(j)) acc.dMins(j) = v
+          if (v > acc.dMaxs(j)) acc.dMaxs(j) = v
+        }
       }
       j += 1
     }
     j = 0
     while (j < sStatIdx.length) {
-      val v = row.getUTF8String(sStatIdx(j)).toString
-      // code-point order (= Spark's UTF8String order), NOT Java compareTo
-      if (acc.sMins(j) == null || KvEscape.cpCompare(v, acc.sMins(j)) < 0)
-        acc.sMins(j) = v
-      if (acc.sMaxs(j) == null || KvEscape.cpCompare(v, acc.sMaxs(j)) > 0)
-        acc.sMaxs(j) = v
+      if (!row.isNullAt(sStatIdx(j))) {
+        val v = row.getUTF8String(sStatIdx(j)).toString
+        // code-point order (= Spark's UTF8String order), NOT Java compareTo
+        if (acc.sMins(j) == null || KvEscape.cpCompare(v, acc.sMins(j)) < 0)
+          acc.sMins(j) = v
+        if (acc.sMaxs(j) == null || KvEscape.cpCompare(v, acc.sMaxs(j)) > 0)
+          acc.sMaxs(j) = v
+      }
       j += 1
     }
     acc.nRows += 1
@@ -974,11 +1010,16 @@ class KvDataWriter(path: String, schema: StructType, partitionId: Int,
     KvCommit(accs.values.toSeq.map { acc =>
       acc.closeWriter()
       val empty = acc.nRows == 0L
+      // bounds and sums publish only for columns with >=1 NON-NULL value
+      // (an all-null column has no bounds; its absence + the #n line is
+      // what the stats-answered aggregates fold on)
       val stats =
         if (empty) Seq.empty
-        else statIdx.indices.map { j =>
-          (schema.fields(statIdx(j)).name, acc.mins(j), acc.maxs(j))
-        }.toSeq
+        else statIdx.indices
+          .filter(j => acc.mins(j) <= acc.maxs(j))
+          .map { j =>
+            (schema.fields(statIdx(j)).name, acc.mins(j), acc.maxs(j))
+          }.toSeq
       val dstats =
         if (empty) Seq.empty
         else dStatIdx.indices
@@ -988,16 +1029,22 @@ class KvDataWriter(path: String, schema: StructType, partitionId: Int,
           }.toSeq
       val sstats =
         if (empty) Seq.empty
-        else sStatIdx.indices.map { j =>
-          (schema.fields(sStatIdx(j)).name, acc.sMins(j), acc.sMaxs(j))
-        }.toSeq
+        else sStatIdx.indices
+          .filter(j => acc.sMins(j) != null)
+          .map { j =>
+            (schema.fields(sStatIdx(j)).name, acc.sMins(j), acc.sMaxs(j))
+          }.toSeq
       val sums =
         if (empty) Seq.empty
         else statIdx.indices
-          .filter(j => !acc.sumBad(j))
+          .filter(j => !acc.sumBad(j) && acc.mins(j) <= acc.maxs(j))
           .map(j => (schema.fields(statIdx(j)).name, acc.sums(j))).toSeq
+      val nulls =
+        if (empty) Seq.empty
+        else schema.fields.indices
+          .map(c => (schema.fields(c).name, acc.nullCnt(c))).toSeq
       KvStagedFile(acc.staged.getAbsolutePath, acc.nRows, stats, dstats,
-        sstats, sums)
+        sstats, sums, nulls)
     })
   }
 

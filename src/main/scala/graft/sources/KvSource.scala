@@ -203,7 +203,9 @@ class KvScanBuilder(
     }
     val kinds = a.aggregateExpressions().toSeq.map[Option[KvAggKind]] {
       case _: CountStar => Some(KvAggRows)
-      case c: Count if !c.isDistinct => ref(c.column(), all).map(_ => KvAggRows)
+      // count(col) skips nulls: answered from the sidecars' #n lines
+      // (pre-tracking files fold by era detection — see aggReader)
+      case c: Count if !c.isDistinct => ref(c.column(), all).map(KvAggCount)
       case m: Min => ref(m.column(), ints).map(KvAggMin)
       case m: Max => ref(m.column(), ints).map(KvAggMax)
       case sm: Sum if !sm.isDistinct => ref(sm.column(), ints).map(KvAggSum)
@@ -226,6 +228,7 @@ class KvScanBuilder(
 /** Aggregates the kv source answers from sidecar stats. */
 sealed trait KvAggKind extends Serializable
 case object KvAggRows extends KvAggKind
+case class KvAggCount(col: String) extends KvAggKind
 case class KvAggMin(col: String) extends KvAggKind
 case class KvAggMax(col: String) extends KvAggKind
 case class KvAggSum(col: String) extends KvAggKind
@@ -436,6 +439,7 @@ class KvScan(
         nullable = false)).toSeq
       StructType(g ++ kinds.zipWithIndex.map {
         case (KvAggRows, i) => StructField(s"agg_$i", LongType, nullable = false)
+        case (KvAggCount(_), i) => StructField(s"agg_$i", LongType, nullable = false)
         case (_, i) => StructField(s"agg_$i", LongType, nullable = true)
       })
   }
@@ -770,11 +774,21 @@ object KvRowEval {
   def parse(line: String, types: Array[DataType]): Array[Any] = {
     val parts = line.split(",", -1)
     Array.tabulate(types.length) { i =>
-      types(i) match {
-        case LongType => parts(i).toLong
-        case IntegerType => parts(i).toInt
-        case DoubleType => parts(i).toDouble
-        case StringType => KvEscape.unescape(parts(i))
+      // columns past the row's width were ADDED after the row was
+      // written (ALTER TABLE ADD COLUMN appends at the end): null-fill.
+      // Within the row, the empty field is the numeric null and the %N
+      // token the string null (see KvEscape.NullToken).
+      if (i >= parts.length) null
+      else types(i) match {
+        case LongType =>
+          if (parts(i).isEmpty) null else java.lang.Long.valueOf(parts(i))
+        case IntegerType =>
+          if (parts(i).isEmpty) null else java.lang.Integer.valueOf(parts(i))
+        case DoubleType =>
+          if (parts(i).isEmpty) null else java.lang.Double.valueOf(parts(i))
+        case StringType =>
+          if (parts(i) == KvEscape.NullToken) null
+          else KvEscape.unescape(parts(i))
         case dt => throw new IllegalArgumentException(
           s"graft kv source: unsupported field type ${dt.catalogString}")
       }
@@ -791,15 +805,21 @@ object KvRowEval {
     case _ => throw new IllegalArgumentException(s"graft kv source: uncomparable $colV")
   }
 
-  def eval(f: Filter, idx: Map[String, Int], row: Array[Any]): Boolean = f match {
-    case EqualTo(a, v) => cmp(row(idx(a)), v) == 0
-    case GreaterThan(a, v) => cmp(row(idx(a)), v) > 0
-    case GreaterThanOrEqual(a, v) => cmp(row(idx(a)), v) >= 0
-    case LessThan(a, v) => cmp(row(idx(a)), v) < 0
-    case LessThanOrEqual(a, v) => cmp(row(idx(a)), v) <= 0
-    case In(a, vs) => vs.exists(v => cmp(row(idx(a)), v) == 0)
-    case IsNotNull(_) => true // the sink never writes nulls
-    case _ => true
+  def eval(f: Filter, idx: Map[String, Int], row: Array[Any]): Boolean = {
+    // SQL comparison semantics: any comparison with NULL is not-true
+    def nn(a: String)(p: Any => Boolean): Boolean = {
+      val x = row(idx(a)); x != null && p(x)
+    }
+    f match {
+      case EqualTo(a, v) => nn(a)(cmp(_, v) == 0)
+      case GreaterThan(a, v) => nn(a)(cmp(_, v) > 0)
+      case GreaterThanOrEqual(a, v) => nn(a)(cmp(_, v) >= 0)
+      case LessThan(a, v) => nn(a)(cmp(_, v) < 0)
+      case LessThanOrEqual(a, v) => nn(a)(cmp(_, v) <= 0)
+      case In(a, vs) => nn(a)(x => vs.exists(v => cmp(x, v) == 0))
+      case IsNotNull(a) => row(idx(a)) != null
+      case _ => true
+    }
   }
 }
 
@@ -821,6 +841,9 @@ class KvReaderFactory(
       val mins = scala.collection.mutable.Map.empty[String, Long]
       val maxs = scala.collection.mutable.Map.empty[String, Long]
       val sums = scala.collection.mutable.Map.empty[String, Long]
+      // count(col) = non-null count, folded from #n sidecar lines or
+      // era detection (a file predating the column is all-null for it)
+      val cnts = scala.collection.mutable.Map.empty[String, Long]
       // ANSI: checked adds raise on overflow like Spark's own sum would;
       // non-ANSI: Long ring arithmetic equals Spark's wrapping sum
       def foldSum(c: String, sm: Long): Unit = {
@@ -861,24 +884,60 @@ class KvReaderFactory(
       (i, dataSchema.fields(i).dataType == LongType)
     }
     // a sidecar answers for its file only when it carries everything this
-    // query needs: a pinned partition value when grouped, and a committed
-    // sum for every SUM column (older sidecars predate #sum lines)
+    // query needs: a pinned partition value when grouped, a committed sum
+    // for every SUM column with non-null values, and a decidable non-null
+    // count for every COUNT column
     val sumCols = p.kinds.collect { case KvAggSum(c) => c }.toSet
+    val cntCols = p.kinds.collect { case KvAggCount(c) => c }.toSet
+    // count(col) from one file's stats: #n-tracked sidecars answer
+    // exactly (a column absent from tracking predates the sidecar ⇒ all
+    // null). Pre-tracking sidecars came from the no-nulls-era writer,
+    // which ALWAYS published int/string bounds for rows>0 — so bounds
+    // present ⇒ count=rows, absent ⇒ the file predates the column ⇒ 0.
+    // Doubles are ambiguous there (NaN also withholds bounds) ⇒ parse.
+    def countFromStats(st: KvZoneMap.Stats, c: String): Option[Long] =
+      if (st.nullsTracked)
+        st.nulls.get(c).map(st.rows - _).orElse(Some(0L))
+      else dataSchema(c).dataType match {
+        case LongType | IntegerType =>
+          Some(if (st.cols.contains(c)) st.rows else 0L)
+        case StringType => Some(if (st.scols.contains(c)) st.rows else 0L)
+        case DoubleType => if (st.dcols.contains(c)) Some(st.rows) else None
+        case _ => None
+      }
+    // a SUM whose sidecar entry is missing is fine ONLY when the column
+    // is provably all-null in the file (contributes nothing); missing
+    // with non-null values present = overflow-withheld ⇒ parse
+    def sumOk(st: KvZoneMap.Stats, c: String): Boolean =
+      st.sums.contains(c) || countFromStats(st, c).contains(0L)
+    // null-aware field access for the parse fallback (short rows are
+    // pre-evolution eras; empty numeric / %N string fields are nulls)
+    def fieldOf(parts: Array[String], i: Int): String =
+      if (i >= parts.length) null
+      else if (parts(i).isEmpty || parts(i) == KvEscape.NullToken) null
+      else parts(i)
+    val cntIdx = cntCols.toSeq.map(c => (c, dataSchema.fieldNames.indexOf(c)))
     p.files.foreach { fp =>
       val f = new File(fp)
       KvZoneMap.read(f) match {
         case Some(st) if st.rows == 0L ||
             (p.groupCol.forall(c => st.cols.get(c).exists(b => b._1 == b._2)) &&
-              sumCols.forall(st.sums.contains)) =>
+              sumCols.forall(sumOk(st, _)) &&
+              cntCols.forall(countFromStats(st, _).isDefined)) =>
           if (st.rows > 0) {
             val acc = accFor(p.groupCol.map(c => st.cols(c)._1))
             acc.rows += st.rows
             st.cols.foreach { case (c, (mn, mx)) => acc.fold(c, mn, mx) }
             st.sums.foreach { case (c, sm) => acc.foldSum(c, sm) }
+            cntCols.foreach { c =>
+              acc.cnts(c) = acc.cnts.getOrElse(c, 0L) + countFromStats(st, c).get
+            }
           }
         case _ =>
-          // no sidecar, or (grouped) a value-spanning foreign file:
-          // parse and bucket row-by-row — exact either way
+          // no sidecar, or (grouped) a value-spanning foreign file, or a
+          // count/sum the stats cannot decide: parse and bucket
+          // row-by-row — exact either way (nulls skipped like Spark's own
+          // aggregates skip them)
           val src = scala.io.Source.fromFile(f, "UTF-8")
           try src.getLines().filter(_.nonEmpty).foreach { line =>
             val parts = line.split(",", -1)
@@ -887,9 +946,16 @@ class KvReaderFactory(
             })
             acc.rows += 1L
             intIdx.foreach { case (c, i, isLong) =>
-              val v = if (isLong) parts(i).toLong else parts(i).toInt.toLong
-              acc.fold(c, v, v)
-              acc.foldSum(c, v)
+              val raw = fieldOf(parts, i)
+              if (raw != null) {
+                val v = if (isLong) raw.toLong else raw.toInt.toLong
+                acc.fold(c, v, v)
+                acc.foldSum(c, v)
+              }
+            }
+            cntIdx.foreach { case (c, i) =>
+              if (fieldOf(parts, i) != null)
+                acc.cnts(c) = acc.cnts.getOrElse(c, 0L) + 1L
             }
           } finally src.close()
       }
@@ -897,6 +963,7 @@ class KvReaderFactory(
     def rowOf(group: Option[Long], acc: Acc): InternalRow = {
       val aggVals = p.kinds.map[Any] {
         case KvAggRows => acc.rows
+        case KvAggCount(c) => acc.cnts.getOrElse(c, 0L)
         case KvAggMin(c) => acc.mins.get(c).map(Long.box).orNull
         case KvAggMax(c) => acc.maxs.get(c).map(Long.box).orNull
         case KvAggSum(c) => acc.sums.get(c).map(Long.box).orNull

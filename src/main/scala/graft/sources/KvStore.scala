@@ -102,7 +102,8 @@ object KvStore {
   private final case class Rewrite(
       original: String, staged: String, kept: Long, dropped: Long,
       stats: Seq[(String, Long, Long)], dstats: Seq[(String, Double, Double)],
-      sstats: Seq[(String, String, String)], sums: Seq[(String, Long)])
+      sstats: Seq[(String, String, String)], sums: Seq[(String, Long)],
+      nulls: Seq[(String, Long)])
 
   /** `expectedBase` pins the snapshot this mutation derives from (OCC:
     * the commit CASes into exactly expectedBase+1, so ANY commit that
@@ -177,7 +178,7 @@ object KvStore {
     val staging = dirPath.resolve("_staging")
     replaced.foreach { r =>
       KvZoneMap.write(dirPath, r.staged, r.kept, r.stats, r.dstats, r.sstats,
-        r.sums)
+        r.sums, r.nulls)
       Files.move(staging.resolve(r.staged), dirPath.resolve(r.staged),
         StandardCopyOption.REPLACE_EXISTING)
     }
@@ -229,6 +230,7 @@ object KvStore {
     val maxs = Array.fill(statIdx.length)(Long.MinValue)
     val sums = Array.fill(statIdx.length)(0L)
     val sumBad = Array.fill(statIdx.length)(false)
+    val nullCnt = Array.fill(schema.fields.length)(0L)
     val dMins = Array.fill(dStatIdx.length)(Double.MaxValue)
     val dMaxs = Array.fill(dStatIdx.length)(Double.MinValue)
     val dNaN = Array.fill(dStatIdx.length)(false)
@@ -245,45 +247,64 @@ object KvStore {
       src.getLines().filter(_.nonEmpty).foreach { line =>
         val row = KvRowEval.parse(line, types)
         val doomed = keyIdx match {
-          case Some((i, ks)) => ks.contains(row(i) match {
-            case l: Long => l
-            case i2: Int => i2.toLong
-          })
+          // a NULL key matches no merge key (SQL null semantics)
+          case Some((i, ks)) => row(i) match {
+            case l: Long => ks.contains(l)
+            case i2: Int => ks.contains(i2.toLong)
+            case _ => false
+          }
           case None => filters.forall(KvRowEval.eval(_, idx, row))
         }
         if (doomed) dropped += 1
         else {
           kept += 1
+          var c = 0
+          while (c < row.length) {
+            if (row(c) == null) nullCnt(c) += 1
+            c += 1
+          }
           var j = 0
           while (j < statIdx.length) {
-            val v = row(statIdx(j)) match {
-              case l: Long => l
-              case i2: Int => i2.toLong
-            }
-            if (v < mins(j)) mins(j) = v
-            if (v > maxs(j)) maxs(j) = v
-            if (!sumBad(j)) {
-              try sums(j) = Math.addExact(sums(j), v)
-              catch { case _: ArithmeticException => sumBad(j) = true }
+            row(statIdx(j)) match {
+              case null => ()
+              case raw =>
+                val v = raw match {
+                  case l: Long => l
+                  case i2: Int => i2.toLong
+                }
+                if (v < mins(j)) mins(j) = v
+                if (v > maxs(j)) maxs(j) = v
+                if (!sumBad(j)) {
+                  try sums(j) = Math.addExact(sums(j), v)
+                  catch { case _: ArithmeticException => sumBad(j) = true }
+                }
             }
             j += 1
           }
           j = 0
           while (j < dStatIdx.length) {
-            val raw = row(dStatIdx(j)).asInstanceOf[Double]
-            val v = if (raw == 0.0) 0.0 else raw
-            if (java.lang.Double.isNaN(v)) dNaN(j) = true
-            else {
-              if (v < dMins(j)) dMins(j) = v
-              if (v > dMaxs(j)) dMaxs(j) = v
+            row(dStatIdx(j)) match {
+              case null => ()
+              case raw =>
+                val d = raw.asInstanceOf[Double]
+                val v = if (d == 0.0) 0.0 else d
+                if (java.lang.Double.isNaN(v)) dNaN(j) = true
+                else {
+                  if (v < dMins(j)) dMins(j) = v
+                  if (v > dMaxs(j)) dMaxs(j) = v
+                }
             }
             j += 1
           }
           j = 0
           while (j < sStatIdx.length) {
-            val v = row(sStatIdx(j)).asInstanceOf[String]
-            if (sMins(j) == null || KvEscape.cpCompare(v, sMins(j)) < 0) sMins(j) = v
-            if (sMaxs(j) == null || KvEscape.cpCompare(v, sMaxs(j)) > 0) sMaxs(j) = v
+            row(sStatIdx(j)) match {
+              case null => ()
+              case raw =>
+                val v = raw.asInstanceOf[String]
+                if (sMins(j) == null || KvEscape.cpCompare(v, sMins(j)) < 0) sMins(j) = v
+                if (sMaxs(j) == null || KvEscape.cpCompare(v, sMaxs(j)) > 0) sMaxs(j) = v
+            }
             j += 1
           }
           out.write(line)
@@ -292,16 +313,23 @@ object KvStore {
       }
     } finally { src.close(); out.close() }
     val empty = kept == 0L
+    // bounds/sums only for columns with >=1 non-null kept value (the
+    // writer's r13 discipline); null counts published for every column
     Rewrite(name, stagedName, kept, dropped,
-      if (empty) Nil else statIdx.indices.map(j =>
-        (schema.fields(statIdx(j)).name, mins(j), maxs(j))).toSeq,
+      if (empty) Nil else statIdx.indices
+        .filter(j => mins(j) <= maxs(j))
+        .map(j => (schema.fields(statIdx(j)).name, mins(j), maxs(j))).toSeq,
       if (empty) Nil else dStatIdx.indices
         .filter(j => !dNaN(j) && dMins(j) <= dMaxs(j))
         .map(j => (schema.fields(dStatIdx(j)).name, dMins(j), dMaxs(j))).toSeq,
-      if (empty) Nil else sStatIdx.indices.map(j =>
-        (schema.fields(sStatIdx(j)).name, sMins(j), sMaxs(j))).toSeq,
-      if (empty) Nil else statIdx.indices.filter(j => !sumBad(j))
-        .map(j => (schema.fields(statIdx(j)).name, sums(j))).toSeq)
+      if (empty) Nil else sStatIdx.indices
+        .filter(j => sMins(j) != null)
+        .map(j => (schema.fields(sStatIdx(j)).name, sMins(j), sMaxs(j))).toSeq,
+      if (empty) Nil else statIdx.indices
+        .filter(j => !sumBad(j) && mins(j) <= maxs(j))
+        .map(j => (schema.fields(statIdx(j)).name, sums(j))).toSeq,
+      if (empty) Nil else schema.fields.indices
+        .map(c => (schema.fields(c).name, nullCnt(c))).toSeq)
   }
 
   private def rmTree(f: File): Unit = {

@@ -219,6 +219,57 @@ class KvCatalogSpec extends AnyFunSuite with SparkSessionFixture {
       .getLong(0) == 2)
   }
 
+  test("ALTER TABLE ADD COLUMN: era null-fill, time-travel schema, CoW across eras") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS kcs.ns.evo")
+    spark.sql("CREATE TABLE kcs.ns.evo (k BIGINT, s STRING)")
+    spark.sql("INSERT INTO kcs.ns.evo VALUES (1, 'a'), (2, 'b')") // v1, era 0
+    spark.sql("ALTER TABLE kcs.ns.evo ADD COLUMN w BIGINT")
+    spark.sql("INSERT INTO kcs.ns.evo VALUES (3, 'c', 30)")       // v2, era 2
+    // reads span both eras: old rows null-fill the added column
+    val rows = spark.sql("SELECT k, s, w FROM kcs.ns.evo ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else java.lang.Long.valueOf(r.getLong(2)))).toSeq
+    assert(rows == Seq((1L, "a", null), (2L, "b", null), (3L, "c", 30L)))
+    // null semantics reach the connector: filters and IS [NOT] NULL
+    assert(spark.sql("SELECT k FROM kcs.ns.evo WHERE w IS NOT NULL")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+    assert(spark.sql("SELECT k FROM kcs.ns.evo WHERE w = 30")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // stats-answered aggregates stay EXACT across eras (count skips
+    // nulls via #n lines / era detection)
+    val agg = spark.sql(
+      "SELECT count(*), count(w), min(w), max(w), sum(w) FROM kcs.ns.evo")
+      .collect()(0)
+    assert((agg.getLong(0), agg.getLong(1), agg.getLong(2), agg.getLong(3),
+      agg.getLong(4)) == ((3L, 1L, 30L, 30L, 30L)))
+    // time travel below the ALTER presents the OLD schema
+    val v1 = spark.sql("SELECT * FROM kcs.ns.evo VERSION AS OF 1")
+    assert(v1.columns.toSeq == Seq("k", "s"), s"old era schema: ${v1.columns.toSeq}")
+    assert(v1.count() == 2)
+    // row-level UPDATE across eras: the CoW rewrite reads null-filled
+    // rows and writes nulls back (numeric null = empty field)
+    spark.sql("UPDATE kcs.ns.evo SET s = concat(s, '!') WHERE k <= 2")
+    val after = spark.sql("SELECT k, s, w FROM kcs.ns.evo ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else java.lang.Long.valueOf(r.getLong(2)))).toSeq
+    assert(after == Seq((1L, "a!", null), (2L, "b!", null), (3L, "c", 30L)))
+    // rejections: everything but append-at-end nullable ADD COLUMN
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE kcs.ns.evo DROP COLUMN s")
+    }
+    assert(e1.getMessage.contains("unsupported ALTER TABLE") ||
+      e1.getMessage.toLowerCase.contains("drop"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE kcs.ns.evo ADD COLUMN x BIGINT FIRST")
+    }
+    assert(e2.getMessage.contains("append at the end"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      spark.sql("ALTER TABLE kcs.ns.evo ADD COLUMN y BIGINT NOT NULL")
+    }
+    assert(e3.getMessage.contains("must be nullable"), e3.getMessage)
+  }
+
   test("catalog DDL surface: list/rename/drop, schema enforcement") {
     init()
     spark.sql("DROP TABLE IF EXISTS kcs.ns.d1")
