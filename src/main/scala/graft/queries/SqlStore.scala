@@ -312,8 +312,38 @@ object SqlStore extends QueryGroup {
               min(k) AS k_min, max(k) AS k_max
             FROM snaps GROUP BY 1, 2 ORDER BY snap, prio"""))
 
+  /** SQL MAINTENANCE (r13) — `CALL graftkv.system.{compact,checkpoint,
+    * vacuum}` (sources/KvProcedures): operators never leave SQL. The gate
+    * runs the full maintenance cycle — small-files ingest, in-log
+    * compaction, checkpoint at head, vacuum below it — and the digest
+    * readback proves content invariance end to end (KvCatalogSpec pins
+    * the structural effects: file counts, folded manifests, retention). */
+  private val qSqlStoreMaintenance = Q(
+    "q_sql_store_maintenance",
+    (s, dir) => {
+      cat(s)
+      fresh(s, "t_mnt")
+      s.sql("CREATE TABLE graftkv.cat.t_mnt (k BIGINT, cust BIGINT)")
+      table(s, dir, "orders").createOrReplaceTempView("orders_v")
+      for (b <- 0 until 3)
+        s.sql(s"""INSERT INTO graftkv.cat.t_mnt
+                  SELECT /*+ REPARTITION(3) */ o_orderkey, o_custkey
+                  FROM orders_v WHERE o_orderkey % 3 = $b""")
+      s.sql("CALL graftkv.system.compact('cat.t_mnt', 2)")
+      s.sql("CALL graftkv.system.checkpoint('cat.t_mnt')")
+      s.sql("CALL graftkv.system.vacuum('cat.t_mnt', 4)")
+      s.sql("""SELECT k % 7 AS bucket, count(*) AS n, sum(cust) AS cust_sum,
+                 min(k) AS k_min, max(k) AS k_max
+               FROM graftkv.cat.t_mnt GROUP BY 1 ORDER BY bucket""")
+    },
+    Some("""SELECT o_orderkey % 7 AS bucket, count(*) AS n,
+              CAST(sum(o_custkey) AS BIGINT) AS cust_sum,
+              min(o_orderkey) AS k_min, max(o_orderkey) AS k_max
+            FROM orders GROUP BY 1 ORDER BY bucket"""))
+
   override val queries: Seq[Q] =
     Seq(qSqlStoreCatalog, qSqlStoreTimetravel, qSqlStoreDelete,
       qSqlStoreOverwrite, qSqlStorePartitioned, qSqlStoreCtas,
-      qSqlStoreUpdate, qSqlStoreMerge, qSqlStoreEvolution)
+      qSqlStoreUpdate, qSqlStoreMerge, qSqlStoreEvolution,
+      qSqlStoreMaintenance)
 }

@@ -48,7 +48,31 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * column. Namespaces are directories. Table metadata is
   * metadata-sized; plan-time listing goes through the commit-log
   * manifests like every other store read. */
-class KvCatalog extends TableCatalog with SupportsNamespaces {
+class KvCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
+
+  // ---- SQL maintenance procedures (CALL graftkv.system.*) -------------
+
+  /** 'ns.table' → (store directory, current-era schema) for procedures. */
+  private def resolveTable(ref: String): (String, StructType) = {
+    val parts = ref.split("\\.")
+    require(parts.length >= 2,
+      s"graft kv catalog: procedure table must be 'namespace.name', got '$ref'")
+    val ident = Identifier.of(parts.init, parts.last)
+    readMeta(dirFor(ident)) match {
+      case Some((eras, _)) => (dirFor(ident).getAbsolutePath, eras.last._2)
+      case None => throw new NoSuchTableException(ident)
+    }
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      KvProcedures.names.map(Identifier.of(Array("system"), _)).toArray
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    KvProcedures.load(ident, resolveTable)
 
   private var catalogName: String = _
   private var warehouse: String = _

@@ -670,6 +670,21 @@ object KvCommitLog {
     }
   }
 
+  /** Publish a checkpoint at the CURRENT head: the live set plus every
+    * txn marker committed so far, so [[filesAsOf]] folds from here and a
+    * later [[vacuumDelta]] can drop the manifests below without losing
+    * idempotency history. Idempotent (no-clobber). Returns the head
+    * version the checkpoint covers. */
+  def checkpointNow(dir: java.nio.file.Path): Int = {
+    val v = latestVersion(dir)
+    require(v > 0, s"no commit log at $dir — nothing to checkpoint")
+    val txns = (versions(dir).map(_._2) ++ checkpoints(dir).map(_._2))
+      .flatMap(p => linesOf(p).filter(isTxnLine))
+      .map(_.stripPrefix("#txn,"))
+    writeCheckpoint(dir, v, filesAsOf(dir, v), txns): Unit
+    v
+  }
+
   /** VACUUM for ADD/REMOVE delta logs (the KV data store; snapshot-
     * manifest artifact stores keep using [[vacuum]]): reclaim every data
     * file no snapshot ≥ `keepFrom` can reach, then fold the dropped

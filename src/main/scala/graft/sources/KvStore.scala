@@ -96,6 +96,55 @@ object KvStore {
   def vacuum(dir: String, keepFrom: Int): Seq[String] =
     KvCommitLog.vacuumDelta(Paths.get(dir), keepFrom)
 
+  /** IN-LOG COMPACTION (r13, the SQL maintenance tier): rewrite the live
+    * set into `targetFiles` files through the sink's own 2PC writer and
+    * publish removes(all live) + adds(compacted) as ONE manifest CASed at
+    * `base+1` — the small-files fix with every store guarantee intact
+    * (time travel below the compaction still serves the old files until
+    * [[vacuum]]; a concurrent commit aborts the compaction, never the
+    * concurrent writer). Content invariance is the caller's gate: the
+    * row multiset is exactly the `asOfCommit=base` snapshot's. */
+  def compact(spark: SparkSession, dir: String, schema: StructType,
+      targetFiles: Int): Mutation = {
+    require(targetFiles >= 1, s"graft kv store: target_files $targetFiles < 1")
+    val dirPath = Paths.get(dir)
+    val base = KvCommitLog.latestVersion(dirPath)
+    require(base > 0, s"graft kv store: no commit log at $dir — not a store")
+    val live = KvCommitLog.filesAsOf(dirPath, base).toSeq.sorted
+    if (live.size <= targetFiles)
+      return Mutation(base, 0, 0, live.size, 0L, 0L) // already compact
+    val nonce = java.lang.Long.toUnsignedString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong(), 36)
+    val scratch = dirPath.resolve(s"_compact-$nonce")
+    spark.read.format("graft.sources.KvSourceProvider")
+      .option("path", dir).option("schema", schema.toDDL)
+      .option("asOfCommit", base.toString) // pin the snapshot being folded
+      .load()
+      .repartition(targetFiles)
+      .write.format("graft.sources.KvSinkProvider")
+      .option("path", scratch.toString).mode("append").save()
+    var rows = 0L
+    val adopted = KvCommitLog.liveFiles(scratch).toSeq.sorted.map { n =>
+      rows += KvZoneMap.read(scratch.resolve(n).toFile).map(_.rows).getOrElse(0L)
+      // sidecar first, then data — a visible file always has its stats
+      Files.move(scratch.resolve(KvZoneMap.sidecarName(n)),
+        dirPath.resolve(KvZoneMap.sidecarName(n)))
+      Files.move(scratch.resolve(n), dirPath.resolve(n))
+      n
+    }
+    rmTree(scratch.toFile)
+    if (!KvCommitLog.tryReplaceAt(dirPath, base, adopted, live)) {
+      adopted.foreach { n =>
+        Files.deleteIfExists(dirPath.resolve(n)): Unit
+        Files.deleteIfExists(dirPath.resolve(KvZoneMap.sidecarName(n))): Unit
+      }
+      throw new IllegalStateException(
+        s"concurrent commit at $dir superseded the version-$base snapshot " +
+          "this compaction folded; staged files rolled back — re-run")
+    }
+    Mutation(base + 1, adopted.size, 0, 0, 0L, rows)
+  }
+
   // ---- the copy-on-write engine -------------------------------------
 
   /** One rewritten file's outcome, shipped back from the executor. */

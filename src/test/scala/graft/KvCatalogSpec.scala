@@ -270,6 +270,50 @@ class KvCatalogSpec extends AnyFunSuite with SparkSessionFixture {
     assert(e3.getMessage.contains("must be nullable"), e3.getMessage)
   }
 
+  test("CALL graftkv.system.*: compact folds files, checkpoint bounds the log, vacuum respects retention") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS kcs.ns.mnt")
+    spark.sql("CREATE TABLE kcs.ns.mnt (k BIGINT, v BIGINT)")
+    // 5 commits, several files each — a small-files store
+    for (b <- 0 until 5)
+      spark.sql(s"INSERT INTO kcs.ns.mnt SELECT /*+ REPARTITION(3) */ id AS k, id * 7 AS v FROM range(${b * 100}, ${b * 100 + 100})")
+    val dir = java.nio.file.Paths.get(tableDir("mnt"))
+    val digest = spark.sql("SELECT count(*) AS n, sum(v) AS s FROM kcs.ns.mnt")
+      .collect()(0)
+    val before = graft.sources.KvCommitLog.liveFiles(dir).size
+    assert(before == 15, s"expected 15 live files, got $before")
+
+    // COMPACT: one OCC commit folds the live set; content invariant
+    val c = spark.sql("CALL kcs.system.compact('ns.mnt', 2)").collect()(0)
+    assert(c.getLong(1) == 2L, s"compact output: $c")
+    assert(graft.sources.KvCommitLog.liveFiles(dir).size == 2)
+    val after = spark.sql("SELECT count(*) AS n, sum(v) AS s FROM kcs.ns.mnt")
+      .collect()(0)
+    assert(after == digest, s"compaction changed content: $digest -> $after")
+    // time travel below the compaction still serves the old layout
+    assert(spark.sql(s"SELECT count(*) FROM kcs.ns.mnt VERSION AS OF 5")
+      .collect()(0).getLong(0) == 500)
+
+    // CHECKPOINT at head, then VACUUM below it: manifests fold away, the
+    // log read is bounded by the checkpoint (that is the point)
+    val head = spark.sql("CALL kcs.system.checkpoint('ns.mnt')")
+      .collect()(0).getInt(0)
+    assert(head == 6)
+    val v = spark.sql("CALL kcs.system.vacuum('ns.mnt', 6)").collect()(0)
+    assert(v.getLong(0) == 15L, s"vacuum must reclaim the 15 pre-compaction files: $v")
+    assert(graft.sources.KvCommitLog.versions(dir).isEmpty,
+      "all manifests <= keepFrom must fold into the checkpoint")
+    // retention: head still answers; history below keepFrom throws
+    assert(spark.sql("SELECT count(*) FROM kcs.ns.mnt").collect()(0).getLong(0) == 500)
+    val e = intercept[Exception] {
+      spark.sql("SELECT count(*) FROM kcs.ns.mnt VERSION AS OF 3").collect()
+    }
+    assert(e.getMessage.contains("vacuum"), e.getMessage)
+    // appends continue after full maintenance
+    spark.sql("INSERT INTO kcs.ns.mnt VALUES (9999, 1)")
+    assert(spark.sql("SELECT count(*) FROM kcs.ns.mnt").collect()(0).getLong(0) == 501)
+  }
+
   test("catalog DDL surface: list/rename/drop, schema enforcement") {
     init()
     spark.sql("DROP TABLE IF EXISTS kcs.ns.d1")
