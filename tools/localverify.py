@@ -4,6 +4,13 @@
 Usage: python3 tools/localverify.py <sfDir> <outDir>
   (run AFTER `sbt "runMain graft.Verify <sfDir> <outDir>"`)
 
+Env knobs for large-SF runs:
+  LOCALVERIFY_SKIP=q_a,q_b  skip these queries (reported as [skipped],
+                            not FAIL) — for oracles infeasible in DuckDB
+                            at the target SF; document each exclusion
+  LOCALVERIFY_ONLY=q_a,q_b  compare only these queries
+  LOCALVERIFY_TIMES=1       print per-query oracle+compare seconds
+
 For each query output parquet in <outDir>: run the matching oracle SQL
 from oracle_sql.json in DuckDB (tables = <sfDir>/*.parquet), sort columns
 by name, sort rows, and compare. Reports exact mismatches and, for float
@@ -28,13 +35,23 @@ def main(sf_dir, out_dir):
         name = os.path.basename(p).replace(".parquet", "")
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = n_noora = 0
+    skip = set(filter(None, os.environ.get("LOCALVERIFY_SKIP", "").split(",")))
+    only = set(filter(None, os.environ.get("LOCALVERIFY_ONLY", "").split(",")))
+    times = os.environ.get("LOCALVERIFY_TIMES") == "1"
+    n_pass = n_fail = n_noora = n_skip = 0
     seen = set()
+    import time as _time
     for d in sorted(os.listdir(out_dir)):
         full = os.path.join(out_dir, d)
         if not os.path.isdir(full):
             continue
         seen.add(d)
+        if d in skip or (only and d not in only):
+            n_skip += 1
+            if d in skip:
+                print(f"  [skipped] {d}")
+            continue
+        t0 = _time.monotonic()
         got = pd.read_parquet(full)
         if d not in oracles:
             n_noora += 1
@@ -88,15 +105,18 @@ def main(sf_dir, out_dir):
                           f"spark={gv.iloc[i]!r} oracle={ev.iloc[i]!r}")
         if ok:
             n_pass += 1
-            print(f"✓ {d} ({len(g)} rows)")
+            el = f" [{_time.monotonic() - t0:.1f}s]" if times else ""
+            print(f"✓ {d} ({len(g)} rows){el}", flush=True)
         else:
             n_fail += 1
     # A query that crashed in Verify leaves no output dir — count it as FAIL
     # instead of silently vanishing from the gate.
     for d in sorted(set(oracles) - seen):
+        if d in skip or (only and d not in only):
+            continue
         n_fail += 1
         print(f"✗ {d}: NO OUTPUT (query crashed in Verify?)")
-    print(f"\nPASS={n_pass} FAIL={n_fail} ROWS_ONLY={n_noora}")
+    print(f"\nPASS={n_pass} FAIL={n_fail} ROWS_ONLY={n_noora} SKIP={n_skip}")
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
