@@ -1116,11 +1116,27 @@ object Training extends QueryGroup {
     * the documented two-phase salted prefix sum — order-preserving
     * buckets numbered in parallel, one broadcast of bucket totals, never
     * a global single-task sort. */
+  /** q_shuffle_global's permutation modulus/multiplier: prime > 2^34
+    * (covers the sf10 key-shifted id domain; injective for ids below
+    * it), multiplier 3^18 < 2^29 so (P−1)·K stays in int64 in Spark and
+    * DuckDB alike. */
+  private val ShuffleP = 17179869209L
+  private val ShuffleK = 387420489L
+
   private val qShuffleGlobal = Q(
     "q_shuffle_global",
     (s, dir) => {
+      // the permutation hash needs a modulus ABOVE the id domain, or the
+      // `%` collides and SaltedPrefix's unique-order precondition breaks
+      // — caught by the r13 sf10 gate (key-shifted ids reach 9.9e9, past
+      // docHash's P=1e9+7: 291k position diffs from hash ties). 2^34-ish
+      // prime × a sub-2^29 multiplier keeps the product in int64 for
+      // BOTH engines; injective for ids < SHUFFLE_P (documented bound —
+      // at larger id domains pick the next prime up).
       val docs = table(s, dir, "documents")
-        .select(col("doc_id"), docHash(col("doc_id")).as("h"),
+        .select(col("doc_id"),
+          (((col("doc_id") % lit(ShuffleP)) * lit(ShuffleK) + lit(40503L))
+            % lit(ShuffleP)).as("h"),
           lit("all").as("k"))
       graft.operators.SaltedPrefix
         .exclusivePrefixSum(docs, "k", "h", lit(1L), nb = 32)
@@ -1128,8 +1144,10 @@ object Training extends QueryGroup {
         .orderBy(col("pos"))
     },
     Some(s"""SELECT doc_id,
-               row_number() OVER (ORDER BY ${docHashSql("doc_id")}) AS pos
+               row_number() OVER (ORDER BY
+                 ((doc_id % $ShuffleP) * $ShuffleK + 40503) % $ShuffleP) AS pos
              FROM documents ORDER BY pos"""))
+
 
   /** Trained text classifier (the CCNet/fastText-style quality- or
     * language-filter step: a linear bag-of-words model trained on
