@@ -73,9 +73,10 @@ object SaltedPrefix {
     * integral order columns (both current callers). */
   def exclusivePrefixSumQuantile(
       df: DataFrame, partCol: String, orderCol: String,
-      value: Column, nb: Int = 16, sampleOneIn: Int = 64): DataFrame =
+      value: Column, nb: Int = 16, sampleOneIn: Int = 64,
+      tieCol: Option[String] = None): DataFrame =
     stitch(withQuantileBuckets(df, partCol, orderCol, nb, sampleOneIn),
-      partCol, orderCol, value)
+      partCol, orderCol, value, tieCol)
 
   /** Adds `__bkt` (int, order-preserving within `partCol`) from
     * deterministic hash-sampled quantile bounds. Public building block so
@@ -126,9 +127,17 @@ object SaltedPrefix {
     * counters-only shuffle, cheaper than materializing the projection
     * for reuse (a localCheckpoint variant measured SLOWER: block write
     * cost exceeded the recompute it saved). */
+  /** `tieCol` extends the per-bucket ordering to (orderCol, tieCol) —
+    * the COMPOSITE-key form (r13): packing two wide keys into one int64
+    * overflows once their bit widths sum past 63 (q_window_ntile's
+    * price×maxkey encoding blew up at the sf10 id domain), while a
+    * tie-break column costs nothing: buckets depend only on the primary
+    * (any monotone function of it stitches exactly), so only the
+    * per-bucket window needs the second key. Uniqueness precondition
+    * becomes pair-uniqueness within the partition key. */
   private def stitch(
       b0: DataFrame, partCol: String, orderCol: String,
-      value: Column): DataFrame = {
+      value: Column, tieCol: Option[String] = None): DataFrame = {
     val b = b0.withColumn("__v", value)
     // totals from the projection directly — the big window below is then
     // the ONLY per-row window pass
@@ -139,7 +148,7 @@ object SaltedPrefix {
       .withColumn("__off", coalesce(sum("__t").over(wOff), lit(0L)))
       .select(partCol, "__bkt", "__off")
     val wLocal = Window.partitionBy(col(partCol), col("__bkt"))
-      .orderBy(col(orderCol))
+      .orderBy(col(orderCol) +: tieCol.map(col).toSeq: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     b.withColumn("__local_off", coalesce(sum(col("__v")).over(wLocal), lit(0L)))
       .join(broadcast(offs), Seq(partCol, "__bkt"))

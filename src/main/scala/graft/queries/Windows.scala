@@ -543,27 +543,27 @@ object Windows extends QueryGroup {
     * distribution), and the tile is then pure arithmetic implementing
     * EXACT SQL NTILE remainder semantics: the first N mod T tiles get
     * ⌈N/T⌉ rows, the rest ⌊N/T⌋ — so the gate hash-matches DuckDB's own
-    * ntile, not an approximation of it. The ORDER is (price, orderkey)
-    * encoded into one integer via a CORPUS-DERIVED multiplier (max
-    * orderkey + 1 — a fixed constant would silently collide at larger
-    * scale factors).
+    * ntile, not an approximation of it. The ORDER is the COMPOSITE
+    * (price, orderkey) via SaltedPrefix's tie column — the r12 one-int
+    * encoding (price4 × (maxkey+1) + key) overflowed int64 at the sf10
+    * id domain (price4 ~2^33 × keys ~2^34; caught by the r13 sf10 gate),
+    * and no packing survives keys whose widths sum past 63 bits.
     *
-    * Scale shape: two one-row broadcasts (encoding multiplier + row
-    * count); per-row work is a codegen'd projection; the only windows are
-    * the salted machinery's (per-bucket, plus a 32-row offsets pass). */
+    * Scale shape: one one-row broadcast (row count); per-row work is a
+    * codegen'd projection; the only windows are the salted machinery's
+    * (per-bucket, plus a 32-row offsets pass). */
   private val qWindowNtile = Q(
     "q_window_ntile",
     (s, dir) => {
       val tiles = 16
       val o = table(s, dir, "orders").select("o_orderkey", "o_totalprice")
-      val consts = o.agg((max(col("o_orderkey")) + 1L).as("m"),
-        count(lit(1)).as("n_total"))
+      val consts = o.agg(count(lit(1)).as("n_total"))
       val encoded = o.crossJoin(broadcast(consts))
         .select(col("o_orderkey"), col("o_totalprice"), col("n_total"),
-          (fixed4(col("o_totalprice")) * col("m") + col("o_orderkey")).as("ord"),
-          lit("all").as("k"))
+          fixed4(col("o_totalprice")).as("ord"), lit("all").as("k"))
       graft.operators.SaltedPrefix
-        .exclusivePrefixSumQuantile(encoded, "k", "ord", lit(1L), nb = 32)
+        .exclusivePrefixSumQuantile(encoded, "k", "ord", lit(1L), nb = 32,
+          tieCol = Some("o_orderkey"))
         .withColumn("pos", col("start_off") + 1L)
         .selectExpr("o_totalprice",
           s"""CASE WHEN pos <= ((n_total div $tiles) + 1) * (n_total % $tiles)
