@@ -409,6 +409,53 @@ object Sources extends QueryGroup {
                AND o_orderpriority <= '3-MEDIUM'
              GROUP BY prio ORDER BY prio"""))
 
+  /** BLOOM-FILTER FILE SKIPPING over the Store (sources/KvBloom +
+    * sources/KvSink `#bf` sidecar lines): the pruning tier zone maps
+    * cannot provide once every file's [min, max] spans the key domain —
+    * here the store is HASH-distributed on the key (`repartition(8)`),
+    * so all 8 files carry overlapping full-range bounds and bounds-only
+    * planning opens every one. With `bloomColumns=k,prio` each file's
+    * sidecar carries an opt-in ~9.6-bits/distinct-value Bloom filter
+    * (1% FPP, no false negatives by construction), and a point lookup
+    * (`k IN (...)`, `prio = '...'` — the GDPR/CDC "find this entity"
+    * shape) skips every file the filter PROVES clean. KvBloomSpec pins
+    * the actual skip counts and the no-false-negative property; this
+    * gate pins that bloom pruning never changes answers. 100 TB shape:
+    * the lookup cost tracks the files that HOLD the key, not the store
+    * size — on hash layouts where bounds are useless. */
+  private val qSourceKvBloom = Q(
+    "q_source_kv_bloom",
+    (s, dir) => {
+      val out = sys.props("java.io.tmpdir") + "/graft-kvsink/q_source_kv_bloom"
+      cleanDir(out)
+      table(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("cust"),
+          col("o_orderpriority").as("prio"))
+        .repartition(8) // hash layout: every file spans the key domain
+        .write.format("graft.sources.KvSinkProvider")
+        .option("path", out)
+        .option("bloomColumns", "k,prio")
+        .mode("append").save()
+      val t = s.read.format("graft.sources.KvSourceProvider")
+        .option("path", out)
+        .option("schema", "k LONG, cust LONG, prio STRING").load()
+      t.filter(col("k").isin(7L, 1988L, 4000L, 29476L))
+        .select(col("k"), col("cust"), col("prio"))
+        .unionAll(
+          t.filter(col("prio") === "1-URGENT" && col("k") < 500L)
+            .select(col("k"), col("cust"), col("prio")))
+        .orderBy(col("k"), col("cust"), col("prio"))
+    },
+    Some("""SELECT k, cust, prio FROM (
+              SELECT o_orderkey AS k, o_custkey AS cust,
+                     o_orderpriority AS prio
+              FROM orders WHERE o_orderkey IN (7, 1988, 4000, 29476)
+              UNION ALL
+              SELECT o_orderkey, o_custkey, o_orderpriority
+              FROM orders
+              WHERE o_orderpriority = '1-URGENT' AND o_orderkey < 500
+            ) ORDER BY k, cust, prio"""))
+
   /** GROUPED stats-answered aggregate — `GROUP BY partition_column` over
     * a value-partitioned store folds each value's sidecars: per-group
     * row counts and integer min/max come entirely from commit metadata
@@ -1165,7 +1212,7 @@ object Sources extends QueryGroup {
       qSourceBucketedJoin, qSourceDsv2, qSourceDsv2Agg, qSourceDsv2Topn,
       qSinkDsv2, qSourceKv, qSourceKvNet, qSourceKvZonemap, qSourceKvRuntimePrune,
       qSourceKvAgg, qSourceKvAggGrouped, qSourceKvSpj, qSourceKvSpjBucketed,
-      qSourceKvZonemapTyped,
+      qSourceKvZonemapTyped, qSourceKvBloom,
       qZorderLayout, qZonemapPrune, qStoreTimetravel, qStoreTimediff,
       qStoreDelete, qStoreMerge,
       qSourceSchemaEvolution,

@@ -1279,6 +1279,86 @@ object Streaming extends QueryGroup {
     Some("""SELECT doc_id, lang, length(text) * 2 AS len2
             FROM documents ORDER BY doc_id"""))
 
+  /** CHANGE DATA FEED from the store (sources/KvChangeFeed — the CDC
+    * tier every lakehouse ships): a store mutated by append + row-level
+    * DELETE + keyed MERGE is consumed as a STREAM of insert/delete
+    * events (`_change_type`/`_commit_version`), where the plain
+    * streaming source must fail or skip change commits; the downstream
+    * multiset fold (`insert − delete`, the canonical CDC apply) over the
+    * converged feed reconstructs the final store content EXACTLY — the
+    * oracle recomputes that content relationally from the parquet base.
+    * The feed's grain is the CoW grain: a mutation feeds whole-file
+    * delete+insert pairs, so the fold — not event minimality — is the
+    * contract. 100 TB shape: per-trigger planning reads only the NEW
+    * manifests; event volume tracks the rewritten files (zone-map-
+    * targeted ∝ the change batch), never the store. KvChangeFeedSpec
+    * pins snapshot/delta/compaction/restart semantics. */
+  private val qStreamStoreCdf = Q(
+    "q_stream_store_cdf",
+    (s, dir) => {
+      val tmp = sys.props("java.io.tmpdir")
+      val root = new java.io.File(s"$tmp/graft-stream-store-cdf")
+      if (root.exists()) rmTree(root)
+      java.nio.file.Files.createDirectories(root.toPath)
+      val store = s"$root/store"
+      val ckpt = s"$root/ckpt"
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "o LONG, cust LONG, price4 LONG")
+      val orders = table(s, dir, "orders")
+        .select(col("o_orderkey").as("o"), col("o_custkey").as("cust"),
+          // quantized money (the fixed4 discipline at cents): round on
+          // BOTH sides — Spark cast would truncate, DuckDB's would round
+          round(col("o_totalprice") * 100, 0).cast("long").as("price4"))
+      orders.filter(col("o") % 2 === 0)
+        .write.format("graft.sources.KvSinkProvider")
+        .option("path", store).mode("append").save() // v1: evens
+      val folded = new java.util.concurrent.ConcurrentLinkedQueue[
+        org.apache.spark.sql.Row]()
+      val q = s.readStream.format("graft.sources.KvSourceProvider")
+        .option("path", store)
+        .option("schema", "o LONG, cust LONG, price4 LONG")
+        .option("readChangeFeed", "true").load()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.collect().foreach(r => folded.add(r)): Unit
+        }
+        .start()
+      try {
+        q.processAllAvailable() // snapshot batch: v1 as inserts
+        orders.filter(col("o") % 2 === 1)
+          .write.format("graft.sources.KvSinkProvider")
+          .option("path", store).mode("append").save() // v2: odds
+        q.processAllAvailable()
+        // v3: row-level DELETE (CoW) — drop small orders
+        graft.sources.KvStore.deleteWhere(s, store, schema,
+          Seq(org.apache.spark.sql.sources.LessThan("o", 1000L))): Unit
+        q.processAllAvailable()
+        // v4: keyed MERGE — reprice two customers' cheapest bracket
+        graft.sources.KvStore.merge(s, store, schema, "o",
+          orders.filter(col("o").between(1000L, 1200L))
+            .withColumn("price4", lit(0L))): Unit
+        q.processAllAvailable()
+      } finally q.stop()
+      import scala.jdk.CollectionConverters._
+      val events = s.createDataFrame(
+        folded.asScala.toSeq.asJava,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "o LONG, cust LONG, price4 LONG, _change_type STRING, _commit_version LONG"))
+      // the canonical CDC apply: multiset fold insert − delete
+      events.groupBy("o", "cust", "price4")
+        .agg(sum(when(col("_change_type") === "insert", 1L)
+          .otherwise(-1L)).as("n"))
+        .filter(col("n") > 0L)
+        .select(col("o"), col("cust"), col("price4"))
+        .orderBy("o")
+    },
+    Some("""SELECT o_orderkey AS o, o_custkey AS cust,
+              CASE WHEN o_orderkey BETWEEN 1000 AND 1200 THEN 0
+                   ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS price4
+            FROM orders WHERE o_orderkey >= 1000
+            ORDER BY o"""))
+
   override val queries: Seq[Q] = Seq(
     qStreamTumbling, qStreamSliding, qStreamSession, qStreamStateful,
     qStreamTws,
@@ -1288,5 +1368,5 @@ object Streaming extends QueryGroup {
     qStreamIngest, qStreamIngestNeardup, qStreamIngestNeardupPhash,
     qStreamAnnProbe, qStreamClassify, qStreamBm25Serve,
     qStreamTextIndexIngest, qStreamClassifyTrain, qStreamAnnIngest,
-    qStreamDedup, qStreamStoreSource)
+    qStreamDedup, qStreamStoreSource, qStreamStoreCdf)
 }

@@ -60,7 +60,7 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
       s"graft kv catalog: procedure table must be 'namespace.name', got '$ref'")
     val ident = Identifier.of(parts.init, parts.last)
     readMeta(dirFor(ident)) match {
-      case Some((eras, _)) => (dirFor(ident).getAbsolutePath, eras.last._2)
+      case Some(meta) => (dirFor(ident).getAbsolutePath, meta.eras.last._2)
       case None => throw new NoSuchTableException(ident)
     }
   }
@@ -106,9 +106,13 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
   // exists so VERSION AS OF presents the schema of its day.
 
   private def writeMeta(dir: File, eras: Seq[(Int, StructType)],
-      partCol: Option[String]): Unit = {
+      partCol: Option[String], bloomCols: Seq[String] = Nil): Unit = {
     val lines = Seq(s"schema,${KvEscape.escape(eras.head._2.toDDL)}") ++
       partCol.map(c => s"partitionColumn,${KvEscape.escape(c)}") ++
+      // opt-in per-file Bloom filter columns ([[KvBloom]]) — every write
+      // path (INSERT/CTAS/CoW/compaction) publishes filters for these
+      (if (bloomCols.isEmpty) Nil
+       else Seq(s"bloomColumns,${bloomCols.map(KvEscape.escape).mkString(",")}")) ++
       eras.tail.map { case (v, sch) =>
         s"era,$v,${KvEscape.escape(sch.toDDL)}"
       }
@@ -116,28 +120,33 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
       lines.mkString("", "\n", "\n").getBytes("UTF-8")): Unit
   }
 
+  import KvCatalog.Meta
+
   /** Schema eras ascending by start version (head = the CREATE era at 0)
-    * plus the partition column. */
-  private def readMeta(dir: File): Option[(Seq[(Int, StructType)], Option[String])] = {
+    * plus the partition column and Bloom columns. */
+  private def readMeta(dir: File): Option[Meta] = {
     val m = metaOf(dir)
     if (!m.isFile) None
     else {
       val lines = Files.readAllLines(m.toPath).asScala.filter(_.nonEmpty)
       var base: StructType = null
       var partCol: Option[String] = None
+      var bloomCols: Seq[String] = Nil
       val eras = Seq.newBuilder[(Int, StructType)]
       lines.foreach { l =>
         val Array(k, v) = l.split(",", 2)
         k match {
           case "schema" => base = StructType.fromDDL(KvEscape.unescape(v))
           case "partitionColumn" => partCol = Some(KvEscape.unescape(v))
+          case "bloomColumns" =>
+            bloomCols = v.split(",").toSeq.map(KvEscape.unescape)
           case "era" =>
             val Array(start, ddl) = v.split(",", 2)
             eras += ((start.toInt, StructType.fromDDL(KvEscape.unescape(ddl))))
           case _ => ()
         }
       }
-      Some(((0, base) +: eras.result().sortBy(_._1), partCol))
+      Some(Meta((0, base) +: eras.result().sortBy(_._1), partCol, bloomCols))
     }
   }
 
@@ -161,9 +170,9 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table =
     readMeta(dirFor(ident)) match {
-      case Some((eras, partCol)) =>
+      case Some(meta) =>
         new KvCatalogTable(ident.toString, dirFor(ident).getAbsolutePath,
-          eras.last._2, partCol, None)
+          meta.eras.last._2, meta.partCol, None, meta.bloomCols)
       case None => throw new NoSuchTableException(ident)
     }
 
@@ -171,7 +180,7 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
     * `asOfCommit` snapshot planning (the same manifests, zero copies). */
   override def loadTable(ident: Identifier, version: String): Table =
     readMeta(dirFor(ident)) match {
-      case Some((eras, partCol)) =>
+      case Some(meta) =>
         val v = try version.toInt catch {
           case _: NumberFormatException => throw new IllegalArgumentException(
             s"graft kv catalog: VERSION AS OF takes a commit number, got '$version'")
@@ -179,7 +188,7 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
         // time travel presents the SCHEMA of its day too: a snapshot
         // below an ADD COLUMN has no such column
         new KvCatalogTable(s"$ident@v$version", dirFor(ident).getAbsolutePath,
-          eraAt(eras, v), partCol, Some(v))
+          eraAt(meta.eras, v), meta.partCol, Some(v), meta.bloomCols)
       case None => throw new NoSuchTableException(ident)
     }
 
@@ -211,8 +220,12 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
     }
     val dir = dirFor(ident)
     if (metaOf(dir).isFile) throw new TableAlreadyExistsException(ident)
+    // TBLPROPERTIES ('bloomColumns'='c1,c2'): per-file Bloom filters for
+    // point-lookup file skipping — validated against the CREATE schema
+    val bloomCols = KvBloomCols.parse(
+      Option(properties.get("bloomColumns")), schema)
     Files.createDirectories(dir.toPath)
-    writeMeta(dir, Seq((0, schema)), partCol)
+    writeMeta(dir, Seq((0, schema)), partCol, bloomCols)
     loadTable(ident)
   }
 
@@ -225,8 +238,9 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
     * rewrite-the-store operations, not metadata ones. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = dirFor(ident)
-    val (eras, partCol) = readMeta(dir)
+    val meta = readMeta(dir)
       .getOrElse(throw new NoSuchTableException(ident))
+    val (eras, partCol) = (meta.eras, meta.partCol)
     var schema = eras.last._2
     changes.foreach {
       case add: TableChange.AddColumn =>
@@ -254,7 +268,8 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
     }
     val start = KvCommitLog.latestVersion(dir.toPath) + 1
     // several ALTERs between commits collapse into one era (same start)
-    writeMeta(dir, eras.filterNot(_._1 == start) :+ ((start, schema)), partCol)
+    writeMeta(dir, eras.filterNot(_._1 == start) :+ ((start, schema)),
+      partCol, meta.bloomCols)
     loadTable(ident)
   }
 
@@ -319,12 +334,18 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
   }
 }
 
+object KvCatalog {
+  /** Parsed `_meta`: schema eras, partition column, Bloom columns. */
+  private[sources] final case class Meta(eras: Seq[(Int, StructType)],
+      partCol: Option[String], bloomCols: Seq[String])
+}
+
 /** One catalog table: read/write/delete over the table's store
   * directory, delegating to the SAME connector machinery the options
   * path uses — the catalog adds naming, DDL, and SQL row-level ops, not
   * a second engine. `asOf` (VERSION AS OF) tables are read-only. */
 class KvCatalogTable(ident: String, dir: String, tblSchema: StructType,
-    partCol: Option[String], asOf: Option[Int])
+    partCol: Option[String], asOf: Option[Int], bloomCols: Seq[String] = Nil)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsMetadataColumns with SupportsRowLevelOperations {
 
@@ -343,7 +364,8 @@ class KvCatalogTable(ident: String, dir: String, tblSchema: StructType,
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(asOf.isEmpty,
       s"graft kv catalog: cannot mutate time-travel snapshot $ident")
-    () => new KvRowLevelOperation(dir, tblSchema, partCol, info.command())
+    () => new KvRowLevelOperation(dir, tblSchema, partCol, info.command(),
+      bloomCols)
   }
 
   override def name(): String = ident
@@ -351,8 +373,9 @@ class KvCatalogTable(ident: String, dir: String, tblSchema: StructType,
   override def partitioning(): Array[Transform] =
     partCol.map(c => Expressions.identity(c)).toArray
   override def properties(): util.Map[String, String] =
-    partCol.map(c => Map("partitionColumn" -> c).asJava)
-      .getOrElse(util.Collections.emptyMap())
+    (partCol.map("partitionColumn" -> _).toMap ++
+      (if (bloomCols.isEmpty) Map.empty[String, String]
+       else Map("bloomColumns" -> bloomCols.mkString(",")))).asJava
 
   override def capabilities(): util.Set[TableCapability] =
     if (asOf.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
@@ -386,7 +409,8 @@ class KvCatalogTable(ident: String, dir: String, tblSchema: StructType,
       }
       override def build(): Write = new Write {
         override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-          new KvBatchWrite(dir, info.schema(), partCol, replace)
+          new KvBatchWrite(dir, info.schema(), partCol, replace,
+            bloomCols = bloomCols)
       }
     }
   }

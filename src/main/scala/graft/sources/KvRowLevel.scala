@@ -73,7 +73,8 @@ object KvRowLevel {
   * machinery) and `newWriteBuilder` on the SAME instance — the scanned
   * file set crosses from scan planning to write commit through it. */
 class KvRowLevelOperation(dir: String, schema: StructType,
-    partCol: Option[String], cmd: RowLevelOperation.Command)
+    partCol: Option[String], cmd: RowLevelOperation.Command,
+    bloomCols: Seq[String] = Nil)
     extends RowLevelOperation {
 
   /** The snapshot every piece of this operation derives from: scan plans
@@ -107,7 +108,7 @@ class KvRowLevelOperation(dir: String, schema: StructType,
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new KvCoWBatchWrite(KvRowLevelOperation.this, dir,
-            StructType(dataFields), partCol)
+            StructType(dataFields), partCol, bloomCols)
       }
     }
   }
@@ -209,14 +210,15 @@ class KvCoWScan(op: KvRowLevelOperation, dir: String,
   * (full zone-map/stats discipline), committed as removes(scanned) +
   * adds(staged) in ONE manifest CASed at `base+1`. */
 class KvCoWBatchWrite(op: KvRowLevelOperation, dir: String,
-    schema: StructType, partCol: Option[String]) extends BatchWrite {
+    schema: StructType, partCol: Option[String], bloomCols: Seq[String] = Nil)
+    extends BatchWrite {
 
   private val nonce: String =
     java.lang.Long.toUnsignedString(
       java.util.concurrent.ThreadLocalRandom.current().nextLong(), 36)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    KvWriterFactory(dir, schema, partCol, nonce)
+    KvWriterFactory(dir, schema, partCol, nonce, bloomCols)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dirPath = Paths.get(dir)
@@ -228,7 +230,7 @@ class KvCoWBatchWrite(op: KvRowLevelOperation, dir: String,
       files.map { sf =>
         val src = Paths.get(sf.stagedFile)
         KvZoneMap.write(dirPath, src.getFileName.toString, sf.rows, sf.stats,
-          sf.dstats, sf.sstats, sf.sums, sf.nulls)
+          sf.dstats, sf.sstats, sf.sums, sf.nulls, sf.blooms)
         Files.move(src, dirPath.resolve(src.getFileName),
           StandardCopyOption.REPLACE_EXISTING)
         src.getFileName.toString

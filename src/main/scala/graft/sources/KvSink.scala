@@ -58,11 +58,33 @@ class KvSinkProvider extends TableProvider {
       properties: util.Map[String, String]): Table =
     new KvTable(properties.get("path"), schema,
       Option(properties.get("partitionColumn")),
-      Option(properties.get("txnId")))
+      Option(properties.get("txnId")),
+      KvBloomCols.parse(Option(properties.get("bloomColumns")), schema))
+}
+
+/** `bloomColumns` option/property parsing shared by the sink and the
+  * catalog: comma-separated column names, each int/long/string-typed
+  * (doubles are rejected — NaN/-0.0 canonicalization makes float point
+  * lookups a smell, same stance as the zone-map double family which
+  * carries bounds only). */
+object KvBloomCols {
+  def parse(opt: Option[String], schema: StructType): Seq[String] = {
+    val cols = opt.toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    cols.foreach { c =>
+      val i = schema.fieldNames.indexOf(c)
+      require(i >= 0, s"graft kv sink: bloomColumns column '$c' not in schema")
+      require(Seq(LongType, IntegerType, StringType)
+        .contains(schema.fields(i).dataType),
+        s"graft kv sink: bloomColumns column '$c' must be integer- or " +
+          "string-typed (point lookups on doubles don't bloom)")
+    }
+    cols.distinct
+  }
 }
 
 class KvTable(path: String, writeSchema: StructType,
-    partCol: Option[String] = None, txnId: Option[String] = None)
+    partCol: Option[String] = None, txnId: Option[String] = None,
+    bloomCols: Seq[String] = Nil)
     extends Table with SupportsWrite {
   require(path != null && path.nonEmpty, "graft kv sink requires option 'path'")
   override def name(): String = s"graft_kv_sink($path)"
@@ -75,14 +97,16 @@ class KvTable(path: String, writeSchema: StructType,
       override def truncate(): WriteBuilder = { replace = true; this }
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new KvBatchWrite(path, info.schema(), partCol, replace, txnId)
+          new KvBatchWrite(path, info.schema(), partCol, replace, txnId,
+            bloomCols)
       }
     }
 }
 
 class KvBatchWrite(path: String, schema: StructType,
     partCol: Option[String] = None, replace: Boolean = false,
-    txnId: Option[String] = None) extends BatchWrite {
+    txnId: Option[String] = None, bloomCols: Seq[String] = Nil)
+    extends BatchWrite {
   /** Per-write nonce folded into staged/published file names: partitionId
     * and taskId are only unique within one SparkContext, and with
     * overwrite + time travel an old version's file must NEVER be clobbered
@@ -93,7 +117,7 @@ class KvBatchWrite(path: String, schema: StructType,
       java.util.concurrent.ThreadLocalRandom.current().nextLong(), 36)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    KvWriterFactory(path, schema, partCol, nonce)
+    KvWriterFactory(path, schema, partCol, nonce, bloomCols)
 
   /** Driver-side atomic publish: exactly one staged file per partition
     * (Spark's OutputCommitCoordinator guarantees one committed attempt),
@@ -130,7 +154,7 @@ class KvBatchWrite(path: String, schema: StructType,
       files.map { sf =>
         val src = Paths.get(sf.stagedFile)
         KvZoneMap.write(dir, src.getFileName.toString, sf.rows, sf.stats,
-          sf.dstats, sf.sstats, sf.sums, sf.nulls)
+          sf.dstats, sf.sstats, sf.sums, sf.nulls, sf.blooms)
         Files.move(src, dir.resolve(src.getFileName),
           StandardCopyOption.REPLACE_EXISTING)
         src.getFileName.toString
@@ -175,7 +199,8 @@ case class KvStagedFile(
     dstats: Seq[(String, Double, Double)] = Seq.empty,
     sstats: Seq[(String, String, String)] = Seq.empty,
     sums: Seq[(String, Long)] = Seq.empty,
-    nulls: Seq[(String, Long)] = Seq.empty)
+    nulls: Seq[(String, Long)] = Seq.empty,
+    blooms: Seq[(String, Int, Int, Array[Long])] = Seq.empty)
 
 case class KvCommit(files: Seq[KvStagedFile]) extends WriterCommitMessage
 
@@ -213,7 +238,8 @@ object KvZoneMap {
       dcols: Map[String, (Double, Double)] = Map.empty,
       scols: Map[String, (String, String)] = Map.empty,
       sums: Map[String, Long] = Map.empty,
-      nulls: Map[String, Long] = Map.empty) {
+      nulls: Map[String, Long] = Map.empty,
+      blooms: Map[String, KvBloom.Bloom] = Map.empty) {
     /** Null tracking present? r13 sidecars carry a `#n,col,N` line per
       * column (even 0); older sidecars predate nulls entirely — absent
       * tracking + bounds present ⇒ the no-nulls-era writer wrote it. */
@@ -230,7 +256,8 @@ object KvZoneMap {
       dstats: Seq[(String, Double, Double)] = Seq.empty,
       sstats: Seq[(String, String, String)] = Seq.empty,
       sums: Seq[(String, Long)] = Seq.empty,
-      nulls: Seq[(String, Long)] = Seq.empty): Unit = {
+      nulls: Seq[(String, Long)] = Seq.empty,
+      blooms: Seq[(String, Int, Int, Array[Long])] = Seq.empty): Unit = {
     val tmp = dir.resolve(s".zm-tmp-$file")
     val lines = (s"#rows,$rows" +:
       stats.map { case (c, mn, mx) => s"${KvEscape.escape(c)},$mn,$mx" }) ++
@@ -241,7 +268,12 @@ object KvZoneMap {
       sums.map { case (c, sm) => s"#sum,${KvEscape.escape(c)},$sm" } ++
       // per-column NULL counts (r13 schema evolution: nulls exist) — one
       // line per column, 0 included, so presence == tracking
-      nulls.map { case (c, n) => s"#n,${KvEscape.escape(c)},$n" }
+      nulls.map { case (c, n) => s"#n,${KvEscape.escape(c)},$n" } ++
+      // opt-in per-file Bloom filters (point-lookup file skipping where
+      // bounds can't prune) — base64 is comma/newline-free, one line each
+      blooms.map { case (c, k, m, bits) =>
+        s"#bf,${KvEscape.escape(c)},$k,$m,${KvBloom.encode(bits)}"
+      }
     Files.write(tmp, lines.mkString("", "\n", "\n").getBytes("UTF-8"))
     Files.move(tmp, dir.resolve(sidecarName(file)),
       StandardCopyOption.REPLACE_EXISTING)
@@ -256,9 +288,14 @@ object KvZoneMap {
     val scols = Map.newBuilder[String, (String, String)]
     val sums = Map.newBuilder[String, Long]
     val nulls = Map.newBuilder[String, Long]
+    val blooms = Map.newBuilder[String, KvBloom.Bloom]
     lines.filter(_.nonEmpty).foreach {
       case line if line.startsWith("#rows,") =>
         rows = line.stripPrefix("#rows,").toLong
+      case line if line.startsWith("#bf,") =>
+        val Array(_, c, k, m, b64) = line.split(",", 5)
+        blooms += KvEscape.unescape(c) ->
+          KvBloom.decode(k.toInt, m.toInt, b64)
       case line if line.startsWith("#n,") =>
         val Array(_, c, n) = line.split(",", 3)
         nulls += KvEscape.unescape(c) -> n.toLong
@@ -278,7 +315,7 @@ object KvZoneMap {
     }
     if (rows < 0) None
     else Some(Stats(rows, cols.result(), dcols.result(), scols.result(),
-      sums.result(), nulls.result()))
+      sums.result(), nulls.result(), blooms.result()))
   }
 
   /** Read a data file's sidecar; None when absent (never prune or answer
@@ -540,6 +577,31 @@ object KvCommitLog {
                 "consume appends — set skipChangeCommits=true to skip " +
                 "change commits")
           } else lines.filterNot(isTxnLine)
+      }
+    }
+  }
+
+  /** Per-version CHANGE SETS for `(after, until]` — the change-data-feed
+    * planning primitive: each element is (version, adds, removes) exactly
+    * as the manifest recorded them. Same replay discipline as
+    * [[addsBetween]]: a vacuumed manifest in the range is an explicit
+    * error (vacuum must stay above any change-feed reader's horizon) —
+    * removed DATA files below the range are still reclaimable, this only
+    * pins the manifests. */
+  def changesBetween(dir: java.nio.file.Path, after: Int,
+      until: Int): Seq[(Int, Seq[String], Seq[String])] = {
+    if (until <= after) return Nil
+    val byV = versions(dir).toMap
+    ((after + 1) to until).map { v =>
+      byV.get(v) match {
+        case None => throw new IllegalStateException(
+          s"graft commit log: manifest $v at $dir was vacuumed — a " +
+            "change-feed read cannot replay it; keep vacuum above the " +
+            "feed's replayable horizon")
+        case Some(p) =>
+          val lines = linesOf(p).filterNot(isTxnLine)
+          val (removes, adds) = lines.partition(isRemoveLine)
+          (v, adds, removes.map(_.stripPrefix("-")))
       }
     }
   }
@@ -822,10 +884,12 @@ object KvEscape {
 }
 
 case class KvWriterFactory(path: String, schema: StructType,
-    partCol: Option[String] = None, nonce: String = "0")
+    partCol: Option[String] = None, nonce: String = "0",
+    bloomCols: Seq[String] = Nil)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new KvDataWriter(path, schema, partitionId, taskId, partCol, nonce)
+    new KvDataWriter(path, schema, partitionId, taskId, partCol, nonce,
+      bloomCols)
 }
 
 /** Task-side writer. Default layout: ONE staged file per task. With
@@ -838,12 +902,19 @@ case class KvWriterFactory(path: String, schema: StructType,
   * `repartition(n, col)` upstream; the layout stays correct either way
   * (several files may share a value — the source groups them). */
 class KvDataWriter(path: String, schema: StructType, partitionId: Int,
-    taskId: Long, partCol: Option[String] = None, nonce: String = "0")
+    taskId: Long, partCol: Option[String] = None, nonce: String = "0",
+    bloomCols: Seq[String] = Nil)
     extends DataWriter[InternalRow] {
 
   private val statIdx: Array[Int] = schema.fields.zipWithIndex.collect {
     case (f, i) if f.dataType == LongType || f.dataType == IntegerType => i
   }
+  // opt-in Bloom columns: validated int/long/string field indices
+  private val bloomIdx: Array[Int] = bloomCols.map { c =>
+    val i = schema.fieldNames.indexOf(c)
+    require(i >= 0, s"graft kv sink: bloomColumns column '$c' not in schema")
+    i
+  }.toArray
   private val dStatIdx: Array[Int] = schema.fields.zipWithIndex.collect {
     case (f, i) if f.dataType == DoubleType => i
   }
@@ -901,6 +972,11 @@ class KvDataWriter(path: String, schema: StructType, partitionId: Int,
     // per-column null counts (r13: schema evolution makes nulls real) —
     // published as `#n` sidecar lines so count(col) stays stats-answered
     val nullCnt: Array[Long] = Array.fill(schema.fields.length)(0L)
+    // one primary hash per non-null written value per Bloom column
+    // (duplicates fine — KvBloom.build dedups when sizing); 8 B/row/col
+    // task-side, released at commit
+    val bloomHashes: Array[scala.collection.mutable.ArrayBuffer[Long]] =
+      Array.fill(bloomIdx.length)(scala.collection.mutable.ArrayBuffer.empty[Long])
     var nRows = 0L
   }
 
@@ -1011,6 +1087,19 @@ class KvDataWriter(path: String, schema: StructType, partitionId: Int,
       }
       j += 1
     }
+    j = 0
+    while (j < bloomIdx.length) {
+      val i = bloomIdx(j)
+      if (!row.isNullAt(i)) {
+        val h = schema.fields(i).dataType match {
+          case LongType => KvBloom.hashLong(row.getLong(i))
+          case IntegerType => KvBloom.hashLong(row.getInt(i).toLong)
+          case _ => KvBloom.hashString(row.getUTF8String(i).toString)
+        }
+        acc.bloomHashes(j) += h
+      }
+      j += 1
+    }
     acc.nRows += 1
     val out = acc.writer()
     touch(acc)
@@ -1058,8 +1147,16 @@ class KvDataWriter(path: String, schema: StructType, partitionId: Int,
         if (empty) Seq.empty
         else schema.fields.indices
           .map(c => (schema.fields(c).name, acc.nullCnt(c))).toSeq
+      // Bloom publishes only for columns with >=1 non-null value (same
+      // presence discipline as bounds: absence never prunes)
+      val blooms = bloomIdx.indices
+        .filter(j => acc.bloomHashes(j).nonEmpty)
+        .map { j =>
+          val b = KvBloom.build(acc.bloomHashes(j).toArray)
+          (schema.fields(bloomIdx(j)).name, b.k, b.m, b.bits)
+        }.toSeq
       KvStagedFile(acc.staged.getAbsolutePath, acc.nRows, stats, dstats,
-        sstats, sums, nulls)
+        sstats, sums, nulls, blooms)
     })
   }
 

@@ -86,13 +86,20 @@ class KvSourceProvider extends TableProvider {
       Option(properties.get("partitionedBy")),
       // streaming read: skip commits that carry remove lines instead of
       // failing on them (the Delta skipChangeCommits contract)
-      Option(properties.get("skipChangeCommits")).exists(_.toBoolean))
+      Option(properties.get("skipChangeCommits")).exists(_.toBoolean),
+      // CHANGE DATA FEED ([[KvChangeFeed]]): rows become insert/delete
+      // events with _change_type/_commit_version columns; batch reads
+      // take changesFrom/changesTo version bounds
+      Option(properties.get("readChangeFeed")).exists(_.toBoolean),
+      Option(properties.get("changesFrom")).map(_.toInt),
+      Option(properties.get("changesTo")).map(_.toInt))
 }
 
 class KvReadTable(
     path: String, dataSchema: StructType, pattern: String, recursive: Boolean,
     asOfCommit: Option[Int] = None, partitionedBy: Option[String] = None,
-    skipChangeCommits: Boolean = false)
+    skipChangeCommits: Boolean = false, changeFeed: Boolean = false,
+    changesFrom: Option[Int] = None, changesTo: Option[Int] = None)
     extends Table with SupportsRead {
   require(path != null && path.nonEmpty,
     "graft kv source requires option 'path' (or 'endpoint' for mode=net)")
@@ -104,8 +111,16 @@ class KvReadTable(
     s"graft kv source: partitionedBy must name an integer-typed schema column")
   require(partitionedBy.isEmpty || !path.startsWith("net://"),
     "graft kv source: partitionedBy applies to local stores only")
+  require(!changeFeed || (!path.startsWith("net://") && !recursive &&
+    asOfCommit.isEmpty && partitionedBy.isEmpty && !skipChangeCommits),
+    "graft kv source: readChangeFeed applies to flat local committed " +
+      "stores (no net mode, recursion, asOfCommit, partitionedBy, or " +
+      "skipChangeCommits — the feed CONSUMES change commits)")
+  require(changeFeed || (changesFrom.isEmpty && changesTo.isEmpty),
+    "graft kv source: changesFrom/changesTo require readChangeFeed=true")
   override def name(): String = s"graft_kv_source($path)"
-  override def schema(): StructType = dataSchema
+  override def schema(): StructType =
+    if (changeFeed) KvChangeFeed.appended(dataSchema) else dataSchema
   override def capabilities(): util.Set[TableCapability] =
     // a flat committed LOCAL store is also a streaming source: each
     // commit-log version is an offset (KvMicroBatchStream)
@@ -115,19 +130,21 @@ class KvReadTable(
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KvScanBuilder(path, dataSchema, pattern, recursive, asOfCommit,
-      partitionedBy, skipChangeCommits)
+      partitionedBy, skipChangeCommits, changeFeed, changesFrom, changesTo)
 }
 
 class KvScanBuilder(
     path: String, dataSchema: StructType, pattern: String, recursive: Boolean,
     asOfCommit: Option[Int] = None, partitionedBy: Option[String] = None,
-    skipChangeCommits: Boolean = false)
+    skipChangeCommits: Boolean = false, changeFeed: Boolean = false,
+    changesFrom: Option[Int] = None, changesTo: Option[Int] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
     with SupportsPushDownAggregates {
 
-  private var required: StructType = dataSchema
+  private var required: StructType =
+    if (changeFeed) KvChangeFeed.appended(dataSchema) else dataSchema
   private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -180,7 +197,9 @@ class KvScanBuilder(
   private var agg: Option[KvAggPush] = None
 
   private def translateAgg(a: Aggregation): Option[KvAggPush] = {
-    if (pushed.nonEmpty || path.startsWith("net://")) return None
+    // change-feed rows are insert/delete EVENTS — sidecar stats describe
+    // file content, not event multiplicity; never stats-answer a feed
+    if (pushed.nonEmpty || path.startsWith("net://") || changeFeed) return None
     val ints = dataSchema.fields.collect {
       case f if f.dataType == LongType || f.dataType == IntegerType => f.name
     }.toSet
@@ -222,7 +241,7 @@ class KvScanBuilder(
       // key-grouped partitioning is only reportable while the partition
       // column survives pruning and no aggregate collapsed the scan
       partitionedBy.filter(c => agg.isEmpty && required.fieldNames.contains(c)),
-      skipChangeCommits)
+      skipChangeCommits, changeFeed, changesFrom, changesTo)
 }
 
 /** Aggregates the kv source answers from sidecar stats. */
@@ -306,16 +325,117 @@ object KvZonePrune {
         .orElse(familyKeep(fi, st.scols, asStr)(KvEscape.cpOrdering))
         .getOrElse(true)
     }
-    staticOk && runtimeKeys.forall { case (c, keys) =>
-      st.cols.get(c) match {
-        case Some((mn, mx)) => keys.exists(k => k >= mn && k <= mx)
+    staticOk && pushed.forall(bloomKeep(st, _)) &&
+      runtimeKeys.forall { case (c, keys) =>
+        st.cols.get(c) match {
+          case Some((mn, mx)) => keys.exists(k => k >= mn && k <= mx)
+          case None => true
+        } // Bloom tier for runtime join keys too: bounds may span the
+          // domain while the filter proves every key absent
+      } && runtimeKeys.forall { case (c, keys) =>
+        st.blooms.get(c) match {
+          case Some(b) => keys.exists(k => b.mightContain(KvBloom.hashLong(k)))
+          case None => true
+        }
+      }
+  }
+
+  /** Bloom verdict for one pushed predicate: only equality shapes decide,
+    * only when the literal's type family matches what the writer hashed
+    * (integer cols hash the widened Long, string cols the raw string —
+    * a literal of any OTHER type never decides). False = the value is
+    * PROVABLY absent from the file. */
+  private def bloomKeep(st: KvZoneMap.Stats, fi: Filter): Boolean = {
+    def hashOf(v: Any): Option[Long] = v match {
+      case l: java.lang.Long => Some(KvBloom.hashLong(l.longValue()))
+      case i: java.lang.Integer => Some(KvBloom.hashLong(i.longValue()))
+      case s: String => Some(KvBloom.hashString(s))
+      case u: org.apache.spark.unsafe.types.UTF8String =>
+        Some(KvBloom.hashString(u.toString))
+      case _ => None
+    }
+    fi match {
+      case EqualTo(a, v) => st.blooms.get(a) match {
+        case Some(b) => hashOf(v).forall(b.mightContain)
         case None => true
       }
+      case EqualNullSafe(a, v) if v != null => st.blooms.get(a) match {
+        case Some(b) => hashOf(v).forall(b.mightContain)
+        case None => true
+      }
+      case In(a, vs) => st.blooms.get(a) match {
+        case Some(b) =>
+          val hs = vs.toSeq.map(hashOf)
+          // every literal must hash (else this tier doesn't decide);
+          // keep iff ANY literal might be present
+          if (hs.exists(_.isEmpty)) true
+          else hs.flatten.exists(b.mightContain)
+        case None => true
+      }
+      case _ => true
     }
   }
 }
 
 case class KvFilePartition(file: String) extends InputPartition
+
+/** One change-feed split: a committed (or removed-but-not-vacuumed)
+  * file read as whole-row `insert` or `delete` events of one commit. */
+case class KvCdfPartition(file: String, insert: Boolean, version: Int)
+    extends InputPartition
+
+/** The CHANGE DATA FEED column contract (`readChangeFeed=true`):
+  * `_change_type` ('insert' | 'delete') and `_commit_version` append to
+  * the data schema. MULTISET semantics at the CoW grain: an append
+  * commit feeds its added rows as inserts; a remove-carrying commit
+  * (overwrite / row-level DELETE / MERGE / compaction) feeds every row
+  * of each removed file as deletes and every row of each added file as
+  * inserts — so folding `insert − delete` over any consumed prefix of
+  * versions reconstructs the store's content at that version exactly,
+  * without per-row change tracking (compaction nets to zero). The grain
+  * a consumer pays is the grain the store mutates at. */
+object KvChangeFeed {
+  val TypeCol = "_change_type"
+  val VersionCol = "_commit_version"
+  def appended(schema: StructType): StructType =
+    StructType(schema.fields :+
+      StructField(TypeCol, StringType, nullable = false) :+
+      StructField(VersionCol, LongType, nullable = false))
+}
+
+/** Shared change-feed split planning (batch `table_changes` shape AND
+  * each streaming micro-batch): `(from, to]` where `from == 0` plans the
+  * CONVERGED content at `to` as one snapshot of inserts stamped at the
+  * fold horizon (answerable even after vacuum folded early manifests —
+  * a multiset fold of all changes in (0, to] IS the snapshot), and
+  * `from > 0` plans per-version exact adds/removes from the manifests.
+  * Zone-map skipping applies per file to BOTH event kinds: a file whose
+  * sidecar proves the pushed predicate can never match feeds no events
+  * for this filtered view — sound because its inserts and deletes are
+  * dropped TOGETHER. */
+object KvChangeFeedPlan {
+  def partitions(path: String, dir: java.nio.file.Path, from: Int, to: Int,
+      pattern: String, pushed: Seq[Filter]): Array[InputPartition] = {
+    def keep(name: String): Boolean = name.endsWith(pattern) && {
+      KvZoneMap.read(new File(path, name)) match {
+        case Some(st) => KvZonePrune.keeps(st, pushed, Map.empty)
+        case None => true // no stats ⇒ never skip
+      }
+    }
+    def part(name: String, insert: Boolean, v: Int): InputPartition =
+      KvCdfPartition(new File(path, name).getAbsolutePath, insert, v)
+    if (to <= from) Array.empty
+    else if (from == 0)
+      KvCommitLog.filesAsOf(dir, to).toSeq.sorted
+        .filter(keep).map(part(_, insert = true, to)).toArray
+    else
+      KvCommitLog.changesBetween(dir, from, to).flatMap {
+        case (v, adds, removes) =>
+          adds.sorted.filter(keep).map(part(_, insert = true, v)) ++
+            removes.sorted.filter(keep).map(part(_, insert = false, v))
+      }.toArray
+  }
+}
 
 /** Observability for file-skipping: per-path counters updated at split
   * planning (listed → planned after zone-map pruning), so specs and
@@ -377,7 +497,10 @@ class KvScan(
     asOfCommit: Option[Int] = None,
     agg: Option[KvAggPush] = None,
     partitionedBy: Option[String] = None,
-    skipChangeCommits: Boolean = false)
+    skipChangeCommits: Boolean = false,
+    changeFeed: Boolean = false,
+    changesFrom: Option[Int] = None,
+    changesTo: Option[Int] = None)
     extends Scan with Batch with SupportsRuntimeV2Filtering
     with SupportsReportPartitioning with SupportsReportStatistics {
 
@@ -390,8 +513,11 @@ class KvScan(
       agg.isEmpty,
       "graft kv source: streaming reads apply to flat local committed " +
         "stores (no net mode, recursion, asOfCommit, or pushed aggregates)")
+    require(changesFrom.isEmpty && changesTo.isEmpty,
+      "graft kv source: changesFrom/changesTo are batch change-feed " +
+        "bounds — a streaming feed's range is its offsets")
     new KvMicroBatchStream(path, dataSchema, pattern, required, pushed,
-      skipChangeCommits)
+      skipChangeCommits, changeFeed)
   }
 
   /** Plan-time statistics from commit metadata: exact row count folded
@@ -630,6 +756,18 @@ class KvScan(
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
+    // BATCH change feed (`table_changes(from, to)` shape): per-version
+    // exact above `changesFrom`; from 0 the initial content is one
+    // snapshot of insert events stamped at the fold horizon — the same
+    // contract as the streaming feed's first batch, and the one that
+    // stays answerable after vacuum folded early manifests
+    if (changeFeed) {
+      val dir = java.nio.file.Paths.get(path)
+      val to = changesTo.getOrElse(KvCommitLog.latestVersion(dir))
+      val from = changesFrom.getOrElse(0)
+      return KvChangeFeedPlan.partitions(path, dir, from, to, pattern,
+        pushed.toSeq)
+    }
     if (path.startsWith("net://")) {
       val endpoint = path.stripPrefix("net://")
       val listed = KvDaemon.scanFields(endpoint, pattern)
@@ -718,7 +856,7 @@ case class KvVersionOffset(version: Int)
   * append consumption is that stance under Spark's streaming contract. */
 class KvMicroBatchStream(path: String, dataSchema: StructType,
     pattern: String, required: StructType, pushed: Array[Filter],
-    skipChangeCommits: Boolean)
+    skipChangeCommits: Boolean, changeFeed: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -735,6 +873,12 @@ class KvMicroBatchStream(path: String, dataSchema: StructType,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[KvVersionOffset].version
     val e = end.asInstanceOf[KvVersionOffset].version
+    // CHANGE FEED: every commit kind flows as insert/delete events —
+    // non-append commits are the feed's reason to exist, so neither the
+    // fail-loudly default nor skipChangeCommits applies here
+    if (changeFeed)
+      return KvChangeFeedPlan.partitions(path, dir, s, e, pattern,
+        pushed.toSeq)
     val names =
       if (s == 0) KvCommitLog.filesAsOf(dir, e).toSeq // initial snapshot
       else KvCommitLog.addsBetween(dir, s, e, skipChangeCommits)
@@ -758,7 +902,8 @@ class KvMicroBatchStream(path: String, dataSchema: StructType,
 
   override def toString: String =
     s"graft_kv_stream($path" +
-      (if (skipChangeCommits) " skipChangeCommits" else "") + ")"
+      (if (skipChangeCommits) " skipChangeCommits" else "") +
+      (if (changeFeed) " changeFeed" else "") + ")"
 }
 
 /** Row-level evaluation of pushed predicates against a parsed store row —
@@ -997,10 +1142,23 @@ class KvReaderFactory(
     // column (row-level CoW group identity; also exposed to users like
     // input_file_name); for net splits the daemon field is the analog.
     var currentFile: String = null
+    // change-feed constants for this split (KvCdfPartition only)
+    var cdfType: UTF8String = null
+    var cdfVersion: Long = -1L
     val (lineSrc, closer): (Iterator[String], () => Unit) = partition match {
       case KvFilePartition(file) =>
         currentFile = new File(file).getName
         val src = scala.io.Source.fromFile(file, "UTF-8")
+        (src.getLines(), () => src.close())
+      case KvCdfPartition(file, insert, version) =>
+        currentFile = new File(file).getName
+        cdfType = UTF8String.fromString(if (insert) "insert" else "delete")
+        cdfVersion = version.toLong
+        val f = new File(file)
+        require(f.isFile, s"graft kv source: change-feed file $file is " +
+          "gone — vacuumed below the feed's horizon; keep vacuum above " +
+          "any change-feed reader's replay range")
+        val src = scala.io.Source.fromFile(f, "UTF-8")
         (src.getLines(), () => src.close())
       case KvNetPartition(endpoint, field) =>
         currentFile = field
@@ -1028,9 +1186,14 @@ class KvReaderFactory(
     }
     val idx = dataSchema.fieldNames.zipWithIndex.toMap
     val types = dataSchema.fields.map(_.dataType)
-    // -1 marks the _file metadata column (not a parsed field)
-    val outIdx = requiredFields.map(f =>
-      if (f == KvRowLevel.FileCol) -1 else idx(f))
+    // negative sentinels mark virtual (non-parsed) columns: -1 = _file,
+    // -2 = _change_type, -3 = _commit_version
+    val outIdx = requiredFields.map {
+      case KvRowLevel.FileCol => -1
+      case KvChangeFeed.TypeCol => -2
+      case KvChangeFeed.VersionCol => -3
+      case f => idx(f)
+    }
 
     new PartitionReader[InternalRow] {
       private val lines = lineSrc
@@ -1052,9 +1215,11 @@ class KvReaderFactory(
       }
 
       override def get(): InternalRow =
-        InternalRow.fromSeq(outIdx.toSeq.map { i =>
-          if (i < 0) UTF8String.fromString(currentFile)
-          else current(i) match {
+        InternalRow.fromSeq(outIdx.toSeq.map {
+          case -1 => UTF8String.fromString(currentFile)
+          case -2 => cdfType
+          case -3 => cdfVersion
+          case i => current(i) match {
             case s: String => UTF8String.fromString(s)
             case v => v
           }

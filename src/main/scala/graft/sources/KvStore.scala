@@ -116,13 +116,21 @@ object KvStore {
     val nonce = java.lang.Long.toUnsignedString(
       java.util.concurrent.ThreadLocalRandom.current().nextLong(), 36)
     val scratch = dirPath.resolve(s"_compact-$nonce")
+    // presence-derived Bloom propagation (like the CoW rewrite): the
+    // compacted files re-bloom every column ANY folded member bloomed
+    val bloomCols = live.flatMap(n =>
+      KvZoneMap.read(dirPath.resolve(n).toFile).map(_.blooms.keySet)
+        .getOrElse(Set.empty))
+      .distinct.filter(schema.fieldNames.contains).sorted
     spark.read.format("graft.sources.KvSourceProvider")
       .option("path", dir).option("schema", schema.toDDL)
       .option("asOfCommit", base.toString) // pin the snapshot being folded
       .load()
       .repartition(targetFiles)
       .write.format("graft.sources.KvSinkProvider")
-      .option("path", scratch.toString).mode("append").save()
+      .option("path", scratch.toString)
+      .option("bloomColumns", bloomCols.mkString(","))
+      .mode("append").save()
     var rows = 0L
     val adopted = KvCommitLog.liveFiles(scratch).toSeq.sorted.map { n =>
       rows += KvZoneMap.read(scratch.resolve(n).toFile).map(_.rows).getOrElse(0L)
@@ -152,7 +160,8 @@ object KvStore {
       original: String, staged: String, kept: Long, dropped: Long,
       stats: Seq[(String, Long, Long)], dstats: Seq[(String, Double, Double)],
       sstats: Seq[(String, String, String)], sums: Seq[(String, Long)],
-      nulls: Seq[(String, Long)])
+      nulls: Seq[(String, Long)],
+      blooms: Seq[(String, Int, Int, Array[Long])] = Nil)
 
   /** `expectedBase` pins the snapshot this mutation derives from (OCC:
     * the commit CASes into exactly expectedBase+1, so ANY commit that
@@ -227,7 +236,7 @@ object KvStore {
     val staging = dirPath.resolve("_staging")
     replaced.foreach { r =>
       KvZoneMap.write(dirPath, r.staged, r.kept, r.stats, r.dstats, r.sstats,
-        r.sums, r.nulls)
+        r.sums, r.nulls, r.blooms)
       Files.move(staging.resolve(r.staged), dirPath.resolve(r.staged),
         StandardCopyOption.REPLACE_EXISTING)
     }
@@ -285,6 +294,15 @@ object KvStore {
     val dNaN = Array.fill(dStatIdx.length)(false)
     val sMins = Array.fill[String](sStatIdx.length)(null)
     val sMaxs = Array.fill[String](sStatIdx.length)(null)
+    // Bloom propagation is PRESENCE-derived, config-free: whichever
+    // columns the ORIGINAL file's sidecar bloomed, the rewrite re-blooms
+    // over the kept rows — a CoW mutation never silently downgrades a
+    // store's point-lookup pruning tier
+    val bloomIdx: Array[Int] =
+      KvZoneMap.read(new File(dir, name)).map(_.blooms.keySet).getOrElse(Set.empty)
+        .toArray.sorted.flatMap(c => idx.get(c).toArray)
+    val bloomHashes = Array.fill(bloomIdx.length)(
+      scala.collection.mutable.ArrayBuffer.empty[Long])
     var kept = 0L
     var dropped = 0L
     val staging = new File(dir, "_staging")
@@ -356,6 +374,17 @@ object KvStore {
             }
             j += 1
           }
+          j = 0
+          while (j < bloomIdx.length) {
+            row(bloomIdx(j)) match {
+              case null => ()
+              case l: Long => bloomHashes(j) += KvBloom.hashLong(l)
+              case i2: Int => bloomHashes(j) += KvBloom.hashLong(i2.toLong)
+              case s: String => bloomHashes(j) += KvBloom.hashString(s)
+              case _ => ()
+            }
+            j += 1
+          }
           out.write(line)
           out.newLine()
         }
@@ -378,7 +407,13 @@ object KvStore {
         .filter(j => !sumBad(j) && mins(j) <= maxs(j))
         .map(j => (schema.fields(statIdx(j)).name, sums(j))).toSeq,
       if (empty) Nil else schema.fields.indices
-        .map(c => (schema.fields(c).name, nullCnt(c))).toSeq)
+        .map(c => (schema.fields(c).name, nullCnt(c))).toSeq,
+      if (empty) Nil else bloomIdx.indices
+        .filter(j => bloomHashes(j).nonEmpty)
+        .map { j =>
+          val b = KvBloom.build(bloomHashes(j).toArray)
+          (schema.fields(bloomIdx(j)).name, b.k, b.m, b.bits)
+        }.toSeq)
   }
 
   private def rmTree(f: File): Unit = {
