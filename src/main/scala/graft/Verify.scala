@@ -27,11 +27,20 @@ object Verify {
     // Optional comma-separated subset for fast local iteration; the
     // driver sets nothing and dumps the whole registry.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // The one-file coalesce makes the sf0.01 driver compare tidy, but at
+    // large SF it funnels every big ordered result through ONE task's
+    // interpreted-comparator sort (a 40-minute single thread at sf10).
+    // The compare reads the whole directory either way, so large-SF runs
+    // disable it and keep the range-partitioned parallel sort.
+    val coalesce1 = !sys.env.get("SPARK_GRAFT_NO_COALESCE").contains("1")
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        (if (coalesce1) df.coalesce(1) else df)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

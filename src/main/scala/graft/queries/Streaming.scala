@@ -259,7 +259,7 @@ object Streaming extends QueryGroup {
         try {
           (files(staged) ++ files(flushA) ++ files(flushB))
             .zipWithIndex.foreach { case (f, i) =>
-              java.nio.file.Files.copy(f.toPath, srcRoot.resolve(s"drop_$i.parquet"))
+              dropAtomic(f, srcRoot, s"drop_$i.parquet")
               q.processAllAvailable()
             }
         } finally q.stop()
@@ -357,7 +357,7 @@ object Streaming extends QueryGroup {
           .outputMode("complete").start()
         try {
           drops.zipWithIndex.foreach { case (f, i) =>
-            java.nio.file.Files.copy(f.toPath, srcDir.resolve(s"drop_$i.parquet"))
+            dropAtomic(f, srcDir, s"drop_$i.parquet")
             q.processAllAvailable()
           }
         } finally q.stop()
@@ -395,6 +395,23 @@ object Streaming extends QueryGroup {
     * The converged sink therefore equals the plain tumbling aggregation
     * over events — the same oracle as q_stream_tumbling — but produced by
     * the bounded-state append path. */
+  /** Publish one drip file ATOMICALLY into a watched stream-source
+    * directory: copy to a dot-hidden temp (hidden names are outside the
+    * file stream source's listing discipline) and rename into place.
+    * A plain copy raced the always-on micro-batch trigger at large SF —
+    * a multi-hundred-MB staged file takes seconds to copy and the
+    * source's listing thread picked up the torn file (FAILED_READ_FILE;
+    * caught by the r13 sf10 full-registry gate — invisible at sf0.01
+    * where the copy wins the race). */
+  private def dropAtomic(src: java.io.File, dstDir: java.nio.file.Path,
+      name: String): Unit = {
+    val tmp = dstDir.resolve(s".$name.tmp")
+    java.nio.file.Files.copy(src.toPath, tmp,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    java.nio.file.Files.move(tmp, dstDir.resolve(name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+  }
+
   private def rmTree(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(rmTree)
     f.delete(): Unit
@@ -492,7 +509,7 @@ object Streaming extends QueryGroup {
       try {
         (files(staged) ++ files(flushA) ++ files(flushB))
           .zipWithIndex.foreach { case (f, i) =>
-            java.nio.file.Files.copy(f.toPath, srcRoot.resolve(s"drop_$i.parquet"))
+            dropAtomic(f, srcRoot, s"drop_$i.parquet")
             q.processAllAvailable()
           }
       } finally q.stop()
@@ -670,7 +687,7 @@ object Streaming extends QueryGroup {
           new java.io.File(staged.toString).listFiles()
             .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
             .zipWithIndex.foreach { case (f, i) =>
-              java.nio.file.Files.copy(f.toPath, srcRoot.resolve(s"drop_$i.parquet"))
+              dropAtomic(f, srcRoot, s"drop_$i.parquet")
               q.processAllAvailable()
             }
         } finally q.stop()
@@ -731,7 +748,7 @@ object Streaming extends QueryGroup {
           new java.io.File(staged.toString).listFiles()
             .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
             .zipWithIndex.foreach { case (f, i) =>
-              java.nio.file.Files.copy(f.toPath, srcRoot.resolve(s"drop_$i.parquet"))
+              dropAtomic(f, srcRoot, s"drop_$i.parquet")
               q.processAllAvailable()
             }
         } finally q.stop()
@@ -789,7 +806,7 @@ object Streaming extends QueryGroup {
           new java.io.File(staged.toString).listFiles()
             .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
             .zipWithIndex.foreach { case (f, i) =>
-              java.nio.file.Files.copy(f.toPath, srcRoot.resolve(s"drop_$i.parquet"))
+              dropAtomic(f, srcRoot, s"drop_$i.parquet")
               q.processAllAvailable()
             }
         } finally q.stop()
@@ -847,7 +864,7 @@ object Streaming extends QueryGroup {
           new java.io.File(staged.toString).listFiles()
             .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
             .zipWithIndex.foreach { case (f, i) =>
-              java.nio.file.Files.copy(f.toPath, srcRoot.resolve(s"drop_$i.parquet"))
+              dropAtomic(f, srcRoot, s"drop_$i.parquet")
               q.processAllAvailable()
             }
         } finally q.stop()
@@ -928,7 +945,7 @@ object Streaming extends QueryGroup {
           new java.io.File(staged.toString).listFiles()
             .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
             .zipWithIndex.foreach { case (f, i) =>
-              java.nio.file.Files.copy(f.toPath, srcRoot.resolve(s"drop_$i.parquet"))
+              dropAtomic(f, srcRoot, s"drop_$i.parquet")
               q.processAllAvailable()
             }
         } finally q.stop()
@@ -1004,7 +1021,7 @@ object Streaming extends QueryGroup {
           new java.io.File(staged.toString).listFiles()
             .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
             .zipWithIndex.foreach { case (f, i) =>
-              java.nio.file.Files.copy(f.toPath, srcRoot.resolve(s"drop_$i.parquet"))
+              dropAtomic(f, srcRoot, s"drop_$i.parquet")
               q.processAllAvailable()
             }
         } finally q.stop()
@@ -1091,7 +1108,7 @@ object Streaming extends QueryGroup {
           new java.io.File(staged.toString).listFiles()
             .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
             .zipWithIndex.foreach { case (f, i) =>
-              java.nio.file.Files.copy(f.toPath, srcRoot.resolve(s"drop_$i.parquet"))
+              dropAtomic(f, srcRoot, s"drop_$i.parquet")
               q.processAllAvailable()
             }
         } finally q.stop()
@@ -1142,7 +1159,7 @@ object Streaming extends QueryGroup {
           new java.io.File(staged.toString).listFiles()
             .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
             .zipWithIndex.foreach { case (f, i) =>
-              java.nio.file.Files.copy(f.toPath, srcRoot.resolve(s"drop_$i.parquet"))
+              dropAtomic(f, srcRoot, s"drop_$i.parquet")
               q.processAllAvailable()
             }
         } finally q.stop()
@@ -1195,7 +1212,7 @@ object Streaming extends QueryGroup {
           new java.io.File(staged.toString).listFiles()
             .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
             .zipWithIndex.foreach { case (f, i) =>
-              java.nio.file.Files.copy(f.toPath, srcRoot.resolve(s"drop_$i.parquet"))
+              dropAtomic(f, srcRoot, s"drop_$i.parquet")
               q.processAllAvailable()
             }
         } finally q.stop()
