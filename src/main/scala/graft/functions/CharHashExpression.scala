@@ -87,6 +87,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(cls.getName, name),
         builder))
     }
+    // table-valued surface: the store's change feed from SQL text
+    ext.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier(
+        graft.sources.KvTableChanges.name),
+      graft.sources.KvTableChanges.info,
+      graft.sources.KvTableChanges.builder))
     // tier (c): whole-operator plan nodes (plans/AsOfJoin)
     ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => new graft.plans.AsOfFilterPushdown)
@@ -166,6 +172,7 @@ object GraftFunctions {
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(impl.getName, name),
         builder)
     }
+    graft.sources.KvTableChanges.register(spark)
   }
 
   import org.apache.spark.sql.functions.{call_function, lit}

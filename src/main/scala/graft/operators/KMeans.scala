@@ -140,20 +140,36 @@ object KMeansQuant {
       seedIds: Seq[Long], rounds: Int, m: Int,
       subDim: Int): Seq[Seq[Seq[Long]]] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
+    import scala.concurrent.duration._
     graft.functions.GraftFunctions.register(spark)
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    val futs = (0 until m).map { mm =>
-      Future {
-        val sub = base.withColumn("qvm",
-          slice(col(vecCol), mm * subDim + 1, subDim))
-        val seeds = sub.filter(col("vec_id").isin(seedIds: _*))
-          .orderBy("vec_id").select("qvm")
-          .collect().map(_.getSeq[Long](0).toSeq).toSeq
-        fit(spark, sub, "qvm", seeds, rounds, subDim)._2
+    // Bounded pool, not ExecutionContext.global: each future drives a
+    // whole Lloyd chain of blocking Spark jobs, and the global pool's
+    // blocking-manager would spawn compensation threads for every
+    // Await inside Spark — under memory pressure that thread storm is
+    // an OOM vector. 4 concurrent chains already hide the per-job
+    // fixed cost; the subspace jobs share the same executor slots
+    // either way. A finite Await bound (20 min per subspace chain)
+    // turns a wedged chain into a diagnosable TimeoutException instead
+    // of a silent hang.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(math.max(m, 1), 4),
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-pq-fit"); t.setDaemon(true); t
+      })
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futs = (0 until m).map { mm =>
+        Future {
+          val sub = base.withColumn("qvm",
+            slice(col(vecCol), mm * subDim + 1, subDim))
+          val seeds = sub.filter(col("vec_id").isin(seedIds: _*))
+            .orderBy("vec_id").select("qvm")
+            .collect().map(_.getSeq[Long](0).toSeq).toSeq
+          fit(spark, sub, "qvm", seeds, rounds, subDim)._2
+        }
       }
-    }
-    futs.map(Await.result(_, Duration.Inf))
+      futs.map(Await.result(_, 20.minutes))
+    } finally pool.shutdown()
   }
 
   /** DuckDB CTE fragment: one assignment pass `out` from centroid table

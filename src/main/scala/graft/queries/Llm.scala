@@ -99,13 +99,7 @@ object Llm extends QueryGroup {
         .filter(size(col("tl")) >= 3)
         .withColumn("sg", minHashSigNative(gramHashesNative(col("tl"), 3), 16))
         .select("doc_id", "sg")
-      val bands = sig
-        .select(col("doc_id"), col("sg"),
-          explode(sequence(lit(0), lit(3))).as("band_id"))
-        .withColumn("band_key", concat_ws(":",
-          transform(slice(col("sg"), col("band_id") * 4 + 1, lit(4)),
-            x => x.cast("string"))))
-        .select("doc_id", "band_id", "band_key")
+      val bands = minhashBands(s, sig).select("doc_id", "band_id", "band_key")
       val pairs = bands.as("a")
         .join(bands.as("b"),
           col("a.band_id") === col("b.band_id") &&
@@ -182,13 +176,7 @@ object Llm extends QueryGroup {
         .filter(size(col("tl")) >= 3)
         .withColumn("sg", minHashSigNative(gramHashesNative(col("tl"), 3), 16))
         .select("doc_id", "sg")
-      val bands = sig
-        .select(col("doc_id"), col("sg"),
-          explode(sequence(lit(0), lit(3))).as("band_id"))
-        .withColumn("band_key", concat_ws(":",
-          transform(slice(col("sg"), col("band_id") * 4 + 1, lit(4)),
-            x => x.cast("string"))))
-        .select("doc_id", "band_id", "band_key", "sg")
+      val bands = minhashBands(s, sig)
       val edges = bands.as("a")
         .join(bands.as("b"),
           col("a.band_id") === col("b.band_id") &&
@@ -328,13 +316,7 @@ object Llm extends QueryGroup {
         .filter(size(col("tl")) >= 3)
         .withColumn("sg", minHashSigNative(gramHashesNative(col("tl"), 3), 16))
         .select("doc_id", "sg")
-      val bands = sig
-        .select(col("doc_id"), col("sg"),
-          explode(sequence(lit(0), lit(3))).as("band_id"))
-        .withColumn("band_key", concat_ws(":",
-          transform(slice(col("sg"), col("band_id") * 4 + 1, lit(4)),
-            x => x.cast("string"))))
-        .select("doc_id", "band_id", "band_key", "sg")
+      val bands = minhashBands(s, sig)
       val edges = bands.as("a")
         .join(bands.as("b"),
           col("a.band_id") === col("b.band_id") &&
@@ -441,6 +423,24 @@ object Llm extends QueryGroup {
     * DEFAULT cap, so the hash gate applies when the conf is unset (as it
     * is in Verify/Bench/tests). */
   private val NGRAM_DF_CAP = 3
+  /** The shared MinHash LSH band table: 4 bands of 4 over the 16-wide
+    * signature (input needs `doc_id` and `sg`; `sg` is kept for the
+    * verify stage), with the degenerate-band cap applied when
+    * `spark.graft.minhash.bandCap` is set (operators/BandCap — the
+    * banded joins' analog of the n-gram dfCap below; unset for gates,
+    * where the oracles are generated uncapped). */
+  private[queries] def minhashBands(s: SparkSession,
+      sig: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    graft.operators.BandCap.filterDegenerate(
+      sig.select(col("doc_id"), col("sg"),
+          explode(sequence(lit(0), lit(3))).as("band_id"))
+        .withColumn("band_key", concat_ws(":",
+          transform(slice(col("sg"), col("band_id") * 4 + 1, lit(4)),
+            x => x.cast("string"))))
+        .select("doc_id", "band_id", "band_key", "sg"),
+      Seq("band_id", "band_key"),
+      graft.operators.BandCap.cap(s, "spark.graft.minhash.bandCap"))
+
   private def ngramDfCap(s: SparkSession): Int =
     s.conf.getOption("spark.graft.ngram.dfCap").map { v =>
       val cap = try v.trim.toInt catch {
@@ -1904,13 +1904,7 @@ object Llm extends QueryGroup {
         .withColumn("tl", split(lower(col("text")), " "))
         .filter(size(col("tl")) >= 3)
         .withColumn("sg", minHashSigNative(gramHashesNative(col("tl"), 3), 16))
-      val bands = sig
-        .select(col("doc_id"), col("sg"),
-          explode(sequence(lit(0), lit(3))).as("band_id"))
-        .withColumn("band_key", concat_ws(":",
-          transform(slice(col("sg"), col("band_id") * 4 + 1, lit(4)),
-            x => x.cast("string"))))
-        .select("doc_id", "band_id", "band_key", "sg")
+      val bands = minhashBands(s, sig)
       val dropped = bands.as("a")
         .join(bands.as("b"),
           col("a.band_id") === col("b.band_id") &&
@@ -2027,13 +2021,7 @@ object Llm extends QueryGroup {
           .withColumn("sg", minHashSigNative(gramHashesNative(col("tl"), 3), 16))
           .select("doc_id", "sg"),
         "s3_minhash_sig")
-      val bands = sig
-        .select(col("doc_id"), col("sg"),
-          explode(sequence(lit(0), lit(3))).as("band_id"))
-        .withColumn("band_key", concat_ws(":",
-          transform(slice(col("sg"), col("band_id") * 4 + 1, lit(4)),
-            x => x.cast("string"))))
-        .select("doc_id", "band_id", "band_key", "sg")
+      val bands = minhashBands(s, sig)
       val dropped = materialize(
         bands.as("a")
           .join(bands.as("b"),
@@ -2755,13 +2743,16 @@ object Llm extends QueryGroup {
       val h = m.decodeImagePHash(
           m.syntheticImagesNearDup(table(s, dir, "documents"))).toDF()
         .select(col("media_id"), col("ahash_lo"), col("ahash_hi"))
-      val bands = h.select(col("media_id"),
-        posexplode(array(
-          col("ahash_lo").bitwiseAND(lit(65535L)),
-          shiftrightunsigned(col("ahash_lo"), 16),
-          col("ahash_hi").bitwiseAND(lit(65535L)),
-          shiftrightunsigned(col("ahash_hi"), 16))))
-        .select(col("media_id"), col("pos").as("bi"), col("col").as("bv"))
+      val bands = graft.operators.BandCap.filterDegenerate(
+        h.select(col("media_id"),
+          posexplode(array(
+            col("ahash_lo").bitwiseAND(lit(65535L)),
+            shiftrightunsigned(col("ahash_lo"), 16),
+            col("ahash_hi").bitwiseAND(lit(65535L)),
+            shiftrightunsigned(col("ahash_hi"), 16))))
+          .select(col("media_id"), col("pos").as("bi"), col("col").as("bv")),
+        Seq("bi", "bv"),
+        graft.operators.BandCap.cap(s, "spark.graft.phash.bandCap"))
       val cand = bands.as("a").join(bands.as("b"),
           col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
             col("a.media_id") < col("b.media_id"))

@@ -341,9 +341,60 @@ object SqlStore extends QueryGroup {
               min(o_orderkey) AS k_min, max(o_orderkey) AS k_max
             FROM orders GROUP BY 1 ORDER BY bucket"""))
 
+  /** `table_changes('catalog.ns.t', from, to)` (r14) — the change data
+    * feed as a SQL TABLE-VALUED function (sources/KvTableChanges,
+    * registered through the session TableFunctionRegistry /
+    * SparkSessionExtensions): the same batch feed the options path
+    * plans, from SQL text. The gate mutates a table through all four
+    * verbs (append ×2, row-level DELETE, UPDATE), reads the deltas
+    * STRICTLY ABOVE v1 through the TVF, seeds the fold with the v1
+    * snapshot via time travel, and applies the canonical multiset CDC
+    * fold — reconstructing the final content exactly (the
+    * q_stream_store_cdf oracle shape, per-version delta path included).
+    * Fold rows replicate by their count (explode 1..n AFTER the n>0
+    * filter — sequence(1, n<=0) would generate a DESCENDING range). */
+  private val qSqlStoreCdf = Q(
+    "q_sql_store_cdf",
+    (s, dir) => {
+      graft.sources.KvTableChanges.register(s)
+      cat(s)
+      fresh(s, "t_cdf")
+      s.sql("CREATE TABLE graftkv.cat.t_cdf (o BIGINT, cust BIGINT, price4 BIGINT)")
+      table(s, dir, "orders").createOrReplaceTempView("orders_v")
+      def ins(parity: Int): Unit =
+        s.sql(s"""INSERT INTO graftkv.cat.t_cdf
+                  SELECT o_orderkey, o_custkey,
+                    CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                  FROM orders_v WHERE o_orderkey % 2 = $parity""")
+      ins(0) // v1: evens
+      ins(1) // v2: odds
+      s.sql("DELETE FROM graftkv.cat.t_cdf WHERE o < 1000") // v3
+      s.sql("""UPDATE graftkv.cat.t_cdf SET price4 = 0
+               WHERE o BETWEEN 1000 AND 1200""") // v4
+      s.sql("""WITH ev AS (
+                 SELECT o, cust, price4, 'insert' AS ct
+                 FROM graftkv.cat.t_cdf VERSION AS OF 1
+                 UNION ALL
+                 SELECT o, cust, price4, _change_type AS ct
+                 FROM table_changes('graftkv.cat.t_cdf', 1, 4)),
+               g AS (
+                 SELECT o, cust, price4,
+                   sum(CASE WHEN ct = 'insert' THEN 1 ELSE -1 END) AS n
+                 FROM ev GROUP BY o, cust, price4)
+               SELECT o, cust, price4
+               FROM (SELECT * FROM g WHERE n > 0)
+               LATERAL VIEW explode(sequence(CAST(1 AS BIGINT), n)) t AS dup
+               ORDER BY o""")
+    },
+    Some("""SELECT o_orderkey AS o, o_custkey AS cust,
+              CASE WHEN o_orderkey BETWEEN 1000 AND 1200 THEN 0
+                   ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS price4
+            FROM orders WHERE o_orderkey >= 1000
+            ORDER BY o"""))
+
   override val queries: Seq[Q] =
     Seq(qSqlStoreCatalog, qSqlStoreTimetravel, qSqlStoreDelete,
       qSqlStoreOverwrite, qSqlStorePartitioned, qSqlStoreCtas,
       qSqlStoreUpdate, qSqlStoreMerge, qSqlStoreEvolution,
-      qSqlStoreMaintenance)
+      qSqlStoreMaintenance, qSqlStoreCdf)
 }

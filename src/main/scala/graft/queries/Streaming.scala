@@ -1319,6 +1319,7 @@ object Streaming extends QueryGroup {
       java.nio.file.Files.createDirectories(root.toPath)
       val store = s"$root/store"
       val ckpt = s"$root/ckpt"
+      val eventsDir = s"$root/events"
       val schema = org.apache.spark.sql.types.StructType.fromDDL(
         "o LONG, cust LONG, price4 LONG")
       val orders = table(s, dir, "orders")
@@ -1329,17 +1330,19 @@ object Streaming extends QueryGroup {
       orders.filter(col("o") % 2 === 0)
         .write.format("graft.sources.KvSinkProvider")
         .option("path", store).mode("append").save() // v1: evens
-      val folded = new java.util.concurrent.ConcurrentLinkedQueue[
-        org.apache.spark.sql.Row]()
+      // events accumulate in a PARQUET FILE SINK (exactly-once via the
+      // sink's own commit log), never on the driver: each trigger's
+      // change events are a distributed write, so the gate's shape
+      // holds when a commit feeds billions of events (r13 advice —
+      // previously a per-batch collect() into a driver queue)
       val q = s.readStream.format("graft.sources.KvSourceProvider")
         .option("path", store)
         .option("schema", "o LONG, cust LONG, price4 LONG")
         .option("readChangeFeed", "true").load()
         .writeStream.outputMode("append")
+        .format("parquet")
         .option("checkpointLocation", ckpt)
-        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          b.collect().foreach(r => folded.add(r)): Unit
-        }
+        .option("path", eventsDir)
         .start()
       try {
         q.processAllAvailable() // snapshot batch: v1 as inserts
@@ -1357,17 +1360,19 @@ object Streaming extends QueryGroup {
             .withColumn("price4", lit(0L))): Unit
         q.processAllAvailable()
       } finally q.stop()
-      import scala.jdk.CollectionConverters._
-      val events = s.createDataFrame(
-        folded.asScala.toSeq.asJava,
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "o LONG, cust LONG, price4 LONG, _change_type STRING, _commit_version LONG"))
-      // the canonical CDC apply: multiset fold insert − delete
+      val events = s.read.parquet(eventsDir)
+      // the canonical CDC apply: multiset fold insert − delete — and a
+      // surviving group re-emits its row n TIMES (explode over 1..n),
+      // not once: on this data o is unique so n is always 1, but the
+      // fold must stay correct for duplicate rows (r13 advice; the
+      // KvChangeFeedSpec fold helper pins the same contract)
       events.groupBy("o", "cust", "price4")
         .agg(sum(when(col("_change_type") === "insert", 1L)
           .otherwise(-1L)).as("n"))
         .filter(col("n") > 0L)
-        .select(col("o"), col("cust"), col("price4"))
+        .select(col("o"), col("cust"), col("price4"),
+          explode(sequence(lit(1L), col("n"))).as("_dup"))
+        .drop("_dup")
         .orderBy("o")
     },
     Some("""SELECT o_orderkey AS o, o_custkey AS cust,

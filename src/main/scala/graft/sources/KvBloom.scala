@@ -85,6 +85,74 @@ object KvBloom {
     mix64(h)
   }
 
+  /** Distinct-count ceiling for write-time accumulation. At [[MaxBits]]
+    * (1 MiB) a filter over 2 M distincts is down to ~4.2 bits/value —
+    * FPP ≈ 35%, no longer a useful prune — so past this the accumulator
+    * DROPS the column's filter for the file (explicit degrade: no
+    * sidecar entry ⇒ no pruning ⇒ still sound) instead of holding an
+    * ever-growing hash table on the write task's heap. */
+  val MaxTrackedDistinct: Int = 2 * 1000 * 1000
+
+  /** Write-side accumulator: an open-addressing (linear-probe) Long
+    * hash set, so task-side memory is ∝ the file's DISTINCT value count
+    * — not its row count, which for a 100 M-row file with a low-card
+    * column would otherwise buffer 800 MB per column (r13 advice).
+    * Values arrive already SplitMix64-finalized ([[hashLong]] /
+    * [[hashString]]), so the low bits are usable probe indices as-is.
+    * Slot 0 is the empty marker; an actual 0L hash is tracked aside.
+    * Crossing [[MaxTrackedDistinct]] sets `overflowed`, frees the
+    * table, and turns every later add into a no-op. */
+  final class HashAcc {
+    private var table = new Array[Long](1 << 10)
+    private var mask = table.length - 1
+    private var hasZero = false
+    private var n = 0
+    private var over = false
+    def overflowed: Boolean = over
+    def isEmpty: Boolean = !over && n == 0 && !hasZero
+    def add(h: Long): Unit = {
+      if (over) return
+      if (h == 0L) { hasZero = true; return }
+      var i = (h & mask).toInt
+      while (table(i) != 0L) {
+        if (table(i) == h) return
+        i = (i + 1) & mask
+      }
+      table(i) = h
+      n += 1
+      if (n + (if (hasZero) 1 else 0) > MaxTrackedDistinct) {
+        over = true; table = null; n = 0; hasZero = false
+      } else if (n * 10L >= table.length * 7L) grow()
+    }
+    private def grow(): Unit = {
+      val old = table
+      table = new Array[Long](old.length << 1)
+      mask = table.length - 1
+      var j = 0
+      while (j < old.length) {
+        val h = old(j)
+        if (h != 0L) {
+          var i = (h & mask).toInt
+          while (table(i) != 0L) i = (i + 1) & mask
+          table(i) = h
+        }
+        j += 1
+      }
+    }
+    /** The distinct hashes (order irrelevant — build() sorts). */
+    def toArray: Array[Long] = {
+      val out = new Array[Long](n + (if (hasZero) 1 else 0))
+      var k = 0
+      if (hasZero) { out(k) = 0L; k += 1 }
+      var j = 0
+      while (j < table.length) {
+        if (table(j) != 0L) { out(k) = table(j); k += 1 }
+        j += 1
+      }
+      out
+    }
+  }
+
   /** Build a filter from the file's accumulated primary hashes (one per
     * non-null written value, duplicates welcome — sizing dedups). */
   def build(hashes: Array[Long]): Bloom = {

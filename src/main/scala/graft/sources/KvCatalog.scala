@@ -370,6 +370,12 @@ class KvCatalogTable(ident: String, dir: String, tblSchema: StructType,
 
   override def name(): String = ident
   override def schema(): StructType = tblSchema
+  /** The table's store directory — for SQL surfaces that re-enter the
+    * connector with extra read options (the `table_changes` TVF). */
+  def storeDir: String = dir
+  /** Time-travel snapshots must not feed the change TVF (a snapshot has
+    * no forward history); the TVF rejects them by this flag. */
+  def isTimeTravel: Boolean = asOf.nonEmpty
   override def partitioning(): Array[Transform] =
     partCol.map(c => Expressions.identity(c)).toArray
   override def properties(): util.Map[String, String] =

@@ -591,6 +591,13 @@ object KvCommitLog {
   def changesBetween(dir: java.nio.file.Path, after: Int,
       until: Int): Seq[(Int, Seq[String], Seq[String])] = {
     if (until <= after) return Nil
+    // out-of-range is a caller error, not a vacuum condition — without
+    // this check a changesTo above the latest commit surfaced as a
+    // misleading "was vacuumed" (r13 advice)
+    val latest = latestVersion(dir)
+    if (until > latest) throw new IllegalArgumentException(
+      s"graft commit log: change-feed range ($after, $until] exceeds the " +
+        s"latest committed version $latest at $dir")
     val byV = versions(dir).toMap
     ((after + 1) to until).map { v =>
       byV.get(v) match {
@@ -972,11 +979,12 @@ class KvDataWriter(path: String, schema: StructType, partitionId: Int,
     // per-column null counts (r13: schema evolution makes nulls real) —
     // published as `#n` sidecar lines so count(col) stays stats-answered
     val nullCnt: Array[Long] = Array.fill(schema.fields.length)(0L)
-    // one primary hash per non-null written value per Bloom column
-    // (duplicates fine — KvBloom.build dedups when sizing); 8 B/row/col
-    // task-side, released at commit
-    val bloomHashes: Array[scala.collection.mutable.ArrayBuffer[Long]] =
-      Array.fill(bloomIdx.length)(scala.collection.mutable.ArrayBuffer.empty[Long])
+    // distinct primary hashes per Bloom column — an open-addressing set
+    // so task memory is ∝ distincts, not rows (r13 advice), with an
+    // explicit drop past KvBloom.MaxTrackedDistinct where the capped
+    // filter couldn't prune anyway
+    val bloomHashes: Array[KvBloom.HashAcc] =
+      Array.fill(bloomIdx.length)(new KvBloom.HashAcc)
     var nRows = 0L
   }
 
@@ -1096,7 +1104,7 @@ class KvDataWriter(path: String, schema: StructType, partitionId: Int,
           case IntegerType => KvBloom.hashLong(row.getInt(i).toLong)
           case _ => KvBloom.hashString(row.getUTF8String(i).toString)
         }
-        acc.bloomHashes(j) += h
+        acc.bloomHashes(j).add(h)
       }
       j += 1
     }
@@ -1148,9 +1156,11 @@ class KvDataWriter(path: String, schema: StructType, partitionId: Int,
         else schema.fields.indices
           .map(c => (schema.fields(c).name, acc.nullCnt(c))).toSeq
       // Bloom publishes only for columns with >=1 non-null value (same
-      // presence discipline as bounds: absence never prunes)
+      // presence discipline as bounds: absence never prunes) and only
+      // when the distinct count stayed under the useful-FPP ceiling
       val blooms = bloomIdx.indices
-        .filter(j => acc.bloomHashes(j).nonEmpty)
+        .filter(j => !acc.bloomHashes(j).isEmpty &&
+          !acc.bloomHashes(j).overflowed)
         .map { j =>
           val b = KvBloom.build(acc.bloomHashes(j).toArray)
           (schema.fields(bloomIdx(j)).name, b.k, b.m, b.bits)

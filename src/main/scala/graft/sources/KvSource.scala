@@ -333,7 +333,12 @@ object KvZonePrune {
         } // Bloom tier for runtime join keys too: bounds may span the
           // domain while the filter proves every key absent
       } && runtimeKeys.forall { case (c, keys) =>
-        st.blooms.get(c) match {
+        // Probe only columns the sidecar PROVES integer (published int
+        // bounds): the writer hashes int columns with hashLong and
+        // string columns with hashString, so an untyped probe on a
+        // future string runtime key would false-negative and silently
+        // drop matching files (r13 advice). No int bounds ⇒ keep.
+        st.blooms.get(c).filter(_ => st.cols.contains(c)) match {
           case Some(b) => keys.exists(k => b.mightContain(KvBloom.hashLong(k)))
           case None => true
         }
@@ -763,7 +768,17 @@ class KvScan(
     // stays answerable after vacuum folded early manifests
     if (changeFeed) {
       val dir = java.nio.file.Paths.get(path)
-      val to = changesTo.getOrElse(KvCommitLog.latestVersion(dir))
+      val latest = KvCommitLog.latestVersion(dir)
+      // an explicit upper bound past the newest commit is a caller
+      // error up front — letting it through either silently clamps (the
+      // from==0 snapshot path) or surfaces as a misleading "was
+      // vacuumed" from changesBetween (r13 advice)
+      changesTo.filter(_ > latest).foreach { t =>
+        throw new IllegalArgumentException(
+          s"graft change feed: changesTo=$t exceeds the latest committed " +
+            s"version $latest at $path")
+      }
+      val to = changesTo.getOrElse(latest)
       val from = changesFrom.getOrElse(0)
       return KvChangeFeedPlan.partitions(path, dir, from, to, pattern,
         pushed.toSeq)

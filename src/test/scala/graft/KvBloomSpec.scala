@@ -196,4 +196,37 @@ class KvBloomSpec extends AnyFunSuite with SparkSessionFixture {
       spark.conf.unset("spark.sql.catalog.graftbloom.warehouse")
     }
   }
+
+  test("HashAcc: distinct-bounded memory accumulator matches buffered build") {
+    val rnd = new scala.util.Random(20260816L)
+    // heavy duplication: 50k adds over ~3k distincts (incl. hash 0L and
+    // colliding low bits) — the r13-advice shape where row-proportional
+    // buffering wasted heap
+    val distincts = Array.fill(3000)(rnd.nextLong()) ++ Array(0L, 1L, -1L)
+    val acc = new KvBloom.HashAcc
+    (0 until 50000).foreach(i => acc.add(distincts(i % distincts.length)))
+    assert(!acc.overflowed && !acc.isEmpty)
+    val got = acc.toArray
+    assert(got.length === distincts.distinct.length)
+    assert(got.toSet === distincts.toSet)
+    // the built filter is the same filter the old row-buffer produced
+    val viaAcc = KvBloom.build(got)
+    val viaBuf = KvBloom.build(
+      (0 until 50000).map(i => distincts(i % distincts.length)).toArray)
+    assert(viaAcc.m === viaBuf.m && viaAcc.bits.toSeq === viaBuf.bits.toSeq)
+  }
+
+  test("HashAcc: crossing MaxTrackedDistinct drops the filter explicitly") {
+    val acc = new KvBloom.HashAcc
+    var i = 0L
+    while (!acc.overflowed && i <= KvBloom.MaxTrackedDistinct + 1L) {
+      acc.add(KvBloom.hashLong(i)); i += 1
+    }
+    assert(acc.overflowed) // table freed, later adds are no-ops
+    acc.add(KvBloom.hashLong(-1L))
+    // the flag survives further adds, and the acc still reads as
+    // non-empty (it HAS seen values) — commit() drops it on `overflowed`,
+    // not on emptiness
+    assert(acc.overflowed && !acc.isEmpty)
+  }
 }

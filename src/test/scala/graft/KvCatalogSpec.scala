@@ -331,4 +331,43 @@ class KvCatalogSpec extends AnyFunSuite with SparkSessionFixture {
     }
     assert(e.getMessage.contains("unsupported column type"))
   }
+
+  test("table_changes TVF: per-version deltas from SQL; guardrails") {
+    init()
+    graft.sources.KvTableChanges.register(spark)
+    spark.sql("DROP TABLE IF EXISTS kcs.ns.tvf")
+    spark.sql("CREATE TABLE kcs.ns.tvf (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO kcs.ns.tvf SELECT id, id * 2 FROM range(0, 10)")
+    spark.sql("INSERT INTO kcs.ns.tvf SELECT id, id * 2 FROM range(10, 15)")
+    spark.sql("DELETE FROM kcs.ns.tvf WHERE k < 3")
+    // (1, 3]: v2's 5 inserts + v3's CoW events; the multiset fold over
+    // the v1 snapshot + deltas reconstructs the final content exactly
+    val folded = spark.sql(
+      """WITH ev AS (
+           SELECT k, v, 'insert' AS ct FROM kcs.ns.tvf VERSION AS OF 1
+           UNION ALL
+           SELECT k, v, _change_type FROM table_changes('kcs.ns.tvf', 1, 3))
+         SELECT k, v FROM (
+           SELECT k, v, sum(CASE WHEN ct = 'insert' THEN 1 ELSE -1 END) AS n
+           FROM ev GROUP BY k, v) WHERE n > 0 ORDER BY k""").collect()
+    assert(folded.map(_.getLong(0)).toSeq === (3L until 15L))
+    // version column rides along
+    val versions = spark.sql(
+      "SELECT DISTINCT _commit_version FROM table_changes('kcs.ns.tvf', 1, 3)")
+      .collect().map(_.getLong(0)).sorted
+    assert(versions.toSeq === Seq(2L, 3L))
+    // guardrails: out-of-range to, unknown catalog, non-literal args
+    val oob = intercept[Exception] {
+      spark.sql("SELECT * FROM table_changes('kcs.ns.tvf', 0, 99)").collect()
+    }
+    assert(oob.getMessage.contains("exceeds the latest committed version"))
+    val nocat = intercept[Exception] {
+      spark.sql("SELECT * FROM table_changes('nope.ns.t', 0, 1)").collect()
+    }
+    assert(nocat.getMessage.contains("no catalog named"))
+    val unq = intercept[Exception] {
+      spark.sql("SELECT * FROM table_changes('justtable', 0, 1)").collect()
+    }
+    assert(unq.getMessage.contains("fully qualified"))
+  }
 }

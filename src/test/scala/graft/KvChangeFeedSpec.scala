@@ -182,4 +182,19 @@ class KvChangeFeedSpec extends AnyFunSuite with SparkSessionFixture {
     // nothing and the feed is empty
     assert(feed(store).filter(col("k") === 12345L).count() === 0L)
   }
+
+  test("changesTo above the latest commit is a bounds error, not 'vacuumed'") {
+    val store = freshDir("oob")
+    append(store, 0, 10) // one commit → latest version = 1
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft.sources.KvSourceProvider")
+        .option("path", store).option("schema", Ddl)
+        .option("readChangeFeed", "true")
+        .option("changesFrom", "0").option("changesTo", "99")
+        .load().collect()
+    }
+    assert(e.getMessage.contains("exceeds the latest committed version"),
+      s"got: ${e.getMessage}")
+    assert(!e.getMessage.contains("vacuumed"))
+  }
 }
