@@ -37,6 +37,10 @@ def main(sf_dir, out_dir):
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     skip = set(filter(None, os.environ.get("LOCALVERIFY_SKIP", "").split(",")))
     only = set(filter(None, os.environ.get("LOCALVERIFY_ONLY", "").split(",")))
+    # honor the Verify-side filter too: a dump produced under
+    # SPARK_GRAFT_ONLY is missing every other query BY DESIGN — those are
+    # skips, not "crashed in Verify" failures (r13 hygiene)
+    only |= set(filter(None, os.environ.get("SPARK_GRAFT_ONLY", "").split(",")))
     times = os.environ.get("LOCALVERIFY_TIMES") == "1"
     n_pass = n_fail = n_noora = n_skip = 0
     seen = set()
