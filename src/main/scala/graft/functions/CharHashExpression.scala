@@ -87,12 +87,18 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(cls.getName, name),
         builder))
     }
-    // table-valued surface: the store's change feed from SQL text
+    // table-valued surface: the store's change feed + commit history
+    // from SQL text
     ext.injectTableFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier(
         graft.sources.KvTableChanges.name),
       graft.sources.KvTableChanges.info,
       graft.sources.KvTableChanges.builder))
+    ext.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier(
+        graft.sources.KvTableHistory.name),
+      graft.sources.KvTableHistory.info,
+      graft.sources.KvTableHistory.builder))
     // tier (c): whole-operator plan nodes (plans/AsOfJoin)
     ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => new graft.plans.AsOfFilterPushdown)
@@ -173,6 +179,7 @@ object GraftFunctions {
         builder)
     }
     graft.sources.KvTableChanges.register(spark)
+    graft.sources.KvTableHistory.register(spark)
   }
 
   import org.apache.spark.sql.functions.{call_function, lit}
@@ -214,4 +221,6 @@ object GraftFunctions {
     call_function("graft_minhashsig", hashes, lit(k))
   def tokStatsNative(tokens: Column, stops: Column): Column =
     call_function("graft_tokstats", tokens, stops)
+  def zorderNative(a: Column, b: Column): Column =
+    call_function("graft_zorder", a, b)
 }

@@ -1207,6 +1207,233 @@ object Sources extends QueryGroup {
               md5(text) AS payload_md5
             FROM documents WHERE doc_id < 300 ORDER BY doc_id"""))
 
+  /** ROW-LEVEL DELETE via DELETION VECTORS (sources/KvDv + the `#dv`
+    * commit-log line) — the merge-on-read twin of `q_store_delete`: the
+    * same range predicate deletes the same rows, but NO data file is
+    * rewritten — each zone-map-intersecting file gets a tiny immutable
+    * ordinal sidecar (write ∝ rows deleted, not bytes touched: the
+    * 100 TB GDPR-delete shape), committed as ONE CAS-published `#dv`
+    * version. The gate reads THREE views: the pre-delete snapshot
+    * (`asOfCommit=1`), the merge-on-read latest (vectors subtracted at
+    * read), and the post-compaction view (vectors materialized away) —
+    * all three must agree with the oracle, so a leaked row, a lost
+    * bystander, destroyed history, OR a materialization drift breaks the
+    * hash. KvDvSpec pins the physical claims (files byte-identical,
+    * ≥10× write-amplification win, vector disjointness). */
+  private val qStoreDeleteDv = Q(
+    "q_store_delete_dv",
+    (s, dir) => {
+      import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+      val out = sys.props("java.io.tmpdir") + "/graft-kvsink/q_store_delete_dv"
+      cleanDir(out)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "k LONG, cust LONG, prio STRING")
+      table(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("cust"),
+          col("o_orderpriority").as("prio"))
+        .repartitionByRange(8, col("k"))
+        .write.format("graft.sources.KvSinkProvider")
+        .option("path", out).mode("append").save()
+      graft.sources.KvStore.deleteWhereDV(s, out, schema,
+        Seq(GreaterThanOrEqual("k", 1000L), LessThan("k", 3000L)))
+      def readAsOf(asOf: Option[Int]) = {
+        val r = s.read.format("graft.sources.KvSourceProvider")
+          .option("path", out).option("schema", schema.toDDL)
+        asOf.fold(r)(v => r.option("asOfCommit", v.toString)).load()
+      }
+      val merged = readAsOf(None).withColumn("snap", lit(2L)) // merge-on-read
+      val pre = readAsOf(Some(1)).withColumn("snap", lit(1L))
+      graft.sources.KvStore.compact(s, out, schema, 2) // materialize
+      val compacted = readAsOf(None).withColumn("snap", lit(3L))
+      pre.unionAll(merged).unionAll(compacted)
+        .groupBy(col("snap"), col("prio"))
+        .agg(count(lit(1)).as("n"), min(col("k")).as("k_min"),
+          max(col("k")).as("k_max"), sum(col("cust")).as("cust_sum"))
+        .orderBy("snap", "prio")
+    },
+    Some("""WITH snaps AS (
+              SELECT 1 AS snap, o_orderkey, o_custkey, o_orderpriority
+              FROM orders
+              UNION ALL
+              SELECT s.snap, o_orderkey, o_custkey, o_orderpriority
+              FROM orders, (VALUES (2), (3)) AS s(snap)
+              WHERE NOT (o_orderkey >= 1000 AND o_orderkey < 3000))
+            SELECT CAST(snap AS BIGINT) AS snap, o_orderpriority AS prio,
+              count(*) AS n, min(o_orderkey) AS k_min,
+              max(o_orderkey) AS k_max,
+              CAST(sum(o_custkey) AS BIGINT) AS cust_sum
+            FROM snaps GROUP BY 1, 2 ORDER BY snap, prio"""))
+
+  /** ROW-PRECISE change feed from a deletion-vector commit: where the
+    * CoW grain replays whole rewritten files, a `#dv` commit's change
+    * events are EXACTLY the newly-deleted rows — phase 1 reads the
+    * per-version feed of the delete commit alone (its events must be
+    * precisely the predicate's rows, as deletes), phase 2 reads the
+    * from-0 converged snapshot (vectors subtracted at the horizon).
+    * Oracle recomputes both phases from the base table. */
+  private val qStoreCdfDv = Q(
+    "q_store_cdf_dv",
+    (s, dir) => {
+      import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+      val out = sys.props("java.io.tmpdir") + "/graft-kvsink/q_store_cdf_dv"
+      cleanDir(out)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "k LONG, cust LONG")
+      table(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("cust"))
+        .repartitionByRange(4, col("k"))
+        .write.format("graft.sources.KvSinkProvider")
+        .option("path", out).mode("append").save()
+      graft.sources.KvStore.deleteWhereDV(s, out, schema,
+        Seq(GreaterThanOrEqual("k", 500L), LessThan("k", 1500L)))
+      def feed(from: Int, to: Int) =
+        s.read.format("graft.sources.KvSourceProvider")
+          .option("path", out).option("schema", schema.toDDL)
+          .option("readChangeFeed", "true")
+          .option("changesFrom", from.toString)
+          .option("changesTo", to.toString).load()
+      // phase 1: the dv commit's events — row-precise deletes
+      val events = feed(1, 2)
+        .select(lit(1L).as("phase"), col("k"), col("cust"),
+          col("_change_type").as("ct"))
+      // phase 2: converged snapshot at the horizon — inserts only
+      val snapshot = feed(0, 2)
+        .select(lit(2L).as("phase"), col("k"), col("cust"),
+          col("_change_type").as("ct"))
+      events.unionAll(snapshot)
+        .groupBy(col("phase"), col("ct"))
+        .agg(count(lit(1)).as("n"), min(col("k")).as("k_min"),
+          max(col("k")).as("k_max"), sum(col("cust")).as("cust_sum"))
+        .orderBy("phase", "ct")
+    },
+    Some("""WITH ev AS (
+              SELECT 1 AS phase, 'delete' AS ct, o_orderkey AS k,
+                o_custkey AS cust
+              FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1500
+              UNION ALL
+              SELECT 2, 'insert', o_orderkey, o_custkey
+              FROM orders
+              WHERE NOT (o_orderkey >= 500 AND o_orderkey < 1500))
+            SELECT CAST(phase AS BIGINT) AS phase, ct, count(*) AS n,
+              min(k) AS k_min, max(k) AS k_max,
+              CAST(sum(cust) AS BIGINT) AS cust_sum
+            FROM ev GROUP BY 1, 2 ORDER BY phase, ct"""))
+
+  /** MERGE via DELETION VECTORS (sources/KvStore.mergeDV) — the
+    * merge-on-read twin of `q_store_merge`: the SAME upsert batch and
+    * delete-key set, but touched store rows are deleted by ordinal
+    * VECTOR (no file rewritten) while the upserts land through the
+    * sink's 2PC write, both halves in ONE `#dv`+adds manifest CASed at
+    * base+1 — write cost ∝ change batch, the continuous-CDC shape at
+    * 100 TB. Three agreeing views (pre-merge snapshot, merge-on-read
+    * latest, post-purge materialized) against the q_store_merge oracle
+    * recomputation prove representation never changes semantics. */
+  private val qStoreMergeDv = Q(
+    "q_store_merge_dv",
+    (s, dir) => {
+      val out = sys.props("java.io.tmpdir") + "/graft-kvsink/q_store_merge_dv"
+      cleanDir(out)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL("k LONG, v LONG")
+      val counts = table(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("v"))
+        .select(col("c_nationkey").as("k"), col("v"))
+      counts.repartitionByRange(4, col("k"))
+        .write.format("graft.sources.KvSinkProvider")
+        .option("path", out).mode("append").save()
+      val upserts = counts.filter(col("k") % 2 === 0 && col("k") < 20)
+        .select(col("k"), (col("v") * 10).as("v"))
+      graft.sources.KvStore.mergeDV(s, out, schema,
+        "k", upserts, deleteKeys = (20L to 24L))
+      def readAsOf(asOf: Option[Int]) = {
+        val r = s.read.format("graft.sources.KvSourceProvider")
+          .option("path", out).option("schema", "k LONG, v LONG")
+        asOf.fold(r)(v => r.option("asOfCommit", v.toString)).load()
+      }
+      val pre = readAsOf(Some(1)).withColumn("snap", lit(1L))
+      val merged = readAsOf(Some(2)).withColumn("snap", lit(2L))
+      graft.sources.KvStore.purgeDvs(s, out, schema) // materialize
+      val purged = readAsOf(None).withColumn("snap", lit(3L))
+      pre.unionAll(merged).unionAll(purged)
+        .select("snap", "k", "v")
+        .orderBy("snap", "k")
+    },
+    Some("""WITH c AS (
+              SELECT c_nationkey AS k, count(*) AS v FROM customer GROUP BY 1)
+            SELECT CAST(1 AS BIGINT) AS snap, k, v FROM c
+            UNION ALL
+            SELECT s.snap, k, CASE WHEN k % 2 = 0 THEN v * 10 ELSE v END
+            FROM c, (VALUES (2), (3)) AS s(snap) WHERE k < 20
+            ORDER BY snap, k"""))
+
+  /** INCREMENTAL MATERIALIZED-VIEW MAINTENANCE from the change feed —
+    * the composition the CDF exists for: an aggregate table maintained
+    * by folding ONLY the change events of new commits, never re-scanning
+    * the base store. The gate (1) builds the MV from the version-1
+    * snapshot feed and MATERIALIZES it into its own store table, (2)
+    * mutates the base twice — a deletion-vector delete (row-precise
+    * delete events, sources/KvDv) and a CoW delete (whole-file
+    * remove/re-add events) — then (3) refreshes by combining the STORED
+    * MV with the signed delta feed `(1, head]` alone: +row for inserts,
+    * −row for deletes. The refreshed MV must equal a full recompute
+    * (the oracle), proving insert−delete folding is exact across BOTH
+    * mutation representations. 100 TB shape: refresh cost ∝ change
+    * volume (here: two deleted ranges), not base-table size — the
+    * difference between a streaming-sized nightly refresh and re-reading
+    * a petabyte. */
+  private val qStoreMvIncremental = Q(
+    "q_store_mv_incremental",
+    (s, dir) => {
+      import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+      val base = sys.props("java.io.tmpdir") + "/graft-kvsink/q_store_mv_base"
+      val mv = sys.props("java.io.tmpdir") + "/graft-kvsink/q_store_mv_view"
+      cleanDir(base); cleanDir(mv)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "k LONG, cust LONG")
+      table(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("cust"))
+        .repartitionByRange(4, col("k"))
+        .write.format("graft.sources.KvSinkProvider")
+        .option("path", base).mode("append").save()
+      def feed(from: Int, to: Int) =
+        s.read.format("graft.sources.KvSourceProvider")
+          .option("path", base).option("schema", schema.toDDL)
+          .option("readChangeFeed", "true")
+          .option("changesFrom", from.toString)
+          .option("changesTo", to.toString).load()
+      // build + MATERIALIZE the view from the v1 snapshot feed
+      feed(0, 1)
+        .groupBy(col("cust"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"))
+        .write.format("graft.sources.KvSinkProvider")
+        .option("path", mv).mode("append").save()
+      // two base mutations in two representations
+      graft.sources.KvStore.deleteWhereDV(s, base, schema,
+        Seq(GreaterThanOrEqual("k", 500L), LessThan("k", 700L)))
+      graft.sources.KvStore.deleteWhere(s, base, schema,
+        Seq(GreaterThanOrEqual("k", 900L), LessThan("k", 1100L)))
+      // refresh = stored MV + signed delta feed, never the base table
+      val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+      val delta = feed(1, 3)
+        .select(col("cust"), sign.as("dn"), (sign * col("k")).as("dk"))
+        .groupBy(col("cust"))
+        .agg(sum(col("dn")).as("n"), sum(col("dk")).as("k_sum"))
+      s.read.format("graft.sources.KvSourceProvider")
+        .option("path", mv).option("schema", "cust LONG, n LONG, k_sum LONG")
+        .load()
+        .unionAll(delta)
+        .groupBy(col("cust"))
+        .agg(sum(col("n")).as("n"), sum(col("k_sum")).as("k_sum"))
+        .filter(col("n") > 0)
+        .orderBy("cust")
+    },
+    Some("""SELECT o_custkey AS cust, count(*) AS n,
+              CAST(sum(o_orderkey) AS BIGINT) AS k_sum
+            FROM orders
+            WHERE NOT (o_orderkey >= 500 AND o_orderkey < 700)
+              AND NOT (o_orderkey >= 900 AND o_orderkey < 1100)
+            GROUP BY 1 ORDER BY cust"""))
+
   override val queries: Seq[Q] =
     Seq(qSourceCsv, qSourceJson, qSourceXml, qSourceOrc, qSourceText, qSourcePartitioned,
       qSourceBucketedJoin, qSourceDsv2, qSourceDsv2Agg, qSourceDsv2Topn,
@@ -1214,7 +1441,8 @@ object Sources extends QueryGroup {
       qSourceKvAgg, qSourceKvAggGrouped, qSourceKvSpj, qSourceKvSpjBucketed,
       qSourceKvZonemapTyped, qSourceKvBloom,
       qZorderLayout, qZonemapPrune, qStoreTimetravel, qStoreTimediff,
-      qStoreDelete, qStoreMerge,
+      qStoreDelete, qStoreMerge, qStoreDeleteDv, qStoreCdfDv,
+      qStoreMergeDv, qStoreMvIncremental,
       qSourceSchemaEvolution,
       qStoreDpo, qSourceCorrupt, qSourceBucketedAgg, qJoinNullsafe,
       qSourceBinaryFile)

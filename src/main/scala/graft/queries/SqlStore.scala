@@ -392,9 +392,135 @@ object SqlStore extends QueryGroup {
             FROM orders WHERE o_orderkey >= 1000
             ORDER BY o"""))
 
+  /** DELETE via DELETION VECTORS through SQL (`spark.graft.store.
+    * deleteMode=dv` + `CALL graftkv.system.purge_dvs`) — the SQL twin of
+    * `q_store_delete_dv`: the same DELETE statement as
+    * `q_sql_store_delete`, but merge-on-read (data files untouched, a
+    * `#dv` ordinal sidecar committed instead), then materialized by the
+    * purge procedure. Three agreeing views — pre-delete snapshot,
+    * merge-on-read latest, post-purge — prove representation choice
+    * never changes semantics: a SQL user flips one conf and keeps every
+    * answer. */
+  private val qSqlStoreDeleteDv = Q(
+    "q_sql_store_delete_dv",
+    (s, dir) => {
+      cat(s)
+      fresh(s, "t_dvdel")
+      s.sql("CREATE TABLE graftkv.cat.t_dvdel (k BIGINT, cust BIGINT, prio STRING)")
+      table(s, dir, "orders").createOrReplaceTempView("orders_dv_v")
+      s.sql("""INSERT INTO graftkv.cat.t_dvdel
+               SELECT o_orderkey, o_custkey, o_orderpriority FROM orders_dv_v""")
+      s.conf.set("spark.graft.store.deleteMode", "dv")
+      try s.sql("DELETE FROM graftkv.cat.t_dvdel WHERE k >= 1000 AND k < 3000")
+      finally s.conf.unset("spark.graft.store.deleteMode")
+      val merged = s.sql( // merge-on-read view, pinned by version
+        "SELECT CAST(2 AS BIGINT) AS snap, * FROM graftkv.cat.t_dvdel VERSION AS OF 2")
+      s.sql("CALL graftkv.system.purge_dvs('cat.t_dvdel')").collect()
+      merged.unionAll(
+        s.sql("SELECT CAST(1 AS BIGINT), * FROM graftkv.cat.t_dvdel VERSION AS OF 1"))
+        .unionAll(
+          s.sql("SELECT CAST(3 AS BIGINT), * FROM graftkv.cat.t_dvdel"))
+        .groupBy(col("snap"), col("prio"))
+        .agg(count(lit(1)).as("n"), min(col("k")).as("k_min"),
+          max(col("k")).as("k_max"), sum(col("cust")).as("cust_sum"))
+        .orderBy("snap", "prio")
+    },
+    Some("""WITH snaps AS (
+              SELECT 1 AS snap, o_orderkey, o_custkey, o_orderpriority
+              FROM orders
+              UNION ALL
+              SELECT s.snap, o_orderkey, o_custkey, o_orderpriority
+              FROM orders, (VALUES (2), (3)) AS s(snap)
+              WHERE NOT (o_orderkey >= 1000 AND o_orderkey < 3000))
+            SELECT CAST(snap AS BIGINT) AS snap, o_orderpriority AS prio,
+              count(*) AS n, min(o_orderkey) AS k_min,
+              max(o_orderkey) AS k_max,
+              CAST(sum(o_custkey) AS BIGINT) AS cust_sum
+            FROM snaps GROUP BY 1, 2 ORDER BY snap, prio"""))
+
+  /** `DESCRIBE HISTORY` as a table function (sources/KvTableHistory):
+    * one row per commit, with the operation kind DERIVED from the
+    * manifest's own line grammar and rows-added folded from committed
+    * sidecars — the audit trail a lakehouse user reads before time
+    * travel. The gate drives three commit kinds (append → dv_delete →
+    * compaction rewrite) and checks the full history relation against an
+    * oracle recomputed from the base table; metadata-only (log-sized, no
+    * data file opened), so it holds at any SF. */
+  private val qSqlStoreHistory = Q(
+    "q_sql_store_history",
+    (s, dir) => {
+      cat(s)
+      graft.sources.KvTableHistory.register(s)
+      fresh(s, "t_hist")
+      s.sql("CREATE TABLE graftkv.cat.t_hist (k BIGINT, cust BIGINT)")
+      table(s, dir, "orders").createOrReplaceTempView("orders_hist_v")
+      // 4 files regardless of SF, so compact(2) below always has work
+      s.sql("""INSERT INTO graftkv.cat.t_hist
+               SELECT /*+ REPARTITION(4) */ o_orderkey, o_custkey
+               FROM orders_hist_v""")
+      s.conf.set("spark.graft.store.deleteMode", "dv")
+      try s.sql("DELETE FROM graftkv.cat.t_hist WHERE k >= 1000 AND k < 3000")
+      finally s.conf.unset("spark.graft.store.deleteMode")
+      s.sql("CALL graftkv.system.compact('cat.t_hist', 2)").collect()
+      s.sql("""SELECT CAST(version AS BIGINT) AS version, kind, rows_added,
+                 dvs_attached > 0 AS attached
+               FROM table_history('graftkv.cat.t_hist')
+               ORDER BY version""")
+    },
+    Some("""SELECT CAST(v.version AS BIGINT) AS version, v.kind,
+              CASE v.version
+                WHEN 1 THEN (SELECT count(*) FROM orders)
+                WHEN 2 THEN 0
+                ELSE (SELECT count(*) FROM orders
+                      WHERE NOT (o_orderkey >= 1000 AND o_orderkey < 3000))
+              END AS rows_added,
+              v.attached
+            FROM (VALUES (1, 'append', false),
+                         (2, 'dv_delete', true),
+                         (3, 'rewrite', false)) AS v(version, kind, attached)
+            ORDER BY version"""))
+
+  /** `OPTIMIZE ... ZORDER BY` as a maintenance procedure
+    * (sources/KvStore.zorder + `CALL graftkv.system.zorder`): the live
+    * set is rewritten clustered by the bit-interleaved z-value of
+    * (cust, k) — each committed file covers a tight rectangle in both
+    * dimensions, so zone-map sidecars prune 2-D range queries (a linear
+    * layout clusters one dimension and opens every file for the other;
+    * KvZorderSpec pins the measured file-count collapse). The gate pins
+    * SEMANTICS: content invariance (total count) and an exact 2-D box
+    * aggregate after the rewrite, against the base-table oracle. */
+  private val qSqlStoreZorder = Q(
+    "q_sql_store_zorder",
+    (s, dir) => {
+      cat(s)
+      fresh(s, "t_zord")
+      s.sql("CREATE TABLE graftkv.cat.t_zord (k BIGINT, cust BIGINT, price4 BIGINT)")
+      table(s, dir, "orders").createOrReplaceTempView("orders_zord_v")
+      s.sql("""INSERT INTO graftkv.cat.t_zord
+               SELECT /*+ REPARTITION(8) */ o_orderkey, o_custkey,
+                 CAST(round(o_totalprice * 100) AS BIGINT)
+               FROM orders_zord_v""")
+      s.sql("CALL graftkv.system.zorder('cat.t_zord', 'cust,k', 8)").collect()
+      s.sql("""SELECT count(*) AS n_total,
+                 count(CASE WHEN cust BETWEEN 100 AND 300
+                            AND k BETWEEN 200 AND 900 THEN 1 END) AS n_box,
+                 sum(CASE WHEN cust BETWEEN 100 AND 300
+                          AND k BETWEEN 200 AND 900 THEN price4 END) AS box_sum
+               FROM graftkv.cat.t_zord""")
+    },
+    Some("""SELECT count(*) AS n_total,
+              count(CASE WHEN o_custkey BETWEEN 100 AND 300
+                         AND o_orderkey BETWEEN 200 AND 900 THEN 1 END) AS n_box,
+              CAST(sum(CASE WHEN o_custkey BETWEEN 100 AND 300
+                       AND o_orderkey BETWEEN 200 AND 900
+                       THEN CAST(round(o_totalprice * 100) AS BIGINT) END)
+                AS BIGINT) AS box_sum
+            FROM orders"""))
+
   override val queries: Seq[Q] =
     Seq(qSqlStoreCatalog, qSqlStoreTimetravel, qSqlStoreDelete,
       qSqlStoreOverwrite, qSqlStorePartitioned, qSqlStoreCtas,
       qSqlStoreUpdate, qSqlStoreMerge, qSqlStoreEvolution,
-      qSqlStoreMaintenance, qSqlStoreCdf)
+      qSqlStoreMaintenance, qSqlStoreCdf, qSqlStoreDeleteDv,
+      qSqlStoreHistory, qSqlStoreZorder)
 }

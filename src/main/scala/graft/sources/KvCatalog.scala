@@ -430,9 +430,28 @@ class KvCatalogTable(ident: String, dir: String, tblSchema: StructType,
       case f => KvCatalogTable.deletable(f, tblSchema.fieldNames.toSet)
     }
 
+  /** `spark.graft.store.deleteMode` picks the physical delete
+    * representation: `cow` (default — rewrite the touched files) or `dv`
+    * (deletion vectors, [[KvDv]]: data files stay byte-identical, a tiny
+    * ordinal sidecar is committed instead — the merge-on-read shape for
+    * write-amplification-bound deletes). Semantics are identical either
+    * way; an unconditional delete (TRUNCATE shape) always takes the CoW
+    * path, where a vector would be pure overhead. */
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val effective = filters.filterNot(_ == AlwaysTrue).toSeq
-    KvStore.deleteWhere(SparkSession.active, dir, tblSchema, effective): Unit
+    val mode = SparkSession.active.conf
+      .get("spark.graft.store.deleteMode", "cow")
+    mode match {
+      case "dv" if effective.nonEmpty =>
+        KvStore.deleteWhereDV(SparkSession.active, dir, tblSchema,
+          effective): Unit
+      case "cow" | "dv" =>
+        KvStore.deleteWhere(SparkSession.active, dir, tblSchema,
+          effective): Unit
+      case other => throw new IllegalArgumentException(
+        s"graft kv catalog: unknown spark.graft.store.deleteMode '$other' " +
+          "(expected cow or dv)")
+    }
   }
 }
 

@@ -120,8 +120,18 @@ object KvDaemon {
             if (badField(name)) {
               out.write("ERR bad field name\n")
             } else {
-              val src = scala.io.Source.fromFile(new File(dir, name), "UTF-8")
-              try src.getLines().foreach(l => out.write(s"L $l\n"))
+              // deletion vectors apply server-side: a field of a store
+              // with `#dv` attachments serves only its live rows — the
+              // client never sees vector-deleted data (KvDv)
+              val data = new File(dir, name)
+              val owner = data.getParentFile.toPath
+              val dvs = KvCommitLog.dvsAsOf(owner,
+                  KvCommitLog.latestVersion(owner))
+                .getOrElse(data.getName, Nil)
+                .map(v => owner.resolve(v))
+              val src = scala.io.Source.fromFile(data, "UTF-8")
+              try KvDv.filterLines(src.getLines(), dvs)
+                .foreach(l => out.write(s"L $l\n"))
               finally src.close()
               out.write("END\n")
             }

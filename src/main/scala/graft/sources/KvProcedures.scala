@@ -107,7 +107,49 @@ private[sources] object KvProcedures {
       }
     }
 
-  val names: Seq[String] = Seq("compact", "checkpoint", "vacuum")
+  def purgeDvs(resolve: String => (String, StructType)): UnboundProcedure =
+    new StoreProcedure("purge_dvs", resolve, Seq(tableParam)) {
+      override def description(): String =
+        "materialize deletion vectors: rewrite only the vector-carrying " +
+          "files without their deleted rows (one OCC commit; content " +
+          "unchanged, read-time subtraction reclaimed)"
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val (dir, schema) = table(input)
+        val m = KvStore.purgeDvs(SparkSession.active, dir, schema)
+        import scala.jdk.CollectionConverters._
+        out(InternalRow(m.version, m.rewritten.toLong, m.emptied.toLong),
+          "version" -> IntegerType, "files_rewritten" -> LongType,
+          "files_emptied" -> LongType).asJava
+      }
+    }
+
+  def zorder(resolve: String => (String, StructType)): UnboundProcedure =
+    new StoreProcedure("zorder", resolve, Seq(tableParam,
+      ProcedureParameter.in("columns", StringType)
+        .comment("two integer columns as 'a,b' — the interleave order").build(),
+      ProcedureParameter.in("target_files", IntegerType)
+        .comment("file count to cluster the live set into").build())) {
+      override def description(): String =
+        "rewrite the live set clustered by the bit-interleaved z-value " +
+          "of two columns, so zone maps prune on both at once (one OCC " +
+          "commit; content unchanged; time travel preserved until vacuum)"
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val (dir, schema) = table(input)
+        val cols = input.getUTF8String(1).toString.split(",").map(_.trim)
+        require(cols.length == 2,
+          s"graft kv catalog: zorder needs exactly two columns, got " +
+            input.getUTF8String(1))
+        val m = KvStore.zorder(SparkSession.active, dir, schema,
+          (cols(0), cols(1)), input.getInt(2))
+        import scala.jdk.CollectionConverters._
+        out(InternalRow(m.version, m.rewritten.toLong, m.rowsAdded),
+          "version" -> IntegerType, "files_written" -> LongType,
+          "rows" -> LongType).asJava
+      }
+    }
+
+  val names: Seq[String] =
+    Seq("compact", "checkpoint", "vacuum", "purge_dvs", "zorder")
 
   def load(ident: Identifier,
       resolve: String => (String, StructType)): UnboundProcedure = {
@@ -118,6 +160,8 @@ private[sources] object KvProcedures {
       case "compact" => compact(resolve)
       case "checkpoint" => checkpoint(resolve)
       case "vacuum" => vacuum(resolve)
+      case "purge_dvs" => purgeDvs(resolve)
+      case "zorder" => zorder(resolve)
       case other => throw new IllegalArgumentException(
         s"graft kv catalog: unknown procedure '$other' — " +
           s"one of ${names.mkString(", ")}")

@@ -186,7 +186,8 @@ class KvCoWScan(op: KvRowLevelOperation, dir: String,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val live = KvCommitLog.filesAsOf(Paths.get(dir), op.base).toSeq.sorted
+    val (liveSet, dvs) = KvCommitLog.stateAsOf(Paths.get(dir), op.base)
+    val live = liveSet.toSeq.sorted
     val kept = live.filter { name =>
       matchedFiles.forall(_.contains(name)) && {
         KvZoneMap.read(new File(dir, name)) match {
@@ -197,7 +198,11 @@ class KvCoWScan(op: KvRowLevelOperation, dir: String,
     }
     KvPruneStats.record(dir, live.size, kept.size)
     op.scannedFiles = kept
-    kept.map(n => KvFilePartition(new File(dir, n).getAbsolutePath)
+    // deletion vectors apply to the group scan too: a vector-deleted row
+    // must not resurrect through a SQL UPDATE/MERGE rewrite (the commit
+    // REMOVES the scanned file, dropping its attachments with it)
+    kept.map(n => KvFilePartition(new File(dir, n).getAbsolutePath,
+      dvs.getOrElse(n, Nil).map(v => new File(dir, v).getAbsolutePath))
       : InputPartition).toArray
   }
 

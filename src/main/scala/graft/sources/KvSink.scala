@@ -412,10 +412,24 @@ object KvCommitLog {
     *                     id (e.g. a streaming batchId) recorded with the
     *                     commit, so an at-least-once REPLAY of the same txn
     *                     can detect it already committed and no-op
-    * Removal and txn lines are r12 extensions; pre-existing manifests are
-    * pure add lists and fold identically under the new reader. */
+    *   - `#dv,<data>,<dv>` — DELETION VECTOR attach (r14, [[KvDv]]): vector
+    *                     file `<dv>` marks rows of live file `<data>` as
+    *                     deleted from this version on; a later `-<data>`
+    *                     drops the attachment with the file
+    * Removal and txn lines are r12 extensions, dv lines r14; pre-existing
+    * manifests are pure add lists and fold identically under the new
+    * reader. Every `#`-prefixed line is control, never a member name. */
   private def isTxnLine(l: String): Boolean = l.startsWith("#txn,")
   private def isRemoveLine(l: String): Boolean = l.startsWith("-")
+  private def isDvLine(l: String): Boolean = l.startsWith("#dv,")
+  private def isCtlLine(l: String): Boolean = l.startsWith("#")
+  private def parseDvLine(l: String): (String, String) = {
+    val body = l.stripPrefix("#dv,")
+    val i = body.indexOf(',')
+    require(i > 0 && i < body.length - 1,
+      s"graft commit log: malformed dv line '$l'")
+    (body.substring(0, i), body.substring(i + 1))
+  }
 
   /** Published/removed entry names may not collide with the line grammar
     * or the hidden-path discipline. */
@@ -569,27 +583,28 @@ object KvCommitLog {
             "stream's replayable horizon")
         case Some(p) =>
           val lines = linesOf(p)
-          if (lines.exists(isRemoveLine)) {
+          // a dv attachment is a change commit too: rows disappeared
+          if (lines.exists(l => isRemoveLine(l) || isDvLine(l))) {
             if (skipChangeCommits) Nil
             else throw new IllegalStateException(
               s"graft commit log: version $v at $dir is not append-only " +
-                "(overwrite/delete/merge/compaction); streaming reads " +
-                "consume appends — set skipChangeCommits=true to skip " +
-                "change commits")
-          } else lines.filterNot(isTxnLine)
+                "(overwrite/delete/merge/compaction/deletion-vector); " +
+                "streaming reads consume appends — set " +
+                "skipChangeCommits=true to skip change commits")
+          } else lines.filterNot(isCtlLine)
       }
     }
   }
 
   /** Per-version CHANGE SETS for `(after, until]` — the change-data-feed
-    * planning primitive: each element is (version, adds, removes) exactly
-    * as the manifest recorded them. Same replay discipline as
-    * [[addsBetween]]: a vacuumed manifest in the range is an explicit
-    * error (vacuum must stay above any change-feed reader's horizon) —
-    * removed DATA files below the range are still reclaimable, this only
-    * pins the manifests. */
+    * planning primitive: each element is (version, adds, removes,
+    * dv-attachments) exactly as the manifest recorded them. Same replay
+    * discipline as [[addsBetween]]: a vacuumed manifest in the range is
+    * an explicit error (vacuum must stay above any change-feed reader's
+    * horizon) — removed DATA files below the range are still
+    * reclaimable, this only pins the manifests. */
   def changesBetween(dir: java.nio.file.Path, after: Int,
-      until: Int): Seq[(Int, Seq[String], Seq[String])] = {
+      until: Int): Seq[(Int, Seq[String], Seq[String], Seq[(String, String)])] = {
     if (until <= after) return Nil
     // out-of-range is a caller error, not a vacuum condition — without
     // this check a changesTo above the latest commit surfaced as a
@@ -607,8 +622,9 @@ object KvCommitLog {
             "feed's replayable horizon")
         case Some(p) =>
           val lines = linesOf(p).filterNot(isTxnLine)
-          val (removes, adds) = lines.partition(isRemoveLine)
-          (v, adds, removes.map(_.stripPrefix("-")))
+          val (dvLines, rest) = lines.partition(isDvLine)
+          val (removes, adds) = rest.partition(isRemoveLine)
+          (v, adds, removes.map(_.stripPrefix("-")), dvLines.map(parseDvLine))
       }
     }
   }
@@ -681,14 +697,42 @@ object KvCommitLog {
     * checkpoints) this is exactly the old all-manifests union. Throws when
     * the needed history was vacuumed away (manifests missing below the
     * oldest checkpoint). */
-  def filesAsOf(dir: java.nio.file.Path, asOf: Int): Set[String] = {
+  def filesAsOf(dir: java.nio.file.Path, asOf: Int): Set[String] =
+    stateAsOf(dir, asOf)._1
+
+  /** Deletion-vector attachments live at version `asOf`: data file →
+    * vector files, in attach order ([[KvDv]]). */
+  def dvsAsOf(dir: java.nio.file.Path, asOf: Int): Map[String, Seq[String]] =
+    stateAsOf(dir, asOf)._2
+
+  /** The full live STATE at version `asOf`: (live file set, deletion-
+    * vector attachments). Checkpoints carry both (`#dv,` lines alongside
+    * live names and forwarded `#txn,` markers); manifests fold on top in
+    * version order — adds insert, `-name` removes the file AND its
+    * vectors, `#dv,data,vec` attaches. */
+  def stateAsOf(dir: java.nio.file.Path, asOf: Int)
+      : (Set[String], Map[String, Seq[String]]) = {
     val base = checkpoints(dir).takeWhile(_._1 <= asOf).lastOption
     val baseV = base.map(_._1).getOrElse(0)
     val live = scala.collection.mutable.Set.empty[String]
-    base.foreach { case (_, p) =>
-      // checkpoints carry forwarded `#txn,` markers alongside live names
-      live ++= linesOf(p).filter(l => !isTxnLine(l))
+    val dvs = scala.collection.mutable.Map.empty[String, Seq[String]]
+    // within one manifest/checkpoint, member lines fold BEFORE `#dv`
+    // attach lines regardless of their lexical order (a checkpoint's
+    // sorted body puts '#dv' first; attachments always reference the
+    // version's post-membership state)
+    def fold(lines: Seq[String]): Unit = {
+      val (dvLines, rest) = lines.partition(isDvLine)
+      rest.foreach { l =>
+        if (isCtlLine(l)) ()
+        else if (isRemoveLine(l)) { live -= l.substring(1); dvs -= l.substring(1) }
+        else { live += l; dvs -= l }
+      }
+      dvLines.foreach { l =>
+        val (data, vec) = parseDvLine(l)
+        dvs.updateWith(data)(cur => Some(cur.getOrElse(Seq.empty) :+ vec)): Unit
+      }
     }
+    base.foreach { case (_, p) => fold(linesOf(p)) }
     val ms = versions(dir).filter { case (v, _) => v > baseV && v <= asOf }
     // the fold needs contiguous history from the base: a gap means the
     // versions below were vacuumed (their checkpoint is above asOf)
@@ -701,14 +745,29 @@ object KvCommitLog {
       throw new IllegalStateException(
         s"graft commit log: history at or below version $asOf at $dir was " +
           "vacuumed — snapshot no longer reconstructible")
-    ms.foreach { case (_, p) =>
-      linesOf(p).foreach { l =>
-        if (isTxnLine(l)) ()
-        else if (isRemoveLine(l)) live -= l.substring(1)
-        else live += l
-      }
+    ms.foreach { case (_, p) => fold(linesOf(p)) }
+    (live.toSet, dvs.toMap)
+  }
+
+  /** CAS-publish deletion-vector attachments as EXACTLY `base + 1` —
+    * the vectors were computed from the version-`base` live-ordinal
+    * state (already-deleted rows excluded), so ANY concurrent commit
+    * invalidates them: a lost race returns false and the caller cleans
+    * up its staged vectors ([[KvStore.deleteWhereDV]] discipline).
+    * Every named data file must be live at `base`. */
+  def tryAttachDvsAt(dir: java.nio.file.Path, base: Int,
+      attachments: Seq[(String, String)]): Boolean = {
+    require(attachments.nonEmpty, "graft commit log: no dv attachments")
+    val live = filesAsOf(dir, base)
+    attachments.foreach { case (data, vec) =>
+      checkName(data); checkName(vec)
+      require(!data.contains(",") && !vec.contains(","),
+        s"graft commit log: dv entry names may not contain ',' ($data, $vec)")
+      require(live(data),
+        s"graft commit log: cannot attach dv to $data — not live at $base")
     }
-    live.toSet
+    tryAppendAt(dir, base + 1,
+      attachments.map { case (d, v) => s"#dv,$d,$v" }.sorted)
   }
 
   /** The latest live view — what a reader without `asOfCommit` plans. */
@@ -722,11 +781,18 @@ object KvCommitLog {
     * as `#txn,` lines so [[txnCommitted]] still answers after the
     * manifests are vacuumed. False when that checkpoint already exists. */
   def writeCheckpoint(dir: java.nio.file.Path, version: Int,
-      live: Set[String], txns: Seq[String] = Nil): Boolean = {
+      live: Set[String], txns: Seq[String] = Nil,
+      dvs: Map[String, Seq[String]] = Map.empty): Boolean = {
     live.foreach(checkName)
     val tmp = dir.resolve(
       s"._checkpoint-$version-${System.nanoTime}-${Thread.currentThread.getId}.tmp")
-    val lines = txns.distinct.sorted.map(t => s"#txn,$t") ++ live.toSeq.sorted
+    val dvLines = dvs.toSeq.flatMap { case (d, vs) =>
+      require(live(d),
+        s"graft commit log: checkpoint dv attachment for non-live file $d")
+      vs.map(v => s"#dv,$d,$v")
+    }.sorted
+    val lines = txns.distinct.sorted.map(t => s"#txn,$t") ++ dvLines ++
+      live.toSeq.sorted
     Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
     try {
       Files.createLink(dir.resolve(s"_checkpoint-$version"), tmp)
@@ -750,7 +816,8 @@ object KvCommitLog {
     val txns = (versions(dir).map(_._2) ++ checkpoints(dir).map(_._2))
       .flatMap(p => linesOf(p).filter(isTxnLine))
       .map(_.stripPrefix("#txn,"))
-    writeCheckpoint(dir, v, filesAsOf(dir, v), txns): Unit
+    val (live, dvs) = stateAsOf(dir, v)
+    writeCheckpoint(dir, v, live, txns, dvs): Unit
     v
   }
 
@@ -766,16 +833,26 @@ object KvCommitLog {
     require(latest > 0, s"no commit log at $dir — nothing to vacuum")
     require(keepFrom >= 1 && keepFrom <= latest,
       s"vacuum keepFrom $keepFrom out of committed range [1, $latest] at $dir")
-    val liveAtKeep = filesAsOf(dir, keepFrom)
+    val (liveAtKeep, dvsAtKeep) = stateAsOf(dir, keepFrom)
     val ms = versions(dir)
     def addsIn(sel: ((Int, java.nio.file.Path)) => Boolean): Set[String] =
       ms.filter(sel).flatMap { case (_, p) =>
-        linesOf(p).filter(l => !isTxnLine(l) && !isRemoveLine(l))
+        linesOf(p).filter(l => !isCtlLine(l) && !isRemoveLine(l))
       }.toSet
     // reachable from any retained snapshot = live at keepFrom, plus
     // everything added after it (still live at its own add version)
     val reachable = liveAtKeep ++ addsIn(_._1 > keepFrom)
-    val doomed = (addsIn(_ => true) -- reachable).toSeq.sorted
+    // deletion vectors are reachable while their attachment is — live at
+    // keepFrom, or attached by a retained manifest (whose asOf snapshots
+    // still subtract them); all others are unreferenced history
+    def dvNames(ps: Seq[java.nio.file.Path]): Set[String] =
+      ps.flatMap(p => linesOf(p).filter(isDvLine).map(l => parseDvLine(l)._2))
+        .toSet
+    val reachableDvs = dvsAtKeep.values.flatten.toSet ++
+      dvNames(ms.filter(_._1 > keepFrom).map(_._2))
+    val allDvs = dvNames(ms.map(_._2) ++ checkpoints(dir).map(_._2))
+    val doomedDvs = (allDvs -- reachableDvs).toSeq.sorted
+    val doomed = (addsIn(_ => true) -- reachable).toSeq.sorted ++ doomedDvs
     def rm(f: File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty[File]).foreach(rm)
       Files.deleteIfExists(f.toPath): Unit
@@ -795,7 +872,7 @@ object KvCommitLog {
         checkpoints(dir).filter(_._1 < keepFrom).map(_._2))
       .flatMap(p => linesOf(p).filter(isTxnLine))
       .map(_.stripPrefix("#txn,"))
-    writeCheckpoint(dir, keepFrom, liveAtKeep, txns): Unit
+    writeCheckpoint(dir, keepFrom, liveAtKeep, txns, dvsAtKeep): Unit
     ms.filter(_._1 <= keepFrom).foreach { case (_, p) =>
       Files.deleteIfExists(p): Unit
     }

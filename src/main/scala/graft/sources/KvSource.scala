@@ -382,11 +382,19 @@ object KvZonePrune {
   }
 }
 
-case class KvFilePartition(file: String) extends InputPartition
+/** One data-file split. `dvs` (absolute paths of the file's live
+  * deletion vectors, [[KvDv]]) mark ordinals the reader must skip. */
+case class KvFilePartition(file: String, dvs: Seq[String] = Nil)
+    extends InputPartition
 
 /** One change-feed split: a committed (or removed-but-not-vacuumed)
-  * file read as whole-row `insert` or `delete` events of one commit. */
-case class KvCdfPartition(file: String, insert: Boolean, version: Int)
+  * file read as whole-row `insert` or `delete` events of one commit.
+  * `skip` = deletion vectors already applied to the file at this event's
+  * version (those rows are NOT part of the event — they were deleted
+  * earlier); `only` = emit ONLY these vectors' ordinals (the precise
+  * delete events of a `#dv` commit). */
+case class KvCdfPartition(file: String, insert: Boolean, version: Int,
+    skip: Seq[String] = Nil, only: Seq[String] = Nil)
     extends InputPartition
 
 /** The CHANGE DATA FEED column contract (`readChangeFeed=true`):
@@ -427,18 +435,40 @@ object KvChangeFeedPlan {
         case None => true // no stats ⇒ never skip
       }
     }
-    def part(name: String, insert: Boolean, v: Int): InputPartition =
-      KvCdfPartition(new File(path, name).getAbsolutePath, insert, v)
+    def abs(name: String): String = new File(path, name).getAbsolutePath
     if (to <= from) Array.empty
-    else if (from == 0)
-      KvCommitLog.filesAsOf(dir, to).toSeq.sorted
-        .filter(keep).map(part(_, insert = true, to)).toArray
-    else
+    else if (from == 0) {
+      // converged snapshot: live files with their vectors subtracted —
+      // vector-deleted rows are not content at the fold horizon
+      val (live, dvs) = KvCommitLog.stateAsOf(dir, to)
+      live.toSeq.sorted.filter(keep).map(n =>
+        KvCdfPartition(abs(n), insert = true, to,
+          skip = dvs.getOrElse(n, Nil).map(abs)): InputPartition).toArray
+    } else {
+      // per-version exact events, with a RUNNING vector state so that
+      // (a) a `#dv` commit feeds exactly its newly-deleted rows as
+      // deletes, and (b) a later REMOVE of a vector-carrying file feeds
+      // only its still-live rows — nothing is ever deleted twice
+      var dvs = KvCommitLog.dvsAsOf(dir, from)
       KvCommitLog.changesBetween(dir, from, to).flatMap {
-        case (v, adds, removes) =>
-          adds.sorted.filter(keep).map(part(_, insert = true, v)) ++
-            removes.sorted.filter(keep).map(part(_, insert = false, v))
+        case (v, adds, removes, attaches) =>
+          val parts: Seq[InputPartition] =
+            adds.sorted.filter(keep).map(n =>
+              KvCdfPartition(abs(n), insert = true, v)) ++
+            removes.sorted.filter(keep).map(n =>
+              KvCdfPartition(abs(n), insert = false, v,
+                skip = dvs.getOrElse(n, Nil).map(abs))) ++
+            attaches.sortBy(_._1).filter(a => keep(a._1)).map { case (d, vec) =>
+              KvCdfPartition(abs(d), insert = false, v, only = Seq(abs(vec)))
+            }
+          removes.foreach(n => dvs -= n)
+          adds.foreach(n => dvs -= n)
+          attaches.foreach { case (d, vec) =>
+            dvs = dvs.updated(d, dvs.getOrElse(d, Nil) :+ vec)
+          }
+          parts
       }.toArray
+    }
   }
 }
 
@@ -479,14 +509,16 @@ case class KvNetPartition(endpoint: String, field: String) extends InputPartitio
   * of wrapping — per-file sums themselves never wrap (the writer
   * withholds an overflowed `#sum`, forcing the parse fallback). */
 case class KvAggPartition(files: Seq[String], kinds: Seq[KvAggKind],
-    groupCol: Option[String] = None, ansi: Boolean = false)
+    groupCol: Option[String] = None, ansi: Boolean = false,
+    dvs: Map[String, Seq[String]] = Map.empty)
     extends InputPartition
 
 /** One partition VALUE of a value-partitioned store: every file whose
   * committed sidecar pins the partition column to `value`. Carrying the
   * key ([[HasPartitionKey]]) is what lets Spark line partitions up across
   * two co-partitioned stores without shuffling either. */
-case class KvGroupPartition(value: Long, isLong: Boolean, files: Seq[String])
+case class KvGroupPartition(value: Long, isLong: Boolean, files: Seq[String],
+    dvs: Map[String, Seq[String]] = Map.empty)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     InternalRow(if (isLong) value else value.toInt)
@@ -533,6 +565,24 @@ class KvScan(
     * kilobyte dimension and shuffling a fact table. Files without a
     * sidecar contribute size only (row count stays unknown overall,
     * matching the "never guess" discipline). */
+  /** Live deletion-vector attachments for the planned snapshot
+    * ([[KvDv]]): file name → vector names. Non-empty only for flat
+    * committed local stores — the only layout the DV write path commits
+    * to. Planned once per scan so every consumer (splits, statistics,
+    * aggregate folds) sees one consistent state. */
+  private lazy val dvState: Map[String, Seq[String]] = {
+    if (path.startsWith("net://") || recursive) Map.empty
+    else {
+      val dirPath = java.nio.file.Paths.get(path)
+      val latest = KvCommitLog.latestVersion(dirPath)
+      if (latest <= 0) Map.empty
+      else KvCommitLog.dvsAsOf(dirPath, asOfCommit.getOrElse(latest))
+    }
+  }
+
+  private def dvPathsOf(name: String): Seq[String] =
+    dvState.getOrElse(name, Nil).map(v => new File(path, v).getAbsolutePath)
+
   override def estimateStatistics(): Statistics = {
     if (path.startsWith("net://"))
       return new Statistics {
@@ -545,7 +595,11 @@ class KvScan(
     var allKnown = true
     files.foreach { f =>
       KvZoneMap.read(f) match {
-        case Some(st) => rows += st.rows
+        case Some(st) =>
+          // vector-deleted rows are not content: exact statistics
+          // subtract them (vectors are tiny, cached, and disjoint)
+          rows += st.rows - KvDv.count(
+            dvPathsOf(f.getName).map(java.nio.file.Paths.get(_)))
         case None => allKnown = false
       }
     }
@@ -641,8 +695,12 @@ class KvScan(
       }
       .groupBy(_._1).toSeq.sortBy(_._1)
     groups.map { case (v, fs) =>
-      KvGroupPartition(v, isLong, fs.map(_._2.getAbsolutePath).sorted)
-        : InputPartition
+      val files = fs.map(_._2.getAbsolutePath).sorted
+      val dvs = fs.flatMap { case (_, f) =>
+        val ps = dvPathsOf(f.getName)
+        if (ps.isEmpty) None else Some(f.getAbsolutePath -> ps)
+      }.toMap
+      KvGroupPartition(v, isLong, files, dvs): InputPartition
     }.toArray
   }
 
@@ -813,20 +871,26 @@ class KvScan(
     if (partitionedBy.isDefined) return groupedByValue
     val listed = listDataFiles()
     // stats-answered aggregate: one partition folding the sidecars (no
-    // pushed filters by construction, so no pruning interplay)
+    // pushed filters by construction, so no pruning interplay); a
+    // vector-carrying file's sidecar over-counts, so its vectors ride
+    // along and force the reader's exact parse fallback for that file
     agg.foreach { p =>
+      val aggDvs = listed.flatMap { f =>
+        val ps = dvPathsOf(f.getName)
+        if (ps.isEmpty) None else Some(f.getAbsolutePath -> ps)
+      }.toMap
       return Array(KvAggPartition(
         listed.map(_.getAbsolutePath).sorted, p.kinds, p.groupCol,
-        org.apache.spark.sql.internal.SQLConf.get.ansiEnabled))
+        org.apache.spark.sql.internal.SQLConf.get.ansiEnabled, aggDvs))
     }
     // zone-map file skipping: static pushed predicates and runtime join
     // keys against each file's committed min/max sidecar (absent ⇒ keep)
     val kept = listed.filter(zoneMapKeeps)
     KvPruneStats.record(path, listed.length, kept.length)
     kept
-      .map(_.getAbsolutePath)
-      .sorted
-      .map(KvFilePartition(_): InputPartition)
+      .sortBy(_.getAbsolutePath)
+      .map(f => KvFilePartition(f.getAbsolutePath, dvPathsOf(f.getName))
+        : InputPartition)
       .toArray
   }
 
@@ -894,9 +958,17 @@ class KvMicroBatchStream(path: String, dataSchema: StructType,
     if (changeFeed)
       return KvChangeFeedPlan.partitions(path, dir, s, e, pattern,
         pushed.toSeq)
-    val names =
-      if (s == 0) KvCommitLog.filesAsOf(dir, e).toSeq // initial snapshot
-      else KvCommitLog.addsBetween(dir, s, e, skipChangeCommits)
+    // the initial snapshot subtracts live deletion vectors (a batch read
+    // would); delta batches are pure adds — fresh files have no vectors
+    // at their add version, and a later `#dv` commit is a change commit
+    // (fail or skip whole, per the contract above)
+    val (names, dvs) =
+      if (s == 0) {
+        val (live, d) = KvCommitLog.stateAsOf(dir, e)
+        (live.toSeq, d)
+      } else
+        (KvCommitLog.addsBetween(dir, s, e, skipChangeCommits),
+          Map.empty[String, Seq[String]])
     names.sorted
       .filter(_.endsWith(pattern))
       .map(n => new File(path, n))
@@ -908,7 +980,9 @@ class KvMicroBatchStream(path: String, dataSchema: StructType,
           case None => true
         }
       }
-      .map(f => KvFilePartition(f.getAbsolutePath): InputPartition)
+      .map(f => KvFilePartition(f.getAbsolutePath,
+        dvs.getOrElse(f.getName, Nil)
+          .map(v => new File(path, v).getAbsolutePath)): InputPartition)
       .toArray
   }
 
@@ -1079,11 +1153,14 @@ class KvReaderFactory(
     val cntIdx = cntCols.toSeq.map(c => (c, dataSchema.fieldNames.indexOf(c)))
     p.files.foreach { fp =>
       val f = new File(fp)
+      // a vector-carrying file's sidecar over-counts its live rows —
+      // never let it answer; the parse fallback subtracts exactly
+      val fileDvs = p.dvs.getOrElse(fp, Nil).map(java.nio.file.Paths.get(_))
       KvZoneMap.read(f) match {
-        case Some(st) if st.rows == 0L ||
+        case Some(st) if fileDvs.isEmpty && (st.rows == 0L ||
             (p.groupCol.forall(c => st.cols.get(c).exists(b => b._1 == b._2)) &&
               sumCols.forall(sumOk(st, _)) &&
-              cntCols.forall(countFromStats(st, _).isDefined)) =>
+              cntCols.forall(countFromStats(st, _).isDefined))) =>
           if (st.rows > 0) {
             val acc = accFor(p.groupCol.map(c => st.cols(c)._1))
             acc.rows += st.rows
@@ -1095,11 +1172,12 @@ class KvReaderFactory(
           }
         case _ =>
           // no sidecar, or (grouped) a value-spanning foreign file, or a
-          // count/sum the stats cannot decide: parse and bucket
-          // row-by-row — exact either way (nulls skipped like Spark's own
-          // aggregates skip them)
+          // count/sum the stats cannot decide, or live deletion vectors:
+          // parse and bucket row-by-row — exact either way (nulls skipped
+          // like Spark's own aggregates skip them)
           val src = scala.io.Source.fromFile(f, "UTF-8")
-          try src.getLines().filter(_.nonEmpty).foreach { line =>
+          try KvDv.filterLines(src.getLines(), fileDvs)
+            .filter(_.nonEmpty).foreach { line =>
             val parts = line.split(",", -1)
             val acc = accFor(groupIdx.map { case (i, isLong) =>
               if (isLong) parts(i).toLong else parts(i).toInt.toLong
@@ -1160,12 +1238,14 @@ class KvReaderFactory(
     // change-feed constants for this split (KvCdfPartition only)
     var cdfType: UTF8String = null
     var cdfVersion: Long = -1L
+    def dvp(paths: Seq[String]): Seq[java.nio.file.Path] =
+      paths.map(java.nio.file.Paths.get(_))
     val (lineSrc, closer): (Iterator[String], () => Unit) = partition match {
-      case KvFilePartition(file) =>
+      case KvFilePartition(file, dvs) =>
         currentFile = new File(file).getName
         val src = scala.io.Source.fromFile(file, "UTF-8")
-        (src.getLines(), () => src.close())
-      case KvCdfPartition(file, insert, version) =>
+        (KvDv.filterLines(src.getLines(), dvp(dvs)), () => src.close())
+      case KvCdfPartition(file, insert, version, skip, only) =>
         currentFile = new File(file).getName
         cdfType = UTF8String.fromString(if (insert) "insert" else "delete")
         cdfVersion = version.toLong
@@ -1174,12 +1254,15 @@ class KvReaderFactory(
           "gone — vacuumed below the feed's horizon; keep vacuum above " +
           "any change-feed reader's replay range")
         val src = scala.io.Source.fromFile(f, "UTF-8")
-        (src.getLines(), () => src.close())
+        val lines =
+          if (only.nonEmpty) KvDv.filterLines(src.getLines(), dvp(only), only = true)
+          else KvDv.filterLines(src.getLines(), dvp(skip))
+        (lines, () => src.close())
       case KvNetPartition(endpoint, field) =>
         currentFile = field
         val fl = new KvDaemon.FieldLines(endpoint, field)
         (fl, () => fl.close())
-      case KvGroupPartition(_, _, files) =>
+      case KvGroupPartition(_, _, files, dvs) =>
         // one value's files, parsed sequentially; each source closes as
         // it exhausts, the closer covers an abandoned (partial) read
         var open: scala.io.Source = null
@@ -1187,7 +1270,7 @@ class KvReaderFactory(
           val src = scala.io.Source.fromFile(fp, "UTF-8")
           open = src
           currentFile = new File(fp).getName
-          new Iterator[String] {
+          val raw = new Iterator[String] {
             private val lines = src.getLines()
             override def hasNext: Boolean = {
               val h = lines.hasNext
@@ -1196,6 +1279,7 @@ class KvReaderFactory(
             }
             override def next(): String = lines.next()
           }
+          KvDv.filterLines(raw, dvp(dvs.getOrElse(fp, Nil)))
         }
         (it, () => if (open != null) open.close())
     }

@@ -62,6 +62,247 @@ object KvStore {
       filters: Seq[Filter], expectedBase: Option[Int] = None): Mutation =
     mutate(spark, dir, schema, filters, None, None, expectedBase)
 
+  /** DELETE FROM via DELETION VECTORS ([[KvDv]], merge-on-read): instead
+    * of rewriting every touched file, each zone-map-intersecting file
+    * gets a tiny immutable vector of its newly-deleted row ordinals —
+    * write cost ∝ rows deleted, NOT ∝ bytes touched (the 100 TB GDPR
+    * shape: a keyed delete over a petabyte store commits kilobytes).
+    * Vectors are computed per file by EXECUTORS against the live-ordinal
+    * state at `base` (already-deleted rows are never re-deleted, so
+    * vectors stay disjoint and the feed never double-counts) and
+    * published as ONE `#dv` manifest CASed at exactly `base+1` — a
+    * concurrent commit aborts this delete with its staged vectors
+    * cleaned up. Data files stay byte-identical; reads subtract; time
+    * travel below `base+1` sees the rows; [[purgeDvs]] or [[compact]]
+    * materializes. An empty filter list is rejected (a TRUNCATE as a
+    * full-store vector would be all write amplification, no benefit —
+    * use [[deleteWhere]]). */
+  def deleteWhereDV(spark: SparkSession, dir: String, schema: StructType,
+      filters: Seq[Filter], expectedBase: Option[Int] = None): Mutation = {
+    require(filters.nonEmpty,
+      "graft kv store: deletion-vector TRUNCATE is pure overhead — use " +
+        "deleteWhere for an unconditional delete")
+    val dirPath = Paths.get(dir)
+    val base = expectedBase.getOrElse(KvCommitLog.latestVersion(dirPath))
+    require(base > 0, s"graft kv store: no commit log at $dir — not a store")
+    val (live, dvs) = KvCommitLog.stateAsOf(dirPath, base)
+    val candidates = live.toSeq.sorted.filter { name =>
+      KvZoneMap.read(new File(dir, name)) match {
+        case Some(st) => KvZonePrune.keeps(st, filters, Map.empty)
+        case None => true
+      }
+    }
+    if (candidates.isEmpty) return Mutation(base, 0, 0, live.size, 0L, 0L)
+    val nonce = java.lang.Long.toUnsignedString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong(), 36)
+    val hit = stageVectors(spark, dir, schema, candidates, dvs, nonce,
+      filters, None)
+    if (hit.isEmpty) return Mutation(base, 0, 0, live.size, 0L, 0L)
+    val stagingDir = dirPath.resolve("_staging")
+    hit.foreach { case (_, dvName, _) =>
+      Files.move(stagingDir.resolve(dvName), dirPath.resolve(dvName))
+    }
+    if (!KvCommitLog.tryAttachDvsAt(dirPath, base,
+        hit.map { case (data, dvName, _) => (data, dvName) })) {
+      hit.foreach { case (_, dvName, _) =>
+        Files.deleteIfExists(dirPath.resolve(dvName)): Unit
+      }
+      throw new IllegalStateException(
+        s"concurrent commit at $dir superseded the version-$base snapshot " +
+          "this deletion-vector delete was derived from; staged vectors " +
+          "rolled back — re-run the delete against the new head")
+    }
+    Mutation(base + 1, 0, 0, live.size, hit.map(_._3).sum, 0L)
+  }
+
+  /** Executor fan-out shared by the merge-on-read writers: one task per
+    * candidate file scans the LIVE rows (existing vectors applied),
+    * collects the ordinals doomed by `filters` (conjunction) or by key
+    * membership (`keys`, the merge condition — same doomed logic as
+    * [[rewriteOne]]), and stages a new vector under `_staging`. Returns
+    * only the files that had hits. */
+  private def stageVectors(spark: SparkSession, dir: String,
+      schema: StructType, candidates: Seq[String],
+      dvs: Map[String, Seq[String]], nonce: String,
+      filters: Seq[Filter], keys: Option[(String, Set[Long])])
+      : Seq[(String, String, Long)] = {
+    val ddl = schema.toDDL
+    val staged: Seq[(String, String, Long)] = spark.sparkContext
+      .parallelize(candidates.zipWithIndex,
+        math.min(candidates.size, spark.sparkContext.defaultParallelism))
+      .map { case (name, i) =>
+        val parsed = StructType.fromDDL(ddl)
+        val types = parsed.fields.map(_.dataType)
+        val idx = parsed.fieldNames.zipWithIndex.toMap
+        val keyIdx = keys.map { case (c, ks) => (idx(c), ks) }
+        val existing = dvs.getOrElse(name, Nil)
+          .map(v => Paths.get(dir).resolve(v))
+        val cursor = new KvDv.Cursor(KvDv.merged(existing))
+        val hits = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val src = scala.io.Source.fromFile(new File(dir, name), "UTF-8")
+        var ord = -1L
+        try src.getLines().foreach { line =>
+          ord += 1
+          if (line.nonEmpty && !cursor.deleted(ord)) {
+            val doomed = keyIdx match {
+              // a NULL key matches no merge key (SQL null semantics)
+              case Some((ki, ks)) =>
+                KvRowEval.parse(line, types)(ki) match {
+                  case l: Long => ks.contains(l)
+                  case i2: Int => ks.contains(i2.toLong)
+                  case _ => false
+                }
+              case None =>
+                val row = KvRowEval.parse(line, types)
+                filters.forall(KvRowEval.eval(_, idx, row))
+            }
+            if (doomed) hits += ord
+          }
+        } finally src.close()
+        val dvName = KvDv.name(nonce, i)
+        if (hits.nonEmpty) {
+          val stagingDir = new File(dir, "_staging")
+          stagingDir.mkdirs()
+          KvDv.write(stagingDir.toPath.resolve(dvName), hits.toArray)
+        }
+        (name, dvName, hits.size.toLong)
+      }
+      .collect().toSeq
+    staged.filter(_._3 > 0L)
+  }
+
+  /** MERGE via DELETION VECTORS (merge-on-read CDC upsert): store rows
+    * whose `keyCol` appears in the change batch are deleted by VECTOR
+    * (no file rewritten — [[KvDv]]), and the upsert rows land through
+    * the sink's own 2PC write; both halves publish as ONE manifest
+    * (`#dv` lines + add lines) CASed at `base+1`. Same last-writer-wins
+    * semantics as [[merge]], different physics: write cost ∝ change
+    * batch + vectors, never ∝ the files the keys happen to live in —
+    * the continuous-CDC shape at 100 TB, where the CoW grain's
+    * rewrite-per-touched-file becomes the pipeline's entire I/O bill.
+    * Reads subtract; [[purgeDvs]]/[[compact]] materialize on the
+    * maintenance schedule instead of the ingest path. */
+  def mergeDV(spark: SparkSession, dir: String, schema: StructType,
+      keyCol: String, upserts: DataFrame, deleteKeys: Seq[Long] = Nil,
+      expectedBase: Option[Int] = None): Mutation = {
+    require(schema.fieldNames.contains(keyCol) &&
+      (schema(keyCol).dataType == LongType || schema(keyCol).dataType == IntegerType),
+      s"graft kv store: merge keyCol '$keyCol' must be an integer schema column")
+    require(upserts.columns.toSeq == schema.fieldNames.toSeq,
+      s"graft kv store: upsert columns ${upserts.columns.mkString(",")} must " +
+        s"equal the store schema ${schema.fieldNames.mkString(",")}")
+    val upsertKeys = upserts.select(keyCol).distinct().collect()
+      .map(r => r.get(0) match {
+        case l: java.lang.Long => l.longValue()
+        case i: java.lang.Integer => i.longValue()
+      }).toSet
+    val affected = upsertKeys ++ deleteKeys
+    val dirPath = Paths.get(dir)
+    val base = expectedBase.getOrElse(KvCommitLog.latestVersion(dirPath))
+    require(base > 0, s"graft kv store: no commit log at $dir — not a store")
+    val (live, dvs) = KvCommitLog.stateAsOf(dirPath, base)
+    val runtimeKeys = Map(keyCol -> affected)
+    val candidates = live.toSeq.sorted.filter { name =>
+      KvZoneMap.read(new File(dir, name)) match {
+        case Some(st) => KvZonePrune.keeps(st, Nil, runtimeKeys)
+        case None => true
+      }
+    }
+    val nonce = java.lang.Long.toUnsignedString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong(), 36)
+    val hit =
+      if (candidates.isEmpty || affected.isEmpty) Nil
+      else stageVectors(spark, dir, schema, candidates, dvs, nonce, Nil,
+        Some(keyCol -> affected))
+    // the upsert half rides the sink's full 2PC/stats discipline into a
+    // hidden scratch store, then its committed files are adopted (the
+    // KvStore.merge pattern)
+    val scratch = dirPath.resolve(s"_mergedv-$nonce")
+    upserts.write.format("graft.sources.KvSinkProvider")
+      .option("path", scratch.toString).mode("append").save()
+    var rowsAdded = 0L
+    val addNames = KvCommitLog.liveFiles(scratch).toSeq.sorted.map { n =>
+      rowsAdded += KvZoneMap.read(scratch.resolve(n).toFile).map(_.rows).getOrElse(0L)
+      Files.move(scratch.resolve(KvZoneMap.sidecarName(n)),
+        dirPath.resolve(KvZoneMap.sidecarName(n)))
+      Files.move(scratch.resolve(n), dirPath.resolve(n))
+      n
+    }
+    rmTree(scratch.toFile)
+    if (hit.isEmpty && addNames.isEmpty)
+      return Mutation(base, 0, 0, live.size, 0L, 0L)
+    val stagingDir = dirPath.resolve("_staging")
+    hit.foreach { case (_, dvName, _) =>
+      Files.move(stagingDir.resolve(dvName), dirPath.resolve(dvName))
+    }
+    val lines = hit.map { case (data, dvName, _) => s"#dv,$data,$dvName" } ++
+      addNames
+    if (!KvCommitLog.tryAppendAt(dirPath, base + 1, lines.sorted)) {
+      hit.foreach { case (_, dvName, _) =>
+        Files.deleteIfExists(dirPath.resolve(dvName)): Unit
+      }
+      addNames.foreach { n =>
+        Files.deleteIfExists(dirPath.resolve(n)): Unit
+        Files.deleteIfExists(dirPath.resolve(KvZoneMap.sidecarName(n))): Unit
+      }
+      throw new IllegalStateException(
+        s"concurrent commit at $dir superseded the version-$base snapshot " +
+          "this merge-on-read was derived from; staged changes rolled " +
+          "back — re-run the merge against the new head")
+    }
+    Mutation(base + 1, 0, 0, live.size, hit.map(_._3).sum, rowsAdded)
+  }
+
+  /** MATERIALIZE deletion vectors: rewrite ONLY the vector-carrying
+    * files (dropping their deleted ordinals), committing removes(those)
+    * + adds(rewritten) at `base+1` — content identical, vectors gone,
+    * their read-time subtraction cost reclaimed. The targeted little
+    * sibling of [[compact]] (which folds the WHOLE live set and so also
+    * materializes). Vector files themselves stay on disk for time
+    * travel until [[vacuum]]. */
+  def purgeDvs(spark: SparkSession, dir: String, schema: StructType): Mutation = {
+    val dirPath = Paths.get(dir)
+    val base = KvCommitLog.latestVersion(dirPath)
+    require(base > 0, s"graft kv store: no commit log at $dir — not a store")
+    val (live, dvs) = KvCommitLog.stateAsOf(dirPath, base)
+    val targets = dvs.keys.toSeq.sorted
+    if (targets.isEmpty) return Mutation(base, 0, 0, live.size, 0L, 0L)
+    val nonce = java.lang.Long.toUnsignedString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong(), 36)
+    val ddl = schema.toDDL
+    val rewrites: Seq[Rewrite] = spark.sparkContext
+      .parallelize(targets.zipWithIndex,
+        math.min(targets.size, spark.sparkContext.defaultParallelism))
+      .map { case (name, i) =>
+        rewriteOne(dir, name, ddl, Nil, None, s"purge-$nonce-$i.csv",
+          dvs.getOrElse(name, Nil), purgeOnly = true)
+      }
+      .collect().toSeq
+    val staging = dirPath.resolve("_staging")
+    val (emptied, replaced) = rewrites.partition(_.kept == 0L)
+    emptied.foreach(r =>
+      Files.deleteIfExists(staging.resolve(r.staged)): Unit)
+    replaced.foreach { r =>
+      KvZoneMap.write(dirPath, r.staged, r.kept, r.stats, r.dstats, r.sstats,
+        r.sums, r.nulls, r.blooms)
+      Files.move(staging.resolve(r.staged), dirPath.resolve(r.staged),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    if (!KvCommitLog.tryReplaceAt(dirPath, base,
+        replaced.map(_.staged).sorted, targets)) {
+      replaced.foreach { r =>
+        Files.deleteIfExists(dirPath.resolve(r.staged)): Unit
+        Files.deleteIfExists(dirPath.resolve(KvZoneMap.sidecarName(r.staged))): Unit
+      }
+      throw new IllegalStateException(
+        s"concurrent commit at $dir superseded the version-$base snapshot " +
+          "this vector purge was derived from; staged files rolled back — " +
+          "re-run")
+    }
+    Mutation(base + 1, replaced.size, emptied.size, live.size - targets.size,
+      0L, 0L)
+  }
+
   /** MERGE a change batch into the store, keyed on integer `keyCol`:
     * every store row whose key appears in `upserts` or `deleteKeys` is
     * removed (copy-on-write), then the `upserts` rows are inserted — the
@@ -153,15 +394,89 @@ object KvStore {
     Mutation(base + 1, adopted.size, 0, 0, 0L, rows)
   }
 
+  /** Z-ORDER CLUSTERING rewrite (the `OPTIMIZE ... ZORDER BY` shape):
+    * fold the live set into `targetFiles` files RANGE-PARTITIONED AND
+    * SORTED by the bit-interleaved z-value of two integer columns
+    * ([[graft.functions.ZOrderExpression]] — the same codegen'd kernel
+    * `q_zorder_layout` gates), so each committed file covers a tight
+    * z-range ≈ a small RECTANGLE in (colA, colB) space and the existing
+    * zone-map sidecars prune on BOTH columns at once. Linear layouts
+    * cluster one dimension and scatter the other — a 2-D range query
+    * over a petabyte store opens every file for the scattered dimension;
+    * after z-ordering it opens O(query-area) files. Same transactional
+    * shape as [[compact]]: content-invariant, ONE manifest CASed at
+    * `base+1`, time travel preserved until vacuum, deletion vectors
+    * materialized by the rewrite. */
+  def zorder(spark: SparkSession, dir: String, schema: StructType,
+      cols: (String, String), targetFiles: Int): Mutation = {
+    require(targetFiles >= 1, s"graft kv store: target_files $targetFiles < 1")
+    Seq(cols._1, cols._2).foreach { c =>
+      require(schema.fieldNames.contains(c) &&
+        (schema(c).dataType == LongType || schema(c).dataType == IntegerType),
+        s"graft kv store: z-order column '$c' must be an integer schema column")
+    }
+    val dirPath = Paths.get(dir)
+    val base = KvCommitLog.latestVersion(dirPath)
+    require(base > 0, s"graft kv store: no commit log at $dir — not a store")
+    val live = KvCommitLog.filesAsOf(dirPath, base).toSeq.sorted
+    if (live.isEmpty) return Mutation(base, 0, 0, 0, 0L, 0L)
+    val nonce = java.lang.Long.toUnsignedString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong(), 36)
+    val scratch = dirPath.resolve(s"_zorder-$nonce")
+    val bloomCols = live.flatMap(n =>
+      KvZoneMap.read(dirPath.resolve(n).toFile).map(_.blooms.keySet)
+        .getOrElse(Set.empty))
+      .distinct.filter(schema.fieldNames.contains).sorted
+    import org.apache.spark.sql.functions.col
+    graft.functions.GraftFunctions.register(spark) // idempotent
+    val z = graft.functions.GraftFunctions.zorderNative(
+      col(cols._1).cast(LongType), col(cols._2).cast(LongType))
+    spark.read.format("graft.sources.KvSourceProvider")
+      .option("path", dir).option("schema", schema.toDDL)
+      .option("asOfCommit", base.toString)
+      .load()
+      .withColumn("__z", z)
+      .repartitionByRange(targetFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.format("graft.sources.KvSinkProvider")
+      .option("path", scratch.toString)
+      .option("bloomColumns", bloomCols.mkString(","))
+      .mode("append").save()
+    var rows = 0L
+    val adopted = KvCommitLog.liveFiles(scratch).toSeq.sorted.map { n =>
+      rows += KvZoneMap.read(scratch.resolve(n).toFile).map(_.rows).getOrElse(0L)
+      Files.move(scratch.resolve(KvZoneMap.sidecarName(n)),
+        dirPath.resolve(KvZoneMap.sidecarName(n)))
+      Files.move(scratch.resolve(n), dirPath.resolve(n))
+      n
+    }
+    rmTree(scratch.toFile)
+    if (!KvCommitLog.tryReplaceAt(dirPath, base, adopted, live)) {
+      adopted.foreach { n =>
+        Files.deleteIfExists(dirPath.resolve(n)): Unit
+        Files.deleteIfExists(dirPath.resolve(KvZoneMap.sidecarName(n))): Unit
+      }
+      throw new IllegalStateException(
+        s"concurrent commit at $dir superseded the version-$base snapshot " +
+          "this z-order rewrite folded; staged files rolled back — re-run")
+    }
+    Mutation(base + 1, adopted.size, 0, 0, 0L, rows)
+  }
+
   // ---- the copy-on-write engine -------------------------------------
 
-  /** One rewritten file's outcome, shipped back from the executor. */
+  /** One rewritten file's outcome, shipped back from the executor.
+    * `dvSkipped` counts rows the file's deletion vectors had ALREADY
+    * deleted — physically dropped by this rewrite but not a semantic
+    * change (they were invisible before it). */
   private final case class Rewrite(
       original: String, staged: String, kept: Long, dropped: Long,
       stats: Seq[(String, Long, Long)], dstats: Seq[(String, Double, Double)],
       sstats: Seq[(String, String, String)], sums: Seq[(String, Long)],
       nulls: Seq[(String, Long)],
-      blooms: Seq[(String, Int, Int, Array[Long])] = Nil)
+      blooms: Seq[(String, Int, Int, Array[Long])] = Nil,
+      dvSkipped: Long = 0L)
 
   /** `expectedBase` pins the snapshot this mutation derives from (OCC:
     * the commit CASes into exactly expectedBase+1, so ANY commit that
@@ -173,11 +488,14 @@ object KvStore {
     val dirPath = Paths.get(dir)
     val base = expectedBase.getOrElse(KvCommitLog.latestVersion(dirPath))
     require(base > 0, s"graft kv store: no commit log at $dir — not a store")
-    val live = KvCommitLog.filesAsOf(dirPath, base).toSeq.sorted
+    val (liveSet, dvState) = KvCommitLog.stateAsOf(dirPath, base)
+    val live = liveSet.toSeq.sorted
     val runtimeKeys = keys.map { case (c, ks) => Map(c -> ks) }
       .getOrElse(Map.empty[String, Set[Long]])
     // zone-map targeting: a file whose sidecar PROVES no row can match is
-    // untouched; files without a sidecar must be rewritten (never guess)
+    // untouched; files without a sidecar must be rewritten (never guess).
+    // Vector-carrying files' sidecars describe a SUPERSET of their live
+    // rows — "cannot match" stays proven
     val candidates = live.filter { name =>
       KvZoneMap.read(new File(dir, name)) match {
         case Some(st) => KvZonePrune.keeps(st, filters, runtimeKeys)
@@ -198,7 +516,8 @@ object KvStore {
           .parallelize(fseq, math.min(fseq.size,
             spark.sparkContext.defaultParallelism))
           .map { case (name, i) =>
-            rewriteOne(dir, name, ddl, filters, keys, s"rw-$nonce-$i.csv")
+            rewriteOne(dir, name, ddl, filters, keys, s"rw-$nonce-$i.csv",
+              dvState.getOrElse(name, Nil))
           }
           .collect().toSeq
       }
@@ -267,10 +586,15 @@ object KvStore {
     * delete condition (all `filters` true, or key ∈ the merge key set),
     * re-emit surviving LINES VERBATIM (escapes and formatting preserved
     * bit-for-bit), and accumulate fresh sidecar stats with the sink's
-    * exact semantics. */
+    * exact semantics. Rows the file's deletion vectors (`dvPaths`,
+    * relative names) already deleted are invisible here — never matched,
+    * never re-emitted — so a CoW mutation over a vector-carrying file
+    * materializes its vectors as a side effect; `purgeOnly` makes that
+    * materialization the WHOLE job (no row is newly doomed). */
   private def rewriteOne(dir: String, name: String, schemaDdl: String,
       filters: Seq[Filter], keys: Option[(String, Set[Long])],
-      stagedName: String): Rewrite = {
+      stagedName: String, dvPaths: Seq[String] = Nil,
+      purgeOnly: Boolean = false): Rewrite = {
     val schema = StructType.fromDDL(schemaDdl)
     val types = schema.fields.map(_.dataType)
     val idx = schema.fieldNames.zipWithIndex.toMap
@@ -305,15 +629,21 @@ object KvStore {
       scala.collection.mutable.ArrayBuffer.empty[Long])
     var kept = 0L
     var dropped = 0L
+    var dvSkipped = 0L
+    val dvCursor = new KvDv.Cursor(
+      KvDv.merged(dvPaths.map(v => new File(dir, v).toPath)))
+    var ord = -1L
     val staging = new File(dir, "_staging")
     staging.mkdirs()
     val out = new java.io.BufferedWriter(
       new java.io.FileWriter(new File(staging, stagedName)))
     val src = scala.io.Source.fromFile(new File(dir, name), "UTF-8")
     try {
-      src.getLines().filter(_.nonEmpty).foreach { line =>
+      src.getLines().filter { l => ord += 1; l.nonEmpty }.foreach { line =>
+        if (dvCursor.deleted(ord)) dvSkipped += 1
+        else {
         val row = KvRowEval.parse(line, types)
-        val doomed = keyIdx match {
+        val doomed = !purgeOnly && (keyIdx match {
           // a NULL key matches no merge key (SQL null semantics)
           case Some((i, ks)) => row(i) match {
             case l: Long => ks.contains(l)
@@ -321,7 +651,7 @@ object KvStore {
             case _ => false
           }
           case None => filters.forall(KvRowEval.eval(_, idx, row))
-        }
+        })
         if (doomed) dropped += 1
         else {
           kept += 1
@@ -388,6 +718,7 @@ object KvStore {
           out.write(line)
           out.newLine()
         }
+        }
       }
     } finally { src.close(); out.close() }
     val empty = kept == 0L
@@ -413,7 +744,8 @@ object KvStore {
         .map { j =>
           val b = KvBloom.build(bloomHashes(j).toArray)
           (schema.fields(bloomIdx(j)).name, b.k, b.m, b.bits)
-        }.toSeq)
+        }.toSeq,
+      dvSkipped)
   }
 
   private def rmTree(f: File): Unit = {

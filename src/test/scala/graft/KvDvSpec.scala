@@ -1,0 +1,454 @@
+package graft
+
+import java.io.File
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{KvCommitLog, KvDv, KvStore}
+
+/** DELETION VECTORS (sources/KvDv + the `#dv` commit-log line): merge-
+  * on-read row-level DELETE. Pinned here:
+  *
+  *  - a DV delete equals the CoW delete semantically while leaving every
+  *    data file BYTE-IDENTICAL on disk, at a measured fraction of the
+  *    write cost (the whole point: write ∝ rows deleted, not bytes
+  *    touched);
+  *  - vectors compose: an overlapping second delete writes a disjoint
+  *    vector; time travel below each delete still sees the rows;
+  *  - every read path subtracts: plain scans, stats-answered aggregate
+  *    pushdown (forced to the exact parse fallback), value-partitioned
+  *    group reads, the daemon's net GET, and exact plan statistics;
+  *  - CoW mutations over a vector-carrying file never resurrect deleted
+  *    rows and materialize the vectors as a side effect; purge_dvs and
+  *    compaction materialize explicitly; vacuum reclaims unreferenced
+  *    vector files and carries live attachments through checkpoints;
+  *  - the plain streaming source treats a `#dv` commit as a change
+  *    commit (fail loudly / skip whole), while the CHANGE FEED emits
+  *    exactly the newly-deleted rows as delete events — finer than the
+  *    CoW grain — and a later remove of a vector-carrying file feeds
+  *    only its still-live rows (nothing is deleted twice);
+  *  - concurrent commits abort a DV delete (OCC at base+1) with staged
+  *    vectors cleaned up. */
+class KvDvSpec extends AnyFunSuite with SparkSessionFixture {
+
+  private val Ddl = "k LONG, v LONG"
+  private val Schema = org.apache.spark.sql.types.StructType.fromDDL(Ddl)
+
+  private def freshDir(tag: String): String = {
+    val d = Files.createTempDirectory(s"graft_kvdv_$tag").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private def append(out: String, from: Long, until: Long, files: Int = 4): Unit =
+    spark.range(from, until).select(col("id").as("k"), (col("id") * 2).as("v"))
+      .repartitionByRange(files, col("k"))
+      .write.format("graft.sources.KvSinkProvider").option("path", out)
+      .mode("append").save()
+
+  private def readStore(store: String, asOf: Option[Int] = None) = {
+    val r = spark.read.format("graft.sources.KvSourceProvider")
+      .option("path", store).option("schema", Ddl)
+    asOf.fold(r)(v => r.option("asOfCommit", v.toString)).load()
+  }
+
+  private def keysOf(store: String, asOf: Option[Int] = None): Seq[Long] =
+    readStore(store, asOf).select("k").collect().map(_.getLong(0)).sorted.toSeq
+
+  private def dataBytes(store: String): Map[String, Long] =
+    KvCommitLog.liveFiles(Paths.get(store)).map { n =>
+      n -> new File(store, n).length()
+    }.toMap
+
+  private def del(lo: Long, hi: Long) =
+    Seq(GreaterThanOrEqual("k", lo), LessThan("k", hi))
+
+  test("DV delete: content equals CoW delete, data files stay byte-identical, time travel intact") {
+    val store = freshDir("basic")
+    append(store, 0, 1000)
+    val before = dataBytes(store)
+    val beforeContent = before.keys.map(n =>
+      n -> Files.readAllBytes(Paths.get(store, n)).toSeq).toMap
+
+    val m = KvStore.deleteWhereDV(spark, store, Schema, del(100, 300))
+    assert(m.version == 2 && m.rowsDeleted == 200)
+    assert(keysOf(store) == ((0L until 100L) ++ (300L until 1000L)))
+    // time travel below the delete still sees every row
+    assert(keysOf(store, Some(1)) == (0L until 1000L))
+    // every data file byte-identical — the merge-on-read contract
+    beforeContent.foreach { case (n, bytes) =>
+      assert(Files.readAllBytes(Paths.get(store, n)).toSeq == bytes,
+        s"data file $n changed under a DV delete")
+    }
+    // vectors attached only to the files whose zone maps intersect
+    val dvs = KvCommitLog.dvsAsOf(Paths.get(store), 2)
+    assert(dvs.nonEmpty && dvs.values.forall(_.size == 1))
+  }
+
+  test("overlapping second DV delete writes a disjoint vector; fold is the union") {
+    val store = freshDir("overlap")
+    append(store, 0, 400, files = 2)
+    KvStore.deleteWhereDV(spark, store, Schema, del(100, 250))
+    val m2 = KvStore.deleteWhereDV(spark, store, Schema, del(200, 320))
+    assert(m2.rowsDeleted == 70) // 250..319 only — 200..249 already gone
+    assert(keysOf(store) == ((0L until 100L) ++ (320L until 400L)))
+    // per-file vectors are disjoint ordinal sets
+    val dir = Paths.get(store)
+    KvCommitLog.dvsAsOf(dir, KvCommitLog.latestVersion(dir)).foreach {
+      case (_, vecs) =>
+        val sets = vecs.map(v => KvDv.read(dir.resolve(v)).toSet)
+        assert(sets.combinations(2).forall { case Seq(a, b) =>
+          (a & b).isEmpty
+        })
+    }
+  }
+
+  test("write amplification: a DV delete commits a small fraction of the CoW rewrite bytes") {
+    val storeDv = freshDir("wampA")
+    val storeCow = freshDir("wampB")
+    append(storeDv, 0, 20000, files = 4)
+    append(storeCow, 0, 20000, files = 4)
+    val preDv = dataBytes(storeDv)
+
+    KvStore.deleteWhereDV(spark, storeDv, Schema, del(4000, 4100))
+    KvStore.deleteWhere(spark, storeCow, Schema, del(4000, 4100))
+
+    // DV cost = the vector files; CoW cost = the rewritten data files
+    val dir = Paths.get(storeDv)
+    val dvBytes = KvCommitLog.dvsAsOf(dir, KvCommitLog.latestVersion(dir))
+      .values.flatten.map(v => new File(storeDv, v).length()).sum
+    val cowBytes = (dataBytes(storeCow).keySet -- preDv.keySet)
+      .map(n => new File(storeCow, n).length()).sum
+    assert(dvBytes > 0 && cowBytes > 0)
+    assert(dvBytes * 10 < cowBytes,
+      s"expected ≥10× write-amplification win, got dv=$dvBytes cow=$cowBytes")
+    assert(keysOf(storeDv) == keysOf(storeCow))
+  }
+
+  test("aggregate pushdown stays exact over a vector-carrying store (parse fallback)") {
+    val store = freshDir("agg")
+    append(store, 0, 1000)
+    KvStore.deleteWhereDV(spark, store, Schema, del(0, 500))
+    val row = readStore(store)
+      .agg(count(lit(1)), sum(col("k")), min(col("k")), max(col("k")))
+      .collect().head
+    assert(row.getLong(0) == 500L)
+    assert(row.getLong(1) == (500L until 1000L).sum)
+    assert(row.getLong(2) == 500L && row.getLong(3) == 999L)
+  }
+
+  test("exact plan statistics subtract vector-deleted rows") {
+    val store = freshDir("stats")
+    append(store, 0, 1000)
+    KvStore.deleteWhereDV(spark, store, Schema, del(0, 250))
+    val rel = readStore(store).queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+    }.get
+    assert(rel.computeStats().rowCount.contains(BigInt(750)))
+  }
+
+  test("value-partitioned group reads subtract vectors") {
+    val store = freshDir("grouped")
+    spark.range(0, 300)
+      .select((col("id") % 3).as("k"), col("id").as("v"))
+      .write.format("graft.sources.KvSinkProvider")
+      .option("path", store).option("partitionColumn", "k")
+      .mode("append").save()
+    KvStore.deleteWhereDV(spark, store, Schema,
+      Seq(LessThan("v", 30L)))
+    val rows = spark.read.format("graft.sources.KvSourceProvider")
+      .option("path", store).option("schema", Ddl)
+      .option("partitionedBy", "k").load()
+      .groupBy("k").agg(count(lit(1)).as("n"), min("v").as("vmin"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(rows.toSeq == Seq((0L, 90L, 30L), (1L, 90L, 31L), (2L, 90L, 32L)))
+  }
+
+  test("CoW mutation over a vector-carrying file: no resurrection, vectors materialized") {
+    val store = freshDir("cowover")
+    append(store, 0, 100, files = 1)
+    KvStore.deleteWhereDV(spark, store, Schema, del(10, 20))
+    // CoW delete hits the same (single) file: rewrite must not re-emit
+    // the vector-deleted rows
+    KvStore.deleteWhere(spark, store, Schema, del(50, 60))
+    assert(keysOf(store) ==
+      ((0L until 10L) ++ (20L until 50L) ++ (60L until 100L)))
+    val dir = Paths.get(store)
+    assert(KvCommitLog.dvsAsOf(dir, KvCommitLog.latestVersion(dir)).isEmpty,
+      "rewrite should have dropped the attachment with the file")
+  }
+
+  test("purge_dvs materializes: content unchanged, attachments gone, bystanders byte-identical") {
+    val store = freshDir("purge")
+    append(store, 0, 1000)
+    KvStore.deleteWhereDV(spark, store, Schema, del(100, 300))
+    val expect = keysOf(store)
+    val dir = Paths.get(store)
+    val dvdFiles = KvCommitLog.dvsAsOf(dir, 2).keySet
+    val bystanders = (KvCommitLog.liveFiles(dir) -- dvdFiles)
+      .map(n => n -> Files.readAllBytes(Paths.get(store, n)).toSeq).toMap
+
+    val m = KvStore.purgeDvs(spark, store, Schema)
+    assert(m.version == 3 && m.rewritten == dvdFiles.size)
+    assert(keysOf(store) == expect)
+    assert(KvCommitLog.dvsAsOf(dir, 3).isEmpty)
+    bystanders.foreach { case (n, bytes) =>
+      assert(Files.readAllBytes(Paths.get(store, n)).toSeq == bytes)
+    }
+    // idempotent: nothing left to purge
+    assert(KvStore.purgeDvs(spark, store, Schema).version == 3)
+  }
+
+  test("compaction materializes vectors; vacuum reclaims the vector files") {
+    val store = freshDir("compactvac")
+    append(store, 0, 1000)
+    KvStore.deleteWhereDV(spark, store, Schema, del(100, 300))
+    val expect = keysOf(store)
+    val dir = Paths.get(store)
+    val vecNames = KvCommitLog.dvsAsOf(dir, 2).values.flatten.toSeq
+    assert(vecNames.nonEmpty && vecNames.forall(n => new File(store, n).isFile))
+
+    KvStore.compact(spark, store, Schema, 2)
+    assert(keysOf(store) == expect)
+    assert(KvCommitLog.dvsAsOf(dir, KvCommitLog.latestVersion(dir)).isEmpty)
+    // vectors still on disk (time travel to v2 still subtracts them)
+    assert(keysOf(store, Some(2)) == expect)
+    assert(keysOf(store, Some(1)) == (0L until 1000L))
+
+    KvCommitLog.vacuumDelta(dir, KvCommitLog.latestVersion(dir))
+    assert(vecNames.forall(n => !new File(store, n).isFile),
+      "vacuum should reclaim unreferenced vector files")
+    assert(keysOf(store) == expect)
+  }
+
+  test("checkpoint + vacuum carry live attachments: snapshots still subtract") {
+    val store = freshDir("ckpt")
+    append(store, 0, 500)
+    KvStore.deleteWhereDV(spark, store, Schema, del(0, 100))
+    append(store, 500, 600)
+    val dir = Paths.get(store)
+    val expect = keysOf(store)
+    // vacuum to the head: folds manifests into a checkpoint that must
+    // carry the `#dv` attachments forward
+    KvCommitLog.vacuumDelta(dir, KvCommitLog.latestVersion(dir))
+    assert(keysOf(store) == expect)
+    assert(KvCommitLog.dvsAsOf(dir, KvCommitLog.latestVersion(dir)).nonEmpty)
+  }
+
+  test("plain streaming source: a #dv commit fails loudly; skipChangeCommits skips it whole") {
+    val store = freshDir("stream")
+    append(store, 0, 10, files = 1)
+    KvStore.deleteWhereDV(spark, store, Schema, del(2, 5))
+    append(store, 10, 15, files = 1)
+
+    def run(skip: Boolean): Seq[Long] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val r = spark.readStream.format("graft.sources.KvSourceProvider")
+        .option("path", store).option("schema", Ddl)
+      val q = (if (skip) r.option("skipChangeCommits", "true") else r).load()
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          out.synchronized {
+            out ++= b.select("k").collect().map(_.getLong(0))
+          }: Unit
+        }
+        .option("checkpointLocation", freshDir("streamck"))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      out.sorted.toSeq
+    }
+
+    // snapshot start consumes everything in the FIRST batch (vectors
+    // applied there), so force a delta read: start from a checkpoint
+    // that saw only v1 — simplest is a fresh stream over versions (0,3]:
+    // the initial snapshot subtracts the vectors, so rows 2..4 are out
+    assert(run(skip = false) == Seq(0L, 1L, 5L, 6L, 7L, 8L, 9L, 10L, 11L, 12L, 13L, 14L))
+
+    // delta replay across the dv commit: version-by-version consumption
+    // must throw without skipChangeCommits
+    val store2 = freshDir("stream2")
+    append(store2, 0, 10, files = 1)
+    val ck = freshDir("stream2ck")
+    def run2(skip: Boolean): Either[Throwable, Seq[Long]] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val r = spark.readStream.format("graft.sources.KvSourceProvider")
+        .option("path", store2).option("schema", Ddl)
+      val q = (if (skip) r.option("skipChangeCommits", "true") else r).load()
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          out.synchronized {
+            out ++= b.select("k").collect().map(_.getLong(0))
+          }: Unit
+        }
+        .option("checkpointLocation", ck)
+        .start()
+      try { q.processAllAvailable(); Right(out.sorted.toSeq) }
+      catch { case t: Throwable => Left(t) }
+      finally q.stop()
+    }
+    assert(run2(skip = false).isRight) // consumes v1 snapshot
+    KvStore.deleteWhereDV(spark, store2, Schema, del(2, 5))
+    val failed = run2(skip = false)
+    assert(failed.isLeft &&
+      failed.swap.toOption.get.getMessage != null)
+    val skipped = run2(skip = true)
+    assert(skipped == Right(Seq.empty),
+      s"skipChangeCommits should skip the dv commit whole, got $skipped")
+  }
+
+  test("change feed: dv commits emit exactly the newly-deleted rows; removes never double-delete") {
+    val store = freshDir("cdf")
+    append(store, 0, 10, files = 1)                      // v1
+    KvStore.deleteWhereDV(spark, store, Schema, del(2, 5))  // v2: −{2,3,4}
+    KvStore.deleteWhereDV(spark, store, Schema, del(4, 7))  // v3: −{5,6}
+    KvStore.deleteWhere(spark, store, Schema, del(9, 99))   // v4: CoW −{9}
+    val dir = Paths.get(store)
+
+    def feed(from: Int, to: Int) =
+      spark.read.format("graft.sources.KvSourceProvider")
+        .option("path", store).option("schema", Ddl)
+        .option("readChangeFeed", "true")
+        .option("changesFrom", from.toString).option("changesTo", to.toString)
+        .load().select("k", "_change_type", "_commit_version")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sorted.toSeq
+
+    // v2 delete events: exactly the newly-deleted rows — row-precise,
+    // NOT the whole file (the CoW grain)
+    assert(feed(1, 2) == Seq((2L, "delete", 2L), (3L, "delete", 2L),
+      (4L, "delete", 2L)))
+    // v3: only 5,6 (4 was already deleted — disjoint vectors)
+    assert(feed(2, 3) == Seq((5L, "delete", 3L), (6L, "delete", 3L)))
+    // v4 CoW rewrite of the vector-carrying file: the remove event feeds
+    // only STILL-LIVE rows (0,1,7,8,9), the add re-inserts (0,1,7,8) —
+    // vector-deleted rows appear in neither side
+    val v4 = feed(3, 4)
+    assert(v4.filter(_._2 == "delete").map(_._1) == Seq(0L, 1L, 7L, 8L, 9L))
+    assert(v4.filter(_._2 == "insert").map(_._1) == Seq(0L, 1L, 7L, 8L))
+    // multiset fold over the whole feed = final content
+    val fold = scala.collection.mutable.Map.empty[Long, Int]
+    spark.read.format("graft.sources.KvSourceProvider")
+      .option("path", store).option("schema", Ddl)
+      .option("readChangeFeed", "true")
+      .option("changesFrom", "0")
+      .load().select("k", "_change_type").collect().foreach { r =>
+      val d = if (r.getString(1) == "insert") 1 else -1
+      fold(r.getLong(0)) = fold.getOrElse(r.getLong(0), 0) + d
+    }
+    assert(fold.filter(_._2 != 0).keys.toSeq.sorted == keysOf(store))
+    assert(fold.values.forall(n => n == 0 || n == 1))
+    // from-0 snapshot equals the batch read (vectors subtracted)
+    val snap = feed(0, KvCommitLog.latestVersion(dir))
+      .filter(_._2 == "insert").map(_._1)
+    assert(snap == keysOf(store))
+  }
+
+  test("OCC: a concurrent commit aborts the DV delete and cleans staged vectors") {
+    val store = freshDir("occ")
+    append(store, 0, 100)
+    append(store, 100, 200) // head is now 2
+    val err = intercept[IllegalStateException] {
+      KvStore.deleteWhereDV(spark, store, Schema, del(0, 50),
+        expectedBase = Some(1))
+    }
+    assert(err.getMessage.contains("superseded"))
+    assert(keysOf(store) == (0L until 200L))
+    // no orphan vector file became visible state
+    val dir = Paths.get(store)
+    assert(KvCommitLog.dvsAsOf(dir, KvCommitLog.latestVersion(dir)).isEmpty)
+  }
+
+  test("SQL surface: deleteMode=dv routes DELETE, purge_dvs CALL materializes, UPDATE does not resurrect") {
+    val warehouse = freshDir("sqlwh")
+    spark.conf.set("spark.sql.catalog.kdv", "graft.sources.KvCatalog")
+    spark.conf.set("spark.sql.catalog.kdv.warehouse", warehouse)
+    try {
+      spark.sql("CREATE TABLE kdv.ns.t (k BIGINT, v BIGINT) USING graftkv")
+      spark.sql("INSERT INTO kdv.ns.t SELECT id, id * 2 FROM range(0, 100)")
+      val pre = dataBytes(s"$warehouse/ns/t")
+
+      spark.conf.set("spark.graft.store.deleteMode", "dv")
+      try spark.sql("DELETE FROM kdv.ns.t WHERE k >= 10 AND k < 20")
+      finally spark.conf.unset("spark.graft.store.deleteMode")
+
+      assert(spark.sql("SELECT count(*) FROM kdv.ns.t").collect().head.getLong(0) == 90)
+      // merge-on-read: the delete rewrote nothing
+      assert(dataBytes(s"$warehouse/ns/t") == pre)
+      assert(KvCommitLog.dvsAsOf(Paths.get(s"$warehouse/ns/t"), 3).nonEmpty)
+
+      // UPDATE over the vector-carrying file must not resurrect 10..19
+      spark.sql("UPDATE kdv.ns.t SET v = -1 WHERE k = 30")
+      val rows = spark.sql("SELECT k, v FROM kdv.ns.t ORDER BY k").collect()
+      assert(rows.length == 90)
+      assert(rows.map(_.getLong(0)).toSeq ==
+        ((0L until 10L) ++ (20L until 100L)))
+      assert(rows.find(_.getLong(0) == 30L).get.getLong(1) == -1L)
+
+      // purge through SQL (the UPDATE already materialized the touched
+      // file; a fresh dv delete exercises the procedure)
+      spark.conf.set("spark.graft.store.deleteMode", "dv")
+      try spark.sql("DELETE FROM kdv.ns.t WHERE k >= 90")
+      finally spark.conf.unset("spark.graft.store.deleteMode")
+      val purged = spark.sql("CALL kdv.system.purge_dvs('ns.t')").collect().head
+      assert(purged.getLong(1) >= 1L)
+      assert(KvCommitLog.dvsAsOf(Paths.get(s"$warehouse/ns/t"),
+        KvCommitLog.latestVersion(Paths.get(s"$warehouse/ns/t"))).isEmpty)
+      assert(spark.sql("SELECT count(*) FROM kdv.ns.t").collect().head.getLong(0) == 80)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS kdv.ns.t")
+      spark.conf.unset("spark.sql.catalog.kdv.warehouse")
+      spark.conf.unset("spark.sql.catalog.kdv")
+    }
+  }
+
+  test("mergeDV: one #dv+adds manifest upserts last-writer-wins; feed and fold stay exact") {
+    val store = freshDir("mergedv")
+    append(store, 0, 100, files = 2) // v1: (k, 2k)
+    val before = dataBytes(store)
+    val upserts = spark.range(90, 110)
+      .select(col("id").as("k"), lit(-1L).as("v"))
+    val m = KvStore.mergeDV(spark, store, Schema, "k", upserts,
+      deleteKeys = Seq(0L, 1L, 2L))
+    assert(m.version == 2)
+    assert(m.rowsDeleted == 13) // 90..99 replaced + 0,1,2 deleted
+    assert(m.rowsAdded == 20)
+    // merge-on-read: the original data files are untouched
+    before.foreach { case (n, len) =>
+      assert(new File(store, n).length() == len)
+    }
+    val rows = readStore(store).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(rows.map(_._1) == (3L until 110L))
+    assert(rows.forall { case (k, v) => if (k >= 90) v == -1L else v == 2 * k })
+    // time travel below the merge
+    assert(keysOf(store, Some(1)) == (0L until 100L))
+    // the mixed commit is one version: dv attaches + upsert adds
+    val dir = Paths.get(store)
+    assert(KvCommitLog.dvsAsOf(dir, 2).nonEmpty)
+    // change feed of the merge version: deletes = exactly the 13 touched
+    // old rows, inserts = exactly the 20 upserts
+    val ev = spark.read.format("graft.sources.KvSourceProvider")
+      .option("path", store).option("schema", Ddl)
+      .option("readChangeFeed", "true")
+      .option("changesFrom", "1").option("changesTo", "2").load()
+      .select("k", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(ev.filter(_._2 == "delete").map(_._1) ==
+      (Seq(0L, 1L, 2L) ++ (90L until 100L)))
+    assert(ev.filter(_._2 == "insert").map(_._1) == (90L until 110L))
+  }
+
+  test("daemon GET serves only live rows of a vector-carrying store") {
+    val store = freshDir("net")
+    append(store, 0, 100, files = 2)
+    KvStore.deleteWhereDV(spark, store, Schema, del(0, 50))
+    val port = graft.sources.KvDaemon.ensure(store)
+    val rows = spark.read.format("graft.sources.KvSourceProvider")
+      .option("path", s"net://127.0.0.1:$port").option("schema", Ddl)
+      .load().select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows == (50L until 100L))
+  }
+}
