@@ -583,6 +583,24 @@ class KvScan(
   private def dvPathsOf(name: String): Seq[String] =
     dvState.getOrElse(name, Nil).map(v => new File(path, v).getAbsolutePath)
 
+  /** Per-file vector lookup that also covers RECURSIVE layouts: a
+    * sub-store's `#dv` attachments come from ITS own commit log (the
+    * same discipline the walk already applies to remove lines) — a
+    * vector-deleted row must not resurrect through a parent-directory
+    * read. Per-directory state memoized for the plan's lifetime. */
+  private val dirDvCache =
+    scala.collection.mutable.Map.empty[String, Map[String, Seq[String]]]
+  private def dvFor(f: File): Seq[String] = {
+    if (!recursive) return dvPathsOf(f.getName)
+    val parent = f.getParentFile
+    val m = dirDvCache.getOrElseUpdate(parent.getAbsolutePath, {
+      val p = parent.toPath
+      val latest = KvCommitLog.latestVersion(p)
+      if (latest <= 0) Map.empty else KvCommitLog.dvsAsOf(p, latest)
+    })
+    m.getOrElse(f.getName, Nil).map(v => new File(parent, v).getAbsolutePath)
+  }
+
   override def estimateStatistics(): Statistics = {
     if (path.startsWith("net://"))
       return new Statistics {
@@ -599,7 +617,7 @@ class KvScan(
           // vector-deleted rows are not content: exact statistics
           // subtract them (vectors are tiny, cached, and disjoint)
           rows += st.rows - KvDv.count(
-            dvPathsOf(f.getName).map(java.nio.file.Paths.get(_)))
+            dvFor(f).map(java.nio.file.Paths.get(_)))
         case None => allKnown = false
       }
     }
@@ -697,7 +715,7 @@ class KvScan(
     groups.map { case (v, fs) =>
       val files = fs.map(_._2.getAbsolutePath).sorted
       val dvs = fs.flatMap { case (_, f) =>
-        val ps = dvPathsOf(f.getName)
+        val ps = dvFor(f)
         if (ps.isEmpty) None else Some(f.getAbsolutePath -> ps)
       }.toMap
       KvGroupPartition(v, isLong, files, dvs): InputPartition
@@ -876,7 +894,7 @@ class KvScan(
     // along and force the reader's exact parse fallback for that file
     agg.foreach { p =>
       val aggDvs = listed.flatMap { f =>
-        val ps = dvPathsOf(f.getName)
+        val ps = dvFor(f)
         if (ps.isEmpty) None else Some(f.getAbsolutePath -> ps)
       }.toMap
       return Array(KvAggPartition(
@@ -889,7 +907,7 @@ class KvScan(
     KvPruneStats.record(path, listed.length, kept.length)
     kept
       .sortBy(_.getAbsolutePath)
-      .map(f => KvFilePartition(f.getAbsolutePath, dvPathsOf(f.getName))
+      .map(f => KvFilePartition(f.getAbsolutePath, dvFor(f))
         : InputPartition)
       .toArray
   }

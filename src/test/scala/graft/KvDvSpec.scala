@@ -441,6 +441,20 @@ class KvDvSpec extends AnyFunSuite with SparkSessionFixture {
     assert(ev.filter(_._2 == "insert").map(_._1) == (90L until 110L))
   }
 
+  test("recursive reads honor sub-store vectors (no resurrection through the parent)") {
+    val parent = freshDir("recur")
+    val subA = s"$parent/batch=0"
+    val subB = s"$parent/batch=1"
+    append(subA, 0, 50, files = 1)
+    append(subB, 50, 100, files = 1)
+    KvStore.deleteWhereDV(spark, subA, Schema, del(10, 20))
+    val rows = spark.read.format("graft.sources.KvSourceProvider")
+      .option("path", parent).option("schema", Ddl)
+      .option("recursive", "true").load()
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows == ((0L until 10L) ++ (20L until 100L)))
+  }
+
   test("daemon GET serves only live rows of a vector-carrying store") {
     val store = freshDir("net")
     append(store, 0, 100, files = 2)

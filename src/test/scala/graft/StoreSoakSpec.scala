@@ -11,9 +11,10 @@ import graft.sources.{KvCommitLog, KvStore}
 /** N-WRITER MIXED-VERB CONCURRENCY SOAK for the KV store (r13 verdict
   * item 8). ConcurrentCommitSpec pins each pairwise race with surgical
   * chaos hooks; this spec instead lets 4 writers run seed-reproducible
-  * RANDOM schedules of the five mutation verbs — append / overwrite /
-  * whole-tag DELETE / compact / vacuum — against one store and asserts
-  * the protocol-level invariants that must survive ANY interleaving:
+  * RANDOM schedules of the eight mutation verbs — append / overwrite /
+  * whole-tag DELETE (copy-on-write AND deletion-vector, r14) / compact /
+  * vacuum / purge_dvs / zorder — against one store and asserts the
+  * protocol-level invariants that must survive ANY interleaving:
   *
   *  - every operation either commits or aborts with the EXPLICIT OCC
   *    conflict ("superseded the version-N snapshot") — no other failure
@@ -37,7 +38,7 @@ class StoreSoakSpec extends AnyFunSuite with SparkSessionFixture {
 
   private val Seed = 20260816L
   private val Writers = 4
-  private val OpsPerWriter = 8
+  private val OpsPerWriter = 10
   private val BatchRows = 20
 
   private val schemaDdl = "k BIGINT, tag BIGINT, v BIGINT"
@@ -83,7 +84,7 @@ class StoreSoakSpec extends AnyFunSuite with SparkSessionFixture {
         for (op <- 0 until OpsPerWriter) {
           val tag = (w + 1) * 100L + op
           try {
-            rnd.nextInt(10) match {
+            rnd.nextInt(13) match {
               case 0 | 1 | 2 | 3 => // append a fresh whole-tag batch
                 issuedTags.add(tag)
                 write(dir, tag, "append")
@@ -99,6 +100,15 @@ class StoreSoakSpec extends AnyFunSuite with SparkSessionFixture {
               case 9 => // reclaim history, keep a 3-version tail
                 val keep = KvCommitLog.latestVersion(Paths.get(dir)) - 2
                 if (keep >= 2) KvStore.vacuum(dir, keep): Unit
+              case 10 => // whole-tag delete by DELETION VECTOR (r14):
+                // same tag-atomicity contract, merge-on-read physics
+                KvStore.deleteWhereDV(spark, dir, schema, Seq(
+                  org.apache.spark.sql.sources.EqualTo(
+                    "tag", (rnd.nextInt(Writers) + 1) * 100L + rnd.nextInt(OpsPerWriter)))): Unit
+              case 11 => // materialize any live vectors
+                KvStore.purgeDvs(spark, dir, schema): Unit
+              case 12 => // clustering rewrite (content-invariant)
+                KvStore.zorder(spark, dir, schema, ("tag", "k"), 2): Unit
             }
           } catch {
             case e: Throwable if isOcc(e) => occAborts.incrementAndGet(): Unit
