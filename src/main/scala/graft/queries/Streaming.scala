@@ -1359,6 +1359,13 @@ object Streaming extends QueryGroup {
           orders.filter(col("o").between(1000L, 1200L))
             .withColumn("price4", lit(0L))): Unit
         q.processAllAvailable()
+        // v5: DELETION-VECTOR delete (r14, sources/KvDv) — the stream
+        // must consume the `#dv` commit as ROW-PRECISE delete events
+        // (the micro-batch planner's running vector state, not the CoW
+        // whole-file grain)
+        graft.sources.KvStore.deleteWhereDV(s, store, schema,
+          Seq(org.apache.spark.sql.sources.LessThan("cust", 100L))): Unit
+        q.processAllAvailable()
       } finally q.stop()
       val events = s.read.parquet(eventsDir)
       // the canonical CDC apply: multiset fold insert − delete — and a
@@ -1378,7 +1385,7 @@ object Streaming extends QueryGroup {
     Some("""SELECT o_orderkey AS o, o_custkey AS cust,
               CASE WHEN o_orderkey BETWEEN 1000 AND 1200 THEN 0
                    ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS price4
-            FROM orders WHERE o_orderkey >= 1000
+            FROM orders WHERE o_orderkey >= 1000 AND o_custkey >= 100
             ORDER BY o"""))
 
   override val queries: Seq[Q] = Seq(
