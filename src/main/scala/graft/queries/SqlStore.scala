@@ -517,10 +517,61 @@ object SqlStore extends QueryGroup {
                 AS BIGINT) AS box_sum
             FROM orders"""))
 
+  /** `RESTORE TABLE ... TO VERSION AS OF` as a maintenance procedure
+    * (sources/KvStore.restore + `CALL graftkv.system.restore`): the
+    * table's content is rolled back to an earlier snapshot as a NEW
+    * commit — metadata-only (old files re-referenced, nothing moved or
+    * rewritten), the mistake stays time-travelable, vacuum guards fail
+    * loudly. The gate drives BOTH restore shapes: undoing a
+    * deletion-vector delete (the churn path — live set unchanged,
+    * vectors must detach) and restoring TO a vector-carrying snapshot
+    * after a later CoW delete (vectors must re-attach). Three final
+    * views against the base-table oracle. */
+  private val qSqlStoreRestore = Q(
+    "q_sql_store_restore",
+    (s, dir) => {
+      cat(s)
+      fresh(s, "t_rest")
+      s.sql("CREATE TABLE graftkv.cat.t_rest (k BIGINT, cust BIGINT)")
+      table(s, dir, "orders").createOrReplaceTempView("orders_rest_v")
+      s.sql("""INSERT INTO graftkv.cat.t_rest
+               SELECT o_orderkey, o_custkey FROM orders_rest_v""") // v1
+      s.conf.set("spark.graft.store.deleteMode", "dv")
+      try s.sql("DELETE FROM graftkv.cat.t_rest WHERE k >= 1000 AND k < 3000") // v2
+      finally s.conf.unset("spark.graft.store.deleteMode")
+      // v3: UNDO the vector delete — live set identical, vectors detach
+      s.sql("CALL graftkv.system.restore('cat.t_rest', 1)").collect()
+      s.sql("DELETE FROM graftkv.cat.t_rest WHERE k >= 500 AND k < 800") // v4 (CoW)
+      // v5: roll back to the vector-carrying snapshot — vectors re-attach
+      s.sql("CALL graftkv.system.restore('cat.t_rest', 2)").collect()
+      s.sql("""SELECT snap, count(*) AS n, min(k) AS k_min, max(k) AS k_max,
+                 sum(cust) AS cust_sum
+               FROM (
+                 SELECT CAST(1 AS BIGINT) AS snap, *
+                 FROM graftkv.cat.t_rest VERSION AS OF 3
+                 UNION ALL
+                 SELECT CAST(2 AS BIGINT), * FROM graftkv.cat.t_rest VERSION AS OF 4
+                 UNION ALL
+                 SELECT CAST(3 AS BIGINT), * FROM graftkv.cat.t_rest)
+               GROUP BY snap ORDER BY snap""")
+    },
+    Some("""WITH snaps AS (
+              SELECT 1 AS snap, o_orderkey, o_custkey FROM orders
+              UNION ALL
+              SELECT 2, o_orderkey, o_custkey FROM orders
+              WHERE NOT (o_orderkey >= 500 AND o_orderkey < 800)
+              UNION ALL
+              SELECT 3, o_orderkey, o_custkey FROM orders
+              WHERE NOT (o_orderkey >= 1000 AND o_orderkey < 3000))
+            SELECT CAST(snap AS BIGINT) AS snap, count(*) AS n,
+              min(o_orderkey) AS k_min, max(o_orderkey) AS k_max,
+              CAST(sum(o_custkey) AS BIGINT) AS cust_sum
+            FROM snaps GROUP BY 1 ORDER BY snap"""))
+
   override val queries: Seq[Q] =
     Seq(qSqlStoreCatalog, qSqlStoreTimetravel, qSqlStoreDelete,
       qSqlStoreOverwrite, qSqlStorePartitioned, qSqlStoreCtas,
       qSqlStoreUpdate, qSqlStoreMerge, qSqlStoreEvolution,
       qSqlStoreMaintenance, qSqlStoreCdf, qSqlStoreDeleteDv,
-      qSqlStoreHistory, qSqlStoreZorder)
+      qSqlStoreHistory, qSqlStoreZorder, qSqlStoreRestore)
 }

@@ -148,8 +148,25 @@ private[sources] object KvProcedures {
       }
     }
 
+  def restore(resolve: String => (String, StructType)): UnboundProcedure =
+    new StoreProcedure("restore", resolve, Seq(tableParam,
+      ProcedureParameter.in("version", IntegerType)
+        .comment("committed version whose content becomes the new head").build())) {
+      override def description(): String =
+        "restore the table to an earlier snapshot as a NEW commit — " +
+          "metadata-only (old files re-referenced), history preserved " +
+          "and auditable; fails loudly if vacuum reclaimed the target"
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val (dir, _) = table(input)
+        val m = KvStore.restore(dir, input.getInt(1))
+        import scala.jdk.CollectionConverters._
+        out(InternalRow(m.version, m.untouched.toLong),
+          "version" -> IntegerType, "files_live" -> LongType).asJava
+      }
+    }
+
   val names: Seq[String] =
-    Seq("compact", "checkpoint", "vacuum", "purge_dvs", "zorder")
+    Seq("compact", "checkpoint", "vacuum", "purge_dvs", "zorder", "restore")
 
   def load(ident: Identifier,
       resolve: String => (String, StructType)): UnboundProcedure = {
@@ -162,6 +179,7 @@ private[sources] object KvProcedures {
       case "vacuum" => vacuum(resolve)
       case "purge_dvs" => purgeDvs(resolve)
       case "zorder" => zorder(resolve)
+      case "restore" => restore(resolve)
       case other => throw new IllegalArgumentException(
         s"graft kv catalog: unknown procedure '$other' — " +
           s"one of ${names.mkString(", ")}")

@@ -115,6 +115,59 @@ object KvStore {
     Mutation(base + 1, 0, 0, live.size, hit.map(_._3).sum, 0L)
   }
 
+  /** RESTORE the store to the content of an earlier version, as a NEW
+    * commit (the Delta `RESTORE TABLE ... TO VERSION AS OF` shape):
+    * the manifest at `base+1` removes the current live files and
+    * re-adds the target snapshot's — metadata-only, no data file moves
+    * or rewrites, because the old files are still on disk until vacuum
+    * (which is also why a restore below the vacuum horizon fails with
+    * the explicit retention error from [[KvCommitLog.stateAsOf]]).
+    * History is PRESERVED: the mistake stays time-travelable above the
+    * restore point, and the restore itself is an auditable commit
+    * ([[KvTableHistory]] shows it as a rewrite). Deletion-vector
+    * attachments restore WITH their snapshot — restoring to a version
+    * where a vector was live re-attaches it. OCC: CAS at base+1, a
+    * concurrent commit aborts the restore (nothing staged to clean). */
+  def restore(dir: String, toVersion: Int): Mutation = {
+    val dirPath = Paths.get(dir)
+    val base = KvCommitLog.latestVersion(dirPath)
+    require(base > 0, s"graft kv store: no commit log at $dir — not a store")
+    require(toVersion >= 1 && toVersion <= base,
+      s"graft kv store: restore target $toVersion out of committed " +
+        s"range [1, $base] at $dir")
+    if (toVersion == base) return Mutation(base, 0, 0,
+      KvCommitLog.filesAsOf(dirPath, base).size, 0L, 0L)
+    val (curLive, curDvs) = KvCommitLog.stateAsOf(dirPath, base)
+    val (oldLive, oldDvs) = KvCommitLog.stateAsOf(dirPath, toVersion)
+    // every restored file must still exist — vacuum may have reclaimed
+    // history even though the manifests fold (fail loudly, not partially)
+    val gone = oldLive.filter(n => !Files.isRegularFile(dirPath.resolve(n))) ++
+      oldDvs.values.flatten.filter(n => !Files.isRegularFile(dirPath.resolve(n)))
+    require(gone.isEmpty,
+      s"graft kv store: cannot restore $dir to version $toVersion — " +
+        s"vacuum reclaimed ${gone.toSeq.sorted.mkString(", ")}")
+    // a file kept live but whose vector set drifted is CHURNED: removed
+    // and re-added in this one manifest (the fold clears attachments on
+    // re-add — '-name' sorts before 'name', so the net is a clean
+    // re-insert), then the target snapshot's vectors re-attach. Files
+    // with identical vectors need no lines at all — re-emitting their
+    // `#dv` lines would double-attach.
+    val churned = oldLive.filter(f => curLive(f) &&
+      curDvs.getOrElse(f, Nil) != oldDvs.getOrElse(f, Nil))
+    val removes = ((curLive -- oldLive) ++ churned).toSeq.sorted
+    val adds = ((oldLive -- curLive) ++ churned).toSeq.sorted
+    val dvLines = adds.flatMap(d =>
+      oldDvs.getOrElse(d, Nil).map(v => s"#dv,$d,$v")).sorted
+    val lines = removes.map("-" + _) ++ adds ++ dvLines
+    if (removes.isEmpty && adds.isEmpty)
+      return Mutation(base, 0, 0, curLive.size, 0L, 0L)
+    if (!KvCommitLog.tryAppendAt(dirPath, base + 1, lines))
+      throw new IllegalStateException(
+        s"concurrent commit at $dir superseded the version-$base head " +
+          "this restore was derived from — re-run")
+    Mutation(base + 1, 0, 0, oldLive.size, 0L, 0L)
+  }
+
   /** Executor fan-out shared by the merge-on-read writers: one task per
     * candidate file scans the LIVE rows (existing vectors applied),
     * collects the ordinals doomed by `filters` (conjunction) or by key

@@ -455,6 +455,30 @@ class KvDvSpec extends AnyFunSuite with SparkSessionFixture {
     assert(rows == ((0L until 10L) ++ (20L until 100L)))
   }
 
+  test("restore: detaches undone vectors, re-attaches restored ones, guards vacuumed targets") {
+    val store = freshDir("restore")
+    append(store, 0, 100, files = 2)                         // v1
+    KvStore.deleteWhereDV(spark, store, Schema, del(10, 30)) // v2
+    // undo the vector delete: live set identical, vectors must DETACH
+    val m3 = KvStore.restore(store, 1)
+    assert(m3.version == 3)
+    assert(keysOf(store) == (0L until 100L))
+    val dir = Paths.get(store)
+    assert(KvCommitLog.dvsAsOf(dir, 3).isEmpty)
+    KvStore.deleteWhere(spark, store, Schema, del(50, 60))   // v4 (CoW)
+    // roll back TO the vector-carrying snapshot: vectors must RE-ATTACH
+    assert(KvStore.restore(store, 2).version == 5)
+    assert(keysOf(store) == ((0L until 10L) ++ (30L until 100L)))
+    assert(KvCommitLog.dvsAsOf(dir, 5).nonEmpty)
+    // restoring to the current head is a no-op (no new commit)
+    assert(KvStore.restore(store, 5).version == 5)
+    // a vacuumed target fails loudly, not partially
+    KvCommitLog.vacuumDelta(dir, 5)
+    val err = intercept[Exception] { KvStore.restore(store, 4) }
+    assert(Option(err.getMessage).exists(m =>
+      m.contains("vacuum") || m.contains("reconstructible")))
+  }
+
   test("daemon GET serves only live rows of a vector-carrying store") {
     val store = freshDir("net")
     append(store, 0, 100, files = 2)
