@@ -479,6 +479,32 @@ class KvDvSpec extends AnyFunSuite with SparkSessionFixture {
       m.contains("vacuum") || m.contains("reconstructible")))
   }
 
+  test("vectors compose with schema evolution: era null-fill + ordinal skip") {
+    val warehouse = freshDir("evowh")
+    spark.conf.set("spark.sql.catalog.kdve", "graft.sources.KvCatalog")
+    spark.conf.set("spark.sql.catalog.kdve.warehouse", warehouse)
+    try {
+      spark.sql("CREATE TABLE kdve.ns.e (k BIGINT)")
+      spark.sql("INSERT INTO kdve.ns.e SELECT id FROM range(0, 50)")      // era 1
+      spark.sql("ALTER TABLE kdve.ns.e ADD COLUMN extra BIGINT")
+      spark.sql("INSERT INTO kdve.ns.e SELECT id, id * 7 FROM range(50, 100)") // era 2
+      spark.conf.set("spark.graft.store.deleteMode", "dv")
+      // the predicate spans BOTH eras: era-1 rows (shorter physical
+      // lines) and era-2 rows must vector-delete by the same ordinals
+      try spark.sql("DELETE FROM kdve.ns.e WHERE k >= 40 AND k < 60")
+      finally spark.conf.unset("spark.graft.store.deleteMode")
+      val rows = spark.sql("SELECT k, extra FROM kdve.ns.e ORDER BY k").collect()
+      assert(rows.map(_.getLong(0)).toSeq == ((0L until 40L) ++ (60L until 100L)))
+      // era-1 survivors null-fill, era-2 survivors carry their value
+      assert(rows.filter(_.getLong(0) < 40).forall(_.isNullAt(1)))
+      assert(rows.filter(_.getLong(0) >= 60).forall(r => r.getLong(1) == r.getLong(0) * 7))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS kdve.ns.e")
+      spark.conf.unset("spark.sql.catalog.kdve.warehouse")
+      spark.conf.unset("spark.sql.catalog.kdve")
+    }
+  }
+
   test("daemon GET serves only live rows of a vector-carrying store") {
     val store = freshDir("net")
     append(store, 0, 100, files = 2)
