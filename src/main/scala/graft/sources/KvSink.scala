@@ -557,9 +557,21 @@ object KvCommitLog {
     * streaming batch would publish twice). */
   def txnCommitted(dir: java.nio.file.Path, txn: String): Boolean = {
     val marker = s"#txn,$txn"
-    (versions(dir) ++ checkpoints(dir)).exists { case (_, p) =>
-      linesOf(p).contains(marker)
+    // torn-listing retry (the stateAsOf discipline): a concurrent vacuum
+    // may delete a listed manifest after folding its markers into a
+    // checkpoint — re-list and the checkpoint answers
+    var torn: Throwable = null
+    for (_ <- 0 until 5) {
+      try return (versions(dir) ++ checkpoints(dir)).exists { case (_, p) =>
+        linesOf(p).contains(marker)
+      } catch {
+        case e: java.nio.file.NoSuchFileException => torn = e
+        case e: java.io.FileNotFoundException => torn = e
+      }
     }
+    throw new IllegalStateException(
+      s"graft commit log: metadata at $dir kept vanishing mid-scan " +
+        "(concurrent vacuum churn) after 5 attempts", torn)
   }
 
   /** The files ADDED by manifests in `(after, until]` — the streaming
@@ -709,8 +721,31 @@ object KvCommitLog {
     * vector attachments). Checkpoints carry both (`#dv,` lines alongside
     * live names and forwarded `#txn,` markers); manifests fold on top in
     * version order — adds insert, `-name` removes the file AND its
-    * vectors, `#dv,data,vec` attaches. */
+    * vectors, `#dv,data,vec` attaches.
+    *
+    * TORN-LISTING RETRY: a concurrent [[vacuumDelta]] publishes its
+    * checkpoint durably BEFORE deleting the manifests it folds, so a
+    * reader that listed the old manifests and then lost one to the
+    * delete can simply re-list — the new checkpoint now covers the
+    * missing range. The fold retries a bounded number of times instead
+    * of surfacing a spurious NoSuchFileException (found by the
+    * StoreSoakSpec 8-verb schedule). */
   def stateAsOf(dir: java.nio.file.Path, asOf: Int)
+      : (Set[String], Map[String, Seq[String]]) = {
+    var torn: Throwable = null
+    for (_ <- 0 until 5) {
+      try return stateAsOfOnce(dir, asOf)
+      catch {
+        case e: java.nio.file.NoSuchFileException => torn = e
+        case e: java.io.FileNotFoundException => torn = e
+      }
+    }
+    throw new IllegalStateException(
+      s"graft commit log: metadata at $dir kept vanishing mid-fold " +
+        "(concurrent vacuum churn) after 5 attempts", torn)
+  }
+
+  private def stateAsOfOnce(dir: java.nio.file.Path, asOf: Int)
       : (Set[String], Map[String, Seq[String]]) = {
     val base = checkpoints(dir).takeWhile(_._1 <= asOf).lastOption
     val baseV = base.map(_._1).getOrElse(0)
@@ -833,24 +868,46 @@ object KvCommitLog {
     require(latest > 0, s"no commit log at $dir — nothing to vacuum")
     require(keepFrom >= 1 && keepFrom <= latest,
       s"vacuum keepFrom $keepFrom out of committed range [1, $latest] at $dir")
-    val (liveAtKeep, dvsAtKeep) = stateAsOf(dir, keepFrom)
-    val ms = versions(dir)
-    def addsIn(sel: ((Int, java.nio.file.Path)) => Boolean): Set[String] =
-      ms.filter(sel).flatMap { case (_, p) =>
-        linesOf(p).filter(l => !isCtlLine(l) && !isRemoveLine(l))
+    // READ PHASE, snapshotted atomically with the same torn-listing
+    // retry as stateAsOf: a concurrent vacuum may delete a listed
+    // manifest mid-fold (its checkpoint already covers it) — re-list
+    // rather than surface NoSuchFileException; downstream folds then
+    // work on plain data
+    var readSnap: (Set[String], Map[String, Seq[String]],
+      Seq[(Int, Seq[String])], Seq[(Int, Seq[String])]) = null
+    var torn: Throwable = null
+    var attempt = 0
+    while (readSnap == null && attempt < 5) {
+      attempt += 1
+      try {
+        val st = stateAsOf(dir, keepFrom)
+        val msLines = versions(dir).map { case (v, p) => (v, linesOf(p)) }
+        val ckLines = checkpoints(dir).map { case (v, p) => (v, linesOf(p)) }
+        readSnap = (st._1, st._2, msLines, ckLines)
+      } catch {
+        case e: java.nio.file.NoSuchFileException => torn = e
+        case e: java.io.FileNotFoundException => torn = e
+      }
+    }
+    if (readSnap == null) throw new IllegalStateException(
+      s"graft commit log: metadata at $dir kept vanishing mid-vacuum " +
+        "(concurrent vacuum churn) after 5 attempts", torn)
+    val (liveAtKeep, dvsAtKeep, msLines, ckLines) = readSnap
+    def addsIn(sel: Int => Boolean): Set[String] =
+      msLines.filter(m => sel(m._1)).flatMap { case (_, lines) =>
+        lines.filter(l => !isCtlLine(l) && !isRemoveLine(l))
       }.toSet
     // reachable from any retained snapshot = live at keepFrom, plus
     // everything added after it (still live at its own add version)
-    val reachable = liveAtKeep ++ addsIn(_._1 > keepFrom)
+    val reachable = liveAtKeep ++ addsIn(_ > keepFrom)
     // deletion vectors are reachable while their attachment is — live at
     // keepFrom, or attached by a retained manifest (whose asOf snapshots
     // still subtract them); all others are unreferenced history
-    def dvNames(ps: Seq[java.nio.file.Path]): Set[String] =
-      ps.flatMap(p => linesOf(p).filter(isDvLine).map(l => parseDvLine(l)._2))
-        .toSet
+    def dvNames(ls: Seq[Seq[String]]): Set[String] =
+      ls.flatMap(_.filter(isDvLine).map(l => parseDvLine(l)._2)).toSet
     val reachableDvs = dvsAtKeep.values.flatten.toSet ++
-      dvNames(ms.filter(_._1 > keepFrom).map(_._2))
-    val allDvs = dvNames(ms.map(_._2) ++ checkpoints(dir).map(_._2))
+      dvNames(msLines.filter(_._1 > keepFrom).map(_._2))
+    val allDvs = dvNames(msLines.map(_._2) ++ ckLines.map(_._2))
     val doomedDvs = (allDvs -- reachableDvs).toSeq.sorted
     val doomed = (addsIn(_ => true) -- reachable).toSeq.sorted ++ doomedDvs
     def rm(f: File): Unit = {
@@ -868,12 +925,12 @@ object KvCommitLog {
     // checkpoints being replaced) are carried into the new checkpoint —
     // else a streaming batch replayed after the vacuum would pass
     // txnCommitted and publish a second time.
-    val txns = (ms.filter(_._1 <= keepFrom).map(_._2) ++
-        checkpoints(dir).filter(_._1 < keepFrom).map(_._2))
-      .flatMap(p => linesOf(p).filter(isTxnLine))
+    val txns = (msLines.filter(_._1 <= keepFrom).map(_._2) ++
+        ckLines.filter(_._1 < keepFrom).map(_._2))
+      .flatMap(_.filter(isTxnLine))
       .map(_.stripPrefix("#txn,"))
     writeCheckpoint(dir, keepFrom, liveAtKeep, txns, dvsAtKeep): Unit
-    ms.filter(_._1 <= keepFrom).foreach { case (_, p) =>
+    versions(dir).filter(_._1 <= keepFrom).foreach { case (_, p) =>
       Files.deleteIfExists(p): Unit
     }
     checkpoints(dir).filter(_._1 < keepFrom).foreach { case (_, p) =>
