@@ -99,6 +99,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         graft.sources.KvTableHistory.name),
       graft.sources.KvTableHistory.info,
       graft.sources.KvTableHistory.builder))
+    ext.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier(
+        graft.sources.KvTableFiles.name),
+      graft.sources.KvTableFiles.info,
+      graft.sources.KvTableFiles.builder))
     // tier (c): whole-operator plan nodes (plans/AsOfJoin)
     ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => new graft.plans.AsOfFilterPushdown)
@@ -180,6 +185,7 @@ object GraftFunctions {
     }
     graft.sources.KvTableChanges.register(spark)
     graft.sources.KvTableHistory.register(spark)
+    graft.sources.KvTableFiles.register(spark)
   }
 
   import org.apache.spark.sql.functions.{call_function, lit}

@@ -568,10 +568,48 @@ object SqlStore extends QueryGroup {
               CAST(sum(o_custkey) AS BIGINT) AS cust_sum
             FROM snaps GROUP BY 1 ORDER BY snap"""))
 
+  /** `table_files()` — the DESCRIBE DETAIL / files-metadata-table analog
+    * (sources/KvTableFiles, third of the store's TVF family): one row
+    * per live file, answered from committed metadata alone (sidecars +
+    * vectors — no data file opened). The gate pins the LAYOUT FACTS a
+    * maintenance decision reads: file count (forced deterministic by
+    * the insert's REPARTITION), physical rows (which INCLUDE
+    * vector-deleted rows — content = rows − dv_rows), the vector-deleted
+    * row count after a dv DELETE, and full zone-map coverage; the oracle
+    * recomputes all four from the base table. */
+  private val qSqlStoreFiles = Q(
+    "q_sql_store_files",
+    (s, dir) => {
+      cat(s)
+      graft.sources.KvTableFiles.register(s)
+      fresh(s, "t_files")
+      s.sql("CREATE TABLE graftkv.cat.t_files (k BIGINT, cust BIGINT)")
+      table(s, dir, "orders").createOrReplaceTempView("orders_files_v")
+      s.sql("""INSERT INTO graftkv.cat.t_files
+               SELECT /*+ REPARTITION(4) */ o_orderkey, o_custkey
+               FROM orders_files_v""")
+      s.conf.set("spark.graft.store.deleteMode", "dv")
+      try s.sql("DELETE FROM graftkv.cat.t_files WHERE k >= 1000 AND k < 3000")
+      finally s.conf.unset("spark.graft.store.deleteMode")
+      s.sql("""SELECT count(*) AS files, CAST(sum(rows) AS BIGINT) AS rows,
+                 CAST(sum(dv_rows) AS BIGINT) AS dv_rows,
+                 CAST(sum(rows) - sum(dv_rows) AS BIGINT) AS live_rows,
+                 CAST(min(stat_cols) AS BIGINT) AS stat_cols
+               FROM table_files('graftkv.cat.t_files')""")
+    },
+    Some("""SELECT CAST(4 AS BIGINT) AS files, count(*) AS rows,
+              (SELECT count(*) FROM orders
+               WHERE o_orderkey >= 1000 AND o_orderkey < 3000) AS dv_rows,
+              count(*) - (SELECT count(*) FROM orders
+               WHERE o_orderkey >= 1000 AND o_orderkey < 3000) AS live_rows,
+              CAST(2 AS BIGINT) AS stat_cols
+            FROM orders"""))
+
   override val queries: Seq[Q] =
     Seq(qSqlStoreCatalog, qSqlStoreTimetravel, qSqlStoreDelete,
       qSqlStoreOverwrite, qSqlStorePartitioned, qSqlStoreCtas,
       qSqlStoreUpdate, qSqlStoreMerge, qSqlStoreEvolution,
       qSqlStoreMaintenance, qSqlStoreCdf, qSqlStoreDeleteDv,
-      qSqlStoreHistory, qSqlStoreZorder, qSqlStoreRestore)
+      qSqlStoreHistory, qSqlStoreZorder, qSqlStoreRestore,
+      qSqlStoreFiles)
 }
