@@ -6,6 +6,31 @@ import org.apache.spark.sql.SparkSession
   * drop the top-level ORDER BY) — and failures are reported per-query
   * instead of being recorded as ordinary timings.
   *
+  * TIMEOUT-SURVIVABLE since r15 (the r14 postmortem: the driver's sweep
+  * was killed at its timeout with rc=124 and, because all JSON was
+  * printed only at the end, the round shipped NO performance record):
+  *  - the per-query detail file is rewritten INCREMENTALLY after every
+  *    timed query (with "partial":true until the sweep completes), so a
+  *    kill at any point leaves a parsable record of everything measured;
+  *  - a JVM shutdown hook prints the compact summary line (also flagged
+  *    "partial":true) if the normal end-of-run print never happened —
+  *    `timeout`'s SIGTERM runs hooks, so even the killed run's stdout
+  *    tail carries one complete JSON object;
+  *  - per-query progress goes to stderr as it happens, so a captured
+  *    tail shows WHERE a hung sweep was, not a page of warnings
+  *    (WindowExec's single-partition warning — documented-intentional on
+  *    bounded inputs everywhere it fires — is silenced up front);
+  *  - FLOOR-DOMINATED gates ([[SparkEntry.floorGates]]: live micro-batch
+  *    streams, persisted-index round-trips) run ONCE with no untimed
+  *    warmup pass — min-of-N on a fixed trigger/commit floor measures
+  *    nothing and the two redundant passes were ~40% of r14's wall;
+  *  - the post-sweep rebench is BUDGETED (≤20 runs and ≤60 s) and
+  *    skipped entirely when the end-of-sweep canary shows the host got
+  *    contended mid-run (rebenching 36 queries ×3 on a contended host is
+  *    exactly the amplification that blew the r14 timeout) — skipped
+  *    flags are published as contended/unadjudicated, never silently
+  *    dropped or silently "regressed".
+  *
   * Contended-machine self-defense (r6 postmortem: a co-scheduled driver
   * JVM inflated five published times 4-7× vs isolated reruns, and min-of-2
   * didn't help because BOTH iterations were contended):
@@ -29,12 +54,15 @@ import org.apache.spark.sql.SparkSession
   *    CANARY RATIO — env_sql_ms now vs the env_sql_ms stamped in
   *    bench_baseline.json — so a host whose fixed SQL cost drifted
   *    between rounds shifts every threshold by the measured amount
-  *    (clamped to [0.5, 3]); the sweep median ratio is still published
+  *    (clamped to [0.5, 3]); the canary is measured at sweep START and
+  *    END and the threshold uses the larger ratio (r14's contention
+  *    ramped mid-sweep, loadavg 2.5→4.0, so a start-only canary missed
+  *    it); the sweep median ratio is still published
   *    ("baseline_ratio_median") as a diagnostic but no longer gates;
   *  - queries over the scaled threshold (1.5× with a 0.2 s absolute
   *    floor) get the isolated iters=3 REBENCH the judge used to run by
-  *    hand: three post-sweep re-runs, min folded into the published
-  *    value; only SURVIVORS are published as "regressed", the rest in
+  *    hand (1 run for floor gates), min folded into the published value;
+  *    only SURVIVORS are published as "regressed", the rest in
   *    "flag_cleared" (the record shows the guard adjudicated them).
   *
   * The driver's capture keeps only a tail window of stdout, so the FULL
@@ -66,12 +94,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.core.Graft.silenceKnownBenignWarnings()
     // Steady-state throughput: each query runs `iters` times, min is
     // reported — first runs pay per-query codegen/JIT compilation that a
-    // long-running engine amortizes away.
+    // long-running engine amortizes away. Floor-dominated gates always
+    // run once (their wall time IS the floor, not compute).
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "2").toInt.max(1)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val probe = sys.env.get("SPARK_GRAFT_PROBE").contains("1")
+    val floor = SparkEntry.floorGates
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
@@ -142,27 +173,77 @@ object Bench {
       spark.sparkContext.parallelize(1 to 10, 4).count(): Unit)
     val envSqlMs = medianMs(20)(spark.range(100).count(): Unit)
 
-    // Untimed warmup: one full sweep of the selected registry. A partial
+    val defaultOut =
+      if (only.isDefined) "bench_detail_subset.json" else "bench_detail.json"
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_OUT", defaultOut)
+    def writeDetail(json: String): Unit =
+      try {
+        val w = new java.io.PrintWriter(outPath, "UTF-8")
+        try w.println(json) finally w.close()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] detail write to $outPath failed: ${e.getMessage}")
+      }
+    def jmap(kv: Seq[(String, String)]): String =
+      kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+    // Progress state shared with the shutdown hook: everything measured
+    // so far, so a SIGTERM mid-sweep still publishes a partial record.
+    val done = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
+    @volatile var summaryPrinted = false
+    @volatile var phase = "warmup"
+    def partialSummary(): String = {
+      import scala.jdk.CollectionConverters._
+      val snap = done.asScala.toSeq
+      val ok = snap.filter(_._2 >= 0)
+      val slowest = ok.sortBy(-_._2).take(8)
+        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${ok.map(_._2).sum},"unit":"sec","partial":true,"phase":"$phase","queries":$slowest,"queries_truncated":${ok.size > 8},"n_queries":${snap.size},"n_selected":${selected.size},"n_failed":${snap.count(_._2 < 0)},"iters":$iters,"env_sql_ms":$envSqlMs,"cpus":$cpus,"sf":"$sfDir"}"""
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      if (!summaryPrinted) {
+        println(partialSummary())
+        System.out.flush()
+      }
+    }))
+
+    // Untimed warmup: one full sweep of the NON-FLOOR registry. A partial
     // (3-query) warmup left first-iteration JIT/codegen cost landing on
     // whichever queries ran early — r4/r5 both published ~2-6x-inflated
     // times for a shifting handful of early-alphabet queries. Sweeping
     // everything once means the timed min below is steady-state for every
-    // query, at the cost of one extra (untimed) pass.
+    // query, at the cost of one extra (untimed) pass. Floor gates are
+    // excluded: their wall time is a trigger/commit floor that warmup
+    // cannot amortize, and their ~130 s pass was r14's timeout budget.
     val warm0 = System.nanoTime()
-    selected.foreach { case (name, fn) =>
+    val toWarm = selected.filterNot { case (n, _) => floor(n) }
+    toWarm.zipWithIndex.foreach { case ((name, fn), i) =>
       val t = timeOne(name, fn)
+      System.err.println(f"[bench] warm ${i + 1}/${toWarm.size} $name $t%.2fs")
       probeLine(s"warm:$name", t, (System.nanoTime() - warm0) / 1e9)
     }
 
+    phase = "timed"
     val loadStart = loadavg
     val sweep0 = System.nanoTime()
-    val firstPass = selected.map { case (name, fn) =>
-      val ts = (1 to iters).map(_ => timeOne(name, fn))
-      probeLine(s"timed:$name", ts.min, (System.nanoTime() - sweep0) / 1e9)
+    val firstPass = selected.zipWithIndex.map { case ((name, fn), i) =>
+      val qIters = if (floor(name)) 1 else iters
+      val ts = (1 to qIters).map(_ => timeOne(name, fn))
+      done.add(name -> ts.min)
+      val wall = (System.nanoTime() - sweep0) / 1e9
+      System.err.println(
+        f"[bench] timed ${i + 1}/${selected.size} $name ${ts.min}%.2fs wall=$wall%.0fs")
+      probeLine(s"timed:$name", ts.min, wall)
+      // incremental detail: a kill at any point leaves the full map so far
+      writeDetail(s"""{"metric":"total_detail","partial":true,"unit":"sec","queries":${jmap(done.toArray(Array.empty[(String, Double)]).toSeq.map { case (n, v) => n -> v.toString })},"iters":$iters,"env_sql_ms":$envSqlMs,"sf":"$sfDir"}""")
       (name, fn, ts)
     }
     val loadEnd = loadavg
     threadHistogram("sweep_end")
+    phase = "adjudicate"
+    // End-of-sweep canary: contention that RAMPED during the sweep (the
+    // r14 14:49 run: loadavg 2.5→4.0) is invisible to the start canary;
+    // thresholds below use the larger of the two ratios.
+    val envSqlMsEnd = medianMs(20)(spark.range(100).count(): Unit)
 
     val spreadLimit = 1.5
     // ...with an absolute floor: a 0.05s wobble on a 0.1s query is
@@ -177,14 +258,14 @@ object Bench {
       if (ok0.size < times0.size) (name, -1.0, -1.0, false)
       else {
         val retried =
-          if (iters > 1 && dispersed(ok0)) ok0 :+ timeOne(name, fn) else ok0
+          if (ok0.size > 1 && dispersed(ok0)) ok0 :+ timeOne(name, fn) else ok0
         val ok = retried.filter(_ >= 0)
         val spread = if (ok.min > 0) ok.max / ok.min else 1.0
-        (name, ok.min, spread, iters > 1 && dispersed(ok))
+        (name, ok.min, spread, ok.size > 1 && dispersed(ok))
       }
     }
     val failed = results.collect { case (n, v, _, _) if v < 0 => n }.sorted
-    val contended = results.collect { case (n, _, _, true) => n }.sorted
+    val contendedSpread = results.collect { case (n, _, _, true) => n }
 
     // Cross-round guard: prior per-query minimums from bench_baseline.json
     // (or SPARK_GRAFT_PREV), stamped with the canary (env_sql_ms) of the
@@ -220,11 +301,13 @@ object Bench {
     // uniform plan regressions with host drift. The median is still
     // published as a diagnostic. Canary ratio is clamped to [0.5, 3]
     // (beyond that the environment comparison is meaningless anyway) and
-    // never below 1's deltaFloor discipline.
-    val canaryRatio =
-      if (prevCanary > 0 && envSqlMs > 0)
-        math.min(3.0, math.max(0.5, envSqlMs / prevCanary))
+    // never below 1's deltaFloor discipline. Start AND end canaries both
+    // feed it — contention that ramps mid-sweep shifts the end one.
+    def ratioOf(ms: Double): Double =
+      if (prevCanary > 0 && ms > 0)
+        math.min(3.0, math.max(0.5, ms / prevCanary))
       else 1.0
+    val canaryRatio = math.max(ratioOf(envSqlMs), ratioOf(envSqlMsEnd))
     val ratios = results.collect {
       case (n, v, _, _) if v >= 0 && prev.get(n).exists(_ > 0.05) =>
         v / prev(n)
@@ -235,21 +318,40 @@ object Bench {
     def overThreshold(n: String, v: Double): Boolean =
       v >= 0 && prev.get(n).exists(p =>
         v > p * canaryRatio * spreadLimit && v - p * canaryRatio > deltaFloor)
-    // SELF-ADJUDICATION (r11 verdict item 3): queries still over the
-    // canary-scaled threshold get the isolated iters=3 rebench the judge
-    // used to run by hand — three post-sweep re-runs (the machine has
-    // settled; nothing else is timing), min folded into the published
-    // value — and only SURVIVORS are published as regressed. Cleared
-    // flags are recorded in flag_cleared so the record shows the guard
-    // adjudicated them, not that they never fired.
+    // SELF-ADJUDICATION (r11 verdict item 3), BUDGETED (r14 rc=124
+    // postmortem: 36 flags × 3 isolated re-runs on a host whose
+    // contention caused the flags is the amplification that blew the
+    // driver timeout): queries still over the canary-scaled threshold
+    // get the isolated rebench — three post-sweep re-runs (one for floor
+    // gates), min folded into the published value — but (a) the whole
+    // rebench phase is skipped when the END canary says the host itself
+    // got ≥1.3× slower mid-run (the drift is environmental, not a plan),
+    // and (b) total rebench spend is capped at 20 runs / 60 s. Flags the
+    // budget could not adjudicate are published in "flag_unadjudicated"
+    // and counted contended — never silently dropped, never published as
+    // regressed without the isolated evidence.
     val byName = firstPass.map { case (n, fn, _) => n -> fn }.toMap
     val preliminary = results.collect {
       case (n, v, _, _) if overThreshold(n, v) => n
     }.sorted
-    val rebenched: Map[String, Double] = preliminary.map { n =>
-      val ts = (1 to 3).map(_ => timeOne(n, byName(n))).filter(_ >= 0)
-      n -> (if (ts.isEmpty) -1.0 else ts.min)
-    }.toMap
+    val envContended = ratioOf(envSqlMsEnd) > 1.3
+    phase = "rebench"
+    var rebenchRuns = 0
+    val rebench0 = System.nanoTime()
+    def rebenchBudgetLeft: Boolean =
+      rebenchRuns < 20 && (System.nanoTime() - rebench0) / 1e9 < 60.0
+    val rebenched = scala.collection.mutable.Map.empty[String, Double]
+    val unadjudicated = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (!envContended) preliminary.foreach { n =>
+      if (!rebenchBudgetLeft) unadjudicated += n
+      else {
+        val runs = if (floor(n)) 1 else 3
+        val ts = (1 to runs).map { _ =>
+          rebenchRuns += 1; timeOne(n, byName(n))
+        }.filter(_ >= 0)
+        rebenched(n) = if (ts.isEmpty) -1.0 else ts.min
+      }
+    } else unadjudicated ++= preliminary
     val adjudicated = results.map { case (n, v, s, c) =>
       rebenched.get(n).filter(_ >= 0) match {
         case Some(rv) if v >= 0 => (n, math.min(v, rv), s, c)
@@ -257,24 +359,25 @@ object Bench {
       }
     }
     val regressed = adjudicated.collect {
-      case (n, v, _, _) if overThreshold(n, v) => n
+      case (n, v, _, _) if overThreshold(n, v) && !unadjudicated.contains(n) => n
     }.sorted
-    val flagCleared = preliminary.filterNot(regressed.contains).sorted
+    val flagCleared = preliminary
+      .filterNot(n => regressed.contains(n) || unadjudicated.contains(n)).sorted
+    val contended = (contendedSpread ++ unadjudicated).distinct.sorted
 
-    def jmap(kv: Seq[(String, String)]): String =
-      kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = jmap(adjudicated.map { case (n, v, _, _) => n -> v.toString })
     val spreads = jmap(adjudicated.collect { case (n, _, s, _) if s >= 0 =>
       n -> f"$s%.2f" })
     val total = adjudicated.collect { case (_, v, _, _) if v >= 0 => v }.sum
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val contendedJson = contended.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val regressedJson = regressed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val flagClearedJson = flagCleared.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def jarr(xs: Seq[String]): String =
+      xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedJson = jarr(failed)
+    val contendedJson = jarr(contended)
+    val regressedJson = jarr(regressed)
     val regressedVs = prevPath.filter(_ => prev.nonEmpty)
-      .map(p => f""","regressed_vs":"$p","baseline_ratio_median":$medianRatio%.3f,"canary_ratio":$canaryRatio%.3f,"flag_cleared":$flagClearedJson""")
+      .map(p => f""","regressed_vs":"$p","baseline_ratio_median":$medianRatio%.3f,"canary_ratio":$canaryRatio%.3f,"flag_cleared":${jarr(flagCleared)},"flag_unadjudicated":${jarr(unadjudicated.toSeq)},"rebench_skipped_env":$envContended""")
       .getOrElse("")
-    val envJson = f""""loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"env_job_ms":$envJobMs%.1f,"env_sql_ms":$envSqlMs%.1f,"cpus":$cpus"""
+    val envJson = f""""loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"env_job_ms":$envJobMs%.1f,"env_sql_ms":$envSqlMs%.1f,"env_sql_ms_end":$envSqlMsEnd%.1f,"cpus":$cpus"""
     val detail = s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"contended":$contendedJson,"failed":$failedJson,"regressed":$regressedJson$regressedVs,"iters":$iters,$envJson,"sf":"$sfDir"}"""
     // Full detail line first (may exceed a tail-capture window at 88+
     // queries — r01/r02 both came back parsed:null from head truncation),
@@ -291,15 +394,7 @@ object Bench {
     // Subset runs (SPARK_GRAFT_ONLY) default to a separate file so a
     // quick single-query iteration cannot clobber the durable full-sweep
     // record a later baseline promotion would read.
-    val defaultOut =
-      if (only.isDefined) "bench_detail_subset.json" else "bench_detail.json"
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_OUT", defaultOut)
-    try {
-      val w = new java.io.PrintWriter(outPath, "UTF-8")
-      try w.println(detail) finally w.close()
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] detail write to $outPath failed: ${e.getMessage}")
-    }
+    writeDetail(detail)
     val slowest = adjudicated.filter(_._2 >= 0).sortBy(-_._2).take(8)
       .map { case (k, v, _, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // "queries" here is TRUNCATED to the slowest 8 (the full map is on the
@@ -307,6 +402,7 @@ object Bench {
     // flags that so a consumer iterating the map as a full per-query
     // breakdown can detect the truncation instead of silently under-reporting.
     val truncated = adjudicated.count(_._2 >= 0) > 8
+    summaryPrinted = true
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowest,"queries_truncated":$truncated,"n_queries":${adjudicated.size},"n_failed":${failed.size},"failed":$failedJson,"n_contended":${contended.size},"contended":$contendedJson,"n_regressed":${regressed.size},"regressed":$regressedJson$regressedVs,"iters":$iters,$envJson,"sf":"$sfDir"}""")
     System.out.flush()
     spark.stop()

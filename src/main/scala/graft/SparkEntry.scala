@@ -21,8 +21,39 @@ object SparkEntry {
   private lazy val all: Seq[Q] = {
     val qs = groups.flatMap(_.queries)
     require(qs.map(_.name).distinct.size == qs.size, "duplicate query names")
+    require(floorGates.subsetOf(qs.map(_.name).toSet),
+      "floorGates names a query not in the registry: " +
+        (floorGates -- qs.map(_.name).toSet).mkString(","))
     qs
   }
+
+  /** FLOOR-DOMINATED gates: queries whose wall time is a fixed floor —
+    * live micro-batch triggers (drip-fed `_live`/`q_stream_*` gates pay
+    * per-trigger scheduling, not data volume) or a persisted-store
+    * round-trip (index build + commit + probe). Min-of-N steady-state
+    * timing measures nothing on a fixed floor, so [[Bench]] runs these
+    * ONCE, skips their untimed warmup pass, and caps their rebench at a
+    * single run — that protocol cut the r14 sweep's wall clock by the
+    * two redundant passes over ~130 s of floors (the r14 rc=124
+    * postmortem). Membership is validated against the registry so a
+    * renamed query cannot silently lose its tag. */
+  val floorGates: Set[String] = Set(
+    // live drip-fed streaming gates (per-trigger floor)
+    "q_stream_ann_ingest", "q_stream_ann_probe", "q_stream_bm25_serve",
+    "q_stream_classify", "q_stream_classify_train", "q_stream_ingest",
+    "q_stream_ingest_neardup", "q_stream_ingest_neardup_phash",
+    "q_stream_join_full_live", "q_stream_join_outer_live",
+    "q_stream_kv_sink", "q_stream_live", "q_stream_live_append",
+    "q_stream_session_timers_live", "q_stream_store_cdf",
+    "q_stream_text_index_ingest",
+    // persisted/durable/incremental/compacted store round-trip gates
+    "q_classify_nb_compacted", "q_classify_nb_incremental",
+    "q_classify_nb_persisted", "q_cluster_kmeans_durable",
+    "q_dedup_clusters_durable", "q_graph_pagerank_durable",
+    "q_search_hybrid_persisted", "q_sim_ivf_compacted",
+    "q_sim_ivf_incremental", "q_sim_ivf_persisted", "q_sim_ivfpq_persisted",
+    "q_sim_ivfpq_residual_persisted", "q_text_bm25_compacted",
+    "q_text_bm25_incremental", "q_text_bm25_persisted")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -34,6 +34,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // keep the driver's captured log tail carrying per-query progress,
+    // not repetitions of documented-benign warnings (r14 postmortem)
+    graft.core.Graft.silenceKnownBenignWarnings()
     // Marks this session as an oracle-gate run: bench-only knobs that
     // would drift gated results away from their static oracles (e.g.
     // spark.graft.kmeans.k) fail fast instead of silently diverging.

@@ -39,7 +39,30 @@ object Graft {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    silenceKnownBenignWarnings()
     spark
+  }
+
+  /** Silence the handful of per-query Spark warnings that are DOCUMENTED-
+    * INTENTIONAL in this codebase, so a captured log tail carries
+    * progress instead of repetition (the r14 rc=124 postmortem: the
+    * driver's 2 KB stdout/stderr tail was 100+ copies of the WindowExec
+    * warning and zero progress lines):
+    *   - WindowExec "No Partition Defined" — every bare `Window.orderBy`
+    *     here runs on bounded inputs (top-k'd `.limit(20)` results, small
+    *     domain aggregates; audited in the r14 verdict);
+    *   - ResolveWriteToStream checkpoint-deletion notice — Verify/Bench
+    *     stream gates use throwaway checkpoints by design.
+    * Uses the log4j2 Configurator (Spark 4's logging backend) and is
+    * deliberately narrow: everything else stays at WARN. */
+  def silenceKnownBenignWarnings(): Unit = {
+    import org.apache.logging.log4j.Level
+    import org.apache.logging.log4j.core.config.Configurator
+    Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec", Level.ERROR)
+    Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.runtime.ResolveWriteToStream",
+      Level.ERROR)
   }
 
   /** Scan one TESTDATA table. Column pruning + predicate pushdown reach the

@@ -1241,7 +1241,11 @@ object Sources extends QueryGroup {
           .option("path", out).option("schema", schema.toDDL)
         asOf.fold(r)(v => r.option("asOfCommit", v.toString)).load()
       }
-      val merged = readAsOf(None).withColumn("snap", lit(2L)) // merge-on-read
+      // PINNED at the delete commit (version 2): a DSv2 scan resolves its
+      // snapshot at execution — after the compact below — so an unpinned
+      // read here would see the post-compaction state and never exercise
+      // merge-on-read vector subtraction at all (a vacuously-green gate)
+      val merged = readAsOf(Some(2)).withColumn("snap", lit(2L)) // merge-on-read
       val pre = readAsOf(Some(1)).withColumn("snap", lit(1L))
       graft.sources.KvStore.compact(s, out, schema, 2) // materialize
       val compacted = readAsOf(None).withColumn("snap", lit(3L))

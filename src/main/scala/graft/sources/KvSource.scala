@@ -565,20 +565,37 @@ class KvScan(
     * kilobyte dimension and shuffling a fact table. Files without a
     * sidecar contribute size only (row count stays unknown overall,
     * matching the "never guess" discipline). */
-  /** Live deletion-vector attachments for the planned snapshot
-    * ([[KvDv]]): file name → vector names. Non-empty only for flat
-    * committed local stores — the only layout the DV write path commits
-    * to. Planned once per scan so every consumer (splits, statistics,
-    * aggregate folds) sees one consistent state. */
-  private lazy val dvState: Map[String, Seq[String]] = {
-    if (path.startsWith("net://") || recursive) Map.empty
+  /** The PINNED snapshot for this scan: (live file set, deletion-vector
+    * attachments) resolved in ONE `stateAsOf` fold, at `asOfCommit` when
+    * set, else at whatever `latestVersion` is when the scan first needs
+    * it. `None` for net/recursive/log-less layouts (those plan from the
+    * daemon or the directory walk).
+    *
+    * Resolving ONCE is the point: an unpinned scan that asked
+    * `latestVersion` separately for the file listing and the vector
+    * attachments could straddle a concurrent `purge_dvs`/compact/zorder
+    * commit — reading a still-on-disk version-N file with version-N+1's
+    * (empty) attachments, silently resurrecting vector-deleted rows.
+    * Both [[listDataFiles]] and [[dvState]] derive from this single
+    * fold, so every consumer (splits, statistics, aggregate folds) sees
+    * one consistent version. */
+  private lazy val pinnedState
+      : Option[(Set[String], Map[String, Seq[String]])] = {
+    if (path.startsWith("net://") || recursive) None
     else {
       val dirPath = java.nio.file.Paths.get(path)
       val latest = KvCommitLog.latestVersion(dirPath)
-      if (latest <= 0) Map.empty
-      else KvCommitLog.dvsAsOf(dirPath, asOfCommit.getOrElse(latest))
+      if (latest <= 0) None
+      else Some(KvCommitLog.stateAsOf(dirPath, asOfCommit.getOrElse(latest)))
     }
   }
+
+  /** Live deletion-vector attachments for the planned snapshot
+    * ([[KvDv]]): file name → vector names. Non-empty only for flat
+    * committed local stores — the only layout the DV write path commits
+    * to. Derived from [[pinnedState]]. */
+  private lazy val dvState: Map[String, Seq[String]] =
+    pinnedState.map(_._2).getOrElse(Map.empty)
 
   private def dvPathsOf(name: String): Seq[String] =
     dvState.getOrElse(name, Nil).map(v => new File(path, v).getAbsolutePath)
@@ -792,19 +809,17 @@ class KvScan(
     def visible(f: File) =
       !f.getName.startsWith("_") && !f.getName.startsWith(".")
     val root = new File(path)
-    if (!recursive) {
-      val dirPath = java.nio.file.Paths.get(path)
-      val latest = KvCommitLog.latestVersion(dirPath)
-      if (latest > 0) {
-        val v = asOfCommit.getOrElse(latest)
-        KvListStats.record(path, "manifest")
-        return KvCommitLog.filesAsOf(dirPath, v).toSeq.sorted
-          .filter(_.endsWith(pattern))
-          .map(n => new File(root, n))
-          // manifests may name non-file entries in foreign layouts
-          // (artifact-store member directories); a scan parses files only
-          .filter(_.isFile)
-      }
+    // committed flat store: the live set comes from the SAME pinned fold
+    // as the deletion-vector attachments (pinnedState) — never a second
+    // latestVersion resolution that could straddle a concurrent commit
+    pinnedState.foreach { case (live, _) =>
+      KvListStats.record(path, "manifest")
+      return live.toSeq.sorted
+        .filter(_.endsWith(pattern))
+        .map(n => new File(root, n))
+        // manifests may name non-file entries in foreign layouts
+        // (artifact-store member directories); a scan parses files only
+        .filter(_.isFile)
     }
     def walk(d: File): Seq[File] = {
       val kids = Option(d.listFiles()).getOrElse(Array.empty[File]).toSeq

@@ -244,7 +244,11 @@ object KvStore {
     require(upserts.columns.toSeq == schema.fieldNames.toSeq,
       s"graft kv store: upsert columns ${upserts.columns.mkString(",")} must " +
         s"equal the store schema ${schema.fieldNames.mkString(",")}")
-    val upsertKeys = upserts.select(keyCol).distinct().collect()
+    // SQL-null merge semantics: a NULL key matches no store row (the
+    // executor-side vector path already treats it so), so nulls are
+    // dropped here rather than dying in an opaque MatchError — the
+    // null-keyed upsert rows themselves still land through the sink
+    val upsertKeys = upserts.select(keyCol).na.drop().distinct().collect()
       .map(r => r.get(0) match {
         case l: java.lang.Long => l.longValue()
         case i: java.lang.Integer => i.longValue()
@@ -375,7 +379,11 @@ object KvStore {
     // the change batch is the SMALL side by design (a CDC batch against a
     // big store): its distinct keys drive file targeting and ride to the
     // rewrite tasks in the job closure — the store itself never shuffles
-    val upsertKeys = upserts.select(keyCol).distinct().collect()
+    // SQL-null merge semantics: a NULL key matches no store row (the
+    // executor-side vector path already treats it so), so nulls are
+    // dropped here rather than dying in an opaque MatchError — the
+    // null-keyed upsert rows themselves still land through the sink
+    val upsertKeys = upserts.select(keyCol).na.drop().distinct().collect()
       .map(r => r.get(0) match {
         case l: java.lang.Long => l.longValue()
         case i: java.lang.Integer => i.longValue()

@@ -441,6 +441,44 @@ class KvDvSpec extends AnyFunSuite with SparkSessionFixture {
     assert(ev.filter(_._2 == "insert").map(_._1) == (90L until 110L))
   }
 
+  test("mergeDV: NULL upsert keys match no store row and do not crash the driver collect") {
+    val store = freshDir("mergedvnull")
+    append(store, 0, 10, files = 1)
+    // upsert batch carrying a NULL key: SQL-null merge semantics say it
+    // deletes nothing (matches no key) but the row itself still lands
+    val upserts = spark.range(5, 8)
+      .select(when(col("id") === 6, lit(null)).otherwise(col("id"))
+        .cast("long").as("k"), lit(-1L).as("v"))
+    val m = KvStore.mergeDV(spark, store, Schema, "k", upserts)
+    assert(m.version == 2)
+    assert(m.rowsDeleted == 2) // 5 and 7 replaced; the NULL matched nothing
+    assert(m.rowsAdded == 3)
+    val rows = readStore(store).collect()
+      .map(r => (if (r.isNullAt(0)) Long.MinValue else r.getLong(0),
+        r.getLong(1))).sortBy(_._1).toSeq
+    assert(rows.count(_._1 == Long.MinValue) == 1) // the null-keyed upsert row
+    val keyed = rows.filter(_._1 != Long.MinValue)
+    assert(keyed.map(_._1) == (0L until 10L))
+    assert(keyed.forall { case (k, v) =>
+      if (k == 5 || k == 7) v == -1L else v == 2 * k })
+  }
+
+  test("pinned scan reads ONE snapshot: asOf view stays vector-subtracted after purge_dvs moves latest") {
+    val store = freshDir("pinned")
+    append(store, 0, 100, files = 2)
+    KvStore.deleteWhereDV(spark, store, Schema, del(10, 20)) // v2: vectors
+    val pinned = readStore(store, Some(2))
+    // a maintenance commit lands AFTER the view is defined but BEFORE it
+    // executes — the scan must plan file list AND vector attachments from
+    // one stateAsOf fold (a split resolution would pair version-2 files
+    // with version-3's empty attachments and resurrect the deleted rows)
+    assert(KvStore.purgeDvs(spark, store, Schema).version == 3)
+    assert(pinned.select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      ((0L until 10L) ++ (20L until 100L)))
+    // and the post-purge latest agrees
+    assert(keysOf(store) == ((0L until 10L) ++ (20L until 100L)))
+  }
+
   test("recursive reads honor sub-store vectors (no resurrection through the parent)") {
     val parent = freshDir("recur")
     val subA = s"$parent/batch=0"
