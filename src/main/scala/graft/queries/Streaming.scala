@@ -221,13 +221,13 @@ object Streaming extends QueryGroup {
         sys.props("java.io.tmpdir"), s"graft-stream-join-$variant")
       // staged drops AND sentinels are a pure function of the source dir
       // — cache the whole set per dir, repeated runs pay zero staging
-      val cache = root.resolve("cache-" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+      val cache = root.resolve("cache2-" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
       val staged = cache.resolve("staged")
       val flushA = cache.resolve("flush_a")
       val flushB = cache.resolve("flush_b")
       if (!staged.resolve("_SUCCESS").toFile.exists() ||
           !flushB.resolve("_SUCCESS").toFile.exists()) {
-        events.repartitionByRange(3, col("ts"))
+        events.repartitionByRange(2, col("ts"))
           .write.mode("overwrite").parquet(staged.toString)
         val mx = events.agg(
           max(unix_micros(col("ts").cast("timestamp")))).collect()(0).getLong(0)
@@ -251,7 +251,7 @@ object Streaming extends QueryGroup {
       def files(p: java.nio.file.Path) = new java.io.File(p.toString)
         .listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
       val sink = s"graft_stream_join_${variant}_sink"
-      withStatePartitions(s, 8) {
+      withStatePartitions(s, 4) {
         val q = joinFn(
             s.readStream.schema(events.schema).parquet(srcRoot.toString))
           .writeStream.format("memory").queryName(sink)
@@ -313,7 +313,7 @@ object Streaming extends QueryGroup {
             ORDER BY user_id, purchase_id, s_ts"""))
 
   /** A LIVE structured stream under the driver gate: the events table is
-    * drip-fed through a parquet file source in three landed drops (the
+    * drip-fed through a parquet file source in chronological landed drops (the
     * production shape — a directory accumulating files, each drop a
     * micro-batch), the tumbling aggregation runs in complete mode into a
     * memory sink, and the CONVERGED sink table is what the oracle
@@ -333,10 +333,10 @@ object Streaming extends QueryGroup {
       // iters) pay the staging write once
       val cache = java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"), "graft-stream-live",
-        "cache-" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+        "cache2-" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
       val staged = cache.resolve("staged")
       if (!staged.resolve("_SUCCESS").toFile.exists())
-        events.repartition(3).write.mode("overwrite").parquet(staged.toString)
+        events.repartition(2).write.mode("overwrite").parquet(staged.toString)
       val srcDir = java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"), "graft-stream-live", "src")
       val srcF = srcDir.toFile
@@ -350,7 +350,7 @@ object Streaming extends QueryGroup {
       java.nio.file.Files.createDirectories(srcDir)
       val drops = new java.io.File(staged.toString).listFiles()
         .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-      withStatePartitions(s, 8) {
+      withStatePartitions(s, 4) {
         val q = EventStreams.tumbling(
             s.readStream.schema(events.schema).parquet(srcDir.toString))
           .writeStream.format("memory").queryName("graft_stream_live_sink")
@@ -379,7 +379,7 @@ object Streaming extends QueryGroup {
     *
     * Determinism engineering (append output depends on watermark
     * advancement, so the landing order is part of the contract):
-    *  - the three drops are RANGE-partitioned on ts and landed in
+    *  - the staged drops are RANGE-partitioned on ts and landed in
     *    chronological order, so no real row is ever behind the watermark;
     *  - a far-future flush sentinel (zz_flush, max ts + 30 d) advances
     *    the watermark past every real window; a SECOND drop with the same
@@ -471,13 +471,13 @@ object Streaming extends QueryGroup {
     val events = table(s, dir, "events")
     val cache = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft-stream-live-append",
-      "cache-" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+      "cache2-" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
     val staged = cache.resolve("staged")
     val flushA = cache.resolve("flush_a")
     val flushB = cache.resolve("flush_b")
     if (!staged.resolve("_SUCCESS").toFile.exists() ||
         !flushB.resolve("_SUCCESS").toFile.exists()) {
-      events.repartitionByRange(3, col("ts"))
+      events.repartitionByRange(2, col("ts"))
         .write.mode("overwrite").parquet(staged.toString)
       // sentinel drops: scalar min/max only (no data collected)
       val b = events.agg(
@@ -503,7 +503,7 @@ object Streaming extends QueryGroup {
     java.nio.file.Files.createDirectories(srcRoot)
     def files(p: java.nio.file.Path) = new java.io.File(p.toString)
       .listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, 4) {
       val q = start(transform(
         s.readStream.schema(events.schema).parquet(srcRoot.toString)))
       try {
@@ -654,7 +654,7 @@ object Streaming extends QueryGroup {
     * doc_id and land in ascending order, so the store-wins rule (an
     * earlier batch owns a fingerprint) coincides with global min-doc_id
     * per fingerprint — the same group-by the one-shot
-    * q_ingest_incremental gates, here produced by three live rounds. */
+    * q_ingest_incremental gates, here produced by the live rounds. */
   private val qStreamIngest = Q(
     "q_stream_ingest",
     (s, dir) => {
@@ -665,14 +665,14 @@ object Streaming extends QueryGroup {
       val out = s"$root/accepted"
       val docs = table(s, dir, "documents")
       val staged = root.toPath.resolve("staged")
-      docs.repartitionByRange(3, col("doc_id"))
+      docs.repartitionByRange(2, col("doc_id"))
         .write.mode("overwrite").parquet(staged.toString)
       val srcRoot = root.toPath.resolve("src")
       java.nio.file.Files.createDirectories(srcRoot)
       val stream = s.readStream.schema(docs.schema).parquet(srcRoot.toString)
         .select(col("doc_id"), col("lang"),
           graft.operators.PortableHash.charHash(col("text")).as("fp"))
-      withStatePartitions(s, 8) {
+      withStatePartitions(s, 4) {
         val q = stream.writeStream.outputMode("append")
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
             graft.operators.IncrementalIngest
@@ -726,12 +726,12 @@ object Streaming extends QueryGroup {
         .option("path", s"$store/batch=0").mode("append").save()
       val delta = docs.filter(col("doc_id") % 3 === 0)
       val staged = root.toPath.resolve("staged")
-      delta.repartitionByRange(3, col("doc_id"))
+      delta.repartitionByRange(2, col("doc_id"))
         .write.mode("overwrite").parquet(staged.toString)
       val srcRoot = root.toPath.resolve("src")
       java.nio.file.Files.createDirectories(srcRoot)
       val stream = s.readStream.schema(docs.schema).parquet(srcRoot.toString)
-      withStatePartitions(s, 8) {
+      withStatePartitions(s, 4) {
         val q = stream.writeStream.outputMode("append")
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
             val banded = Training.bandedDocs(batch.toDF())
@@ -784,12 +784,12 @@ object Streaming extends QueryGroup {
         .option("path", s"$store/batch=0").mode("append").save()
       val delta = docs.filter(col("doc_id") % 3 === 0)
       val staged = root.toPath.resolve("staged")
-      delta.repartitionByRange(3, col("doc_id"))
+      delta.repartitionByRange(2, col("doc_id"))
         .write.mode("overwrite").parquet(staged.toString)
       val srcRoot = root.toPath.resolve("src")
       java.nio.file.Files.createDirectories(srcRoot)
       val stream = s.readStream.schema(docs.schema).parquet(srcRoot.toString)
-      withStatePartitions(s, 8) {
+      withStatePartitions(s, 4) {
         val q = stream.writeStream.outputMode("append")
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
             val banded = Llm.phashBandedDocs(batch.toDF())
@@ -844,12 +844,12 @@ object Streaming extends QueryGroup {
         (200L until 208L).toSeq, 3, 64, idx)
       val queries = e.filter(col("vec_id") < 24)
       val staged = root.toPath.resolve("staged")
-      queries.repartitionByRange(3, col("vec_id"))
+      queries.repartitionByRange(2, col("vec_id"))
         .write.mode("overwrite").parquet(staged.toString)
       val srcRoot = root.toPath.resolve("src")
       java.nio.file.Files.createDirectories(srcRoot)
       val stream = s.readStream.schema(queries.schema).parquet(srcRoot.toString)
-      withStatePartitions(s, 8) {
+      withStatePartitions(s, 4) {
         val q = stream.writeStream.outputMode("append")
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
             graft.operators.AnnIndex.probe(batch.toDF(), idx,
@@ -927,12 +927,12 @@ object Streaming extends QueryGroup {
         docs.filter(col("doc_id") % 5 =!= 0), "lang", "text", mdl)
       val test = docs.filter(col("doc_id") % 5 === 0)
       val staged = root.toPath.resolve("staged")
-      test.repartitionByRange(3, col("doc_id"))
+      test.repartitionByRange(2, col("doc_id"))
         .write.mode("overwrite").parquet(staged.toString)
       val srcRoot = root.toPath.resolve("src")
       java.nio.file.Files.createDirectories(srcRoot)
       val stream = s.readStream.schema(test.schema).parquet(srcRoot.toString)
-      withStatePartitions(s, 8) {
+      withStatePartitions(s, 4) {
         val q = stream.writeStream.outputMode("append")
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
             graft.operators.ModelStore.score(batch.toDF(), "doc_id", "text", mdl)
@@ -965,7 +965,7 @@ object Streaming extends QueryGroup {
     * q_stream_classify, completing live serving across the whole
     * persisted-artifact triple: the inverted index
     * ([[graft.operators.TextIndex]]) is built and committed ONCE before
-    * the stream starts; term queries then arrive as three drops and
+    * the stream starts; term queries then arrive as chronological drops and
     * every micro-batch searches the COMMITTED postings via foreachBatch
     * (no re-tokenize ever — each search reads only its query terms'
     * `tb` bucket partitions, TextIndexSpec pins the pruned scan).
@@ -991,12 +991,12 @@ object Streaming extends QueryGroup {
         (1L, Seq("stream", "window")),
         (2L, Seq("merge", "sort", "filter"))).toDF("query_id", "terms")
       val staged = root.toPath.resolve("staged")
-      queries.repartitionByRange(3, col("query_id"))
+      queries.repartitionByRange(2, col("query_id"))
         .write.mode("overwrite").parquet(staged.toString)
       val srcRoot = root.toPath.resolve("src")
       java.nio.file.Files.createDirectories(srcRoot)
       val stream = s.readStream.schema(queries.schema).parquet(srcRoot.toString)
-      withStatePartitions(s, 8) {
+      withStatePartitions(s, 4) {
         val q = stream.writeStream.outputMode("append")
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
             val reqs = batch.collect() // a batch of query REQUESTS — driver-sized by definition
@@ -1086,12 +1086,12 @@ object Streaming extends QueryGroup {
       val idx = s"$root/index"
       val docs = table(s, dir, "documents").select("doc_id", "text")
       val staged = root.toPath.resolve("staged")
-      docs.repartitionByRange(3, col("doc_id"))
+      docs.repartitionByRange(2, col("doc_id"))
         .write.mode("overwrite").parquet(staged.toString)
       val srcRoot = root.toPath.resolve("src")
       java.nio.file.Files.createDirectories(srcRoot)
       val stream = s.readStream.schema(docs.schema).parquet(srcRoot.toString)
-      withStatePartitions(s, 8) {
+      withStatePartitions(s, 4) {
         val q = stream.writeStream.outputMode("append")
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
             if (!batch.isEmpty) {
@@ -1137,12 +1137,12 @@ object Streaming extends QueryGroup {
       val docs = table(s, dir, "documents").select("doc_id", "lang", "text")
       val train = docs.filter(col("doc_id") % 5 =!= 0)
       val staged = root.toPath.resolve("staged")
-      train.repartitionByRange(3, col("doc_id"))
+      train.repartitionByRange(2, col("doc_id"))
         .write.mode("overwrite").parquet(staged.toString)
       val srcRoot = root.toPath.resolve("src")
       java.nio.file.Files.createDirectories(srcRoot)
       val stream = s.readStream.schema(train.schema).parquet(srcRoot.toString)
-      withStatePartitions(s, 8) {
+      withStatePartitions(s, 4) {
         val q = stream.writeStream.outputMode("append")
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
             if (!batch.isEmpty) {
@@ -1200,7 +1200,7 @@ object Streaming extends QueryGroup {
       val srcRoot = root.toPath.resolve("src")
       java.nio.file.Files.createDirectories(srcRoot)
       val stream = s.readStream.schema(delta.schema).parquet(srcRoot.toString)
-      withStatePartitions(s, 8) {
+      withStatePartitions(s, 4) {
         val q = stream.writeStream.outputMode("append")
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
             if (!batch.isEmpty)
