@@ -206,19 +206,22 @@ object Bench {
       }
     }))
 
-    // Untimed warmup: one full sweep of the NON-FLOOR registry. A partial
+    // Untimed warmup: one full sweep of the registry. A partial
     // (3-query) warmup left first-iteration JIT/codegen cost landing on
     // whichever queries ran early — r4/r5 both published ~2-6x-inflated
     // times for a shifting handful of early-alphabet queries. Sweeping
     // everything once means the timed min below is steady-state for every
-    // query, at the cost of one extra (untimed) pass. Floor gates are
-    // excluded: their wall time is a trigger/commit floor that warmup
-    // cannot amortize, and their ~130 s pass was r14's timeout budget.
+    // query, at the cost of one extra (untimed) pass. Floor gates warm
+    // too — their published number should be the steady floor, not a
+    // one-off codegen+index-bootstrap bill (the first no-warmup r15 run
+    // published q_sim_ivf_compacted at 18 s vs its 5.5 s steady state:
+    // the compacted twin's persisted-index cache was cold); what they
+    // skip is the SECOND timed iteration, which on a fixed floor
+    // measures nothing.
     val warm0 = System.nanoTime()
-    val toWarm = selected.filterNot { case (n, _) => floor(n) }
-    toWarm.zipWithIndex.foreach { case ((name, fn), i) =>
+    selected.zipWithIndex.foreach { case ((name, fn), i) =>
       val t = timeOne(name, fn)
-      System.err.println(f"[bench] warm ${i + 1}/${toWarm.size} $name $t%.2fs")
+      System.err.println(f"[bench] warm ${i + 1}/${selected.size} $name $t%.2fs")
       probeLine(s"warm:$name", t, (System.nanoTime() - warm0) / 1e9)
     }
 

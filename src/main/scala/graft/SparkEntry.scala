@@ -31,10 +31,11 @@ object SparkEntry {
     * live micro-batch triggers (drip-fed `_live`/`q_stream_*` gates pay
     * per-trigger scheduling, not data volume) or a persisted-store
     * round-trip (index build + commit + probe). Min-of-N steady-state
-    * timing measures nothing on a fixed floor, so [[Bench]] runs these
-    * ONCE, skips their untimed warmup pass, and caps their rebench at a
+    * timing measures nothing on a fixed floor, so [[Bench]] times these
+    * ONCE (after the shared untimed warmup pass — the steady floor, not
+    * a one-off codegen/index-bootstrap bill) and caps their rebench at a
     * single run — that protocol cut the r14 sweep's wall clock by the
-    * two redundant passes over ~130 s of floors (the r14 rc=124
+    * redundant second timed pass over ~130 s of floors (the r14 rc=124
     * postmortem). Membership is validated against the registry so a
     * renamed query cannot silently lose its tag. */
   val floorGates: Set[String] = Set(

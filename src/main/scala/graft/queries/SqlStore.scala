@@ -312,6 +312,125 @@ object SqlStore extends QueryGroup {
               min(k) AS k_min, max(k) AS k_max
             FROM snaps GROUP BY 1, 2 ORDER BY snap, prio"""))
 
+  /** `ALTER TABLE RENAME COLUMN / DROP COLUMN` (r15) — metadata-only
+    * column evolution over the positional store (sources/KvColView): a
+    * column's physical identity is its BIRTH name (the store's field
+    * id), so RENAME only remaps the logical presentation (every committed
+    * zone-map/Bloom sidecar keeps pruning under the birth name) and DROP
+    * only tombstones the position (reads project it out, writes
+    * null-fill it, files stay byte-identical). The gate drives the full
+    * lifecycle: rename → filtered read on the new name → drop a MIDDLE
+    * column → insert through the narrowed schema → DELETE with a
+    * renamed-column predicate → three snapshot reads, with VERSION AS OF
+    * below each evolution still presenting (and reading) the view of its
+    * day — all against the base-table oracle, so a shifted position, a
+    * resurrected column, or a broken era read breaks the hash. */
+  private val qSqlStoreEvolveDrop = Q(
+    "q_sql_store_evolve_drop",
+    (s, dir) => {
+      cat(s)
+      fresh(s, "t_evd")
+      s.sql("CREATE TABLE graftkv.cat.t_evd (k BIGINT, cust BIGINT, prio STRING)")
+      table(s, dir, "orders").createOrReplaceTempView("orders_evd_v")
+      s.sql("""INSERT INTO graftkv.cat.t_evd
+               SELECT /*+ REPARTITION_BY_RANGE(4, o_orderkey) */
+                 o_orderkey, o_custkey, o_orderpriority
+               FROM orders_evd_v WHERE o_orderkey < 4000""")           // v1
+      s.sql("ALTER TABLE graftkv.cat.t_evd RENAME COLUMN cust TO customer")
+      s.sql("""INSERT INTO graftkv.cat.t_evd
+               SELECT o_orderkey, o_custkey, o_orderpriority
+               FROM orders_evd_v WHERE o_orderkey >= 4000""")          // v2
+      s.sql("ALTER TABLE graftkv.cat.t_evd DROP COLUMN customer")
+      s.sql("""INSERT INTO graftkv.cat.t_evd
+               SELECT o_orderkey + 1000000, o_orderpriority
+               FROM orders_evd_v WHERE o_orderkey < 500""")            // v3
+      s.sql("DELETE FROM graftkv.cat.t_evd WHERE k >= 2000 AND k < 4000") // v4
+      s.sql("""SELECT snap, prio, count(*) AS n, sum(customer) AS cust_sum,
+                 min(k) AS k_min, max(k) AS k_max
+               FROM (
+                 SELECT CAST(1 AS BIGINT) AS snap, k, prio, cust AS customer
+                 FROM graftkv.cat.t_evd VERSION AS OF 1
+                 UNION ALL
+                 SELECT CAST(2 AS BIGINT) AS snap, k, prio, customer
+                 FROM graftkv.cat.t_evd VERSION AS OF 2
+                 UNION ALL
+                 SELECT CAST(3 AS BIGINT) AS snap, k, prio,
+                   CAST(NULL AS BIGINT) AS customer
+                 FROM graftkv.cat.t_evd)
+               GROUP BY 1, 2 ORDER BY snap, prio""")
+    },
+    Some("""WITH snaps AS (
+              SELECT 1 AS snap, o_orderkey AS k, o_orderpriority AS prio,
+                o_custkey AS customer
+              FROM orders WHERE o_orderkey < 4000
+              UNION ALL
+              SELECT 2, o_orderkey, o_orderpriority, o_custkey FROM orders
+              UNION ALL
+              SELECT 3, o_orderkey, o_orderpriority, CAST(NULL AS BIGINT)
+              FROM orders
+              WHERE NOT (o_orderkey >= 2000 AND o_orderkey < 4000)
+              UNION ALL
+              SELECT 3, o_orderkey + 1000000, o_orderpriority,
+                CAST(NULL AS BIGINT)
+              FROM orders WHERE o_orderkey < 500)
+            SELECT CAST(snap AS BIGINT) AS snap, prio, count(*) AS n,
+              CAST(sum(customer) AS BIGINT) AS cust_sum,
+              min(k) AS k_min, max(k) AS k_max
+            FROM snaps GROUP BY 1, 2 ORDER BY snap, prio"""))
+
+  /** WRITE-TIME CONSTRAINTS (r15) — NOT NULL + bounded CHECK enforced at
+    * the writing task's commit from its zone-map accumulators
+    * (sources/KvSink KvConstraint: zero per-row cost, the sidecar stats
+    * ARE the evidence). The gate creates a constrained table, lands a
+    * valid write, then drives TWO violating writes (a CHECK breach
+    * hidden among valid rows across several tasks, and a NOT NULL
+    * breach) — each must fail loudly NAMING the constraint and publish
+    * NOTHING (2PC: the job aborts, staged files are discarded) — and
+    * finally proves the table still equals the valid write exactly.
+    * KvCatalogSpec pins the structural claims (live set unchanged, no
+    * staging debris, CoW-path enforcement, SQL null semantics). */
+  private val qSqlStoreConstraints = Q(
+    "q_sql_store_constraints",
+    (s, dir) => {
+      cat(s)
+      fresh(s, "t_cstr")
+      s.sql("""CREATE TABLE graftkv.cat.t_cstr (k BIGINT, cust BIGINT, prio STRING)
+               TBLPROPERTIES ('notNull'='k', 'check.k_pos'='k >= 0')""")
+      table(s, dir, "orders").createOrReplaceTempView("orders_cstr_v")
+      s.sql("""INSERT INTO graftkv.cat.t_cstr
+               SELECT /*+ REPARTITION(4) */ o_orderkey, o_custkey,
+                 o_orderpriority
+               FROM orders_cstr_v""")
+      def blocked(sql: String, constraint: String): Long =
+        try { s.sql(sql).collect(); 0L }
+        catch { case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse("") +
+            Iterator.iterate(e.getCause)(_.getCause).takeWhile(_ != null)
+              .take(5).map(c => Option(c.getMessage).getOrElse("")).mkString
+          if (msg.contains(constraint)) 1L else 0L
+        }
+      // a single negated key among thousands of valid rows, spread over
+      // several tasks — still nothing publishes
+      val b1 = blocked(
+        """INSERT INTO graftkv.cat.t_cstr
+           SELECT /*+ REPARTITION(4) */
+             CASE WHEN o_orderkey = 7 THEN -o_orderkey ELSE o_orderkey + 10000000 END,
+             o_custkey, o_orderpriority
+           FROM orders_cstr_v""", "k_pos")
+      val b2 = blocked(
+        "INSERT INTO graftkv.cat.t_cstr VALUES (NULL, 1, 'x')", "notnull_k")
+      s.sql(s"""SELECT count(*) AS n, min(k) AS k_min, max(k) AS k_max,
+                  sum(cust) AS cust_sum, CAST($b1 AS BIGINT) AS check_blocked,
+                  CAST($b2 AS BIGINT) AS notnull_blocked
+                FROM graftkv.cat.t_cstr""")
+    },
+    Some("""SELECT count(*) AS n, min(o_orderkey) AS k_min,
+              max(o_orderkey) AS k_max,
+              CAST(sum(o_custkey) AS BIGINT) AS cust_sum,
+              CAST(1 AS BIGINT) AS check_blocked,
+              CAST(1 AS BIGINT) AS notnull_blocked
+            FROM orders"""))
+
   /** SQL MAINTENANCE (r13) — `CALL graftkv.system.{compact,checkpoint,
     * vacuum}` (sources/KvProcedures): operators never leave SQL. The gate
     * runs the full maintenance cycle — small-files ingest, in-log
@@ -501,6 +620,11 @@ object SqlStore extends QueryGroup {
                  CAST(round(o_totalprice * 100) AS BIGINT)
                FROM orders_zord_v""")
       s.sql("CALL graftkv.system.zorder('cat.t_zord', 'cust,k', 8)").collect()
+      // size-driven maintenance after the clustering investment: compact
+      // detects the persisted spec and re-sorts within the rewrite
+      // (clustering-preserving, r15 — KvZorderSpec pins the layout
+      // survival by measured prune counts; the gate pins content)
+      s.sql("CALL graftkv.system.compact('cat.t_zord', 3)").collect()
       s.sql("""SELECT count(*) AS n_total,
                  count(CASE WHEN cust BETWEEN 100 AND 300
                             AND k BETWEEN 200 AND 900 THEN 1 END) AS n_box,
@@ -609,7 +733,7 @@ object SqlStore extends QueryGroup {
     Seq(qSqlStoreCatalog, qSqlStoreTimetravel, qSqlStoreDelete,
       qSqlStoreOverwrite, qSqlStorePartitioned, qSqlStoreCtas,
       qSqlStoreUpdate, qSqlStoreMerge, qSqlStoreEvolution,
-      qSqlStoreMaintenance, qSqlStoreCdf, qSqlStoreDeleteDv,
-      qSqlStoreHistory, qSqlStoreZorder, qSqlStoreRestore,
-      qSqlStoreFiles)
+      qSqlStoreEvolveDrop, qSqlStoreConstraints, qSqlStoreMaintenance,
+      qSqlStoreCdf, qSqlStoreDeleteDv, qSqlStoreHistory, qSqlStoreZorder,
+      qSqlStoreRestore, qSqlStoreFiles)
 }

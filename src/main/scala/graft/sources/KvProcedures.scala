@@ -43,7 +43,7 @@ private[sources] object KvProcedures {
   /** A procedure over one store table: `resolve` maps the user's
     * 'ns.table' string to (dir, currentSchema). */
   private abstract class StoreProcedure(
-      procName: String, resolve: String => (String, StructType),
+      procName: String, resolve: String => (String, StructType, String => String),
       params: Seq[ProcedureParameter])
       extends UnboundProcedure with BoundProcedure {
     override def name(): String = procName
@@ -51,6 +51,14 @@ private[sources] object KvProcedures {
     override def parameters(): Array[ProcedureParameter] = params.toArray
     override def isDeterministic: Boolean = false
     protected def table(input: InternalRow): (String, StructType) = {
+      val (dir, schema, _) = tableWithView(input)
+      (dir, schema)
+    }
+    /** dir, PHYSICAL schema, and the logical→birth column translator
+      * (identity on non-evolved tables) — procedure column args are
+      * user-facing logical names. */
+    protected def tableWithView(input: InternalRow)
+        : (String, StructType, String => String) = {
       require(!input.isNullAt(0), s"graft kv catalog: $procName needs a table")
       resolve(input.getUTF8String(0).toString)
     }
@@ -60,7 +68,7 @@ private[sources] object KvProcedures {
     ProcedureParameter.in("table", StringType)
       .comment("store table as 'namespace.name'").build()
 
-  def compact(resolve: String => (String, StructType)): UnboundProcedure =
+  def compact(resolve: String => (String, StructType, String => String)): UnboundProcedure =
     new StoreProcedure("compact", resolve, Seq(tableParam,
       ProcedureParameter.in("target_files", IntegerType)
         .comment("file count to fold the live set into").build())) {
@@ -78,7 +86,7 @@ private[sources] object KvProcedures {
       }
     }
 
-  def checkpoint(resolve: String => (String, StructType)): UnboundProcedure =
+  def checkpoint(resolve: String => (String, StructType, String => String)): UnboundProcedure =
     new StoreProcedure("checkpoint", resolve, Seq(tableParam)) {
       override def description(): String =
         "write a commit-log checkpoint at the current head (bounds log " +
@@ -91,7 +99,7 @@ private[sources] object KvProcedures {
       }
     }
 
-  def vacuum(resolve: String => (String, StructType)): UnboundProcedure =
+  def vacuum(resolve: String => (String, StructType, String => String)): UnboundProcedure =
     new StoreProcedure("vacuum", resolve, Seq(tableParam,
       ProcedureParameter.in("keep_from", IntegerType)
         .comment("oldest commit version that stays time-travelable").build())) {
@@ -107,7 +115,7 @@ private[sources] object KvProcedures {
       }
     }
 
-  def purgeDvs(resolve: String => (String, StructType)): UnboundProcedure =
+  def purgeDvs(resolve: String => (String, StructType, String => String)): UnboundProcedure =
     new StoreProcedure("purge_dvs", resolve, Seq(tableParam)) {
       override def description(): String =
         "materialize deletion vectors: rewrite only the vector-carrying " +
@@ -123,7 +131,7 @@ private[sources] object KvProcedures {
       }
     }
 
-  def zorder(resolve: String => (String, StructType)): UnboundProcedure =
+  def zorder(resolve: String => (String, StructType, String => String)): UnboundProcedure =
     new StoreProcedure("zorder", resolve, Seq(tableParam,
       ProcedureParameter.in("columns", StringType)
         .comment("two integer columns as 'a,b' — the interleave order").build(),
@@ -134,13 +142,13 @@ private[sources] object KvProcedures {
           "of two columns, so zone maps prune on both at once (one OCC " +
           "commit; content unchanged; time travel preserved until vacuum)"
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
-        val (dir, schema) = table(input)
+        val (dir, schema, toPhys) = tableWithView(input)
         val cols = input.getUTF8String(1).toString.split(",").map(_.trim)
         require(cols.length == 2,
           s"graft kv catalog: zorder needs exactly two columns, got " +
             input.getUTF8String(1))
         val m = KvStore.zorder(SparkSession.active, dir, schema,
-          (cols(0), cols(1)), input.getInt(2))
+          (toPhys(cols(0)), toPhys(cols(1))), input.getInt(2))
         import scala.jdk.CollectionConverters._
         out(InternalRow(m.version, m.rewritten.toLong, m.rowsAdded),
           "version" -> IntegerType, "files_written" -> LongType,
@@ -148,7 +156,7 @@ private[sources] object KvProcedures {
       }
     }
 
-  def restore(resolve: String => (String, StructType)): UnboundProcedure =
+  def restore(resolve: String => (String, StructType, String => String)): UnboundProcedure =
     new StoreProcedure("restore", resolve, Seq(tableParam,
       ProcedureParameter.in("version", IntegerType)
         .comment("committed version whose content becomes the new head").build())) {
@@ -169,7 +177,7 @@ private[sources] object KvProcedures {
     Seq("compact", "checkpoint", "vacuum", "purge_dvs", "zorder", "restore")
 
   def load(ident: Identifier,
-      resolve: String => (String, StructType)): UnboundProcedure = {
+      resolve: String => (String, StructType, String => String)): UnboundProcedure = {
     require(ident.namespace().sameElements(Array("system")),
       s"graft kv catalog: procedures live in the 'system' namespace, got " +
         ident.toString)

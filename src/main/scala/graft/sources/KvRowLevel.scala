@@ -72,9 +72,14 @@ object KvRowLevel {
   * `newScanBuilder` (possibly reused by the runtime group-filter
   * machinery) and `newWriteBuilder` on the SAME instance — the scanned
   * file set crosses from scan planning to write commit through it. */
+/** `schema` is the PHYSICAL era schema; `view` is set on evolved tables
+  * ([[KvColView]]) — Spark's rewrite plans then speak logical names and
+  * the translation happens at this boundary (scan prune/filters, write
+  * schema check, row expansion), exactly like the main read/write path. */
 class KvRowLevelOperation(dir: String, schema: StructType,
     partCol: Option[String], cmd: RowLevelOperation.Command,
-    bloomCols: Seq[String] = Nil)
+    bloomCols: Seq[String] = Nil, view: Option[KvColView] = None,
+    constraints: Seq[KvConstraint] = Nil)
     extends RowLevelOperation {
 
   /** The snapshot every piece of this operation derives from: scan plans
@@ -95,20 +100,27 @@ class KvRowLevelOperation(dir: String, schema: StructType,
     Array(Expressions.column(KvRowLevel.FileCol))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new KvCoWScanBuilder(this, dir, schema)
+    new KvCoWScanBuilder(this, dir, schema, view)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val dataFields = info.schema().fields
       .filterNot(_.name == KvRowLevel.FileCol)
+    val visible = view.map(_.logical).getOrElse(schema)
     require(dataFields.map(f => (f.name, f.dataType)).toSeq ==
-      schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      visible.fields.map(f => (f.name, f.dataType)).toSeq,
       s"graft kv catalog: row-level write schema ${info.schema().toDDL} " +
-        s"does not match table schema ${schema.toDDL}")
+        s"does not match table schema ${visible.toDDL}")
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
+          // on evolved tables the replacement rows arrive logical and
+          // expand to the physical layout; a dropped column's values
+          // null-fill in the rewritten file — invisible at every
+          // readable version (the rewrite exists only at versions ≥ the
+          // drop era; time travel below reads the ORIGINAL files)
           new KvCoWBatchWrite(KvRowLevelOperation.this, dir,
-            StructType(dataFields), partCol, bloomCols)
+            view.map(_.physical).getOrElse(StructType(dataFields)),
+            partCol, bloomCols, view, constraints)
       }
     }
   }
@@ -120,7 +132,7 @@ class KvRowLevelOperation(dir: String, schema: StructType,
   * pruned, rows NEVER filtered connector-side (residual discipline —
   * kept files must surface every row for the rewrite to copy). */
 class KvCoWScanBuilder(op: KvRowLevelOperation, dir: String,
-    dataSchema: StructType)
+    dataSchema: StructType, view: Option[KvColView] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
@@ -129,29 +141,39 @@ class KvCoWScanBuilder(op: KvRowLevelOperation, dir: String,
   private var prunable: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+    // evolved tables: Spark requests logical names; the reader projects
+    // by birth name (metadata cols like `_file` pass through the map)
+    required = view.fold(requiredSchema)(_.toPhysSchema(requiredSchema))
 
   /** Every filter comes back as a residual (Spark re-evaluates all of
     * them); the zone-prunable shapes are ALSO recorded to skip whole
     * files whose sidecar proves no row can match — file-level targeting
-    * with row-level semantics untouched. */
+    * with row-level semantics untouched. On evolved tables only
+    * view-renameable shapes participate in pruning (the rest simply
+    * never skip a file — correctness unaffected). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val names = dataSchema.fieldNames.toSet
-    prunable = filters.filter(KvCatalogTable.deletable(_, names))
+    val phys = view match {
+      case Some(v) => filters.flatMap(v.filterToPhys(_))
+      case None => filters
+    }
+    prunable = phys.filter(KvCatalogTable.deletable(_, names))
     filters
   }
 
   override def pushedFilters(): Array[Filter] = prunable
 
   override def build(): Scan =
-    new KvCoWScan(op, dir, dataSchema, required, prunable)
+    new KvCoWScan(op, dir, dataSchema, required, prunable, view)
 }
 
 class KvCoWScan(op: KvRowLevelOperation, dir: String,
-    dataSchema: StructType, required: StructType, prunable: Array[Filter])
+    dataSchema: StructType, required: StructType, prunable: Array[Filter],
+    view: Option[KvColView] = None)
     extends Scan with Batch with SupportsRuntimeV2Filtering {
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType =
+    view.fold(required)(_.toLogicalSchema(required))
   override def toBatch: Batch = this
   override def description(): String =
     s"graft_kv_cow_scan($dir base=${op.base}) " +
@@ -215,15 +237,23 @@ class KvCoWScan(op: KvRowLevelOperation, dir: String,
   * (full zone-map/stats discipline), committed as removes(scanned) +
   * adds(staged) in ONE manifest CASed at `base+1`. */
 class KvCoWBatchWrite(op: KvRowLevelOperation, dir: String,
-    schema: StructType, partCol: Option[String], bloomCols: Seq[String] = Nil)
+    schema: StructType, partCol: Option[String], bloomCols: Seq[String] = Nil,
+    view: Option[KvColView] = None, constraints: Seq[KvConstraint] = Nil)
     extends BatchWrite {
 
   private val nonce: String =
     java.lang.Long.toUnsignedString(
       java.util.concurrent.ThreadLocalRandom.current().nextLong(), 36)
 
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    KvWriterFactory(dir, schema, partCol, nonce, bloomCols)
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val inner = KvWriterFactory(dir, schema, partCol, nonce, bloomCols,
+      constraints)
+    view match {
+      case Some(v) => KvExpandingWriterFactory(inner,
+        schema.fields.map(_.dataType), v.writeMapping)
+      case None => inner
+    }
+  }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dirPath = Paths.get(dir)

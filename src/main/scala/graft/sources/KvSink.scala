@@ -103,9 +103,16 @@ class KvTable(path: String, writeSchema: StructType,
     }
 }
 
+/** `schema` is the layout WRITTEN (the physical era schema on evolved
+  * catalog tables). With `expandFrom` ([[KvColView]]) the incoming rows
+  * are the view's LOGICAL shape and each is expanded to the physical
+  * layout before the task writer sees it — null at dropped positions,
+  * birth-name sidecar keys throughout. */
 class KvBatchWrite(path: String, schema: StructType,
     partCol: Option[String] = None, replace: Boolean = false,
-    txnId: Option[String] = None, bloomCols: Seq[String] = Nil)
+    txnId: Option[String] = None, bloomCols: Seq[String] = Nil,
+    expandFrom: Option[KvColView] = None,
+    constraints: Seq[KvConstraint] = Nil)
     extends BatchWrite {
   /** Per-write nonce folded into staged/published file names: partitionId
     * and taskId are only unique within one SparkContext, and with
@@ -116,8 +123,15 @@ class KvBatchWrite(path: String, schema: StructType,
     java.lang.Long.toUnsignedString(
       java.util.concurrent.ThreadLocalRandom.current().nextLong(), 36)
 
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    KvWriterFactory(path, schema, partCol, nonce, bloomCols)
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val inner = KvWriterFactory(path, schema, partCol, nonce, bloomCols,
+      constraints)
+    expandFrom match {
+      case Some(v) => KvExpandingWriterFactory(inner,
+        schema.fields.map(_.dataType), v.writeMapping)
+      case None => inner
+    }
+  }
 
   /** Driver-side atomic publish: exactly one staged file per partition
     * (Spark's OutputCommitCoordinator guarantees one committed attempt),
@@ -186,6 +200,94 @@ class KvBatchWrite(path: String, schema: StructType,
       case KvCommit(files) =>
         files.foreach(sf => Files.deleteIfExists(Paths.get(sf.stagedFile)))
       case _ => ()
+    }
+}
+
+/** WRITE-TIME CONSTRAINTS (r15): NOT NULL and bounded CHECK, enforced at
+  * the writing task's commit from the zone-map accumulators it already
+  * maintains — zero additional per-row cost (the same min/max/null-count
+  * the sidecar publishes is exactly the evidence a bounds check needs).
+  * A violating task THROWS before returning its commit message, so the
+  * job aborts, [[KvBatchWrite.abort]] discards every staged file, and
+  * nothing publishes — the 2PC discipline upgraded to a constraint gate.
+  * SQL semantics: a NULL value never violates CHECK (only NOT NULL
+  * rejects nulls); NaN counts as greater than any finite bound (Spark's
+  * double ordering). Columns are BIRTH names on evolved tables — the
+  * writer schema is physical there, so indices resolve directly. */
+sealed trait KvConstraint extends Serializable {
+  def name: String
+  def col: String
+  def describe: String
+}
+final case class KvNotNull(col: String) extends KvConstraint {
+  def name = s"notnull_$col"
+  def describe = s"$col IS NOT NULL"
+}
+/** `col OP literal` with OP ∈ >=, >, <=, <, = over an int/double/string
+  * column; `value` is the literal rendered as a string (parsed per the
+  * column type at check time). */
+final case class KvCheckBound(name: String, col: String, op: String,
+    value: String) extends KvConstraint {
+  require(Seq(">=", ">", "<=", "<", "=").contains(op),
+    s"graft kv catalog: unsupported CHECK operator '$op'")
+  def describe = s"$col $op $value"
+}
+
+object KvConstraint {
+  /** Violation evidence from one staged file's accumulated stats: None =
+    * provably satisfied, Some(msg) = violated (msg names the observed
+    * bound). All-null columns satisfy every CHECK (SQL: null never
+    * violates CHECK). */
+  def violation(c: KvConstraint, schema: StructType, nulls: Long,
+      intBounds: Option[(Long, Long)], dblBounds: Option[(Double, Double)],
+      hasNaN: Boolean, strBounds: Option[(String, String)]): Option[String] =
+    c match {
+      case KvNotNull(col) =>
+        if (nulls > 0) Some(s"$nulls null value(s) in '$col'") else None
+      case KvCheckBound(_, col, op, value) =>
+        schema(col).dataType match {
+          case LongType | IntegerType =>
+            val v = value.toLong
+            intBounds.flatMap { case (mn, mx) =>
+              val bad = op match {
+                case ">=" => mn < v
+                case ">" => mn <= v
+                case "<=" => mx > v
+                case "<" => mx >= v
+                case "=" => mn != v || mx != v
+              }
+              if (bad) Some(s"observed [$mn, $mx] in '$col'") else None
+            }
+          case DoubleType =>
+            val v = value.toDouble
+            // NaN orders above every finite double in Spark semantics
+            if (hasNaN && (op == "<=" || op == "<" || op == "="))
+              Some(s"NaN in '$col'")
+            else dblBounds.flatMap { case (mn, mx) =>
+              val bad = op match {
+                case ">=" => mn < v
+                case ">" => mn <= v
+                case "<=" => mx > v
+                case "<" => mx >= v
+                case "=" => mn != v || mx != v
+              }
+              if (bad) Some(s"observed [$mn, $mx] in '$col'") else None
+            }
+          case StringType =>
+            strBounds.flatMap { case (mn, mx) =>
+              def cmp(a: String, b: String) = KvEscape.cpCompare(a, b)
+              val bad = op match {
+                case ">=" => cmp(mn, value) < 0
+                case ">" => cmp(mn, value) <= 0
+                case "<=" => cmp(mx, value) > 0
+                case "<" => cmp(mx, value) >= 0
+                case "=" => cmp(mn, value) != 0 || cmp(mx, value) != 0
+              }
+              if (bad) Some(s"observed ['$mn', '$mx'] in '$col'") else None
+            }
+          case dt => throw new IllegalArgumentException(
+            s"graft kv sink: CHECK on unsupported type ${dt.catalogString}")
+        }
     }
 }
 
@@ -1026,11 +1128,11 @@ object KvEscape {
 
 case class KvWriterFactory(path: String, schema: StructType,
     partCol: Option[String] = None, nonce: String = "0",
-    bloomCols: Seq[String] = Nil)
+    bloomCols: Seq[String] = Nil, constraints: Seq[KvConstraint] = Nil)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new KvDataWriter(path, schema, partitionId, taskId, partCol, nonce,
-      bloomCols)
+      bloomCols, constraints)
 }
 
 /** Task-side writer. Default layout: ONE staged file per task. With
@@ -1044,8 +1146,11 @@ case class KvWriterFactory(path: String, schema: StructType,
   * (several files may share a value — the source groups them). */
 class KvDataWriter(path: String, schema: StructType, partitionId: Int,
     taskId: Long, partCol: Option[String] = None, nonce: String = "0",
-    bloomCols: Seq[String] = Nil)
+    bloomCols: Seq[String] = Nil, constraints: Seq[KvConstraint] = Nil)
     extends DataWriter[InternalRow] {
+  constraints.foreach(c => require(schema.fieldNames.contains(c.col),
+    s"graft kv sink: constraint '${c.name}' references unknown column " +
+      s"'${c.col}'"))
 
   private val statIdx: Array[Int] = schema.fields.zipWithIndex.collect {
     case (f, i) if f.dataType == LongType || f.dataType == IntegerType => i
@@ -1249,10 +1354,36 @@ class KvDataWriter(path: String, schema: StructType, partitionId: Int,
     out.newLine()
   }
 
+  /** Constraint gate at TASK commit: the accumulators this writer kept
+    * for the zone-map sidecar are exactly the evidence each constraint
+    * needs, so enforcement is free per-row and the violation surfaces
+    * BEFORE this task returns its staged files — the job aborts, the
+    * driver's abort() discards all staging, nothing publishes. */
+  private def enforceConstraints(acc: FileAcc): Unit = constraints.foreach { c =>
+    val ci = schema.fieldNames.indexOf(c.col)
+    val ji = statIdx.indexOf(ci)
+    val jd = dStatIdx.indexOf(ci)
+    val js = sStatIdx.indexOf(ci)
+    val intB = if (ji >= 0 && acc.mins(ji) <= acc.maxs(ji))
+      Some((acc.mins(ji), acc.maxs(ji))) else None
+    val dblB = if (jd >= 0 && acc.dMins(jd) <= acc.dMaxs(jd))
+      Some((acc.dMins(jd), acc.dMaxs(jd))) else None
+    val strB = if (js >= 0 && acc.sMins(js) != null)
+      Some((acc.sMins(js), acc.sMaxs(js))) else None
+    KvConstraint.violation(c, schema, acc.nullCnt(ci), intB, dblB,
+      jd >= 0 && acc.dNaN(jd), strB).foreach { ev =>
+      throw new IllegalArgumentException(
+        s"graft kv sink: CONSTRAINT '${c.name}' (${c.describe}) violated " +
+          s"by this write — $ev; nothing was published (2PC: the job " +
+          "aborts and all staged files are discarded)")
+    }
+  }
+
   override def commit(): WriterCommitMessage = {
     // the default layout commits its (possibly empty) file even when no
     // row arrived, preserving the historical one-file-per-task contract
     if (partIdx.isEmpty && accs.isEmpty) accs(0L) = new FileAcc(0L, "")
+    accs.values.foreach(enforceConstraints)
     KvCommit(accs.values.toSeq.map { acc =>
       acc.closeWriter()
       val empty = acc.nRows == 0L

@@ -415,44 +415,19 @@ object KvStore {
     val live = KvCommitLog.filesAsOf(dirPath, base).toSeq.sorted
     if (live.size <= targetFiles)
       return Mutation(base, 0, 0, live.size, 0L, 0L) // already compact
-    val nonce = java.lang.Long.toUnsignedString(
-      java.util.concurrent.ThreadLocalRandom.current().nextLong(), 36)
-    val scratch = dirPath.resolve(s"_compact-$nonce")
-    // presence-derived Bloom propagation (like the CoW rewrite): the
-    // compacted files re-bloom every column ANY folded member bloomed
-    val bloomCols = live.flatMap(n =>
-      KvZoneMap.read(dirPath.resolve(n).toFile).map(_.blooms.keySet)
-        .getOrElse(Set.empty))
-      .distinct.filter(schema.fieldNames.contains).sorted
-    spark.read.format("graft.sources.KvSourceProvider")
-      .option("path", dir).option("schema", schema.toDDL)
-      .option("asOfCommit", base.toString) // pin the snapshot being folded
-      .load()
-      .repartition(targetFiles)
-      .write.format("graft.sources.KvSinkProvider")
-      .option("path", scratch.toString)
-      .option("bloomColumns", bloomCols.mkString(","))
-      .mode("append").save()
-    var rows = 0L
-    val adopted = KvCommitLog.liveFiles(scratch).toSeq.sorted.map { n =>
-      rows += KvZoneMap.read(scratch.resolve(n).toFile).map(_.rows).getOrElse(0L)
-      // sidecar first, then data — a visible file always has its stats
-      Files.move(scratch.resolve(KvZoneMap.sidecarName(n)),
-        dirPath.resolve(KvZoneMap.sidecarName(n)))
-      Files.move(scratch.resolve(n), dirPath.resolve(n))
-      n
+    // CLUSTERING-PRESERVING (r15): a store that paid for a z-order
+    // layout must not have it destroyed by the next size-driven
+    // maintenance pass — compact honors the persisted `_cluster` spec
+    // and re-sorts within the rewrite (Delta's OPTIMIZE + ZORDER
+    // composition). Without a spec (or with one that no longer names
+    // two integer schema columns — schema evolution may drop/retype
+    // them) it bin-packs by size exactly as before.
+    val layout: DataFrame => DataFrame = clusteringOf(dir) match {
+      case Some(cols) if zOrderable(schema, cols) =>
+        zLayout(spark, cols, targetFiles)
+      case _ => _.repartition(targetFiles)
     }
-    rmTree(scratch.toFile)
-    if (!KvCommitLog.tryReplaceAt(dirPath, base, adopted, live)) {
-      adopted.foreach { n =>
-        Files.deleteIfExists(dirPath.resolve(n)): Unit
-        Files.deleteIfExists(dirPath.resolve(KvZoneMap.sidecarName(n))): Unit
-      }
-      throw new IllegalStateException(
-        s"concurrent commit at $dir superseded the version-$base snapshot " +
-          "this compaction folded; staged files rolled back — re-run")
-    }
-    Mutation(base + 1, adopted.size, 0, 0, 0L, rows)
+    rewriteSnapshot(spark, dir, schema, base, live, "compact", layout)
   }
 
   /** Z-ORDER CLUSTERING rewrite (the `OPTIMIZE ... ZORDER BY` shape):
@@ -471,35 +446,93 @@ object KvStore {
   def zorder(spark: SparkSession, dir: String, schema: StructType,
       cols: (String, String), targetFiles: Int): Mutation = {
     require(targetFiles >= 1, s"graft kv store: target_files $targetFiles < 1")
-    Seq(cols._1, cols._2).foreach { c =>
-      require(schema.fieldNames.contains(c) &&
-        (schema(c).dataType == LongType || schema(c).dataType == IntegerType),
-        s"graft kv store: z-order column '$c' must be an integer schema column")
-    }
+    require(zOrderable(schema, cols),
+      s"graft kv store: z-order columns '${cols._1},${cols._2}' must be " +
+        "integer schema columns")
     val dirPath = Paths.get(dir)
     val base = KvCommitLog.latestVersion(dirPath)
     require(base > 0, s"graft kv store: no commit log at $dir — not a store")
     val live = KvCommitLog.filesAsOf(dirPath, base).toSeq.sorted
     if (live.isEmpty) return Mutation(base, 0, 0, 0, 0L, 0L)
-    val nonce = java.lang.Long.toUnsignedString(
-      java.util.concurrent.ThreadLocalRandom.current().nextLong(), 36)
-    val scratch = dirPath.resolve(s"_zorder-$nonce")
-    val bloomCols = live.flatMap(n =>
-      KvZoneMap.read(dirPath.resolve(n).toFile).map(_.blooms.keySet)
-        .getOrElse(Set.empty))
-      .distinct.filter(schema.fieldNames.contains).sorted
+    val m = rewriteSnapshot(spark, dir, schema, base, live, "zorder",
+      zLayout(spark, cols, targetFiles))
+    // Persist the clustering spec so later size-driven maintenance
+    // ([[compact]]) re-sorts instead of destroying the layout this
+    // rewrite just paid for. Written AFTER the commit CASes: a loser of
+    // the OCC race records nothing. The spec is a maintenance PROPERTY,
+    // not versioned content — restore/time-travel below the z-order
+    // leaves it in place, and the worst a stale spec can cause is a
+    // re-cluster that is content-invariant by construction.
+    writeClustering(dirPath, cols)
+    m
+  }
+
+  /** The persisted clustering spec for a store directory (`_cluster`
+    * sidecar, one line `colA,colB`): written by [[zorder]], honored by
+    * [[compact]]. Hidden-path discipline keeps it invisible to scans. */
+  def clusteringOf(dir: String): Option[(String, String)] = {
+    val p = Paths.get(dir).resolve("_cluster")
+    if (!Files.exists(p)) None
+    else Files.readString(p).trim.split(",", -1) match {
+      case Array(a, b) if a.nonEmpty && b.nonEmpty => Some((a, b))
+      case _ => None
+    }
+  }
+
+  private def writeClustering(dirPath: java.nio.file.Path,
+      cols: (String, String)): Unit = {
+    val tmp = Files.createTempFile(dirPath, "_cluster", ".tmp")
+    Files.writeString(tmp, s"${cols._1},${cols._2}")
+    Files.move(tmp, dirPath.resolve("_cluster"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+  }
+
+  private def zOrderable(schema: StructType, cols: (String, String)): Boolean =
+    Seq(cols._1, cols._2).forall(c => schema.fieldNames.contains(c) &&
+      (schema(c).dataType == LongType || schema(c).dataType == IntegerType))
+
+  /** The z-order physical layout: range-partition + sort by the
+    * bit-interleaved z-value ([[graft.functions.ZOrderExpression]], the
+    * codegen'd kernel `q_zorder_layout` gates), then drop the helper. */
+  private def zLayout(spark: SparkSession, cols: (String, String),
+      targetFiles: Int): DataFrame => DataFrame = {
     import org.apache.spark.sql.functions.col
     graft.functions.GraftFunctions.register(spark) // idempotent
     val z = graft.functions.GraftFunctions.zorderNative(
       col(cols._1).cast(LongType), col(cols._2).cast(LongType))
-    spark.read.format("graft.sources.KvSourceProvider")
-      .option("path", dir).option("schema", schema.toDDL)
-      .option("asOfCommit", base.toString)
-      .load()
-      .withColumn("__z", z)
+    df => df.withColumn("__z", z)
       .repartitionByRange(targetFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
+  }
+
+  /** Shared transactional core of the maintenance rewrites ([[compact]],
+    * [[zorder]]): read the pinned `base` snapshot, lay it out with
+    * `layout`, land through the sink's own 2PC writer into a scratch
+    * store, adopt the files (sidecar first — a visible file always has
+    * its stats), and publish removes(all live) + adds(rewritten) as ONE
+    * manifest CASed at `base+1`. Presence-derived Bloom propagation: the
+    * rewritten files re-bloom every column ANY folded member bloomed.
+    * Content invariance is the caller's gate; a concurrent commit aborts
+    * the rewrite (staged files rolled back), never the concurrent
+    * writer. Time travel below the rewrite serves the old files until
+    * [[vacuum]]; deletion vectors are materialized by the rewrite. */
+  private def rewriteSnapshot(spark: SparkSession, dir: String,
+      schema: StructType, base: Int, live: Seq[String], opName: String,
+      layout: DataFrame => DataFrame): Mutation = {
+    val dirPath = Paths.get(dir)
+    val nonce = java.lang.Long.toUnsignedString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong(), 36)
+    val scratch = dirPath.resolve(s"_$opName-$nonce")
+    val bloomCols = live.flatMap(n =>
+      KvZoneMap.read(dirPath.resolve(n).toFile).map(_.blooms.keySet)
+        .getOrElse(Set.empty))
+      .distinct.filter(schema.fieldNames.contains).sorted
+    layout(spark.read.format("graft.sources.KvSourceProvider")
+        .option("path", dir).option("schema", schema.toDDL)
+        .option("asOfCommit", base.toString) // pin the snapshot being folded
+        .load())
       .write.format("graft.sources.KvSinkProvider")
       .option("path", scratch.toString)
       .option("bloomColumns", bloomCols.mkString(","))
@@ -520,7 +553,7 @@ object KvStore {
       }
       throw new IllegalStateException(
         s"concurrent commit at $dir superseded the version-$base snapshot " +
-          "this z-order rewrite folded; staged files rolled back — re-run")
+          s"this $opName rewrite folded; staged files rolled back — re-run")
     }
     Mutation(base + 1, adopted.size, 0, 0, 0L, rows)
   }

@@ -87,15 +87,26 @@ object KvTableChanges {
         require(!kv.isTimeTravel,
           s"$name: cannot read changes of a time-travel snapshot")
         // columns the feed schema carries beyond the data schema are
-        // appended by the connector; data columns must be the current era
-        s.read.format("graft.sources.KvSourceProvider")
+        // appended by the connector; data columns must be the current
+        // era's PHYSICAL layout (rows parse positionally) — an evolved
+        // table's logical view is projected on top afterwards
+        val raw = s.read.format("graft.sources.KvSourceProvider")
           .option("path", kv.storeDir)
-          .option("schema", kv.schema().toDDL)
+          .option("schema", kv.physSchema.toDDL)
           .option("readChangeFeed", "true")
           .option("changesFrom", from.toString)
           .option("changesTo", to.toString)
           .load()
-          .queryExecution.logical
+        val df = kv.colView match {
+          case Some(v) =>
+            import org.apache.spark.sql.functions.col
+            raw.select(
+              (v.physical.fieldNames.toSeq.zip(v.names).collect {
+                case (p, Some(n)) => col(p).as(n)
+              } ++ Seq(col(KvChangeFeed.TypeCol), col(KvChangeFeed.VersionCol))): _*)
+          case None => raw
+        }
+        df.queryExecution.logical
       case other => throw new IllegalArgumentException(
         s"$name: '$ref' is not a graft kv store table " +
           s"(got ${other.getClass.getSimpleName})")

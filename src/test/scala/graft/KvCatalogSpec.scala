@@ -254,12 +254,12 @@ class KvCatalogSpec extends AnyFunSuite with SparkSessionFixture {
       .map(r => (r.getLong(0), r.getString(1),
         if (r.isNullAt(2)) null else java.lang.Long.valueOf(r.getLong(2)))).toSeq
     assert(after == Seq((1L, "a!", null), (2L, "b!", null), (3L, "c", 30L)))
-    // rejections: everything but append-at-end nullable ADD COLUMN
+    // rejections: retype stays a rewrite-the-store operation
     val e1 = intercept[Exception] {
-      spark.sql("ALTER TABLE kcs.ns.evo DROP COLUMN s")
+      spark.sql("ALTER TABLE kcs.ns.evo ALTER COLUMN w TYPE STRING")
     }
     assert(e1.getMessage.contains("unsupported ALTER TABLE") ||
-      e1.getMessage.toLowerCase.contains("drop"), e1.getMessage)
+      e1.getMessage.toLowerCase.contains("type"), e1.getMessage)
     val e2 = intercept[Exception] {
       spark.sql("ALTER TABLE kcs.ns.evo ADD COLUMN x BIGINT FIRST")
     }
@@ -268,6 +268,88 @@ class KvCatalogSpec extends AnyFunSuite with SparkSessionFixture {
       spark.sql("ALTER TABLE kcs.ns.evo ADD COLUMN y BIGINT NOT NULL")
     }
     assert(e3.getMessage.contains("must be nullable"), e3.getMessage)
+  }
+
+  test("ALTER TABLE RENAME/DROP COLUMN: metadata-only, sidecars keep pruning, time travel exact") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS kcs.ns.evo2")
+    spark.sql("CREATE TABLE kcs.ns.evo2 (k BIGINT, a BIGINT, b STRING)")
+    spark.range(0, 400)
+      .select(col("id").as("k"), (col("id") * 7).as("a"),
+        concat(lit("s"), col("id")).as("b"))
+      .repartitionByRange(4, col("k"))
+      .createOrReplaceTempView("evo2_src")
+    spark.sql("INSERT INTO kcs.ns.evo2 SELECT /*+ REPARTITION_BY_RANGE(4, k) */ * FROM evo2_src") // v1
+
+    // RENAME is metadata-only: presentation changes, files untouched
+    spark.sql("ALTER TABLE kcs.ns.evo2 RENAME COLUMN a TO amount")
+    assert(spark.table("kcs.ns.evo2").columns.toSeq ==
+      Seq("k", "amount", "b"))
+    assert(spark.sql("SELECT sum(amount) AS s FROM kcs.ns.evo2")
+      .collect()(0).getLong(0) == (0L until 400L).map(_ * 7).sum)
+    // a filter on the RENAMED column still zone-map-prunes: the sidecars
+    // are keyed by the birth name and the boundary translates
+    val sel = spark.sql(
+      "SELECT k FROM kcs.ns.evo2 WHERE k >= 10 AND k < 60 AND amount >= 0")
+    assert(sel.collect().map(_.getLong(0)).sorted.toSeq == (10L until 60L))
+    val (listed1, planned1) = KvPruneStats.last(tableDir("evo2")).get
+    assert(listed1 == 4 && planned1 < listed1,
+      s"renamed-column scan lost pruning: listed=$listed1 planned=$planned1")
+    // the old name is gone from the logical surface
+    intercept[Exception] { spark.sql("SELECT a FROM kcs.ns.evo2").collect() }
+
+    // DROP hides a MIDDLE column; reads project it out, writes null-fill
+    spark.sql("ALTER TABLE kcs.ns.evo2 DROP COLUMN amount")
+    assert(spark.table("kcs.ns.evo2").columns.toSeq == Seq("k", "b"))
+    spark.sql("INSERT INTO kcs.ns.evo2 VALUES (1000, 'z')") // v2: physical width 3
+    val rows = spark.sql("SELECT k, b FROM kcs.ns.evo2 WHERE k >= 398 ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((398L, "s398"), (399L, "s399"), (1000L, "z")))
+
+    // TIME TRAVEL presents the view of its day, bit-exact across both
+    // evolution boundaries: v1 pre-rename era name is 'a', with values
+    val v1 = spark.sql("SELECT * FROM kcs.ns.evo2 VERSION AS OF 1")
+    assert(v1.columns.toSeq == Seq("k", "a", "b"))
+    assert(v1.filter(col("k") === 399).collect()(0).getLong(1) == 399L * 7)
+    assert(v1.count() == 400)
+
+    // DELETE/UPDATE on the evolved table: filters translate; the CoW
+    // rewrite keeps the full physical layout (placeholder nulls)
+    spark.sql("DELETE FROM kcs.ns.evo2 WHERE k >= 200 AND k < 398")
+    assert(spark.table("kcs.ns.evo2").count() == 203)
+    spark.sql("UPDATE kcs.ns.evo2 SET b = concat(b, '!') WHERE k < 2")
+    assert(spark.sql("SELECT b FROM kcs.ns.evo2 WHERE k < 2 ORDER BY k")
+      .collect().map(_.getString(0)).toSeq == Seq("s0!", "s1!"))
+    // ...and time travel STILL shows the dropped column's original values
+    assert(spark.sql("SELECT a FROM kcs.ns.evo2 VERSION AS OF 1 WHERE k = 399")
+      .collect()(0).getLong(0) == 399L * 7)
+
+    // birth names are field ids: reuse of a historical BIRTH name is
+    // rejected; renames may not shadow one either
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE kcs.ns.evo2 ADD COLUMN a BIGINT")
+    }
+    assert(e2.getMessage.contains("birth"), e2.getMessage)
+    spark.sql("ALTER TABLE kcs.ns.evo2 ADD COLUMN c BIGINT")
+    val e3 = intercept[Exception] {
+      spark.sql("ALTER TABLE kcs.ns.evo2 RENAME COLUMN c TO a")
+    }
+    assert(e3.getMessage.contains("birth"), e3.getMessage)
+
+    // maintenance on the evolved table: compact keeps content; zorder
+    // takes LOGICAL column names
+    spark.sql("CALL kcs.system.compact('ns.evo2', 2)").collect()
+    assert(spark.table("kcs.ns.evo2").count() == 203)
+    assert(spark.sql("SELECT b FROM kcs.ns.evo2 WHERE k = 0").collect()(0)
+      .getString(0) == "s0!")
+    spark.sql("ALTER TABLE kcs.ns.evo2 RENAME COLUMN k TO key")
+    spark.sql("UPDATE kcs.ns.evo2 SET c = key * 2")
+    spark.sql("CALL kcs.system.zorder('ns.evo2', 'key,c', 2)").collect()
+    assert(spark.table("kcs.ns.evo2").count() == 203)
+    assert(spark.sql("SELECT sum(c) AS s FROM kcs.ns.evo2").collect()(0)
+      .getLong(0) ==
+      spark.sql("SELECT sum(key) * 2 AS s FROM kcs.ns.evo2").collect()(0)
+        .getLong(0))
   }
 
   test("CALL graftkv.system.*: compact folds files, checkpoint bounds the log, vacuum respects retention") {
@@ -312,6 +394,81 @@ class KvCatalogSpec extends AnyFunSuite with SparkSessionFixture {
     // appends continue after full maintenance
     spark.sql("INSERT INTO kcs.ns.mnt VALUES (9999, 1)")
     assert(spark.sql("SELECT count(*) FROM kcs.ns.mnt").collect()(0).getLong(0) == 501)
+  }
+
+  test("write-time constraints: a violating write publishes NOTHING and names the constraint") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS kcs.ns.cstr")
+    spark.sql("""CREATE TABLE kcs.ns.cstr (k BIGINT, v BIGINT, s STRING)
+                 TBLPROPERTIES ('notNull'='k', 'check.v_pos'='v >= 0',
+                                'check.s_lo'='s >= \'a\'')""")
+    // a valid multi-file write passes
+    spark.range(0, 100)
+      .select(col("id").as("k"), (col("id") * 2).as("v"),
+        concat(lit("x"), col("id")).as("s"))
+      .repartition(4).createOrReplaceTempView("cstr_ok")
+    spark.sql("INSERT INTO kcs.ns.cstr SELECT * FROM cstr_ok")
+    assert(spark.table("kcs.ns.cstr").count() == 100)
+    val dir = java.nio.file.Paths.get(tableDir("cstr"))
+    val v1Files = graft.sources.KvCommitLog.liveFiles(dir)
+
+    // CHECK violation: ONE negative v among many valid rows, spread
+    // across several tasks — the violating task throws at its commit,
+    // the job aborts, and NOTHING publishes (not even the clean tasks)
+    spark.range(100, 200)
+      .select(col("id").as("k"),
+        when(col("id") === 150, lit(-5L)).otherwise(col("id")).as("v"),
+        lit("zz").as("s"))
+      .repartition(4).createOrReplaceTempView("cstr_bad")
+    val e1 = intercept[Exception] {
+      spark.sql("INSERT INTO kcs.ns.cstr SELECT * FROM cstr_bad")
+    }
+    val m1 = Option(e1.getMessage).getOrElse("") +
+      Option(e1.getCause).map(_.getMessage).getOrElse("")
+    assert(m1.contains("v_pos") && m1.contains("v >= 0"), s"error: $m1")
+    assert(spark.table("kcs.ns.cstr").count() == 100, "violating write leaked rows")
+    assert(graft.sources.KvCommitLog.liveFiles(dir) == v1Files,
+      "violating write published files")
+    // no staged debris left behind
+    val staging = new java.io.File(tableDir("cstr"), "_staging")
+    assert(!staging.exists() ||
+      staging.listFiles().forall(_.getName.startsWith(".")),
+      "violating write left staged files")
+
+    // NOT NULL violation (null k), same discipline
+    val e2 = intercept[Exception] {
+      spark.sql("INSERT INTO kcs.ns.cstr VALUES (NULL, 1, 'b')")
+    }
+    val m2 = Option(e2.getMessage).getOrElse("") +
+      Option(e2.getCause).map(_.getMessage).getOrElse("")
+    assert(m2.contains("notnull_k"), s"error: $m2")
+    assert(spark.table("kcs.ns.cstr").count() == 100)
+
+    // SQL semantics: NULL never violates CHECK (only NOT NULL rejects)
+    spark.sql("INSERT INTO kcs.ns.cstr VALUES (200, NULL, NULL)")
+    assert(spark.table("kcs.ns.cstr").count() == 101)
+
+    // constraints reach the row-level CoW path too: an UPDATE that would
+    // drive v negative fails and rolls back
+    val e3 = intercept[Exception] {
+      spark.sql("UPDATE kcs.ns.cstr SET v = v - 1000000 WHERE k < 10")
+    }
+    val m3 = Option(e3.getMessage).getOrElse("") +
+      Option(e3.getCause).map(_.getMessage).getOrElse("")
+    assert(m3.contains("v_pos"), s"error: $m3")
+    assert(spark.sql("SELECT sum(v) AS s FROM kcs.ns.cstr").collect()(0)
+      .getLong(0) == (0L until 100L).map(_ * 2).sum)
+
+    // ...and a valid UPDATE passes
+    spark.sql("UPDATE kcs.ns.cstr SET v = v + 1 WHERE k < 10")
+    assert(spark.sql("SELECT sum(v) AS s FROM kcs.ns.cstr").collect()(0)
+      .getLong(0) == (0L until 100L).map(_ * 2).sum + 10)
+
+    // constraints are visible table properties
+    val props = spark.sql("SHOW TBLPROPERTIES kcs.ns.cstr").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(props.get("constraint.v_pos").contains("v >= 0"), props.toString)
+    assert(props.contains("constraint.notnull_k"), props.toString)
   }
 
   test("catalog DDL surface: list/rename/drop, schema enforcement") {

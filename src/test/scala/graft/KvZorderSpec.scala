@@ -72,4 +72,61 @@ class KvZorderSpec extends AnyFunSuite with SparkSessionFixture {
     assert(pre == 4096)
     assert(KvCommitLog.latestVersion(d.toPath) == 2)
   }
+
+  test("compact preserves the z-order clustering the store paid for") {
+    val d = Files.createTempDirectory("graft_kvzcompact").toFile
+    d.deleteOnExit()
+    val store = d.getAbsolutePath
+
+    spark.range(0, 4096)
+      .select((col("id") % 64).as("a"), expr("id DIV 64").as("b"))
+      .repartitionByRange(16, col("b"))
+      .write.format("graft.sources.KvSinkProvider")
+      .option("path", store).mode("append").save()
+
+    def boxQuery() = spark.read.format("graft.sources.KvSourceProvider")
+      .option("path", store).option("schema", Ddl).load()
+      .filter(col("a") >= 0 && col("a") <= 7)
+      .select("a", "b")
+    val expect = boxQuery().collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+
+    assert(KvStore.zorder(spark, store, Schema, ("a", "b"), 16).version == 2)
+    assert(KvStore.clusteringOf(store).contains(("a", "b")))
+
+    // size-driven maintenance AFTER the clustering investment: compact
+    // must detect the persisted spec and re-sort within the rewrite —
+    // a hash bin-pack here would scatter both dimensions and the box
+    // query would open all 4 files again
+    val m = KvStore.compact(spark, store, Schema, 4)
+    assert(m.version == 3 && m.rewritten == 4)
+
+    val after = boxQuery().collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    val (listed, planned) = KvPruneStats.last(store).get
+    assert(after == expect, "clustering-preserving compact changed content")
+    assert(listed == 4)
+    // 4 z-ordered files = 32×32 quadrants; a ∈ [0,7] intersects the two
+    // a-low quadrants only
+    assert(planned <= 2,
+      s"expected ≤2 of 4 files planned after compact-after-zorder, got $planned")
+
+    // a spec that no longer names two integer schema columns falls back
+    // to the plain bin-pack instead of failing maintenance
+    val narrow = org.apache.spark.sql.types.StructType.fromDDL("a LONG")
+    val projected = spark.read.format("graft.sources.KvSourceProvider")
+      .option("path", store).option("schema", Ddl).load().select("a")
+    val store2 = Files.createTempDirectory("graft_kvzcompact2").toFile
+    store2.deleteOnExit()
+    projected.repartition(6)
+      .write.format("graft.sources.KvSinkProvider")
+      .option("path", store2.getAbsolutePath).mode("append").save()
+    java.nio.file.Files.writeString(
+      store2.toPath.resolve("_cluster"), "a,gone")
+    val m2 = KvStore.compact(spark, store2.getAbsolutePath, narrow, 2)
+    assert(m2.version == 2 && m2.rewritten == 2)
+    assert(spark.read.format("graft.sources.KvSourceProvider")
+      .option("path", store2.getAbsolutePath).option("schema", "a LONG")
+      .load().count() == 4096)
+  }
 }
