@@ -146,8 +146,15 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
           s"constraint,check,${KvEscape.escape(n)},${KvEscape.escape(c)}," +
             s"$op,${KvEscape.escape(v)}"
       }
-    Files.write(metaOf(dir).toPath,
-      lines.mkString("", "\n", "\n").getBytes("UTF-8")): Unit
+    // ATOMIC replace: Files.write truncates in place, so a concurrent
+    // readMeta could observe a half-written _meta (the torn-metadata
+    // class the commit log already defends against) — stage to a temp
+    // sibling and move over the old file in one rename instead
+    val tmp = Files.createTempFile(dir.toPath, "_meta", ".tmp")
+    Files.write(tmp, lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    Files.move(tmp, metaOf(dir).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
   }
 
   import KvCatalog.Meta

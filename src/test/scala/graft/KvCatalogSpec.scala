@@ -396,6 +396,27 @@ class KvCatalogSpec extends AnyFunSuite with SparkSessionFixture {
     assert(spark.sql("SELECT count(*) FROM kcs.ns.mnt").collect()(0).getLong(0) == 501)
   }
 
+  test("streaming read of an EVOLVED table presents the logical view") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS kcs.ns.sevo")
+    spark.sql("CREATE TABLE kcs.ns.sevo (k BIGINT, a BIGINT, b STRING)")
+    spark.sql("INSERT INTO kcs.ns.sevo VALUES (1, 10, 'x'), (2, 20, 'y')")
+    spark.sql("ALTER TABLE kcs.ns.sevo RENAME COLUMN a TO amount")
+    spark.sql("ALTER TABLE kcs.ns.sevo DROP COLUMN b")
+    val q = spark.readStream.table("kcs.ns.sevo")
+      .writeStream.format("memory").queryName("sevo_sink")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      spark.sql("INSERT INTO kcs.ns.sevo VALUES (3, 30)")
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("sevo_sink")
+    assert(rows.columns.toSeq == Seq("k", "amount"))
+    assert(rows.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+  }
+
   test("write-time constraints: a violating write publishes NOTHING and names the constraint") {
     init()
     spark.sql("DROP TABLE IF EXISTS kcs.ns.cstr")
