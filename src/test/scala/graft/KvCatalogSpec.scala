@@ -396,6 +396,66 @@ class KvCatalogSpec extends AnyFunSuite with SparkSessionFixture {
     assert(spark.sql("SELECT count(*) FROM kcs.ns.mnt").collect()(0).getLong(0) == 501)
   }
 
+  test("readers never tear while ALTERs churn the table metadata") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS kcs.ns.churn")
+    spark.sql("CREATE TABLE kcs.ns.churn (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO kcs.ns.churn SELECT id, id FROM range(0, 1000)")
+    val expect = (0L until 1000L).sum
+    @volatile var stop = false
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val readers = (1 to 3).map { _ =>
+      new Thread(() => {
+        while (!stop) {
+          try {
+            // k never evolves; every read must see a complete _meta
+            // (the atomic-replace write) and a consistent sum
+            val s = spark.sql("SELECT sum(k) AS s FROM kcs.ns.churn")
+              .collect()(0).getLong(0)
+            if (s != expect)
+              failures.add(new AssertionError(s"sum drifted: $s"))
+          } catch { case t: Throwable => failures.add(t); stop = true }
+        }
+      })
+    }
+    readers.foreach(_.start())
+    try {
+      for (i <- 0 until 12) {
+        spark.sql(s"ALTER TABLE kcs.ns.churn ADD COLUMN x$i BIGINT")
+        spark.sql(s"ALTER TABLE kcs.ns.churn RENAME COLUMN x$i TO y$i")
+        if (i % 3 == 2) spark.sql(s"ALTER TABLE kcs.ns.churn DROP COLUMN y$i")
+      }
+    } finally { stop = true; readers.foreach(_.join(30000)) }
+    assert(failures.isEmpty, s"reader failures under ALTER churn: " +
+      failures.toArray.take(3).mkString("; "))
+  }
+
+  test("renaming the PARTITION column keeps the value-partitioned layout working") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS kcs.ns.pevo")
+    spark.sql("CREATE TABLE kcs.ns.pevo (g BIGINT, v BIGINT) PARTITIONED BY (g)")
+    spark.range(0, 60)
+      .select((col("id") % 3).as("g"), col("id").as("v"))
+      .repartition(3, col("g")).createOrReplaceTempView("pevo_src")
+    spark.sql("INSERT INTO kcs.ns.pevo SELECT * FROM pevo_src")
+    spark.sql("ALTER TABLE kcs.ns.pevo RENAME COLUMN g TO grp")
+    // reads resolve the renamed partition column; writes still route by
+    // the birth-named position
+    spark.sql("INSERT INTO kcs.ns.pevo VALUES (1, 1000)")
+    val agg = spark.sql(
+      "SELECT grp, count(*) AS n, sum(v) AS s FROM kcs.ns.pevo GROUP BY grp ORDER BY grp")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val base = (0L until 60L).groupBy(_ % 3)
+    assert(agg == Seq(
+      (0L, base(0).size.toLong, base(0).sum),
+      (1L, base(1).size.toLong + 1, base(1).sum + 1000),
+      (2L, base(2).size.toLong, base(2).sum)))
+    // filtered read on the renamed partition column still prunes files
+    val one = spark.sql("SELECT sum(v) AS s FROM kcs.ns.pevo WHERE grp = 2")
+      .collect()(0).getLong(0)
+    assert(one == base(2).sum)
+  }
+
   test("streaming read of an EVOLVED table presents the logical view") {
     init()
     spark.sql("DROP TABLE IF EXISTS kcs.ns.sevo")
@@ -547,5 +607,22 @@ class KvCatalogSpec extends AnyFunSuite with SparkSessionFixture {
       spark.sql("SELECT * FROM table_changes('justtable', 0, 1)").collect()
     }
     assert(unq.getMessage.contains("fully qualified"))
+
+    // EVOLVED table: the feed parses positionally with the PHYSICAL
+    // layout and presents the logical view — a rename shows the new
+    // name, a dropped middle column vanishes without shifting later
+    // positions, and change events spanning the evolution boundary stay
+    // value-exact
+    spark.sql("ALTER TABLE kcs.ns.tvf RENAME COLUMN v TO val")
+    spark.sql("ALTER TABLE kcs.ns.tvf ADD COLUMN w BIGINT")
+    spark.sql("INSERT INTO kcs.ns.tvf VALUES (100, 200, 300)") // v4
+    spark.sql("ALTER TABLE kcs.ns.tvf DROP COLUMN val")
+    val evoFeed = spark.sql(
+      "SELECT * FROM table_changes('kcs.ns.tvf', 3, 4) ORDER BY k")
+    assert(evoFeed.columns.toSeq ==
+      Seq("k", "w", "_change_type", "_commit_version"), evoFeed.columns.toSeq)
+    val r100 = evoFeed.filter(col("k") === 100).collect()(0)
+    assert(r100.getLong(1) == 300 && r100.getString(2) == "insert" &&
+      r100.getLong(3) == 4L)
   }
 }
