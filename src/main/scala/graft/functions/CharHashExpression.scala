@@ -137,6 +137,8 @@ object GraftFunctions {
       (c: Seq[Expression]) => BpeMergeAllExpression(c(0), c(1), c(2))),
     ("graft_quantvec", classOf[QuantVecExpression],
       (c: Seq[Expression]) => QuantVecExpression(c(0), c(1))),
+    ("graft_quantvecnorm", classOf[QuantVecNormExpression],
+      (c: Seq[Expression]) => QuantVecNormExpression(c(0), c(1))),
     ("graft_vecsub", classOf[VecSubExpression],
       (c: Seq[Expression]) => VecSubExpression(c(0), c(1))),
     ("graft_lshbucket", classOf[LshBucketExpression],
@@ -209,6 +211,8 @@ object GraftFunctions {
     call_function("graft_bpe_merge_all", s, ls, rs)
   def quantVecNative(v: Column, mult: Double): Column =
     call_function("graft_quantvec", v, lit(mult))
+  def quantVecNormNative(v: Column, mult: Double): Column =
+    call_function("graft_quantvecnorm", v, lit(mult))
   def vecSubNative(a: Column, b: Column): Column =
     call_function("graft_vecsub", a, b)
   def lshBucketNative(v: Column, nPlanes: Int): Column =

@@ -80,6 +80,34 @@ object VecOps {
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
   }
 
+  /** array<float> → array<long>: qround(x/‖v‖·mult) per element — the
+    * SPHERICAL (normalized) coordinate quantizer in one pass. The norm is
+    * the ordered left fold Σx², same op sequence as [[cosine]]'s
+    * accumulators / PortableHash.dot ≡ DuckDB list_reduce, computed ONCE
+    * per row; the composed Column form it replaces
+    * (transform(v, x -> round(x / sqrt(aggregate(zip_with(v,v,·*·))) …)))
+    * re-evaluated the interpreted dot-fold lambda for EVERY ELEMENT —
+    * O(dim²) interpreted expression evals per row, measured at ~2 s per
+    * assignment pass over 2000×64-dim rows (the whole ANN gate floor). */
+  def quantizeVecNorm(v: ArrayData, mult: Double): ArrayData = {
+    val n = v.numElements()
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      val x = v.getFloat(i).toDouble
+      dot += x * x
+      i += 1
+    }
+    val nrm = math.sqrt(dot)
+    val out = new Array[Long](n)
+    i = 0
+    while (i < n) {
+      out(i) = qround(v.getFloat(i).toDouble / nrm * mult)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
   /** Elementwise difference of two quantized (long) vectors — the
     * residual kernel for residual-encoded product quantization
     * (r = qv − coarse centroid). min-length semantics like [[l2Quant]]. */
@@ -564,6 +592,25 @@ case class QuantVecExpression(left: Expression, right: Expression)
       s"${ev.value} = graft.functions.VecOps.quantizeVec($v, $m);")
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): QuantVecExpression = copy(left = l, right = r)
+}
+
+/** graft_quantvecnorm(v, mult) — per-element qround(x/‖v‖·mult) :
+  * ARRAY<BIGINT> (the spherical quantizer, norm computed once per row). */
+case class QuantVecNormExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecExprChecks.check(
+      VecExprChecks.floatArray(left.dataType) && right.dataType == DoubleType,
+      prettyName, Seq(left.dataType, right.dataType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_quantvecnorm"
+  override protected def nullSafeEval(v: Any, m: Any): Any =
+    VecOps.quantizeVecNorm(v.asInstanceOf[ArrayData], m.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, m) =>
+      s"${ev.value} = graft.functions.VecOps.quantizeVecNorm($v, $m);")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): QuantVecNormExpression = copy(left = l, right = r)
 }
 
 /** graft_cosine(a, b) — ordered-fold cosine similarity : DOUBLE. */

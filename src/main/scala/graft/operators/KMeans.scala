@@ -62,12 +62,16 @@ object KMeansQuant {
     * uses (IVF coarse quantizers): on unit vectors, L2 ordering is
     * cosine ordering (‖a−b‖² = 2−2·cosθ), so an L2-trained quantizer
     * aligns with cosine retrieval. The norm is the ordered-fold dot
-    * (PortableHash.dot ≡ DuckDB list_reduce), the division one IEEE op,
-    * then the same qround — bit-identical across engines. */
-  def quantizeNormalized(v: Column): Column = {
-    val nrm = sqrt(graft.operators.PortableHash.dot(v, v))
-    transform(v, x => round(x.cast("double") / nrm * lit(Scale), 0).cast("long"))
-  }
+    * (≡ DuckDB list_reduce), the division one IEEE op, then the same
+    * qround — bit-identical across engines. One codegen'd kernel call
+    * (graft_quantvecnorm) computing the norm ONCE per row: the previous
+    * composed form (transform over a sqrt(aggregate(zip_with)) norm)
+    * re-ran the interpreted dot fold for every ELEMENT — O(dim²)
+    * interpreted evals per row, ~2 s per assignment pass at sf0.1 and
+    * the floor under every ANN gate (VectorQuantizeSpec pins kernel ≡
+    * composed form). */
+  def quantizeNormalized(v: Column): Column =
+    graft.functions.GraftFunctions.quantVecNormNative(v, Scale)
 
   def quantizeNormalizedSql(v: String, dim: Int): String =
     s"""list_transform(generate_series(1, $dim),

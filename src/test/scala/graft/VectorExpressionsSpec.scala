@@ -50,6 +50,21 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
+  test("quantVecNormNative equals the composed normalized quantizer bit-for-bit") {
+    // the composed reference form KMeansQuant.quantizeNormalized replaced
+    // (r16): per-element round(x / sqrt(ordered-fold dot(v,v)) * 1e6)
+    def composed(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val nrm = sqrt(PortableHash.dot(v, v))
+      transform(v, x => round(x.cast("double") / nrm * lit(1e6), 0).cast("long"))
+    }
+    val df = emb
+      .withColumn("q_native",
+        GraftFunctions.quantVecNormNative(col("embedding"), 1e6))
+      .withColumn("q_hof", composed(col("embedding")))
+    assert(df.filter(col("q_native") =!= col("q_hof")).count() === 0)
+    assert(df.count() > 0)
+  }
+
   test("quantDotNative(v, v) equals the exploded quantized norm") {
     val df = emb
       .withColumn("nq_native",
