@@ -631,13 +631,21 @@ object Relational extends QueryGroup {
   /** ABC / PARETO classification — the inventory-analytics split of a
     * ranked population into cumulative-share classes (A: first 70% of
     * revenue, B: to 90%, C: tail). Per-part revenues are one hash
-    * aggregation; the ranked cumulative share runs over the AGGREGATED
-    * part table (bounded by the part domain, not row count — at a
-    * billion-part catalog the salted prefix-sum machinery
-    * (operators/SaltedPrefix) is the drop-in form, as q_shuffle_global
-    * demonstrates); class boundaries are integer cross-products
-    * (cum·10 ≤ total·7) so no float share ever exists. Ties on revenue
-    * are broken by partkey — deterministic class membership. */
+    * aggregation; the ranked cumulative share over the AGGREGATED part
+    * table runs through the salted prefix-sum machinery
+    * (operators/SaltedPrefix, the q_window_ntile form — r15 verdict item
+    * 2: the previous `sum over (ORDER BY …)` global window put the whole
+    * part domain through ONE window task, a single-task sort that grows
+    * 100× at 100× scale; now the only per-row windows are per-(key,
+    * bucket) partial sums). Descending revenue order is encoded as the
+    * ascending order column −rev with partkey as the tie column; the
+    * aggregated part table is localCheckpoint'd so the machinery's
+    * multiple consumers (quantile sample, bucket join, totals branch)
+    * re-read the part-domain rows instead of re-aggregating lineitem.
+    * Class boundaries are integer cross-products (cum·10 ≤ total·7) so
+    * no float share ever exists; long sums are exact, so the stitched
+    * cumulative equals the windowed one bit-for-bit. Ties on revenue are
+    * broken by partkey — deterministic class membership. */
   private val qAbcClassify = Q(
     "q_abc_classify",
     (s, dir) => {
@@ -645,12 +653,15 @@ object Relational extends QueryGroup {
         .select(col("l_partkey"),
           fixed4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
         .groupBy(col("l_partkey")).agg(sum(col("rev")).as("rev"))
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy(col("rev").desc, col("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      pv.withColumn("cum", sum("rev").over(w))
-        .withColumn("total", sum("rev").over(
-          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .localCheckpoint()
+      val consts = pv.agg(sum(col("rev")).as("total"))
+      val enc = pv.crossJoin(broadcast(consts))
+        .withColumn("k", lit("all"))
+        .withColumn("ord", -col("rev"))
+      graft.operators.SaltedPrefix
+        .exclusivePrefixSumQuantile(enc, "k", "ord", col("rev"), nb = 32,
+          tieCol = Some("l_partkey"))
+        .withColumn("cum", col("start_off") + col("rev"))
         .withColumn("abc_class",
           when(col("cum") * 10 <= col("total") * 7, "A")
             .when(col("cum") * 10 <= col("total") * 9, "B")
@@ -684,23 +695,30 @@ object Relational extends QueryGroup {
     * G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx), computed entirely in
     * decimal(38,0)/HUGEINT integer products with remainder-subtracted
     * floor division (Σi·xᵢ alone is rank·revenue ≈ 10²⁰-grade at a
-    * full-scale catalog). The rank runs over the AGGREGATED part table
-    * (part-domain bounded, the q_abc_classify note applies); ties
-    * broken by partkey so the rank-weighted sum is deterministic. */
+    * full-scale catalog). The global rank over the AGGREGATED part table
+    * comes from the salted prefix-sum machinery (operators/SaltedPrefix,
+    * value 1 ⇒ row number — r15 verdict item 2: the previous
+    * `row_number() OVER (ORDER BY …)` global window was a single-task
+    * sort of the whole part domain); n is a one-row broadcast instead of
+    * an unpartitioned count window. The part table is localCheckpoint'd
+    * so the machinery's consumers re-read it rather than re-aggregate
+    * lineitem. Ties broken by partkey so the rank-weighted sum is
+    * deterministic. */
   private val qGiniConcentration = Q(
     "q_gini_concentration",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val dec = "decimal(38,0)"
       val pv = table(s, dir, "lineitem")
         .select(col("l_partkey"),
           fixed4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
         .groupBy(col("l_partkey")).agg(sum(col("rev")).as("rev"))
-      val r = pv
-        .withColumn("i", row_number().over(
-          Window.orderBy(col("rev"), col("l_partkey"))))
-        .withColumn("n", count(lit(1)).over(
-          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .localCheckpoint()
+      val consts = pv.agg(count(lit(1)).as("n"))
+      val enc = pv.crossJoin(broadcast(consts)).withColumn("k", lit("all"))
+      val r = graft.operators.SaltedPrefix
+        .exclusivePrefixSumQuantile(enc, "k", "rev", lit(1L), nb = 32,
+          tieCol = Some("l_partkey"))
+        .withColumn("i", col("start_off") + 1L)
       r.agg(
           sum(col("i").cast(dec) * col("rev").cast(dec)).as("siw"),
           sum(col("rev").cast(dec)).as("sw"),
