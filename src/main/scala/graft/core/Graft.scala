@@ -84,6 +84,28 @@ object Graft {
     }
   }
 
+  /** Spread an unsplittable-small scan across the cluster before a heavy
+    * per-row kernel (guide §2.5: "input skew — one huge unsplittable
+    * file … repartition immediately after the read"). Parquet can only
+    * parallelize at row-group granularity, so a single-row-group input
+    * scans as ONE task and a compute-bound projection over it (BPE
+    * encode ~4 ms/row, n-gram hashing) runs single-core while the rest
+    * of the cluster idles. When the PLANNED scan parallelism is below
+    * half the core count, hash-repartition on `key` to
+    * defaultParallelism (explicit numPartitions, so AQE does not
+    * coalesce the tiny exchange back to one task); when the scan already
+    * yields core-count splits — any production-sized input — this is
+    * the identity and NO extra exchange is paid at scale. `df` must be a
+    * scan-stage frame (no exchanges below), so `.rdd.getNumPartitions`
+    * reads the planned split count without running a job. */
+  def spreadIfNarrow(df: DataFrame, key: Column): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val parts = df.rdd.getNumPartitions
+    if (parts * 2 <= sc.defaultParallelism)
+      df.repartition(sc.defaultParallelism, key)
+    else df
+  }
+
   /** Run `body` with the session's shuffle-partition count scoped to a
     * workload whose per-round cardinality the CALLER knows (fixpoint
     * loops over bounded graphs, stateful streams keyed by a few thousand

@@ -385,7 +385,11 @@ object Bpe extends QueryGroup {
       val merges = graft.operators.BpeTrainer.train(wordFreqs, BigBudget)
       val ls = typedLit(merges.map(_.left))
       val rs = typedLit(merges.map(_.right))
-      table(s, dir, "documents")
+      // the 256-merge encode kernel is ~4 ms/doc; a single-row-group
+      // input would run it in ONE scan task (measured 2.0 s serial at
+      // sf0.1) — spread first (identity on multi-split inputs)
+      graft.core.Graft.spreadIfNarrow(
+          table(s, dir, "documents").select("doc_id", "text"), col("doc_id"))
         .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
         .filter(length(col("w")) > 0)
         .select(col("doc_id"), concat(lit(" "),

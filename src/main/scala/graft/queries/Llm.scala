@@ -1544,7 +1544,11 @@ object Llm extends QueryGroup {
   private val qSimSparse = Q(
     "q_sim_sparse",
     (s, dir) => {
-      val docs = table(s, dir, "documents").select("doc_id", "text")
+      // single-row-group input ⇒ the gramSeq tokenize kernel would run
+      // in ONE scan task (measured 1.9 s serial at sf0.1); spread it
+      // (identity on any production-sized, multi-split input)
+      val docs = graft.core.Graft.spreadIfNarrow(
+        table(s, dir, "documents").select("doc_id", "text"), col("doc_id"))
       val nDocs = docs.count()
       // ABSOLUTE df-cap default (100): a term in more than 100 docs
       // carries <1% IDF discrimination while fanning out df² pair rows.
