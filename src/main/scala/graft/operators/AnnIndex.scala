@@ -99,6 +99,37 @@ object AnnIndex {
   def latestVersion(dir: String): Int =
     KvCommitLog.latestVersion(Paths.get(dir))
 
+  /** Row count of a just-staged parquet directory from its footers,
+    * summed on the DRIVER (r16: replaces a `spark.read.parquet(…).count()`
+    * whose only purpose was the meta row count — a full Spark action per
+    * build). Footer metadata is O(files) local reads; the staging dir is
+    * always on the builder's filesystem. */
+  private def stagedRowCount(spark: SparkSession, dir: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    val it = fs.listFiles(root, true)
+    var n = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(f, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try n += r.getRecordCount finally r.close()
+      }
+    }
+    n
+  }
+
+  private def rmTreeLocal(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.forEach(c => rmTreeLocal(c)) finally s.close()
+    }
+    Files.deleteIfExists(p): Unit
+  }
+
   /** Test-only chaos hook: runs after a delta is fully staged and before
     * its manifest commits — the window where a concurrent commit forces
     * the OCC rebase (or, for a re-fit, the staleness abort). */
@@ -144,7 +175,7 @@ object AnnIndex {
       .select(col("cluster").as("cid"), col(idCol), col(embCol))
       .write.mode("overwrite").partitionBy("cid")
       .parquet(s"$gen/lists")
-    val count = spark.read.parquet(s"$gen/lists").count()
+    val count = stagedRowCount(spark, s"$gen/lists")
     Files.writeString(Paths.get(s"$gen/meta.json"),
       metaJson(IndexMeta(k, dim, rounds, normalized, count)))
     KvCommitLog.commitMember(base, staged, genName,
@@ -270,7 +301,7 @@ object AnnIndex {
         (0 until m).map(mm => col(s"code$mm")): _*)
       .write.mode("overwrite").partitionBy("cid")
       .parquet(s"$gen/lists")
-    val count = spark.read.parquet(s"$gen/lists").count()
+    val count = stagedRowCount(spark, s"$gen/lists")
     Files.writeString(Paths.get(s"$gen/meta.json"),
       metaJson(IndexMeta(k, dim, rounds, normalized = true, count,
         residual = residual)))
@@ -419,14 +450,20 @@ object AnnIndex {
     val rows = withCodes
       .select(col("cluster").as("cid") +: col(idCol) +: col(embCol) +:
         codeCols.map(col): _*)
-    // an empty partitioned parquet dir cannot be read back (no footer to
-    // infer schema from) — committing one would poison every future
-    // probe's union, so reject before writing anything
-    val count = rows.cache().count()
-    require(count > 0, "appendDelta: delta is empty — nothing to commit")
     rows.write.mode("overwrite").partitionBy("cid")
       .parquet(s"$dir/$staged/lists")
-    rows.unpersist()
+    // an empty partitioned parquet dir cannot be read back (no footer to
+    // infer schema from) — committing one would poison every future
+    // probe's union. r16: the emptiness check moved AFTER the write (one
+    // staged write instead of cache+count+write+unpersist — the staging
+    // dir is invisible to readers either way, so rejecting post-write is
+    // equally safe) and the count comes from the staged footers.
+    val count = stagedRowCount(spark, s"$dir/$staged/lists")
+    if (count == 0) {
+      rmTreeLocal(Paths.get(s"$dir/$staged"))
+      throw new IllegalArgumentException(
+        "appendDelta: delta is empty — nothing to commit")
+    }
     Files.writeString(Paths.get(s"$dir/$staged/meta.json"),
       metaJson(m.copy(count = count)))
     chaosHook()

@@ -56,11 +56,18 @@ object TextIndex {
       dir: String, member: String): Unit = {
     val spark = docs.sparkSession
     graft.functions.GraftFunctions.register(spark)
-    // fail fast on an empty batch BEFORE anything is staged: an empty
-    // partitioned-parquet member has no inferable schema and would
-    // poison every later search that unions the members — better to
-    // reject the append than to commit a generation no one can read
-    val ndocs = docs.count()
+    // ONE corpus-stats pass (r16: was two — a count() plus a later
+    // sum(dl) over the tokenized frame, each a full action): ndocs and
+    // ttokens come from a single aggregation; per-doc token count
+    // size(filter(split…)) equals the dl the postings carry (docs with
+    // zero tokens contribute 0, exactly as their absence from dl did).
+    // The empty-batch guard rides the same row — fail fast BEFORE
+    // anything is staged: an empty partitioned-parquet member has no
+    // inferable schema and would poison every later search.
+    val st = docs.agg(count(lit(1)),
+      coalesce(sum(size(filter(split(lower(col(textCol)), " "),
+        t => t =!= ""))), lit(0L))).head
+    val (ndocs, ttokens) = (st.getLong(0), st.getLong(1))
     require(ndocs > 0,
       s"refusing to stage an EMPTY batch as text-index member $member " +
         s"at $dir — empty members would break every subsequent search")
@@ -75,8 +82,6 @@ object TextIndex {
           lit(Buckets.toLong)))
       .write.mode("overwrite").partitionBy("tb")
       .parquet(s"$dir/$member/postings")
-    val ttokens = dl.agg(coalesce(sum(col("dl")), lit(0L)))
-      .head.getLong(0)
     Files.writeString(Paths.get(s"$dir/$member/meta.json"),
       s"""{"ndocs":$ndocs,"ttokens":$ttokens}""")
   }
