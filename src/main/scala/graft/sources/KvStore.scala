@@ -54,6 +54,119 @@ object KvStore {
       version: Int, rewritten: Int, emptied: Int, untouched: Int,
       rowsDeleted: Long, rowsAdded: Long)
 
+  /** Max distinct merge keys collected to the driver (r16, the r15
+    * verdict's driver-collect fix): up to this many keys the merge keeps
+    * its original shape — exact zone-map + Bloom file targeting and a
+    * closure-shipped key set. ABOVE it nothing key-shaped is ever
+    * materialized on the driver: file targeting falls back to the
+    * delta's [min, max] key range (one scalar aggregation; coarser but
+    * sound — a superset of the exact candidate set), and per-file doomed
+    * ordinals come from a DISTRIBUTED equi-join of the candidate files'
+    * live (file, ordinal, key) rows with the delta's distinct keys,
+    * grouped per file (one task row per file; bounded by the sink's
+    * file-size discipline). Tunable via spark.graft.merge.keyCollectMax. */
+  private def keyCollectMax(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.merge.keyCollectMax")
+      .map(_.toLong).getOrElse(1000000L)
+
+  /** Test introspection: true iff the last merge/mergeDV on this JVM
+    * took the distributed (no-driver-key-set) path. */
+  @volatile var lastMergeKeysDistributed: Boolean = false
+
+  /** The delta's distinct non-null keys as a driver set — ONLY when
+    * there are at most `max` of them (the limit stops the scan early);
+    * None signals the wide-delta distributed path. */
+  private def boundedKeys(upserts: DataFrame, keyCol: String,
+      max: Long): Option[Set[Long]] = {
+    val n = math.min(max + 1, Int.MaxValue.toLong).toInt
+    val rows = upserts.select(keyCol).na.drop().distinct().limit(n).collect()
+    if (rows.length > max) None
+    else Some(rows.map(_.get(0) match {
+      case l: java.lang.Long => l.longValue()
+      case i: java.lang.Integer => i.longValue()
+    }).toSet)
+  }
+
+  /** Distinct non-null delta keys as a single long column `__k`
+    * (never collected). */
+  private def keysFrame(upserts: DataFrame, keyCol: String,
+      deleteKeys: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val spark = upserts.sparkSession
+    import spark.implicits._
+    val base = upserts.select(col(keyCol).cast(LongType).as("__k")).na.drop()
+    (if (deleteKeys.isEmpty) base
+     else base.unionAll(deleteKeys.toDF("__k"))).distinct()
+  }
+
+  /** Wide-delta candidate targeting: live files whose keyCol zone range
+    * intersects the delta's [min, max] key span (files without a sidecar
+    * are always candidates — never guess). One scalar aggregation of the
+    * keys frame; per-key Bloom pruning is deliberately forfeited here —
+    * it needs the key set, and read amplification (more candidate files
+    * scanned by the distributed join) is the sound direction. */
+  private def rangeCandidates(dir: String, live: Seq[String],
+      keyCol: String, keysDf: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.functions.{max => fmax, min => fmin, col}
+    val b = keysDf.agg(fmin(col("__k")), fmax(col("__k"))).head()
+    if (b.isNullAt(0)) return Nil // empty delta: nothing can match
+    val (kmin, kmax) = (b.getLong(0), b.getLong(1))
+    live.filter { name =>
+      KvZoneMap.read(new File(dir, name)) match {
+        case Some(st) => st.cols.get(keyCol) match {
+          case Some((mn, mx)) => kmax >= mn && kmin <= mx
+          case None => true
+        }
+        case None => true
+      }
+    }
+  }
+
+  /** Per-file doomed ordinals for a wide delta, computed distributedly:
+    * candidate files are scanned by executors into (file, ordinal, key)
+    * rows (live ordinals only — existing vectors applied, empty lines
+    * counted but never emitted, NULL keys match nothing), equi-joined
+    * with the delta's distinct keys, and grouped per file. Returns a
+    * DATASET of (file, ascending ordinals) — callers stage vectors or
+    * rewrites from its TASKS; only per-file names/counts ever reach the
+    * driver. */
+  private def distributedHits(spark: SparkSession, dir: String,
+      schema: StructType, keyCol: String, candidates: Seq[String],
+      dvs: Map[String, Seq[String]], keysDf: DataFrame)
+      : org.apache.spark.sql.Dataset[(String, Seq[Long])] = {
+    import org.apache.spark.sql.functions.{col, collect_list, sort_array}
+    import spark.implicits._
+    val ddl = schema.toDDL
+    val withDvs = candidates.map(n => (n, dvs.getOrElse(n, Nil)))
+    val fileRows = spark.sparkContext
+      .parallelize(withDvs, math.min(math.max(candidates.size, 1),
+        spark.sparkContext.defaultParallelism))
+      .flatMap { case (name, dvNames) =>
+        val parsed = StructType.fromDDL(ddl)
+        val types = parsed.fields.map(_.dataType)
+        val ki = parsed.fieldNames.indexOf(keyCol)
+        val cursor = new KvDv.Cursor(
+          KvDv.merged(dvNames.map(v => Paths.get(dir).resolve(v))))
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+        val src = scala.io.Source.fromFile(new File(dir, name), "UTF-8")
+        var ord = -1L
+        try src.getLines().foreach { line =>
+          ord += 1
+          if (line.nonEmpty && !cursor.deleted(ord))
+            KvRowEval.parse(line, types)(ki) match {
+              case l: Long => buf += ((name, ord, l))
+              case i2: Int => buf += ((name, ord, i2.toLong))
+              case _ => () // NULL key matches no merge key
+            }
+        } finally src.close()
+        buf
+      }.toDF("__f", "__ord", "__k")
+    fileRows.join(keysDf, "__k")
+      .groupBy(col("__f"))
+      .agg(sort_array(collect_list(col("__ord"))).as("__ords"))
+      .as[(String, Seq[Long])]
+  }
+
   /** DELETE FROM the store: remove every row satisfying ALL `filters`
     * (the conjunction; supported shapes = the scan's pushable set).
     * Copy-on-write through the log; returns the committed version.
@@ -246,31 +359,55 @@ object KvStore {
         s"equal the store schema ${schema.fieldNames.mkString(",")}")
     // SQL-null merge semantics: a NULL key matches no store row (the
     // executor-side vector path already treats it so), so nulls are
-    // dropped here rather than dying in an opaque MatchError — the
-    // null-keyed upsert rows themselves still land through the sink
-    val upsertKeys = upserts.select(keyCol).na.drop().distinct().collect()
-      .map(r => r.get(0) match {
-        case l: java.lang.Long => l.longValue()
-        case i: java.lang.Integer => i.longValue()
-      }).toSet
-    val affected = upsertKeys ++ deleteKeys
+    // dropped rather than dying in an opaque MatchError — the null-keyed
+    // upsert rows themselves still land through the sink.
+    // Key-set sizing (r16): a CDC-sized delta collects its distinct keys
+    // exactly as before (exact zone+Bloom targeting); a delta wider than
+    // keyCollectMax never materializes keys on the driver — range
+    // targeting + the distributedHits join compute the vectors entirely
+    // on executors, and only (file, vectorName, count) triples return.
+    val narrowKeys = boundedKeys(upserts, keyCol, keyCollectMax(spark))
+      .map(_ ++ deleteKeys)
+    lastMergeKeysDistributed = narrowKeys.isEmpty
     val dirPath = Paths.get(dir)
     val base = expectedBase.getOrElse(KvCommitLog.latestVersion(dirPath))
     require(base > 0, s"graft kv store: no commit log at $dir — not a store")
     val (live, dvs) = KvCommitLog.stateAsOf(dirPath, base)
-    val runtimeKeys = Map(keyCol -> affected)
-    val candidates = live.toSeq.sorted.filter { name =>
-      KvZoneMap.read(new File(dir, name)) match {
-        case Some(st) => KvZonePrune.keeps(st, Nil, runtimeKeys)
-        case None => true
-      }
-    }
     val nonce = java.lang.Long.toUnsignedString(
       java.util.concurrent.ThreadLocalRandom.current().nextLong(), 36)
-    val hit =
-      if (candidates.isEmpty || affected.isEmpty) Nil
-      else stageVectors(spark, dir, schema, candidates, dvs, nonce, Nil,
-        Some(keyCol -> affected))
+    val hit: Seq[(String, String, Long)] = narrowKeys match {
+      case Some(affected) =>
+        val runtimeKeys = Map(keyCol -> affected)
+        val candidates = live.toSeq.sorted.filter { name =>
+          KvZoneMap.read(new File(dir, name)) match {
+            case Some(st) => KvZonePrune.keeps(st, Nil, runtimeKeys)
+            case None => true
+          }
+        }
+        if (candidates.isEmpty || affected.isEmpty) Nil
+        else stageVectors(spark, dir, schema, candidates, dvs, nonce, Nil,
+          Some(keyCol -> affected))
+      case None =>
+        import spark.implicits._
+        val keysDf = keysFrame(upserts, keyCol, deleteKeys)
+        val candidates =
+          rangeCandidates(dir, live.toSeq.sorted, keyCol, keysDf)
+        if (candidates.isEmpty) Nil
+        else {
+          val idxOf = candidates.zipWithIndex.toMap
+          distributedHits(spark, dir, schema, keyCol, candidates, dvs, keysDf)
+            .map { case (name, ords) =>
+              // stage the vector IN THE TASK (the ordinal list never
+              // crosses to the driver), same staging protocol as
+              // stageVectors
+              val stagingDir = new File(dir, "_staging")
+              stagingDir.mkdirs()
+              val dvName = KvDv.name(nonce, idxOf(name))
+              KvDv.write(stagingDir.toPath.resolve(dvName), ords.toArray)
+              (name, dvName, ords.size.toLong)
+            }.collect().toSeq.sortBy(_._1)
+        }
+    }
     // the upsert half rides the sink's full 2PC/stats discipline into a
     // hidden scratch store, then its committed files are adopted (the
     // KvStore.merge pattern)
@@ -376,21 +513,25 @@ object KvStore {
     require(upserts.columns.toSeq == schema.fieldNames.toSeq,
       s"graft kv store: upsert columns ${upserts.columns.mkString(",")} must " +
         s"equal the store schema ${schema.fieldNames.mkString(",")}")
-    // the change batch is the SMALL side by design (a CDC batch against a
-    // big store): its distinct keys drive file targeting and ride to the
-    // rewrite tasks in the job closure — the store itself never shuffles
-    // SQL-null merge semantics: a NULL key matches no store row (the
-    // executor-side vector path already treats it so), so nulls are
-    // dropped here rather than dying in an opaque MatchError — the
-    // null-keyed upsert rows themselves still land through the sink
-    val upsertKeys = upserts.select(keyCol).na.drop().distinct().collect()
-      .map(r => r.get(0) match {
-        case l: java.lang.Long => l.longValue()
-        case i: java.lang.Integer => i.longValue()
-      }).toSet
-    val affected = upsertKeys ++ deleteKeys
-    mutate(spark, dir, schema, Nil, Some(keyCol -> affected), Some(upserts),
-      expectedBase)
+    // a CDC-sized change batch keeps the original shape: its distinct
+    // keys drive exact file targeting and ride to the rewrite tasks in
+    // the job closure — the store itself never shuffles. A delta WIDER
+    // than keyCollectMax (r16) never materializes keys on the driver:
+    // the doomed ordinals per candidate file come from the distributed
+    // key join and the rewrites take them as per-file vectors.
+    // SQL-null merge semantics: a NULL key matches no store row, so
+    // nulls are dropped from the key set — the null-keyed upsert rows
+    // themselves still land through the sink.
+    boundedKeys(upserts, keyCol, keyCollectMax(spark)) match {
+      case Some(upsertKeys) =>
+        lastMergeKeysDistributed = false
+        mutate(spark, dir, schema, Nil, Some(keyCol -> (upsertKeys ++ deleteKeys)),
+          Some(upserts), expectedBase)
+      case None =>
+        lastMergeKeysDistributed = true
+        mutate(spark, dir, schema, Nil, None, Some(upserts), expectedBase,
+          wideKeys = Some((keyCol, keysFrame(upserts, keyCol, deleteKeys))))
+    }
   }
 
   /** Reclaim files no snapshot ≥ `keepFrom` can reach (superseded by
@@ -578,43 +719,65 @@ object KvStore {
     * from the current head. */
   private def mutate(spark: SparkSession, dir: String, schema: StructType,
       filters: Seq[Filter], keys: Option[(String, Set[Long])],
-      adds: Option[DataFrame], expectedBase: Option[Int]): Mutation = {
+      adds: Option[DataFrame], expectedBase: Option[Int],
+      wideKeys: Option[(String, DataFrame)] = None): Mutation = {
     val dirPath = Paths.get(dir)
     val base = expectedBase.getOrElse(KvCommitLog.latestVersion(dirPath))
     require(base > 0, s"graft kv store: no commit log at $dir — not a store")
     val (liveSet, dvState) = KvCommitLog.stateAsOf(dirPath, base)
     val live = liveSet.toSeq.sorted
-    val runtimeKeys = keys.map { case (c, ks) => Map(c -> ks) }
-      .getOrElse(Map.empty[String, Set[Long]])
-    // zone-map targeting: a file whose sidecar PROVES no row can match is
-    // untouched; files without a sidecar must be rewritten (never guess).
-    // Vector-carrying files' sidecars describe a SUPERSET of their live
-    // rows — "cannot match" stays proven
-    val candidates = live.filter { name =>
-      KvZoneMap.read(new File(dir, name)) match {
-        case Some(st) => KvZonePrune.keeps(st, filters, runtimeKeys)
-        case None => true
-      }
-    }
     val nonce = java.lang.Long.toUnsignedString(
       java.util.concurrent.ThreadLocalRandom.current().nextLong(), 36)
+    val ddl = schema.toDDL
     // distributed rewrite: one task per candidate file (the store's own
     // parallelism unit); executors share the filesystem — the same
     // precondition the sink's staged-file commit already assumes
-    val rewrites: Seq[Rewrite] =
-      if (candidates.isEmpty) Nil
-      else {
-        val ddl = schema.toDDL
-        val fseq = candidates.zipWithIndex
-        spark.sparkContext
-          .parallelize(fseq, math.min(fseq.size,
-            spark.sparkContext.defaultParallelism))
-          .map { case (name, i) =>
-            rewriteOne(dir, name, ddl, filters, keys, s"rw-$nonce-$i.csv",
-              dvState.getOrElse(name, Nil))
+    val rewrites: Seq[Rewrite] = wideKeys match {
+      case Some((keyCol, keysDf)) =>
+        // wide-delta merge (r16): range-targeted candidates, doomed
+        // ordinals from the distributed key join, one rewrite task per
+        // HIT file with its ordinals as a per-file vector — the key set
+        // never exists anywhere, and miss files are never rewritten
+        import spark.implicits._
+        val candidates = rangeCandidates(dir, live, keyCol, keysDf)
+        if (candidates.isEmpty) Nil
+        else {
+          val idxOf = candidates.zipWithIndex.toMap
+          distributedHits(spark, dir, schema, keyCol, candidates,
+              dvState, keysDf)
+            .map { case (name, ords) =>
+              rewriteOne(dir, name, ddl, Nil, None,
+                s"rw-$nonce-${idxOf(name)}.csv",
+                dvState.getOrElse(name, Nil) /* dvPaths */,
+                purgeOnly = false, doomedOrds = ords.toArray)
+            }.collect().toSeq.sortBy(_.original)
+        }
+      case None =>
+        val runtimeKeys = keys.map { case (c, ks) => Map(c -> ks) }
+          .getOrElse(Map.empty[String, Set[Long]])
+        // zone-map targeting: a file whose sidecar PROVES no row can match
+        // is untouched; files without a sidecar must be rewritten (never
+        // guess). Vector-carrying files' sidecars describe a SUPERSET of
+        // their live rows — "cannot match" stays proven
+        val candidates = live.filter { name =>
+          KvZoneMap.read(new File(dir, name)) match {
+            case Some(st) => KvZonePrune.keeps(st, filters, runtimeKeys)
+            case None => true
           }
-          .collect().toSeq
-      }
+        }
+        if (candidates.isEmpty) Nil
+        else {
+          val fseq = candidates.zipWithIndex
+          spark.sparkContext
+            .parallelize(fseq, math.min(fseq.size,
+              spark.sparkContext.defaultParallelism))
+            .map { case (name, i) =>
+              rewriteOne(dir, name, ddl, filters, keys, s"rw-$nonce-$i.csv",
+                dvState.getOrElse(name, Nil))
+            }
+            .collect().toSeq
+        }
+    }
     val untouchedCandidates = rewrites.filter(_.dropped == 0L)
     // a candidate that lost no row keeps its ORIGINAL file byte-identical
     untouchedCandidates.foreach(r =>
@@ -685,14 +848,20 @@ object KvStore {
     * never re-emitted — so a CoW mutation over a vector-carrying file
     * materializes its vectors as a side effect; `purgeOnly` makes that
     * materialization the WHOLE job (no row is newly doomed). */
+  /** `doomedOrds` (wide-delta merges): a precomputed ascending vector of
+    * this file's newly-doomed LIVE ordinals — the doomed decision is then
+    * a monotonic cursor probe instead of a key-set lookup, so the rewrite
+    * task never holds the merge key set. */
   private def rewriteOne(dir: String, name: String, schemaDdl: String,
       filters: Seq[Filter], keys: Option[(String, Set[Long])],
       stagedName: String, dvPaths: Seq[String] = Nil,
-      purgeOnly: Boolean = false): Rewrite = {
+      purgeOnly: Boolean = false, doomedOrds: Array[Long] = null): Rewrite = {
     val schema = StructType.fromDDL(schemaDdl)
     val types = schema.fields.map(_.dataType)
     val idx = schema.fieldNames.zipWithIndex.toMap
     val keyIdx = keys.map { case (c, ks) => (idx(c), ks) }
+    val doomedCursor =
+      if (doomedOrds == null) null else new KvDv.Cursor(doomedOrds)
     val statIdx = schema.fields.zipWithIndex.collect {
       case (f, i) if f.dataType == LongType || f.dataType == IntegerType => i
     }
@@ -737,15 +906,17 @@ object KvStore {
         if (dvCursor.deleted(ord)) dvSkipped += 1
         else {
         val row = KvRowEval.parse(line, types)
-        val doomed = !purgeOnly && (keyIdx match {
-          // a NULL key matches no merge key (SQL null semantics)
-          case Some((i, ks)) => row(i) match {
-            case l: Long => ks.contains(l)
-            case i2: Int => ks.contains(i2.toLong)
-            case _ => false
-          }
-          case None => filters.forall(KvRowEval.eval(_, idx, row))
-        })
+        val doomed = !purgeOnly &&
+          (if (doomedCursor != null) doomedCursor.deleted(ord)
+           else keyIdx match {
+             // a NULL key matches no merge key (SQL null semantics)
+             case Some((i, ks)) => row(i) match {
+               case l: Long => ks.contains(l)
+               case i2: Int => ks.contains(i2.toLong)
+               case _ => false
+             }
+             case None => filters.forall(KvRowEval.eval(_, idx, row))
+           })
         if (doomed) dropped += 1
         else {
           kept += 1
