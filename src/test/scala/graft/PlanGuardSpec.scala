@@ -64,6 +64,12 @@ class PlanGuardSpec extends AnyFunSuite with SparkSessionFixture {
     // the Q11 fence: the (total, part-count) pair aggregated over the
     // per-part rows, broadcast back as one row
     "q11_part_share" -> "scalar (total, count) fence, one-row broadcast",
+    // r16 SaltedPrefix rewrites (r15 verdict item 2): the global revenue
+    // total / part count is a one-row aggregate broadcast onto the part
+    // table — the same scalar-consts shape as q_window_ntile; the salted
+    // machinery's bounds/offsets joins themselves plan as equi joins
+    "q_abc_classify" -> "scalar revenue total, one-row broadcast",
+    "q_gini_concentration" -> "scalar part count, one-row broadcast",
     // the Q22 balance fence: (sum_fp, n) one-row aggregate broadcast
     "q22_dormant_customers" -> "scalar balance fence, one-row broadcast",
     // era split midpoint + (na, nb) era totals — both one-row broadcasts
