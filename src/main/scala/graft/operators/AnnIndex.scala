@@ -221,15 +221,59 @@ object AnnIndex {
       Paths.get(s"$dir/${fitEntry(dir, entries)}/meta.json")))
   }
 
-  /** Committed centroids in cid order — K·dim longs, driver-sized. */
+  /** Committed centroids in cid order — K·dim longs, driver-sized.
+    * Parsed ONCE per JVM per committed generation (r16): the table is an
+    * immutable committed artifact (a new fit is a new gen directory), so
+    * it rides [[graft.sources.KvMetaCache]] keyed on its single part
+    * file — a stat per probe instead of a Spark read+collect job per
+    * probe (streaming serve gates probe every micro-batch). */
   def centroids(spark: SparkSession, dir: String,
       asOf: Option[Int] = None): Seq[Seq[Long]] = {
-    import spark.implicits._
     val (entries, _) = entriesAt(dir, asOf)
-    spark.read.parquet(s"$dir/${fitEntry(dir, entries)}/centroids")
-      .select("cid", "cv").as[(Long, Seq[Long])]
-      .collect().sortBy(_._1).map(_._2).toSeq
+    cachedLongVecTable(spark, s"$dir/${fitEntry(dir, entries)}/centroids",
+      Seq("cid", "cv"))
+      .map(row => (row(0).asInstanceOf[Long], longVec(row(1))))
+      .sortBy(_._1).map(_._2)
   }
+
+  /** Row array cell → immutable Seq[Long] (Spark hands back a mutable
+    * ArraySeq for array columns). */
+  private def longVec(cell: Any): Seq[Long] =
+    cell.asInstanceOf[scala.collection.Seq[Long]].toSeq
+
+  /** One committed single-part parquet table collected to the driver,
+    * served through the immutable-metadata cache: the parse happens once
+    * per JVM per file identity (generation dirs are never rewritten).
+    * Falls back to an uncached read if the directory does not hold
+    * exactly one part file (never true for coalesce(1) writers). */
+  private def cachedLongVecTable(spark: SparkSession, dir: String,
+      cols: Seq[String]): Seq[Seq[Any]] = {
+    def readAll(): Seq[Seq[Any]] =
+      spark.read.parquet(dir).select(cols.map(col): _*)
+        .collect().toSeq.map(r => cols.indices.map(r.get))
+    val parts = {
+      val s = Files.list(Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(_.getFileName.toString.endsWith(".parquet"))
+          .toList
+      } finally s.close()
+    }
+    parts match {
+      case Seq(one) =>
+        graft.sources.KvMetaCache.cached(one)(_ => readAll())
+      case _ => readAll()
+    }
+  }
+
+  /** Committed PQ codebooks, cached like [[centroids]]: per subspace in
+    * m order, codewords in cid order. */
+  private def pqCodebooks(spark: SparkSession, dir: String): Seq[Seq[Seq[Long]]] =
+    cachedLongVecTable(spark, dir, Seq("m", "cid", "cv"))
+      .map(row => (row(0).asInstanceOf[Int], row(1).asInstanceOf[Long],
+        longVec(row(2))))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toSeq)
 
   /** [[build]] plus PRODUCT-QUANTIZATION codes — the persisted IVFPQ
     * (FAISS IndexIVFPQ on disk): alongside the coarse generation, `m`
@@ -328,11 +372,7 @@ object AnnIndex {
     require(Files.exists(Paths.get(s"$dir/$fit/pq")),
       s"index at $dir was built without PQ codebooks (AnnIndex.build) — " +
         "probe it with AnnIndex.probe, or rebuild with buildPq")
-    val subCents: Seq[Seq[Seq[Long]]] =
-      spark.read.parquet(s"$dir/$fit/pq")
-        .select("m", "cid", "cv").as[(Int, Long, Seq[Long])]
-        .collect().groupBy(_._1).toSeq.sortBy(_._1)
-        .map(_._2.sortBy(_._2).map(_._3).toSeq)
+    val subCents: Seq[Seq[Seq[Long]]] = pqCodebooks(spark, s"$dir/$fit/pq")
     val pqM = subCents.size
     require(pqM > 0 && m.dim % pqM == 0,
       s"index at $dir has no usable pq codebooks")
@@ -424,11 +464,7 @@ object AnnIndex {
     val (withCodes, codeCols) =
       if (!Files.exists(pqPath)) (assigned, Seq.empty[String])
       else {
-        val subCents: Seq[Seq[Seq[Long]]] =
-          spark.read.parquet(pqPath.toString)
-            .select("m", "cid", "cv").as[(Int, Long, Seq[Long])]
-            .collect().groupBy(_._1).toSeq.sortBy(_._1)
-            .map(_._2.sortBy(_._2).map(_._3).toSeq)
+        val subCents: Seq[Seq[Seq[Long]]] = pqCodebooks(spark, pqPath.toString)
         val subDim = m.dim / subCents.size
         // residual index ⇒ delta codes encode the residual vs the
         // FROZEN assigned centroid, exactly as the fit generation did

@@ -466,7 +466,7 @@ object KvZoneMap {
   * grew 1.5-1.9× with the r12 commit-log machinery. Scale note: this is
   * driver-side planning metadata (manifests are KB-sized); the cap
   * bounds memory, LRU keeps the hot stores resident. */
-private[sources] object KvMetaCache {
+private[graft] object KvMetaCache {
   import java.nio.file.attribute.BasicFileAttributes
 
   private final case class Entry(key: AnyRef, size: Long, mtime: Long,
