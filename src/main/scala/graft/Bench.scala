@@ -195,9 +195,11 @@ object Bench {
       import scala.jdk.CollectionConverters._
       val snap = done.asScala.toSeq
       val ok = snap.filter(_._2 >= 0)
-      val slowest = ok.sortBy(-_._2).take(8)
-        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${ok.map(_._2).sum},"unit":"sec","partial":true,"phase":"$phase","queries":$slowest,"queries_truncated":${ok.size > 8},"n_queries":${snap.size},"n_selected":${selected.size},"n_failed":${snap.count(_._2 < 0)},"iters":$iters,"env_sql_ms":$envSqlMs,"cpus":$cpus,"sf":"$sfDir"}"""
+      // full map even on a killed run (r17, matching the final line):
+      // everything measured so far, ms precision
+      val qs = ok.sortBy(_._1)
+        .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${ok.map(_._2).sum},"unit":"sec","partial":true,"phase":"$phase","queries":$qs,"queries_truncated":false,"n_queries":${snap.size},"n_selected":${selected.size},"n_failed":${snap.count(_._2 < 0)},"iters":$iters,"env_sql_ms":$envSqlMs,"cpus":$cpus,"sf":"$sfDir"}"""
     }
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       if (!summaryPrinted) {
@@ -385,9 +387,9 @@ object Bench {
     // Full detail line first (may exceed a tail-capture window at 88+
     // queries — r01/r02 both came back parsed:null from head truncation),
     // then a compact summary as the LAST stdout line so any tail window
-    // still contains one complete parseable JSON object. The compact line
-    // keeps a small "queries" map (the slowest 8) so it matches the
-    // driver's expected shape while staying a few hundred bytes.
+    // still contains one complete parseable JSON object. Since r17 the
+    // compact line carries the FULL per-query map at ms precision (see
+    // the comment at the print below).
     println(detail)
     System.out.flush()
     // ...and the same full record to a FILE, because the driver's capture
@@ -398,15 +400,21 @@ object Bench {
     // quick single-query iteration cannot clobber the durable full-sweep
     // record a later baseline promotion would read.
     writeDetail(detail)
-    val slowest = adjudicated.filter(_._2 >= 0).sortBy(-_._2).take(8)
-      .map { case (k, v, _, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    // "queries" here is TRUNCATED to the slowest 8 (the full map is on the
-    // "total_detail" line above and in bench_detail.json); "queries_truncated"
-    // flags that so a consumer iterating the map as a full per-query
-    // breakdown can detect the truncation instead of silently under-reporting.
-    val truncated = adjudicated.count(_._2 >= 0) > 8
+    // "queries" on the compact line carries the FULL per-query map (r17;
+    // the r16 verdict's top item: the slowest-8 truncation left the
+    // driver's cross-round comparison with n_common=0 and an empty
+    // scaling table — r15's record was unparseable and the 32/8-core
+    // top-8 sets were disjoint). Values are ms-precision (%.3f) to keep
+    // the line compact: ~300 queries ≈ 9 KB, within the window the
+    // driver's r16 parse demonstrably handled (its parsed record carried
+    // a 130-name contended list at ~4.2 KB; the stored 2 KB "tail" is an
+    // excerpt, not the parse window). Failed queries stay out of the map
+    // (they are in "failed"); full precision lives on the detail line
+    // and in bench_detail.json.
+    val qsFull = adjudicated.filter(_._2 >= 0).sortBy(_._1)
+      .map { case (k, v, _, _) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     summaryPrinted = true
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowest,"queries_truncated":$truncated,"n_queries":${adjudicated.size},"n_failed":${failed.size},"failed":$failedJson,"n_contended":${contended.size},"contended":$contendedJson,"n_regressed":${regressed.size},"regressed":$regressedJson$regressedVs,"iters":$iters,$envJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"queries_truncated":false,"n_queries":${adjudicated.size},"n_failed":${failed.size},"failed":$failedJson,"n_contended":${contended.size},"contended":$contendedJson,"n_regressed":${regressed.size},"regressed":$regressedJson$regressedVs,"iters":$iters,$envJson,"sf":"$sfDir"}""")
     System.out.flush()
     spark.stop()
   }

@@ -74,8 +74,22 @@ object Graft {
     * (arriving as a timestamp directly). The conditional below normalizes
     * the legacy long encoding to a µs timestamp — matching DuckDB's own
     * ns→µs truncation — and passes native timestamps through unchanged. */
+  /** Parquet schema per corpus table path, inferred ONCE per JVM (r17):
+    * `spark.read.parquet` with no schema runs a footer-reading Spark job
+    * on EVERY call — one fixed-cost job per `table()` call per query
+    * execution, times 302 registry queries. The corpus tables are
+    * immutable inputs, so the inferred schema is cached (the KvMetaCache
+    * discipline: metadata of immutable files, never data) and every
+    * later scan passes it explicitly. A production engine gets the same
+    * effect from its catalog; a path-read engine must cache. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path,
+      _ => spark.read.parquet(path).schema)
+    val df = spark.read.schema(schema).parquet(path)
     df.schema.fields.find(f =>
         f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
       case Some(_) =>

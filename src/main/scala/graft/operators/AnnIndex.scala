@@ -104,7 +104,7 @@ object AnnIndex {
     * whose only purpose was the meta row count — a full Spark action per
     * build). Footer metadata is O(files) local reads; the staging dir is
     * always on the builder's filesystem. */
-  private def stagedRowCount(spark: SparkSession, dir: String): Long = {
+  private[operators] def stagedRowCount(spark: SparkSession, dir: String): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(conf)
@@ -128,6 +128,21 @@ object AnnIndex {
       try s.forEach(c => rmTreeLocal(c)) finally s.close()
     }
     Files.deleteIfExists(p): Unit
+  }
+
+  /** Recursive byte-identical directory copy on the driver — for
+    * carrying committed driver-sized artifacts (centroids, pq
+    * codebooks) into a new generation without a Spark job. */
+  private def copyDirLocal(src: java.nio.file.Path,
+      dst: java.nio.file.Path): Unit = {
+    Files.createDirectories(dst)
+    val s = Files.list(src)
+    try s.forEach { c =>
+      val t = dst.resolve(c.getFileName)
+      if (Files.isDirectory(c)) copyDirLocal(c, t)
+      else Files.copy(c, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    } finally s.close()
   }
 
   /** Test-only chaos hook: runs after a delta is fully staged and before
@@ -538,11 +553,14 @@ object AnnIndex {
       Files.readString(Paths.get(s"$dir/$e/meta.json"))).count).sum
     val staged = stagingName()
     val gen = s"$dir/$staged"
-    spark.read.parquet(s"$dir/$fit/centroids")
-      .coalesce(1).write.mode("overwrite").parquet(s"$gen/centroids")
+    // centroids/pq are carried forward UNFITTED — a byte-identical file
+    // copy on the driver (r17; was a Spark read + coalesce(1) + write
+    // job per table whose only purpose was duplicating a single
+    // driver-sized committed part file into the new generation)
+    copyDirLocal(Paths.get(s"$dir/$fit/centroids"),
+      Paths.get(s"$gen/centroids"))
     if (Files.exists(Paths.get(s"$dir/$fit/pq")))
-      spark.read.parquet(s"$dir/$fit/pq")
-        .coalesce(1).write.mode("overwrite").parquet(s"$gen/pq")
+      copyDirLocal(Paths.get(s"$dir/$fit/pq"), Paths.get(s"$gen/pq"))
     entries.map(e => spark.read.parquet(s"$dir/$e/lists"))
       .reduce(_ unionAll _)
       .write.mode("overwrite").partitionBy("cid")

@@ -32,12 +32,17 @@ import graft.sources.KvCommitLog
   * `[gen-N]`; a delta publishes the previous members plus `delta-M`), so
   * older versions stay frozen and `asOf` scoring time-travels exactly.
   *
-  * Layout per member: `counts` (cls, w, cwc — the (class, word) token
-  * counts) and `classes` (cls, totc, ndocs — per-class token/doc totals).
-  * The smoothing scalars (vocabulary size V, training-doc count) are NOT
-  * stored: they are derived from the merged member tables at score time
-  * (model-table-sized work), which is what keeps delta merging exact —
-  * a stored V would go stale the moment a delta adds unseen words.
+  * Layout per member (r17): ONE table, `counts` (cls, w, cwc) — the
+  * (class, word) token counts plus one MARKER row per (class, document)
+  * with `w = NULL` (split never yields null elements, so no real token
+  * can collide), whose cwc is the class's doc count. Folding the old
+  * separate `classes` table into markers makes staging a SINGLE corpus
+  * pass/job; the per-class totals (totc = Σ cwc over real words,
+  * ndocs = the marker's cwc) are derived from the merged counts at
+  * score time — model-table-sized work. The smoothing scalars
+  * (vocabulary size V, training-doc count) are likewise derived at
+  * score time, which is what keeps delta merging exact — a stored V
+  * would go stale the moment a delta adds unseen words.
   *
   * All scoring arithmetic is the repo's exact-integer bitlen surprisal
   * (see q_classify_nb): both engines — and any member partitioning —
@@ -57,32 +62,43 @@ object ModelStore {
     * protocol must make invisible. */
   @volatile var chaosHook: () => Unit = () => ()
 
-  /** The mergeable sufficient statistics of `docs`: (class, word) token
-    * counts and per-class token/doc totals. Tokenization is the gated
-    * queries' convention (lowercased, single-space split). */
-  private def stats(docs: DataFrame, labelCol: String, textCol: String)
-      : (DataFrame, DataFrame) = {
-    val tok = docs.select(col(labelCol).as("cls"),
-      explode(split(lower(col(textCol)), " ")).as("w"))
-    val counts = tok.groupBy("cls", "w").agg(count(lit(1)).as("cwc"))
-    val classes = tok.groupBy("cls").agg(count(lit(1)).as("totc"))
-      .join(docs.groupBy(col(labelCol).as("cls"))
-        .agg(count(lit(1)).as("ndocs")), "cls")
-    (counts, classes)
-  }
-
   private def stage(docs: DataFrame, labelCol: String, textCol: String,
       dir: String, member: String): Unit = {
-    // fail fast on an empty batch BEFORE anything is staged: an empty
-    // parquet member has no inferable schema and would poison every
-    // later score that unions the members
-    require(!docs.isEmpty,
-      s"refusing to stage an EMPTY batch as model member $member at " +
-        s"$dir — empty members would break every subsequent score")
-    val (counts, classes) = stats(docs, labelCol, textCol)
-    counts.write.mode("overwrite").parquet(s"$dir/$member/counts")
-    classes.coalesce(1).write.mode("overwrite")
-      .parquet(s"$dir/$member/classes")
+    // ONE corpus pass, ONE job (r17; was three jobs — an isEmpty probe
+    // plus two separate tokenize actions, one per member table): every
+    // doc's tokens flow through a single (cls, w) aggregation together
+    // with one per-doc MARKER row (w = NULL — split never yields null
+    // elements, so no real token can collide with it; a NULL text
+    // contributes just its marker), written as the member's single
+    // `counts` table. Per-class totals are derived at score time (see
+    // [[score]]). The empty-batch rejection reads the staged parquet
+    // FOOTERS on the driver (zero Spark jobs; every doc yields >=1 row —
+    // its marker — so rows > 0 iff docs > 0) and runs BEFORE the
+    // manifest commit: an empty staged member is an invisible orphan,
+    // removed here, never readable. Tokenization is the gated queries'
+    // convention (lowercased, single-space split).
+    val tok = docs.select(col(labelCol).as("cls"),
+      explode(concat(
+        coalesce(split(lower(col(textCol)), " "),
+          array().cast("array<string>")),
+        array(lit(null).cast("string")))).as("w"))
+    tok.groupBy("cls", "w").agg(count(lit(1)).as("cwc"))
+      .write.mode("overwrite").parquet(s"$dir/$member/counts")
+    if (AnnIndex.stagedRowCount(docs.sparkSession,
+        s"$dir/$member/counts") == 0L) {
+      rmTreeLocal(Paths.get(s"$dir/$member"))
+      throw new IllegalArgumentException(
+        s"refusing to stage an EMPTY batch as model member $member at " +
+          s"$dir — empty members would break every subsequent score")
+    }
+  }
+
+  private def rmTreeLocal(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.forEach(c => rmTreeLocal(c)) finally s.close()
+    }
+    Files.deleteIfExists(p): Unit
   }
 
   /** Unique dot-hidden staging name: invisible to [[membersAt]] (only
@@ -138,16 +154,13 @@ object ModelStore {
     val base0 = latestVersion(dir)
     val members = membersAt(dir, Some(base0))
     val staged = stagingName()
+    // one merged table, one job: the marker rows (w = NULL) sum like any
+    // other (cls, w) group, so the compacted member carries exactly the
+    // statistics the member set did
     members.map(m => spark.read.parquet(s"$dir/$m/counts"))
       .reduce(_ unionAll _)
       .groupBy("cls", "w").agg(sum(col("cwc")).as("cwc"))
       .write.mode("overwrite").parquet(s"$dir/$staged/counts")
-    members.map(m => spark.read.parquet(s"$dir/$m/classes"))
-      .reduce(_ unionAll _)
-      .groupBy("cls").agg(sum(col("totc")).as("totc"),
-        sum(col("ndocs")).as("ndocs"))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/$staged/classes")
     chaosHook()
     // CAS at base0+1: the merged member was derived from the snapshot
     // at base0 — a concurrent commit supersedes it, so abort + rerun
@@ -197,13 +210,19 @@ object ModelStore {
       asOf: Option[Int] = None): DataFrame = {
     val spark = test.sparkSession
     val members = membersAt(dir, asOf)
-    val cnt = members.map(m => spark.read.parquet(s"$dir/$m/counts"))
+    // merged member statistics: real (cls, w) rows feed the token join;
+    // per-class totals come from the same merged table (totc = Σ cwc
+    // over real words ≡ tokens per class, ndocs = the w-NULL marker's
+    // cwc ≡ docs per class; classes with no tokens or a NULL label are
+    // dropped, exactly as the old token-side ⋈ doc-side inner join did)
+    val cnt0 = members.map(m => spark.read.parquet(s"$dir/$m/counts"))
       .reduce(_ unionAll _)
       .groupBy("cls", "w").agg(sum(col("cwc")).as("cwc"))
-    val clsTab = members.map(m => spark.read.parquet(s"$dir/$m/classes"))
-      .reduce(_ unionAll _)
-      .groupBy("cls").agg(sum(col("totc")).as("totc"),
-        sum(col("ndocs")).as("ndocs"))
+    val cnt = cnt0.filter(col("w").isNotNull)
+    val clsTab = cnt0.groupBy("cls").agg(
+        sum(when(col("w").isNotNull, col("cwc")).otherwise(0L)).as("totc"),
+        sum(when(col("w").isNull, col("cwc")).otherwise(0L)).as("ndocs"))
+      .filter(col("cls").isNotNull && col("totc") > 0L)
     val classes = clsTab
       .crossJoin(cnt.select("w").distinct().agg(count(lit(1)).as("v")))
       .crossJoin(clsTab.agg(sum(col("ndocs")).as("ntr")))

@@ -56,34 +56,59 @@ object TextIndex {
       dir: String, member: String): Unit = {
     val spark = docs.sparkSession
     graft.functions.GraftFunctions.register(spark)
-    // ONE corpus-stats pass (r16: was two — a count() plus a later
-    // sum(dl) over the tokenized frame, each a full action): ndocs and
-    // ttokens come from a single aggregation; per-doc token count
-    // size(filter(split…)) equals the dl the postings carry (docs with
-    // zero tokens contribute 0, exactly as their absence from dl did).
-    // The empty-batch guard rides the same row — fail fast BEFORE
-    // anything is staged: an empty partitioned-parquet member has no
-    // inferable schema and would poison every later search.
-    val st = docs.agg(count(lit(1)),
+    // ONE corpus pass (r17; r16 had two — a stats aggregation plus the
+    // postings write, each tokenizing the full batch):
+    //   - the corpus-level BM25 constants ride the postings write itself
+    //     as OBSERVED metrics (CollectMetrics — accumulator semantics,
+    //     counted once per successful task, so retries cannot skew it);
+    //     per-doc token count size(filter(split…)) equals the dl the
+    //     postings carry (zero-token docs contribute 0, exactly as their
+    //     absence from dl did);
+    //   - dl is a doc_id-partitioned window sum over the (doc, term) tf
+    //     aggregate — the same Σtf per doc the old second tokenize +
+    //     group-by + join produced, minus the second corpus scan.
+    // The empty-batch rejection moved AFTER the write (the r16
+    // AnnIndex.appendDelta discipline): a staged member is invisible to
+    // readers until its manifest commits, so rejecting post-write is
+    // equally safe — the empty orphan is removed and nothing commits.
+    val obs = new org.apache.spark.sql.Observation()
+    val observed = docs.observe(obs,
+      count(lit(1)).as("ndocs"),
       coalesce(sum(size(filter(split(lower(col(textCol)), " "),
-        t => t =!= ""))), lit(0L))).head
-    val (ndocs, ttokens) = (st.getLong(0), st.getLong(1))
-    require(ndocs > 0,
-      s"refusing to stage an EMPTY batch as text-index member $member " +
-        s"at $dir — empty members would break every subsequent search")
-    val tok = docs.select(col(idCol).as("doc_id"),
+        t => t =!= ""))), lit(0L)).as("ttokens"))
+    val tok = observed.select(col(idCol).as("doc_id"),
         explode(split(lower(col(textCol)), " ")).as("term"))
       .filter(col("term") =!= "")
-    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    tf.join(dl, "doc_id")
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("dl", sum(col("tf")).over(wDoc))
       .withColumn("tb",
         pmod(graft.functions.GraftFunctions.charHashNative(col("term")),
           lit(Buckets.toLong)))
       .write.mode("overwrite").partitionBy("tb")
       .parquet(s"$dir/$member/postings")
+    // an all-empty batch can plan to ZERO tasks, in which case the
+    // CollectMetrics accumulator never fires and the metrics map comes
+    // back empty — which is itself the empty-batch signal
+    val st = obs.get
+    val ndocs = st.get("ndocs").map(_.asInstanceOf[Long]).getOrElse(0L)
+    val ttokens = st.get("ttokens").map(_.asInstanceOf[Long]).getOrElse(0L)
+    if (ndocs == 0L) {
+      rmTreeLocal(Paths.get(s"$dir/$member"))
+      throw new IllegalArgumentException(
+        s"refusing to stage an EMPTY batch as text-index member $member " +
+          s"at $dir — empty members would break every subsequent search")
+    }
     Files.writeString(Paths.get(s"$dir/$member/meta.json"),
       s"""{"ndocs":$ndocs,"ttokens":$ttokens}""")
+  }
+
+  private def rmTreeLocal(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.forEach(c => rmTreeLocal(c)) finally s.close()
+    }
+    Files.deleteIfExists(p): Unit
   }
 
   /** Unique dot-hidden staging name: invisible to [[membersAt]] (only

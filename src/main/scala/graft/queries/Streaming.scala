@@ -455,7 +455,12 @@ object Streaming extends QueryGroup {
     val prev = s.conf.get(key)
     val prevCk = s.conf.get(ckKey)
     val prevNd = s.conf.get(ndKey)
-    s.conf.set(key, n.toString)
+    // Scale knob (r17): the caller's n is the LOCAL-GATE default; a real
+    // deployment sizes state partitions to its key cardinality via conf
+    // (the same parameterization rule as spark.graft.merge.keyCollectMax).
+    val eff = s.conf.getOption("spark.graft.stream.statePartitions")
+      .map(_.toInt).getOrElse(n)
+    s.conf.set(key, eff.toString)
     s.conf.set(ckKey, "false")
     s.conf.set(ndKey, "false")
     try body finally {

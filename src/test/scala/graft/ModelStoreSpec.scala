@@ -160,7 +160,7 @@ class ModelStoreSpec extends AnyFunSuite with SparkSessionFixture {
     assert(rows(ModelStore.score(test0, "doc_id", "text", dir)) != before)
   }
 
-  test("an empty batch is rejected before staging (cannot poison the model)") {
+  test("an empty batch is rejected uncommitted (cannot poison the model)") {
     val dir = freshDir("emptybatch")
     ModelStore.train(docs.filter(col("doc_id") % 5 === 1), "lang", "text", dir)
     val test0 = docs.filter(col("doc_id") % 5 === 0)

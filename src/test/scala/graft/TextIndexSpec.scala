@@ -187,7 +187,7 @@ class TextIndexSpec extends AnyFunSuite with SparkSessionFixture {
     }
   }
 
-  test("an empty batch is rejected before staging (cannot poison the index)") {
+  test("an empty batch is rejected uncommitted (cannot poison the index)") {
     val dir = freshDir("emptybatch")
     TextIndex.build(docs.limit(10), "doc_id", "text", dir)
     val terms = Seq("hash", "join")
