@@ -85,11 +85,22 @@ object Graft {
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val path = s"$dir/$name.parquet"
+  /** Parquet read with the path's schema inferred once per JVM — for
+    * paths whose SCHEMA is stable for the life of the process (immutable
+    * corpus tables, committed operator members, per-run staged
+    * artifacts rewritten with the same shape). The inferred schema —
+    * including discovered partition columns and their inferred types —
+    * is exactly what a fresh inference would return, so plans and
+    * results are byte-identical; only the per-call footer-inference job
+    * is gone. */
+  def cachedSchemaParquet(spark: SparkSession, path: String): DataFrame = {
     val schema = schemaCache.computeIfAbsent(path,
       _ => spark.read.parquet(path).schema)
-    val df = spark.read.schema(schema).parquet(path)
+    spark.read.schema(schema).parquet(path)
+  }
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = cachedSchemaParquet(spark, s"$dir/$name.parquet")
     df.schema.fields.find(f =>
         f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
       case Some(_) =>

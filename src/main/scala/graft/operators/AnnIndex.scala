@@ -423,7 +423,7 @@ object AnnIndex {
     val probeCids = probes.select("cid").distinct()
       .collect().map(_.getLong(0)).sorted
     val lists = entries.map(e =>
-        spark.read.parquet(s"$dir/$e/lists")
+        graft.core.Graft.cachedSchemaParquet(spark, s"$dir/$e/lists")
           .filter(col("cid").isin(probeCids: _*))
           .select(col("cid") +: col(idCol) +:
             (0 until pqM).map(mm => col(s"code$mm")): _*))
@@ -561,7 +561,7 @@ object AnnIndex {
       Paths.get(s"$gen/centroids"))
     if (Files.exists(Paths.get(s"$dir/$fit/pq")))
       copyDirLocal(Paths.get(s"$dir/$fit/pq"), Paths.get(s"$gen/pq"))
-    entries.map(e => spark.read.parquet(s"$dir/$e/lists"))
+    entries.map(e => graft.core.Graft.cachedSchemaParquet(spark, s"$dir/$e/lists"))
       .reduce(_ unionAll _)
       .write.mode("overwrite").partitionBy("cid")
       .parquet(s"$gen/lists")
@@ -630,7 +630,7 @@ object AnnIndex {
     // union of the version's member list dirs (fit generation + any
     // appended deltas), each scan pruned to the probed partitions
     val lists = entries.map(e =>
-        spark.read.parquet(s"$dir/$e/lists")
+        graft.core.Graft.cachedSchemaParquet(spark, s"$dir/$e/lists")
           .filter(col("cid").isin(probeCids: _*))
           .select(col("cid"), col(idCol), col(embCol)))
       .reduce(_ unionAll _)

@@ -95,7 +95,7 @@ object DurableIteration {
     val path = roundPath(dir, n)
     df.write.mode("overwrite").parquet(path)
     markCommitted(df.sparkSession, path)
-    df.sparkSession.read.parquet(path)
+    graft.core.Graft.cachedSchemaParquet(df.sparkSession, path)
   }
 
   private def dropRound(spark: SparkSession, dir: String, n: Int): Unit =
@@ -134,7 +134,7 @@ object DurableIteration {
       df.write.mode("overwrite").parquet(path)
       markCommitted(df.sparkSession, path)
     }
-    df.sparkSession.read.parquet(path)
+    graft.core.Graft.cachedSchemaParquet(df.sparkSession, path)
   }
 
   /** [[ConnectedComponents.components]] with durable round state: same
@@ -152,7 +152,7 @@ object DurableIteration {
     val spark = vertices.sparkSession
     readConverged(spark, ckptDir) match {
       case Some(n) =>
-        return (spark.read.parquet(roundPath(ckptDir, n)), 0, n)
+        return (graft.core.Graft.cachedSchemaParquet(spark, roundPath(ckptDir, n)), 0, n)
       case None => ()
     }
     val sym = durableInput(
@@ -165,7 +165,7 @@ object DurableIteration {
         ckptDir, 0)
       0
     }
-    var labels = spark.read.parquet(roundPath(ckptDir, startRound))
+    var labels = graft.core.Graft.cachedSchemaParquet(spark, roundPath(ckptDir, startRound))
     var iter = startRound
     var converged = false
     while (!converged && iter < maxIters) {
@@ -224,7 +224,7 @@ object DurableIteration {
     val spark = edges.sparkSession
     readConverged(spark, ckptDir) match {
       case Some(n) =>
-        return (spark.read.parquet(roundPath(ckptDir, n)).select("node", "r"), 0, n)
+        return (graft.core.Graft.cachedSchemaParquet(spark, roundPath(ckptDir, n)).select("node", "r"), 0, n)
       case None => ()
     }
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -243,7 +243,7 @@ object DurableIteration {
         ckptDir, 0)
       0
     }
-    var state = spark.read.parquet(roundPath(ckptDir, startRound))
+    var state = graft.core.Graft.cachedSchemaParquet(spark, roundPath(ckptDir, startRound))
     var rounds = startRound
     var stable = false
     while (!stable && rounds < maxRounds) {
@@ -296,7 +296,7 @@ object DurableIteration {
     graft.functions.GraftFunctions.register(spark)
 
     def centsOf(round: Int): Seq[Seq[Long]] =
-      spark.read.parquet(roundPath(ckptDir, round))
+      graft.core.Graft.cachedSchemaParquet(spark, roundPath(ckptDir, round))
         .select("cid", "cv").as[(Long, Seq[Long])]
         .collect().sortBy(_._1).map(_._2).toSeq
 

@@ -157,7 +157,7 @@ object ModelStore {
     // one merged table, one job: the marker rows (w = NULL) sum like any
     // other (cls, w) group, so the compacted member carries exactly the
     // statistics the member set did
-    members.map(m => spark.read.parquet(s"$dir/$m/counts"))
+    members.map(m => graft.core.Graft.cachedSchemaParquet(spark, s"$dir/$m/counts"))
       .reduce(_ unionAll _)
       .groupBy("cls", "w").agg(sum(col("cwc")).as("cwc"))
       .write.mode("overwrite").parquet(s"$dir/$staged/counts")
@@ -215,7 +215,7 @@ object ModelStore {
     // over real words ≡ tokens per class, ndocs = the w-NULL marker's
     // cwc ≡ docs per class; classes with no tokens or a NULL label are
     // dropped, exactly as the old token-side ⋈ doc-side inner join did)
-    val cnt0 = members.map(m => spark.read.parquet(s"$dir/$m/counts"))
+    val cnt0 = members.map(m => graft.core.Graft.cachedSchemaParquet(spark, s"$dir/$m/counts"))
       .reduce(_ unionAll _)
       .groupBy("cls", "w").agg(sum(col("cwc")).as("cwc"))
     val cnt = cnt0.filter(col("w").isNotNull)

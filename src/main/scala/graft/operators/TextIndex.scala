@@ -168,7 +168,7 @@ object TextIndex {
     val staged = stagingName()
     val (nDocs, tTokens) = members.map(metaOf(dir, _))
       .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
-    members.map(m => spark.read.parquet(s"$dir/$m/postings"))
+    members.map(m => graft.core.Graft.cachedSchemaParquet(spark, s"$dir/$m/postings"))
       .reduce(_ unionAll _)
       .write.mode("overwrite").partitionBy("tb")
       .parquet(s"$dir/$staged/postings")
@@ -236,7 +236,7 @@ object TextIndex {
     val buckets = terms.map(t =>
       java.lang.Math.floorMod(PortableHash.charHashLocal(t), Buckets.toLong))
       .distinct
-    val post = members.map(m => spark.read.parquet(s"$dir/$m/postings"))
+    val post = members.map(m => graft.core.Graft.cachedSchemaParquet(spark, s"$dir/$m/postings"))
       .reduce(_ unionAll _)
       .filter(col("tb").isin(buckets: _*))
       .filter(col("term").isin(terms: _*))

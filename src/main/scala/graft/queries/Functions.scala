@@ -262,7 +262,7 @@ object Functions extends QueryGroup {
       o.groupBy(col("month"))
         .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
         .write.mode("overwrite").parquet(stage)
-      val merged = s.read.parquet(stage).agg(
+      val merged = graft.core.Graft.cachedSchemaParquet(s, stage).agg(
         hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"),
         count(lit(1)).as("n_parts"))
       val direct = o.agg(

@@ -1998,7 +1998,7 @@ object Llm extends QueryGroup {
       def materialize(df: DataFrame, name: String): DataFrame = {
         val path = s"$stageRoot/$name"
         df.write.mode("overwrite").parquet(path)
-        s.read.parquet(path)
+        graft.core.Graft.cachedSchemaParquet(s, path)
       }
       val toks = split(lower(col("text")), " ")
       val meanLen = aggregate(transform(toks, t => length(t).cast("long")),

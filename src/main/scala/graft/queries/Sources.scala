@@ -107,7 +107,7 @@ object Sources extends QueryGroup {
       val o = table(s, dir, "orders")
       val out = tmpDir("part_parquet")
       o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
-      s.read.parquet(out)
+      graft.core.Graft.cachedSchemaParquet(s, out)
         .filter(col("o_orderstatus") === "F")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))
@@ -1155,7 +1155,7 @@ object Sources extends QueryGroup {
         case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
         case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
-      s.read.parquet(stage)
+      graft.core.Graft.cachedSchemaParquet(s, stage)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(charHashNative(col("text"))).as("content_sum"))

@@ -1389,7 +1389,7 @@ object Streaming extends QueryGroup {
           Seq(org.apache.spark.sql.sources.LessThan("cust", 100L))): Unit
         q.processAllAvailable()
       } finally q.stop()
-      val events = s.read.parquet(eventsDir)
+      val events = graft.core.Graft.cachedSchemaParquet(s, eventsDir)
       // the canonical CDC apply: multiset fold insert − delete — and a
       // surviving group re-emits its row n TIMES (explode over 1..n),
       // not once: on this data o is unique so n is always 1, but the

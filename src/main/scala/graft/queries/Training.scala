@@ -1090,7 +1090,7 @@ object Training extends QueryGroup {
       partials(o.filter(col("o_orderkey") % 4 =!= 0))
         .write.mode("overwrite").parquet(state)
       // a new delta folds in through the monoid — history is NOT rescanned
-      s.read.parquet(state)
+      graft.core.Graft.cachedSchemaParquet(s, state)
         .unionAll(partials(o.filter(col("o_orderkey") % 4 === 0)))
         .groupBy(col("o_orderstatus"))
         .agg((sum(col("rev4")) / 10000.0).as("revenue"), sum(col("n")).as("n"),
